@@ -1,0 +1,107 @@
+"""Text-analysis column expressions: tokenization proxy, stats, language-ID,
+quality scoring, fingerprinting, shingling.
+
+All pure Catalyst expressions (JVM-side) so they survive 100 TB: no Python in
+the hot path. Where the reference used tiktoken (`vectrekker/main.py:170,175`)
+the engine offers (a) this whitespace/regex proxy, oracle-checkable in SQL,
+and (b) an optional tiktoken pandas_udf in functions/tokenize.py, gated on the
+library being installed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty string → empty array)."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def avg_word_len(text: Column | str) -> Column:
+    """Mean token length; deterministic as total_chars/word_count."""
+    tok = tokens(text)
+    total = F.aggregate(tok, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.size(tok)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space — one of the
+    classic quality heuristics for LLM corpus filtering."""
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.length(t)
+
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and oracle-expressible; not a production model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "que"],
+    "es": ["el", "la", "los", "de", "es", "una", "por", "con"],
+}
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Count of tokens (lowercased) that are in `lang`'s stopword list."""
+    tok = F.transform(tokens(text), lambda w: F.lower(w))
+    return F.size(F.filter(tok, lambda w: w.isin(STOPWORDS[lang])))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    plausible word length. Rounded to 4 so both engines hash identically."""
+    t = _c(text)
+    n = F.length(t)
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.5))
+    pr = punct_ratio(t)
+    punct_ok = F.when(pr <= 0.1, F.lit(1.0)).otherwise(F.lit(1.0) - pr)
+    awl = avg_word_len(t)
+    wl_ok = F.when((awl >= 3.0) & (awl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round((len_ok + punct_ok + wl_ok) / 3.0, 4)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of lowercased, whitespace-stripped text.
+    Robust to reflow/case; the engine's analog of an id-stable content hash."""
+    return F.md5(F.regexp_replace(F.lower(_c(text)), r"\s+", ""))
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-grams of the lowercased text (for Jaccard/MinHash)."""
+    t = F.lower(_c(text))
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(t, i, k))
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles joined by a single space."""
+    tok = tokens(F.lower(_c(text)))
+    n = F.size(tok)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)))
+    )
+
+
+def token_hash32(tok: Column) -> Column:
+    """Deterministic 32-bit token hash shared with the DuckDB oracle:
+    first 8 hex digits of md5, as a bigint. Spark `conv(substr(md5(x),1,8),16,10)`
+    ≡ DuckDB `('0x'||substr(md5(x),1,8))::BIGINT`."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")

@@ -1,0 +1,127 @@
+"""Approximate nearest-neighbor search (SURVEY.md §2.2 V5) — the scale path
+for the reference's top-k cosine query when brute force (operators/knn.py)
+is too expensive.
+
+Two strategies:
+- IVF (inverted-file): deterministic coarse centroids → assign every corpus
+  vector to its nearest centroid (one kNN join against ~√N centroids) →
+  at query time probe only the n_probe nearest cells. The partition-pruning
+  idea applied to vector search: at 100 TB the assignment table is written
+  partitioned by centroid_id, so a probe reads only its cells' files.
+- LSH via Spark MLlib BucketedRandomProjectionLSH on L2-normalized vectors
+  (cosine ≡ euclidean on the unit sphere): hash-bucket join, no training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.vector import l2_normalize
+from vectrekker_spark.operators.knn import knn_join
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_centroids: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Pick deterministic centroids (every ⌈N/k⌉-th id — stand-in for a
+    seeded k-means; swap in MLlib KMeans(seed=…) for production quality) and
+    assign each corpus vector to its nearest centroid.
+
+    Returns (centroids(cid, cvec), assignments(vec_id, cid)).
+    """
+    n = corpus.count()
+    stride = max(n // n_centroids, 1)
+    centroids = (
+        corpus.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_centroids))
+        .select((F.col(id_col) / stride).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    assign = knn_join(
+        corpus.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
+        centroids,
+        k=1,
+        id_col="cid",
+        vec_col="cvec",
+    ).select(F.col("qid").alias(id_col), F.col("vec_id").alias("cid"))
+    return centroids, assign
+
+
+def ivf_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest cells per query, brute-force within them.
+
+    Candidate set is only the probed cells' vectors — the crossJoin blowup
+    never happens. Returns (qid, vec_id, score, rank)."""
+    probes = knn_join(queries, centroids, k=n_probe, id_col="cid", vec_col="cvec").select(
+        "qid", F.col("vec_id").alias("cid")
+    )
+    cand_ids = probes.join(assignments, "cid").select("qid", id_col).distinct()
+    cands = cand_ids.join(corpus, id_col).join(
+        queries, "qid"
+    )  # (qid, vec_id, embedding, qvec) — only probed-cell rows survive
+    from vectrekker_spark.functions.vector import cosine_sim
+    from pyspark.sql import Window
+
+    scored = cands.select(
+        "qid",
+        F.col(id_col),
+        F.round(cosine_sim(vec_col, "qvec"), 6).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "score", "rank")
+    )
+
+
+def lsh_model(
+    corpus: DataFrame,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    vec_col: str = "embedding",
+):
+    """Fit a seeded BucketedRandomProjectionLSH on L2-normalized vectors.
+    Returns (model, transformed_corpus) with a `features` ml-vector column."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    prepared = corpus.withColumn(
+        "features", array_to_vector(l2_normalize(F.col(vec_col)).cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    return lsh.fit(prepared), prepared
+
+
+def lsh_nn(model, prepared: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id") -> DataFrame:
+    """Approx top-k via LSH; cosine similarity recovered from the euclidean
+    distance on the unit sphere: cos = 1 - d²/2."""
+    import numpy as np
+    from pyspark.ml.linalg import Vectors
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    nrm = np.sqrt((q * q).sum())
+    if nrm > 0:
+        q = q / nrm
+    res = model.approxNearestNeighbors(prepared, Vectors.dense(q), k)
+    return res.select(
+        F.col(id_col),
+        F.round(1.0 - F.col("distCol") * F.col("distCol") / 2.0, 6).alias("score"),
+    )

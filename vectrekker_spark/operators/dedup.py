@@ -1,0 +1,168 @@
+"""Deduplication operators for LLM-corpus curation (SURVEY.md §2.2 L1/L2 +
+north-star additions): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All deterministic and (except LSH banding's pair search) expressible in plain
+SQL, so the DuckDB oracle can check them. Scale notes per operator below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.text import char_shingles, token_hash32, tokens, word_shingles
+
+# Fixed-seed affine permutations h_i(x) = (a·x + b) mod P over 32-bit token
+# hashes. a < 2^30 keeps a·x < 2^62 (no BIGINT overflow in either engine).
+MINHASH_P = 2_147_483_647
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (387420489, 12345), (268435399, 54321), (536870909, 98765), (100000007, 11111),
+    (715827883, 22222), (999999937, 33333), (805306457, 44444), (611686087, 55555),
+    (429496729, 66666), (322122547, 77777), (214748357, 88888), (165580141, 99999),
+    (131071017, 13579), (104729897, 24680), (982451653, 86420), (472882049, 97531),
+]
+
+
+def exact_dedup_map(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the keeper
+    (min id) and the duplicate count. A single hash-shuffle on md5(text);
+    at 100 TB, group keys are 32-byte digests, never the text itself."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature rows (id, perm, minhash).
+
+    Shingle → 32-bit hash → min over each affine permutation, all as array
+    expressions (no explode of the shingle set, no shuffle): per-doc cost is
+    O(shingles × perms) inside codegen."""
+    hashes = F.transform(
+        word_shingles(F.col(text_col), k=shingle_words), token_hash32
+    )
+
+    def perm_min(a: int, b: int):
+        # closure (not default-arg lambda — Spark reads lambda arity)
+        return F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
+
+    sigs = F.array(*[perm_min(a, b) for a, b in MINHASH_PERMS])
+    return df.select(F.col(id_col), F.posexplode(sigs).alias("perm", "minhash"))
+
+
+def lsh_candidate_pairs(
+    sig_rows: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any band hash become candidate pairs.
+
+    Signature rows → band hash (md5 of the band's concatenated minhashes) →
+    self-join on (band, hash). The join is on the band bucket — the classic
+    sub-quadratic near-dup search; only same-bucket docs ever meet.
+    Returns distinct (l_id, r_id) with l < r.
+    """
+    n_perms = len(MINHASH_PERMS)
+    rows_per_band = n_perms // bands
+    banded = (
+        sig_rows.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+    )
+    l = banded.select(F.col(id_col).alias("l_id"), "band", "band_hash")
+    r = banded.select(F.col(id_col).alias("r_id"), "band", "band_hash")
+    return (
+        l.join(r, ["band", "band_hash"])
+        .filter(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: LSH candidates, then exact Jaccard
+    verification on the candidate pairs only. Returns (l_id, r_id, jaccard)."""
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col)
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col)).alias("sh")
+    )
+    l = sh.select(F.col(id_col).alias("l_id"), F.col("sh").alias("l_sh"))
+    r = sh.select(F.col(id_col).alias("r_id"), F.col("sh").alias("r_sh"))
+    inter = F.size(F.array_intersect("l_sh", "r_sh"))
+    union = F.size("l_sh") + F.size("r_sh") - inter
+    return (
+        cands.join(l, "l_id")
+        .join(r, "r_id")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("l_id", "r_id", "jaccard")
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per document (id, simhash).
+
+    Token multiset → 16-bit token hash → per-bit signed vote → sign bit.
+    Explodes tokens (rows ≈ corpus token count) then two hash aggregations;
+    both shuffles are on (id, bit) / (id) — fine at scale since the exploded
+    width is 2 small ints."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).select(F.col(id_col), (token_hash32(F.col("t")) % 65536).alias("h"))
+    bits = tok.select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+    votes = bits.groupBy(id_col, "j").agg(
+        F.sum(
+            F.when(F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("bigint") % 2 == 1, 1)
+            .otherwise(-1)
+        ).alias("vote")
+    )
+    return (
+        votes.withColumn("bit", F.when(F.col("vote") > 0, 1).otherwise(0))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("bit") * F.pow(F.lit(2.0), F.col("j")).cast("bigint")
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    max_id: int = 40,
+    k: int = 5,
+    min_jaccard: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact character-k-gram Jaccard over a bounded id range (the brute-force
+    baseline the LSH path is verified against). O(n²) by design — cap with
+    max_id; the scale path is minhash_dedup_pairs."""
+    sh = df.filter(F.col(id_col) < max_id).select(
+        F.col(id_col), char_shingles(F.col(text_col), k=k).alias("sh")
+    )
+    l = sh.select(F.col(id_col).alias("l_id"), F.col("sh").alias("l_sh"))
+    r = sh.select(F.col(id_col).alias("r_id"), F.col("sh").alias("r_sh"))
+    inter = F.size(F.array_intersect("l_sh", "r_sh"))
+    union = F.size("l_sh") + F.size("r_sh") - inter
+    return (
+        l.join(F.broadcast(r), F.col("l_id") < F.col("r_id"))
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("l_id", "r_id", "jaccard")
+    )

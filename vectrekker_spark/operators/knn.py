@@ -1,0 +1,138 @@
+"""k-nearest-neighbor search operators — the query surface the reference
+provisions but never executes in-repo (Pinecone index with ``metric="cosine"``,
+`vectrekker/main.py:23,162-167`; top-k query implied by README.md:5-7).
+
+Scale design (SURVEY.md §4.2 "kNN: avoid naive crossJoin blowup"):
+
+* ``topk_nn`` (1 query × M corpus): score is a codegen expression evaluated
+  per-partition; ``ORDER BY … LIMIT k`` compiles to TakeOrderedAndProject —
+  each partition keeps a k-heap, the driver merges P·k rows. No shuffle of
+  the corpus, ever. Survives 100 TB.
+
+* ``knn_join`` (N queries × M corpus): broadcast the query side (queries are
+  the small side by construction), score map-side, then a **two-phase top-k**:
+  local per-partition top-k via ``mapInPandas`` (heap over Arrow batches, no
+  shuffle) followed by a global window over only P·N·k survivor rows. The
+  naive alternative (window straight over N×M scored rows) shuffles the whole
+  cross product — that is the plan we explicitly avoid.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist
+
+
+_METRICS = {"cosine": cosine_sim, "dot": dot, "l2": l2_dist}
+
+
+def _score(metric: str, a, b):
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
+    return _METRICS[metric](a, b)
+
+
+def topk_nn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors of one query vector. Ties broken by id ascending
+    so results are total-ordered (hash-match requirement)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    ascending = metric == "l2"  # distance: smaller is better
+    scored = corpus.select(
+        F.col(id_col),
+        F.round(_score(metric, F.col(vec_col), q), 6).alias("score"),
+    )
+    order = [F.col("score").asc() if ascending else F.col("score").desc(), F.col(id_col).asc()]
+    return scored.orderBy(*order).limit(k)
+
+
+def _local_topk_gen(k: int, ascending: bool):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if best is None else pd.concat([best, pdf])
+            both = both.sort_values(
+                ["qid", "score", "vec_id"], ascending=[True, ascending, True]
+            )
+            best = both.groupby("qid", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    return gen
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN join: for every query row, the k nearest corpus rows.
+
+    Returns (qid, vec_id, score, rank). Deterministic: ties broken by corpus
+    id ascending.
+    """
+    ascending = metric == "l2"
+    q = F.broadcast(queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")))
+    scored = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")).join(
+        q  # broadcast nested-loop over the small query side, map-side only
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(_score(metric, F.col("emb"), F.col("qvec")), 6).alias("score"),
+    )
+    # Phase 1: per-partition top-k (no shuffle; Arrow-batched heap).
+    local = scored.mapInPandas(
+        _local_topk_gen(k, ascending),
+        schema="qid long, vec_id long, score double",
+    )
+    # Phase 2: global top-k over the P·N·k survivors only.
+    order = [F.col("score").asc() if ascending else F.col("score").desc(), F.col("vec_id").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "score", "rank")
+    )
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    metric: str = "cosine",
+    left_id: str = "l_id",
+    left_vec: str = "l_vec",
+    right_id: str = "r_id",
+    right_vec: str = "r_vec",
+) -> DataFrame:
+    """All pairs with similarity ≥ threshold (embedding-space near-dup, L6).
+
+    Broadcasts the smaller side; the threshold filter runs inside the same
+    codegen stage as the score, so non-matching pairs are never materialized.
+    For corpus×corpus self-join at 100 TB, pre-bucket with LSH
+    (operators/ann.py) and run this on candidate pairs only.
+    """
+    l = left.select(F.col(left_id).alias("l_id"), F.col(left_vec).alias("l_vec"))
+    r = right.select(F.col(right_id).alias("r_id"), F.col(right_vec).alias("r_vec"))
+    pairs = l.join(F.broadcast(r), F.col("l_id") < F.col("r_id"))
+    return (
+        pairs.withColumn("score", F.round(_score(metric, F.col("l_vec"), F.col("r_vec")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("l_id", "r_id", "score")
+    )

@@ -1,0 +1,181 @@
+"""Pipeline / incremental / streaming-batch-equivalent queries
+(SURVEY.md §2.1 D1–D3/K2 → §2.2 P1/P2, ST2/ST3 batch equivalents, V5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.delta import detect_changes, merge_upsert
+from vectrekker_spark.queries import QuerySpec
+from vectrekker_spark.queries.util import tb
+
+DEC = "decimal(18,2)"
+
+
+def q29_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    # Synthetic MERGE: updates (modified totalprice, status 'U') replace
+    # matching base rows — INSERT OR REPLACE semantics of the reference's
+    # state write-back (vectrekker/main.py:113-123) at table scale.
+    o = tb(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(base, updates, "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q29_SQL = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey))
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q30_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    # Batch-equivalent of the streaming tumbling-window agg (ST2); the
+    # streaming variant (readStream + watermark) lives in
+    # vectrekker_spark/streaming and is property-tested against this result.
+    e = tb(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_ms", "event_type")
+    )
+
+
+Q30_SQL = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type
+"""
+
+
+def d08_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    # Sessionization (ST3 batch equivalent): 15-minute inactivity gap.
+    e = tb(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
+
+
+D08_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o)
+SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+       epoch_ms(MAX(ts) + INTERVAL 15 MINUTE) AS session_end_ms,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_ms
+"""
+
+
+def d09_incremental_delta(spark: SparkSession, sf: str) -> DataFrame:
+    # The reference's incremental change detection (vectrekker/main.py:143-147)
+    # with its exact semantics: unknown key → cached 0; strictly-greater mtime.
+    # State/scan synthesized deterministically from the documents table.
+    d = tb(spark, sf, "documents")
+    scan = d.select(
+        "doc_id",
+        (F.col("n_chars") + F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)).alias("mtime"),
+    )
+    state = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.col("n_chars").alias("last_edit_time")
+    )
+    return (
+        detect_changes(scan, state, key="doc_id")
+        .select("doc_id", "mtime", F.col("cached_ts").alias("cached_mtime"))
+        .orderBy("doc_id")
+    )
+
+
+D09_SQL = """
+WITH scan AS (
+  SELECT doc_id,
+         n_chars + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS mtime
+  FROM documents),
+state AS (SELECT doc_id, n_chars AS last_edit_time FROM documents WHERE doc_id % 3 = 0)
+SELECT s.doc_id AS doc_id, s.mtime AS mtime,
+       COALESCE(st.last_edit_time, 0) AS cached_mtime
+FROM scan s LEFT JOIN state st ON s.doc_id = st.doc_id
+WHERE COALESCE(st.last_edit_time, 0) < s.mtime
+ORDER BY doc_id
+"""
+
+
+def d10_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF approximate NN: deterministic but not reasonably SQL-expressible →
+    # rows-only driver check; recall-vs-exact property test in
+    # tests/test_ann.py.
+    from vectrekker_spark.operators.ann import ivf_build, ivf_search
+
+    em = tb(spark, sf, "embeddings")
+    centroids, assign = ivf_build(em, n_centroids=10)
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_search(queries, em, centroids, assign, k=10, n_probe=3).orderBy("qid", "rank")
+
+
+SPECS = [
+    QuerySpec("q29_merge_upsert", q29_merge_upsert, Q29_SQL, ("pipeline",),
+              "last-writer-wins MERGE (P2/K2 upsert semantics)"),
+    QuerySpec("q30_tumbling_window", q30_tumbling_window, Q30_SQL, ("streaming",),
+              "1-hour tumbling window agg (ST2 batch equivalent)"),
+    QuerySpec("d08_session_window", d08_session_window, D08_SQL, ("streaming",),
+              "15-min-gap session windows (ST3 batch equivalent)"),
+    QuerySpec("d09_incremental_delta", d09_incremental_delta, D09_SQL, ("pipeline",),
+              "reference D1 delta semantics: unknown→0, strict >"),
+    QuerySpec("d10_ann_ivf", d10_ann_ivf, None, ("vector", "ann"),
+              "IVF approximate NN (rows-only check + recall property test)"),
+]

@@ -1,0 +1,487 @@
+"""Relational core queries Q1–Q19 (SURVEY.md §2.2/§2.3).
+
+All pure Catalyst built-ins — scans, filters, joins, aggregates, windows, set
+ops, scalar functions. Each Spark builder is DataFrame-API-first; the oracle
+is the DuckDB-dialect equivalent. At 100 TB every one of these relies on
+pushdown/pruning/AQE; perf assertions live in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectrekker_spark.queries import QuerySpec
+from vectrekker_spark.queries.util import tb
+
+DEC = "decimal(18,2)"
+
+
+def q01_project(spark: SparkSession, sf: str) -> DataFrame:
+    li = tb(spark, sf, "lineitem")
+    # Arithmetic in DECIMAL end-to-end: casting a *computed* double to decimal
+    # diverges between engines (Spark rounds the shortest repr HALF_UP, DuckDB
+    # rounds the exact binary expansion), so cast the inputs, not the result.
+    net = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("double")
+    return (
+        li.select("l_orderkey", "l_linenumber", net.alias("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+Q01_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS net_price
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q02_filter(spark: SparkSession, sf: str) -> DataFrame:
+    li = tb(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q03_agg(spark: SparkSession, sf: str) -> DataFrame:
+    li = tb(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q03_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_disc_price,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q04_inner_join(spark: SparkSession, sf: str) -> DataFrame:
+    o, c = tb(spark, sf, "orders"), tb(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q04_SQL = """
+SELECT c_mktsegment, COUNT(*) AS order_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q05_broadcast_join(spark: SparkSession, sf: str) -> DataFrame:
+    n, r = tb(spark, sf, "nation"), tb(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+Q05_SQL = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey
+"""
+
+
+def q06_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = tb(spark, sf, "customer"), tb(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+Q06_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def q07_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = tb(spark, sf, "customer"), tb(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+Q07_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q08_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    # The reference's incremental-delta shape (D1): rows with no match in the
+    # other side (vectrekker/main.py:143-147 ≙ scan ANTI JOIN state).
+    p, li = tb(spark, sf, "part"), tb(spark, sf, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+Q08_SQL = """
+SELECT p_partkey, p_name FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+ORDER BY p_partkey
+"""
+
+
+def q09_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = tb(spark, sf, "events")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 MINUTE"))
+    )
+    return (
+        e1.join(e2, cond, "inner")
+        .groupBy(F.col("e1.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("followers"))
+        .orderBy("event_id")
+    )
+
+
+Q09_SQL = """
+SELECT e1.event_id AS event_id, COUNT(*) AS followers
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 MINUTE
+GROUP BY e1.event_id ORDER BY event_id
+"""
+
+
+def q10_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    o = tb(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q10_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q11_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    o, c, n = tb(spark, sf, "orders"), tb(spark, sf, "customer"), tb(spark, sf, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        j.rollup("n_name", "o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue",
+        )
+        .orderBy("nation", "priority")
+    )
+
+
+Q11_SQL = """
+SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY nation, priority
+"""
+
+
+def q12_rank_window(spark: SparkSession, sf: str) -> DataFrame:
+    o = tb(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q12_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+def q13_lag_frame(spark: SparkSession, sf: str) -> DataFrame:
+    e = tb(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+            F.round(F.sum("value").over(wsum), 4).alias("running_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q13_SQL = """
+SELECT event_id, user_id,
+       ROUND(LAG(value, 1) OVER w, 4) AS prev_value,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def q14_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = tb(spark, sf, "customer"), tb(spark, sf, "orders")
+    ordered = o.select(F.col("o_custkey").alias("custkey"))
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    ex = ordered.subtract(rich).select(F.lit("except").alias("tag"), "custkey")
+    inter = ordered.intersect(rich).select(F.lit("intersect").alias("tag"), "custkey")
+    return ex.unionAll(inter).orderBy("tag", "custkey")
+
+
+Q14_SQL = """
+SELECT 'except' AS tag, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+UNION ALL
+SELECT 'intersect' AS tag, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+ORDER BY tag, custkey
+"""
+
+
+def q15_dedup_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    e = tb(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.unix_millis("ts").alias("ts_ms"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+Q15_SQL = """
+SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def q16_string_fns(spark: SparkSession, sf: str) -> DataFrame:
+    p = tb(spark, sf, "part")
+    return (
+        p.filter(F.col("p_name").rlike("^(red|blue|green)"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_name")).alias("uname"),
+            F.substring(F.col("p_name"), 1, 4).alias("prefix"),
+            F.regexp_extract(F.col("p_name"), r"(\w+)$", 1).alias("last_word"),
+            F.length(F.col("p_name")).alias("name_len"),
+            F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q16_SQL = """
+SELECT p_partkey, UPPER(p_name) AS uname, substr(p_name, 1, 4) AS prefix,
+       regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+       LENGTH(p_name) AS name_len,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part WHERE regexp_matches(p_name, '^(red|blue|green)')
+ORDER BY p_partkey
+"""
+
+
+def q17_date_math(spark: SparkSession, sf: str) -> DataFrame:
+    o = tb(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .select(
+            "order_year",
+            "order_month",
+            "n_orders",
+            "revenue",
+            F.round(F.sqrt(F.col("revenue")), 4).alias("rev_sqrt"),
+            F.round(F.log(F.col("revenue") + 1.0), 6).alias("rev_ln"),
+            F.round(F.pow(F.col("n_orders").cast("double"), 0.5), 6).alias("cnt_pow"),
+            F.abs(F.col("n_orders") - 1000).alias("cnt_abs_dev"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+Q17_SQL = """
+WITH base AS (
+  SELECT year(o_orderdate) AS order_year, month(o_orderdate) AS order_month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT order_year, order_month, n_orders, revenue,
+       ROUND(sqrt(revenue), 4) AS rev_sqrt,
+       ROUND(ln(revenue + 1.0), 6) AS rev_ln,
+       ROUND(pow(CAST(n_orders AS DOUBLE), 0.5), 6) AS cnt_pow,
+       ABS(n_orders - 1000) AS cnt_abs_dev
+FROM base ORDER BY order_year, order_month
+"""
+
+
+def q18_array_fns(spark: SparkSession, sf: str) -> DataFrame:
+    em = tb(spark, sf, "embeddings")
+    return (
+        em.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.posexplode(F.slice("embedding", 1, 3)),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            (F.col("pos") + 1).alias("pos"),
+            F.round(F.col("col").cast("double"), 6).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+Q18_SQL = """
+SELECT vec_id, len(embedding) AS dim, g.i AS pos,
+       ROUND(embedding[g.i]::DOUBLE, 6) AS val
+FROM embeddings, generate_series(1, 3) g(i)
+ORDER BY vec_id, pos
+"""
+
+
+def q19_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = tb(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_large"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q19_SQL = """
+SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(CASE WHEN k > 50 THEN 1 END) AS n_large
+FROM (SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+SPECS = [
+    QuerySpec("q01_project", q01_project, Q01_SQL, ("relational",), "scan+project+computed col"),
+    QuerySpec("q02_filter", q02_filter, Q02_SQL, ("relational",), "predicate pushdown filter"),
+    QuerySpec("q03_agg", q03_agg, Q03_SQL, ("relational",), "TPC-H Q1-shape hash aggregate"),
+    QuerySpec("q04_inner_join", q04_inner_join, Q04_SQL, ("relational",), "inner equi join + agg"),
+    QuerySpec("q05_broadcast_join", q05_broadcast_join, Q05_SQL, ("relational",), "broadcast dim join"),
+    QuerySpec("q06_left_join", q06_left_join, Q06_SQL, ("relational",), "left outer join"),
+    QuerySpec("q07_semi_join", q07_semi_join, Q07_SQL, ("relational",), "left semi join (EXISTS)"),
+    QuerySpec("q08_anti_join", q08_anti_join, Q08_SQL, ("relational",), "left anti join (NOT EXISTS)"),
+    QuerySpec("q09_range_join", q09_range_join, Q09_SQL, ("relational",), "bounded range/theta join"),
+    QuerySpec("q10_count_distinct", q10_count_distinct, Q10_SQL, ("relational",), "count distinct"),
+    QuerySpec("q11_rollup", q11_rollup, Q11_SQL, ("relational",), "rollup grouping sets"),
+    QuerySpec("q12_rank_window", q12_rank_window, Q12_SQL, ("relational",), "row_number top-3 per group"),
+    QuerySpec("q13_lag_frame", q13_lag_frame, Q13_SQL, ("relational",), "lag + running-sum frame"),
+    QuerySpec("q14_set_ops", q14_set_ops, Q14_SQL, ("relational",), "EXCEPT/INTERSECT/UNION ALL"),
+    QuerySpec("q15_dedup_by_key", q15_dedup_by_key, Q15_SQL, ("relational",), "first-row-per-key dedup"),
+    QuerySpec("q16_string_fns", q16_string_fns, Q16_SQL, ("relational",), "string function surface"),
+    QuerySpec("q17_date_math", q17_date_math, Q17_SQL, ("relational",), "date + math functions"),
+    QuerySpec("q18_array_fns", q18_array_fns, Q18_SQL, ("relational",), "array size/slice/posexplode"),
+    QuerySpec("q19_json", q19_json, Q19_SQL, ("relational",), "JSON extraction"),
+]

@@ -1,0 +1,293 @@
+"""Text-analysis / dedup / chunking queries over the documents corpus
+(SURVEY.md §2.2 L1–L6 + north-star training-data ops: language-ID, quality
+scoring, fingerprinting, SimHash, MinHash, n-gram Jaccard, multimodal
+metadata plumbing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions import text as T
+from vectrekker_spark.operators.chunk import chunk_text
+from vectrekker_spark.operators.dedup import (
+    MINHASH_P,
+    MINHASH_PERMS,
+    exact_dedup_map,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from vectrekker_spark.queries import QuerySpec
+from vectrekker_spark.queries.util import tb, token_hash_sql, tokens_sql
+
+TOKS = tokens_sql("text")
+LTOKS = tokens_sql("lower(text)")
+
+
+def q25_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup_map(tb(spark, sf, "documents")).orderBy("keep_id")
+
+
+Q25_SQL = """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+def q26_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = tb(spark, sf, "documents")
+    per_doc = d.select(
+        "lang",
+        "n_chars",
+        F.length("text").alias("text_len"),
+        T.token_count("text").alias("n_tokens"),
+        T.avg_word_len("text").alias("awl"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("awl"), 4).alias("avg_word_len"),
+            F.sum(F.when(F.col("text_len") == F.col("n_chars"), 1).otherwise(0)).alias(
+                "n_chars_consistent"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+Q26_SQL = f"""
+WITH per_doc AS (
+  SELECT lang, n_chars, length(text) AS text_len,
+         len({TOKS}) AS n_tokens,
+         list_aggregate(list_transform({TOKS}, w -> length(w)), 'sum')::DOUBLE
+           / len({TOKS}) AS awl
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(awl), 4) AS avg_word_len,
+       CAST(SUM(CASE WHEN text_len = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_chars_consistent
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def q27_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    d = tb(spark, sf, "documents")
+    return (
+        chunk_text(d, size=100, overlap=20)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.length("chunk_text").alias("chunk_len"),
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+Q27_SQL = """
+SELECT doc_id, CAST((s - 1) / 80 AS INT) AS chunk_id,
+       length(substr(text, s, 100)) AS chunk_len,
+       md5(substr(text, s, 100)) AS chunk_md5
+FROM (SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text), 1), 80)) AS s
+      FROM documents)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def d01_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_signatures(tb(spark, sf, "documents")).orderBy("doc_id", "perm")
+
+
+_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))
+_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(0, greatest(len({LTOKS}) - 3, 0)), "
+    f"i -> array_to_string(({LTOKS})[i+1:i+3], ' ')))"
+)
+D01_SQL = f"""
+WITH perms(perm, a, b) AS (VALUES {_PERM_VALUES}),
+sh AS (
+  SELECT doc_id,
+         list_transform({_SHINGLES}, s -> {token_hash_sql('s')}) AS hs
+  FROM documents)
+SELECT sh.doc_id AS doc_id, perms.perm AS perm,
+       list_min(list_transform(sh.hs, x -> (perms.a * x + perms.b) % {MINHASH_P}))
+         AS minhash
+FROM sh CROSS JOIN perms
+ORDER BY doc_id, perm
+"""
+
+
+def d02_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash16(tb(spark, sf, "documents")).orderBy("doc_id")
+
+
+D02_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS t FROM documents),
+h AS (SELECT doc_id, {token_hash_sql('t')} % 65536 AS h FROM tok WHERE t <> ''),
+bits AS (SELECT doc_id, h, unnest(generate_series(0, 15)) AS j FROM h),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN CAST(floor(h / pow(2, j)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM bits GROUP BY doc_id, j)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN 1 ELSE 0 END
+                * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def d03_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(tb(spark, sf, "documents"), max_id=40).orderBy("l_id", "r_id")
+
+
+_CSH = (
+    "list_distinct(list_transform(generate_series(1, greatest(length(lower(text)) - 4, 1)), "
+    "i -> substr(lower(text), i, 5)))"
+)
+D03_SQL = f"""
+WITH sh AS (SELECT doc_id, {_CSH} AS sh FROM documents WHERE doc_id < 40),
+pairs AS (
+  SELECT l.doc_id AS l_id, r.doc_id AS r_id,
+         len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS inter,
+         len(l.sh) + len(r.sh)
+           - len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS uni
+  FROM sh l JOIN sh r ON l.doc_id < r.doc_id)
+SELECT l_id, r_id, ROUND(inter::DOUBLE / uni, 6) AS jaccard
+FROM pairs WHERE ROUND(inter::DOUBLE / uni, 6) >= 0.05
+ORDER BY l_id, r_id
+"""
+
+
+def d04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = tb(spark, sf, "documents")
+    hits = {lang: T.stopword_hits(F.col("text"), lang) for lang in T.STOPWORDS}
+    g = F.greatest(*hits.values())
+    pred = (
+        F.when(g == 0, F.lit("unknown"))
+        .when(hits["en"] == g, F.lit("en"))
+        .when(hits["de"] == g, F.lit("de"))
+        .when(hits["fr"] == g, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        hits["es"].alias("es_hits"),
+        pred.alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def _sw_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_filter({LTOKS}, w -> list_contains([{words}], w)))"
+
+
+D04_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sw_sql('en')} AS en_hits, {_sw_sql('de')} AS de_hits,
+         {_sw_sql('fr')} AS fr_hits, {_sw_sql('es')} AS es_hits
+  FROM documents)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+            WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+            WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+            WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM h ORDER BY doc_id
+"""
+
+
+def d05_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = tb(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.avg_word_len("text"), 4).alias("avg_word_len"),
+        T.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+D05_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({TOKS}) AS n_tokens,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+           / length(text) AS pr,
+         list_aggregate(list_transform({TOKS}, w -> length(w)), 'sum')::DOUBLE
+           / len({TOKS}) AS awl,
+         length(text) AS n
+  FROM documents)
+SELECT doc_id, n_tokens, ROUND(pr, 6) AS punct_ratio, ROUND(awl, 4) AS avg_word_len,
+       ROUND(((CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 1.0 - pr END)
+            + (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.6 END)) / 3.0, 4)
+         AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+def d06_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = tb(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+D06_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def d07_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # Binary-column plumbing (north-star multimodal surface): treat content as
+    # opaque bytes + typed metadata. Real decode lives in
+    # operators/multimodal.py (stubbed — no media libs in this container).
+    d = tb(spark, sf, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.md5(bin_col).alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+D07_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("q25_exact_dedup", q25_exact_dedup, Q25_SQL, ("text", "dedup"),
+              "exact dedup map by content md5"),
+    QuerySpec("q26_text_stats", q26_text_stats, Q26_SQL, ("text",),
+              "per-lang doc/char/token stats"),
+    QuerySpec("q27_chunking", q27_chunking, Q27_SQL, ("text",),
+              "100-char chunks with 20 overlap (fixes reference's 8191-token TODO)"),
+    QuerySpec("d01_minhash", d01_minhash, D01_SQL, ("text", "dedup"),
+              "16-perm MinHash signatures over word 3-gram shingles"),
+    QuerySpec("d02_simhash", d02_simhash, D02_SQL, ("text", "dedup"),
+              "16-bit SimHash per document"),
+    QuerySpec("d03_ngram_jaccard", d03_ngram_jaccard, D03_SQL, ("text", "dedup"),
+              "exact char-5-gram Jaccard pairs (brute-force baseline)"),
+    QuerySpec("d04_lang_id", d04_lang_id, D04_SQL, ("text",),
+              "stopword-hit language-ID heuristic"),
+    QuerySpec("d05_quality", d05_quality, D05_SQL, ("text",),
+              "length/punctuation/word-length quality score"),
+    QuerySpec("d06_fingerprint", d06_fingerprint, D06_SQL, ("text",),
+              "whitespace/case-insensitive content fingerprint"),
+    QuerySpec("d07_multimodal_meta", d07_multimodal_meta, D07_SQL, ("text", "multimodal"),
+              "binary-column metadata extraction"),
+]

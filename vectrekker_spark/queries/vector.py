@@ -1,0 +1,211 @@
+"""Vector / embedding queries Q20–Q24, Q28 (SURVEY.md §2.2 V1–V6, L6, UDF).
+
+This is the reference's core semantic surface: deterministic embedding
+(reference embeds via external API, `vectrekker/main.py:180-183`; tests use
+the seeded hashing-trick embedder per SURVEY.md §5.3), vector metrics, and
+top-k cosine search (the query the Pinecone index exists for,
+`vectrekker/main.py:23,162-167`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist, l2_normalize, norm
+from vectrekker_spark.operators.knn import knn_join, similarity_join
+from vectrekker_spark.queries import QuerySpec
+from vectrekker_spark.queries.util import (
+    cosine_sql,
+    dot_sql,
+    l2_sql,
+    normsq_sql,
+    tb,
+)
+
+HASH_EMBED_DIM = 64
+
+
+def hash_embed_batch(texts: pd.Series, dim: int = HASH_EMBED_DIM) -> pd.Series:
+    """Seeded hashing-trick embedder (SURVEY.md §5.3): token → md5-prefix
+    bucket, ±1 by the 9th hex digit, L2-normalized. Deterministic and
+    reproducible in SQL, unlike the reference's API embedder."""
+    out = []
+    for text in texts:
+        vec = np.zeros(dim, dtype=np.float64)
+        for tok in re.split(r"\s+", text.strip()):
+            if not tok:
+                continue
+            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            bucket = int(h[:8], 16) % dim
+            sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+            vec[bucket] += sign
+        nrm = float(np.sqrt(np.sum(vec * vec)))
+        if nrm > 0:
+            vec = vec / nrm
+        out.append(vec.tolist())
+    return pd.Series(out)
+
+
+def q20_hash_embed_udf(spark: SparkSession, sf: str) -> DataFrame:
+    docs = tb(spark, sf, "documents")
+    embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
+    return (
+        docs.select("doc_id", F.posexplode(embed(F.col("text"))))
+        .filter(F.col("col") != 0.0)
+        .select(
+            "doc_id",
+            F.col("pos").alias("bucket"),
+            F.round("col", 6).alias("weight"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+Q20_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+         CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM tok WHERE t <> ''
+), w AS (
+  SELECT doc_id, bucket, SUM(sign) AS wt FROM h GROUP BY doc_id, bucket
+), n AS (
+  SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id
+)
+SELECT w.doc_id AS doc_id, w.bucket AS bucket, ROUND(w.wt / n.nrm, 6) AS weight
+FROM w JOIN n ON w.doc_id = n.doc_id
+WHERE w.wt <> 0
+ORDER BY doc_id, bucket
+"""
+
+
+def q21_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    em = tb(spark, sf, "embeddings")
+    e1 = em.select(F.col("vec_id"), F.col("embedding").alias("a"))
+    e2 = em.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("b"))
+    return (
+        e1.join(e2, "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine_sim("a", "b"), 6).alias("cos_sim"),
+            F.round(dot("a", "b"), 6).alias("dot_prod"),
+            F.round(l2_dist("a", "b"), 6).alias("l2_distance"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q21_SQL = f"""
+SELECT e1.vec_id AS vec_id,
+       ROUND({cosine_sql('e1.embedding', 'e2.embedding')}, 6) AS cos_sim,
+       ROUND({dot_sql('e1.embedding', 'e2.embedding')}, 6) AS dot_prod,
+       ROUND({l2_sql('e1.embedding', 'e2.embedding')}, 6) AS l2_distance
+FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+ORDER BY vec_id
+"""
+
+
+def q22_topk_nn(spark: SparkSession, sf: str) -> DataFrame:
+    em = tb(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return knn_join(q, em, k=10).select("vec_id", "score", "rank").orderBy("rank")
+
+
+Q22_SQL = f"""
+SELECT e.vec_id AS vec_id,
+       ROUND({cosine_sql('e.embedding', 'q.embedding')}, 6) AS score,
+       ROW_NUMBER() OVER (
+         ORDER BY ROUND({cosine_sql('e.embedding', 'q.embedding')}, 6) DESC,
+                  e.vec_id ASC) AS rank
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY rank LIMIT 10
+"""
+
+
+def q23_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    em = tb(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return knn_join(q, em, k=5).orderBy("qid", "rank")
+
+
+Q23_SQL = f"""
+SELECT qid, vec_id, score, rank FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+         ROUND({cosine_sql('e.embedding', 'q.embedding')}, 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND({cosine_sql('e.embedding', 'q.embedding')}, 6) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q
+) WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+def q24_norms(spark: SparkSession, sf: str) -> DataFrame:
+    em = tb(spark, sf, "embeddings")
+    return (
+        em.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(norm("embedding"), 6).alias("l2_norm"),
+            F.round(F.element_at(l2_normalize("embedding"), 1), 6).alias("unit0"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q24_SQL = f"""
+SELECT vec_id, len(embedding) AS dim,
+       ROUND(sqrt({normsq_sql('embedding')}), 6) AS l2_norm,
+       ROUND(embedding[1]::DOUBLE / sqrt({normsq_sql('embedding')}), 6) AS unit0
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def q28_sim_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Embedding-space near-dup pairs (L6). Fixture max pairwise cosine at
+    # sf0.01 is ~0.51, so threshold 0.40 yields a non-trivial result set.
+    em = tb(spark, sf, "embeddings")
+    return similarity_join(
+        em, em, threshold=0.40,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    ).orderBy("l_id", "r_id")
+
+
+Q28_SQL = f"""
+SELECT e1.vec_id AS l_id, e2.vec_id AS r_id,
+       ROUND({cosine_sql('e1.embedding', 'e2.embedding')}, 6) AS score
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE ROUND({cosine_sql('e1.embedding', 'e2.embedding')}, 6) >= 0.40
+ORDER BY l_id, r_id
+"""
+
+
+SPECS = [
+    QuerySpec("q20_hash_embed_udf", q20_hash_embed_udf, Q20_SQL, ("vector", "udf"),
+              "Arrow pandas_udf hashing embedder vs pure-SQL oracle"),
+    QuerySpec("q21_pair_metrics", q21_pair_metrics, Q21_SQL, ("vector",),
+              "cosine/dot/L2 between consecutive embeddings"),
+    QuerySpec("q22_topk_nn", q22_topk_nn, Q22_SQL, ("vector",),
+              "exact top-10 cosine NN of vec 0 (the reference's implied query)"),
+    QuerySpec("q23_knn_join", q23_knn_join, Q23_SQL, ("vector",),
+              "batch 5-NN join for 20 query vectors"),
+    QuerySpec("q24_norms", q24_norms, Q24_SQL, ("vector",),
+              "L2 norm, dim check, normalize"),
+    QuerySpec("q28_sim_dedup", q28_sim_dedup, Q28_SQL, ("vector", "dedup"),
+              "embedding-cosine near-dup pairs over threshold"),
+]

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for correctness-vs-DuckDB parity (UTC session timezone, ANSI off so
+Spark matches DuckDB's permissive casts) and for 100 TB-scale habits that
+also hold on local[32]: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), Arrow for every pandas interchange, bounded shuffle
+partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vectrekker-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real cluster the
+    master/resource settings come from spark-submit; everything set here is
+    master-agnostic.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or max(32, cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- correctness / parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        # --- adaptive execution: runtime re-plan, skew handling, coalesce ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # --- Python interchange is always Arrow-batched ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- broadcast: dims up to 64 MB go map-side (region/nation/queries) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # quieter logs for test runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
