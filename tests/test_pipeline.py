@@ -1,0 +1,89 @@
+"""End-to-end vectrekker-parity pipeline tests (SURVEY.md §5.2 items 3-4):
+exactly-the-touched-file re-embedding, strict-> mtime semantics, regex
+anchoring, long-doc quarantine/chunk routing, at-least-once state ordering."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from vectrekker_spark.pipeline import PipelineConfig, run_pipeline
+from vectrekker_spark.sources.files import scan_directory
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    content = tmp_path / "content"
+    content.mkdir()
+    (content / "a.md").write_text("alpha document about sparks and vectors")
+    (content / "sub").mkdir()
+    (content / "sub" / "b.md").write_text("beta document nested in a subdirectory")
+    (content / "c.txt").write_text("ignored - wrong extension")
+    return tmp_path
+
+
+def _cfg(tmp_path, **kw):
+    return PipelineConfig(
+        content_dir=str(tmp_path / "content"),
+        state_path=str(tmp_path / "state.parquet"),
+        index_path=str(tmp_path / "index.parquet"),
+        quarantine_path=str(tmp_path / "quarantine.parquet"),
+        **kw,
+    )
+
+
+def test_scan_regex_match_is_anchored(spark, corpus):
+    # reference uses re.match on the full path (main.py:140-141): a pattern
+    # without a leading .* must match from the path start, not anywhere.
+    all_md = scan_directory(spark, str(corpus / "content"), pattern=r".*\.md$")
+    assert {os.path.basename(r["path"]) for r in all_md.collect()} == {"a.md", "b.md"}
+    unanchored = scan_directory(spark, str(corpus / "content"), pattern=r"a\.md$")
+    assert unanchored.count() == 0  # would match with re.search; not with re.match
+
+
+def test_incremental_run_semantics(spark, corpus):
+    cfg = _cfg(corpus)
+    r1 = run_pipeline(spark, cfg)
+    assert r1 == {"scanned": 2, "changed": 2, "indexed": 2, "quarantined": 0}
+
+    # second run: nothing changed → empty-delta short-circuit (main.py:149-151)
+    r2 = run_pipeline(spark, cfg)
+    assert r2["changed"] == 0 and r2["indexed"] == 0
+
+    # same-second edit is MISSED (strict >, int-second mtimes — main.py:59,:146)
+    a = corpus / "content" / "a.md"
+    st = a.stat()
+    a.write_text("alpha document edited in place")
+    os.utime(a, (st.st_atime, st.st_mtime))
+    assert run_pipeline(spark, cfg)["changed"] == 0
+
+    # bump mtime by 2s → exactly that one file re-embedded
+    os.utime(a, (st.st_atime, st.st_mtime + 2))
+    r4 = run_pipeline(spark, cfg)
+    assert r4["changed"] == 1 and r4["indexed"] == 1
+
+    # index still has one row per document (MERGE, not append)
+    index = spark.read.parquet(cfg.index_path)
+    assert index.count() == 2
+    assert {len(r["embedding"]) for r in index.collect()} == {64}
+
+
+def test_long_doc_quarantine_not_crash(spark, corpus):
+    (corpus / "content" / "long.md").write_text("tok " * 9001)
+    cfg = _cfg(corpus)  # max_tokens 8191, no chunking
+    r = run_pipeline(spark, cfg)
+    assert r["quarantined"] == 1 and r["indexed"] == 2
+    q = spark.read.parquet(cfg.quarantine_path).collect()
+    assert len(q) == 1 and q[0]["n_tokens"] == 9001
+
+
+def test_long_doc_chunking_path(spark, corpus):
+    (corpus / "content" / "long.md").write_text("tok " * 9001)
+    cfg = _cfg(corpus, chunk_size=8000, chunk_overlap=100)
+    r = run_pipeline(spark, cfg)
+    assert r["quarantined"] == 0
+    index = spark.read.parquet(cfg.index_path)
+    chunk_ids = [r["id"] for r in index.collect() if "#" in r["id"]]
+    assert len(chunk_ids) >= 5  # 36004 chars / 7900 step → 5 chunks
+    assert index.count() == 2 + len(chunk_ids)

@@ -1,0 +1,53 @@
+"""Physical-plan assertions (SURVEY.md §4.2): these encode the 100 TB scale
+requirements the value-oracle can't see — pushdown reaching the scan, column
+pruning, small dims broadcast, no superfluous shuffles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectrekker_spark.plans import (
+    formatted_plan,
+    has_pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    uses_broadcast_join,
+)
+from vectrekker_spark.queries.relational import (
+    q02_filter,
+    q03_agg,
+    q05_broadcast_join,
+    q12_rank_window,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q02_filter(spark, sf_dir)
+    assert has_pushed_filters(df), formatted_plan(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    df = q03_agg(spark, sf_dir)
+    cols = read_schema_columns(df)
+    # 16-col lineitem scan must read only the 5 referenced columns
+    assert set(cols) == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+    }, cols
+
+
+def test_small_dim_join_is_broadcast(spark, sf_dir):
+    df = q05_broadcast_join(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    # the join itself must not sort-merge (no shuffle of either side)
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_projection_only_scan_prunes(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    assert set(read_schema_columns(li)) == {"l_orderkey", "l_quantity"}
+
+
+def test_window_single_shuffle(spark, sf_dir):
+    # ranking window should shuffle once on the partition key, not more
+    df = q12_rank_window(spark, sf_dir)
+    assert shuffle_count(df) <= 2  # partitionBy exchange + final orderBy

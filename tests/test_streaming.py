@@ -1,0 +1,75 @@
+"""Structured Streaming tests (SURVEY.md §2.2 ST1-ST5) on replayed events
+parquet: batch-equivalence of the windowed agg, exactly-once incremental
+file pickup via checkpoint, watermark dedup, foreachBatch merge sink."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.helpers import rows_of
+from vectrekker_spark.queries.pipeline import q30_tumbling_window
+from vectrekker_spark.streaming.jobs import (
+    dedup_within_watermark,
+    foreach_batch_upsert,
+    read_events_stream,
+    run_available_now,
+    windowed_counts,
+)
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(t, d / "part-0.parquet")
+    return d, t
+
+
+def test_windowed_agg_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    d, _ = events_dir
+    stream = read_events_stream(spark, str(d))
+    agg = windowed_counts(stream)
+    run_available_now(agg, str(tmp_path / "ckpt"), "stream_q30")
+    got = rows_of(spark.table("stream_q30"))
+    want = rows_of(q30_tumbling_window(spark, sf_dir))
+    assert got == want
+
+
+def test_incremental_file_pickup_exactly_once(spark, events_dir, tmp_path):
+    d, t = events_dir
+    (d / "part-0.parquet").unlink()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "part-0.parquet")
+
+    target = str(tmp_path / "target.parquet")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = read_events_stream(spark, str(d)).select("event_id", "user_id", "value")
+    foreach_batch_upsert(stream, target, key="event_id", checkpoint=ckpt).awaitTermination()
+    assert spark.read.parquet(target).count() == half
+
+    # add the second half; same checkpoint → ONLY the new file is processed,
+    # and re-running processes nothing (the native replacement for the
+    # reference's SQLite mtime cache, main.py:143-147)
+    pq.write_table(t.slice(half), d / "part-1.parquet")
+    stream2 = read_events_stream(spark, str(d)).select("event_id", "user_id", "value")
+    foreach_batch_upsert(stream2, target, key="event_id", checkpoint=ckpt).awaitTermination()
+    out = spark.read.parquet(target)
+    assert out.count() == t.num_rows
+    assert out.select("event_id").distinct().count() == t.num_rows
+
+    stream3 = read_events_stream(spark, str(d)).select("event_id", "user_id", "value")
+    foreach_batch_upsert(stream3, target, key="event_id", checkpoint=ckpt).awaitTermination()
+    assert spark.read.parquet(target).count() == t.num_rows
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    d, t = events_dir
+    # plant duplicates: the same file twice under different names
+    pq.write_table(t, d / "part-dup.parquet")
+    stream = read_events_stream(spark, str(d))
+    deduped = dedup_within_watermark(stream, keys=["event_id"]).select("event_id")
+    run_available_now(deduped, str(tmp_path / "ckpt3"), "stream_dedup")
+    got = spark.table("stream_dedup")
+    assert got.count() == t.num_rows  # every planted duplicate dropped

@@ -1,0 +1,53 @@
+"""Tokenization (SURVEY.md §2.1 T1/T2, §2.2 L5).
+
+The reference tokenizes with tiktoken cl100k_base and hard-asserts <8191
+tokens (`vectrekker/main.py:170,175,178`). tiktoken is not in this
+container, so:
+
+- `bpe_like_token_count` — the default: a BPE-ish regex token count (pure
+  Catalyst expression, oracle-checkable, ~cl100k-magnitude counts)
+- `tiktoken_count_udf` — the real thing, gated on the library importing;
+  Arrow pandas_udf, batched (vs the reference's per-file loop)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Contractions / words / numbers / non-space symbols — a simplified cousin of
+# the cl100k pretokenizer pattern (public knowledge from the tiktoken docs).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]"
+
+
+def bpe_like_token_count(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.filter(
+            F.split(t, r"(?='(?:s|t|re|ve|m|ll|d)\b)|\s+|(?<=\W)(?=\w)|(?=\W)"),
+            lambda x: x != "",
+        )
+    )
+
+
+def tiktoken_available() -> bool:
+    try:
+        import tiktoken  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def tiktoken_count_udf():
+    """Arrow-batched cl100k_base token counter. Raises ImportError when
+    tiktoken is absent — callers should fall back to bpe_like_token_count."""
+    import pandas as pd  # noqa: PLC0415
+    import tiktoken  # noqa: PLC0415
+
+    enc = tiktoken.get_encoding("cl100k_base")
+
+    def count(texts: pd.Series) -> pd.Series:
+        return pd.Series([len(x) for x in enc.encode_batch(texts.tolist())])
+
+    return F.pandas_udf(count, "int")

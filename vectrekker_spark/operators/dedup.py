@@ -62,7 +62,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sig_rows: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 4,
+    bands: int = 8,
 ) -> DataFrame:
     """MinHash-LSH banding: docs sharing any band hash become candidate pairs.
 

@@ -1,0 +1,141 @@
+"""The vectrekker-parity batch pipeline (SURVEY.md §3.2 EP3, §7 M3):
+
+    scan(dir) → regex filter → delta vs state → token gate (→ quarantine)
+    → [chunk] → embed → MERGE into index → MERGE state
+
+Reference semantics preserved (`vectrekker/main.py`):
+- incremental: only files with mtime strictly greater than cached (or new)
+  are re-embedded (`:143-147`)
+- empty-delta short-circuit (`:149-151`)
+- over-long docs don't crash the job (the reference asserts and dies,
+  `:178`); they are routed to a quarantine path — or chunked (the
+  reference's own TODO) when chunk_size is set
+- state is committed only AFTER the index write succeeds — at-least-once,
+  matching the reference's write-then-mark ordering (`:185-188`)
+- index rows are (id=path, embedding, metadata={}) (`:185`)
+
+On a lakehouse the two MERGEs are Delta `MERGE INTO`; on plain parquet we
+read-merge-rewrite via a temp dir + atomic rename (never overwrite a path
+that is also an input of the running plan).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vectrekker_spark.functions.text import token_count
+from vectrekker_spark.operators.chunk import chunk_text
+from vectrekker_spark.operators.delta import detect_changes, merge_upsert
+from vectrekker_spark.queries.vector import hash_embed_batch
+from vectrekker_spark.sources.files import scan_directory
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("last_edit_time", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class PipelineConfig:
+    content_dir: str
+    state_path: str
+    index_path: str
+    quarantine_path: str | None = None
+    content_regex: str = r".*\.md$"
+    max_tokens: int = 8191
+    chunk_size: int = 0  # 0 → no chunking; >0 → chunk over-long docs instead of quarantining
+    chunk_overlap: int = 64
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _atomic_replace(df: DataFrame, path: str) -> None:
+    """Write df to a temp dir, then swap it into place. Required because the
+    merged frame lazily reads the old `path`; writing in place would clobber
+    the plan's own input."""
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"vectrekker_spark_{uuid.uuid4().hex}"
+    )
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
+    """One incremental run. Returns counters (scanned/changed/indexed/quarantined)."""
+    scan = scan_directory(spark, cfg.content_dir, pattern=cfg.content_regex)
+    n_scanned = scan.count()
+
+    state = _read_or_empty(spark, cfg.state_path, STATE_SCHEMA)
+    changed = detect_changes(scan, state, key="path").cache()
+    n_changed = changed.count()
+    if n_changed == 0:  # reference's empty short-circuit (main.py:149-151)
+        return {"scanned": n_scanned, "changed": 0, "indexed": 0, "quarantined": 0}
+
+    with_tokens = changed.withColumn("n_tokens", token_count(F.col("text")))
+    ok = with_tokens.filter(F.col("n_tokens") < cfg.max_tokens)
+    too_long = with_tokens.filter(F.col("n_tokens") >= cfg.max_tokens)
+
+    n_quarantined = 0
+    if cfg.chunk_size > 0:
+        chunks = chunk_text(
+            too_long, text_col="text", id_col="path",
+            size=cfg.chunk_size, overlap=cfg.chunk_overlap,
+        ).select(
+            F.concat_ws("#", F.col("path"), F.col("chunk_id")).alias("path"),
+            F.col("chunk_text").alias("text"),
+        )
+        ok = ok.select("path", "text").unionByName(chunks)
+    else:
+        ok = ok.select("path", "text")
+        n_quarantined = too_long.count()
+        if cfg.quarantine_path and n_quarantined:
+            too_long.select("path", "n_tokens").write.mode("append").parquet(
+                cfg.quarantine_path
+            )
+
+    embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
+    new_rows = ok.select(
+        F.col("path").alias("id"),
+        embed(F.col("text")).alias("embedding"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    index = _read_or_empty(spark, cfg.index_path, INDEX_SCHEMA)
+    merged_index = merge_upsert(index, new_rows, key="id")
+    n_indexed = new_rows.count()
+    _atomic_replace(merged_index, cfg.index_path)
+
+    # State commit strictly AFTER the index write (at-least-once ordering).
+    new_state = changed.select("path", F.col("mtime").alias("last_edit_time"))
+    merged_state = merge_upsert(state, new_state, key="path")
+    _atomic_replace(merged_state, cfg.state_path)
+    changed.unpersist()
+
+    return {
+        "scanned": n_scanned,
+        "changed": n_changed,
+        "indexed": n_indexed,
+        "quarantined": n_quarantined,
+    }

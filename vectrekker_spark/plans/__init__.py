@@ -1,0 +1,54 @@
+"""Physical-plan inspection helpers: assert that the plans Catalyst produces
+are the plans we want at 100 TB (pushdown reached the scan, projections
+pruned, joins broadcast, codegen covers the hot path).
+
+Used by tests/test_plans.py — the 'would this survive a 1000× scale-up'
+gate that complements the value-correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    plan = formatted_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from parquet (column pruning check)."""
+    plan = formatted_plan(df)
+    cols: set[str] = set()
+    for line in plan.splitlines():
+        if "ReadSchema:" in line:
+            schema = line.split("ReadSchema:", 1)[1].strip()
+            inner = schema[schema.find("<") + 1 : schema.rfind(">")]
+            for fld in inner.split(","):
+                if ":" in fld:
+                    cols.add(fld.split(":")[0].strip())
+    return sorted(cols)
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in (
+        formatted_plan(df)
+    )
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange operators (formatted explain lists each node once
+    in the detail section as '(n) Exchange')."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("WholeStageCodegen")

@@ -1,0 +1,141 @@
+"""Structured Streaming surface (SURVEY.md §2.2 ST1–ST5).
+
+The reference achieves "streaming" by re-running a cron job hourly and
+diffing mtimes against SQLite (`README.md:27,36`; `vectrekker/main.py:
+143-147`). Here the same semantics are native:
+
+- ST1: the file source + checkpoint IS the incremental state — each file is
+  processed exactly once per checkpoint, replacing the SQLite mtime cache.
+- ST2/ST3: event-time windows + watermarks for late data.
+- ST4: `dropDuplicatesWithinWatermark` for stateful dedup.
+- ST5: `foreachBatch` + idempotent MERGE = the reference's
+  upsert-then-mark-state ordering, per micro-batch.
+
+All builders return unstarted DataFrames/writers so tests can attach
+`trigger(availableNow=True)` and a temp checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos; converted below
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """ST1: parquet file-source stream over an events directory. New files
+    are picked up incrementally via the checkpoint (the reference's D1–D3
+    delta loop, natively)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(directory)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """ST2: watermarked tumbling-window agg; batch-equivalent of
+    q30_tumbling_window (oracle-checked there)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "15 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """ST3: session windows; batch-equivalent of d08_session_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """ST4: stateful streaming dedup bounded by the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_available_now(
+    df: DataFrame, checkpoint: str, output_table: str
+) -> None:
+    """Drain all currently-available input through the streaming plan into an
+    in-memory sink table, then stop. Complete mode for aggregations so the
+    final state is queryable; the checkpoint carries state across calls."""
+    has_agg = df.isStreaming and any(
+        x in df._jdf.queryExecution().analyzed().toString().lower()
+        for x in ("aggregate", "sessionwindow")
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(output_table)
+        .outputMode("complete" if has_agg else "append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_upsert(
+    stream: DataFrame, target_path: str, key: str, checkpoint: str
+):
+    """ST5: per-micro-batch idempotent MERGE into a parquet target — the
+    reference's upsert-then-state ordering (`vectrekker/main.py:185-188`)
+    with the checkpoint as the state. Returns the started query."""
+    from vectrekker_spark.operators.delta import merge_upsert
+    from vectrekker_spark.pipeline import _atomic_replace, _read_or_empty
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = (
+            spark.read.parquet(target_path)
+            if __import__("os").path.exists(target_path)
+            else batch_df.limit(0)
+        )
+        merged = merge_upsert(base, batch_df, key=key)
+        _atomic_replace(merged, target_path)
+
+    return (
+        stream.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
