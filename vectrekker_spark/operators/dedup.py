@@ -47,16 +47,24 @@ def minhash_signatures(
     Shingle → 32-bit hash → min over each affine permutation, all as array
     expressions (no explode of the shingle set, no shuffle): per-doc cost is
     O(shingles × perms) inside codegen."""
-    hashes = F.transform(
-        word_shingles(F.col(text_col), k=shingle_words), token_hash32
+    # Materialize shingle hashes in their own projection: without this, each
+    # of the 16 permutation expressions re-derives shingles + md5 from text
+    # (Catalyst doesn't CSE across sibling array expressions) — 16× the work.
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(word_shingles(F.col(text_col), k=shingle_words), token_hash32).alias(
+            "__hs"
+        ),
     )
 
     def perm_min(a: int, b: int):
         # closure (not default-arg lambda — Spark reads lambda arity)
-        return F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
+        return F.array_min(
+            F.transform(F.col("__hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        )
 
     sigs = F.array(*[perm_min(a, b) for a, b in MINHASH_PERMS])
-    return df.select(F.col(id_col), F.posexplode(sigs).alias("perm", "minhash"))
+    return hashed.select(F.col(id_col), F.posexplode(sigs).alias("perm", "minhash"))
 
 
 def lsh_candidate_pairs(

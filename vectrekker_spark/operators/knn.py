@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist
+from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist, norm
 
 
 _METRICS = {"cosine": cosine_sim, "dot": dot, "l2": l2_dist}
@@ -85,17 +85,43 @@ def knn_join(
     """Batch kNN join: for every query row, the k nearest corpus rows.
 
     Returns (qid, vec_id, score, rank). Deterministic: ties broken by corpus
-    id ascending.
+    id ascending. For cosine, per-side norms are computed ONCE before the
+    join (O(N+M) instead of O(N·M) norm work); the final
+    dot/(‖a‖·‖b‖) matches the naive per-pair form bit-exactly because the
+    operand order is identical.
     """
     ascending = metric == "l2"
-    q = F.broadcast(queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")))
-    scored = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")).join(
-        q  # broadcast nested-loop over the small query side, map-side only
-    ).select(
-        "qid",
-        "vec_id",
-        F.round(_score(metric, F.col("emb"), F.col("qvec")), 6).alias("score"),
-    )
+    if metric == "cosine":
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("emb"),
+            norm(vec_col).alias("__cn"),
+        )
+        q = F.broadcast(
+            queries.select(
+                F.col(qid_col).alias("qid"),
+                F.col(qvec_col).alias("qvec"),
+                norm(qvec_col).alias("__qn"),
+            )
+        )
+        scored = c.join(q).select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qvec")) / (F.col("__cn") * F.col("__qn")), 6
+            ).alias("score"),
+        )
+    else:
+        q = F.broadcast(
+            queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+        )
+        scored = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")).join(
+            q  # broadcast nested-loop over the small query side, map-side only
+        ).select(
+            "qid",
+            "vec_id",
+            F.round(_score(metric, F.col("emb"), F.col("qvec")), 6).alias("score"),
+        )
     # Phase 1: per-partition top-k (no shuffle; Arrow-batched heap).
     local = scored.mapInPandas(
         _local_topk_gen(k, ascending),
@@ -130,9 +156,18 @@ def similarity_join(
     """
     l = left.select(F.col(left_id).alias("l_id"), F.col(left_vec).alias("l_vec"))
     r = right.select(F.col(right_id).alias("r_id"), F.col(right_vec).alias("r_vec"))
+    if metric == "cosine":
+        # per-side norms once, not per pair (same operand order as per-pair)
+        l = l.withColumn("__ln", norm("l_vec"))
+        r = r.withColumn("__rn", norm("r_vec"))
+        score = F.round(
+            dot(F.col("l_vec"), F.col("r_vec")) / (F.col("__ln") * F.col("__rn")), 6
+        )
+    else:
+        score = F.round(_score(metric, F.col("l_vec"), F.col("r_vec")), 6)
     pairs = l.join(F.broadcast(r), F.col("l_id") < F.col("r_id"))
     return (
-        pairs.withColumn("score", F.round(_score(metric, F.col("l_vec"), F.col("r_vec")), 6))
+        pairs.withColumn("score", score)
         .filter(F.col("score") >= threshold)
         .select("l_id", "r_id", "score")
     )
