@@ -30,10 +30,10 @@ class QuerySpec:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    from vectrekker_spark.queries import pipeline, relational, text, vector
+    from vectrekker_spark.queries import pipeline, relational, text, tpch, vector
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (relational, vector, text, pipeline):
+    for mod in (relational, vector, text, pipeline, tpch):
         for s in mod.SPECS:
             if s.name in specs:
                 raise ValueError(f"duplicate query name {s.name}")

@@ -1,0 +1,144 @@
+"""TPC-H-shaped composite queries (adapted to the fixture's star schema —
+FIXTURES.md lacks some TPC-H columns, so predicates are adjusted; shapes and
+join trees match the originals). These exercise multi-join + agg + top-k
+pipelines end-to-end, the core of any warehouse workload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectrekker_spark.queries import QuerySpec
+from vectrekker_spark.queries.util import tb
+
+DEC = "decimal(18,2)"
+REV = "revenue"
+
+
+def _revenue():
+    return (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+
+
+REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+)
+
+
+def t03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, filter both sides of the
+    # date, group, top-10 by revenue.
+    c = tb(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = tb(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = tb(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias(REV))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            REV,
+        )
+        .orderBy(F.col(REV).desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+T03_SQL = f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def t05_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q5 shape: 6-table join through both customer and supplier to
+    # nation/region, grouped by nation. Dims broadcast; fact joins shuffle.
+    r = tb(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = tb(spark, sf, "nation")
+    c = tb(spark, sf, "customer")
+    s = tb(spark, sf, "supplier")
+    o = tb(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = tb(spark, sf, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias(REV))
+        .orderBy(F.col(REV).desc(), F.col("n_name").asc())
+    )
+
+
+T05_SQL = f"""
+SELECT n_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def t10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q10 shape: revenue lost to returns, top-20 customers.
+    c = tb(spark, sf, "customer")
+    o = tb(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = tb(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = tb(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias(REV))
+        .orderBy(F.col(REV).desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+T10_SQL = f"""
+SELECT c_custkey, c_name, n_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+SPECS = [
+    QuerySpec("t03_shipping_priority", t03_shipping_priority, T03_SQL, ("tpch",),
+              "TPC-H Q3 shape: 3-way join, agg, top-10"),
+    QuerySpec("t05_local_supplier_volume", t05_local_supplier_volume, T05_SQL, ("tpch",),
+              "TPC-H Q5 shape: 6-table join through dims"),
+    QuerySpec("t10_returned_items", t10_returned_items, T10_SQL, ("tpch",),
+              "TPC-H Q10 shape: returns revenue top-20"),
+]
