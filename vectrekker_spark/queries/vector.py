@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist, l2_normalize, norm
-from vectrekker_spark.operators.knn import knn_join, similarity_join
+from vectrekker_spark.operators.knn import knn_join, similarity_join_blas
 from vectrekker_spark.queries import QuerySpec
 from vectrekker_spark.queries.util import (
     cosine_sql,
@@ -179,7 +179,7 @@ def q28_sim_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Embedding-space near-dup pairs (L6). Fixture max pairwise cosine at
     # sf0.01 is ~0.51, so threshold 0.40 yields a non-trivial result set.
     em = tb(spark, sf, "embeddings")
-    return similarity_join(
+    return similarity_join_blas(
         em, em, threshold=0.40,
         left_id="vec_id", left_vec="embedding",
         right_id="vec_id", right_vec="embedding",
