@@ -1,0 +1,45 @@
+"""applyInPandasWithState: custom stateful op accumulates across micro-batches
+and matches the batch aggregate after draining the stream."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from vectrekker_spark.streaming.jobs import read_events_stream
+from vectrekker_spark.streaming.stateful import running_user_totals
+
+
+def test_running_totals_match_batch(spark, sf_dir, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    third = t.num_rows // 3
+    # three files → with maxFilesPerTrigger=1-ish batching the state must
+    # carry across micro-batches
+    pq.write_table(t.slice(0, third), d / "p0.parquet")
+    pq.write_table(t.slice(third, third), d / "p1.parquet")
+    pq.write_table(t.slice(2 * third), d / "p2.parquet")
+
+    stream = read_events_stream(spark, str(d))
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # last emitted row per user == final running total == batch aggregate
+    latest = (
+        spark.table("user_totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in latest.collect()}
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").groupBy("user_id").count()
+    want = {r["user_id"]: r["count"] for r in batch.collect()}
+    assert got == want

@@ -269,9 +269,33 @@ FROM documents ORDER BY doc_id
 """
 
 
+def d11_group_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    # applyInPandas surface: exact per-lang token-count percentiles.
+    from vectrekker_spark.operators.grouped import group_percentiles
+
+    d = tb(spark, sf, "documents").select(
+        "lang", T.token_count("text").alias("n_tokens")
+    )
+    return group_percentiles(d, "lang", "n_tokens").orderBy("lang", "q")
+
+
+_D11_PARTS = "\nUNION ALL\n".join(
+    f"SELECT lang, {q} AS q, ROUND(quantile_cont(n_tokens, {q}), 4) AS value "
+    f"FROM v GROUP BY lang"
+    for q in (0.25, 0.5, 0.75, 0.9)
+)
+D11_SQL = f"""
+WITH v AS (SELECT lang, len({TOKS}) AS n_tokens FROM documents)
+{_D11_PARTS}
+ORDER BY lang, q
+"""
+
+
 SPECS = [
     QuerySpec("q25_exact_dedup", q25_exact_dedup, Q25_SQL, ("text", "dedup"),
               "exact dedup map by content md5"),
+    QuerySpec("d11_group_percentiles", d11_group_percentiles, D11_SQL, ("text", "udf"),
+              "applyInPandas exact per-group percentiles vs quantile_cont"),
     QuerySpec("q26_text_stats", q26_text_stats, Q26_SQL, ("text",),
               "per-lang doc/char/token stats"),
     QuerySpec("q27_chunking", q27_chunking, Q27_SQL, ("text",),
