@@ -15,7 +15,9 @@ def test_approx_count_distinct_within_5pct(spark, sf_dir):
 
 
 def test_approx_count_distinct_grouped(spark, sf_dir):
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from vectrekker_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
     rows = (
         e.groupBy("event_type")
         .agg(

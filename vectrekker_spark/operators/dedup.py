@@ -44,27 +44,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature rows (id, perm, minhash).
 
-    Shingle → 32-bit hash → min over each affine permutation, all as array
-    expressions (no explode of the shingle set, no shuffle): per-doc cost is
-    O(shingles × perms) inside codegen."""
-    # Materialize shingle hashes in their own projection: without this, each
-    # of the 16 permutation expressions re-derives shingles + md5 from text
-    # (Catalyst doesn't CSE across sibling array expressions) — 16× the work.
+    Shingle → 32-bit hash → explode → 16 codegen'd MIN aggregates (one per
+    affine permutation) → unpivot to rows. The explode+hash-agg form beats
+    per-doc array expressions ~2×: transform/array_min are interpreted,
+    while MIN over exploded rows stays in whole-stage codegen with map-side
+    partial aggregation (the shuffle carries ≤16 longs per doc)."""
     hashed = df.select(
         F.col(id_col),
-        F.transform(word_shingles(F.col(text_col), k=shingle_words), token_hash32).alias(
-            "__hs"
-        ),
+        F.explode(
+            F.transform(word_shingles(F.col(text_col), k=shingle_words), token_hash32)
+        ).alias("__h"),
     )
-
-    def perm_min(a: int, b: int):
-        # closure (not default-arg lambda — Spark reads lambda arity)
-        return F.array_min(
-            F.transform(F.col("__hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-        )
-
-    sigs = F.array(*[perm_min(a, b) for a, b in MINHASH_PERMS])
-    return hashed.select(F.col(id_col), F.posexplode(sigs).alias("perm", "minhash"))
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"__s{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+    sigs = F.array(*[F.col(f"__s{i}") for i in range(len(MINHASH_PERMS))])
+    return mins.select(F.col(id_col), F.posexplode(sigs).alias("perm", "minhash"))
 
 
 def lsh_candidate_pairs(

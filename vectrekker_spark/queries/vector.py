@@ -155,16 +155,21 @@ SELECT qid, vec_id, score, rank FROM (
 
 
 def q24_norms(spark: SparkSession, sf: str) -> DataFrame:
+    # norm materialized once per row — the aggregate() expr is interpreted
+    # (not codegen), so computing it 3× (norm, normalize, divide) tripled cost
     em = tb(spark, sf, "embeddings")
-    return (
-        em.select(
-            "vec_id",
-            F.size("embedding").alias("dim"),
-            F.round(norm("embedding"), 6).alias("l2_norm"),
-            F.round(F.element_at(l2_normalize("embedding"), 1), 6).alias("unit0"),
-        )
-        .orderBy("vec_id")
+    base = em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        norm("embedding").alias("__n"),
+        F.element_at("embedding", 1).cast("double").alias("__e0"),
     )
+    return base.select(
+        "vec_id",
+        "dim",
+        F.round("__n", 6).alias("l2_norm"),
+        F.round(F.col("__e0") / F.col("__n"), 6).alias("unit0"),
+    ).orderBy("vec_id")
 
 
 Q24_SQL = f"""
