@@ -255,6 +255,34 @@ GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY nation, priority
 """
 
 
+def q11b_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = tb(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+Q11B_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
 def q12_rank_window(spark: SparkSession, sf: str) -> DataFrame:
     o = tb(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -476,6 +504,7 @@ SPECS = [
     QuerySpec("q09_range_join", q09_range_join, Q09_SQL, ("relational",), "bounded range/theta join"),
     QuerySpec("q10_count_distinct", q10_count_distinct, Q10_SQL, ("relational",), "count distinct"),
     QuerySpec("q11_rollup", q11_rollup, Q11_SQL, ("relational",), "rollup grouping sets"),
+    QuerySpec("q11b_cube", q11b_cube, Q11B_SQL, ("relational",), "cube grouping sets"),
     QuerySpec("q12_rank_window", q12_rank_window, Q12_SQL, ("relational",), "row_number top-3 per group"),
     QuerySpec("q13_lag_frame", q13_lag_frame, Q13_SQL, ("relational",), "lag + running-sum frame"),
     QuerySpec("q14_set_ops", q14_set_ops, Q14_SQL, ("relational",), "EXCEPT/INTERSECT/UNION ALL"),

@@ -35,16 +35,23 @@ def hash_embed_batch(texts: pd.Series, dim: int = HASH_EMBED_DIM) -> pd.Series:
     """Seeded hashing-trick embedder (SURVEY.md §5.3): token → md5-prefix
     bucket, ±1 by the 9th hex digit, L2-normalized. Deterministic and
     reproducible in SQL, unlike the reference's API embedder."""
+    cache: dict[str, tuple[int, float]] = {}  # vocab ≪ token count → memoize
+
+    def tok_hash(tok: str) -> tuple[int, float]:
+        hit = cache.get(tok)
+        if hit is None:
+            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            hit = (int(h[:8], 16) % dim, 1.0 if int(h[8], 16) % 2 == 0 else -1.0)
+            cache[tok] = hit
+        return hit
+
     out = []
     for text in texts:
         vec = np.zeros(dim, dtype=np.float64)
         for tok in re.split(r"\s+", text.strip()):
-            if not tok:
-                continue
-            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
-            bucket = int(h[:8], 16) % dim
-            sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
-            vec[bucket] += sign
+            if tok:
+                bucket, sign = tok_hash(tok)
+                vec[bucket] += sign
         nrm = float(np.sqrt(np.sum(vec * vec)))
         if nrm > 0:
             vec = vec / nrm
