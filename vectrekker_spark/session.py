@@ -27,7 +27,11 @@ def get_spark(
     master-agnostic.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    shuffle_partitions = shuffle_partitions or max(32, cpus)
+    # Local-mode default: cpus/2 post-shuffle partitions (AQE coalesces up,
+    # never splits — fewer initial partitions cut tiny-query task overhead).
+    # On a real cluster this is overridden to O(cluster cores × 2-3) via
+    # extra_conf; at 100 TB you size by target partition bytes, not cores.
+    shuffle_partitions = shuffle_partitions or max(16, cpus // 2)
 
     builder = (
         SparkSession.builder.appName(app_name)
