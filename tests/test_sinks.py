@@ -1,0 +1,37 @@
+"""Partitioned/bucketed sink layout tests: pruning visible in the plan,
+bucketed self-join without a shuffle."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vectrekker_spark.plans import formatted_plan, shuffle_count
+from vectrekker_spark.sources.sinks import write_bucketed, write_partitioned
+
+
+def test_partitioned_write_enables_pruning(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    )  # hive-style layout on disk
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = formatted_plan(back)
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed_test")
+    write_bucketed(docs, "docs_bucketed_test", bucket_col="doc_id", n_buckets=4)
+    t = spark.table("docs_bucketed_test")
+    joined = t.alias("a").join(t.alias("b"), "doc_id").filter(F.col("a.lang") == "en")
+    # same-bucketed self-join: no Exchange for the join
+    assert shuffle_count(joined) == 0, formatted_plan(joined)
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed_test")

@@ -151,6 +151,27 @@ GROUP BY c_custkey ORDER BY c_custkey
 """
 
 
+def q06b_right_join(spark: SparkSession, sf: str) -> DataFrame:
+    o, c = tb(spark, sf, "orders"), tb(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_marker"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+Q06B_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS order_cnt,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_marker
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
 def q07_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     c, o = tb(spark, sf, "customer"), tb(spark, sf, "orders")
     return (
@@ -379,7 +400,12 @@ SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
 def q16_string_fns(spark: SparkSession, sf: str) -> DataFrame:
     p = tb(spark, sf, "part")
     return (
-        p.filter(F.col("p_name").rlike("^(red|blue|green)"))
+        p.filter(
+            F.col("p_name").rlike("^(red|blue|green)")
+            & F.col("p_type").isin("ECONOMY", "SMALL", "STANDARD")
+            & F.col("p_brand").like("Brand#%")
+            & F.col("p_name").isNotNull()
+        )
         .select(
             "p_partkey",
             F.upper(F.col("p_name")).alias("uname"),
@@ -399,7 +425,11 @@ SELECT p_partkey, UPPER(p_name) AS uname, substr(p_name, 1, 4) AS prefix,
        LENGTH(p_name) AS name_len,
        concat_ws('/', p_brand, p_type) AS brand_type,
        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
-FROM part WHERE regexp_matches(p_name, '^(red|blue|green)')
+FROM part
+WHERE regexp_matches(p_name, '^(red|blue|green)')
+  AND p_type IN ('ECONOMY', 'SMALL', 'STANDARD')
+  AND p_brand LIKE 'Brand#%'
+  AND p_name IS NOT NULL
 ORDER BY p_partkey
 """
 
@@ -470,6 +500,26 @@ ORDER BY vec_id, pos
 """
 
 
+def q19b_from_json(spark: SparkSession, sf: str) -> DataFrame:
+    # Schema'd JSON parse (from_json → struct) vs the path-extraction form
+    # in q19; both engines agree on the typed value.
+    e = tb(spark, sf, "events")
+    parsed = F.from_json("props", "k INT")
+    return (
+        e.select("event_id", parsed.getField("k").alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") % 10 == 0))
+        .orderBy("event_id")
+    )
+
+
+Q19B_SQL = """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+FROM events
+WHERE json_extract_string(props, '$.k')::INT % 10 = 0
+ORDER BY event_id
+"""
+
+
 def q19_json(spark: SparkSession, sf: str) -> DataFrame:
     e = tb(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -499,6 +549,8 @@ SPECS = [
     QuerySpec("q04_inner_join", q04_inner_join, Q04_SQL, ("relational",), "inner equi join + agg"),
     QuerySpec("q05_broadcast_join", q05_broadcast_join, Q05_SQL, ("relational",), "broadcast dim join"),
     QuerySpec("q06_left_join", q06_left_join, Q06_SQL, ("relational",), "left outer join"),
+    QuerySpec("q06b_right_join", q06b_right_join, Q06B_SQL, ("relational",),
+              "right outer join + null handling"),
     QuerySpec("q07_semi_join", q07_semi_join, Q07_SQL, ("relational",), "left semi join (EXISTS)"),
     QuerySpec("q08_anti_join", q08_anti_join, Q08_SQL, ("relational",), "left anti join (NOT EXISTS)"),
     QuerySpec("q09_range_join", q09_range_join, Q09_SQL, ("relational",), "bounded range/theta join"),
@@ -513,4 +565,6 @@ SPECS = [
     QuerySpec("q17_date_math", q17_date_math, Q17_SQL, ("relational",), "date + math functions"),
     QuerySpec("q18_array_fns", q18_array_fns, Q18_SQL, ("relational",), "array size/slice/posexplode"),
     QuerySpec("q19_json", q19_json, Q19_SQL, ("relational",), "JSON extraction"),
+    QuerySpec("q19b_from_json", q19b_from_json, Q19B_SQL, ("relational",),
+              "schema'd from_json parse"),
 ]
