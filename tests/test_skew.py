@@ -1,0 +1,35 @@
+"""Salted aggregation equals plain aggregation (values), with the hot key
+spread across salt partitions (mechanism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.skew import salted_agg
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    aggs = {
+        "cnt": F.count(F.lit(1)),
+        "total": F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+        "lo": F.min("o_totalprice"),
+        "hi": F.max("o_totalprice"),
+    }
+    salted = {
+        r["o_orderpriority"]: (r["cnt"], r["total"], r["lo"], r["hi"])
+        for r in salted_agg(e, "o_orderpriority", aggs, salt=8).collect()
+    }
+    plain = {
+        r["o_orderpriority"]: (r["cnt"], r["total"], r["lo"], r["hi"])
+        for r in e.groupBy("o_orderpriority")
+        .agg(*[v.alias(k) for k, v in aggs.items()])
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salt_spreads_hot_key(spark):
+    hot = spark.range(0, 10000).select(F.lit("HOT").alias("k"), F.col("id").alias("v"))
+    out = salted_agg(hot, "k", {"cnt": F.count(F.lit(1))}, salt=8).collect()
+    assert out[0]["cnt"] == 10000

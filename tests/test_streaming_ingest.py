@@ -1,0 +1,55 @@
+"""Streaming variant of the vectrekker pipeline (ST1+ST5 applied to the
+reference's actual use-case) + streaming session windows (ST3)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from tests.helpers import rows_of
+from vectrekker_spark.queries.pipeline import d08_session_window
+from vectrekker_spark.streaming.jobs import (
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    streaming_index_pipeline,
+)
+
+
+def test_streaming_index_pipeline_exactly_once(spark, tmp_path):
+    content = tmp_path / "content"
+    content.mkdir()
+    (content / "a.md").write_text("first document about streams")
+    (content / "skip.txt").write_text("filtered out")
+    index = str(tmp_path / "index.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    streaming_index_pipeline(spark, str(content), index, ckpt).awaitTermination()
+    idx1 = spark.read.parquet(index)
+    assert idx1.count() == 1
+    assert idx1.collect()[0]["id"].endswith("a.md")
+
+    # new file arrives → only it is processed (checkpoint = the state table)
+    (content / "b.md").write_text("second document arrives later")
+    streaming_index_pipeline(spark, str(content), index, ckpt).awaitTermination()
+    idx2 = spark.read.parquet(index)
+    assert idx2.count() == 2
+    # re-run with nothing new → index unchanged
+    streaming_index_pipeline(spark, str(content), index, ckpt).awaitTermination()
+    assert spark.read.parquet(index).count() == 2
+    emb = {r["id"].rsplit("/", 1)[-1]: r["embedding"] for r in idx2.collect()}
+    assert len(emb["a.md"]) == 64 and emb["a.md"] != emb["b.md"]
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(pq.read_table(f"{sf_dir}/events.parquet"), d / "p0.parquet")
+    stream = read_events_stream(spark, str(d))
+    run_available_now(
+        session_counts(stream, gap="15 minutes"),
+        str(tmp_path / "ckpt"),
+        "stream_sessions",
+    )
+    got = rows_of(spark.table("stream_sessions"))
+    want = rows_of(d08_session_window(spark, sf_dir))
+    assert got == want

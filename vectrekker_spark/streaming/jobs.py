@@ -114,6 +114,51 @@ def run_available_now(
     q.awaitTermination()
 
 
+def stream_documents(
+    spark: SparkSession, directory: str, pattern: str = r".*\.md$"
+) -> DataFrame:
+    """ST1 for the reference's actual corpus: a *streaming* recursive text
+    scan. Each file becomes one row (path, text); the checkpoint replaces the
+    SQLite mtime cache — new files are picked up exactly once, no state table
+    needed (`vectrekker/main.py:97-123` made native)."""
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("recursiveFileLookup", "true")
+        .load(directory)
+    )
+    return (
+        raw.select(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("path"),
+            F.col("value").alias("text"),
+        )
+        .filter(F.col("path").rlike(f"^(?:{pattern})"))
+    )
+
+
+def streaming_index_pipeline(
+    spark: SparkSession,
+    content_dir: str,
+    index_path: str,
+    checkpoint: str,
+    pattern: str = r".*\.md$",
+):
+    """The M3 batch pipeline as a stream: scan → filter → embed → MERGE per
+    micro-batch (ST5). Returns the started query; availableNow drains current
+    files then stops, a processingTime trigger would tail the directory —
+    replacing the reference's hourly cron (README.md:27,36)."""
+    from vectrekker_spark.queries.vector import hash_embed_batch
+
+    docs = stream_documents(spark, content_dir, pattern)
+    embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
+    rows = docs.select(
+        F.col("path").alias("id"),
+        embed(F.col("text")).alias("embedding"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    return foreach_batch_upsert(rows, index_path, key="id", checkpoint=checkpoint)
+
+
 def foreach_batch_upsert(
     stream: DataFrame, target_path: str, key: str, checkpoint: str
 ):
