@@ -35,3 +35,16 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     assert shuffle_count(joined) == 0, formatted_plan(joined)
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS docs_bucketed_test")
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    from vectrekker_spark.sources.sinks import compact_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "frag.parquet")
+    docs.repartition(37).write.parquet(out)  # fragment into many small files
+    before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    n = compact_parquet(spark, out, target_file_mb=256)
+    after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert before == 37 and after == n == 1
+    assert spark.read.parquet(out).count() == docs.count()

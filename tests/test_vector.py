@@ -68,3 +68,11 @@ def test_similarity_join_ordering_and_threshold(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["l_id"], r["r_id"]) == (1, 2) and r["score"] > 0.99
+
+
+def test_topk_dim_mismatch_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="dim"):
+        topk_nn(em, [1.0, 2.0], k=3)

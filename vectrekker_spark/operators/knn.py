@@ -46,7 +46,16 @@ def topk_nn(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors of one query vector. Ties broken by id ascending
-    so results are total-ordered (hash-match requirement)."""
+    so results are total-ordered (hash-match requirement).
+
+    Dimension mismatch fails fast: zip_with null-pads silently otherwise and
+    every score comes back null (the engine analog of the reference's fixed
+    index dimension, vectrekker/main.py:165)."""
+    probe = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if probe and probe[0]["d"] != len(query_vec):
+        raise ValueError(
+            f"query vector dim {len(query_vec)} != corpus dim {probe[0]['d']}"
+        )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     ascending = metric == "l2"  # distance: smaller is better
     scored = corpus.select(

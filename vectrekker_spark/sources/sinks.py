@@ -40,3 +40,31 @@ def write_bucketed(
 
 def write_index(df: DataFrame, table: str, n_buckets: int = 16) -> None:
     write_bucketed(df, table, bucket_col="id", n_buckets=n_buckets)
+
+
+def compact_parquet(
+    spark, path: str, target_file_mb: int = 256, sort_col: str | None = None
+) -> int:
+    """Rewrite a parquet dataset into ~target-sized files (small-files
+    compaction — incremental MERGE runs accrete small files; at 100 TB
+    unmanaged small files destroy scan throughput). Optionally sort for
+    better column compression + row-group pruning. Returns new file count."""
+    import math
+    import os as _os
+
+    from vectrekker_spark.pipeline import _atomic_replace
+
+    df = spark.read.parquet(path)
+    size_b = sum(
+        _os.path.getsize(_os.path.join(dp, f))
+        for dp, _, fs in _os.walk(path)
+        for f in fs
+    )
+    n_files = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
+    out = (
+        df.sort(sort_col).coalesce(n_files)
+        if sort_col
+        else df.repartition(n_files)
+    )
+    _atomic_replace(out, path)
+    return n_files
