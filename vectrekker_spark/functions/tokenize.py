@@ -17,17 +17,13 @@ from pyspark.sql import functions as F
 
 # Contractions / words / numbers / non-space symbols — a simplified cousin of
 # the cl100k pretokenizer pattern (public knowledge from the tiktoken docs).
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]"
+# No lookarounds: both Java regex (Spark) and RE2 (DuckDB) must agree.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def bpe_like_token_count(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
-    return F.size(
-        F.filter(
-            F.split(t, r"(?='(?:s|t|re|ve|m|ll|d)\b)|\s+|(?<=\W)(?=\w)|(?=\W)"),
-            lambda x: x != "",
-        )
-    )
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
 def tiktoken_available() -> bool:

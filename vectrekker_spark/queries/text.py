@@ -291,9 +291,106 @@ ORDER BY lang, q
 """
 
 
+def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from vectrekker_spark.functions.tokenize import bpe_like_token_count
+
+    d = tb(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            bpe_like_token_count("text").alias("n_bpe_tokens"),
+            T.token_count("text").alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+from vectrekker_spark.functions.tokenize import BPE_ISH_PATTERN as _BPE  # noqa: E402
+
+_BPE_SQL = _BPE.replace("'", "''")  # SQL string-literal escaping
+D12_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+       len({TOKS}) AS n_ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def d13_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    # Winnowing fingerprints (rolling-hash k-gram window minima — the MOSS
+    # document-fingerprinting scheme): 5-gram hashes, window 4, keep each
+    # window's min, distinct per doc.
+    # Positional (NOT distinct) k-gram hashes — winnowing's window minima
+    # depend on document order; dedup happens only on the selected minima.
+    d = tb(spark, sf, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(lower(text)) - 4, 1)), "
+        "i -> substring(lower(text), i, 5))"
+    )
+    hashes = F.transform(grams, T.token_hash32)
+    mins = F.expr(
+        "transform(sequence(1, greatest(size(__hs) - 3, 1)), "
+        "i -> array_min(slice(__hs, i, 4)))"
+    )
+    return (
+        d.select(F.col("doc_id"), hashes.alias("__hs"))
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+_WINN_HS = (
+    "list_transform(list_transform("
+    "generate_series(1, greatest(length(lower(text)) - 4, 1)), "
+    "i -> substr(lower(text), i, 5)), s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+)
+D13_SQL = f"""
+WITH h AS (SELECT doc_id, {_WINN_HS} AS hs FROM documents),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                                      i -> list_min(hs[i:i+3]))) AS fps
+  FROM h)
+SELECT doc_id, unnest(fps) AS fingerprint FROM m ORDER BY doc_id, fingerprint
+"""
+
+
+def d14_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    # Pivot: per-user event-type counts as columns (explicit value list keeps
+    # the plan single-pass; Spark otherwise scans once to discover values).
+    from vectrekker_spark.queries.util import tb as _tb
+
+    e = _tb(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+D14_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("q25_exact_dedup", q25_exact_dedup, Q25_SQL, ("text", "dedup"),
               "exact dedup map by content md5"),
+    QuerySpec("d12_bpe_tokens", d12_bpe_tokens, D12_SQL, ("text",),
+              "BPE-ish regex token counts vs whitespace proxy"),
+    QuerySpec("d13_winnowing", d13_winnowing, D13_SQL, ("text", "dedup"),
+              "winnowing rolling-hash fingerprints (MOSS scheme)"),
+    QuerySpec("d14_pivot", d14_pivot, D14_SQL, ("relational",),
+              "pivot event-type counts per user"),
     QuerySpec("d11_group_percentiles", d11_group_percentiles, D11_SQL, ("text", "udf"),
               "applyInPandas exact per-group percentiles vs quantile_cont"),
     QuerySpec("q26_text_stats", q26_text_stats, Q26_SQL, ("text",),
