@@ -1,0 +1,70 @@
+"""CLI parity tests (reference EP1): dry-run has NO side effects (the
+reference's fall-through bug is fixed), TOML config is honored, search
+returns ranked neighbors."""
+
+from __future__ import annotations
+
+import os
+
+from vectrekker_spark.cli import main
+
+
+def _write_corpus(tmp_path):
+    content = tmp_path / "content"
+    content.mkdir()
+    (content / "a.md").write_text("alpha notes about vectors and engines")
+    (content / "b.md").write_text("beta notes about streams and windows")
+    (content / "c.txt").write_text("ignored")
+    return content
+
+
+def test_dry_run_no_side_effects(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    rc = main([
+        "index", "--content-dir", str(content),
+        "--state", state, "--index", index, "--dry-run",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "2 file(s) would be re-indexed" in out
+    assert not os.path.exists(index) and not os.path.exists(state)  # no side effects
+
+
+def test_index_then_search_roundtrip(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
+    capsys.readouterr()
+
+    assert main(["stats", "--index", index]) == 0
+    assert "rows=2 dim=64..64" in capsys.readouterr().out
+
+    a_path = str(content / "a.md")
+    assert main(["search", "--index", index, "--query-id", a_path, "-k", "2"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert a_path in lines[0] and "+1.000000" in lines[0]  # self-match first
+
+    assert main(["search", "--index", index, "--text", "alpha notes about vectors"]) == 0
+    assert a_path in capsys.readouterr().out.splitlines()[0]  # nearest = doc a
+
+
+def test_toml_config(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        f'[base]\ncontent_folder = "{content}"\ncontent_regex = ".*a\\\\.md$"\n'
+    )
+    rc = main([
+        "index", "--config", str(cfg),
+        "--state", str(tmp_path / "s"), "--index", str(tmp_path / "i"), "--dry-run",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "1 file(s)" in out and "a.md" in out
+
+
+def test_missing_content_dir_errors(tmp_path, capsys):
+    rc = main(["index", "--state", str(tmp_path / "s"), "--index", str(tmp_path / "i")])
+    assert rc == 2
+    assert "content-dir" in capsys.readouterr().out

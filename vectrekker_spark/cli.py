@@ -1,0 +1,155 @@
+"""CLI — parity with the reference's entry point (`vectrekker/main.py:126-188`,
+console script at reference pyproject.toml:33), Spark-backed.
+
+    python -m vectrekker_spark index  --content-dir D --state S --index I [--dry-run]
+    python -m vectrekker_spark search --index I (--query-id PATH | --text T) [-k K]
+    python -m vectrekker_spark stats  --index I
+
+Parity notes:
+- `--dry-run` prints the files that WOULD be re-indexed and exits before any
+  side effect. (The reference's dry-run falls through and indexes anyway —
+  missing `return` at `vectrekker/main.py:156`; that bug is not reproduced.)
+- Config can come from a TOML file (`--config`), mirroring the reference's
+  `~/.vectrekker/config.toml` (`vectrekker/main.py:42-53`); explicit flags
+  override file values. Sections/keys follow the reference: `[base]`
+  content_folder / content_regex.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _load_toml(path: str) -> dict:
+    import tomllib
+
+    with open(path, "rb") as f:
+        return tomllib.load(f)
+
+
+def _spark():
+    from vectrekker_spark.session import get_spark
+
+    return get_spark(app_name="vectrekker-cli")
+
+
+def cmd_index(args: argparse.Namespace) -> int:
+    from vectrekker_spark.operators.delta import detect_changes
+    from vectrekker_spark.pipeline import (
+        PipelineConfig,
+        _read_or_empty,
+        STATE_SCHEMA,
+        run_pipeline,
+    )
+    from vectrekker_spark.sources.files import scan_directory
+
+    cfg_file = _load_toml(args.config).get("base", {}) if args.config else {}
+    content_dir = args.content_dir or cfg_file.get("content_folder")
+    regex = args.content_regex or cfg_file.get("content_regex", r".*\.md$")
+    if not content_dir:
+        print("error: --content-dir (or [base].content_folder in --config) required")
+        return 2
+
+    spark = _spark()
+    if args.dry_run:
+        # list the delta and STOP — no side effects (unlike the reference)
+        scan = scan_directory(spark, content_dir, pattern=regex)
+        state = _read_or_empty(spark, args.state, STATE_SCHEMA)
+        changed = detect_changes(scan, state, key="path").select("path").collect()
+        print(f"dry-run: {len(changed)} file(s) would be re-indexed")
+        for r in changed:
+            print(f"  {r['path']}")
+        return 0
+
+    cfg = PipelineConfig(
+        content_dir=content_dir,
+        state_path=args.state,
+        index_path=args.index,
+        quarantine_path=args.quarantine,
+        content_regex=regex,
+        chunk_size=args.chunk_size,
+    )
+    counters = run_pipeline(spark, cfg)
+    print(counters)
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.knn import knn_join
+    from vectrekker_spark.queries.vector import hash_embed_batch
+
+    spark = _spark()
+    index = spark.read.parquet(args.index)
+    if args.query_id:
+        q = index.filter(F.col("id") == args.query_id).select(
+            F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        if q.isEmpty():
+            print(f"error: id {args.query_id!r} not in index")
+            return 2
+    else:
+        import pandas as pd
+
+        vec = hash_embed_batch(pd.Series([args.text]))[0]
+        q = spark.createDataFrame(
+            [("query", vec)], "qid string, qvec array<double>"
+        )
+    res = knn_join(q, index, k=args.k, id_col="id", vec_col="embedding").collect()
+    for r in res:
+        print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['vec_id']}")
+    return 0
+
+
+def cmd_stats(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    index = spark.read.parquet(args.index)
+    row = index.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+    ).collect()[0]
+    print(f"rows={row['rows']} dim={row['min_dim']}..{row['max_dim']}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vectrekker_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ix = sub.add_parser("index", help="incremental scan→embed→index run")
+    ix.add_argument("--content-dir")
+    ix.add_argument("--content-regex")
+    ix.add_argument("--config", help="TOML config ([base].content_folder/.content_regex)")
+    ix.add_argument("--state", required=True)
+    ix.add_argument("--index", required=True)
+    ix.add_argument("--quarantine")
+    ix.add_argument("--chunk-size", type=int, default=0)
+    ix.add_argument("--dry-run", action="store_true")
+    ix.set_defaults(fn=cmd_index)
+
+    se = sub.add_parser("search", help="top-k cosine search against the index")
+    se.add_argument("--index", required=True)
+    g = se.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query-id", help="use an indexed document as the query")
+    g.add_argument("--text", help="embed this text as the query")
+    se.add_argument("-k", type=int, default=10)
+    se.set_defaults(fn=cmd_search)
+
+    st = sub.add_parser("stats", help="index summary")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -132,9 +132,12 @@ def knn_join(
             F.round(_score(metric, F.col("emb"), F.col("qvec")), 6).alias("score"),
         )
     # Phase 1: per-partition top-k (no shuffle; Arrow-batched heap).
+    # id columns keep their source types (bigint vec ids, string paths, ...).
+    qid_t = dict(queries.dtypes)[qid_col]
+    id_t = dict(corpus.dtypes)[id_col]
     local = scored.mapInPandas(
         _local_topk_gen(k, ascending),
-        schema="qid long, vec_id long, score double",
+        schema=f"qid {qid_t}, vec_id {id_t}, score double",
     )
     # Phase 2: global top-k over the P·N·k survivors only.
     order = [F.col("score").asc() if ascending else F.col("score").desc(), F.col("vec_id").asc()]
