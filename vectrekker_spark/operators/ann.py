@@ -80,7 +80,7 @@ def ivf_search(
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", id_col, "score", "rank")
     )

@@ -143,7 +143,7 @@ def knn_join(
     order = [F.col("score").asc() if ascending else F.col("score").desc(), F.col("vec_id").asc()]
     w = Window.partitionBy("qid").orderBy(*order)
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "score", "rank")
     )

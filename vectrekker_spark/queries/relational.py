@@ -310,7 +310,7 @@ def q12_rank_window(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
@@ -411,7 +411,7 @@ def q16_string_fns(spark: SparkSession, sf: str) -> DataFrame:
             F.upper(F.col("p_name")).alias("uname"),
             F.substring(F.col("p_name"), 1, 4).alias("prefix"),
             F.regexp_extract(F.col("p_name"), r"(\w+)$", 1).alias("last_word"),
-            F.length(F.col("p_name")).alias("name_len"),
+            F.length(F.col("p_name")).cast("long").alias("name_len"),
             F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
             F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
         )
@@ -438,8 +438,8 @@ def q17_date_math(spark: SparkSession, sf: str) -> DataFrame:
     o = tb(spark, sf, "orders")
     return (
         o.groupBy(
-            F.year("o_orderdate").alias("order_year"),
-            F.month("o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -479,13 +479,13 @@ def q18_array_fns(spark: SparkSession, sf: str) -> DataFrame:
     return (
         em.select(
             "vec_id",
-            F.size("embedding").alias("dim"),
+            F.size("embedding").cast("long").alias("dim"),
             F.posexplode(F.slice("embedding", 1, 3)),
         )
         .select(
             "vec_id",
             "dim",
-            (F.col("pos") + 1).alias("pos"),
+            (F.col("pos") + 1).cast("long").alias("pos"),
             F.round(F.col("col").cast("double"), 6).alias("val"),
         )
         .orderBy("vec_id", "pos")

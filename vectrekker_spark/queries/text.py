@@ -84,7 +84,7 @@ def q27_chunking(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             "chunk_id",
-            F.length("chunk_text").alias("chunk_len"),
+            F.length("chunk_text").cast("long").alias("chunk_len"),
             F.md5("chunk_text").alias("chunk_md5"),
         )
         .orderBy("doc_id", "chunk_id")
@@ -180,10 +180,10 @@ def d04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        hits["en"].alias("en_hits"),
-        hits["de"].alias("de_hits"),
-        hits["fr"].alias("fr_hits"),
-        hits["es"].alias("es_hits"),
+        hits["en"].cast("long").alias("en_hits"),
+        hits["de"].cast("long").alias("de_hits"),
+        hits["fr"].cast("long").alias("fr_hits"),
+        hits["es"].cast("long").alias("es_hits"),
         pred.alias("pred_lang"),
     ).orderBy("doc_id")
 
@@ -213,7 +213,7 @@ def d05_quality(spark: SparkSession, sf: str) -> DataFrame:
     d = tb(spark, sf, "documents")
     return d.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
+        T.token_count("text").cast("long").alias("n_tokens"),
         F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(T.avg_word_len("text"), 4).alias("avg_word_len"),
         T.quality_score("text").alias("quality"),
@@ -258,7 +258,7 @@ def d07_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     bin_col = F.encode(F.col("text"), "UTF-8")
     return d.select(
         "doc_id",
-        F.octet_length("text").alias("n_bytes"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5(bin_col).alias("content_md5"),
     ).orderBy("doc_id")
 
@@ -298,8 +298,8 @@ def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            bpe_like_token_count("text").alias("n_bpe_tokens"),
-            T.token_count("text").alias("n_ws_tokens"),
+            bpe_like_token_count("text").cast("long").alias("n_bpe_tokens"),
+            T.token_count("text").cast("long").alias("n_ws_tokens"),
         )
         .orderBy("doc_id")
     )

@@ -67,7 +67,7 @@ def q20_hash_embed_udf(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("col") != 0.0)
         .select(
             "doc_id",
-            F.col("pos").alias("bucket"),
+            F.col("pos").cast("long").alias("bucket"),
             F.round("col", 6).alias("weight"),
         )
         .orderBy("doc_id", "bucket")
@@ -167,7 +167,7 @@ def q24_norms(spark: SparkSession, sf: str) -> DataFrame:
     em = tb(spark, sf, "embeddings")
     base = em.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         norm("embedding").alias("__n"),
         F.element_at("embedding", 1).cast("double").alias("__e0"),
     )
