@@ -62,6 +62,56 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     )
 
 
+def merge_upsert_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    n_buckets: int = 64,
+) -> list[int]:
+    """Partition-aware MERGE into a hash-bucketed parquet table.
+
+    The table lives partitioned by `__bucket = pmod(xxhash64(key), n_buckets)`.
+    A merge then:
+      1. computes the buckets the updates touch (distinct over the delta),
+      2. reads ONLY those partitions of the base (partition pruning),
+      3. merges last-writer-wins within them,
+      4. rewrites ONLY those partition directories (dynamic partition
+         overwrite) — untouched buckets are never read or written.
+
+    Merge cost scales with the delta, not the table: the property that makes
+    continuous ingestion into a 100 TB index viable without Delta/Iceberg.
+    Returns the list of rewritten buckets.
+    """
+    upd = updates.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
+    )
+    import os
+
+    if not os.path.exists(path):
+        upd.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        return sorted(r[0] for r in upd.select("__bucket").distinct().collect())
+
+    buckets = [int(r[0]) for r in upd.select("__bucket").distinct().collect()]
+    base_subset = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
+    merged = merge_upsert(base_subset, upd, key)
+    # Break lineage before overwriting partitions we just read from.
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(buckets)
+
+
+def read_partitioned_table(spark, path: str) -> DataFrame:
+    """Read a bucketed table written by merge_upsert_partitioned, hiding the
+    internal __bucket column."""
+    return spark.read.parquet(path).drop("__bucket")
+
+
 def write_state(df: DataFrame, path: str, key: str, ts_col: str) -> None:
     """Persist the (key, ts) state table. Overwrite of a compact table —
     the batch analog of the reference's per-file SQLite write-back, committed

@@ -122,10 +122,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
         embed(F.col("text")).alias("embedding"),
         F.create_map().cast("map<string,string>").alias("metadata"),
     )
-    index = _read_or_empty(spark, cfg.index_path, INDEX_SCHEMA)
-    merged_index = merge_upsert(index, new_rows, key="id")
+    # Partition-aware MERGE: only the hash buckets containing changed ids are
+    # read and rewritten — merge cost ∝ delta size, not index size.
+    from vectrekker_spark.operators.delta import merge_upsert_partitioned
+
     n_indexed = new_rows.count()
-    _atomic_replace(merged_index, cfg.index_path)
+    merge_upsert_partitioned(spark, cfg.index_path, new_rows, key="id")
 
     # State commit strictly AFTER the index write (at-least-once ordering).
     new_state = changed.select("path", F.col("mtime").alias("last_edit_time"))
