@@ -44,25 +44,56 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature rows (id, perm, minhash).
 
-    Shingle → 32-bit hash → explode → 16 codegen'd MIN aggregates (one per
-    affine permutation) → unpivot to rows. The explode+hash-agg form beats
-    per-doc array expressions ~2×: transform/array_min are interpreted,
-    while MIN over exploded rows stays in whole-stage codegen with map-side
-    partial aggregation (the shuffle carries ≤16 longs per doc)."""
-    hashed = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(word_shingles(F.col(text_col), k=shingle_words), token_hash32)
-        ).alias("__h"),
+    Arrow kernel: shingle (word k-gram, distinct, lowercased) → md5-prefix
+    32-bit hash (memoized — the distinct-shingle vocabulary is far smaller
+    than the shingle stream) → all 16 affine permutations vectorized as one
+    numpy broadcast → per-perm minima. Per-batch Python, no shuffle, no
+    per-shingle expression work; values identical to the declarative form
+    (which used explode + 16 codegen MIN aggs — see git history) and to the
+    DuckDB oracle.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)[:, None]
+    n_perms = len(MINHASH_PERMS)
+
+    def gen(batches):
+        cache: dict[str, int] = {}
+
+        def shash(s: str) -> int:
+            h = cache.get(s)
+            if h is None:
+                h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                cache[s] = h
+            return h
+
+        for pdf in batches:
+            ids, perms, mins = [], [], []
+            for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                toks = re.split(r"\s+", text.lower().strip())
+                n = len(toks)
+                upper = max(n - shingle_words, 0)
+                shingles = {
+                    " ".join(toks[i : i + shingle_words]) for i in range(upper + 1)
+                }
+                hs = np.fromiter(
+                    (shash(s) for s in shingles), dtype=np.int64, count=len(shingles)
+                )
+                sig = ((A * hs + B) % MINHASH_P).min(axis=1)
+                ids.extend([doc_id] * n_perms)
+                perms.extend(range(n_perms))
+                mins.extend(sig.tolist())
+            yield pd.DataFrame({"doc_id": ids, "perm": perms, "minhash": mins})
+
+    id_t = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"{id_col} {id_t}, perm int, minhash long"
     )
-    mins = hashed.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"__s{i}")
-            for i, (a, b) in enumerate(MINHASH_PERMS)
-        ]
-    )
-    sigs = F.array(*[F.col(f"__s{i}") for i in range(len(MINHASH_PERMS))])
-    return mins.select(F.col(id_col), F.posexplode(sigs).alias("perm", "minhash"))
 
 
 def lsh_candidate_pairs(
