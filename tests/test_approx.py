@@ -28,3 +28,12 @@ def test_approx_count_distinct_grouped(spark, sf_dir):
     )
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) <= 0.05
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.01

@@ -542,8 +542,67 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def d15_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    # wide → long (melt): per-priority order stats as (priority, metric, value)
+    o = tb(spark, sf, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("revenue"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.unpivot(
+        "o_orderpriority",
+        ["n_orders", "revenue", "min_price", "max_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderpriority", "metric")
+
+
+D15_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+         ROUND(MIN(o_totalprice), 2) AS min_price,
+         ROUND(MAX(o_totalprice), 2) AS max_price
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, metric, value FROM (
+  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+  UNION ALL SELECT o_orderpriority, 'revenue', revenue FROM wide
+  UNION ALL SELECT o_orderpriority, 'min_price', min_price FROM wide
+  UNION ALL SELECT o_orderpriority, 'max_price', max_price FROM wide)
+ORDER BY o_orderpriority, metric
+"""
+
+
+def d16_map_fns(spark: SparkSession, sf: str) -> DataFrame:
+    # map construction + lookup + keys (Spark-side; the oracle computes the
+    # same values without the map detour — documented dialect pair)
+    d = tb(spark, sf, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_val"),
+        F.element_at(m, "source").alias("source_val"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys"),
+        F.size(F.map_values(m)).cast("long").alias("n_vals"),
+    ).orderBy("doc_id")
+
+
+D16_SQL = """
+SELECT doc_id, lang AS lang_val, source AS source_val,
+       'lang,source' AS keys, 2::BIGINT AS n_vals
+FROM documents ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("q01_project", q01_project, Q01_SQL, ("relational",), "scan+project+computed col"),
+    QuerySpec("d15_unpivot", d15_unpivot, D15_SQL, ("relational",), "unpivot/melt wide→long"),
+    QuerySpec("d16_map_fns", d16_map_fns, D16_SQL, ("relational",), "map construct/lookup/keys"),
     QuerySpec("q02_filter", q02_filter, Q02_SQL, ("relational",), "predicate pushdown filter"),
     QuerySpec("q03_agg", q03_agg, Q03_SQL, ("relational",), "TPC-H Q1-shape hash aggregate"),
     QuerySpec("q04_inner_join", q04_inner_join, Q04_SQL, ("relational",), "inner equi join + agg"),
