@@ -207,17 +207,14 @@ ORDER BY p_partkey
 
 
 def q09_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Interval self-join via time-bucket quantization (operators/rangejoin):
+    # equi join on (user, minute-bucket) instead of a nested-loop theta join.
+    from vectrekker_spark.operators.rangejoin import bounded_follow_join
+
     e = tb(spark, sf, "events")
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    cond = (
-        (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.ts") > F.col("e1.ts"))
-        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 MINUTE"))
-    )
+    pairs = bounded_follow_join(e, window_seconds=60)
     return (
-        e1.join(e2, cond, "inner")
-        .groupBy(F.col("e1.event_id").alias("event_id"))
+        pairs.groupBy(F.col("l_event_id").alias("event_id"))
         .agg(F.count(F.lit(1)).alias("followers"))
         .orderBy("event_id")
     )
