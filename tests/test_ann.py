@@ -56,3 +56,17 @@ def test_ivf_assignment_covers_corpus(spark, em):
     _, assign = ivf_build(em, n_centroids=10)
     assert assign.count() == em.count()
     assert assign.select("vec_id").distinct().count() == em.count()
+
+
+def test_ivf_kmeans_recall(spark, em):
+    exact = _exact(spark, em)
+    centroids, assign = ivf_build(em, n_centroids=10, method="kmeans")
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    approx = ivf_search(q, em, centroids, assign, k=K, n_probe=3).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recall = sum(len(got.get(q_, set()) & exact[q_]) for q_ in exact) / (K * len(exact))
+    assert recall >= 0.6, f"kmeans-IVF recall@{K} = {recall}"

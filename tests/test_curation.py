@@ -1,0 +1,58 @@
+"""Curation funnel: planted exact dups, near dups, junk, and off-language
+docs each removed at their stage; survivors chunked+embedded."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectrekker_spark.curation import CurationConfig, CurationResult, curate
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and then runs across the "
+    "meadow while the sun is setting behind the hills of the old valley"
+)
+NEAR = GOOD_EN.replace("lazy dog", "sleepy dog")
+GOOD_DE = (
+    "der schnelle braune fuchs springt und das wetter ist nicht schlecht "
+    "und die sonne scheint mit einem warmen licht auf das alte tal heute"
+)
+JUNK = "@@@ ### !!! $$$ %% ^^ && ** (( )) ++ == ~~ `` || ;; :: <> ?? //"
+
+
+def test_funnel_stages(spark):
+    rows = [
+        (0, GOOD_EN, "en"),
+        (1, GOOD_EN, "en"),      # exact dup of 0 → dropped at stage 1
+        (2, NEAR, "en"),         # near dup of 0 → dropped at stage 2
+        (3, GOOD_DE, "de"),      # wrong lang → dropped at stage 4
+        (4, JUNK, "en"),         # junk → dropped at stage 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    res: CurationResult = curate(
+        docs,
+        CurationConfig(keep_langs=("en",), chunk_size=60, chunk_overlap=10),
+    )
+    assert res.funnel["input"] == 5
+    assert res.funnel["after_exact_dedup"] == 4
+    assert res.funnel["after_near_dedup"] == 3
+    assert res.funnel["after_quality"] == 2
+    assert res.funnel["after_lang"] == 1
+    assert res.funnel["chunks"] >= 2
+
+    out = res.chunks.collect()
+    assert {r["doc_id"] for r in out} == {0}
+    assert all(len(r["embedding"]) == 64 for r in out)
+    # chunks reconstruct the surviving doc
+    ordered = sorted(out, key=lambda r: r["chunk_id"])
+    rebuilt = "".join(r["chunk_text"][:50] for r in ordered[:-1]) + ordered[-1]["chunk_text"]
+    assert rebuilt == GOOD_EN
+
+
+def test_curate_on_fixture_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    res = curate(docs, CurationConfig(min_quality=0.5, embed=False))
+    assert res.funnel["after_exact_dedup"] <= res.funnel["input"]
+    assert res.funnel["chunks"] >= res.funnel["after_lang"]  # ≥1 chunk per doc
+    assert res.chunks.filter(F.length("chunk_text") == 0).count() == 0

@@ -1,0 +1,93 @@
+"""End-to-end corpus curation — the composed training-data pipeline:
+
+    exact dedup → near-dup removal (MinHash-LSH) → quality filter →
+    language filter → chunk → embed
+
+Each stage is one of the engine's tested operators; this module only wires
+them and keeps per-stage counts, so a 100 TB curation run is a sequence of
+set-oriented jobs (no driver-side loops) with an auditable funnel report.
+Keeper policy everywhere: smallest id in a duplicate group survives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.text import quality_score
+from vectrekker_spark.operators.chunk import chunk_text
+from vectrekker_spark.operators.dedup import exact_dedup_map, minhash_dedup_pairs
+
+
+@dataclass
+class CurationConfig:
+    min_quality: float = 0.7
+    keep_langs: tuple[str, ...] = ()  # empty → keep all
+    near_dup_threshold: float = 0.7
+    chunk_size: int = 512
+    chunk_overlap: int = 64
+    embed: bool = True
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+
+@dataclass
+class CurationResult:
+    chunks: DataFrame
+    funnel: dict[str, int] = field(default_factory=dict)
+
+
+def _drop_near_dups(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Remove the larger id of every near-dup pair (transitively safe for the
+    keeper-is-min policy: any doc that loses one comparison is dropped)."""
+    pairs = minhash_dedup_pairs(
+        docs, threshold=cfg.near_dup_threshold,
+        text_col=cfg.text_col, id_col=cfg.id_col,
+    )
+    losers = pairs.select(F.col("r_id").alias(cfg.id_col)).distinct()
+    return docs.join(losers, cfg.id_col, "left_anti")
+
+
+def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult:
+    """Run the funnel; returns chunked (and optionally embedded) rows plus
+    per-stage survivor counts."""
+    cfg = cfg or CurationConfig()
+    funnel: dict[str, int] = {"input": docs.count()}
+
+    # 1. exact dedup: keep min-id per content hash
+    keepers = exact_dedup_map(docs, text_col=cfg.text_col, id_col=cfg.id_col).select(
+        F.col("keep_id").alias(cfg.id_col)
+    )
+    docs = docs.join(keepers, cfg.id_col, "left_semi")
+    funnel["after_exact_dedup"] = docs.count()
+
+    # 2. near-dup removal
+    docs = _drop_near_dups(docs, cfg)
+    funnel["after_near_dedup"] = docs.count()
+
+    # 3. quality filter
+    docs = docs.filter(quality_score(F.col(cfg.text_col)) >= cfg.min_quality)
+    funnel["after_quality"] = docs.count()
+
+    # 4. language filter
+    if cfg.keep_langs:
+        docs = docs.filter(F.col("lang").isin(*cfg.keep_langs))
+    funnel["after_lang"] = docs.count()
+
+    # 5. chunk
+    chunks = chunk_text(
+        docs, text_col=cfg.text_col, id_col=cfg.id_col,
+        size=cfg.chunk_size, overlap=cfg.chunk_overlap,
+    )
+    funnel["chunks"] = chunks.count()
+
+    # 6. embed (Arrow-batched hashing embedder; swap for a real model UDF)
+    if cfg.embed:
+        from vectrekker_spark.queries.vector import hash_embed_batch
+
+        embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
+        chunks = chunks.withColumn("embedding", embed(F.col("chunk_text")))
+
+    return CurationResult(chunks=chunks, funnel=funnel)

@@ -26,19 +26,43 @@ def ivf_build(
     n_centroids: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "stride",
 ) -> tuple[DataFrame, DataFrame]:
-    """Pick deterministic centroids (every ⌈N/k⌉-th id — stand-in for a
-    seeded k-means; swap in MLlib KMeans(seed=…) for production quality) and
-    assign each corpus vector to its nearest centroid.
+    """Build IVF centroids + assignments.
+
+    method="stride": every ⌈N/k⌉-th id as centroid — fully deterministic,
+    used by the oracle-checked query. method="kmeans": seeded MLlib KMeans
+    on L2-normalized vectors (spherical-ish) — better cells, deterministic
+    per Spark version (seed=42), used for the recall path.
 
     Returns (centroids(cid, cvec), assignments(vec_id, cid)).
     """
-    n = corpus.count()
-    stride = max(n // n_centroids, 1)
-    centroids = (
-        corpus.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_centroids))
-        .select((F.col(id_col) / stride).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))
-    )
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        prepared = corpus.withColumn(
+            "features", array_to_vector(l2_normalize(F.col(vec_col)).cast("array<double>"))
+        )
+        model = KMeans(k=n_centroids, seed=42, maxIter=20).fit(prepared)
+        rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        centroids = corpus.sparkSession.createDataFrame(
+            rows, "cid long, cvec array<double>"
+        )
+    else:
+        n = corpus.count()
+        stride = max(n // n_centroids, 1)
+        centroids = (
+            corpus.filter(
+                (F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_centroids)
+            )
+            .select(
+                (F.col(id_col) / stride).cast("long").alias("cid"),
+                F.col(vec_col).alias("cvec"),
+            )
+        )
     assign = knn_join(
         corpus.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
         centroids,
