@@ -54,6 +54,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     """Run the funnel; returns chunked (and optionally embedded) rows plus
     per-stage survivor counts."""
     cfg = cfg or CurationConfig()
+    docs = docs.cache()  # read once: every stage + count consumes it
     funnel: dict[str, int] = {"input": docs.count()}
 
     # 1. exact dedup: keep min-id per content hash
@@ -63,8 +64,9 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     docs = docs.join(keepers, cfg.id_col, "left_semi")
     funnel["after_exact_dedup"] = docs.count()
 
-    # 2. near-dup removal
-    docs = _drop_near_dups(docs, cfg)
+    # 2. near-dup removal (cache: the LSH pipeline consumes docs repeatedly,
+    # and every later stage re-reads the survivors)
+    docs = _drop_near_dups(docs, cfg).cache()
     funnel["after_near_dedup"] = docs.count()
 
     # 3. quality filter

@@ -110,10 +110,23 @@ def lsh_candidate_pairs(
     """
     n_perms = len(MINHASH_PERMS)
     rows_per_band = n_perms // bands
+    # Band key must be the POSITIONAL signature slice: collect (perm, minhash)
+    # structs and sort by perm, so (a,b) on perms (0,1) never collides with
+    # (b,a) — a multiset key would admit invalid LSH collisions.
     banded = (
         sig_rows.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("perm", "minhash"))),
+                        lambda s: s.getField("minhash").cast("string"),
+                    ),
+                )
+            ).alias("band_hash")
+        )
     )
     l = banded.select(F.col(id_col).alias("l_id"), "band", "band_hash")
     r = banded.select(F.col(id_col).alias("r_id"), "band", "band_hash")

@@ -54,7 +54,17 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy("__pri")
+    # secondary order on a stable row hash: if the updates side ever carries
+    # duplicate keys, the winner is deterministic run-to-run instead of
+    # shuffle-arrival order. Map columns are excluded — Spark forbids hashing
+    # maps (hashcode not well-defined).
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name for f in updates.schema.fields if not isinstance(f.dataType, MapType)
+    ]
+    row_hash = F.xxhash64(F.struct(*hashable)) if hashable else F.lit(0)
+    w = Window.partitionBy(key).orderBy("__pri", row_hash)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -68,6 +78,8 @@ def merge_upsert_partitioned(
     updates: DataFrame,
     key: str,
     n_buckets: int = 64,
+    group_col: str | None = None,
+    delete_groups: DataFrame | None = None,
 ) -> list[int]:
     """Partition-aware MERGE into a hash-bucketed parquet table.
 
@@ -81,20 +93,44 @@ def merge_upsert_partitioned(
 
     Merge cost scales with the delta, not the table: the property that makes
     continuous ingestion into a 100 TB index viable without Delta/Iceberg.
+
+    With `group_col`, semantics are REPLACE-GROUP instead of upsert-by-key:
+    every base row whose group appears in the updates is deleted before the
+    updates are inserted. This is what an index of *derived* rows needs — a
+    re-processed document must retire ALL its previous chunks, including ids
+    the new version no longer produces (plain upsert would leave them
+    stale). Buckets are hashed on the group so a group always co-locates.
+
     Returns the list of rewritten buckets.
     """
-    upd = updates.withColumn(
-        "__bucket", F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
-    )
+    part_key = group_col or key
+
+    def bucket_of(col):
+        return F.pmod(F.xxhash64(col.cast("string")), F.lit(n_buckets))
+
+    upd = updates.withColumn("__bucket", bucket_of(F.col(part_key)))
     import os
 
     if not os.path.exists(path):
         upd.write.mode("overwrite").partitionBy("__bucket").parquet(path)
         return sorted(r[0] for r in upd.select("__bucket").distinct().collect())
 
-    buckets = [int(r[0]) for r in upd.select("__bucket").distinct().collect()]
+    groups = None
+    if group_col:
+        groups = updates.select(group_col).distinct()
+        if delete_groups is not None:
+            groups = groups.union(delete_groups.select(group_col)).distinct()
+        bucket_src = groups.select(bucket_of(F.col(group_col)).alias("__bucket"))
+    else:
+        bucket_src = upd.select("__bucket")
+    buckets = [int(r[0]) for r in bucket_src.distinct().collect()]
+    if not buckets:
+        return []
     base_subset = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
-    merged = merge_upsert(base_subset, upd, key)
+    if group_col:
+        merged = base_subset.join(groups, group_col, "left_anti").unionByName(upd)
+    else:
+        merged = merge_upsert(base_subset, upd, key)
     # Break lineage before overwriting partitions we just read from.
     merged = merged.localCheckpoint(eager=True)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -103,6 +139,16 @@ def merge_upsert_partitioned(
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only replaces partitions PRESENT in the written data;
+    # a bucket whose rows were all deleted writes nothing and would keep its
+    # stale files — remove those partition dirs explicitly
+    import shutil
+
+    present = {int(r[0]) for r in merged.select("__bucket").distinct().collect()}
+    for b in set(buckets) - present:
+        p = os.path.join(path, f"__bucket={b}")
+        if os.path.exists(p):
+            shutil.rmtree(p)
     return sorted(buckets)
 
 

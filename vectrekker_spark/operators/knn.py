@@ -175,8 +175,14 @@ def similarity_join_blas(
     """
     import numpy as np
 
+    l_id_t = dict(left.dtypes)[left_id]
+    r_id_t = dict(right.dtypes)[right_id]
+    out_schema = f"l_id {l_id_t}, r_id {r_id_t}, score double"
+
     rows = right.select(F.col(right_id), F.col(right_vec)).collect()
-    rid = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    if not rows:  # empty right side → empty result, correct schema
+        return left.sparkSession.createDataFrame([], out_schema)
+    rid = np.asarray([r[0] for r in rows])  # dtype inferred; string ids OK
     R = np.asarray([r[1] for r in rows], dtype=np.float64)
     rnorm = np.sqrt((R * R).sum(axis=1))
     bc = left.sparkSession.sparkContext.broadcast((rid, R, rnorm))
@@ -186,7 +192,7 @@ def similarity_join_blas(
         for pdf in batches:
             if pdf.empty:
                 continue
-            lid = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            lid = pdf.iloc[:, 0].to_numpy()
             L = np.asarray(list(pdf.iloc[:, 1]), dtype=np.float64)
             lnorm = np.sqrt((L * L).sum(axis=1))
             scores = np.round((L @ R_.T) / np.outer(lnorm, rnorm_), 6)
@@ -199,7 +205,7 @@ def similarity_join_blas(
             )
 
     return left.select(F.col(left_id), F.col(left_vec)).mapInPandas(
-        gen, schema="l_id long, r_id long, score double"
+        gen, schema=out_schema
     )
 
 
@@ -212,8 +218,16 @@ def similarity_join(
     left_vec: str = "l_vec",
     right_id: str = "r_id",
     right_vec: str = "r_vec",
+    ordered_pairs: bool = True,
 ) -> DataFrame:
-    """All pairs with similarity ≥ threshold (embedding-space near-dup, L6).
+    """All pairs within threshold (embedding-space near-dup, L6).
+
+    Matching semantics per metric: cosine/dot keep pairs with score >=
+    threshold; l2 keeps pairs with DISTANCE <= threshold (smaller is nearer).
+
+    `ordered_pairs=True` is the self-join mode (emit each unordered pair once
+    via l_id < r_id); pass False when left and right are distinct datasets,
+    otherwise cross-dataset matches where l_id >= r_id would be lost.
 
     Broadcasts the smaller side; the threshold filter runs inside the same
     codegen stage as the score, so non-matching pairs are never materialized.
@@ -231,9 +245,11 @@ def similarity_join(
         )
     else:
         score = F.round(_score(metric, F.col("l_vec"), F.col("r_vec")), 6)
-    pairs = l.join(F.broadcast(r), F.col("l_id") < F.col("r_id"))
+    cond = F.col("l_id") < F.col("r_id") if ordered_pairs else F.lit(True)
+    pairs = l.join(F.broadcast(r), cond)
+    keep = F.col("score") <= threshold if metric == "l2" else F.col("score") >= threshold
     return (
         pairs.withColumn("score", score)
-        .filter(F.col("score") >= threshold)
+        .filter(keep)
         .select("l_id", "r_id", "score")
     )

@@ -90,7 +90,10 @@ def frame_sample_plan(
     slicing for a container-aware reader; the explode/partition shape is
     identical. Pure expressions — no Python per row."""
     n_frames = F.floor(F.octet_length(content_col) / frame_size)
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    # payloads with zero complete frames (short or null content) emit no rows
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    ).otherwise(F.array().cast("array<bigint>"))
     return df.select(
         F.col(id_col),
         F.posexplode(idx).alias("sample_idx", "frame_no"),

@@ -12,32 +12,39 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_COMBINERS = {"sum": F.sum, "min": F.min, "max": F.max}
+
 
 def salted_agg(
     df: DataFrame,
     key: str,
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     salt: int = 16,
 ) -> DataFrame:
-    """Two-phase aggregation with salting. `aggs` maps output column name →
-    aggregate over the input (must be decomposable: sum/count/min/max).
+    """Two-phase aggregation with salting.
+
+    `aggs` maps output column name → (partial aggregate expression, combiner),
+    where combiner ∈ {"sum", "min", "max"} recombines the per-salt partials
+    (COUNT partials recombine with "sum"). Only decomposable aggregates are
+    expressible — anything else (avg, percentiles) must be rewritten by the
+    caller into decomposable parts (e.g. avg = sum ⊘ count); an unknown
+    combiner raises rather than silently producing wrong results.
 
     Phase 1 groups on (key, salt) — the hot key spreads over `salt`
     partitions; phase 2 re-aggregates the tiny partial results on key.
     """
+    for name, (_, combiner) in aggs.items():
+        if combiner not in _COMBINERS:
+            raise ValueError(
+                f"aggregate {name!r}: combiner {combiner!r} not decomposable; "
+                f"use one of {sorted(_COMBINERS)}"
+            )
     salted = df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     partial = salted.groupBy(key, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()]
     )
-    # recombine partials: SUM for sum/count partials, MIN/MAX pass through
-    final_aggs = []
-    for name in aggs:
-        col = F.col(f"__p_{name}")
-        agg_sql = str(aggs[name]._jc)  # noqa: SLF001 — detect combiner
-        if "min(" in agg_sql:
-            final_aggs.append(F.min(col).alias(name))
-        elif "max(" in agg_sql:
-            final_aggs.append(F.max(col).alias(name))
-        else:  # sum and count both recombine by sum
-            final_aggs.append(F.sum(col).alias(name))
+    final_aggs = [
+        _COMBINERS[combiner](F.col(f"__p_{name}")).alias(name)
+        for name, (_, combiner) in aggs.items()
+    ]
     return partial.groupBy(key).agg(*final_aggs)

@@ -40,6 +40,7 @@ from vectrekker_spark.sources.files import scan_directory
 INDEX_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType(), False),
+        T.StructField("doc_path", T.StringType(), False),  # replace-group key
         T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
         T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
     ]
@@ -99,35 +100,48 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
     too_long = with_tokens.filter(F.col("n_tokens") >= cfg.max_tokens)
 
     n_quarantined = 0
+    ok_docs = ok.select("path", F.col("path").alias("doc_path"), "text")
+    quarantined_paths = None
     if cfg.chunk_size > 0:
         chunks = chunk_text(
             too_long, text_col="text", id_col="path",
             size=cfg.chunk_size, overlap=cfg.chunk_overlap,
         ).select(
             F.concat_ws("#", F.col("path"), F.col("chunk_id")).alias("path"),
+            F.col("path").alias("doc_path"),
             F.col("chunk_text").alias("text"),
         )
-        ok = ok.select("path", "text").unionByName(chunks)
+        ok = ok_docs.unionByName(chunks)
     else:
-        ok = ok.select("path", "text")
+        ok = ok_docs
         n_quarantined = too_long.count()
-        if cfg.quarantine_path and n_quarantined:
-            too_long.select("path", "n_tokens").write.mode("append").parquet(
-                cfg.quarantine_path
-            )
+        if n_quarantined:
+            # a doc that GREW past the limit must also retire its old rows
+            quarantined_paths = too_long.select(F.col("path").alias("doc_path"))
+            if cfg.quarantine_path:
+                too_long.select("path", "n_tokens").write.mode("append").parquet(
+                    cfg.quarantine_path
+                )
 
     embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
     new_rows = ok.select(
         F.col("path").alias("id"),
+        F.col("doc_path"),
         embed(F.col("text")).alias("embedding"),
         F.create_map().cast("map<string,string>").alias("metadata"),
     )
-    # Partition-aware MERGE: only the hash buckets containing changed ids are
-    # read and rewritten — merge cost ∝ delta size, not index size.
+    # Partition-aware REPLACE-GROUP merge keyed on the source document: a
+    # re-processed doc retires ALL its previous index rows (chunk ids the new
+    # version no longer produces would otherwise linger as stale hits), and
+    # only the hash buckets containing changed docs are read and rewritten —
+    # merge cost ∝ delta size, not index size.
     from vectrekker_spark.operators.delta import merge_upsert_partitioned
 
     n_indexed = new_rows.count()
-    merge_upsert_partitioned(spark, cfg.index_path, new_rows, key="id")
+    merge_upsert_partitioned(
+        spark, cfg.index_path, new_rows, key="id", group_col="doc_path",
+        delete_groups=quarantined_paths,
+    )
 
     # State commit strictly AFTER the index write (at-least-once ordering).
     new_state = changed.select("path", F.col("mtime").alias("last_edit_time"))

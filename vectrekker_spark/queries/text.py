@@ -348,8 +348,11 @@ def d13_winnowing(spark: SparkSession, sf: str) -> DataFrame:
                     + c[4:]
                 )
                 if len(h) < 4:
-                    continue
-                mins = np.minimum.reduce([h[:-3], h[1:-2], h[2:-1], h[3:]])
+                    # fewer hashes than the window: one truncated window —
+                    # mirrors the SQL's greatest(len(hs)-3, 1) lower bound
+                    mins = np.array([h.min()])
+                else:
+                    mins = np.minimum.reduce([h[:-3], h[1:-2], h[2:-1], h[3:]])
                 u = np.unique(mins)
                 ids.extend([doc_id] * len(u))
                 fps.extend(u.tolist())
