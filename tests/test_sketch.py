@@ -1,0 +1,55 @@
+"""Count-Min sketch properties: never underestimates, overestimate bounded,
+partition-invariant merge, heavy hitters recovered."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.text import tokens
+from vectrekker_spark.operators.sketch import build_sketch, estimate, heavy_hitters
+
+
+def _exact_counts(spark, docs):
+    rows = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    return {r["t"]: r["count"] for r in rows}
+
+
+def test_cms_bounds_and_heavy_hitters(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sketch = build_sketch(docs)
+    exact = _exact_counts(spark, docs)
+    total = sum(exact.values())
+
+    # CM property: estimate >= exact, and <= exact + eps*N (eps = e/width)
+    eps_n = int(np.ceil(np.e / sketch.shape[1] * total))
+    for tok, c in exact.items():
+        est = estimate(sketch, tok)
+        assert est >= c, f"{tok}: underestimate {est} < {c}"
+        assert est <= c + eps_n, f"{tok}: overestimate {est} > {c}+{eps_n}"
+
+    # heavy hitters: the true top tokens survive the sketch filter
+    top_true = sorted(exact.items(), key=lambda x: (-x[1], x[0]))[:5]
+    hh = dict(heavy_hitters(sketch, list(exact), min_count=top_true[-1][1]))
+    for tok, _ in top_true:
+        assert tok in hh
+
+
+def test_cms_merge_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = build_sketch(docs)
+    b = build_sketch(docs.repartition(9))
+    assert (a == b).all()
+
+
+def test_cms_estimate_zero_for_absent_token(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    sketch = build_sketch(docs)
+    # token that cannot appear; collisions may give a small overcount but
+    # never more than eps*N of a 5-doc corpus
+    assert estimate(sketch, "zzz-never-in-corpus-zzz") <= 5
