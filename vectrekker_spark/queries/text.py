@@ -415,9 +415,41 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def d17_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    # The merged Count-Min matrix (operators/sketch.py) as rows — checks the
+    # distributed Arrow-kernel build + monoid merge against a pure-SQL
+    # reconstruction of the same salted-hash cells.
+    from vectrekker_spark.operators.sketch import build_sketch
+
+    sketch = build_sketch(tb(spark, sf, "documents"))
+    rows = [
+        (int(d), int(c), int(sketch[d, c]))
+        for d in range(sketch.shape[0])
+        for c in range(sketch.shape[1])
+        if sketch[d, c] != 0
+    ]
+    return spark.createDataFrame(rows, "d int, cell bigint, cnt bigint").orderBy(
+        "d", "cell"
+    )
+
+
+D17_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+cells AS (
+  SELECT ds.d AS d,
+         ('0x' || substr(md5('cms' || ds.d || ':' || t), 1, 8))::BIGINT % 1024 AS cell
+  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS d) ds
+  WHERE t <> '')
+SELECT d, cell, COUNT(*)::BIGINT AS cnt FROM cells GROUP BY d, cell ORDER BY d, cell
+"""
+
+
 SPECS = [
     QuerySpec("q25_exact_dedup", q25_exact_dedup, Q25_SQL, ("text", "dedup"),
               "exact dedup map by content md5"),
+    QuerySpec("d17_count_min", d17_count_min, D17_SQL, ("text", "sketch"),
+              "Count-Min sketch cells vs SQL reconstruction"),
     QuerySpec("d12_bpe_tokens", d12_bpe_tokens, D12_SQL, ("text",),
               "BPE-ish regex token counts vs whitespace proxy"),
     QuerySpec("d13_winnowing", d13_winnowing, D13_SQL, ("text", "dedup"),
