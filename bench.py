@@ -1,15 +1,19 @@
 """Benchmark runner (driver contract, BASELINE.md).
 
-Runs every oracle-checkable query from the registry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm-up
-execution then the median of 3 timed runs per query, and prints exactly ONE
-JSON line:
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm-up execution then
+the median of 3 timed runs per query, and prints exactly ONE JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q01_project": s, ...}, "sf": 0.1}
+     "queries": {"q01_project": s, ...}, "sf": 0.1,
+     "duckdb": {...}, "ratio": {...}}
 
-Timing includes full plan execution to collected results (count via
-`_collected`), matching how the DuckDB baseline is measured.
+Timing covers full plan execution to fully-materialized driver-side results:
+Arrow `toPandas()` — every result row crosses to Python, same endpoint as
+the DuckDB baseline's `fetchall()`. The DuckDB baseline is re-measured in
+the same process on the same files each run (the stored baseline went stale
+in round 1), so the JSON line is self-contained: per-query ratio > 1 means
+Spark is slower.
 """
 
 from __future__ import annotations
@@ -30,26 +34,62 @@ from vectrekker_spark.session import get_spark  # noqa: E402
 RUNS = 3
 
 
+def bench_spark(sf_dir: str) -> dict[str, float]:
+    spark = get_spark(app_name="vectrekker-bench")
+    timings: dict[str, float] = {}
+    for name, spec in sorted(all_specs().items()):
+        spec.spark(spark, sf_dir).toPandas()  # warm-up: JIT, codegen, footers
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).toPandas()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+    return timings
+
+
+def bench_duckdb(sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    from vectrekker_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    timings: dict[str, float] = {}
+    for name, spec in sorted(all_specs().items()):
+        if spec.oracle is None:
+            continue
+        con.execute(spec.oracle).fetchall()  # warm-up
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
-    spark = get_spark(app_name="vectrekker-bench")
 
-    timings: dict[str, float] = {}
-    for name, spec in sorted(all_specs().items()):
-        df = spec.spark(spark, sf_dir)
-        df.collect()  # warm-up: JIT, codegen, file-footer caches
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+    timings = bench_spark(sf_dir)
+    duck = bench_duckdb(sf_dir)
 
     total = round(sum(timings.values()), 4)
+    # comparable totals: only oracle-checkable queries exist on both sides
+    common = sorted(set(timings) & set(duck))
+    spark_common = round(sum(timings[q] for q in common), 4)
+    duck_common = round(sum(duck[q] for q in common), 4)
+    ratio = {
+        q: round(timings[q] / duck[q], 2) if duck[q] > 0 else None for q in common
+    }
     print(
         json.dumps(
             {
@@ -58,6 +98,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "duckdb": duck,
+                "spark_total_common": spark_common,
+                "duckdb_total_common": duck_common,
+                "total_ratio": round(spark_common / duck_common, 3)
+                if duck_common
+                else None,
+                "ratio": ratio,
             }
         )
     )

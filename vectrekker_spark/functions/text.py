@@ -61,17 +61,21 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
     return F.size(F.filter(tok, lambda w: w.isin(STOPWORDS[lang])))
 
 
+def quality_score_parts(n: Column, pr: Column, awl: Column) -> Column:
+    """Quality score from precomputed parts (char count, punct ratio, avg word
+    length) — lets callers that already materialize those columns avoid
+    recomputing the regexp/split/aggregate passes a second time."""
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.when(pr <= 0.1, F.lit(1.0)).otherwise(F.lit(1.0) - pr)
+    wl_ok = F.when((awl >= 3.0) & (awl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round((len_ok + punct_ok + wl_ok) / 3.0, 4)
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality heuristic: length band + low punctuation +
     plausible word length. Rounded to 4 so both engines hash identically."""
     t = _c(text)
-    n = F.length(t)
-    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.5))
-    pr = punct_ratio(t)
-    punct_ok = F.when(pr <= 0.1, F.lit(1.0)).otherwise(F.lit(1.0) - pr)
-    awl = avg_word_len(t)
-    wl_ok = F.when((awl >= 3.0) & (awl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.6))
-    return F.round((len_ok + punct_ok + wl_ok) / 3.0, 4)
+    return quality_score_parts(F.length(t), punct_ratio(t), avg_word_len(t))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -2,7 +2,7 @@
 streams (the 'custom sketch' operator class: when exact groupBy-count is too
 expensive because the key cardinality is huge, a fixed-size sketch per
 partition + cell-wise merge gives ε-approximate counts with one tiny
-shuffle).
+data movement).
 
 Design: each partition builds a (depth × width) int64 matrix in an Arrow
 kernel; the matrices merge by elementwise sum (Count-Min is a commutative
@@ -11,6 +11,15 @@ property that makes decimal sums shuffle-safe). Queries read
 min_d(cells[d][h_d(x)]), an overestimate within ε·N with probability 1-δ
 for width=⌈e/ε⌉, depth=⌈ln(1/δ)⌉. Hashes are the same md5-prefix family
 used across the engine, so sketches are deterministic and reproducible.
+
+Merge strategy: the per-partition partials are ALREADY fully aggregated
+(one matrix per partition, regardless of row count), so the merge moves
+P·depth rows of width int64 — KB-scale per partition. Those land on the
+driver and sum in numpy: exact int64 monoid fold, no interpreted
+higher-order-function expressions (the round-1 collect_list +
+aggregate/zip_with merge was the 3.3× bench hotspot). At extreme
+parallelism (P ≫ 10⁴) switch the fold to posexplode + groupBy(d,pos) sum —
+same monoid, shuffle of P·depth·width skinny rows.
 """
 
 from __future__ import annotations
@@ -21,15 +30,15 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 DEPTH = 4
 WIDTH = 1024
-_SALTS = [f"cms{d}:" for d in range(DEPTH)]
 
 
 def _cell(token: str, d: int, width: int = WIDTH) -> int:
-    h = hashlib.md5((_SALTS[d] + token).encode("utf-8")).hexdigest()
+    # salt computed inline so any depth works (a fixed salt table capped
+    # depth at 4 and raised IndexError inside executors beyond it)
+    h = hashlib.md5((f"cms{d}:" + token).encode("utf-8")).hexdigest()
     return int(h[:8], 16) % width
 
 
@@ -38,40 +47,49 @@ def build_sketch(
 ) -> np.ndarray:
     """Sketch the whitespace-token stream of a text column.
 
-    Per-partition kernels emit their local (depth×width) matrices as rows of
-    (d, flattened row); one groupBy-sum merges them. Returns the merged
-    matrix on the driver (depth×width int64 — a few KB regardless of data
-    size)."""
-    import re
+    Per-partition Arrow kernels build local (depth×width) matrices —
+    vectorized: tokens of a batch are deduped with np.unique, each unique
+    token hashed once (memoized across batches), counts accumulated with
+    np.bincount. Partials merge on the driver by elementwise numpy sum.
+    Returns the merged matrix (depth×width int64 — a few KB regardless of
+    data size)."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = np.zeros((depth, width), dtype=np.int64)
-        cache: dict[str, list[int]] = {}
+        cache: dict[str, np.ndarray] = {}
         for pdf in batches:
+            toks: list[str] = []
             for text in pdf[text_col]:
-                for tok in re.split(r"\s+", text.strip()):
-                    if not tok:
-                        continue
-                    cells = cache.get(tok)
-                    if cells is None:
-                        cells = [_cell(tok, d, width) for d in range(depth)]
-                        cache[tok] = cells
-                    for d in range(depth):
-                        m[d, cells[d]] += 1
+                toks.extend(text.split())  # ≡ re.split(r"\s+", s.strip()) sans empties
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            cells = np.empty((depth, len(uniq)), dtype=np.int64)
+            for i, tok in enumerate(uniq):
+                cached = cache.get(tok)
+                if cached is None:
+                    cached = np.array(
+                        [_cell(tok, d, width) for d in range(depth)], dtype=np.int64
+                    )
+                    cache[tok] = cached
+                cells[:, i] = cached
+            for d in range(depth):
+                # int-valued float64 bincount is exact below 2^53 — far above
+                # any per-partition token count
+                m[d] += np.bincount(
+                    cells[d], weights=counts, minlength=width
+                ).astype(np.int64)
         yield pd.DataFrame(
             {"d": list(range(depth)), "cells": [m[d].tolist() for d in range(depth)]}
         )
 
     partials = df.select(text_col).mapInPandas(gen, schema="d int, cells array<long>")
-    merged = partials.groupBy("d").agg(
-        F.aggregate(
-            F.collect_list("cells"),
-            F.array_repeat(F.lit(0).cast("long"), width),
-            lambda acc, row: F.zip_with(acc, row, lambda a, b: a + b),
-        ).alias("cells")
-    )
-    rows = {r["d"]: r["cells"] for r in merged.collect()}
-    return np.array([rows[d] for d in range(depth)], dtype=np.int64)
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for r in partials.collect():  # P·depth KB-sized rows; monoid fold in numpy
+        merged[r["d"]] += np.asarray(r["cells"], dtype=np.int64)
+    return merged
 
 
 def estimate(sketch: np.ndarray, token: str) -> int:

@@ -20,7 +20,7 @@ from vectrekker_spark.operators.dedup import (
     simhash16,
 )
 from vectrekker_spark.queries import QuerySpec
-from vectrekker_spark.queries.util import tb, token_hash_sql, tokens_sql
+from vectrekker_spark.queries.util import tb, tbp, token_hash_sql, tokens_sql
 
 TOKS = tokens_sql("text")
 LTOKS = tokens_sql("lower(text)")
@@ -37,7 +37,7 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id
 
 
 def q26_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = tb(spark, sf, "documents")
+    d = tbp(spark, sf, "documents")
     per_doc = d.select(
         "lang",
         "n_chars",
@@ -78,7 +78,7 @@ FROM per_doc GROUP BY lang ORDER BY lang
 
 
 def q27_chunking(spark: SparkSession, sf: str) -> DataFrame:
-    d = tb(spark, sf, "documents")
+    d = tbp(spark, sf, "documents")
     return (
         chunk_text(d, size=100, overlap=20)
         .select(
@@ -103,7 +103,7 @@ ORDER BY doc_id, chunk_id
 
 
 def d01_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    return minhash_signatures(tb(spark, sf, "documents")).orderBy("doc_id", "perm")
+    return minhash_signatures(tbp(spark, sf, "documents")).orderBy("doc_id", "perm")
 
 
 _PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))
@@ -126,7 +126,7 @@ ORDER BY doc_id, perm
 
 
 def d02_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return simhash16(tb(spark, sf, "documents")).orderBy("doc_id")
+    return simhash16(tbp(spark, sf, "documents")).orderBy("doc_id")
 
 
 D02_SQL = f"""
@@ -168,7 +168,7 @@ ORDER BY l_id, r_id
 
 
 def d04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    d = tb(spark, sf, "documents")
+    d = tbp(spark, sf, "documents")
     hits = {lang: T.stopword_hits(F.col("text"), lang) for lang in T.STOPWORDS}
     g = F.greatest(*hits.values())
     pred = (
@@ -210,13 +210,41 @@ FROM h ORDER BY doc_id
 
 
 def d05_quality(spark: SparkSession, sf: str) -> DataFrame:
-    d = tb(spark, sf, "documents")
-    return d.select(
+    # Fused single-pass form: the round-1 version recomputed the regexp strip
+    # and the split+aggregate word pass inside quality_score (2.4× DuckDB).
+    # Each expensive expression (tokens array, punct ratio) is materialized
+    # once per row; multi-referenced aliases survive CollapseProject since
+    # Catalyst only inlines cheap or singly-used expressions.
+    d = tbp(spark, sf, "documents")
+    base = d.select(
         "doc_id",
-        T.token_count("text").cast("long").alias("n_tokens"),
-        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(T.avg_word_len("text"), 4).alias("avg_word_len"),
-        T.quality_score("text").alias("quality"),
+        F.length("text").alias("__n"),
+        T.tokens("text").alias("__tok"),
+        (
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+            / F.length("text")
+        ).alias("__pr"),
+    )
+    stats = base.select(
+        "doc_id",
+        "__n",
+        "__pr",
+        F.size("__tok").cast("long").alias("n_tokens"),
+        (
+            F.aggregate("__tok", F.lit(0), lambda acc, w: acc + F.length(w)).cast(
+                "double"
+            )
+            / F.size("__tok")
+        ).alias("__awl"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round("__pr", 6).alias("punct_ratio"),
+        F.round("__awl", 4).alias("avg_word_len"),
+        T.quality_score_parts(
+            F.col("__n"), F.col("__pr"), F.col("__awl")
+        ).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -240,7 +268,7 @@ FROM base ORDER BY doc_id
 
 
 def d06_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = tb(spark, sf, "documents")
+    d = tbp(spark, sf, "documents")
     return d.select("doc_id", T.fingerprint("text").alias("fingerprint")).orderBy("doc_id")
 
 
@@ -273,7 +301,7 @@ def d11_group_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     # applyInPandas surface: exact per-lang token-count percentiles.
     from vectrekker_spark.operators.grouped import group_percentiles
 
-    d = tb(spark, sf, "documents").select(
+    d = tbp(spark, sf, "documents").select(
         "lang", T.token_count("text").alias("n_tokens")
     )
     return group_percentiles(d, "lang", "n_tokens").orderBy("lang", "q")
@@ -294,7 +322,7 @@ ORDER BY lang, q
 def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from vectrekker_spark.functions.tokenize import bpe_like_token_count
 
-    d = tb(spark, sf, "documents")
+    d = tbp(spark, sf, "documents")
     return (
         d.select(
             "doc_id",
@@ -358,7 +386,7 @@ def d13_winnowing(spark: SparkSession, sf: str) -> DataFrame:
                 fps.extend(u.tolist())
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
 
-    d = tb(spark, sf, "documents").select("doc_id", "text")
+    d = tbp(spark, sf, "documents").select("doc_id", "text")
     return d.mapInPandas(winnow, schema="doc_id long, fingerprint long").orderBy(
         "doc_id", "fingerprint"
     )
@@ -419,18 +447,23 @@ def d17_count_min(spark: SparkSession, sf: str) -> DataFrame:
     # The merged Count-Min matrix (operators/sketch.py) as rows — checks the
     # distributed Arrow-kernel build + monoid merge against a pure-SQL
     # reconstruction of the same salted-hash cells.
+    import numpy as np
+    import pandas as pd
+
     from vectrekker_spark.operators.sketch import build_sketch
 
-    sketch = build_sketch(tb(spark, sf, "documents"))
-    rows = [
-        (int(d), int(c), int(sketch[d, c]))
-        for d in range(sketch.shape[0])
-        for c in range(sketch.shape[1])
-        if sketch[d, c] != 0
-    ]
-    return spark.createDataFrame(rows, "d int, cell bigint, cnt bigint").orderBy(
-        "d", "cell"
+    sketch = build_sketch(tbp(spark, sf, "documents"))
+    # Arrow-backed createDataFrame (a tuple-list local relation costs ~10×:
+    # per-element Python→JVM conversion vs one Arrow batch)
+    ds, cs = np.nonzero(sketch)
+    pdf = pd.DataFrame(
+        {
+            "d": ds.astype(np.int32),
+            "cell": cs.astype(np.int64),
+            "cnt": sketch[ds, cs].astype(np.int64),
+        }
     )
+    return spark.createDataFrame(pdf).orderBy("d", "cell")
 
 
 D17_SQL = """

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectrekker_spark.queries import QuerySpec
-from vectrekker_spark.queries.util import tb
+from vectrekker_spark.queries.util import tb, tbp
 
 DEC = "decimal(18,2)"
 REV = "revenue"
@@ -33,7 +33,7 @@ def t03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     # date, group, top-10 by revenue.
     c = tb(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = tb(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
-    li = tb(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    li = tbp(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
@@ -74,7 +74,7 @@ def t05_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     o = tb(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
-    li = tb(spark, sf, "lineitem")
+    li = tbp(spark, sf, "lineitem")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
@@ -108,7 +108,7 @@ def t10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     o = tb(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
     )
-    li = tb(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    li = tbp(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = tb(spark, sf, "nation")
     return (
         c.join(o, c.c_custkey == o.o_custkey)

@@ -19,6 +19,31 @@ def tb(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def tbp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``tb`` + spread across the session's default parallelism.
+
+    The local fixture files are single-row-group parquet, so the scan has
+    exactly ONE split and every per-row kernel/expression would run in a
+    single task while DuckDB uses all cores. A round-robin repartition of the
+    (column-pruned) scan costs one tiny local exchange and buys full-core
+    parallelism. Gated on file size: when the file is big enough that the
+    scan splits naturally (a real deployment — at 100 TB there are thousands
+    of splits), this is a plain ``tb`` and adds nothing to the plan.
+    """
+    import os
+
+    from vectrekker_spark.catalog import table_path
+
+    df = tb(spark, sf_dir, name)
+    try:
+        small = os.path.getsize(table_path(sf_dir, name)) < (64 << 20)
+    except OSError:
+        small = False
+    if not small:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # --- DuckDB-side vector expressions (ordered double accumulation) ----------
 
 def dot_sql(a: str, b: str) -> str:

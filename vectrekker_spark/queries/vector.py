@@ -10,7 +10,6 @@ top-k cosine search (the query the Pinecone index exists for,
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
@@ -22,6 +21,7 @@ from vectrekker_spark.operators.knn import knn_join, similarity_join_blas
 from vectrekker_spark.queries import QuerySpec
 from vectrekker_spark.queries.util import (
     cosine_sql,
+    tbp,
     dot_sql,
     l2_sql,
     normsq_sql,
@@ -34,33 +34,41 @@ HASH_EMBED_DIM = 64
 def hash_embed_batch(texts: pd.Series, dim: int = HASH_EMBED_DIM) -> pd.Series:
     """Seeded hashing-trick embedder (SURVEY.md §5.3): token → md5-prefix
     bucket, ±1 by the 9th hex digit, L2-normalized. Deterministic and
-    reproducible in SQL, unlike the reference's API embedder."""
-    cache: dict[str, tuple[int, float]] = {}  # vocab ≪ token count → memoize
+    reproducible in SQL, unlike the reference's API embedder.
 
-    def tok_hash(tok: str) -> tuple[int, float]:
-        hit = cache.get(tok)
-        if hit is None:
+    Vectorized: md5 runs once per UNIQUE token in the batch (np.unique), the
+    per-doc accumulation is a single np.bincount over (doc, bucket) flat
+    indices. Bucket weights are sums of ±1 — exact integers in float64 — so
+    accumulation order cannot change the result vs the per-token loop form.
+    """
+    tok_lists = [t.split() for t in texts]  # ≡ re.split(r"\s+", strip) sans empties
+    n_docs = len(tok_lists)
+    counts = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=n_docs)
+    M = np.zeros((n_docs, dim), dtype=np.float64)
+    if counts.sum() > 0:
+        flat = np.concatenate(
+            [np.asarray(tl, dtype=object) for tl in tok_lists if tl]
+        )
+        doc_idx = np.repeat(np.arange(n_docs), counts)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        buckets = np.empty(len(uniq), dtype=np.int64)
+        signs = np.empty(len(uniq), dtype=np.float64)
+        for i, tok in enumerate(uniq):
             h = hashlib.md5(tok.encode("utf-8")).hexdigest()
-            hit = (int(h[:8], 16) % dim, 1.0 if int(h[8], 16) % 2 == 0 else -1.0)
-            cache[tok] = hit
-        return hit
-
-    out = []
-    for text in texts:
-        vec = np.zeros(dim, dtype=np.float64)
-        for tok in re.split(r"\s+", text.strip()):
-            if tok:
-                bucket, sign = tok_hash(tok)
-                vec[bucket] += sign
-        nrm = float(np.sqrt(np.sum(vec * vec)))
-        if nrm > 0:
-            vec = vec / nrm
-        out.append(vec.tolist())
-    return pd.Series(out)
+            buckets[i] = int(h[:8], 16) % dim
+            signs[i] = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        flat_idx = doc_idx * dim + buckets[inv]
+        M = np.bincount(
+            flat_idx, weights=signs[inv], minlength=n_docs * dim
+        ).reshape(n_docs, dim)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        nz = nrm > 0
+        M[nz] /= nrm[nz, None]
+    return pd.Series(M.tolist())
 
 
 def q20_hash_embed_udf(spark: SparkSession, sf: str) -> DataFrame:
-    docs = tb(spark, sf, "documents")
+    docs = tbp(spark, sf, "documents")
     embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
     return (
         docs.select("doc_id", F.posexplode(embed(F.col("text"))))
@@ -96,7 +104,7 @@ ORDER BY doc_id, bucket
 
 
 def q21_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
-    em = tb(spark, sf, "embeddings")
+    em = tbp(spark, sf, "embeddings")
     e1 = em.select(F.col("vec_id"), F.col("embedding").alias("a"))
     e2 = em.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("b"))
     return (
@@ -122,8 +130,8 @@ ORDER BY vec_id
 
 
 def q22_topk_nn(spark: SparkSession, sf: str) -> DataFrame:
-    em = tb(spark, sf, "embeddings")
-    q = em.filter(F.col("vec_id") == 0).select(
+    em = tbp(spark, sf, "embeddings")
+    q = tb(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return knn_join(q, em, k=10).select("vec_id", "score", "rank").orderBy("rank")
@@ -141,8 +149,8 @@ ORDER BY rank LIMIT 10
 
 
 def q23_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    em = tb(spark, sf, "embeddings")
-    q = em.filter(F.col("vec_id") < 20).select(
+    em = tbp(spark, sf, "embeddings")
+    q = tb(spark, sf, "embeddings").filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return knn_join(q, em, k=5).orderBy("qid", "rank")
@@ -164,7 +172,7 @@ SELECT qid, vec_id, score, rank FROM (
 def q24_norms(spark: SparkSession, sf: str) -> DataFrame:
     # norm materialized once per row — the aggregate() expr is interpreted
     # (not codegen), so computing it 3× (norm, normalize, divide) tripled cost
-    em = tb(spark, sf, "embeddings")
+    em = tbp(spark, sf, "embeddings")
     base = em.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
@@ -190,7 +198,7 @@ FROM embeddings ORDER BY vec_id
 def q28_sim_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Embedding-space near-dup pairs (L6). Fixture max pairwise cosine at
     # sf0.01 is ~0.51, so threshold 0.40 yields a non-trivial result set.
-    em = tb(spark, sf, "embeddings")
+    em = tbp(spark, sf, "embeddings")
     return similarity_join_blas(
         em, em, threshold=0.40,
         left_id="vec_id", left_vec="embedding",
