@@ -72,6 +72,32 @@ def bench_duckdb(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def ann_recall_at_10(sf_dir: str) -> float:
+    """Recall@10 of the default (kmeans) IVF build at n_probe=5 vs exact
+    brute force, over the first 10 query vectors — untimed quality metric."""
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import ivf_build, ivf_search
+    from vectrekker_spark.operators.knn import knn_join
+
+    spark = get_spark(app_name="vectrekker-bench")
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact: dict[int, set[int]] = {}
+    for r in knn_join(q, em, k=10).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    centroids, assign = ivf_build(em, n_centroids=10)
+    got: dict[int, set[int]] = {}
+    for r in ivf_search(q, em, centroids, assign, k=10, n_probe=5).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    em.unpersist()
+    return round(
+        sum(len(got.get(x, set()) & exact[x]) for x in exact) / (10 * len(exact)), 3
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -81,6 +107,7 @@ def main() -> None:
 
     timings = bench_spark(sf_dir)
     duck = bench_duckdb(sf_dir)
+    recall = ann_recall_at_10(sf_dir)
 
     total = round(sum(timings.values()), 4)
     # comparable totals: only oracle-checkable queries exist on both sides
@@ -105,6 +132,7 @@ def main() -> None:
                 if duck_common
                 else None,
                 "ratio": ratio,
+                "ann_recall_at_10": recall,
             }
         )
     )

@@ -1,5 +1,14 @@
-"""Approximate-NN recall properties (SURVEY.md §2.2 V5): IVF and MLlib LSH
-vs the exact brute-force result."""
+"""Approximate-NN recall properties (SURVEY.md §2.2 V5, §5.2): IVF and MLlib
+LSH vs the exact brute-force result.
+
+Bars: LSH ≥ 0.8 (measured 1.0 at the tuned defaults) and default (kmeans)
+IVF ≥ 0.8 at n_probe=5/10 cells. The fixtures are near-uniform random 64-dim
+vectors — the hardest case for cell-based ANN since true neighbors spread
+across cells; the measured ceiling at lower probe counts is ~0.67 (n_probe=3)
+/ ~0.79 (n_probe=4), which is why the 0.8-bar assertion probes 5. The stride
+build keeps a lower sanity bar: it exists for cross-version determinism, not
+recall.
+"""
 
 from __future__ import annotations
 
@@ -29,44 +38,53 @@ def _exact(spark, em):
     return out
 
 
-def test_ivf_recall_vs_exact(spark, em):
-    exact = _exact(spark, em)
-    centroids, assign = ivf_build(em, n_centroids=10)
-    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+def _recall(approx_rows, exact) -> float:
+    got: dict[int, set[int]] = {}
+    for r in approx_rows:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    return sum(len(got.get(q_, set()) & exact[q_]) for q_ in exact) / (K * len(exact))
+
+
+def _queries(em):
+    return em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    approx = ivf_search(q, em, centroids, assign, k=K, n_probe=3).collect()
-    got: dict[int, set[int]] = {}
-    for r in approx:
-        got.setdefault(r["qid"], set()).add(r["vec_id"])
-    recall = sum(len(got.get(q_, set()) & exact[q_]) for q_ in exact) / (K * len(exact))
-    assert recall >= 0.5, f"IVF recall@{K} = {recall}"
 
 
-def test_lsh_recall_vs_exact(spark, em):
+def test_ivf_default_recall_meets_declared_bar(spark, em):
+    exact = _exact(spark, em)
+    centroids, assign = ivf_build(em, n_centroids=10)  # kmeans default
+    approx = ivf_search(_queries(em), em, centroids, assign, k=K, n_probe=5).collect()
+    recall = _recall(approx, exact)
+    assert recall >= 0.8, f"default-IVF recall@{K} = {recall}"
+
+
+def test_ivf_kmeans_low_probe_recall(spark, em):
+    exact = _exact(spark, em)
+    centroids, assign = ivf_build(em, n_centroids=10, method="kmeans")
+    approx = ivf_search(_queries(em), em, centroids, assign, k=K, n_probe=3).collect()
+    recall = _recall(approx, exact)
+    assert recall >= 0.6, f"kmeans-IVF n_probe=3 recall@{K} = {recall}"
+
+
+def test_ivf_stride_sanity_recall(spark, em):
+    exact = _exact(spark, em)
+    centroids, assign = ivf_build(em, n_centroids=10, method="stride")
+    approx = ivf_search(_queries(em), em, centroids, assign, k=K, n_probe=3).collect()
+    recall = _recall(approx, exact)
+    assert recall >= 0.5, f"stride-IVF recall@{K} = {recall}"
+
+
+def test_lsh_recall_meets_declared_bar(spark, em):
     qvec = em.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     exact_ids = {r["vec_id"] for r in topk_nn(em, qvec, k=K).collect()}
-    model, prepared = lsh_model(em, bucket_length=1.0, num_hash_tables=5)
+    model, prepared = lsh_model(em)  # tuned defaults
     approx_ids = {r["vec_id"] for r in lsh_nn(model, prepared, qvec, k=K).collect()}
     recall = len(exact_ids & approx_ids) / K
-    assert recall >= 0.5, f"LSH recall@{K} = {recall}"
+    assert recall >= 0.8, f"LSH recall@{K} = {recall}"
 
 
 def test_ivf_assignment_covers_corpus(spark, em):
-    _, assign = ivf_build(em, n_centroids=10)
+    _, assign = ivf_build(em, n_centroids=10, method="stride")
     assert assign.count() == em.count()
     assert assign.select("vec_id").distinct().count() == em.count()
-
-
-def test_ivf_kmeans_recall(spark, em):
-    exact = _exact(spark, em)
-    centroids, assign = ivf_build(em, n_centroids=10, method="kmeans")
-    q = em.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    approx = ivf_search(q, em, centroids, assign, k=K, n_probe=3).collect()
-    got = {}
-    for r in approx:
-        got.setdefault(r["qid"], set()).add(r["vec_id"])
-    recall = sum(len(got.get(q_, set()) & exact[q_]) for q_ in exact) / (K * len(exact))
-    assert recall >= 0.6, f"kmeans-IVF recall@{K} = {recall}"

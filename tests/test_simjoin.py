@@ -1,0 +1,80 @@
+"""similarity_join_blas broadcast guard + similarity_join_bucketed recall.
+
+The bucketed route is the documented 100 TB escape hatch for the BLAS join's
+driver-collect; these tests pin (a) the guard actually trips instead of
+collecting an oversized side, and (b) on planted near-duplicates the bucketed
+route returns the IDENTICAL pair set (ids and rounded scores) as the exact
+brute-force join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.knn import (
+    similarity_join_blas,
+    similarity_join_bucketed,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 random unit-ish vectors + 15 planted near-dup partners (≥0.99
+    cosine), seeded; returns the DataFrame."""
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((200, DIM))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for j in range(15):
+        noisy = base[j] + 0.02 * rng.standard_normal(DIM)
+        rows.append((1000 + j, noisy.tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf).repartition(8)
+
+
+def test_bucketed_matches_bruteforce_on_planted_dups(planted):
+    exact = similarity_join_blas(
+        planted, planted, threshold=0.95,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    )
+    bucketed = similarity_join_bucketed(
+        planted, threshold=0.95, dim=DIM, id_col="vec_id", vec_col="embedding"
+    )
+    e = {(r["l_id"], r["r_id"], r["score"]) for r in exact.collect()}
+    b = {(r["l_id"], r["r_id"], r["score"]) for r in bucketed.collect()}
+    assert len(e) >= 15  # every planted pair is over threshold
+    assert b == e
+
+
+def test_bucketed_partition_invariant(planted):
+    a = similarity_join_bucketed(planted, 0.95, DIM, "vec_id", "embedding")
+    b = similarity_join_bucketed(
+        planted.repartition(3), 0.95, DIM, "vec_id", "embedding"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_blas_guard_raises_on_oversized_right(planted):
+    with pytest.raises(ValueError, match="max_collect_rows"):
+        similarity_join_blas(
+            planted, planted, threshold=0.9,
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+            max_collect_rows=10,
+        )
+
+
+def test_blas_guard_allows_exact_cap(planted):
+    n = planted.count()
+    out = similarity_join_blas(
+        planted, planted, threshold=0.95,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+        max_collect_rows=n,
+    )
+    assert out.count() >= 15

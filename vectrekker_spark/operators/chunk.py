@@ -24,14 +24,18 @@ def chunk_text(
     """Explode each document into overlapping character windows.
 
     Chunk i covers characters [1 + i*(size-overlap), …+size). The final chunk
-    may be shorter; every character belongs to at least one chunk.
+    may be shorter; every character belongs to at least one chunk. Start
+    offsets stop at length-overlap: a start inside the final overlap tail
+    would yield a chunk wholly contained in its predecessor (pure duplicate
+    rows inflating the index — e.g. length == size used to emit a second
+    chunk covering only the last `overlap` chars).
     Returns (id_col, chunk_id, chunk_text).
     """
     if not 0 <= overlap < size:
         raise ValueError("require 0 <= overlap < size")
     step = size - overlap
     chunks = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}), 1), {step}), "
+        f"transform(sequence(1, greatest(length({text_col}) - {overlap}, 1), {step}), "
         f"s -> substring({text_col}, s, {size}))"
     )
     return df.select(

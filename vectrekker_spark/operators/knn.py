@@ -158,6 +158,7 @@ def similarity_join_blas(
     right_id: str = "r_id",
     right_vec: str = "r_vec",
     ordered_pairs: bool = True,
+    max_collect_rows: int = 1_000_000,
 ) -> DataFrame:
     """Cosine similarity join via blocked BLAS: the right side (must be the
     small/broadcastable side) is shipped to every executor as a dense float64
@@ -165,9 +166,16 @@ def similarity_join_blas(
     it instead of millions of interpreted per-pair expressions. ~50-100×
     faster than the expression form for brute-force self-joins.
 
-    At 100 TB neither side fits a broadcast — there you bucket first (MinHash
-    LSH in operators/dedup.py, IVF cells in operators/ann.py) and run this on
-    per-bucket candidates, which IS broadcast-sized by construction.
+    The right side is driver-collected, so it MUST be broadcast-sized:
+    the collect is capped at ``max_collect_rows`` (default 1M rows ≈ 0.5 GB
+    at 64 float64 dims) and raises past the cap instead of OOMing the
+    driver. The cap is enforced with a LIMIT cap+1 collect — no extra
+    counting job, and an oversized side stops fetching at cap+1 rows.
+
+    At 100 TB neither side fits a broadcast — there you bucket first
+    (similarity_join_bucketed below, MinHash LSH in operators/dedup.py, IVF
+    cells in operators/ann.py) and run this on per-bucket candidates, which
+    IS broadcast-sized by construction.
 
     Scores are float64 matmul + round(6); summation order differs from the
     sequential expression form by ~1e-13 relative — verified exact-equal to
@@ -179,7 +187,17 @@ def similarity_join_blas(
     r_id_t = dict(right.dtypes)[right_id]
     out_schema = f"l_id {l_id_t}, r_id {r_id_t}, score double"
 
-    rows = right.select(F.col(right_id), F.col(right_vec)).collect()
+    rows = (
+        right.select(F.col(right_id), F.col(right_vec))
+        .limit(max_collect_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_collect_rows:
+        raise ValueError(
+            f"similarity_join_blas: right side exceeds max_collect_rows="
+            f"{max_collect_rows}; it would not be broadcast-safe. Bucket "
+            "first (similarity_join_bucketed / LSH / IVF) and join per bucket."
+        )
     if not rows:  # empty right side → empty result, correct schema
         return left.sparkSession.createDataFrame([], out_schema)
     rid = np.asarray([r[0] for r in rows])  # dtype inferred; string ids OK
@@ -206,6 +224,97 @@ def similarity_join_blas(
 
     return left.select(F.col(left_id), F.col(left_vec)).mapInPandas(
         gen, schema=out_schema
+    )
+
+
+def similarity_join_bucketed(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Cosine-threshold SELF-join without any driver-side collect — the
+    100 TB route ``similarity_join_blas`` points at when its broadcast guard
+    trips.
+
+    Random-hyperplane (SimHash) bucketing: each vector gets ``n_tables``
+    ``n_planes``-bit keys (sign pattern of dot products against seeded
+    Gaussian planes); only vectors sharing a (table, key) bucket ever meet.
+    Inside each bucket an applyInPandas kernel does the exact pairwise BLAS
+    check (same float64 matmul + round(6) as similarity_join_blas), and a
+    final distinct() merges pair hits across tables — scores are
+    deterministic per pair, so cross-table duplicates collapse exactly.
+
+    Recall: a pair at angle θ collides per table with p = (1 - θ/π)^n_planes,
+    overall 1-(1-p)^n_tables. Defaults give >0.999 for cosine ≥ 0.9 pairs
+    (the near-dup regime this exists for); low thresholds (<0.6) need the
+    brute-force path — hyperplane LSH cannot bucket far pairs efficiently.
+
+    Shuffle cost: n_tables × (id, key, vec) — the standard LSH-table
+    multiplier, each row skinny. Skew note: a pathological bucket (millions
+    of identical vectors) concentrates in one task; cap bucket size upstream
+    (exact-dedup first — operators/dedup.py — makes that cheap) before
+    running this at scale.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    id_t = dict(df.dtypes)[id_col]
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            bits = (V / nrm) @ P.T >= 0  # n × (T·b)
+            keys = (
+                bits.reshape(len(pdf), n_tables, n_planes) * weights
+            ).sum(axis=2)  # n × T
+            ids = pdf[id_col].to_numpy()
+            vecs = list(pdf[vec_col])
+            yield pd.DataFrame(
+                {
+                    "vid": np.tile(ids, n_tables),
+                    "tbl": np.repeat(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "key": keys.T.reshape(-1),
+                    "vec": vecs * n_tables,
+                }
+            )
+
+    buckets = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        bucketize, schema=f"vid {id_t}, tbl int, key long, vec array<double>"
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"l_id": [], "r_id": [], "score": []}).astype(
+                {"l_id": pdf["vid"].dtype, "r_id": pdf["vid"].dtype, "score": "float64"}
+            )
+        ids = pdf["vid"].to_numpy()
+        V = np.asarray(list(pdf["vec"]), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0] = 1.0
+        S = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+        mask = (S >= threshold) & (ids[:, None] < ids[None, :])
+        li, ri = np.nonzero(mask)
+        return pd.DataFrame({"l_id": ids[li], "r_id": ids[ri], "score": S[li, ri]})
+
+    return (
+        buckets.groupBy("tbl", "key")
+        .applyInPandas(bucket_pairs, schema=f"l_id {id_t}, r_id {id_t}, score double")
+        .distinct()
     )
 
 

@@ -160,7 +160,7 @@ def d10_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from vectrekker_spark.operators.ann import ivf_build, ivf_search
 
     em = tb(spark, sf, "embeddings")
-    centroids, assign = ivf_build(em, n_centroids=10)
+    centroids, assign = ivf_build(em, n_centroids=10, method="stride")
     queries = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )

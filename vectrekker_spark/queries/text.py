@@ -96,7 +96,7 @@ SELECT doc_id, CAST((s - 1) / 80 AS INT) AS chunk_id,
        length(substr(text, s, 100)) AS chunk_len,
        md5(substr(text, s, 100)) AS chunk_md5
 FROM (SELECT doc_id, text,
-             unnest(generate_series(1, greatest(length(text), 1), 80)) AS s
+             unnest(generate_series(1, greatest(length(text) - 20, 1), 80)) AS s
       FROM documents)
 ORDER BY doc_id, chunk_id
 """
