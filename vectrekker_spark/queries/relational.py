@@ -134,41 +134,42 @@ FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey
 """
 
 
-def q06_left_join(spark: SparkSession, sf: str) -> DataFrame:
+def q06_outer_joins(spark: SparkSession, sf: str) -> DataFrame:
+    # LEFT and RIGHT outer join exercised in one spec (union of the two
+    # tagged shapes) so both stay driver-checked under the 50-query cap.
     c, o = tb(spark, sf, "customer"), tb(spark, sf, "orders")
-    return (
+    left = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("order_cnt"))
-        .orderBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_marker"),
+        )
+        .select(F.lit("left").alias("side"), "c_custkey", "order_cnt", "null_marker")
     )
-
-
-Q06_SQL = """
-SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
-FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-GROUP BY c_custkey ORDER BY c_custkey
-"""
-
-
-def q06b_right_join(spark: SparkSession, sf: str) -> DataFrame:
-    o, c = tb(spark, sf, "orders"), tb(spark, sf, "customer")
-    return (
+    right = (
         o.join(c, o.o_custkey == c.c_custkey, "right")
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("order_cnt"),
             F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_marker"),
         )
-        .orderBy("c_custkey")
+        .select(F.lit("right").alias("side"), "c_custkey", "order_cnt", "null_marker")
     )
+    return left.unionAll(right).orderBy("side", "c_custkey")
 
 
-Q06B_SQL = """
-SELECT c_custkey, COUNT(o_orderkey) AS order_cnt,
+Q06_SQL = """
+SELECT 'left' AS side, c_custkey, COUNT(o_orderkey) AS order_cnt,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_marker
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+UNION ALL
+SELECT 'right' AS side, c_custkey, COUNT(o_orderkey) AS order_cnt,
        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_marker
 FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
-GROUP BY c_custkey ORDER BY c_custkey
+GROUP BY c_custkey
+ORDER BY side, c_custkey
 """
 
 
@@ -247,57 +248,59 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
-def q11_rollup(spark: SparkSession, sf: str) -> DataFrame:
+def q11_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    # ROLLUP and CUBE exercised in one spec (union of the two tagged shapes)
+    # so both stay driver-checked under the 50-query cap.
     o, c, n = tb(spark, sf, "orders"), tb(spark, sf, "customer"), tb(spark, sf, "nation")
     j = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
-    return (
+    roll = (
         j.rollup("n_name", "o_orderpriority")
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
         .select(
-            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.lit("rollup").alias("shape"),
+            F.coalesce("n_name", F.lit("ALL")).alias("dim1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("dim2"),
+            "n_orders",
             "revenue",
         )
-        .orderBy("nation", "priority")
     )
-
-
-Q11_SQL = """
-SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(o_orderpriority, 'ALL') AS priority,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM orders JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY nation, priority
-"""
-
-
-def q11b_cube(spark: SparkSession, sf: str) -> DataFrame:
-    o = tb(spark, sf, "orders")
-    return (
+    cub = (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
         )
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.lit("cube").alias("shape"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("dim1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("dim2"),
             "n_orders",
             "revenue",
         )
-        .orderBy("status", "priority")
     )
+    return roll.unionAll(cub).orderBy("shape", "dim1", "dim2")
 
 
-Q11B_SQL = """
-SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       COALESCE(o_orderpriority, 'ALL') AS priority,
+Q11_SQL = """
+SELECT 'rollup' AS shape, COALESCE(n_name, 'ALL') AS dim1,
+       COALESCE(o_orderpriority, 'ALL') AS dim2,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, o_orderpriority)
+UNION ALL
+SELECT 'cube' AS shape, COALESCE(o_orderstatus, 'ALL') AS dim1,
+       COALESCE(o_orderpriority, 'ALL') AS dim2,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-ORDER BY status, priority
+ORDER BY shape, dim1, dim2
 """
 
 
@@ -497,45 +500,52 @@ ORDER BY vec_id, pos
 """
 
 
-def q19b_from_json(spark: SparkSession, sf: str) -> DataFrame:
-    # Schema'd JSON parse (from_json → struct) vs the path-extraction form
-    # in q19; both engines agree on the typed value.
-    e = tb(spark, sf, "events")
-    parsed = F.from_json("props", "k INT")
-    return (
-        e.select("event_id", parsed.getField("k").alias("k"))
-        .filter(F.col("k").isNotNull() & (F.col("k") % 10 == 0))
-        .orderBy("event_id")
-    )
-
-
-Q19B_SQL = """
-SELECT event_id, json_extract_string(props, '$.k')::INT AS k
-FROM events
-WHERE json_extract_string(props, '$.k')::INT % 10 = 0
-ORDER BY event_id
-"""
-
-
 def q19_json(spark: SparkSession, sf: str) -> DataFrame:
+    # Both JSON access styles in one spec (union of the two tagged shapes) so
+    # both stay driver-checked under the 50-query cap: path extraction
+    # (get_json_object → agg) and schema'd parse (from_json → row filter).
     e = tb(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        e.select("event_type", k.alias("k"))
+    k_path = F.get_json_object("props", "$.k").cast("int")
+    agg = (
+        e.select("event_type", k_path.alias("k"))
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
             F.count(F.when(F.col("k") > 50, 1)).alias("n_large"),
         )
-        .orderBy("event_type")
+        .select(
+            F.lit("agg").alias("shape"),
+            F.col("event_type").alias("key"),
+            F.col("sum_k").alias("k_val"),
+            "n_large",
+        )
     )
+    k_struct = F.from_json("props", "k INT").getField("k")
+    rows = (
+        e.select("event_id", k_struct.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") % 10 == 0))
+        .select(
+            F.lit("row").alias("shape"),
+            F.col("event_id").cast("string").alias("key"),
+            F.col("k").cast("long").alias("k_val"),
+            F.lit(None).cast("long").alias("n_large"),
+        )
+    )
+    return agg.unionAll(rows).orderBy("shape", "key")
 
 
 Q19_SQL = """
-SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
+SELECT 'agg' AS shape, event_type AS key, CAST(SUM(k) AS BIGINT) AS k_val,
        COUNT(CASE WHEN k > 50 THEN 1 END) AS n_large
 FROM (SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events)
-GROUP BY event_type ORDER BY event_type
+GROUP BY event_type
+UNION ALL
+SELECT 'row' AS shape, CAST(event_id AS VARCHAR) AS key,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(NULL AS BIGINT) AS n_large
+FROM events
+WHERE json_extract_string(props, '$.k')::INT % 10 = 0
+ORDER BY shape, key
 """
 
 
@@ -604,15 +614,14 @@ SPECS = [
     QuerySpec("q03_agg", q03_agg, Q03_SQL, ("relational",), "TPC-H Q1-shape hash aggregate"),
     QuerySpec("q04_inner_join", q04_inner_join, Q04_SQL, ("relational",), "inner equi join + agg"),
     QuerySpec("q05_broadcast_join", q05_broadcast_join, Q05_SQL, ("relational",), "broadcast dim join"),
-    QuerySpec("q06_left_join", q06_left_join, Q06_SQL, ("relational",), "left outer join"),
-    QuerySpec("q06b_right_join", q06b_right_join, Q06B_SQL, ("relational",),
-              "right outer join + null handling"),
+    QuerySpec("q06_outer_joins", q06_outer_joins, Q06_SQL, ("relational",),
+              "left + right outer join (tagged union, null handling)"),
     QuerySpec("q07_semi_join", q07_semi_join, Q07_SQL, ("relational",), "left semi join (EXISTS)"),
     QuerySpec("q08_anti_join", q08_anti_join, Q08_SQL, ("relational",), "left anti join (NOT EXISTS)"),
     QuerySpec("q09_range_join", q09_range_join, Q09_SQL, ("relational",), "bounded range/theta join"),
     QuerySpec("q10_count_distinct", q10_count_distinct, Q10_SQL, ("relational",), "count distinct"),
-    QuerySpec("q11_rollup", q11_rollup, Q11_SQL, ("relational",), "rollup grouping sets"),
-    QuerySpec("q11b_cube", q11b_cube, Q11B_SQL, ("relational",), "cube grouping sets"),
+    QuerySpec("q11_grouping_sets", q11_grouping_sets, Q11_SQL, ("relational",),
+              "rollup + cube grouping sets (tagged union)"),
     QuerySpec("q12_rank_window", q12_rank_window, Q12_SQL, ("relational",), "row_number top-3 per group"),
     QuerySpec("q13_lag_frame", q13_lag_frame, Q13_SQL, ("relational",), "lag + running-sum frame"),
     QuerySpec("q14_set_ops", q14_set_ops, Q14_SQL, ("relational",), "EXCEPT/INTERSECT/UNION ALL"),
@@ -620,7 +629,6 @@ SPECS = [
     QuerySpec("q16_string_fns", q16_string_fns, Q16_SQL, ("relational",), "string function surface"),
     QuerySpec("q17_date_math", q17_date_math, Q17_SQL, ("relational",), "date + math functions"),
     QuerySpec("q18_array_fns", q18_array_fns, Q18_SQL, ("relational",), "array size/slice/posexplode"),
-    QuerySpec("q19_json", q19_json, Q19_SQL, ("relational",), "JSON extraction"),
-    QuerySpec("q19b_from_json", q19b_from_json, Q19B_SQL, ("relational",),
-              "schema'd from_json parse"),
+    QuerySpec("q19_json", q19_json, Q19_SQL, ("relational",),
+              "JSON path extraction + schema'd from_json (tagged union)"),
 ]
