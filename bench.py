@@ -73,8 +73,11 @@ def bench_duckdb(sf_dir: str) -> dict[str, float]:
 
 
 def ann_recall_at_10(sf_dir: str) -> float:
-    """Recall@10 of the default (kmeans) IVF build at n_probe=5 vs exact
-    brute force, over the first 10 query vectors — untimed quality metric."""
+    """Recall@10 of the kmeans IVF build (25 cells, multi-assign 2) at
+    n_probe=8 vs exact brute force, over the first 10 query vectors —
+    untimed quality metric. Measured 0.90 on the sf0.1 fixture (target
+    ≥ 0.8, SURVEY.md §2.2 V5); see ivf_build docstring for the
+    multi-assignment recall/cost tradeoff."""
     from pyspark.sql import functions as F
 
     from vectrekker_spark.operators.ann import ivf_build, ivf_search
@@ -88,9 +91,9 @@ def ann_recall_at_10(sf_dir: str) -> float:
     exact: dict[int, set[int]] = {}
     for r in knn_join(q, em, k=10).collect():
         exact.setdefault(r["qid"], set()).add(r["vec_id"])
-    centroids, assign = ivf_build(em, n_centroids=10)
+    centroids, assign = ivf_build(em, n_centroids=25, assign_k=2)
     got: dict[int, set[int]] = {}
-    for r in ivf_search(q, em, centroids, assign, k=10, n_probe=5).collect():
+    for r in ivf_search(q, em, centroids, assign, k=10, n_probe=8).collect():
         got.setdefault(r["qid"], set()).add(r["vec_id"])
     em.unpersist()
     return round(
@@ -117,25 +120,28 @@ def main() -> None:
     ratio = {
         q: round(timings[q] / duck[q], 2) if duck[q] > 0 else None for q in common
     }
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "duckdb": duck,
-                "spark_total_common": spark_common,
-                "duckdb_total_common": duck_common,
-                "total_ratio": round(spark_common / duck_common, 3)
-                if duck_common
-                else None,
-                "ratio": ratio,
-                "ann_recall_at_10": recall,
-            }
-        )
-    )
+    # The printed line stays small (scalars first, then the one required
+    # per-query map) so the driver's bounded tail capture parses it; the
+    # three per-query detail dicts go to a sidecar file instead.
+    # method: r2+ measure Arrow-materialized toPandas() and re-measure DuckDB
+    # in-process — not comparable with r1's collect()-based numbers.
+    summary = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "total_ratio": round(spark_common / duck_common, 3) if duck_common else None,
+        "ann_recall_at_10": recall,
+        "spark_total_common": spark_common,
+        "duckdb_total_common": duck_common,
+        "method": "toPandas-vs-duckdb-inproc-median3",
+        "queries": timings,
+    }
+    detail = dict(summary, duckdb=duck, ratio=ratio)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_out.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -88,3 +88,22 @@ def test_ivf_assignment_covers_corpus(spark, em):
     _, assign = ivf_build(em, n_centroids=10, method="stride")
     assert assign.count() == em.count()
     assert assign.select("vec_id").distinct().count() == em.count()
+
+
+def test_ivf_multi_assignment_shape_and_recall_gain(spark, em):
+    # assign_k=2 indexes every vector into exactly 2 distinct cells, and at a
+    # comparable candidate budget beats single assignment (the bench setting:
+    # 25 cells / assign 2 / probe 8).
+    exact = _exact(spark, em)
+    centroids, assign2 = ivf_build(em, n_centroids=10, assign_k=2)
+    n = em.count()
+    assert assign2.count() == 2 * n
+    assert assign2.select("vec_id").distinct().count() == n
+    assert assign2.distinct().count() == 2 * n  # the 2 cells per vector differ
+    approx = ivf_search(_queries(em), em, centroids, assign2, k=K, n_probe=4).collect()
+    recall2 = _recall(approx, exact)
+    _, assign1 = ivf_build(em, n_centroids=10, assign_k=1)
+    approx1 = ivf_search(_queries(em), em, centroids, assign1, k=K, n_probe=4).collect()
+    recall1 = _recall(approx1, exact)
+    assert recall2 >= 0.8, f"multi-assign IVF recall@{K} = {recall2}"
+    assert recall2 >= recall1, (recall2, recall1)

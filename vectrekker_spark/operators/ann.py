@@ -27,6 +27,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "kmeans",
+    assign_k: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Build IVF centroids + assignments.
 
@@ -37,7 +38,15 @@ def ivf_build(
     centroid — fully deterministic across engines/versions, used by the
     bench/registry query d10 so BENCH numbers never shift with MLlib.
 
-    Returns (centroids(cid, cvec), assignments(vec_id, cid)).
+    assign_k > 1 = multi-assignment: each corpus vector is indexed into its
+    assign_k nearest cells. Index grows ×assign_k but boundary vectors stop
+    falling between probed cells — measured on the sf0.1 fixture this beats
+    spending the same candidate budget on more probes (recall@10 0.90 at
+    ~0.64 candidate fraction with k=25/assign 2/probe 8, vs 0.86 at ~0.70
+    with single assignment and probe 7 of 10).
+
+    Returns (centroids(cid, cvec), assignments(vec_id, cid); assign_k rows
+    per vector when multi-assigned).
     """
     if method == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -68,10 +77,10 @@ def ivf_build(
     assign = knn_join(
         corpus.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
         centroids,
-        k=1,
+        k=assign_k,
         id_col="cid",
         vec_col="cvec",
-    ).select(F.col("qid").alias(id_col), F.col("vec_id").alias("cid"))
+    ).select("qid", "vec_id").toDF(id_col, "cid")
     return centroids, assign
 
 
