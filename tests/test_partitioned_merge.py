@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from vectrekker_spark.operators.delta import (
     merge_upsert_partitioned,
     read_partitioned_table,
@@ -54,3 +56,43 @@ def test_only_touched_buckets_rewritten(spark, tmp_path):
     rewritten = {d for d in after if after[d] != before[d]}
     assert rewritten == {f"__bucket={b}" for b in touched}
     assert len(touched) == 1  # one key → one bucket rewritten, 15 untouched
+
+
+def test_crash_between_commit_and_cleanup_is_recoverable(spark, tmp_path, monkeypatch):
+    # Kill the merge after the per-bucket swaps but before trash/staging
+    # cleanup: the table must still read the MERGED values (trash dirs are
+    # dot-prefixed → invisible to parquet discovery) and a re-run of the same
+    # merge must succeed and converge to the same state.
+    import vectrekker_spark.operators.delta as delta_mod
+
+    path = str(tmp_path / "table")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "id long, v string"
+    )
+    merge_upsert_partitioned(spark, path, base, key="id", n_buckets=16)
+
+    def boom(paths):
+        # the entry debris-sweep also routes through _cleanup_dirs but with an
+        # empty list on a clean table; only the post-commit call has debris
+        if paths:
+            raise RuntimeError("injected crash before cleanup")
+
+    monkeypatch.setattr(delta_mod, "_cleanup_dirs", boom)
+    upd = spark.createDataFrame([(5, "NEW5"), (999, "NEW999")], "id long, v string")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_upsert_partitioned(spark, path, upd, key="id", n_buckets=16)
+
+    # readable, and the commit already landed (swap precedes cleanup)
+    out = {r["id"]: r["v"] for r in read_partitioned_table(spark, path).collect()}
+    assert out[5] == "NEW5" and out[999] == "NEW999" and out[6] == "v6"
+    assert len(out) == 201
+    leftovers = [d for d in os.listdir(path) if d.startswith((".trash_", ".staging_"))]
+    assert leftovers  # the crash really did leave debris behind
+
+    # re-runnable: the at-least-once retry merges cleanly and sweeps the
+    # crashed run's debris
+    monkeypatch.undo()
+    merge_upsert_partitioned(spark, path, upd, key="id", n_buckets=16)
+    out2 = {r["id"]: r["v"] for r in read_partitioned_table(spark, path).collect()}
+    assert out2 == out
+    assert not [d for d in os.listdir(path) if d.startswith((".trash_", ".staging_"))]

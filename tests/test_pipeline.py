@@ -78,6 +78,19 @@ def test_long_doc_quarantine_not_crash(spark, corpus):
     assert len(q) == 1 and q[0]["n_tokens"] == 9001
 
 
+def test_gate_counts_bpe_not_whitespace_tokens(spark, corpus):
+    # The 8191 limit is a BPE-token limit (vectrekker/main.py:175,178). This
+    # doc is ONE whitespace token but ~12000 BPE-like tokens ("x1;" → three:
+    # letter-run, digit-run, symbol) — a whitespace-count gate would embed it
+    # whole; the BPE-magnitude gate must quarantine it.
+    (corpus / "content" / "dense.md").write_text("x1;" * 4000)
+    cfg = _cfg(corpus)  # max_tokens 8191, no chunking
+    r = run_pipeline(spark, cfg)
+    assert r["quarantined"] == 1 and r["indexed"] == 2
+    q = spark.read.parquet(cfg.quarantine_path).collect()
+    assert len(q) == 1 and q[0]["n_tokens"] == 12000
+
+
 def test_long_doc_chunking_path(spark, corpus):
     (corpus / "content" / "long.md").write_text("tok " * 9001)
     cfg = _cfg(corpus, chunk_size=8000, chunk_overlap=100)

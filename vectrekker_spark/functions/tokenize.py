@@ -47,3 +47,15 @@ def tiktoken_count_udf():
         return pd.Series([len(x) for x in enc.encode_batch(texts.tolist())])
 
     return F.pandas_udf(count, "int")
+
+
+def gate_token_count(text: Column | str) -> Column:
+    """Token count for the reference's 8191-token limit
+    (vectrekker/main.py:175,178) — that limit is a *BPE*-token limit, and
+    whitespace tokens undercount it ~1.3-2× on English (worse on code), so
+    the gate must never count whitespace tokens. Chain: exact tiktoken when
+    the library is importable, else the BPE-like proxy."""
+    if tiktoken_available():
+        t = F.col(text) if isinstance(text, str) else text
+        return tiktoken_count_udf()(t)
+    return bpe_like_token_count(text)

@@ -14,6 +14,9 @@ table natively.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -109,11 +112,19 @@ def merge_upsert_partitioned(
         return F.pmod(F.xxhash64(col.cast("string")), F.lit(n_buckets))
 
     upd = updates.withColumn("__bucket", bucket_of(F.col(part_key)))
-    import os
-
     if not os.path.exists(path):
         upd.write.mode("overwrite").partitionBy("__bucket").parquet(path)
         return sorted(r[0] for r in upd.select("__bucket").distinct().collect())
+
+    # Sweep debris from a previous crashed run (single-writer table; these
+    # dot-prefixed dirs are only ever left by a merge that died mid-cleanup).
+    _cleanup_dirs(
+        [
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if d.startswith((".trash_", ".staging_"))
+        ]
+    )
 
     groups = None
     if group_col:
@@ -131,25 +142,47 @@ def merge_upsert_partitioned(
         merged = base_subset.join(groups, group_col, "left_anti").unionByName(upd)
     else:
         merged = merge_upsert(base_subset, upd, key)
-    # Break lineage before overwriting partitions we just read from.
-    merged = merged.localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # dynamic overwrite only replaces partitions PRESENT in the written data;
-    # a bucket whose rows were all deleted writes nothing and would keep its
-    # stale files — remove those partition dirs explicitly
+    # Stage-then-swap commit (the _atomic_replace pattern, per bucket):
+    # 1. write the merged buckets to a dot-prefixed staging dir inside the
+    #    table (same filesystem → rename works; hidden from parquet readers).
+    #    Writing to staging — not over the live dirs — also means the plan
+    #    never overwrites its own input, so no lineage break is needed.
+    # 2. per touched bucket: rename live → dot-prefixed trash, staging → live.
+    #    A bucket whose rows were all deleted simply has no staged dir.
+    # 3. only after every swap: delete trash + staging.
+    # A crash before any swap leaves the table untouched; a crash between
+    # swap and cleanup leaves only invisible trash dirs — the table stays
+    # readable and the merge re-runnable. The unavoidable non-atomic window
+    # is the two renames of step 2 (POSIX has no atomic dir exchange); it is
+    # per-bucket and contains no data copy, so it is microseconds wide.
+    staging = os.path.join(path, f".staging_{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+    staged_buckets = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(staging)
+        if d.startswith("__bucket=")
+    }
+    trash: list[str] = []
+    for b in buckets:
+        live = os.path.join(path, f"__bucket={b}")
+        if os.path.exists(live):
+            t = os.path.join(path, f".trash_{b}_{uuid.uuid4().hex}")
+            os.rename(live, t)
+            trash.append(t)
+        if b in staged_buckets:
+            os.rename(os.path.join(staging, f"__bucket={b}"), live)
+    _cleanup_dirs(trash + [staging])
+    return sorted(buckets)
+
+
+def _cleanup_dirs(paths: list[str]) -> None:
+    """Post-commit removal of trash/staging dirs (all dot-prefixed, invisible
+    to readers). Separate function so tests can crash-inject here."""
     import shutil
 
-    present = {int(r[0]) for r in merged.select("__bucket").distinct().collect()}
-    for b in set(buckets) - present:
-        p = os.path.join(path, f"__bucket={b}")
+    for p in paths:
         if os.path.exists(p):
             shutil.rmtree(p)
-    return sorted(buckets)
 
 
 def read_partitioned_table(spark, path: str) -> DataFrame:

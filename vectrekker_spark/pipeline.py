@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from vectrekker_spark.functions.text import token_count
+from vectrekker_spark.functions.tokenize import gate_token_count
 from vectrekker_spark.operators.chunk import chunk_text
 from vectrekker_spark.operators.delta import detect_changes, merge_upsert
 from vectrekker_spark.queries.vector import hash_embed_batch
@@ -95,7 +95,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
     if n_changed == 0:  # reference's empty short-circuit (main.py:149-151)
         return {"scanned": n_scanned, "changed": 0, "indexed": 0, "quarantined": 0}
 
-    with_tokens = changed.withColumn("n_tokens", token_count(F.col("text")))
+    # BPE-magnitude token gate (tiktoken → bpe-like fallback): the 8191 limit
+    # is a BPE limit; gating on whitespace tokens would let over-limit docs
+    # through to be embedded whole.
+    with_tokens = changed.withColumn("n_tokens", gate_token_count(F.col("text")))
     ok = with_tokens.filter(F.col("n_tokens") < cfg.max_tokens)
     too_long = with_tokens.filter(F.col("n_tokens") >= cfg.max_tokens)
 
