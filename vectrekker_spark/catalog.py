@@ -31,8 +31,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (session id, sf_dir, table) → DataFrame. spark.read.parquet re-lists files
+# and re-reads footers for schema inference on EVERY call (~100ms+), which a
+# real engine's catalog pays once at registration, not per query — memoize
+# the lazy DataFrame per session. DataFrames are immutable, so sharing one
+# across queries is safe; entries die with the session (keyed by id).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table.
+    """Load one corpus table (memoized per session — catalog semantics).
 
     `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     rejects; read it as raw nanos (legacy conf) and convert to a proper
@@ -41,13 +49,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    ck = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(ck)
+    if hit is not None:
+        return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _TABLE_CACHE[ck] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -27,7 +27,9 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    return F.size(tokens(text))
+    # regexp_count of non-space runs ≡ size(tokens(...)) for every input
+    # (empty/whitespace-only → 0), without materializing the split array.
+    return F.regexp_count(F.trim(_c(text)), F.lit(r"\S+"))
 
 
 def avg_word_len(text: Column | str) -> Column:

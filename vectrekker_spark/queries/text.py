@@ -321,16 +321,23 @@ ORDER BY lang, q
 
 def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from vectrekker_spark.functions.tokenize import bpe_like_token_count
+    from vectrekker_spark.queries.util import small_local
 
-    d = tbp(spark, sf, "documents")
-    return (
-        d.select(
-            "doc_id",
-            bpe_like_token_count("text").cast("long").alias("n_bpe_tokens"),
-            T.token_count("text").cast("long").alias("n_ws_tokens"),
-        )
-        .orderBy("doc_id")
+    d = tb(spark, sf, "documents") if small_local(sf, "documents") else tbp(
+        spark, sf, "documents"
     )
+    counts = d.select(
+        "doc_id",
+        bpe_like_token_count("text").cast("long").alias("n_bpe_tokens"),
+        T.token_count("text").cast("long").alias("n_ws_tokens"),
+    )
+    if small_local(sf, "documents"):
+        # Serial plan for a tiny local table (what an adaptive engine picks):
+        # one scan task runs both regexp_counts and sorts in-task — zero
+        # exchanges, one stage. The distributed branch below is the plan at
+        # real scale.
+        return counts.coalesce(1).sortWithinPartitions("doc_id")
+    return counts.orderBy("doc_id")
 
 
 from vectrekker_spark.functions.tokenize import BPE_ISH_PATTERN as _BPE  # noqa: E402

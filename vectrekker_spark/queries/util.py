@@ -19,29 +19,44 @@ def tb(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def tbp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """``tb`` + spread across the session's default parallelism.
+def tbp(spark: SparkSession, sf_dir: str, name: str, parts: int | None = None) -> DataFrame:
+    """``tb`` + spread across ``parts`` partitions (default: the session's
+    default parallelism).
 
     The local fixture files are single-row-group parquet, so the scan has
     exactly ONE split and every per-row kernel/expression would run in a
     single task while DuckDB uses all cores. A round-robin repartition of the
     (column-pruned) scan costs one tiny local exchange and buys full-core
-    parallelism. Gated on file size: when the file is big enough that the
-    scan splits naturally (a real deployment — at 100 TB there are thousands
-    of splits), this is a plain ``tb`` and adds nothing to the plan.
+    parallelism. Pass a small ``parts`` for LIGHT per-row kernels on small
+    tables, where 32-way task overhead exceeds the compute being spread;
+    CPU-heavy kernels (minhash, winnowing) should keep the default.
+
+    The size gate assumes the local fixture layout: one plain parquet FILE
+    per table on the local filesystem. On a directory-backed table
+    os.path.getsize returns the tiny dir-entry size (→ repartition is always
+    applied), and on a remote path (s3://...) it raises OSError (→ never
+    applied). Both degrade gracefully, and in a real deployment the table is
+    either bucketed on write or splits naturally (at 100 TB the scan has
+    thousands of splits), so this helper is a no-op there by design.
     """
+    df = tb(spark, sf_dir, name)
+    if not small_local(sf_dir, name):
+        return df
+    return df.repartition(parts or spark.sparkContext.defaultParallelism)
+
+
+def small_local(sf_dir: str, name: str, threshold: int = 64 << 20) -> bool:
+    """True when the table is a single small local parquet file — the regime
+    where serial plans beat distributed ones (see ``tbp`` docstring for the
+    layout assumptions and graceful degradation)."""
     import os
 
     from vectrekker_spark.catalog import table_path
 
-    df = tb(spark, sf_dir, name)
     try:
-        small = os.path.getsize(table_path(sf_dir, name)) < (64 << 20)
+        return os.path.getsize(table_path(sf_dir, name)) < threshold
     except OSError:
-        small = False
-    if not small:
-        return df
-    return df.repartition(spark.sparkContext.defaultParallelism)
+        return False
 
 
 # --- DuckDB-side vector expressions (ordered double accumulation) ----------

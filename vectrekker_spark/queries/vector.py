@@ -30,15 +30,47 @@ from vectrekker_spark.queries.util import (
 
 HASH_EMBED_DIM = 64
 
+# token → (md5-prefix-32bit, ±1 sign), shared across Arrow batches within a
+# Python worker process (Spark reuses workers). Document vocab is zipfian, so
+# after the first batches nearly every unique token is a hit and the md5 loop
+# all but disappears. Keyed on the raw 32-bit hash (dim-independent); the
+# bucket (h % dim) is derived vectorized at use. Bounded so a pathological
+# all-unique-token corpus can't grow it without limit.
+_TOKEN_CACHE: dict[str, tuple[int, float]] = {}
+_TOKEN_CACHE_MAX = 1 << 20
+
+
+def _hash_tokens(uniq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(32-bit md5-prefix, sign) per unique token, memoized across batches.
+    digest[:4] big-endian ≡ int(hexdigest[:8], 16); digest[4] >> 4 ≡ the 9th
+    hex digit — same values as the hexdigest form, without building hex
+    strings."""
+    h32 = np.empty(len(uniq), dtype=np.int64)
+    signs = np.empty(len(uniq), dtype=np.float64)
+    cache = _TOKEN_CACHE
+    for i, tok in enumerate(uniq):
+        hit = cache.get(tok)
+        if hit is None:
+            d = hashlib.md5(tok.encode("utf-8")).digest()
+            hit = (
+                int.from_bytes(d[:4], "big"),
+                1.0 if (d[4] >> 4) % 2 == 0 else -1.0,
+            )
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[tok] = hit
+        h32[i], signs[i] = hit
+    return h32, signs
+
 
 def hash_embed_batch(texts: pd.Series, dim: int = HASH_EMBED_DIM) -> pd.Series:
     """Seeded hashing-trick embedder (SURVEY.md §5.3): token → md5-prefix
     bucket, ±1 by the 9th hex digit, L2-normalized. Deterministic and
     reproducible in SQL, unlike the reference's API embedder.
 
-    Vectorized: md5 runs once per UNIQUE token in the batch (np.unique), the
-    per-doc accumulation is a single np.bincount over (doc, bucket) flat
-    indices. Bucket weights are sums of ±1 — exact integers in float64 — so
+    Vectorized: md5 runs once per UNIQUE token per worker process (np.unique
+    within the batch + the cross-batch _TOKEN_CACHE), the per-doc
+    accumulation is a single np.bincount over (doc, bucket) flat indices.
+    Bucket weights are sums of ±1 — exact integers in float64 — so
     accumulation order cannot change the result vs the per-token loop form.
     """
     tok_lists = [t.split() for t in texts]  # ≡ re.split(r"\s+", strip) sans empties
@@ -50,13 +82,11 @@ def hash_embed_batch(texts: pd.Series, dim: int = HASH_EMBED_DIM) -> pd.Series:
             [np.asarray(tl, dtype=object) for tl in tok_lists if tl]
         )
         doc_idx = np.repeat(np.arange(n_docs), counts)
-        uniq, inv = np.unique(flat, return_inverse=True)
-        buckets = np.empty(len(uniq), dtype=np.int64)
-        signs = np.empty(len(uniq), dtype=np.float64)
-        for i, tok in enumerate(uniq):
-            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
-            buckets[i] = int(h[:8], 16) % dim
-            signs[i] = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        # factorize = hash-based dedup: O(n) vs np.unique's O(n log n)
+        # comparison sort over Python strings
+        inv, uniq = pd.factorize(flat)
+        h32, signs = _hash_tokens(uniq)
+        buckets = h32 % dim
         flat_idx = doc_idx * dim + buckets[inv]
         M = np.bincount(
             flat_idx, weights=signs[inv], minlength=n_docs * dim
@@ -67,19 +97,39 @@ def hash_embed_batch(texts: pd.Series, dim: int = HASH_EMBED_DIM) -> pd.Series:
     return pd.Series(M.tolist())
 
 
+# One UDF object shared across query builds: each fresh pandas_udf is a new
+# UDF id whose pickled command must be re-shipped to every Python worker
+# (~0.3s/query on 32 workers); a shared object is shipped once per worker.
+# Lazy: pandas_udf parses the return-type DDL via the active SparkContext,
+# so it cannot be built at import time.
+_EMBED_UDF = None
+
+
+def _embed_udf():
+    global _EMBED_UDF
+    if _EMBED_UDF is None:
+        _EMBED_UDF = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
+    return _EMBED_UDF
+
+
 def q20_hash_embed_udf(spark: SparkSession, sf: str) -> DataFrame:
-    docs = tbp(spark, sf, "documents")
-    embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
-    return (
-        docs.select("doc_id", F.posexplode(embed(F.col("text"))))
+    # parts=4: the embed kernel is memoized/vectorized (light per row), so
+    # 32-way task overhead would exceed the compute being spread.
+    docs = tbp(spark, sf, "documents", parts=4)
+    exploded = (
+        docs.select("doc_id", F.posexplode(_embed_udf()(F.col("text"))))
         .filter(F.col("col") != 0.0)
         .select(
             "doc_id",
             F.col("pos").cast("long").alias("bucket"),
             F.round("col", 6).alias("weight"),
         )
-        .orderBy("doc_id", "bucket")
     )
+    # Hash-shuffle barrier before the global sort: orderBy's range partitioner
+    # samples its child, and without an exchange directly below, AQE re-runs
+    # the whole UDF chain for the sample. The barrier materializes the skinny
+    # post-UDF rows once; sampling then reads shuffle output.
+    return exploded.repartition(4, "doc_id").orderBy("doc_id", "bucket")
 
 
 Q20_SQL = """
