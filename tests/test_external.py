@@ -1,0 +1,171 @@
+"""External embedder/sink interface tests (SURVEY.md §2.1 E1/K1/K2 external
+half): batched HTTP embed via mapInPandas, retry on transient errors,
+foreachPartition vector-store sink — all against a local fake server.
+The real network path is NEVER exercised; the fake implements the same
+public request/response shapes the clients speak."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectrekker_spark.embedder import Embedder, HashingEmbedder, HttpEmbedder, embed_column
+from vectrekker_spark.operators.external_sink import HttpVectorSink, write_to_sink
+
+DIM = 8
+
+
+class _FakeState:
+    """Shared recording state for the fake server (thread-safe enough for
+    the test's serialized request patterns)."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.embed_requests: list[list[str]] = []
+        self.upserts: dict[str, list[float]] = {}
+        self.indexes: list[dict] = []
+        self.fail_next = 0  # fail this many requests with 503 before serving
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _FakeState
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(n))
+        st = self.state
+        with st.lock:
+            if st.fail_next > 0:
+                st.fail_next -= 1
+                self.send_response(503)
+                self.end_headers()
+                return
+            if self.path == "/embeddings":
+                texts = payload["input"]
+                st.embed_requests.append(list(texts))
+                # deterministic fake: v[j] = (len(text) + j) / 100
+                data = [
+                    {"embedding": [(len(t) + j) / 100.0 for j in range(DIM)]}
+                    for t in texts
+                ]
+                body = json.dumps({"data": data}).encode()
+            elif self.path == "/indexes":
+                st.indexes.append(payload)
+                body = b"{}"
+            elif self.path == "/vectors/upsert":
+                for v in payload["vectors"]:
+                    st.upserts[v["id"]] = v["values"]
+                body = b"{}"
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def fake_server():
+    state = _FakeState()
+    handler = type("H", (_Handler,), {"state": state})
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield state, f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_hashing_embedder_satisfies_protocol_and_matches_udf():
+    emb = HashingEmbedder(dim=16)
+    assert isinstance(emb, Embedder)
+    v = emb.embed_batch(["alpha beta", "alpha beta"])
+    assert len(v) == 2 and len(v[0]) == 16 and v[0] == v[1]
+
+
+def test_http_embedder_batches_and_values(fake_server):
+    state, url = fake_server
+    emb = HttpEmbedder(f"{url}/embeddings", dim=DIM, batch_size=3)
+    texts = [f"t{i}" * (i + 1) for i in range(7)]  # lengths 2,4,6,...
+    vecs = emb.embed_batch(texts)
+    assert len(vecs) == 7
+    assert vecs[0] == [(2 + j) / 100.0 for j in range(DIM)]
+    # 7 texts at batch_size 3 → exactly 3 requests of sizes 3,3,1
+    assert [len(r) for r in state.embed_requests] == [3, 3, 1]
+
+
+def test_http_embedder_retries_transient_errors(fake_server):
+    state, url = fake_server
+    state.fail_next = 2  # two 503s, then success
+    emb = HttpEmbedder(f"{url}/embeddings", dim=DIM, backoff_s=0.01)
+    vecs = emb.embed_batch(["abc"])
+    assert len(vecs) == 1 and vecs[0][0] == 3 / 100.0
+
+
+def test_http_embedder_gives_up_after_max_retries(fake_server):
+    state, url = fake_server
+    state.fail_next = 10
+    emb = HttpEmbedder(f"{url}/embeddings", dim=DIM, max_retries=1, backoff_s=0.01)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        emb.embed_batch(["abc"])
+
+
+def test_http_embedder_rejects_wrong_dim(fake_server):
+    _, url = fake_server
+    emb = HttpEmbedder(f"{url}/embeddings", dim=DIM + 1)
+    with pytest.raises(ValueError, match="dim"):
+        emb.embed_batch(["abc"])
+
+
+def test_embed_column_mapinpandas(spark, fake_server):
+    _, url = fake_server
+    df = spark.createDataFrame(
+        [(i, "x" * (i + 1)) for i in range(20)], "id long, text string"
+    ).repartition(4)
+    out = embed_column(
+        df, lambda: HttpEmbedder(f"{url}/embeddings", dim=DIM), micro_batch=8
+    )
+    rows = {r["id"]: r["embedding"] for r in out.collect()}
+    assert len(rows) == 20
+    assert rows[4] == [(5 + j) / 100.0 for j in range(DIM)]
+
+
+def test_embed_column_with_local_embedder(spark):
+    # the deterministic implementation behind the same interface — proves the
+    # production path and the test path are swappable
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")
+    out = embed_column(df, lambda: HashingEmbedder(dim=16)).collect()
+    assert len(out[0]["embedding"]) == 16
+
+
+def test_foreach_partition_sink(spark, fake_server):
+    state, url = fake_server
+    sink = HttpVectorSink(url)
+    sink.create_index_if_absent("docs", DIM, "cosine")
+    assert state.indexes == [{"name": "docs", "dimension": DIM, "metric": "cosine"}]
+
+    df = spark.createDataFrame(
+        [(f"id{i}", [float(i)] * DIM, {"k": str(i)}) for i in range(50)],
+        "id string, embedding array<double>, metadata map<string,string>",
+    ).repartition(4)
+    write_to_sink(df, lambda: HttpVectorSink(url), batch_size=8)
+    assert len(state.upserts) == 50
+    assert state.upserts["id7"] == [7.0] * DIM
+
+
+def test_sink_retries_transient_errors(fake_server):
+    state, url = fake_server
+    state.fail_next = 1
+    sink = HttpVectorSink(url, backoff_s=0.01)
+    sink.upsert([("a", [1.0] * DIM, {})])
+    assert state.upserts["a"] == [1.0] * DIM

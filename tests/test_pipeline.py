@@ -78,6 +78,36 @@ def test_long_doc_quarantine_not_crash(spark, corpus):
     assert len(q) == 1 and q[0]["n_tokens"] == 9001
 
 
+def test_pipeline_with_pluggable_embedder(spark, corpus):
+    # The Embedder-protocol path (mapInPandas) must produce the same index
+    # as the default hashing pandas_udf — proving the production HTTP
+    # embedder is swappable without touching pipeline semantics.
+    from vectrekker_spark.embedder import HashingEmbedder
+
+    cfg_default = _cfg(corpus)
+    run_pipeline(spark, cfg_default)
+    default_index = {
+        r["id"]: r["embedding"]
+        for r in spark.read.parquet(cfg_default.index_path).collect()
+    }
+
+    plug_dir = corpus / "plug"
+    plug_dir.mkdir()
+    cfg_plug = PipelineConfig(
+        content_dir=str(corpus / "content"),
+        state_path=str(plug_dir / "state.parquet"),
+        index_path=str(plug_dir / "index.parquet"),
+        embedder_factory=lambda: HashingEmbedder(dim=64),
+    )
+    r = run_pipeline(spark, cfg_plug)
+    assert r["indexed"] == 2
+    plug_index = {
+        r["id"]: r["embedding"]
+        for r in spark.read.parquet(cfg_plug.index_path).collect()
+    }
+    assert plug_index == default_index
+
+
 def test_gate_counts_bpe_not_whitespace_tokens(spark, corpus):
     # The 8191 limit is a BPE-token limit (vectrekker/main.py:175,178). This
     # doc is ONE whitespace token but ~12000 BPE-like tokens ("x1;" → three:

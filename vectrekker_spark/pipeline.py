@@ -63,6 +63,11 @@ class PipelineConfig:
     max_tokens: int = 8191
     chunk_size: int = 0  # 0 → no chunking; >0 → chunk over-long docs instead of quarantining
     chunk_overlap: int = 64
+    # Pluggable embedder (vectrekker_spark.embedder.Embedder): a zero-arg
+    # picklable factory run once per task. None → the deterministic hashing
+    # pandas_udf. Production: lambda: HttpEmbedder(url, dim=...) — batched,
+    # rate-limited, retrying (the reference's E1 made scale-shaped).
+    embedder_factory: object | None = None
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -126,13 +131,23 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
                     cfg.quarantine_path
                 )
 
-    embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
-    new_rows = ok.select(
-        F.col("path").alias("id"),
-        F.col("doc_path"),
-        embed(F.col("text")).alias("embedding"),
-        F.create_map().cast("map<string,string>").alias("metadata"),
-    )
+    if cfg.embedder_factory is not None:
+        from vectrekker_spark.embedder import embed_column
+
+        new_rows = embed_column(ok, cfg.embedder_factory).select(
+            F.col("path").alias("id"),
+            F.col("doc_path"),
+            "embedding",
+            F.create_map().cast("map<string,string>").alias("metadata"),
+        )
+    else:
+        embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
+        new_rows = ok.select(
+            F.col("path").alias("id"),
+            F.col("doc_path"),
+            embed(F.col("text")).alias("embedding"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+        )
     # Partition-aware REPLACE-GROUP merge keyed on the source document: a
     # re-processed doc retires ALL its previous index rows (chunk ids the new
     # version no longer produces would otherwise linger as stale hits), and
