@@ -37,6 +37,12 @@ def planted(spark):
 
 
 def test_bucketed_matches_bruteforce_on_planted_dups(planted):
+    # Exact set-equality between the probabilistic bucketed join and brute
+    # force DEPENDS on the planted pairs being ≥0.99 cosine under the seeded
+    # RNG (per-pair miss prob ~7e-7 at the defaults). If this fixture is ever
+    # changed to plant pairs near the 0.95 threshold, weaken the assert to
+    # b ⊆ e plus equality on the planted-id subset — at 0.95 the expected
+    # recall is ~0.9985, which WILL eventually flake as exact equality.
     exact = similarity_join_blas(
         planted, planted, threshold=0.95,
         left_id="vec_id", left_vec="embedding",

@@ -47,6 +47,24 @@ def test_cms_merge_partition_invariant(spark, sf_dir):
     assert (a == b).all()
 
 
+def test_cms_distributed_merge_equals_driver_fold(spark, sf_dir):
+    # same commutative monoid either path → bit-identical sketch, at any
+    # partitioning
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = build_sketch(docs, merge="driver")
+    b = build_sketch(docs, merge="distributed")
+    c = build_sketch(docs.repartition(7), merge="distributed")
+    assert (a == b).all() and (a == c).all()
+
+
+def test_cms_rejects_unknown_merge(spark, sf_dir):
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
+    with pytest.raises(ValueError, match="merge"):
+        build_sketch(docs, merge="nope")
+
+
 def test_cms_estimate_zero_for_absent_token(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
     sketch = build_sketch(docs)

@@ -196,7 +196,10 @@ def similarity_join_blas(
         raise ValueError(
             f"similarity_join_blas: right side exceeds max_collect_rows="
             f"{max_collect_rows}; it would not be broadcast-safe. Bucket "
-            "first (similarity_join_bucketed / LSH / IVF) and join per bucket."
+            "first (similarity_join_bucketed / LSH / IVF) and join per "
+            "bucket. NOTE: the bucketed route is APPROXIMATE — recall is "
+            ">0.999 only in the near-dup regime (cosine ≳ 0.95 at its "
+            "defaults; ~0.98 at 0.9, lower below) while this path is exact."
         )
     if not rows:  # empty right side → empty result, correct schema
         return left.sparkSession.createDataFrame([], out_schema)
@@ -250,9 +253,12 @@ def similarity_join_bucketed(
     deterministic per pair, so cross-table duplicates collapse exactly.
 
     Recall: a pair at angle θ collides per table with p = (1 - θ/π)^n_planes,
-    overall 1-(1-p)^n_tables. Defaults give >0.999 for cosine ≥ 0.9 pairs
-    (the near-dup regime this exists for); low thresholds (<0.6) need the
-    brute-force path — hyperplane LSH cannot bucket far pairs efficiently.
+    overall 1-(1-p)^n_tables. At the defaults (8 planes, 12 tables): cosine
+    0.95 → p≈0.418 → recall ≈0.9985; cosine 0.9 → p≈(1-0.1436)^8≈0.289 →
+    recall ≈0.983. So >0.999 holds for cosine ≳ 0.95 (the near-dup regime
+    this exists for) and degrades below; thresholds in ~[0.6, 0.9) are
+    meaningfully approximate here, and (<0.6) needs the brute-force path —
+    hyperplane LSH cannot bucket far pairs efficiently.
 
     Shuffle cost: n_tables × (id, key, vec) — the standard LSH-table
     multiplier, each row skinny. Skew note: a pathological bucket (millions
