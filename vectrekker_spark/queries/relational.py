@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vectrekker_spark.queries import QuerySpec
-from vectrekker_spark.queries.util import tb
+from vectrekker_spark.queries.util import ordered, tb, tbp
 
 DEC = "decimal(18,2)"
 
@@ -50,7 +50,7 @@ def q02_filter(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(lambda d: ordered(d, "l_orderkey", "l_linenumber"))
     )
 
 
@@ -64,22 +64,24 @@ ORDER BY l_orderkey, l_linenumber
 
 
 def q03_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact money sums as scaled longs (see util.money_long): identical
+    # values to the DECIMAL formulation, ~2× faster (stays in codegen), and
+    # order-independent either way. Plain tb — map-side partial aggregation
+    # shrinks the scan to 6 rows before the exchange, so a pre-spread
+    # repartition would shuffle 600k rows to save nothing (measured 2×
+    # slower with it).
     li = tb(spark, sf, "lineitem")
+    qty100 = F.round(F.col("l_quantity") * 100).cast("long")
+    price100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc4 = F.round((F.lit(1.0) - F.col("l_discount")) * 10000).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
+            (F.sum(qty100) / 100.0).alias("sum_qty"),
+            (F.sum(price100) / 100.0).alias("sum_base_price"),
+            (F.sum(price100 * disc4) / 1000000.0).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
-            F.round(
-                F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_qty"),
+            F.round((F.sum(qty100) / 100.0) / F.count(F.lit(1)), 4).alias("avg_qty"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -87,13 +89,15 @@ def q03_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 Q03_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
-         AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND((1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS sum_disc_price,
        COUNT(*) AS count_order,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             / COUNT(*), 4) AS avg_qty
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """
 
@@ -178,7 +182,7 @@ def q07_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .transform(lambda d: ordered(d, "c_custkey"))
     )
 
 
@@ -196,7 +200,7 @@ def q08_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     return (
         p.join(li, p.p_partkey == li.l_partkey, "left_anti")
         .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
+        .transform(lambda d: ordered(d, "p_partkey"))
     )
 
 
@@ -415,7 +419,7 @@ def q16_string_fns(spark: SparkSession, sf: str) -> DataFrame:
             F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
             F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
         )
-        .orderBy("p_partkey")
+        .transform(lambda d: ordered(d, "p_partkey"))
     )
 
 
@@ -488,7 +492,7 @@ def q18_array_fns(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("pos") + 1).cast("long").alias("pos"),
             F.round(F.col("col").cast("double"), 6).alias("val"),
         )
-        .orderBy("vec_id", "pos")
+        .transform(lambda d: ordered(d, "vec_id", "pos"))
     )
 
 
@@ -531,7 +535,7 @@ def q19_json(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("n_large"),
         )
     )
-    return agg.unionAll(rows).orderBy("shape", "key")
+    return ordered(agg.unionAll(rows), "shape", "key")
 
 
 Q19_SQL = """
@@ -596,7 +600,7 @@ def d16_map_fns(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(m, "source").alias("source_val"),
         F.concat_ws(",", F.map_keys(m)).alias("keys"),
         F.size(F.map_values(m)).cast("long").alias("n_vals"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: ordered(d, "doc_id"))
 
 
 D16_SQL = """

@@ -20,7 +20,7 @@ from vectrekker_spark.operators.dedup import (
     simhash16,
 )
 from vectrekker_spark.queries import QuerySpec
-from vectrekker_spark.queries.util import tb, tbp, token_hash_sql, tokens_sql
+from vectrekker_spark.queries.util import ordered, tb, tbp, token_hash_sql, tokens_sql
 
 TOKS = tokens_sql("text")
 LTOKS = tokens_sql("lower(text)")
@@ -87,7 +87,7 @@ def q27_chunking(spark: SparkSession, sf: str) -> DataFrame:
             F.length("chunk_text").cast("long").alias("chunk_len"),
             F.md5("chunk_text").alias("chunk_md5"),
         )
-        .orderBy("doc_id", "chunk_id")
+        .transform(lambda d: ordered(d, "doc_id", "chunk_id"))
     )
 
 
@@ -103,7 +103,7 @@ ORDER BY doc_id, chunk_id
 
 
 def d01_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    return minhash_signatures(tbp(spark, sf, "documents")).orderBy("doc_id", "perm")
+    return ordered(minhash_signatures(tbp(spark, sf, "documents")), "doc_id", "perm")
 
 
 _PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))
@@ -185,7 +185,7 @@ def d04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
         hits["fr"].cast("long").alias("fr_hits"),
         hits["es"].cast("long").alias("es_hits"),
         pred.alias("pred_lang"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: ordered(d, "doc_id"))
 
 
 def _sw_sql(lang: str) -> str:
@@ -245,7 +245,7 @@ def d05_quality(spark: SparkSession, sf: str) -> DataFrame:
         T.quality_score_parts(
             F.col("__n"), F.col("__pr"), F.col("__awl")
         ).alias("quality"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: ordered(d, "doc_id"))
 
 
 D05_SQL = f"""
@@ -269,7 +269,7 @@ FROM base ORDER BY doc_id
 
 def d06_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = tbp(spark, sf, "documents")
-    return d.select("doc_id", T.fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+    return ordered(d.select("doc_id", T.fingerprint("text").alias("fingerprint")), "doc_id")
 
 
 D06_SQL = """
@@ -288,7 +288,7 @@ def d07_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5(bin_col).alias("content_md5"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: ordered(d, "doc_id"))
 
 
 D07_SQL = """
@@ -304,7 +304,7 @@ def d11_group_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     d = tbp(spark, sf, "documents").select(
         "lang", T.token_count("text").alias("n_tokens")
     )
-    return group_percentiles(d, "lang", "n_tokens").orderBy("lang", "q")
+    return ordered(group_percentiles(d, "lang", "n_tokens"), "lang", "q")
 
 
 _D11_PARTS = "\nUNION ALL\n".join(
@@ -394,7 +394,7 @@ def d13_winnowing(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
 
     d = tbp(spark, sf, "documents").select("doc_id", "text")
-    return d.mapInPandas(winnow, schema="doc_id long, fingerprint long").orderBy(
+    return ordered(d.mapInPandas(winnow, schema="doc_id long, fingerprint long"),
         "doc_id", "fingerprint"
     )
 

@@ -10,21 +10,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectrekker_spark.queries import QuerySpec
-from vectrekker_spark.queries.util import tb, tbp
+from vectrekker_spark.queries.util import tb
 
 DEC = "decimal(18,2)"
 REV = "revenue"
 
 
 def _revenue():
-    return (
-        F.col("l_extendedprice").cast(DEC)
-        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
-    )
+    # Exact scaled-long revenue term (see util.money_long): price is 2-dp and
+    # discount 2-dp fixed-point, so ROUND recovers exact integers and the
+    # BIGINT product/sum is exact and order-independent — same values as the
+    # DECIMAL form, ~2× faster (stays in whole-stage codegen). Summed terms
+    # peak ~1e11/row → int64-safe to ~9e6 matching rows per group.
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 10000
+    ).cast("long")
 
 
 REV_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * CAST(ROUND((1.0 - l_discount) * 10000) AS BIGINT)"
 )
 
 
@@ -33,12 +38,12 @@ def t03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     # date, group, top-10 by revenue.
     c = tb(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = tb(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
-    li = tbp(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    li = tb(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue()).cast("double").alias(REV))
+        .agg((F.sum(_revenue()) / 1000000.0).alias(REV))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -52,7 +57,7 @@ def t03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 T03_SQL = f"""
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
-       CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+       CAST(SUM({REV_SQL}) AS DOUBLE) / 1000000.0 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -74,7 +79,7 @@ def t05_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     o = tb(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
-    li = tbp(spark, sf, "lineitem")
+    li = tb(spark, sf, "lineitem")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
@@ -83,13 +88,13 @@ def t05_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).cast("double").alias(REV))
+        .agg((F.sum(_revenue()) / 1000000.0).alias(REV))
         .orderBy(F.col(REV).desc(), F.col("n_name").asc())
     )
 
 
 T05_SQL = f"""
-SELECT n_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+SELECT n_name, CAST(SUM({REV_SQL}) AS DOUBLE) / 1000000.0 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -108,21 +113,21 @@ def t10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     o = tb(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
     )
-    li = tbp(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    li = tb(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = tb(spark, sf, "nation")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_revenue()).cast("double").alias(REV))
+        .agg((F.sum(_revenue()) / 1000000.0).alias(REV))
         .orderBy(F.col(REV).desc(), F.col("c_custkey").asc())
         .limit(20)
     )
 
 
 T10_SQL = f"""
-SELECT c_custkey, c_name, n_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+SELECT c_custkey, c_name, n_name, CAST(SUM({REV_SQL}) AS DOUBLE) / 1000000.0 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey

@@ -59,7 +59,43 @@ def small_local(sf_dir: str, name: str, threshold: int = 64 << 20) -> bool:
         return False
 
 
-# --- DuckDB-side vector expressions (ordered double accumulation) ----------
+def ordered(df: DataFrame, *cols: str, parts: int = 8) -> DataFrame:
+    """Total sort with a hash-shuffle barrier on the first sort key.
+
+    A bare ``orderBy`` makes the range partitioner SAMPLE its child, and when
+    no exchange sits below (scan→filter/project/UDF chains), AQE re-executes
+    the entire chain once for the sample and again for the real run — a ~2×
+    tax on exactly the queries whose compute is worth protecting (JSON
+    parse, regex kernels, pandas UDFs). The barrier materializes the skinny
+    result rows once; sampling then reads shuffle output. Costs one small
+    exchange — skip it for plans that already end in an exchange
+    (aggregations, joins on the sort key)."""
+    return df.repartition(parts, cols[0]).orderBy(*cols)
+
+
+# --- exact money arithmetic as scaled longs --------------------------------
+# TPC-H money columns are fixed-point decimals stored as doubles (2dp;
+# discounts 2dp). ROUND(x*scale) recovers the exact integer — the doubles are
+# never near a .5 boundary because the true values ARE integers/scale — and
+# BIGINT sums are exact, order-independent, and ~2× faster than Spark's
+# BigDecimal aggregation (no per-row object allocation, stays in codegen).
+# Overflow headroom: the 2dp×4dp product path peaks ~1e11/row → safe to
+# ~9e6 rows per group at sf-scale growth; switch scale or DECIMAL past that.
+# The same expression text works in DuckDB (SUM(BIGINT) → HUGEINT, cast
+# DOUBLE at the end); both engines round the SAME double, so the recovered
+# integers agree bit-for-bit.
+
+
+def money_long(col):
+    """Spark Column: exact 2-dp fixed-point value as scaled long (×100)."""
+    from pyspark.sql import functions as F
+
+    return F.round(col * 100).cast("long")
+
+
+def money_long_sql(expr: str) -> str:
+    """DuckDB fragment matching money_long."""
+    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
 
 def dot_sql(a: str, b: str) -> str:
     return (

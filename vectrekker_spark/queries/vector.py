@@ -21,6 +21,7 @@ from vectrekker_spark.operators.knn import knn_join, similarity_join_blas
 from vectrekker_spark.queries import QuerySpec
 from vectrekker_spark.queries.util import (
     cosine_sql,
+    ordered,
     tbp,
     dot_sql,
     l2_sql,
@@ -165,7 +166,7 @@ def q21_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
             F.round(dot("a", "b"), 6).alias("dot_prod"),
             F.round(l2_dist("a", "b"), 6).alias("l2_distance"),
         )
-        .orderBy("vec_id")
+        .transform(lambda d: ordered(d, "vec_id"))
     )
 
 
@@ -234,7 +235,7 @@ def q24_norms(spark: SparkSession, sf: str) -> DataFrame:
         "dim",
         F.round("__n", 6).alias("l2_norm"),
         F.round(F.col("__e0") / F.col("__n"), 6).alias("unit0"),
-    ).orderBy("vec_id")
+    ).transform(lambda d: ordered(d, "vec_id"))
 
 
 Q24_SQL = f"""
@@ -249,11 +250,14 @@ def q28_sim_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Embedding-space near-dup pairs (L6). Fixture max pairwise cosine at
     # sf0.01 is ~0.51, so threshold 0.40 yields a non-trivial result set.
     em = tbp(spark, sf, "embeddings")
-    return similarity_join_blas(
-        em, em, threshold=0.40,
-        left_id="vec_id", left_vec="embedding",
-        right_id="vec_id", right_vec="embedding",
-    ).orderBy("l_id", "r_id")
+    return ordered(
+        similarity_join_blas(
+            em, em, threshold=0.40,
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+        ),
+        "l_id", "r_id",
+    )
 
 
 Q28_SQL = f"""
