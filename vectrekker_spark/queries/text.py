@@ -146,7 +146,11 @@ FROM votes GROUP BY doc_id ORDER BY doc_id
 
 
 def d03_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return ngram_jaccard_pairs(tb(spark, sf, "documents"), max_id=40).orderBy("l_id", "r_id")
+    # ordered(): the broadcast-nested-loop join has no exchange below the
+    # sort, so a bare orderBy would run the whole O(n²) intersect twice
+    return ordered(
+        ngram_jaccard_pairs(tb(spark, sf, "documents"), max_id=40), "l_id", "r_id"
+    )
 
 
 _CSH = (

@@ -181,7 +181,9 @@ ORDER BY vec_id
 
 
 def q22_topk_nn(spark: SparkSession, sf: str) -> DataFrame:
-    em = tbp(spark, sf, "embeddings")
+    # plain tb: a 2000-row corpus scores in one BLAS call; 32-way spread was
+    # pure task overhead (0.73s → 0.34s measured)
+    em = tb(spark, sf, "embeddings")
     q = tb(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -200,7 +202,9 @@ ORDER BY rank LIMIT 10
 
 
 def q23_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    em = tbp(spark, sf, "embeddings")
+    # parts=4: 20 queries × 2000 corpus rows wants some spread for the
+    # per-partition top-k kernels, but 32-way was task-floor-bound
+    em = tbp(spark, sf, "embeddings", parts=4)
     q = tb(spark, sf, "embeddings").filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
