@@ -61,3 +61,62 @@ def test_chunk_geometry(n, overlap):
     assert covered == set(range(1, n + 1))
     # chunk starts strictly increasing, first at 1
     assert starts[0] == 1 and all(b - a == step for a, b in zip(starts, starts[1:]))
+
+
+# --- round-3 invariants -----------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(10**14), max_value=10**14))
+def test_money_long_roundtrips_every_2dp_value(cents):
+    # The scaled-long money path (util.money_long / q03 / tpch) depends on
+    # ROUND(x*100) recovering the exact integer from a 2-dp value stored as
+    # double. Exhaustive-by-property: for any cents value in range, the
+    # double nearest to cents/100, multiplied by 100 and rounded half-up,
+    # is exactly cents again.
+    x = cents / 100.0
+    assert round(x * 100) == cents
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs", "Sm"),
+            whitelist_characters="'\t\n",
+        ),
+        max_size=300,
+    )
+)
+def test_bpe_pattern_reorder_count_equivalent(text):
+    # BPE_ISH_PATTERN was reordered letters-first for Java-NFA speed; the
+    # docstring claims count-equivalence to the contraction-first form under
+    # leftmost-first matching. Property-check the claim on arbitrary text.
+    import re
+
+    contraction_first = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    from vectrekker_spark.functions.tokenize import BPE_ISH_PATTERN
+
+    assert len(re.findall(BPE_ISH_PATTERN, text)) == len(
+        re.findall(contraction_first, text)
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Nd", "Zs"), whitelist_characters=" \t\n\r"
+        ),
+        max_size=200,
+    )
+)
+def test_regexp_count_tokens_equals_split_semantics(text):
+    # token_count switched from size(split(trim)) to regexp_count(trim,'\S+');
+    # the two must agree for every input, INCLUDING empty / whitespace-only
+    # (where the old form special-cased empty → 0).
+    import re
+
+    stripped = text.strip()
+    split_form = 0 if stripped == "" else len(re.split(r"\s+", stripped))
+    count_form = len(re.findall(r"\S+", stripped))
+    assert count_form == split_form
