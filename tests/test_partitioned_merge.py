@@ -58,6 +58,37 @@ def test_only_touched_buckets_rewritten(spark, tmp_path):
     assert len(touched) == 1  # one key → one bucket rewritten, 15 untouched
 
 
+def test_mid_swap_crash_restores_trashed_bucket(spark, tmp_path):
+    # Simulate a merge that died BETWEEN its two renames: the live bucket dir
+    # was moved to trash but the staged dir was never promoted. The trash dir
+    # now holds the ONLY copy of that bucket's rows — the next merge must
+    # restore it before sweeping debris, or those rows are lost forever.
+    import shutil
+
+    path = str(tmp_path / "table")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "id long, v string"
+    )
+    merge_upsert_partitioned(spark, path, base, key="id", n_buckets=16)
+    expected = {r["id"]: r["v"] for r in read_partitioned_table(spark, path).collect()}
+
+    bucket_dirs = [d for d in os.listdir(path) if d.startswith("__bucket=")]
+    victim = bucket_dirs[0]
+    b = victim.split("=", 1)[1]
+    os.rename(os.path.join(path, victim), os.path.join(path, f".trash_{b}_deadrun"))
+    # the dead run also left a staging dir (contents irrelevant — swept)
+    os.makedirs(os.path.join(path, ".staging_deadrun", victim))
+
+    # table is currently missing the bucket; the retry merge must heal it
+    upd = spark.createDataFrame([(5, "NEW5")], "id long, v string")
+    merge_upsert_partitioned(spark, path, upd, key="id", n_buckets=16)
+    out = {r["id"]: r["v"] for r in read_partitioned_table(spark, path).collect()}
+    expected[5] = "NEW5"
+    assert out == expected  # every pre-crash row survived
+    assert not [d for d in os.listdir(path) if d.startswith((".trash_", ".staging_"))]
+    shutil.rmtree(path)
+
+
 def test_crash_between_commit_and_cleanup_is_recoverable(spark, tmp_path, monkeypatch):
     # Kill the merge after the per-bucket swaps but before trash/staging
     # cleanup: the table must still read the MERGED values (trash dirs are

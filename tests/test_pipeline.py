@@ -69,7 +69,17 @@ def test_incremental_run_semantics(spark, corpus):
     assert {len(r["embedding"]) for r in index.collect()} == {64}
 
 
-def test_long_doc_quarantine_not_crash(spark, corpus):
+def _force_proxy_gate(monkeypatch):
+    # pin the gate to the BPE-like proxy: the asserted token counts below are
+    # proxy-specific, and gate_token_count would switch to real tiktoken
+    # counts on a machine that has the library installed
+    import vectrekker_spark.functions.tokenize as tok
+
+    monkeypatch.setattr(tok, "tiktoken_available", lambda: False)
+
+
+def test_long_doc_quarantine_not_crash(spark, corpus, monkeypatch):
+    _force_proxy_gate(monkeypatch)
     (corpus / "content" / "long.md").write_text("tok " * 9001)
     cfg = _cfg(corpus)  # max_tokens 8191, no chunking
     r = run_pipeline(spark, cfg)
@@ -108,17 +118,35 @@ def test_pipeline_with_pluggable_embedder(spark, corpus):
     assert plug_index == default_index
 
 
-def test_gate_counts_bpe_not_whitespace_tokens(spark, corpus):
+def test_gate_counts_bpe_not_whitespace_tokens(spark, corpus, monkeypatch):
     # The 8191 limit is a BPE-token limit (vectrekker/main.py:175,178). This
     # doc is ONE whitespace token but ~12000 BPE-like tokens ("x1;" → three:
     # letter-run, digit-run, symbol) — a whitespace-count gate would embed it
     # whole; the BPE-magnitude gate must quarantine it.
+    _force_proxy_gate(monkeypatch)
     (corpus / "content" / "dense.md").write_text("x1;" * 4000)
     cfg = _cfg(corpus)  # max_tokens 8191, no chunking
     r = run_pipeline(spark, cfg)
     assert r["quarantined"] == 1 and r["indexed"] == 2
     q = spark.read.parquet(cfg.quarantine_path).collect()
     assert len(q) == 1 and q[0]["n_tokens"] == 12000
+
+
+def test_chunks_are_regated_in_token_units(spark, corpus, monkeypatch):
+    # Chunk windows are character-sized but the limit is in tokens: a dense
+    # doc ("x1;" = 3 BPE-ish tokens per 3 chars) chunked to 200-char windows
+    # still yields ~200-token chunks, all over a max_tokens=50 gate. Every
+    # chunk must be quarantined — not embedded — and the doc retires cleanly.
+    _force_proxy_gate(monkeypatch)
+    (corpus / "content" / "dense.md").write_text("x1;" * 4000)
+    cfg = _cfg(corpus, max_tokens=50, chunk_size=200, chunk_overlap=20)
+    r = run_pipeline(spark, cfg)
+    assert r["quarantined"] > 0  # every chunk of dense.md failed the re-gate
+    index = spark.read.parquet(cfg.index_path)
+    assert [r2["id"] for r2 in index.collect() if "dense" in r2["id"]] == []
+    q = spark.read.parquet(cfg.quarantine_path)
+    assert q.count() == r["quarantined"]
+    assert q.filter(q.n_tokens < 50).count() == 0
 
 
 def test_long_doc_chunking_path(spark, corpus):

@@ -31,12 +31,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# (session id, sf_dir, table) → DataFrame. spark.read.parquet re-lists files
-# and re-reads footers for schema inference on EVERY call (~100ms+), which a
-# real engine's catalog pays once at registration, not per query — memoize
-# the lazy DataFrame per session. DataFrames are immutable, so sharing one
-# across queries is safe; entries die with the session (keyed by id).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (session id, sf_dir, table) → (file stat, DataFrame). spark.read.parquet
+# re-lists files and re-reads footers for schema inference on EVERY call
+# (~100ms+), which a real engine's catalog pays once at registration, not
+# per query — memoize the lazy DataFrame per session. DataFrames are
+# immutable, so sharing one across queries is safe. Entries are validated
+# against the file's (mtime_ns, size) on every hit — a rewritten fixture
+# invalidates its entry instead of serving a plan with stale file metadata —
+# and the dict is size-bounded so long-lived drivers that cycle many
+# sessions/dirs don't pin them all forever.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[tuple[int, int], DataFrame]] = {}
+_TABLE_CACHE_MAX = 256
+
+
+def _stat_key(path: str) -> tuple[int, int] | None:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:  # remote path / missing file → treat as uncacheable
+        return None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,18 +62,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    p = table_path(sf_dir, name)
+    stat = _stat_key(p)
     ck = (id(spark), sf_dir, name)
     hit = _TABLE_CACHE.get(ck)
-    if hit is not None:
-        return hit
+    if hit is not None and stat is not None and hit[0] == stat:
+        return hit[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(p)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        df = spark.read.parquet(table_path(sf_dir, name))
-    _TABLE_CACHE[ck] = df
+        df = spark.read.parquet(p)
+    if stat is not None:
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))  # FIFO-evict oldest
+        _TABLE_CACHE[ck] = (stat, df)
     return df
 
 

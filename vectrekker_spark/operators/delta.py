@@ -116,8 +116,20 @@ def merge_upsert_partitioned(
         upd.write.mode("overwrite").partitionBy("__bucket").parquet(path)
         return sorted(r[0] for r in upd.select("__bucket").distinct().collect())
 
-    # Sweep debris from a previous crashed run (single-writer table; these
-    # dot-prefixed dirs are only ever left by a merge that died mid-cleanup).
+    # Recover, then sweep, debris from a previous crashed run (single-writer
+    # table). A merge that died between its live→trash rename and the
+    # staged→live promotion leaves a bucket with NO live dir but a trash
+    # copy — that trash dir holds the only copy of the bucket's base rows,
+    # so restore it before sweeping (pre-merge state; the at-least-once
+    # retry re-merges it to the committed result). This also covers the
+    # emptied-bucket case: restoring then re-running the same merge deletes
+    # the rows again. Only after restoration is deleting debris safe.
+    for d in os.listdir(path):
+        if d.startswith(".trash_"):
+            b_str = d.split("_", 2)[1]
+            live = os.path.join(path, f"__bucket={b_str}")
+            if not os.path.exists(live):
+                os.rename(os.path.join(path, d), live)
     _cleanup_dirs(
         [
             os.path.join(path, d)
@@ -154,7 +166,10 @@ def merge_upsert_partitioned(
     # swap and cleanup leaves only invisible trash dirs — the table stays
     # readable and the merge re-runnable. The unavoidable non-atomic window
     # is the two renames of step 2 (POSIX has no atomic dir exchange); it is
-    # per-bucket and contains no data copy, so it is microseconds wide.
+    # per-bucket, contains no data copy (microseconds wide), and a crash
+    # inside it is healed by the trash-restore recovery at the next merge's
+    # start — the trashed dir is the bucket's only copy and is restored,
+    # never swept, when its live dir is missing.
     staging = os.path.join(path, f".staging_{uuid.uuid4().hex}")
     merged.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
     staged_buckets = {

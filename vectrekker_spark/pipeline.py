@@ -119,7 +119,25 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
             F.col("path").alias("doc_path"),
             F.col("chunk_text").alias("text"),
         )
-        ok = ok_docs.unionByName(chunks)
+        # Re-gate the chunks: chunk windows are CHARACTER-sized while the
+        # limit is in TOKENS, and dense text (symbols, CJK, emoji under real
+        # tiktoken) can pack >1 token per character — a chunk can itself
+        # exceed the embed limit. Over-limit chunks are quarantined; a doc
+        # whose chunks ALL fail has no surviving rows, so its old index rows
+        # are retired via delete_groups like the unchunked quarantine path.
+        gated = chunks.withColumn("n_tokens", gate_token_count(F.col("text")))
+        good = gated.filter(F.col("n_tokens") < cfg.max_tokens).drop("n_tokens")
+        bad = gated.filter(F.col("n_tokens") >= cfg.max_tokens)
+        n_quarantined = bad.count()
+        if n_quarantined:
+            if cfg.quarantine_path:
+                bad.select("path", "n_tokens").write.mode("append").parquet(
+                    cfg.quarantine_path
+                )
+            quarantined_paths = bad.select("doc_path").subtract(
+                good.select("doc_path")
+            )
+        ok = ok_docs.unionByName(good)
     else:
         ok = ok_docs
         n_quarantined = too_long.count()

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vectrekker_spark.queries import QuerySpec
-from vectrekker_spark.queries.util import ordered, tb, tbp
+from vectrekker_spark.queries.util import ordered, tb
 
 DEC = "decimal(18,2)"
 
@@ -70,10 +70,12 @@ def q03_agg(spark: SparkSession, sf: str) -> DataFrame:
     # shrinks the scan to 6 rows before the exchange, so a pre-spread
     # repartition would shuffle 600k rows to save nothing (measured 2×
     # slower with it).
+    from vectrekker_spark.queries.util import fixed_long, money_long
+
     li = tb(spark, sf, "lineitem")
-    qty100 = F.round(F.col("l_quantity") * 100).cast("long")
-    price100 = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc4 = F.round((F.lit(1.0) - F.col("l_discount")) * 10000).cast("long")
+    qty100 = money_long(F.col("l_quantity"))
+    price100 = money_long(F.col("l_extendedprice"))
+    disc4 = fixed_long(F.lit(1.0) - F.col("l_discount"), 10000)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -87,17 +89,18 @@ def q03_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q03_SQL = """
+from vectrekker_spark.queries.util import fixed_long_sql, money_long_sql  # noqa: E402
+
+_QTY100 = money_long_sql("l_quantity")
+_PRICE100 = money_long_sql("l_extendedprice")
+_DISC4 = fixed_long_sql("1.0 - l_discount", 10000)
+Q03_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-         AS sum_base_price,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                * CAST(ROUND((1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
-         / 1000000.0 AS sum_disc_price,
+       CAST(SUM({_QTY100}) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM({_PRICE100}) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM({_PRICE100} * {_DISC4}) AS DOUBLE) / 1000000.0 AS sum_disc_price,
        COUNT(*) AS count_order,
-       ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
-             / COUNT(*), 4) AS avg_qty
+       ROUND(CAST(SUM({_QTY100}) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_qty
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """
 

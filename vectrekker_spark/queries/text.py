@@ -327,10 +327,10 @@ def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from vectrekker_spark.functions.tokenize import bpe_like_token_count
     from vectrekker_spark.queries.util import small_local
 
-    d = tb(spark, sf, "documents") if small_local(sf, "documents") else tbp(
-        spark, sf, "documents"
-    )
-    counts = d.select(
+    # plain tb either way: at real scale the scan splits naturally, and when
+    # the table is one small local file the serial plan below wants the
+    # unsplit scan anyway (tbp reduces to tb in the non-small case too)
+    counts = tb(spark, sf, "documents").select(
         "doc_id",
         bpe_like_token_count("text").cast("long").alias("n_bpe_tokens"),
         T.token_count("text").cast("long").alias("n_ws_tokens"),

@@ -17,19 +17,22 @@ REV = "revenue"
 
 
 def _revenue():
-    # Exact scaled-long revenue term (see util.money_long): price is 2-dp and
-    # discount 2-dp fixed-point, so ROUND recovers exact integers and the
-    # BIGINT product/sum is exact and order-independent — same values as the
-    # DECIMAL form, ~2× faster (stays in whole-stage codegen). Summed terms
-    # peak ~1e11/row → int64-safe to ~9e6 matching rows per group.
-    return F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
-        (F.lit(1.0) - F.col("l_discount")) * 10000
-    ).cast("long")
+    # Exact scaled-long revenue term (util.money_long/fixed_long): price is
+    # 2-dp and discount 2-dp fixed-point, so ROUND recovers exact integers
+    # and the BIGINT product/sum is exact and order-independent — same
+    # values as the DECIMAL form, ~2× faster (stays in whole-stage codegen).
+    # Summed terms peak ~1e11/row → int64-safe to ~9e6 rows per group.
+    from vectrekker_spark.queries.util import fixed_long, money_long
 
+    return money_long(F.col("l_extendedprice")) * fixed_long(
+        F.lit(1.0) - F.col("l_discount"), 10000
+    )
+
+
+from vectrekker_spark.queries.util import fixed_long_sql, money_long_sql  # noqa: E402
 
 REV_SQL = (
-    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
-    " * CAST(ROUND((1.0 - l_discount) * 10000) AS BIGINT)"
+    f"{money_long_sql('l_extendedprice')} * {fixed_long_sql('1.0 - l_discount', 10000)}"
 )
 
 

@@ -86,16 +86,26 @@ def ordered(df: DataFrame, *cols: str, parts: int = 8) -> DataFrame:
 # integers agree bit-for-bit.
 
 
-def money_long(col):
-    """Spark Column: exact 2-dp fixed-point value as scaled long (×100)."""
+def fixed_long(col, scale: int):
+    """Spark Column: exact fixed-point value as scaled long (×scale)."""
     from pyspark.sql import functions as F
 
-    return F.round(col * 100).cast("long")
+    return F.round(col * scale).cast("long")
+
+
+def money_long(col):
+    """Spark Column: exact 2-dp money value as scaled long (×100)."""
+    return fixed_long(col, 100)
+
+
+def fixed_long_sql(expr: str, scale: int) -> str:
+    """DuckDB fragment matching fixed_long."""
+    return f"CAST(ROUND(({expr}) * {scale}) AS BIGINT)"
 
 
 def money_long_sql(expr: str) -> str:
     """DuckDB fragment matching money_long."""
-    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
+    return fixed_long_sql(expr, 100)
 
 def dot_sql(a: str, b: str) -> str:
     return (

@@ -126,11 +126,9 @@ def q20_hash_embed_udf(spark: SparkSession, sf: str) -> DataFrame:
             F.round("col", 6).alias("weight"),
         )
     )
-    # Hash-shuffle barrier before the global sort: orderBy's range partitioner
-    # samples its child, and without an exchange directly below, AQE re-runs
-    # the whole UDF chain for the sample. The barrier materializes the skinny
-    # post-UDF rows once; sampling then reads shuffle output.
-    return exploded.repartition(4, "doc_id").orderBy("doc_id", "bucket")
+    # ordered(): barrier before the global sort so the range-partitioner
+    # sample doesn't re-run the UDF chain (see util.ordered)
+    return ordered(exploded, "doc_id", "bucket", parts=4)
 
 
 Q20_SQL = """
