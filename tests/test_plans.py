@@ -51,3 +51,41 @@ def test_window_single_shuffle(spark, sf_dir):
     # ranking window should shuffle once on the partition key, not more
     df = q12_rank_window(spark, sf_dir)
     assert shuffle_count(df) <= 2  # partitionBy exchange + final orderBy
+
+
+def test_agg_has_no_roundrobin_prespread(spark, sf_dir):
+    # q03's partial aggregation shrinks the scan map-side; a round-robin
+    # pre-spread would shuffle 600k full rows to save nothing (measured 2×
+    # slower). Pin the plan: agg exchange + final sort only, no
+    # RoundRobinPartitioning anywhere.
+    df = q03_agg(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert shuffle_count(df) <= 2  # groupBy hash exchange + range sort
+
+
+def test_tpch_joins_have_no_roundrobin_prespread(spark, sf_dir):
+    from vectrekker_spark.queries.tpch import t03_shipping_priority
+
+    plan = formatted_plan(t03_shipping_priority(spark, sf_dir))
+    assert "RoundRobinPartitioning" not in plan, plan
+
+
+def test_d12_serial_plan_has_zero_exchanges(spark, sf_dir):
+    # On a single small local file d12 picks the serial plan: one scan task
+    # computes both regexp counts and sorts in-task — no shuffle at all.
+    from vectrekker_spark.queries.text import d12_bpe_tokens
+
+    df = d12_bpe_tokens(spark, sf_dir)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+
+
+def test_ordered_barrier_sits_below_sort(spark, sf_dir):
+    # util.ordered must put a hash exchange (the barrier) below the range
+    # sort so sampling reads materialized shuffle output instead of
+    # re-running the chain.
+    from vectrekker_spark.queries.relational import q16_string_fns
+
+    plan = formatted_plan(q16_string_fns(spark, sf_dir))
+    assert "hashpartitioning" in plan.lower(), plan
+    assert "rangepartitioning" in plan.lower(), plan
