@@ -50,6 +50,59 @@ def test_index_then_search_roundtrip(tmp_path, capsys, spark):
     assert a_path in capsys.readouterr().out.splitlines()[0]  # nearest = doc a
 
 
+def test_search_approx_flag(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
+    capsys.readouterr()
+    a_path = str(content / "a.md")
+    # IVF approximate path: with 2 docs and assign_k=2 every cell holds both,
+    # so the self-match MUST be found (recall 1.0 on a trivial corpus)
+    assert main(["search", "--index", index, "--query-id", a_path, "--approx", "-k", "2"]) == 0
+    lines = [line for line in capsys.readouterr().out.splitlines() if line.strip()]
+    assert len(lines) == 2
+    assert a_path in lines[0] and "+1.000000" in lines[0]
+
+
+def test_index_with_embed_endpoint(tmp_path, capsys, spark):
+    # external-embedder flag against a local fake /embeddings server
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            texts = json.loads(self.rfile.read(n))["input"]
+            data = [{"embedding": [float(len(t) % 7)] * 8} for t in texts]
+            body = json.dumps({"data": data}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        content = _write_corpus(tmp_path)
+        state, index = str(tmp_path / "state"), str(tmp_path / "index")
+        rc = main([
+            "index", "--content-dir", str(content), "--state", state,
+            "--index", index,
+            "--embed-endpoint", f"http://127.0.0.1:{srv.server_port}/embeddings",
+            "--embed-dim", "8",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        assert main(["stats", "--index", index]) == 0
+        assert "rows=2 dim=8..8" in capsys.readouterr().out
+    finally:
+        srv.shutdown()
+
+
 def test_toml_config(tmp_path, capsys, spark):
     content = _write_corpus(tmp_path)
     cfg = tmp_path / "config.toml"

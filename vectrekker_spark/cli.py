@@ -62,6 +62,17 @@ def cmd_index(args: argparse.Namespace) -> int:
             print(f"  {r['path']}")
         return 0
 
+    embedder_factory = None
+    if args.embed_endpoint:
+        # external batched embedder (Embedder protocol); deterministic local
+        # hashing embedder otherwise
+        url, dim = args.embed_endpoint, args.embed_dim
+
+        def embedder_factory():  # runs once per task, worker-local client
+            from vectrekker_spark.embedder import HttpEmbedder
+
+            return HttpEmbedder(url, dim=dim)
+
     cfg = PipelineConfig(
         content_dir=content_dir,
         state_path=args.state,
@@ -69,6 +80,7 @@ def cmd_index(args: argparse.Namespace) -> int:
         quarantine_path=args.quarantine,
         content_regex=regex,
         chunk_size=args.chunk_size,
+        embedder_factory=embedder_factory,
     )
     counters = run_pipeline(spark, cfg)
     print(counters)
@@ -97,6 +109,26 @@ def cmd_search(args: argparse.Namespace) -> int:
         q = spark.createDataFrame(
             [("query", vec)], "qid string, qvec array<double>"
         )
+    if args.approx:
+        # IVF approximate search (operators/ann): kmeans cells with
+        # multi-assignment — the scale path when the index outgrows a
+        # brute-force scan. Built per invocation here; a long-running
+        # service would persist (centroids, assignments) beside the index.
+        from vectrekker_spark.operators.ann import ivf_build, ivf_search
+
+        n_rows = index.count()
+        n_cells = max(2, min(64, int(n_rows**0.5)))
+        centroids, assign = ivf_build(
+            index, n_centroids=n_cells, id_col="id", vec_col="embedding", assign_k=2
+        )
+        res = ivf_search(
+            q, index, centroids, assign,
+            k=args.k, n_probe=max(1, n_cells // 3),
+            id_col="id", vec_col="embedding",
+        ).collect()
+        for r in res:
+            print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['id']}")
+        return 0
     res = knn_join(q, index, k=args.k, id_col="id", vec_col="embedding").collect()
     for r in res:
         print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['vec_id']}")
@@ -129,6 +161,11 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--index", required=True)
     ix.add_argument("--quarantine")
     ix.add_argument("--chunk-size", type=int, default=0)
+    ix.add_argument(
+        "--embed-endpoint",
+        help="OpenAI-compatible /embeddings URL; omit for the local hashing embedder",
+    )
+    ix.add_argument("--embed-dim", type=int, default=64)
     ix.add_argument("--dry-run", action="store_true")
     ix.set_defaults(fn=cmd_index)
 
@@ -138,6 +175,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--query-id", help="use an indexed document as the query")
     g.add_argument("--text", help="embed this text as the query")
     se.add_argument("-k", type=int, default=10)
+    se.add_argument(
+        "--approx", action="store_true",
+        help="IVF approximate search instead of the exact brute-force scan",
+    )
     se.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("stats", help="index summary")
