@@ -37,3 +37,23 @@ class Engine:
         from vectrekker_spark.operators.knn import knn_join
 
         return knn_join(queries_df, self.table("embeddings"), k=k)
+
+    def approx_knn(
+        self, queries_df: DataFrame, k: int = 10, n_centroids: int = 16, n_probe: int = 6
+    ) -> DataFrame:
+        """IVF approximate kNN join (the scale path): kmeans cells with
+        multi-assignment; see operators/ann for the recall/cost dials."""
+        from vectrekker_spark.operators.ann import ivf_build, ivf_search
+
+        em = self.table("embeddings")
+        centroids, assign = ivf_build(em, n_centroids=n_centroids, assign_k=2)
+        return ivf_search(queries_df, em, centroids, assign, k=k, n_probe=n_probe)
+
+    def embed(self, df: DataFrame, embedder_factory=None, text_col: str = "text") -> DataFrame:
+        """Append an `embedding` column via the pluggable Embedder protocol
+        (deterministic hashing embedder unless a factory is given)."""
+        from vectrekker_spark.embedder import HashingEmbedder, embed_column
+
+        return embed_column(
+            df, embedder_factory or (lambda: HashingEmbedder()), text_col=text_col
+        )
