@@ -341,7 +341,9 @@ def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
         # exchanges, one stage. The distributed branch below is the plan at
         # real scale.
         return counts.coalesce(1).sortWithinPartitions("doc_id")
-    return counts.orderBy("doc_id")
+    # distributed: ordered() barrier so the sort's range sample doesn't
+    # re-run the regexp scan chain (no exchange below it otherwise)
+    return ordered(counts, "doc_id")
 
 
 from vectrekker_spark.functions.tokenize import BPE_ISH_PATTERN as _BPE  # noqa: E402
