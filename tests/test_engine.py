@@ -31,6 +31,15 @@ def test_engine_knn_and_approx_agree_on_top_hit(spark, sf_dir):
     assert approx[0]["vec_id"] == 0 and approx[0]["rank"] == 1
 
 
+def test_engine_ivf_build_is_cached(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    b1 = eng.ivf_index(n_centroids=4)
+    b2 = eng.ivf_index(n_centroids=4)
+    assert b1 is b2  # one KMeans fit + assignment join per session, not per query
+    b3 = eng.ivf_index(n_centroids=8)
+    assert b3 is not b1  # different dials → different index
+
+
 def test_engine_embed_sugar(spark, sf_dir):
     eng = Engine(spark, sf_dir)
     df = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")

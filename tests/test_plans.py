@@ -81,11 +81,14 @@ def test_d12_serial_plan_has_zero_exchanges(spark, sf_dir):
 
 
 def test_ordered_barrier_sits_below_sort(spark, sf_dir):
-    # util.ordered must put a hash exchange (the barrier) below the range
+    # util.ordered must put a hash exchange (the barrier) BELOW the range
     # sort so sampling reads materialized shuffle output instead of
-    # re-running the chain.
+    # re-running the chain. formatted_plan's detail section lists nodes
+    # bottom-up by id, so the hash exchange (deeper) must appear BEFORE the
+    # range exchange; a regression that sorts first and repartitions after
+    # (re-introducing the sampling double-execution) reverses the order.
     from vectrekker_spark.queries.relational import q16_string_fns
 
-    plan = formatted_plan(q16_string_fns(spark, sf_dir))
-    assert "hashpartitioning" in plan.lower(), plan
-    assert "rangepartitioning" in plan.lower(), plan
+    plan = formatted_plan(q16_string_fns(spark, sf_dir)).lower()
+    assert "hashpartitioning" in plan and "rangepartitioning" in plan, plan
+    assert plan.index("hashpartitioning") < plan.index("rangepartitioning"), plan

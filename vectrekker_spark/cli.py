@@ -106,6 +106,18 @@ def cmd_search(args: argparse.Namespace) -> int:
         import pandas as pd
 
         vec = hash_embed_batch(pd.Series([args.text]))[0]
+        # --text embeds with the LOCAL hashing embedder; an index built with
+        # --embed-endpoint lives in a different (and differently-sized)
+        # embedding space. Fail fast on the dimension — knn_join's zip_with
+        # would otherwise null-pad and return NaN scores for every row.
+        probe = index.select(F.size("embedding").alias("d")).limit(1).collect()
+        if probe and probe[0]["d"] != len(vec):
+            print(
+                f"error: --text embeds to {len(vec)} dims but the index holds "
+                f"{probe[0]['d']}-dim vectors (built with an external embedder?). "
+                "Use --query-id, or re-index with the local embedder."
+            )
+            return 2
         q = spark.createDataFrame(
             [("query", vec)], "qid string, qvec array<double>"
         )

@@ -19,6 +19,7 @@ class Engine:
         self.spark = spark
         self.sf_dir = sf_dir
         self._tables = load_tables(spark, sf_dir)
+        self._ivf: dict = {}
         register_views(spark, sf_dir)
 
     def table(self, name: str) -> DataFrame:
@@ -38,16 +39,38 @@ class Engine:
 
         return knn_join(queries_df, self.table("embeddings"), k=k)
 
+    def ivf_index(self, n_centroids: int = 16, assign_k: int = 2):
+        """Build (or return the cached) IVF index for the embeddings table.
+        The build (KMeans fit + corpus-wide assignment join) is the expensive
+        part of approximate search — pay it once per session, not per query."""
+        key = (n_centroids, assign_k)
+        if key not in self._ivf:
+            from vectrekker_spark.operators.ann import ivf_build
+
+            centroids, assign = ivf_build(
+                self.table("embeddings"), n_centroids=n_centroids, assign_k=assign_k
+            )
+            self._ivf[key] = (centroids, assign.cache())
+        return self._ivf[key]
+
     def approx_knn(
-        self, queries_df: DataFrame, k: int = 10, n_centroids: int = 16, n_probe: int = 6
+        self,
+        queries_df: DataFrame,
+        k: int = 10,
+        n_centroids: int = 16,
+        n_probe: int = 6,
+        assign_k: int = 2,
     ) -> DataFrame:
         """IVF approximate kNN join (the scale path): kmeans cells with
-        multi-assignment; see operators/ann for the recall/cost dials."""
-        from vectrekker_spark.operators.ann import ivf_build, ivf_search
+        multi-assignment; see operators/ann for the recall/cost dials. The
+        build is cached on the engine (ivf_index), so repeated queries pay
+        only the probe."""
+        from vectrekker_spark.operators.ann import ivf_search
 
-        em = self.table("embeddings")
-        centroids, assign = ivf_build(em, n_centroids=n_centroids, assign_k=2)
-        return ivf_search(queries_df, em, centroids, assign, k=k, n_probe=n_probe)
+        centroids, assign = self.ivf_index(n_centroids, assign_k)
+        return ivf_search(
+            queries_df, self.table("embeddings"), centroids, assign, k=k, n_probe=n_probe
+        )
 
     def embed(self, df: DataFrame, embedder_factory=None, text_col: str = "text") -> DataFrame:
         """Append an `embedding` column via the pluggable Embedder protocol

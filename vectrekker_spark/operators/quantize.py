@@ -34,7 +34,7 @@ def quantize_int8(
     scale = max|x|/127; codes = round(x/scale) ∈ [-127, 127]. All-zero
     vectors get scale 0 and all-zero codes (dequantizes to zero exactly).
     """
-    scale = (_absmax(F.col(vec_col)) / F.lit(127.0)).alias(f"{out_col}_scale")
+    scale = _absmax(F.col(vec_col)) / F.lit(127.0)
     df = df.withColumn(f"{out_col}_scale", scale)
     codes = F.when(
         F.col(f"{out_col}_scale") == 0.0,
