@@ -106,8 +106,6 @@ def test_index_with_embed_endpoint(tmp_path, capsys, spark):
 def test_search_text_dim_mismatch_errors(tmp_path, capsys, spark):
     # a --text search (local 64-dim hashing embedder) against an index built
     # in a different-dimension space must fail fast, not return NaN scores
-    import pyspark.sql.functions as F
-
     index = str(tmp_path / "index")
     spark.createDataFrame(
         [("doc1", [1.0] * 8)], "id string, embedding array<double>"
