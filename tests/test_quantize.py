@@ -50,3 +50,29 @@ def test_storage_is_tinyint(spark, sf_dir):
     em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(5)
     q = quantize_int8(em)
     assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+
+
+def test_quantized_rerank_knn_recall_and_exact_scores(spark, sf_dir):
+    from vectrekker_spark.operators.ann import quantized_rerank_knn
+    from vectrekker_spark.operators.knn import knn_join
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {}
+    for r in knn_join(q, em, k=10).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    got, scores_by_pair = {}, {}
+    for r in quantized_rerank_knn(q, em, k=10).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+        scores_by_pair[(r["qid"], r["vec_id"])] = r["score"]
+    recall = sum(len(got[x] & exact[x]) for x in exact) / (10 * len(exact))
+    assert recall >= 0.9, recall
+    # stage-2 scores are FULL precision: identical to the exact join's
+    exact_scores = {
+        (r["qid"], r["vec_id"]): r["score"] for r in knn_join(q, em, k=10).collect()
+    }
+    shared = set(scores_by_pair) & set(exact_scores)
+    assert shared and all(scores_by_pair[p] == exact_scores[p] for p in shared)
+    em.unpersist()
