@@ -1,0 +1,137 @@
+"""Unit tests for the round-4 curation operators: hash split,
+decontamination, TF-IDF, PII redaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.text import redact_pii
+from vectrekker_spark.operators.decontaminate import (
+    contamination_report,
+    decontaminate,
+)
+from vectrekker_spark.operators.split import hash_split
+from vectrekker_spark.operators.tfidf import term_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- hash split -------------------------------------------------------------
+
+
+def test_split_fractions_and_determinism(spark):
+    n = 5000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["cnt"]
+        for r in hash_split(df, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    # md5 is uniform; 5000 draws keep each fraction within a loose band
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+    # deterministic: a second run and a repartitioned run agree row-for-row
+    a = sorted(hash_split(df, "doc_id").collect())
+    b = sorted(hash_split(df.repartition(7), "doc_id").collect())
+    assert a == b
+
+
+def test_split_salt_resamples_and_partitions_disjoint(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    v1 = dict(hash_split(df, "doc_id", salt="v1").collect())
+    v2 = dict(hash_split(df, "doc_id", salt="v2").collect())
+    moved = sum(1 for k in v1 if v1[k] != v2[k])
+    assert moved > 100  # a new salt is an independent resample
+    # every row lands in exactly one split (assignment is total)
+    assert all(v in ("train", "val", "test") for v in v1.values())
+
+
+def test_split_custom_weights_validated(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", weights={"a": 0.5, "b": 0.4})
+
+
+# --- decontamination --------------------------------------------------------
+
+BENCH_DOC = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+CLEAN_DOC = "one two three four five six seven eight nine ten eleven twelve"
+
+
+def test_contamination_detects_planted_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "prefix words then alpha beta gamma delta suffix tail here"),
+            (2, CLEAN_DOC),
+            (3, "unrelated text with zero overlap against anything benchmark"),
+        ],
+    )
+    bench = _docs(spark, [(100, BENCH_DOC)])
+    rep = {r["train_id"]: r for r in contamination_report(train, bench).collect()}
+    assert 1 in rep  # shares "alpha beta gamma" / "beta gamma delta"
+    assert rep[1]["n_shared_shingles"] >= 2
+    assert rep[1]["n_bench_docs"] == 1
+    assert 2 not in rep and 3 not in rep
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "zzz alpha beta gamma delta zzz pad pad pad pad pad pad"),
+            (2, CLEAN_DOC),
+        ],
+    )
+    bench = _docs(spark, [(100, BENCH_DOC)])
+    kept = [r["doc_id"] for r in decontaminate(train, bench).collect()]
+    assert kept == [2]
+
+
+# --- TF-IDF -----------------------------------------------------------------
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common common common rare"),
+            (2, "common common"),
+            (3, "common other"),
+        ],
+    )
+    scores = {r["term"]: r for r in term_scores(docs).collect()}
+    assert scores["common"]["df"] == 3 and scores["common"]["total_tf"] == 6
+    assert scores["rare"]["df"] == 1
+    # idf damping: rare (df=1) gets sqrt(3)≈1.732 weight, common gets 1.0
+    assert scores["rare"]["tfidf"] == pytest.approx(3**0.5, abs=1e-6)
+    assert scores["common"]["tfidf"] == pytest.approx(6.0, abs=1e-6)
+    # min_df filter drops singletons
+    filtered = {r["term"] for r in term_scores(docs, min_df=2).collect()}
+    assert "rare" not in filtered and "common" in filtered
+
+
+# --- PII redaction ----------------------------------------------------------
+
+
+def test_redact_pii_emails_and_phones(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "reach me at jane.doe+x@sub.example.org or +44 20 7946 0958 ok"),
+            (2, "no pii here at all just words"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["red"]
+        for r in df.select("doc_id", redact_pii("text").alias("red")).collect()
+    }
+    assert out[1] == "reach me at <EMAIL> or <PHONE> ok"
+    assert out[2] == "no pii here at all just words"

@@ -106,6 +106,34 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+# PII scrubbing (north-star curation surface): regex redaction of the two
+# highest-frequency PII shapes in web corpora. Patterns are deliberately kept
+# to the syntax subset where Java regex (Spark) and RE2 (DuckDB) agree —
+# character classes, bounded/greedy quantifiers, no backrefs/lookaround — so
+# the oracle can run the identical pattern. Pure Catalyst expressions: the
+# scrub is a narrow map that survives any scale.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 -]{7,}[0-9]"
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit/funnel metrics."""
+    t = _c(text)
+    return (
+        F.regexp_count(t, F.lit(EMAIL_RE)),
+        F.regexp_count(t, F.lit(PHONE_RE)),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails then phone numbers with typed placeholder tags.
+    Order matters (emails first) and is mirrored in the SQL oracle."""
+    t = _c(text)
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
 def token_hash32(tok: Column) -> Column:
     """Deterministic 32-bit token hash shared with the DuckDB oracle:
     first 8 hex digits of md5, as a bigint. Spark `conv(substr(md5(x),1,8),16,10)`

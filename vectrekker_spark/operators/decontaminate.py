@@ -1,0 +1,98 @@
+"""Benchmark decontamination: flag training documents that share word n-gram
+shingles with a held-out benchmark/eval set.
+
+This is the standard guard against train/test contamination in LLM data
+pipelines: an eval example whose n-grams appear in the training corpus can be
+memorized rather than generalized, so curation drops (or at least flags)
+training docs with shingle overlap against every benchmark suite.
+
+Scale shape (the part that matters at 100 TB):
+- Each side explodes to (doc_id, shingle_hash) rows — a narrow 16-byte
+  stream; the raw text never shuffles.
+- Shingles are hashed to 64-bit ints (md5-prefix, shared with the MinHash
+  kernel) BEFORE the join, so the shuffle key is fixed-width and the join is
+  a plain shuffled hash join on longs. The benchmark side is normally tiny
+  relative to training (GBs vs TBs) → Spark broadcasts it and the training
+  side never shuffles at all.
+- Dedup per (doc, shingle) happens map-side via array_distinct inside the
+  shingle expression, before the explode, so hot shingles don't amplify rows.
+- Output is per-training-doc counts (distinct shared shingles, distinct
+  benchmark docs hit) — the caller joins it back as an anti-join to drop, or
+  keeps it as an audit table.
+
+Hash-collision caveat: overlap is computed on 32-bit md5-prefix hashes, so a
+collision can flag a false shared shingle (~n²/2³² per doc pair) — fine for
+contamination screening, where false positives only over-drop. The DuckDB
+oracle uses the identical hash, so both engines agree bit-for-bit.
+
+Reference scope note: the reference (vectrekker/main.py) has no dedup or
+decontamination surface; north-star training-pipeline addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.text import token_hash32, word_shingles
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle_hash) rows: distinct word k-gram shingles per doc, hashed
+    to 64-bit ints map-side. The only wide column (text) dies before any
+    shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, k)).alias("__sh"),
+    ).select(id_col, token_hash32(F.col("__sh")).alias("shingle_hash"))
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-training-doc contamination counts vs the benchmark set.
+
+    Returns (train_id, n_shared_shingles, n_bench_docs) for training docs with
+    ≥1 shared shingle. The benchmark side is the small one — Spark's size
+    estimate broadcasts it; at cluster scale pass a pre-aggregated benchmark
+    shingle table and the training side stays shuffle-free.
+    """
+    t = shingle_hashes(train, id_col, text_col, k).withColumnRenamed(
+        id_col, "train_id"
+    )
+    b = shingle_hashes(bench, id_col, text_col, k).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    return (
+        t.join(b, "shingle_hash")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("shingle_hash").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Drop training docs sharing more than `max_shared` distinct shingles
+    with the benchmark set (default: any overlap drops). Anti-join on the
+    report keeps the pipeline set-oriented — no collects."""
+    bad = (
+        contamination_report(train, bench, id_col, text_col, k)
+        .filter(F.col("n_shared_shingles") > max_shared)
+        .select(F.col("train_id").alias(id_col))
+    )
+    return train.join(bad, id_col, "left_anti")

@@ -30,13 +30,20 @@ class QuerySpec:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    from vectrekker_spark.queries import pipeline, relational, text, tpch, vector
+    from vectrekker_spark.queries import (
+        curation,
+        pipeline,
+        relational,
+        text,
+        tpch,
+        vector,
+    )
 
     specs: dict[str, QuerySpec] = {}
     # tpch first: round-1 driver CORRECTNESS recorded exactly 50 rows in
     # registry insertion order, dropping the tail (t03/t05/t10). Front-load
     # the previously-unproven specs so any cap hits well-proven ones instead.
-    for mod in (tpch, relational, vector, text, pipeline):
+    for mod in (tpch, relational, vector, text, curation, pipeline):
         for s in mod.SPECS:
             if s.name in specs:
                 raise ValueError(f"duplicate query name {s.name}")

@@ -1,0 +1,151 @@
+"""Training-data curation queries d18–d21 (north-star pipeline surface):
+deterministic train/val/test splitting, benchmark decontamination, TF-IDF
+term weighting, and PII redaction. The reference (vectrekker/main.py) has no
+curation surface at all — these are the operations a 100 TB pretraining
+pipeline runs between raw scrape and tokenizer, each expressed as narrow
+scans + one aggregation so they survive cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions import text as T
+from vectrekker_spark.operators.decontaminate import contamination_report
+from vectrekker_spark.operators.split import hash_split, split_case_sql
+from vectrekker_spark.operators.tfidf import top_terms
+from vectrekker_spark.queries import QuerySpec
+from vectrekker_spark.queries.util import ordered, tbp, token_hash_sql, tokens_sql
+
+LTOKS = tokens_sql("lower(text)")
+
+
+def d18_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Salted-hash split assignment (operators/split.py) + per-split stats.
+    # The assignment itself is a pure narrow map — the only shuffle here is
+    # the 3-group rollup for the check.
+    d = tbp(spark, sf, "documents")
+    s = hash_split(d, "doc_id")
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+D18_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars, {split_case_sql('doc_id')} AS split
+  FROM documents)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+def d19_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Word-3-gram shingle-hash overlap between a synthetic "benchmark" slice
+    # (doc_id % 20 == 0) and the rest of the corpus as training side.
+    d = tbp(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return ordered(contamination_report(train, bench), "train_id")
+
+
+_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(0, greatest(len({LTOKS}) - 3, 0)), "
+    f"i -> array_to_string(({LTOKS})[i+1:i+3], ' ')))"
+)
+D19_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform({_SHINGLES}, s -> {token_hash_sql('s')}))
+           AS shingle_hash
+  FROM documents),
+t AS (SELECT doc_id AS train_id, shingle_hash FROM sh WHERE doc_id % 20 <> 0),
+b AS (SELECT doc_id AS bench_id, shingle_hash FROM sh WHERE doc_id % 20 = 0)
+SELECT train_id, COUNT(DISTINCT t.shingle_hash) AS n_shared_shingles,
+       COUNT(DISTINCT bench_id) AS n_bench_docs
+FROM t JOIN b USING (shingle_hash)
+GROUP BY train_id ORDER BY train_id
+"""
+
+
+def d20_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    # Top-100 corpus terms by sqrt-damped TF-IDF (operators/tfidf.py explains
+    # why sqrt idf and not ln: cross-engine IEEE determinism).
+    return top_terms(tbp(spark, sf, "documents"), k=100, min_df=2)
+
+
+D20_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({LTOKS}) AS term FROM documents),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS total_tf,
+              COUNT(DISTINCT doc_id) AS df
+       FROM tok WHERE term <> '' GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT term, df, total_tf,
+       ROUND(total_tf * sqrt(n_docs::DOUBLE / df), 6) AS tfidf
+FROM tf CROSS JOIN n
+WHERE df >= 2
+ORDER BY tfidf DESC, term LIMIT 100
+"""
+
+
+def d21_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    # The fixture corpus is synthetic and PII-free, so the query plants a
+    # deterministic email+phone on every 7th doc IN BOTH ENGINES, then
+    # redacts — making the scrub observable (counts > 0, md5s change) while
+    # staying oracle-checkable.
+    d = tbp(spark, sf, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1 202 555 0199 now"),
+        ),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", injected.alias("__t"))
+    n_emails, n_phones = T.pii_counts(F.col("__t"))
+    return base.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(T.redact_pii(F.col("__t"))).alias("redacted_md5"),
+    ).transform(lambda d: ordered(d, "doc_id"))
+
+
+D21_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || doc_id
+                   || '@example.com or call +1 202 555 0199 now'
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{T.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{T.PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{T.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM inj ORDER BY doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("d18_hash_split", d18_hash_split, D18_SQL, ("curation",),
+              "deterministic salted-hash train/val/test split + stats"),
+    QuerySpec("d19_decontaminate", d19_decontaminate, D19_SQL,
+              ("curation", "dedup"),
+              "benchmark decontamination via word-3-gram shingle overlap"),
+    QuerySpec("d20_tfidf", d20_tfidf, D20_SQL, ("curation",),
+              "top-100 corpus terms by sqrt-damped TF-IDF"),
+    QuerySpec("d21_pii_redact", d21_pii_redact, D21_SQL, ("curation",),
+              "regex PII scrub (emails/phones) with planted fixtures"),
+]

@@ -556,40 +556,6 @@ ORDER BY shape, key
 """
 
 
-def d15_unpivot(spark: SparkSession, sf: str) -> DataFrame:
-    # wide → long (melt): per-priority order stats as (priority, metric, value)
-    o = tb(spark, sf, "orders")
-    wide = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("double").alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("revenue"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-    )
-    return wide.unpivot(
-        "o_orderpriority",
-        ["n_orders", "revenue", "min_price", "max_price"],
-        "metric",
-        "value",
-    ).orderBy("o_orderpriority", "metric")
-
-
-D15_SQL = """
-WITH wide AS (
-  SELECT o_orderpriority,
-         CAST(COUNT(*) AS DOUBLE) AS n_orders,
-         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
-         ROUND(MIN(o_totalprice), 2) AS min_price,
-         ROUND(MAX(o_totalprice), 2) AS max_price
-  FROM orders GROUP BY o_orderpriority)
-SELECT o_orderpriority, metric, value FROM (
-  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
-  UNION ALL SELECT o_orderpriority, 'revenue', revenue FROM wide
-  UNION ALL SELECT o_orderpriority, 'min_price', min_price FROM wide
-  UNION ALL SELECT o_orderpriority, 'max_price', max_price FROM wide)
-ORDER BY o_orderpriority, metric
-"""
-
-
 def d16_map_fns(spark: SparkSession, sf: str) -> DataFrame:
     # map construction + lookup + keys (Spark-side; the oracle computes the
     # same values without the map detour — documented dialect pair)
@@ -615,7 +581,6 @@ FROM documents ORDER BY doc_id
 
 SPECS = [
     QuerySpec("q01_project", q01_project, Q01_SQL, ("relational",), "scan+project+computed col"),
-    QuerySpec("d15_unpivot", d15_unpivot, D15_SQL, ("relational",), "unpivot/melt wide→long"),
     QuerySpec("d16_map_fns", d16_map_fns, D16_SQL, ("relational",), "map construct/lookup/keys"),
     QuerySpec("q02_filter", q02_filter, Q02_SQL, ("relational",), "predicate pushdown filter"),
     QuerySpec("q03_agg", q03_agg, Q03_SQL, ("relational",), "TPC-H Q1-shape hash aggregate"),

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist, l2_normalize, norm
+from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist, norm
 from vectrekker_spark.operators.knn import knn_join, similarity_join_blas
 from vectrekker_spark.queries import QuerySpec
 from vectrekker_spark.queries.util import (
@@ -152,14 +152,30 @@ ORDER BY doc_id, bucket
 """
 
 
-def q21_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
+def q21_vector_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    # Pairwise metrics + per-vector norms in ONE spec (former q21_pair_metrics
+    # + q24_norms, merged under the 50-query cap): left join each vector to
+    # its successor — cos/dot/L2 on the pair (NULL for the last vec_id, which
+    # also exercises outer-join null handling over array columns), plus dim
+    # check, L2 norm, and first normalized component per vector.
+    # norm materialized once per row — the aggregate() expr is interpreted
+    # (not codegen), so computing it 3× (norm, normalize, divide) tripled cost
     em = tbp(spark, sf, "embeddings")
-    e1 = em.select(F.col("vec_id"), F.col("embedding").alias("a"))
-    e2 = em.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("b"))
+    base = em.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        norm("embedding").alias("__n"),
+        F.element_at("embedding", 1).cast("double").alias("__e0"),
+        F.col("embedding").alias("a"),
+    )
+    nxt = em.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("b"))
     return (
-        e1.join(e2, "vec_id")
+        base.join(nxt, "vec_id", "left")
         .select(
             "vec_id",
+            "dim",
+            F.round("__n", 6).alias("l2_norm"),
+            F.round(F.col("__e0") / F.col("__n"), 6).alias("unit0"),
             F.round(cosine_sim("a", "b"), 6).alias("cos_sim"),
             F.round(dot("a", "b"), 6).alias("dot_prod"),
             F.round(l2_dist("a", "b"), 6).alias("l2_distance"),
@@ -169,11 +185,13 @@ def q21_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q21_SQL = f"""
-SELECT e1.vec_id AS vec_id,
+SELECT e1.vec_id AS vec_id, len(e1.embedding) AS dim,
+       ROUND(sqrt({normsq_sql('e1.embedding')}), 6) AS l2_norm,
+       ROUND(e1.embedding[1]::DOUBLE / sqrt({normsq_sql('e1.embedding')}), 6) AS unit0,
        ROUND({cosine_sql('e1.embedding', 'e2.embedding')}, 6) AS cos_sim,
        ROUND({dot_sql('e1.embedding', 'e2.embedding')}, 6) AS dot_prod,
        ROUND({l2_sql('e1.embedding', 'e2.embedding')}, 6) AS l2_distance
-FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+FROM embeddings e1 LEFT JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
 ORDER BY vec_id
 """
 
@@ -222,32 +240,6 @@ SELECT qid, vec_id, score, rank FROM (
 """
 
 
-def q24_norms(spark: SparkSession, sf: str) -> DataFrame:
-    # norm materialized once per row — the aggregate() expr is interpreted
-    # (not codegen), so computing it 3× (norm, normalize, divide) tripled cost
-    em = tbp(spark, sf, "embeddings")
-    base = em.select(
-        "vec_id",
-        F.size("embedding").cast("long").alias("dim"),
-        norm("embedding").alias("__n"),
-        F.element_at("embedding", 1).cast("double").alias("__e0"),
-    )
-    return base.select(
-        "vec_id",
-        "dim",
-        F.round("__n", 6).alias("l2_norm"),
-        F.round(F.col("__e0") / F.col("__n"), 6).alias("unit0"),
-    ).transform(lambda d: ordered(d, "vec_id"))
-
-
-Q24_SQL = f"""
-SELECT vec_id, len(embedding) AS dim,
-       ROUND(sqrt({normsq_sql('embedding')}), 6) AS l2_norm,
-       ROUND(embedding[1]::DOUBLE / sqrt({normsq_sql('embedding')}), 6) AS unit0
-FROM embeddings ORDER BY vec_id
-"""
-
-
 def q28_sim_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Embedding-space near-dup pairs (L6). Fixture max pairwise cosine at
     # sf0.01 is ~0.51, so threshold 0.40 yields a non-trivial result set.
@@ -274,14 +266,12 @@ ORDER BY l_id, r_id
 SPECS = [
     QuerySpec("q20_hash_embed_udf", q20_hash_embed_udf, Q20_SQL, ("vector", "udf"),
               "Arrow pandas_udf hashing embedder vs pure-SQL oracle"),
-    QuerySpec("q21_pair_metrics", q21_pair_metrics, Q21_SQL, ("vector",),
-              "cosine/dot/L2 between consecutive embeddings"),
+    QuerySpec("q21_vector_metrics", q21_vector_metrics, Q21_SQL, ("vector",),
+              "cosine/dot/L2 vs successor + norm/dim-check per vector"),
     QuerySpec("q22_topk_nn", q22_topk_nn, Q22_SQL, ("vector",),
               "exact top-10 cosine NN of vec 0 (the reference's implied query)"),
     QuerySpec("q23_knn_join", q23_knn_join, Q23_SQL, ("vector",),
               "batch 5-NN join for 20 query vectors"),
-    QuerySpec("q24_norms", q24_norms, Q24_SQL, ("vector",),
-              "L2 norm, dim check, normalize"),
     QuerySpec("q28_sim_dedup", q28_sim_dedup, Q28_SQL, ("vector", "dedup"),
               "embedding-cosine near-dup pairs over threshold"),
 ]
