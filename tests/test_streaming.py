@@ -73,3 +73,36 @@ def test_dedup_within_watermark(spark, events_dir, tmp_path):
     run_available_now(deduped, str(tmp_path / "ckpt3"), "stream_dedup")
     got = spark.table("stream_dedup")
     assert got.count() == t.num_rows  # every planted duplicate dropped
+
+
+def test_interval_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    # ST6: stream-stream interval join drained availableNow must equal the
+    # batch bounded-follow self-join on the same events (q09 semantics).
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.streaming.jobs import interval_join
+
+    d, _ = events_dir
+    left = read_events_stream(spark, str(d))
+    right = read_events_stream(spark, str(d))
+    joined = interval_join(left, right).select("l_event_id", "r_event_id")
+    run_available_now(joined, str(tmp_path / "ckpt_ij"), "stream_ij")
+    got = rows_of(spark.table("stream_ij"))
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = rows_of(
+        e.alias("l")
+        .join(
+            e.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .select(
+            F.col("l.event_id").alias("l_event_id"),
+            F.col("r.event_id").alias("r_event_id"),
+        )
+    )
+    assert len(got) > 0 and got == want

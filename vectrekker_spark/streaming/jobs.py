@@ -10,6 +10,7 @@ diffing mtimes against SQLite (`README.md:27,36`; `vectrekker/main.py:
 - ST4: `dropDuplicatesWithinWatermark` for stateful dedup.
 - ST5: `foreachBatch` + idempotent MERGE = the reference's
   upsert-then-mark-state ordering, per micro-batch.
+- ST6: stream-stream interval join with watermark-bounded state.
 
 All builders return unstarted DataFrames/writers so tests can attach
 `trigger(availableNow=True)` and a temp checkpoint.
@@ -90,6 +91,41 @@ def dedup_within_watermark(
     """ST4: stateful streaming dedup bounded by the watermark."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    window_seconds: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST6: stream-stream interval join — for each left event, right events
+    of the same key strictly after it and within `window_seconds` (the
+    streaming twin of q09_range_join's bounded-follow semantics).
+
+    Both sides carry a watermark so Spark can bound the join state: a left
+    row is held only until the watermark passes `left.ts + window`, then
+    evicted — the state store stays O(events within the watermark horizon)
+    instead of growing forever. At 100 TB/day this bound is the difference
+    between a runnable job and an OOM: watermark delay × event rate sizes
+    the store, independent of total history.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")),
+        "inner",
+    ).select(
+        F.col("l.event_id").alias("l_event_id"),
+        F.col(f"l.{key}").alias(key),
+        F.col("r.event_id").alias("r_event_id"),
+        F.col("l.ts").alias("l_ts"),
+        F.col("r.ts").alias("r_ts"),
     )
 
 
