@@ -1,5 +1,8 @@
 """Bucketed-table plan assertions: the write-once-join-forever shuffle
-elimination that carries fact-fact joins at 100 TB (sources/bucketing.py)."""
+elimination that carries fact-fact joins at 100 TB (sources/sinks.py
+write_bucketed/colocated_join). Complements test_sinks.py's self-join check
+with cross-table co-location, agg distribution reuse, bucket pruning, and a
+value-parity check against the plain join."""
 
 from __future__ import annotations
 
@@ -7,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vectrekker_spark.plans import formatted_plan, shuffle_count
-from vectrekker_spark.sources.bucketing import colocated_join, write_bucketed
+from vectrekker_spark.sources.sinks import colocated_join, write_bucketed
 
 N_BUCKETS = 8
 

@@ -26,16 +26,49 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 16,
     mode: str = "overwrite",
-) -> None:
-    """Persist as a bucketed, sorted managed table. Joins/aggregations on
-    `bucket_col` between same-bucketed tables skip the shuffle entirely."""
-    (
-        df.write.mode(mode)
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    path: str | None = None,
+    sort: bool = True,
+) -> str:
+    """Persist as a bucketed (optionally in-bucket-sorted) parquet table.
+
+    Joins/aggregations on `bucket_col` between same-bucketed tables skip the
+    shuffle entirely — the one write-time shuffle is amortized over every
+    later join on the key, the single biggest shuffle win available at
+    100 TB. Point/IN filters on the bucket key also prune buckets at scan
+    time (`SelectedBucketsCount` in the plan — requires
+    `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` for plans
+    with no join/agg, see tests/test_bucketing.py).
+
+    Sizing at scale: N ≈ table_bytes / 256 MB, shared by every table that
+    joins on the key (matching counts required, or a divisor via
+    `spark.sql.bucketing.coalesceBucketsInJoin.enabled`). ``path`` makes the
+    table external (data at the given location). Returns the table name.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return table
+
+
+def colocated_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key.
+
+    The merge hint pins SortMergeJoin so the bucket layout is actually used:
+    on small local fixtures Spark would otherwise pick a broadcast join
+    (also shuffle-free, but proving nothing about co-location); at real
+    scale neither side fits broadcast and SMJ is what the optimizer picks
+    anyway, with zero Exchange thanks to the matching bucketing.
+    """
+    return spark.table(left_table).hint("merge").join(spark.table(right_table), on, how)
 
 
 def write_index(df: DataFrame, table: str, n_buckets: int = 16) -> None:
