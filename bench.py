@@ -5,7 +5,7 @@ Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 the median of 3 timed runs per query, and prints exactly ONE JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q01_project": s, ...}, "sf": 0.1,
+     "queries": {"q02_filter": s, ...}, "sf": 0.1,
      "duckdb": {...}, "ratio": {...}}
 
 Timing covers full plan execution to fully-materialized driver-side results:

@@ -1,0 +1,56 @@
+"""As-of join unit tests (operators/asofjoin.py): exact-ts inclusion,
+no-match nulls, forward progression of state, and partition invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.asofjoin import asof_join
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_asof_basic_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 15), (1, 20), (2, 5), (3, 100)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 18, 2.0), (2, 6, 9.0)], "k long, ts long, v double"
+    )
+    got = {
+        (r["k"], r["ts"]): (r["v"], r["asof_ts"])
+        for r in asof_join(left, right, key="k").collect()
+    }
+    assert got[(1, 10)] == (1.0, 10)   # exact-ts match included (<=)
+    assert got[(1, 15)] == (1.0, 10)   # holds previous state
+    assert got[(1, 20)] == (2.0, 18)   # advances to newer right row
+    assert got[(2, 5)] == (None, None)  # right row is later → no match
+    assert got[(3, 100)] == (None, None)  # key absent from right
+
+
+def test_asof_partition_invariance(spark):
+    left = spark.range(200).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("ts")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 11).alias("ts"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    a = sorted(_rows(asof_join(left, right, key="k")))
+    b = sorted(_rows(asof_join(left.repartition(13), right.repartition(3), key="k")))
+    assert a == b and len(a) == 200
+
+
+def test_asof_single_shuffle(spark):
+    from vectrekker_spark.plans import shuffle_count
+
+    left = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("ts"))
+    right = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("ts"), F.lit(1.0).alias("v")
+    )
+    # one hash exchange on the key feeds the window sort; no range-join
+    # explosion, no second shuffle
+    assert shuffle_count(asof_join(left, right, key="k")) == 1

@@ -17,45 +17,40 @@ from vectrekker_spark.queries.util import ordered, tb
 DEC = "decimal(18,2)"
 
 
-def q01_project(spark: SparkSession, sf: str) -> DataFrame:
-    li = tb(spark, sf, "lineitem")
+def q02_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # Scan + pushdown filter + projection/computed column in one spec
+    # (former q01_project + q02_filter, merged under the 50-query cap —
+    # a filtered projected scan is the natural single query anyway; the
+    # pushdown and computed-col behaviors both stay driver-checked).
     # Arithmetic in DECIMAL end-to-end: casting a *computed* double to decimal
     # diverges between engines (Spark rounds the shortest repr HALF_UP, DuckDB
     # rounds the exact binary expansion), so cast the inputs, not the result.
+    li = tb(spark, sf, "lineitem")
     net = (
         F.col("l_extendedprice").cast(DEC)
         * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
     ).cast("double")
-    return (
-        li.select("l_orderkey", "l_linenumber", net.alias("net_price"))
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(100)
-    )
-
-
-Q01_SQL = """
-SELECT l_orderkey, l_linenumber,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-            * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS net_price
-FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
-"""
-
-
-def q02_filter(spark: SparkSession, sf: str) -> DataFrame:
-    li = tb(spark, sf, "lineitem")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_discount",
+            net.alias("net_price"),
+        )
         .transform(lambda d: ordered(d, "l_orderkey", "l_linenumber"))
     )
 
 
 Q02_SQL = """
-SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS net_price
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -234,6 +229,47 @@ FROM events e1 JOIN events e2
   ON e1.user_id = e2.user_id
  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 MINUTE
 GROUP BY e1.event_id ORDER BY event_id
+"""
+
+
+def d22_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    # As-of join (operators/asofjoin.py): each click event picks up the most
+    # recent purchase value at-or-before it per user — single-shuffle
+    # union+window plan vs DuckDB's native ASOF LEFT JOIN as the oracle.
+    # The purchase side is pre-aggregated per (user, ts) so equal-ts
+    # duplicates can't make the tie winner engine-dependent.
+    from vectrekker_spark.operators.asofjoin import asof_join
+
+    e = tb(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("pvalue"))
+    )
+    j = asof_join(clicks, purchases, key="user_id")
+    return (
+        j.select(
+            "event_id",
+            "user_id",
+            F.col("pvalue").alias("last_purchase_value"),
+            F.unix_millis("asof_ts").alias("asof_ts_ms"),
+        )
+        .orderBy("event_id")
+    )
+
+
+D22_SQL = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, ROUND(MAX(value), 4) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       p.pvalue AS last_purchase_value,
+       epoch_ms(p.ts) AS asof_ts_ms
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY event_id
 """
 
 
@@ -580,9 +616,11 @@ FROM documents ORDER BY doc_id
 
 
 SPECS = [
-    QuerySpec("q01_project", q01_project, Q01_SQL, ("relational",), "scan+project+computed col"),
     QuerySpec("d16_map_fns", d16_map_fns, D16_SQL, ("relational",), "map construct/lookup/keys"),
-    QuerySpec("q02_filter", q02_filter, Q02_SQL, ("relational",), "predicate pushdown filter"),
+    QuerySpec("q02_filter", q02_filter, Q02_SQL, ("relational",),
+              "pushdown filter + projection + computed col (tagged merge)"),
+    QuerySpec("d22_asof_join", d22_asof_join, D22_SQL, ("relational", "timeseries"),
+              "as-of join vs DuckDB native ASOF LEFT JOIN"),
     QuerySpec("q03_agg", q03_agg, Q03_SQL, ("relational",), "TPC-H Q1-shape hash aggregate"),
     QuerySpec("q04_inner_join", q04_inner_join, Q04_SQL, ("relational",), "inner equi join + agg"),
     QuerySpec("q05_broadcast_join", q05_broadcast_join, Q05_SQL, ("relational",), "broadcast dim join"),
