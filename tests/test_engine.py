@@ -45,3 +45,32 @@ def test_engine_embed_sugar(spark, sf_dir):
     df = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")
     out = eng.embed(df).collect()
     assert len(out[0]["embedding"]) == 64
+
+
+def test_engine_curation_sugar(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, sf_dir)
+    docs = eng.table("documents")
+    # split covers every row with the three default labels
+    splits = {r["split"] for r in eng.split(docs).select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    # decontaminate returns a subset of train
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    kept = eng.decontaminate(train, bench)
+    assert kept.count() <= train.count()
+    # top_terms ranked and bounded
+    terms = eng.top_terms(docs, k=5).collect()
+    assert len(terms) == 5 and terms[0]["tfidf"] >= terms[-1]["tfidf"]
+    # redaction replaces the text column in place
+    pii = spark.createDataFrame([(1, "mail me: a.b@example.com")], "id long, text string")
+    assert eng.redact_pii(pii).collect()[0]["text"] == "mail me: <EMAIL>"
+
+
+def test_engine_asof_sugar(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 5, 2.5)], "k long, ts long, v double")
+    row = eng.asof_join(left, right, key="k").collect()[0]
+    assert row["v"] == 2.5 and row["asof_ts"] == 5

@@ -80,3 +80,41 @@ class Engine:
         return embed_column(
             df, embedder_factory or (lambda: HashingEmbedder()), text_col=text_col
         )
+
+    def split(self, df: DataFrame, id_col: str = "doc_id", **kw) -> DataFrame:
+        """Deterministic salted-hash train/val/test split (operators/split)."""
+        from vectrekker_spark.operators.split import hash_split
+
+        return hash_split(df, id_col, **kw)
+
+    def decontaminate(
+        self, train: DataFrame, bench: DataFrame, **kw
+    ) -> DataFrame:
+        """Drop training docs sharing n-gram shingles with a benchmark set
+        (operators/decontaminate)."""
+        from vectrekker_spark.operators.decontaminate import decontaminate
+
+        return decontaminate(train, bench, **kw)
+
+    def asof_join(
+        self, left: DataFrame, right: DataFrame, key: str, **kw
+    ) -> DataFrame:
+        """Most-recent-state time-series join (operators/asofjoin)."""
+        from vectrekker_spark.operators.asofjoin import asof_join
+
+        return asof_join(left, right, key, **kw)
+
+    def top_terms(self, df: DataFrame, k: int = 100, **kw) -> DataFrame:
+        """Corpus TF-IDF top terms (operators/tfidf)."""
+        from vectrekker_spark.operators.tfidf import top_terms
+
+        return top_terms(df, k=k, **kw)
+
+    def redact_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """Replace emails/phones in `text_col` with placeholder tags
+        (functions/text.redact_pii), in place of the original column."""
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.functions.text import redact_pii
+
+        return df.withColumn(text_col, redact_pii(F.col(text_col)))
