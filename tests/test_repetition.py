@@ -1,0 +1,71 @@
+"""Repetition quality metrics (operators/repetition.py): hand-computed
+fractions on planted docs, the zero-gram edge case, and the Gopher-style
+threshold filter. Oracle parity for d23_repetition runs in test_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectrekker_spark.operators.repetition import (
+    filter_repetitive,
+    repetition_report,
+)
+
+DOCS = [
+    (1, "buy now buy now buy now"),  # heavy 2/3-gram repetition
+    (2, "alpha beta gamma delta epsilon zeta"),  # clean prose stand-in
+    (3, "one\ntwo\ntwo\ntwo"),  # duplicate lines
+    (4, "hi"),  # fewer tokens than any k: no grams at all
+]
+
+
+@pytest.fixture(scope="module")
+def report(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in repetition_report(df).collect()}
+
+
+def test_gram_fractions(report):
+    # doc 1: 2-grams = [buy now]*3 + [now buy]*2 → top 3/5, dup (3+2)/5;
+    # 3-grams = [buy now buy]*2 + [now buy now]*2 → dup 4/4.
+    assert report[1]["top2gram_frac"] == pytest.approx(0.6)
+    assert report[1]["dup3gram_frac"] == 1.0
+    # doc 2: 5 distinct 2-grams → top 1/5, no dup 3-grams.
+    assert report[2]["top2gram_frac"] == pytest.approx(0.2)
+    assert report[2]["dup3gram_frac"] == 0.0
+
+
+def test_dup_line_fraction(report):
+    assert report[3]["dup_line_frac"] == pytest.approx(0.5)  # 1 - 2/4
+    assert report[1]["dup_line_frac"] == 0.0  # single line
+
+
+def test_no_grams_edge(report):
+    # 1 token < k → empty gram stream → fractions coalesce to 0, not null.
+    assert report[4]["top2gram_frac"] == 0.0
+    assert report[4]["dup3gram_frac"] == 0.0
+    assert report[4]["dup_line_frac"] == 0.0
+
+
+def test_filter_repetitive(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in filter_repetitive(df).select("doc_id").collect()}
+    # doc1 breaches top2 (0.6 > 0.2) and dup3 (1.0 > 0.6); doc3 breaches top2
+    # (2/3) — doc2 sits exactly AT the 0.2 threshold (not >) and survives.
+    assert kept == {2, 4}
+
+
+def test_filter_rules_can_be_disabled(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    kept = {
+        r["doc_id"]
+        for r in filter_repetitive(
+            df,
+            max_dup_line_frac=None,
+            max_top2gram_frac=None,
+            max_dup3gram_frac=0.6,
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == {2, 3, 4}  # only doc1's dup3=1.0 breaches

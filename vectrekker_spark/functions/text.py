@@ -106,6 +106,36 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def word_grams(text: Column | str, k: int) -> Column:
+    """NON-distinct word k-grams of the lowercased text, in order. Repetition
+    analysis needs multiplicity, so unlike ``word_shingles`` nothing is
+    deduplicated and a text with fewer than k tokens yields an EMPTY array
+    (not a short shingle). DuckDB twin: ``list_transform(generate_series(0,
+    len(toks)-k), i -> array_to_string(toks[i+1:i+k], ' '))`` — DuckDB's
+    generate_series is empty for a negative stop, matching the guard here."""
+    tok = tokens(F.lower(_c(text)))
+    n = F.size(tok)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines that are duplicates of an earlier line: 1 -
+    distinct/total over the '\\n'-split lines (0.0 for single-line text).
+    One of the standard repetition quality gates for web corpora."""
+    lines = F.split(_c(text), "\n")
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+        6,
+    )
+
+
 # PII scrubbing (north-star curation surface): regex redaction of the two
 # highest-frequency PII shapes in web corpora. Patterns are deliberately kept
 # to the syntax subset where Java regex (Spark) and RE2 (DuckDB) agree —

@@ -175,37 +175,38 @@ ORDER BY side, c_custkey
 """
 
 
-def q07_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+def q07_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Semi (EXISTS) and anti (NOT EXISTS) joins as one tagged union — merged
+    # into a single spec to keep the registry under the driver's 50-query cap
+    # while keeping both join types driver-checked. The anti half is the
+    # reference's incremental-delta shape (D1): rows with no match in the
+    # other side (vectrekker/main.py:143-147 ≙ scan ANTI JOIN state).
     c, o = tb(spark, sf, "customer"), tb(spark, sf, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .transform(lambda d: ordered(d, "c_custkey"))
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+    )
+    p, li = tb(spark, sf, "part"), tb(spark, sf, "lineitem")
+    anti = p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        F.lit("anti").alias("side"),
+        F.col("p_partkey").alias("entity_key"),
+        F.col("p_name").alias("entity_name"),
+    )
+    return semi.unionByName(anti).transform(
+        lambda d: ordered(d, "side", "entity_key")
     )
 
 
 Q07_SQL = """
-SELECT c_custkey, c_name FROM customer c
+SELECT 'semi' AS side, c_custkey AS entity_key, c_name AS entity_name
+FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-ORDER BY c_custkey
-"""
-
-
-def q08_anti_join(spark: SparkSession, sf: str) -> DataFrame:
-    # The reference's incremental-delta shape (D1): rows with no match in the
-    # other side (vectrekker/main.py:143-147 ≙ scan ANTI JOIN state).
-    p, li = tb(spark, sf, "part"), tb(spark, sf, "lineitem")
-    return (
-        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
-        .select("p_partkey", "p_name")
-        .transform(lambda d: ordered(d, "p_partkey"))
-    )
-
-
-Q08_SQL = """
-SELECT p_partkey, p_name FROM part p
+UNION ALL
+SELECT 'anti' AS side, p_partkey AS entity_key, p_name AS entity_name
+FROM part p
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
-ORDER BY p_partkey
+ORDER BY side, entity_key
 """
 
 
@@ -626,8 +627,8 @@ SPECS = [
     QuerySpec("q05_broadcast_join", q05_broadcast_join, Q05_SQL, ("relational",), "broadcast dim join"),
     QuerySpec("q06_outer_joins", q06_outer_joins, Q06_SQL, ("relational",),
               "left + right outer join (tagged union, null handling)"),
-    QuerySpec("q07_semi_join", q07_semi_join, Q07_SQL, ("relational",), "left semi join (EXISTS)"),
-    QuerySpec("q08_anti_join", q08_anti_join, Q08_SQL, ("relational",), "left anti join (NOT EXISTS)"),
+    QuerySpec("q07_semi_anti_join", q07_semi_anti_join, Q07_SQL, ("relational",),
+              "left semi (EXISTS) + left anti (NOT EXISTS) joins, tagged union"),
     QuerySpec("q09_range_join", q09_range_join, Q09_SQL, ("relational",), "bounded range/theta join"),
     QuerySpec("q10_count_distinct", q10_count_distinct, Q10_SQL, ("relational",), "count distinct"),
     QuerySpec("q11_grouping_sets", q11_grouping_sets, Q11_SQL, ("relational",),

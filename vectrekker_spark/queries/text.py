@@ -495,7 +495,67 @@ SELECT d, cell, COUNT(*)::BIGINT AS cnt FROM cells GROUP BY d, cell ORDER BY d, 
 """
 
 
+def d23_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-style repetition metrics (operators/repetition.py). The fixture
+    # corpus is single-line word soup, so word-gram repetition is naturally
+    # rich but line duplication must be PLANTED: every 9th doc gets three
+    # copies of the same appended line IN BOTH ENGINES, making dup_line_frac
+    # observable while staying oracle-checkable.
+    from vectrekker_spark.operators.repetition import repetition_report
+
+    d = tbp(spark, sf, "documents")
+    injected = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.col("text"), F.lit("\nrepeat line alpha" * 3)),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", injected.alias("text"))
+    return ordered(repetition_report(base), "doc_id")
+
+
+_D23_PLANT = "chr(10) || 'repeat line alpha'"
+_D23_TOKS = tokens_sql("lower(t)")
+
+
+def _d23_grams(k: int) -> str:
+    return (
+        f"list_transform(generate_series(0, len({_D23_TOKS}) - {k}), "
+        f"i -> array_to_string(({_D23_TOKS})[i+1:i+{k}], ' '))"
+    )
+
+
+D23_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN text || {_D23_PLANT} || {_D23_PLANT} || {_D23_PLANT}
+              ELSE text END AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, 2 AS k, unnest({_d23_grams(2)}) AS gram FROM inj
+  UNION ALL
+  SELECT doc_id, 3 AS k, unnest({_d23_grams(3)}) AS gram FROM inj),
+c AS (SELECT doc_id, k, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, k, gram),
+p AS (SELECT doc_id, k, SUM(cnt) AS total, MAX(cnt) AS top,
+             SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+      FROM c GROUP BY doc_id, k),
+w AS (SELECT doc_id,
+        MAX(CASE WHEN k = 2 THEN ROUND(top::DOUBLE / total, 6) END)
+          AS top2gram_frac,
+        MAX(CASE WHEN k = 3 THEN ROUND(dup::DOUBLE / total, 6) END)
+          AS dup3gram_frac
+      FROM p GROUP BY doc_id)
+SELECT i.doc_id,
+       ROUND(1.0 - len(list_distinct(str_split(t, chr(10))))::DOUBLE
+                   / len(str_split(t, chr(10))), 6) AS dup_line_frac,
+       COALESCE(top2gram_frac, 0.0) AS top2gram_frac,
+       COALESCE(dup3gram_frac, 0.0) AS dup3gram_frac
+FROM inj i LEFT JOIN w USING (doc_id) ORDER BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("d23_repetition", d23_repetition, D23_SQL, ("text", "curation"),
+              "Gopher-style repetition metrics (dup lines, top/dup n-grams)"),
     QuerySpec("q25_exact_dedup", q25_exact_dedup, Q25_SQL, ("text", "dedup"),
               "exact dedup map by content md5"),
     QuerySpec("d17_count_min", d17_count_min, D17_SQL, ("text", "sketch"),
