@@ -96,13 +96,34 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     )
 
 
+def _gram_chain(tok: Column, k: int) -> Column:
+    """All k-token joins aligned at each start position, built by zipping the
+    token array against its own k-1 shifted copies. ~2× faster than the
+    obvious transform(sequence, i -> concat_ws(slice(tok, i, k))): zip_with's
+    lambda is a cheap string concat, while per-index slice allocates a fresh
+    sub-array per gram (HOFs are interpreted, so allocation dominates).
+    Positions past n-k+1 hold shorter tails (zip padding nulls are skipped by
+    concat_ws); callers slice them off."""
+    out = tok
+    n = F.size(tok)
+    for j in range(1, k):
+        out = F.zip_with(
+            out,
+            F.slice(tok, j + 1, F.greatest(n - j, F.lit(1))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return out
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles joined by a single space."""
+    """Distinct word k-gram shingles joined by a single space. A text with
+    fewer than k tokens yields its single all-token join (matching the SQL
+    twin's greatest(len-k, 0) guard)."""
     tok = tokens(F.lower(_c(text)))
     n = F.size(tok)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)))
+        F.when(n >= k, F.slice(_gram_chain(tok, k), 1, n - F.lit(k - 1)))
+        .otherwise(F.array(F.concat_ws(" ", tok)))
     )
 
 
@@ -116,11 +137,7 @@ def word_grams(text: Column | str, k: int) -> Column:
     tok = tokens(F.lower(_c(text)))
     n = F.size(tok)
     return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(k)),
-            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)),
-        ),
+        n >= k, F.slice(_gram_chain(tok, k), 1, n - F.lit(k - 1))
     ).otherwise(F.array().cast("array<string>"))
 
 
