@@ -1,0 +1,69 @@
+"""Connected components + near-dup clustering (operators/components.py):
+hand-checked graphs (chain, star, disjoint, self-loop), determinism under
+repartitioning, and the end-to-end cluster-dedup on planted duplicates."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vectrekker_spark.operators.components import (
+    connected_components,
+    near_dedup_clusters,
+)
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, ["l_id", "r_id"])
+    out = connected_components(edges, **kw)
+    return {r["node"]: r["comp"] for r in out.collect()}
+
+
+def test_chain_and_star(spark):
+    # chain 1-2-3-4 plus star 10-{11,12,13}: two components, min-id labels.
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_direction_and_self_loops(spark):
+    # edges arrive in arbitrary direction; self-loops are ignored.
+    got = _cc(spark, [(5, 2), (2, 2), (7, 5), (9, 9)])
+    assert got == {2: 2, 5: 2, 7: 2}  # 9 only self-loops → not in edge set
+
+
+def test_long_chain_converges(spark):
+    n = 12  # diameter 11: exercises multi-round propagation + checkpoints
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_max_iter_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [(i, i + 1) for i in range(12)], max_iter=3)
+
+
+def test_partition_invariance(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)]
+    a = connected_components(spark.createDataFrame(pairs, ["l_id", "r_id"]))
+    b = connected_components(
+        spark.createDataFrame(pairs, ["l_id", "r_id"]).repartition(7)
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_near_dedup_clusters(spark):
+    # three exact copies + one unrelated doc: copies cluster under the min id,
+    # only the representative is kept, the loner is its own singleton.
+    base = "spark shuffles the narrow stream of tokens across the cluster"
+    rows = [
+        (1, base),
+        (2, base),
+        (5, base),
+        (9, "completely different words about database query optimizers"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_dedup_clusters(df, threshold=0.9).collect()
+    }
+    assert got == {1: (1, True), 2: (1, False), 5: (1, False), 9: (9, True)}

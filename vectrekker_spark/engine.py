@@ -110,6 +110,13 @@ class Engine:
 
         return top_terms(df, k=k, **kw)
 
+    def near_dedup(self, df: DataFrame, threshold: float = 0.7, **kw) -> DataFrame:
+        """Cluster-aware near-dedup: MinHash pairs → connected components →
+        keep one representative per cluster (operators/components)."""
+        from vectrekker_spark.operators.components import near_dedup_clusters
+
+        return near_dedup_clusters(df, threshold=threshold, **kw)
+
     def redact_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Replace emails/phones in `text_col` with placeholder tags
         (functions/text.redact_pii), in place of the original column."""

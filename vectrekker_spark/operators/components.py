@@ -1,0 +1,106 @@
+"""Connected components on an edge list — the missing link between pair
+generation (MinHash/SimHash/embedding near-dup pairs) and actual corpus
+deduplication: near-duplicate pairs form CLUSTERS (a is ~b, b is ~c), and a
+dedup that only drops the right element of each pair both under-deletes
+(transitive dups survive) and over-deletes (cluster representatives get
+dropped by some other pair). The standard pipeline is pairs → connected
+components → keep ONE representative per component.
+
+Algorithm: iterative min-label propagation. Every node starts labeled with
+itself; each round every node takes the min of its own and its neighbors'
+labels; converged when no label changes. Rounds needed = graph diameter,
+which for near-dup clusters is small (dup clusters are dense — typically
+2-4 hops), so this beats the more complex large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce") in practice while
+using only DataFrame ops. For adversarial long-chain graphs, raise
+``max_iter`` or pre-contract with the star algorithm.
+
+Scale shape per round: one shuffled join (edges ⋈ labels on node id) + one
+groupBy-min + one label update join — all narrow-key long/long shuffles with
+map-side combine, no driver data. ``localCheckpoint`` truncates the lineage
+each round (iterative plans otherwise grow exponentially in Catalyst), and
+the per-round convergence count is a cheap action on the already-materialized
+checkpoint. State is O(|V| + |E|) across the cluster.
+
+Reference scope note: the reference (vectrekker/main.py) has no graph or
+clustering surface; north-star training-pipeline addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "l_id",
+    dst: str = "r_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; ``component``
+    is the smallest node id in the node's connected component. Deterministic.
+    Raises if not converged within ``max_iter`` rounds (diameter bound)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint()  # reused every round: cut off upstream plan
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "comp")
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = stepped.select("node", "comp")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "graph diameter exceeds the bound; raise max_iter"
+    )
+
+
+def near_dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs (Jaccard-verified at
+    ``threshold``) → connected components → (doc_id, cluster_id, keep).
+    ``cluster_id`` is the min doc id of the cluster and the kept
+    representative; docs with no near-dup form their own singleton cluster
+    (keep=true). Drop rows with ``~keep`` to dedup the corpus."""
+    from vectrekker_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        df, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    comp = connected_components(pairs, "l_id", "r_id")
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
