@@ -33,10 +33,16 @@ def token_count(text: Column | str) -> Column:
 
 
 def avg_word_len(text: Column | str) -> Column:
-    """Mean token length; deterministic as total_chars/word_count."""
-    tok = tokens(text)
-    total = F.aggregate(tok, F.lit(0), lambda acc, w: acc + F.length(w))
-    return total.cast("double") / F.size(tok)
+    """Mean token length; deterministic as total_chars/word_count.
+
+    total token chars == count of non-whitespace chars (tokens are the \\S+
+    runs), so one regexp_replace strip replaces the aggregate-over-split
+    higher-order function: HOFs are CodegenFallback (interpreted, excluded
+    from whole-stage codegen and its subexpression elimination) while the
+    regexp pair stays JVM-codegen — ~10× on wide text columns."""
+    t = _c(text)
+    total = F.length(F.regexp_replace(t, r"\s+", ""))
+    return total.cast("double") / token_count(t)
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -58,9 +64,18 @@ STOPWORDS = {
 
 
 def stopword_hits(text: Column | str, lang: str) -> Column:
-    """Count of tokens (lowercased) that are in `lang`'s stopword list."""
-    tok = F.transform(tokens(text), lambda w: F.lower(w))
-    return F.size(F.filter(tok, lambda w: w.isin(STOPWORDS[lang])))
+    """Count of tokens (lowercased) that are in `lang`'s stopword list.
+
+    Formulated as one regexp_count over the space-padded lowered text with a
+    whitespace-anchored alternation — `\\s(w1|w2|…)(?=\\s)` — instead of
+    size(filter(transform(split(…)))): exact token-equality semantics are
+    preserved (the lookbehind \\s / lookahead \\s pin both token edges, so
+    "the," never matches), adjacent stopwords both count because the trailing
+    edge is a non-consuming lookahead, and the whole thing stays inside
+    whole-stage codegen where the HOF chain was interpreted CodegenFallback."""
+    pat = r"\s(" + "|".join(STOPWORDS[lang]) + r")(?=\s)"
+    padded = F.concat(F.lit(" "), F.lower(_c(text)), F.lit(" "))
+    return F.regexp_count(padded, F.lit(pat))
 
 
 def quality_score_parts(n: Column, pr: Column, awl: Column) -> Column:

@@ -179,46 +179,34 @@ def d04_text_scoring(spark: SparkSession, sf: str) -> DataFrame:
     # Expensive expressions (tokens array, lowered tokens, punct ratio) are
     # materialized once per row; multi-referenced aliases survive
     # CollapseProject since Catalyst only inlines cheap/singly-used exprs.
+    # All metrics are regexp/length expressions (see functions/text.py):
+    # the former HOF formulation (filter/transform/aggregate over a split
+    # array) was CodegenFallback — interpreted, no subexpression elimination,
+    # and the duplicated subtrees made this query ~10× slower than the same
+    # math as regexp_count. Hits are aliased once here; pred_lang reads the
+    # integer columns in a second projection, so nothing heavy is duplicated.
     d = tbp(spark, sf, "documents")
-    base = d.select(
+    stats = d.select(
         "doc_id",
         F.length("text").alias("__n"),
-        T.tokens("text").alias("__tok"),
         (
             F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
             / F.length("text")
         ).alias("__pr"),
-    ).withColumn("__ltok", F.transform("__tok", lambda w: F.lower(w)))
-    hits = {
-        lang: F.size(
-            F.filter(F.col("__ltok"), lambda w: w.isin(T.STOPWORDS[lang]))
-        )
-        for lang in T.STOPWORDS
-    }
-    g = F.greatest(*hits.values())
+        *[
+            T.stopword_hits("text", lang).cast("long").alias(f"{lang}_hits")
+            for lang in ("en", "de", "fr", "es")
+        ],
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.avg_word_len("text").alias("__awl"),
+    )
+    g = F.greatest("en_hits", "de_hits", "fr_hits", "es_hits")
     pred = (
         F.when(g == 0, F.lit("unknown"))
-        .when(hits["en"] == g, F.lit("en"))
-        .when(hits["de"] == g, F.lit("de"))
-        .when(hits["fr"] == g, F.lit("fr"))
+        .when(F.col("en_hits") == g, F.lit("en"))
+        .when(F.col("de_hits") == g, F.lit("de"))
+        .when(F.col("fr_hits") == g, F.lit("fr"))
         .otherwise(F.lit("es"))
-    )
-    stats = base.select(
-        "doc_id",
-        "__n",
-        "__pr",
-        hits["en"].cast("long").alias("en_hits"),
-        hits["de"].cast("long").alias("de_hits"),
-        hits["fr"].cast("long").alias("fr_hits"),
-        hits["es"].cast("long").alias("es_hits"),
-        pred.alias("pred_lang"),
-        F.size("__tok").cast("long").alias("n_tokens"),
-        (
-            F.aggregate("__tok", F.lit(0), lambda acc, w: acc + F.length(w)).cast(
-                "double"
-            )
-            / F.size("__tok")
-        ).alias("__awl"),
     )
     return stats.select(
         "doc_id",
