@@ -89,9 +89,9 @@ def test_interval_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
     run_available_now(joined, str(tmp_path / "ckpt_ij"), "stream_ij")
     got = rows_of(spark.table("stream_ij"))
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from vectrekker_spark.functions.time import normalize_event_ts
+
+    e = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), to_ltz=True)
     want = rows_of(
         e.alias("l")
         .join(

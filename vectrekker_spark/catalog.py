@@ -55,12 +55,15 @@ def _stat_key(path: str) -> tuple[int, int] | None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table (memoized per session — catalog semantics).
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; read it as raw nanos (legacy conf) and convert to a proper
-    TimestampType (µs) column. The conf is set at read time so this works in
-    any caller's session, not just ours.
+    `events.ts` has shipped as parquet TIMESTAMP(NANOS) (older driver rounds;
+    Spark's vectorized reader rejects it — read as raw nanos via legacy conf
+    and convert) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (current;
+    Spark infers TIMESTAMP_NTZ, which is kept as-is so ts predicates still
+    push down — epoch extraction sites use functions.time.epoch_ms/us, which
+    are NTZ-proof). The conf is set at read time so this works in any
+    caller's session, not just ours.
     """
-    from pyspark.sql import functions as F
+    from vectrekker_spark.functions.time import normalize_event_ts
 
     p = table_path(sf_dir, name)
     stat = _stat_key(p)
@@ -70,9 +73,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return hit[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(p)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(spark.read.parquet(p))
     else:
         df = spark.read.parquet(p)
     if stat is not None:

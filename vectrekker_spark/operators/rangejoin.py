@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectrekker_spark.functions.time import epoch_us
+
 
 def bounded_follow_join(
     events: DataFrame,
@@ -29,7 +31,7 @@ def bounded_follow_join(
     l = events.select(
         F.col(key_col).alias("k"),
         F.col("event_id").alias("l_event_id"),
-        F.unix_micros(F.col(ts_col)).alias("l_us"),
+        epoch_us(ts_col).alias("l_us"),
     ).withColumn(
         "bucket",
         F.explode(
@@ -42,7 +44,7 @@ def bounded_follow_join(
     r = events.select(
         F.col(key_col).alias("k"),
         F.col("event_id").alias("r_event_id"),
-        F.unix_micros(F.col(ts_col)).alias("r_us"),
+        epoch_us(ts_col).alias("r_us"),
     ).withColumn("bucket", F.floor(F.col("r_us") / w_us))
     return (
         l.join(r, ["k", "bucket"])

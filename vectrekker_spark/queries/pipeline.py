@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectrekker_spark.functions.time import epoch_ms
+
 from vectrekker_spark.operators.delta import detect_changes, merge_upsert
 from vectrekker_spark.queries import QuerySpec
 from vectrekker_spark.queries.util import tb
@@ -68,7 +70,7 @@ def q30_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            epoch_ms(F.col("w.start")).alias("window_start_ms"),
             "event_type",
             "n_events",
             "sum_value",
@@ -93,8 +95,8 @@ def d08_session_window(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
-            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            epoch_ms(F.col("w.start")).alias("session_start_ms"),
+            epoch_ms(F.col("w.end")).alias("session_end_ms"),
             "n_events",
         )
         .orderBy("user_id", "session_start_ms")

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vectrekker_spark.functions.time import epoch_ms
+
 from vectrekker_spark.queries import QuerySpec
 from vectrekker_spark.queries.util import ordered, tb
 
@@ -256,7 +258,7 @@ def d22_asof_join(spark: SparkSession, sf: str) -> DataFrame:
             "event_id",
             "user_id",
             F.col("pvalue").alias("last_purchase_value"),
-            F.unix_millis("asof_ts").alias("asof_ts_ms"),
+            epoch_ms("asof_ts").alias("asof_ts_ms"),
         )
         .orderBy("event_id")
     )
@@ -427,7 +429,7 @@ def q15_dedup_by_key(spark: SparkSession, sf: str) -> DataFrame:
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", F.unix_millis("ts").alias("ts_ms"))
+        .select("user_id", "event_type", "event_id", epoch_ms("ts").alias("ts_ms"))
         .orderBy("user_id", "event_type")
     )
 

@@ -214,7 +214,7 @@ def d04_text_scoring(spark: SparkSession, sf: str) -> DataFrame:
         "de_hits",
         "fr_hits",
         "es_hits",
-        "pred_lang",
+        pred.alias("pred_lang"),
         "n_tokens",
         F.round("__pr", 6).alias("punct_ratio"),
         F.round("__awl", 4).alias("avg_word_len"),

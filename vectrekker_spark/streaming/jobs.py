@@ -20,31 +20,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos; converted below
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from vectrekker_spark.functions.time import epoch_ms, normalize_event_ts
 
 
 def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     """ST1: parquet file-source stream over an events directory. New files
     are picked up incrementally via the checkpoint (the reference's D1–D3
-    delta loop, natively)."""
+    delta loop, natively).
+
+    A file stream needs an explicit schema; infer it from the directory's
+    current footers with ONE batch read (cheap, driver-side) instead of
+    hard-coding — the corpus `ts` physical type has shifted between driver
+    rounds (nanos → NTZ micros) and a stale hard-coded schema silently
+    mis-scales event time. `ts` is then normalized to LTZ so watermarks and
+    stream-stream range joins see a plain TIMESTAMP.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(directory).schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(directory)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw, to_ltz=True)
 
 
 def windowed_counts(
@@ -60,7 +59,7 @@ def windowed_counts(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            epoch_ms(F.col("w.start")).alias("window_start_ms"),
             "event_type",
             "n_events",
             "sum_value",
@@ -78,8 +77,8 @@ def session_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
-            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            epoch_ms(F.col("w.start")).alias("session_start_ms"),
+            epoch_ms(F.col("w.end")).alias("session_end_ms"),
             "n_events",
         )
     )
