@@ -53,6 +53,9 @@ def test_curate_on_fixture_corpus(spark, sf_dir):
         "doc_id", "text", "lang"
     )
     res = curate(docs, CurationConfig(min_quality=0.5, embed=False))
+    # chunks are cached: the funnel count and caller consumption share one
+    # execution of the chunk stage instead of re-deriving it per action
+    assert res.chunks.storageLevel.useMemory
     assert res.funnel["after_exact_dedup"] <= res.funnel["input"]
     assert res.funnel["chunks"] >= res.funnel["after_lang"]  # ≥1 chunk per doc
     assert res.chunks.filter(F.length("chunk_text") == 0).count() == 0

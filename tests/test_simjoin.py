@@ -75,6 +75,29 @@ def test_blas_guard_raises_on_oversized_right(planted):
         )
 
 
+def test_generic_simjoin_guard_raises_on_oversized_right(planted):
+    from vectrekker_spark.operators.knn import similarity_join
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        similarity_join(
+            planted, planted, threshold=0.9,
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+            max_broadcast_rows=10,
+        ).count()
+
+
+def test_generic_simjoin_within_cap_finds_planted(planted):
+    from vectrekker_spark.operators.knn import similarity_join
+
+    out = similarity_join(
+        planted, planted, threshold=0.95,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    )
+    assert out.count() >= 15
+
+
 def test_blas_guard_allows_exact_cap(planted):
     n = planted.count()
     out = similarity_join_blas(

@@ -67,25 +67,36 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     # 2. near-dup removal (cache: the LSH pipeline consumes docs repeatedly,
     # and every later stage re-reads the survivors)
     docs = _drop_near_dups(docs, cfg).cache()
-    funnel["after_near_dedup"] = docs.count()
 
-    # 3. quality filter
-    docs = docs.filter(quality_score(F.col(cfg.text_col)) >= cfg.min_quality)
-    funnel["after_quality"] = docs.count()
+    # 3+4. quality and language filters. The three funnel counts (post-near-dup,
+    # post-quality, post-lang) come from ONE conditional-aggregation pass over
+    # the cached survivors instead of three .count() actions — count_if is a
+    # map-side partial agg, so this is one job, one tiny shuffle.
+    q_ok = quality_score(F.col(cfg.text_col)) >= cfg.min_quality
+    lang_ok = (
+        F.col("lang").isin(*cfg.keep_langs) if cfg.keep_langs else F.lit(True)
+    )
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(q_ok).alias("nq"),
+        F.count_if(q_ok & lang_ok).alias("nql"),
+    ).first()
+    funnel["after_near_dedup"] = row["n"]
+    funnel["after_quality"] = row["nq"]
+    funnel["after_lang"] = row["nql"]
+    docs = docs.filter(q_ok & lang_ok)
 
-    # 4. language filter
-    if cfg.keep_langs:
-        docs = docs.filter(F.col("lang").isin(*cfg.keep_langs))
-    funnel["after_lang"] = docs.count()
-
-    # 5. chunk
+    # 5. chunk — cached so the funnel count and the caller's consumption
+    # execute the (mapInPandas) chunk stage exactly once
     chunks = chunk_text(
         docs, text_col=cfg.text_col, id_col=cfg.id_col,
         size=cfg.chunk_size, overlap=cfg.chunk_overlap,
-    )
+    ).cache()
     funnel["chunks"] = chunks.count()
 
-    # 6. embed (Arrow-batched hashing embedder; swap for a real model UDF)
+    # 6. embed (Arrow-batched hashing embedder; swap for a real model UDF).
+    # Applied on top of the cached chunks, so a downstream action runs the
+    # embed UDF once over cached rows rather than re-deriving the funnel.
     if cfg.embed:
         from vectrekker_spark.queries.vector import hash_embed_batch
 

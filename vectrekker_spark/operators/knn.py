@@ -334,6 +334,7 @@ def similarity_join(
     right_id: str = "r_id",
     right_vec: str = "r_vec",
     ordered_pairs: bool = True,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """All pairs within threshold (embedding-space near-dup, L6).
 
@@ -344,13 +345,23 @@ def similarity_join(
     via l_id < r_id); pass False when left and right are distinct datasets,
     otherwise cross-dataset matches where l_id >= r_id would be lost.
 
-    Broadcasts the smaller side; the threshold filter runs inside the same
+    Broadcasts the right side; the threshold filter runs inside the same
     codegen stage as the score, so non-matching pairs are never materialized.
-    For corpus×corpus self-join at 100 TB, pre-bucket with LSH
-    (operators/ann.py) and run this on candidate pairs only.
+    The broadcast is guarded the same way as similarity_join_blas: a
+    LIMIT-bounded probe raises past ``max_broadcast_rows`` (~0.5 GB at 64
+    float64 dims) instead of OOMing executors. For corpus×corpus self-join at
+    100 TB, pre-bucket with LSH (operators/ann.py) or
+    similarity_join_bucketed and run this on candidate pairs only.
     """
     l = left.select(F.col(left_id).alias("l_id"), F.col(left_vec).alias("l_vec"))
     r = right.select(F.col(right_id).alias("r_id"), F.col(right_vec).alias("r_vec"))
+    if r.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+        raise ValueError(
+            f"similarity_join: right side exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; broadcasting it would OOM executors. "
+            "Bucket first (similarity_join_bucketed / LSH / IVF) and join "
+            "per bucket, or raise the cap deliberately."
+        )
     if metric == "cosine":
         # per-side norms once, not per pair (same operand order as per-pair)
         l = l.withColumn("__ln", norm("l_vec"))
