@@ -1,0 +1,76 @@
+"""Sequence packing (operators/packing.py): budget respected, every chunk
+packed exactly once, doc-order preserved within sequences, partition
+invariance, and oversize chunks isolated rather than dropped."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.packing import pack_sequences, sequence_stats
+
+BUDGET = 100
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    rows = []
+    for doc in range(20):
+        for ch in range(10):
+            rows.append((doc, ch, f"d{doc}c{ch}", 7 + (doc * 10 + ch) % 40))
+    rows.append((99, 0, "oversize", 250))  # single chunk > budget
+    pdf = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "chunk_text", "n_tokens"])
+    return spark.createDataFrame(pdf).repartition(7)
+
+
+def test_budget_and_coverage(chunks):
+    packed = pack_sequences(chunks, BUDGET).cache()
+    # every input chunk appears exactly once
+    assert packed.count() == chunks.count()
+    assert packed.select("doc_id", "chunk_id").distinct().count() == chunks.count()
+    stats = sequence_stats(packed, BUDGET)
+    # only the planted oversize chunk may exceed the budget, alone in its seq
+    over = stats.filter(F.col("seq_tokens") > BUDGET).collect()
+    assert len(over) == 1 and over[0]["n_chunks"] == 1
+    # greedy first-fit: no two consecutive sequences could have been merged —
+    # every non-final sequence of a bucket is > budget/2 full on average;
+    # just sanity-check overall fill is decent
+    mean_fill = stats.filter(F.col("seq_tokens") <= BUDGET).agg(
+        F.avg("fill")
+    ).first()[0]
+    assert mean_fill > 0.5
+
+
+def test_doc_order_within_sequence(chunks):
+    packed = pack_sequences(chunks, BUDGET)
+    rows = packed.orderBy("seq_id", "seq_pos").collect()
+    by_seq: dict[int, list] = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append((r["doc_id"], r["chunk_id"]))
+    for seq in by_seq.values():
+        assert seq == sorted(seq)  # (doc, chunk) ascending inside a sequence
+
+
+def test_partition_invariance(chunks):
+    a = pack_sequences(chunks, BUDGET).orderBy("doc_id", "chunk_id").collect()
+    b = (
+        pack_sequences(chunks.repartition(3), BUDGET)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_doc_chunks_share_bucket_stream(chunks):
+    # all chunks of one doc land in consecutive positions of the same or
+    # consecutive sequences (they are packed as one contiguous run)
+    packed = pack_sequences(chunks, BUDGET)
+    seqs = (
+        packed.filter(F.col("doc_id") == 5)
+        .orderBy("chunk_id")
+        .select("seq_id")
+        .collect()
+    )
+    ids = [r["seq_id"] for r in seqs]
+    assert ids == sorted(ids)

@@ -117,6 +117,15 @@ class Engine:
 
         return near_dedup_clusters(df, threshold=threshold, **kw)
 
+    def pack_sequences(
+        self, chunks: DataFrame, max_tokens: int, **kw
+    ) -> DataFrame:
+        """Greedy first-fit packing of chunks into fixed-token-budget
+        training sequences (operators/packing)."""
+        from vectrekker_spark.operators.packing import pack_sequences
+
+        return pack_sequences(chunks, max_tokens, **kw)
+
     def redact_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Replace emails/phones in `text_col` with placeholder tags
         (functions/text.redact_pii), in place of the original column."""
