@@ -117,6 +117,26 @@ class Engine:
 
         return near_dedup_clusters(df, threshold=threshold, **kw)
 
+    def sample(self, df: DataFrame, fraction: float, **kw) -> DataFrame:
+        """Deterministic hash-Bernoulli sample (operators/sampling)."""
+        from vectrekker_spark.operators.sampling import hash_sample
+
+        return hash_sample(df, fraction, **kw)
+
+    def mix(self, df: DataFrame, rates: dict[str, float], **kw) -> DataFrame:
+        """Per-stratum mixture sampling, e.g. {"wiki": 1.0, "crawl": 0.1}
+        (operators/sampling.stratified_hash_sample)."""
+        from vectrekker_spark.operators.sampling import stratified_hash_sample
+
+        return stratified_hash_sample(df, rates, **kw)
+
+    def shuffle_order(self, df: DataFrame, seed: str = "s0", **kw) -> DataFrame:
+        """Deterministic global training-order shuffle
+        (operators/sampling.seeded_shuffle)."""
+        from vectrekker_spark.operators.sampling import seeded_shuffle
+
+        return seeded_shuffle(df, seed=seed, **kw)
+
     def pack_sequences(
         self, chunks: DataFrame, max_tokens: int, **kw
     ) -> DataFrame:
