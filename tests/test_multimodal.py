@@ -45,6 +45,44 @@ def test_frame_sample_plan(spark, media):
     assert all(r["frame_no"] % 2 == 0 for r in rows)
 
 
+def test_resize_stand_in_shape(spark, media):
+    from vectrekker_spark.operators.multimodal import resize_images, strided_downsample
+
+    out = resize_images(media, factor=4).collect()
+    originals = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    assert len(out) == 50
+    for r in out:
+        assert bytes(r["content"]) == strided_downsample(originals[r["media_id"]], 4)
+        assert len(r["content"]) <= len(originals[r["media_id"]]) // 4 + 1
+
+
+def test_pcm_window_features_on_synthetic_sine(spark):
+    import numpy as np
+
+    from vectrekker_spark.operators.multimodal import pcm_window_features
+
+    sr, freq, amp = 16000, 100.0, 0.5
+    t = np.arange(sr) / sr  # 1 second
+    wave = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    silent = np.zeros(sr, dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(wave.tobytes())), (2, bytearray(silent.tobytes())),
+         (3, bytearray(b"\x01"))],  # <1 window → no rows
+        "media_id long, content binary",
+    )
+    rows = pcm_window_features(df, window=1600).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 10 and len(by_id[2]) == 10 and 3 not in by_id
+    for r in by_id[1]:
+        # sine RMS = amp/sqrt(2); ZCR = 2 crossings per cycle
+        assert abs(r["rms"] - amp / np.sqrt(2)) < 0.01
+        expected_zcr = 2 * freq * (1600 / sr) / 1600
+        assert abs(r["zcr"] - expected_zcr) < 0.005
+    assert all(r["rms"] == 0.0 and r["zcr"] == 0.0 for r in by_id[2])
+
+
 def test_decode_image_stub_raises_without_pil():
     pytest.importorskip  # real decode only runs where PIL exists
     try:

@@ -81,6 +81,96 @@ def extract_features(
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+def strided_downsample(content: bytes, factor: int = 4) -> bytes:
+    """Deterministic 'resize' stand-in: keep every ``factor``-th byte. Swaps
+    cleanly for a PIL `Image.resize` when the lib exists; the Spark-side
+    contract (binary→smaller binary, same mapInPandas shape) is identical."""
+    return bytes(content[::factor]) if content else b""
+
+
+def resize_images(
+    df: DataFrame, factor: int = 4,
+    content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """mapInPandas resize: real `PIL.Image.resize` when PIL is importable,
+    else the deterministic strided-downsample stand-in (same schema/batch
+    shape, so swapping in the real decoder changes no plumbing)."""
+    try:  # pragma: no cover - env-dependent
+        from PIL import Image  # noqa: F401, PLC0415
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if have_pil:  # pragma: no cover - env-dependent
+                import io
+
+                from PIL import Image  # noqa: PLC0415
+
+                def do(b):
+                    img = Image.open(io.BytesIO(b))
+                    small = img.resize((max(1, img.width // factor),
+                                        max(1, img.height // factor)))
+                    out = io.BytesIO()
+                    small.save(out, format=img.format or "PNG")
+                    return out.getvalue()
+            else:
+                def do(b):
+                    return strided_downsample(b, factor)
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": pdf[content_col].map(lambda b: do(b) if b else b""),
+                }
+            )
+
+    return df.mapInPandas(gen, schema="media_id long, content binary")
+
+
+PCM_FEATURE_SCHEMA = "media_id long, window_no long, rms double, zcr double"
+
+
+def pcm_window_features(
+    df: DataFrame, window: int = 1024,
+    content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """REAL audio feature extraction (no external libs): interpret the binary
+    payload as little-endian PCM16 and emit per-window RMS energy and
+    zero-crossing rate — the standard cheap audio features for corpus
+    filtering (silence/noise gates). Arrow-batched numpy over mapInPandas;
+    one output row per complete window, trailing partial windows dropped.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, rms, zcr = [], [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                if not content:
+                    continue
+                samples = np.frombuffer(
+                    content[: (len(content) // 2) * 2], dtype="<i2"
+                ).astype(np.float64) / 32768.0
+                n_win = len(samples) // window
+                if n_win == 0:
+                    continue
+                w = samples[: n_win * window].reshape(n_win, window)
+                ids.extend([mid] * n_win)
+                wins.extend(range(n_win))
+                rms.extend(np.sqrt((w * w).mean(axis=1)).round(6))
+                signs = np.signbit(w)
+                zcr.extend(
+                    (signs[:, 1:] != signs[:, :-1]).mean(axis=1).round(6)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "window_no": wins, "rms": rms, "zcr": zcr}
+            )
+
+    return df.mapInPandas(gen, schema=PCM_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, frame_size: int = 1024,
     content_col: str = "content", id_col: str = "media_id",
