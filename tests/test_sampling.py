@@ -78,6 +78,18 @@ def test_invalid_rates_raise(docs):
         stratified_hash_sample(docs, {"x": -0.1})
 
 
+def test_sampling_is_narrow(docs):
+    # both sampling ops must stay shuffle-free (pure filter over the scan) —
+    # the property that makes them free at 100 TB
+    from vectrekker_spark.plans import shuffle_count
+
+    assert shuffle_count(hash_sample(docs, 0.3)) == 0
+    assert (
+        shuffle_count(stratified_hash_sample(docs, {"web": 0.5}, default_rate=0.1))
+        == 0
+    )
+
+
 def test_seeded_shuffle_permutation(docs):
     base = [r["doc_id"] for r in docs.orderBy("doc_id").collect()]
     shuf = [r["doc_id"] for r in seeded_shuffle(docs, seed="e1").collect()]
