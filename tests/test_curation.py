@@ -48,6 +48,47 @@ def test_funnel_stages(spark):
     assert rebuilt == GOOD_EN
 
 
+def test_assemble_training_set(spark, sf_dir, tmp_path):
+    from vectrekker_spark.curation import AssemblyConfig, assemble_training_set
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "shards")
+    cfg = AssemblyConfig(
+        curation=CurationConfig(min_quality=0.5, embed=False),
+        max_tokens=128,
+        rows_per_shard=500,
+    )
+    funnel = assemble_training_set(docs, out, cfg)
+    assert funnel["sequences"] > 0
+
+    shards = spark.read.parquet(out)
+    assert shards.count() == funnel["chunks"]
+    # no sequence exceeds the budget except single-oversize-chunk sequences
+    bad = (
+        shards.groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("t") > 128) & (F.col("n") > 1))
+        .count()
+    )
+    assert bad == 0
+    # shard files respect the row bound
+    import glob
+
+    files = glob.glob(f"{out}/part-*")
+    assert files
+    for f in files:
+        assert spark.read.parquet(f).count() <= 500
+
+    # deterministic: same config → same sequence ordering hash
+    out2 = str(tmp_path / "shards2")
+    assemble_training_set(docs, out2, cfg)
+    a = [tuple(r) for r in spark.read.parquet(out).orderBy("seq_id", "seq_pos").collect()]
+    b = [tuple(r) for r in spark.read.parquet(out2).orderBy("seq_id", "seq_pos").collect()]
+    assert a == b
+
+
 def test_curate_on_fixture_corpus(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"

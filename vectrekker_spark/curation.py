@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vectrekker_spark.functions.text import quality_score
+from vectrekker_spark.functions.text import quality_score, token_count
 from vectrekker_spark.operators.chunk import chunk_text
 from vectrekker_spark.operators.dedup import exact_dedup_map, minhash_dedup_pairs
 
@@ -104,3 +104,46 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         chunks = chunks.withColumn("embedding", embed(F.col("chunk_text")))
 
     return CurationResult(chunks=chunks, funnel=funnel)
+
+
+@dataclass
+class AssemblyConfig:
+    """curate → pack → shuffle → sharded export, end to end."""
+
+    curation: CurationConfig = field(default_factory=CurationConfig)
+    max_tokens: int = 2048
+    shuffle_seed: str = "epoch0"
+    rows_per_shard: int = 100_000
+
+
+def assemble_training_set(
+    docs: DataFrame, out_path: str, cfg: AssemblyConfig | None = None
+) -> dict[str, int]:
+    """The full training-data assembly pipeline: the curation funnel, greedy
+    sequence packing to ``max_tokens``, a deterministic seeded shuffle of
+    SEQUENCES (chunks stay contiguous and ordered inside their sequence),
+    and a sharded parquet export sized for data loaders. Returns the funnel
+    report extended with sequence stats. Every stage is a set-oriented job —
+    the whole pipeline is a handful of shuffles regardless of corpus size.
+    """
+    from vectrekker_spark.operators.packing import pack_sequences
+    from vectrekker_spark.operators.sampling import _bucket
+    from vectrekker_spark.sources.sinks import write_shards
+
+    cfg = cfg or AssemblyConfig(curation=CurationConfig(embed=False))
+    res = curate(docs, cfg.curation)
+    chunks = res.chunks.withColumn(
+        "n_tokens", token_count(F.col("chunk_text")).cast("int")
+    )
+    packed = pack_sequences(
+        chunks, cfg.max_tokens,
+        doc_col=cfg.curation.id_col, chunk_col="chunk_id",
+    )
+    # shuffle at sequence granularity: order by (hash(seed, seq), seq, pos)
+    shuffled = packed.orderBy(
+        _bucket("seq_id", cfg.shuffle_seed), F.col("seq_id"), F.col("seq_pos")
+    )
+    write_shards(shuffled, out_path, cfg.rows_per_shard)
+    funnel = dict(res.funnel)
+    funnel["sequences"] = packed.select("seq_id").distinct().count()
+    return funnel

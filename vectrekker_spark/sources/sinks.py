@@ -75,6 +75,33 @@ def write_index(df: DataFrame, table: str, n_buckets: int = 16) -> None:
     write_bucketed(df, table, bucket_col="id", n_buckets=n_buckets)
 
 
+def write_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_col: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Export a training set as bounded-size shards — the layout data
+    loaders consume (each worker streams whole files; shard size bounds
+    loader memory and restart granularity).
+
+    `maxRecordsPerFile` does the splitting file-side, so no exact-count
+    repartition (a full shuffle + count) is needed. With ``order_col`` the
+    rows are range-sorted first (e.g. the seeded-shuffle hash): each shard
+    then holds a contiguous slice of the training order, and shard files
+    enumerate in that order. ``fmt``: parquet | json (JSONL) | text.
+    """
+    out = df.orderBy(order_col) if order_col else df
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_shard)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def compact_parquet(
     spark, path: str, target_file_mb: int = 256, sort_col: str | None = None
 ) -> int:
