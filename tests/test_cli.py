@@ -31,6 +31,24 @@ def test_dry_run_no_side_effects(tmp_path, capsys, spark):
     assert not os.path.exists(index) and not os.path.exists(state)  # no side effects
 
 
+def test_curate_command(tmp_path, capsys, spark, sf_dir):
+    out_dir = str(tmp_path / "shards")
+    rc = main([
+        "curate",
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--out", out_dir,
+        "--min-quality", "0.5",
+        "--max-tokens", "256",
+        "--rows-per-shard", "1000",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "sequences" in out and "input" in out
+    shards = spark.read.parquet(out_dir)
+    assert shards.count() > 0
+    assert {"seq_id", "seq_pos", "chunk_text", "n_tokens"} <= set(shards.columns)
+
+
 def test_index_then_search_roundtrip(tmp_path, capsys, spark):
     content = _write_corpus(tmp_path)
     state, index = str(tmp_path / "state"), str(tmp_path / "index")

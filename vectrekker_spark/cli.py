@@ -147,6 +147,35 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Training-set assembly over a documents parquet: curation funnel →
+    sequence packing → seeded shuffle → sharded export (curation.py)."""
+    from vectrekker_spark.curation import (
+        AssemblyConfig,
+        CurationConfig,
+        assemble_training_set,
+    )
+
+    spark = _spark()
+    docs = spark.read.parquet(args.documents)
+    cfg = AssemblyConfig(
+        curation=CurationConfig(
+            min_quality=args.min_quality,
+            keep_langs=tuple(args.langs.split(",")) if args.langs else (),
+            near_dup_threshold=args.near_dup_threshold,
+            chunk_size=args.chunk_size,
+            embed=False,
+        ),
+        max_tokens=args.max_tokens,
+        shuffle_seed=args.seed,
+        rows_per_shard=args.rows_per_shard,
+    )
+    funnel = assemble_training_set(docs, args.out, cfg)
+    for stage, n in funnel.items():
+        print(f"{stage:>18s}  {n}")
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
@@ -196,6 +225,20 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("stats", help="index summary")
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    cu = sub.add_parser(
+        "curate", help="curation funnel → pack → shuffle → sharded export"
+    )
+    cu.add_argument("--documents", required=True, help="input documents parquet")
+    cu.add_argument("--out", required=True, help="output shard directory")
+    cu.add_argument("--min-quality", type=float, default=0.7)
+    cu.add_argument("--langs", help="comma-separated langs to keep (default all)")
+    cu.add_argument("--near-dup-threshold", type=float, default=0.7)
+    cu.add_argument("--chunk-size", type=int, default=512)
+    cu.add_argument("--max-tokens", type=int, default=2048)
+    cu.add_argument("--seed", default="epoch0", help="training-order shuffle seed")
+    cu.add_argument("--rows-per-shard", type=int, default=100_000)
+    cu.set_defaults(fn=cmd_curate)
     return p
 
 
