@@ -62,6 +62,40 @@ def test_partition_invariance(chunks):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_bfd_policy_budget_and_fill(chunks):
+    ffs = pack_sequences(chunks, BUDGET, policy="ffs")
+    bfd = pack_sequences(chunks, BUDGET, policy="bfd").cache()
+    # coverage + budget hold for bfd too
+    assert bfd.count() == chunks.count()
+    stats = sequence_stats(bfd, BUDGET)
+    over = stats.filter(F.col("seq_tokens") > BUDGET).collect()
+    assert len(over) == 1 and over[0]["n_chunks"] == 1  # only the planted oversize
+
+    def mean_fill(packed):
+        return (
+            sequence_stats(packed, BUDGET)
+            .filter(F.col("seq_tokens") <= BUDGET)
+            .agg(F.avg("fill"))
+            .first()[0]
+        )
+
+    # best-fit-decreasing packs at least as tightly as first-fit-sequential
+    assert mean_fill(bfd) >= mean_fill(ffs) - 1e-9
+    # deterministic across partitionings
+    a = bfd.orderBy("doc_id", "chunk_id").collect()
+    b = (
+        pack_sequences(chunks.repartition(3), BUDGET, policy="bfd")
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_unknown_policy_raises(chunks):
+    with pytest.raises(ValueError, match="policy"):
+        pack_sequences(chunks, BUDGET, policy="magic")
+
+
 def test_doc_chunks_share_bucket_stream(chunks):
     # all chunks of one doc land in consecutive positions of the same or
     # consecutive sequences (they are packed as one contiguous run)

@@ -16,16 +16,24 @@ Determinism/partition-invariance: the packer sorts each bucket by
 key — so the output is a pure function of the data, independent of input
 partitioning (tests/test_packing.py pins this).
 
-Packing policy (greedy first-fit-sequential, the common default for
-training-data prep): walk chunks in (doc, chunk) order, start a new
-sequence when the next chunk would overflow ``max_tokens``. A single chunk
-larger than the budget gets its own (overflowing) sequence rather than
-being dropped — the caller decides whether to re-chunk or discard
-(`filter(col("seq_tokens") > budget)` finds them).
+Packing policies:
+- ``"ffs"`` (first-fit-sequential, default): walk chunks in (doc, chunk)
+  order, start a new sequence when the next chunk would overflow
+  ``max_tokens``. Preserves document order inside sequences — what most
+  training recipes want.
+- ``"bfd"`` (best-fit-decreasing): sort the bucket's chunks by token count
+  descending and place each into the open sequence with the least
+  remaining-but-sufficient capacity. ~5-10% higher fill on mixed-length
+  corpora, but chunks of one document scatter across sequences — use when
+  sequences are treated as independent samples.
+A single chunk larger than the budget gets its own (overflowing) sequence
+rather than being dropped — the caller decides whether to re-chunk or
+discard (`filter(col("seq_tokens") > budget)` finds them).
 """
 
 from __future__ import annotations
 
+import bisect
 from typing import Iterator
 
 import pandas as pd
@@ -44,6 +52,7 @@ def pack_sequences(
     chunk_col: str = "chunk_id",
     tok_col: str = "n_tokens",
     n_buckets: int = 256,
+    policy: str = "ffs",
 ) -> DataFrame:
     """Assign every chunk to a packed sequence.
 
@@ -51,7 +60,11 @@ def pack_sequences(
     ``seq_pos`` (0-based position of the chunk within its sequence) — one
     output row per input chunk, so downstream can group by ``seq_id`` to
     materialize sequences (e.g. ``concat_ws`` the text, ``sum`` the tokens).
+    ``policy``: "ffs" (doc-order-preserving) or "bfd" (higher fill) — see
+    module docstring.
     """
+    if policy not in ("ffs", "bfd"):
+        raise ValueError(f"unknown packing policy {policy!r}: use 'ffs' or 'bfd'")
     in_cols = chunks.columns
     for c in (doc_col, chunk_col, tok_col):
         if c not in in_cols:
@@ -60,24 +73,54 @@ def pack_sequences(
         f"`{n}` {t}" for n, t in chunks.dtypes
     ) + ", seq_id long, seq_pos int"
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([doc_col, chunk_col], kind="mergesort").reset_index(
-            drop=True
-        )
-        bucket = int(pdf["__bucket"].iloc[0])
-        toks = pdf[tok_col].to_numpy()
-        seq_local = [0] * len(pdf)
-        pos = [0] * len(pdf)
+    def _fill_ffs(toks: list[int]) -> tuple[list[int], list[int]]:
+        seq_local = [0] * len(toks)
+        pos = [0] * len(toks)
         cur_seq, cur_fill, cur_pos = 0, 0, 0
         for i, t in enumerate(toks):
-            t = int(t)
             if cur_fill > 0 and cur_fill + t > max_tokens:
                 cur_seq, cur_fill, cur_pos = cur_seq + 1, 0, 0
             seq_local[i] = cur_seq
             pos[i] = cur_pos
             cur_fill += t
             cur_pos += 1
-        assert cur_seq < _SEQS_PER_BUCKET, "raise n_buckets: bucket overflow"
+        return seq_local, pos
+
+    def _fill_bfd(toks: list[int]) -> tuple[list[int], list[int]]:
+        # visit chunks largest-first; place each into the open sequence with
+        # the smallest sufficient remaining capacity (classic best-fit-
+        # decreasing ≤ 11/9·OPT + 1). `caps` is kept sorted for bisect;
+        # ties broken toward the lowest seq id for determinism.
+        order = sorted(range(len(toks)), key=lambda i: (-toks[i], i))
+        seq_local = [0] * len(toks)
+        pos = [0] * len(toks)
+        caps: list[tuple[int, int]] = []  # sorted (remaining, seq) pairs
+        counts: list[int] = []  # chunks placed per seq
+        for i in order:
+            t = toks[i]
+            j = bisect.bisect_left(caps, (t, -1))
+            if j < len(caps):
+                rem, s = caps.pop(j)
+                rem -= t
+            else:
+                s, rem = len(counts), max_tokens - t
+                counts.append(0)
+            seq_local[i] = s
+            pos[i] = counts[s]
+            counts[s] += 1
+            bisect.insort(caps, (rem, s))
+        return seq_local, pos
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([doc_col, chunk_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        bucket = int(pdf["__bucket"].iloc[0])
+        toks = [int(t) for t in pdf[tok_col]]
+        seq_local, pos = (_fill_bfd if policy == "bfd" else _fill_ffs)(toks)
+        assert max(seq_local, default=0) < _SEQS_PER_BUCKET, (
+            "raise n_buckets: bucket overflow"
+        )
         out = pdf.drop(columns=["__bucket"])
         out["seq_id"] = [bucket * _SEQS_PER_BUCKET + s for s in seq_local]
         out["seq_pos"] = pos
