@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from vectrekker_spark.operators.skew import salted_agg
+from vectrekker_spark.operators.skew import salted_agg, salted_join
 
 
 def test_salted_agg_matches_plain(spark, sf_dir):
@@ -40,6 +40,39 @@ def test_salt_spreads_hot_key(spark):
     hot = spark.range(0, 10000).select(F.lit("HOT").alias("k"), F.col("id").alias("v"))
     out = salted_agg(hot, "k", {"cnt": (F.count(F.lit(1)), "sum")}, salt=8).collect()
     assert out[0]["cnt"] == 10000
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, "o_custkey").orderBy("o_orderkey").collect()
+    salted = (
+        salted_join(o, c, "o_custkey", salt=8).orderBy("o_orderkey").collect()
+    )
+    assert [tuple(sorted(r.asDict().items())) for r in salted] == [
+        tuple(sorted(r.asDict().items())) for r in plain
+    ]
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    l = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("orphan", 3)], "k string, v int"
+    )
+    r = spark.createDataFrame([("a", 10), ("b", 20)], "k string, w int")
+    out = salted_join(l, r, "k", salt=4, how="left").collect()
+    assert len(out) == 3
+    got = {row["k"]: row["w"] for row in out}
+    assert got == {"a": 10, "b": 20, "orphan": None}
+
+
+def test_salted_join_rejects_other_how(spark):
+    df = spark.range(1).select(F.lit("k").alias("k"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full")
 
 
 def test_non_decomposable_combiner_raises(spark):

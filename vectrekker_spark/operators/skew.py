@@ -48,3 +48,37 @@ def salted_agg(
         for name, (_, combiner) in aggs.items()
     ]
     return partial.groupBy(key).agg(*final_aggs)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join with a skewed left side: salt the skewed side, REPLICATE the
+    other side once per salt value, join on (key, salt). The hot key's rows
+    spread over ``salt`` partitions instead of one straggler task.
+
+    Cost model: the other side is shuffled ×salt — use when `other` is much
+    smaller than the hot key's row count but too big to broadcast (if it
+    broadcasts, Spark already avoids the skew problem entirely; AQE's
+    skew-join split is also preferred when applicable — this is the manual
+    tool for deterministic plans / stateful stages where AQE is off, e.g.
+    inside Structured Streaming, where AQE is disabled).
+
+    Salt on the skewed side is derived from a hash of the whole row (via
+    ``F.hash`` over all columns), not rand(): deterministic under task retry
+    — a recomputed partition salts identically, so no row is lost or
+    duplicated on speculative re-execution. ``how`` supports inner/left
+    (semantics preserved: each skewed row joins the full `other` key set
+    exactly once since every (key, salt) replica exists).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    l = skewed.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+    )
+    r = other.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return l.join(r, [key, "__salt"], how).drop("__salt")
