@@ -37,6 +37,19 @@ def test_windowed_agg_matches_batch(spark, sf_dir, events_dir, tmp_path):
     assert got == want
 
 
+def test_stream_starts_on_empty_directory(spark, tmp_path):
+    # the normal file-source pattern: stream starts BEFORE the first
+    # producer file lands; schema inference must fall back, not raise
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    stream = read_events_stream(spark, str(d))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    agg = windowed_counts(stream)
+    run_available_now(agg, str(tmp_path / "ckpt_empty"), "stream_empty")
+    assert spark.table("stream_empty").count() == 0  # ran clean, zero rows
+
+
 def test_incremental_file_pickup_exactly_once(spark, events_dir, tmp_path):
     d, t = events_dir
     (d / "part-0.parquet").unlink()

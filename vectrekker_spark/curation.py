@@ -37,6 +37,15 @@ class CurationConfig:
 class CurationResult:
     chunks: DataFrame
     funnel: dict[str, int] = field(default_factory=dict)
+    # the DataFrames curate() cached while building `chunks`; call
+    # unpersist() once the final consumer has materialized (caches are
+    # otherwise pinned for the session — a real leak for repeated
+    # curate/assemble calls in one long-lived driver)
+    caches: tuple[DataFrame, ...] = ()
+
+    def unpersist(self) -> None:
+        for df in self.caches:
+            df.unpersist()
 
 
 def _drop_near_dups(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -55,6 +64,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     per-stage survivor counts."""
     cfg = cfg or CurationConfig()
     docs = docs.cache()  # read once: every stage + count consumes it
+    caches = [docs]
     funnel: dict[str, int] = {"input": docs.count()}
 
     # 1. exact dedup: keep min-id per content hash
@@ -67,6 +77,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     # 2. near-dup removal (cache: the LSH pipeline consumes docs repeatedly,
     # and every later stage re-reads the survivors)
     docs = _drop_near_dups(docs, cfg).cache()
+    caches.append(docs)
 
     # 3+4. quality and language filters. The three funnel counts (post-near-dup,
     # post-quality, post-lang) come from ONE conditional-aggregation pass over
@@ -92,6 +103,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         docs, text_col=cfg.text_col, id_col=cfg.id_col,
         size=cfg.chunk_size, overlap=cfg.chunk_overlap,
     ).cache()
+    caches.append(chunks)
     funnel["chunks"] = chunks.count()
 
     # 6. embed (Arrow-batched hashing embedder; swap for a real model UDF).
@@ -103,14 +115,22 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
         chunks = chunks.withColumn("embedding", embed(F.col("chunk_text")))
 
-    return CurationResult(chunks=chunks, funnel=funnel)
+    return CurationResult(chunks=chunks, funnel=funnel, caches=tuple(caches))
 
 
 @dataclass
 class AssemblyConfig:
-    """curate → pack → shuffle → sharded export, end to end."""
+    """curate → pack → shuffle → sharded export, end to end.
 
-    curation: CurationConfig = field(default_factory=CurationConfig)
+    The curation default here is embed=False (unlike bare CurationConfig):
+    training shards carry text + token counts, and silently running the
+    embed UDF over every chunk on the default path would be a large hidden
+    cost. Opt in explicitly if shards should carry embeddings.
+    """
+
+    curation: CurationConfig = field(
+        default_factory=lambda: CurationConfig(embed=False)
+    )
     max_tokens: int = 2048
     shuffle_seed: str = "epoch0"
     rows_per_shard: int = 100_000
@@ -127,10 +147,10 @@ def assemble_training_set(
     the whole pipeline is a handful of shuffles regardless of corpus size.
     """
     from vectrekker_spark.operators.packing import pack_sequences
-    from vectrekker_spark.operators.sampling import _bucket
+    from vectrekker_spark.operators.sampling import sample_bucket
     from vectrekker_spark.sources.sinks import write_shards
 
-    cfg = cfg or AssemblyConfig(curation=CurationConfig(embed=False))
+    cfg = cfg or AssemblyConfig()
     res = curate(docs, cfg.curation)
     chunks = res.chunks.withColumn(
         "n_tokens", token_count(F.col("chunk_text")).cast("int")
@@ -141,9 +161,16 @@ def assemble_training_set(
     )
     # shuffle at sequence granularity: order by (hash(seed, seq), seq, pos)
     shuffled = packed.orderBy(
-        _bucket("seq_id", cfg.shuffle_seed), F.col("seq_id"), F.col("seq_pos")
+        sample_bucket("seq_id", cfg.shuffle_seed), F.col("seq_id"), F.col("seq_pos")
     )
     write_shards(shuffled, out_path, cfg.rows_per_shard)
+    # count sequences from the WRITTEN shards: free (footer-level scan of
+    # one small column) vs re-running the pack shuffle + applyInPandas
+    spark = docs.sparkSession
     funnel = dict(res.funnel)
-    funnel["sequences"] = packed.select("seq_id").distinct().count()
+    funnel["sequences"] = (
+        spark.read.parquet(out_path).select("seq_id").distinct().count()
+    )
+    # the funnel's caches have served their purpose once shards are on disk
+    res.unpersist()
     return funnel

@@ -354,8 +354,15 @@ def similarity_join(
     similarity_join_bucketed and run this on candidate pairs only.
     """
     l = left.select(F.col(left_id).alias("l_id"), F.col(left_vec).alias("l_vec"))
-    r = right.select(F.col(right_id).alias("r_id"), F.col(right_vec).alias("r_vec"))
+    r = right.select(
+        F.col(right_id).alias("r_id"), F.col(right_vec).alias("r_vec")
+    ).persist()  # the guard probe materializes this; the broadcast build
+    # then reads the cached rows instead of recomputing the right side's
+    # lineage a second time. Bounded by the cap below (≤1M rows), and
+    # evictable — intentionally not unpersisted here because the returned
+    # plan is lazy and still needs it.
     if r.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+        r.unpersist()
         raise ValueError(
             f"similarity_join: right side exceeds max_broadcast_rows="
             f"{max_broadcast_rows}; broadcasting it would OOM executors. "

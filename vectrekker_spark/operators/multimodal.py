@@ -94,40 +94,41 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas resize: real `PIL.Image.resize` when PIL is importable,
     else the deterministic strided-downsample stand-in (same schema/batch
-    shape, so swapping in the real decoder changes no plumbing)."""
-    try:  # pragma: no cover - env-dependent
-        from PIL import Image  # noqa: F401, PLC0415
+    shape, so swapping in the real decoder changes no plumbing).
 
-        have_pil = True
-    except ImportError:
-        have_pil = False
+    PIL availability is probed INSIDE the UDF, i.e. on the executor that
+    runs each batch — a driver-side probe would pick the wrong branch on
+    clusters where driver and executor images differ. The output keeps the
+    caller's id column name and type.
+    """
+    id_type = dict(df.dtypes)[id_col]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # worker-side probe: this code runs on the executor
+            import io
+
+            from PIL import Image  # noqa: PLC0415
+
+            def do(b):  # pragma: no cover - env-dependent
+                img = Image.open(io.BytesIO(b))
+                small = img.resize((max(1, img.width // factor),
+                                    max(1, img.height // factor)))
+                out = io.BytesIO()
+                small.save(out, format=img.format or "PNG")
+                return out.getvalue()
+        except ImportError:
+            def do(b):
+                return strided_downsample(b, factor)
+
         for pdf in batches:
-            if have_pil:  # pragma: no cover - env-dependent
-                import io
-
-                from PIL import Image  # noqa: PLC0415
-
-                def do(b):
-                    img = Image.open(io.BytesIO(b))
-                    small = img.resize((max(1, img.width // factor),
-                                        max(1, img.height // factor)))
-                    out = io.BytesIO()
-                    small.save(out, format=img.format or "PNG")
-                    return out.getvalue()
-            else:
-                def do(b):
-                    return strided_downsample(b, factor)
-
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "content": pdf[content_col].map(lambda b: do(b) if b else b""),
                 }
             )
 
-    return df.mapInPandas(gen, schema="media_id long, content binary")
+    return df.mapInPandas(gen, schema=f"`{id_col}` {id_type}, content binary")
 
 
 PCM_FEATURE_SCHEMA = "media_id long, window_no long, rms double, zcr double"

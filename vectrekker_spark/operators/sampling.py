@@ -22,16 +22,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectrekker_spark.operators.split import split_bucket
+
 # Denominator for rate quantization: rates are exact to 1e-6.
 _BUCKETS = 1_000_000
 
 
-def _bucket(id_col: str | Column, seed: str) -> Column:
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    # md5 (not xxhash64) so the oracle side is reproducible in any engine;
-    # first 15 hex chars < 2^60 fit a long exactly.
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed), c.cast("string"))), 1, 15), 16, 10)
-    return F.pmod(h.cast("long"), F.lit(_BUCKETS))
+def sample_bucket(id_col: str | Column, seed: str) -> Column:
+    """Deterministic bucket in [0, 1e6) — split.py's engine-wide salted-md5
+    bucket (oracle-expressible via split_bucket_sql) at sampling resolution,
+    so split assignment and sampling share ONE hash derivation."""
+    return split_bucket(id_col, salt=seed, n=_BUCKETS)
 
 
 def hash_sample(
@@ -41,7 +42,7 @@ def hash_sample(
     partition-invariant, stable under corpus growth. Narrow (no shuffle)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return df.filter(_bucket(id_col, seed) < int(round(fraction * _BUCKETS)))
+    return df.filter(sample_bucket(id_col, seed) < int(round(fraction * _BUCKETS)))
 
 
 def stratified_hash_sample(
@@ -65,7 +66,7 @@ def stratified_hash_sample(
             F.when(F.col(strata_col) == k, F.lit(int(round(v * _BUCKETS))))
             .otherwise(threshold)
         )
-    return df.filter(_bucket(id_col, seed) < threshold)
+    return df.filter(sample_bucket(id_col, seed) < threshold)
 
 
 def seeded_shuffle(
@@ -75,4 +76,4 @@ def seeded_shuffle(
     id as tiebreak so the order is unique even on hash collisions. One
     range-partitioned sort — the 100 TB-scalable formulation of "randomize
     training order"; change ``seed`` per epoch for a fresh permutation."""
-    return df.orderBy(_bucket(id_col, seed), F.col(id_col))
+    return df.orderBy(sample_bucket(id_col, seed), F.col(id_col))

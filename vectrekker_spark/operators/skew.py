@@ -56,6 +56,7 @@ def salted_join(
     key: str,
     salt: int = 16,
     how: str = "inner",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Equi join with a skewed left side: salt the skewed side, REPLICATE the
     other side once per salt value, join on (key, salt). The hot key's rows
@@ -68,17 +69,32 @@ def salted_join(
     tool for deterministic plans / stateful stages where AQE is off, e.g.
     inside Structured Streaming, where AQE is disabled).
 
-    Salt on the skewed side is derived from a hash of the whole row (via
-    ``F.hash`` over all columns), not rand(): deterministic under task retry
-    — a recomputed partition salts identically, so no row is lost or
-    duplicated on speculative re-execution. ``how`` supports inner/left
-    (semantics preserved: each skewed row joins the full `other` key set
-    exactly once since every (key, salt) replica exists).
+    Salt derivation is deterministic (never rand()) so a task retry salts
+    identically and no row is lost or duplicated on speculative
+    re-execution. Pass ``salt_col`` naming a (near-)unique column — event
+    id, offset — for an even spread; without it the salt is F.hash over all
+    hashable columns, which is correct but degrades when hot-key rows are
+    byte-identical duplicates (identical rows hash to one salt and the
+    straggler remains — dedup first or provide salt_col). Map-typed columns
+    are excluded from the row hash (Spark cannot hash maps).
+
+    ``how`` supports inner/left (semantics preserved: each skewed row joins
+    the full `other` key set exactly once since every (key, salt) replica
+    exists).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    l = skewed.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt))
-    )
+    if salt_col is not None:
+        basis = [F.col(salt_col)]
+    else:
+        basis = [
+            F.col(c) for c, t in skewed.dtypes if not t.startswith("map<")
+        ]
+        if not basis:
+            raise ValueError(
+                "salted_join: every column is map-typed (unhashable); "
+                "provide salt_col"
+            )
+    l = skewed.withColumn("__salt", F.pmod(F.hash(*basis), F.lit(salt)))
     r = other.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return l.join(r, [key, "__salt"], how).drop("__salt")

@@ -33,11 +33,29 @@ def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     current footers with ONE batch read (cheap, driver-side) instead of
     hard-coding — the corpus `ts` physical type has shifted between driver
     rounds (nanos → NTZ micros) and a stale hard-coded schema silently
-    mis-scales event time. `ts` is then normalized to LTZ so watermarks and
-    stream-stream range joins see a plain TIMESTAMP.
+    mis-scales event time. When the directory is empty (stream started
+    before the first producer file lands — the normal file-source pattern)
+    inference falls back to the current corpus schema so the stream still
+    starts and picks files up as they arrive. `ts` is then normalized to
+    LTZ so watermarks and stream-stream range joins see a plain TIMESTAMP.
     """
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(directory).schema
+    try:
+        schema = spark.read.parquet(directory).schema
+    except AnalysisException:  # empty/not-yet-created dir: nothing to infer
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
