@@ -57,6 +57,35 @@ def test_lsh_bands_collide_for_identical_docs(spark):
     assert (0, 1) in cands
 
 
+def test_minhash_dedup_against_corpus(spark):
+    from vectrekker_spark.operators.dedup import band_hashes, minhash_dedup_against
+
+    corpus = spark.createDataFrame([(100, BASE), (101, FAR)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(0, NEAR), (1, "totally novel text with no overlap whatsoever here "
+                        "covering entirely new topics and fresh vocabulary")],
+        "doc_id long, text string",
+    )
+    hits = minhash_dedup_against(new, corpus, threshold=0.5).collect()
+    found = {(r["new_id"], r["corpus_id"]) for r in hits}
+    assert (0, 100) in found  # near-dup of corpus doc detected
+    assert all(n != 1 for n, _ in found)  # novel doc untouched
+
+    # precomputed corpus band index gives identical results (the incremental
+    # path: history signatured once, reused per batch)
+    cb = band_hashes(minhash_signatures(corpus))
+    hits2 = minhash_dedup_against(new, corpus, threshold=0.5, corpus_bands=cb).collect()
+    assert sorted(map(tuple, hits2)) == sorted(map(tuple, hits))
+
+    # consistency with the self-join variant: pairing new∪corpus finds the
+    # same cross pair
+    both = new.unionByName(corpus)
+    self_pairs = {
+        (r["l_id"], r["r_id"]) for r in minhash_dedup_pairs(both, threshold=0.5).collect()
+    }
+    assert (0, 100) in self_pairs
+
+
 def test_simhash_near_dup_has_small_hamming_distance(spark):
     sh = {r["doc_id"]: int(r["simhash"]) for r in simhash16(_docs(spark)).collect()}
     def ham(a, b):

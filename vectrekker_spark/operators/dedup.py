@@ -96,24 +96,22 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_hashes(
     sig_rows: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
 ) -> DataFrame:
-    """MinHash-LSH banding: docs sharing any band hash become candidate pairs.
-
-    Signature rows → band hash (md5 of the band's concatenated minhashes) →
-    self-join on (band, hash). The join is on the band bucket — the classic
-    sub-quadratic near-dup search; only same-bucket docs ever meet.
-    Returns distinct (l_id, r_id) with l < r.
+    """Signature rows → (id, band, band_hash): md5 of each band's
+    positionally-ordered minhash slice. This is the persistable LSH index
+    surface — an incremental pipeline stores this table for the corpus and
+    joins each new batch against it (minhash_dedup_against).
     """
     n_perms = len(MINHASH_PERMS)
     rows_per_band = n_perms // bands
     # Band key must be the POSITIONAL signature slice: collect (perm, minhash)
     # structs and sort by perm, so (a,b) on perms (0,1) never collides with
     # (b,a) — a multiset key would admit invalid LSH collisions.
-    banded = (
+    return (
         sig_rows.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         .agg(
@@ -128,6 +126,20 @@ def lsh_candidate_pairs(
             ).alias("band_hash")
         )
     )
+
+
+def lsh_candidate_pairs(
+    sig_rows: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any band hash become candidate pairs.
+
+    Signature rows → band hash → self-join on (band, hash). The join is on
+    the band bucket — the classic sub-quadratic near-dup search; only
+    same-bucket docs ever meet. Returns distinct (l_id, r_id) with l < r.
+    """
+    banded = band_hashes(sig_rows, id_col=id_col, bands=bands)
     l = banded.select(F.col(id_col).alias("l_id"), "band", "band_hash")
     r = banded.select(F.col(id_col).alias("r_id"), "band", "band_hash")
     return (
@@ -161,6 +173,57 @@ def minhash_dedup_pairs(
         .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("l_id", "r_id", "jaccard")
+    )
+
+
+def minhash_dedup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dedup: which NEW docs near-duplicate an EXISTING
+    corpus doc. The cross-corpus variant of minhash_dedup_pairs — the shape
+    every incremental ingestion run needs (dedup the day's batch against
+    100 TB of history without re-pairing history against itself).
+
+    Pass ``corpus_bands`` (a persisted band_hashes() table for the corpus)
+    to skip re-signaturing history: the batch then costs
+    O(|new| signatures) + one band-bucket join against the index + exact
+    Jaccard verification on candidates only. Returns
+    (new_id, corpus_id, jaccard) for pairs at/above threshold; anti-join
+    `new` on new_id to keep only novel documents.
+    """
+    new_bands = band_hashes(
+        minhash_signatures(new, text_col=text_col, id_col=id_col), id_col=id_col
+    ).select(F.col(id_col).alias("new_id"), "band", "band_hash")
+    if corpus_bands is None:
+        corpus_bands = band_hashes(
+            minhash_signatures(corpus, text_col=text_col, id_col=id_col),
+            id_col=id_col,
+        )
+    cb = corpus_bands.select(F.col(id_col).alias("corpus_id"), "band", "band_hash")
+    cands = (
+        new_bands.join(cb, ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    l = new.select(
+        F.col(id_col).alias("new_id"), word_shingles(F.col(text_col)).alias("l_sh")
+    )
+    r = corpus.select(
+        F.col(id_col).alias("corpus_id"), word_shingles(F.col(text_col)).alias("r_sh")
+    )
+    inter = F.size(F.array_intersect("l_sh", "r_sh"))
+    union = F.size("l_sh") + F.size("r_sh") - inter
+    return (
+        cands.join(l, "new_id")
+        .join(r, "corpus_id")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 
