@@ -146,6 +146,16 @@ class Engine:
 
         return pack_sequences(chunks, max_tokens, **kw)
 
+    def near_dedup_against(
+        self, new: DataFrame, corpus: DataFrame, threshold: float = 0.7, **kw
+    ) -> DataFrame:
+        """Incremental near-dedup of a new batch against the existing corpus
+        (operators/dedup.minhash_dedup_against); pass corpus_bands= to reuse
+        a persisted band index."""
+        from vectrekker_spark.operators.dedup import minhash_dedup_against
+
+        return minhash_dedup_against(new, corpus, threshold=threshold, **kw)
+
     def redact_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Replace emails/phones in `text_col` with placeholder tags
         (functions/text.redact_pii), in place of the original column."""
