@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist, norm
+from vectrekker_spark.functions.vector import dot, l2_dist, norm
 from vectrekker_spark.operators.knn import knn_join, similarity_join_blas
 from vectrekker_spark.queries import QuerySpec
 from vectrekker_spark.queries.util import (
@@ -24,7 +24,6 @@ from vectrekker_spark.queries.util import (
     ordered,
     tbp,
     dot_sql,
-    l2_sql,
     normsq_sql,
     tb,
 )
@@ -158,14 +157,15 @@ def q21_vector_metrics(spark: SparkSession, sf: str) -> DataFrame:
     # its successor — cos/dot/L2 on the pair (NULL for the last vec_id, which
     # also exercises outer-join null handling over array columns), plus dim
     # check, L2 norm, and first normalized component per vector.
-    # norm materialized once per row — the aggregate() expr is interpreted
-    # (not codegen), so computing it 3× (norm, normalize, divide) tripled cost
     # Shared-subexpression formulation: ONE interpreted array pass per pair
     # (the dot) + one sumsq per side, then cos and l2 derived algebraically
-    # (cos = d/(√n1·√n2); ‖a-b‖² = n1+n2-2d) — the naive form re-walked the
-    # arrays ~5× per pair through interpreted aggregate() exprs (cosine =
-    # dot + 2 norms, l2 = another zip_with). The oracle mirrors the exact
-    # same scalar arithmetic so parity is bit-identical. Measured ~2.5×.
+    # (cos = d/(√n1·√n2); ‖a-b‖² = n1+n2-2d). The naive form wrote ~5
+    # aggregate()/zip_with exprs per pair; runtime subexpression elimination
+    # already deduped most of that (wall time at sf0.1 is stage-overhead
+    # bound and unchanged), but this form walks each array exactly once per
+    # pair BY CONSTRUCTION — what matters at 1536 dims × corpus scale, and
+    # robust to optimizer rewrites that break subtree identity. The oracle
+    # mirrors the identical scalar arithmetic so parity is bit-exact.
     em = tbp(spark, sf, "embeddings")
     nsq = lambda c: F.aggregate(  # noqa: E731 - sum of squares, in-order
         F.col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
