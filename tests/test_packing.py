@@ -91,6 +91,54 @@ def test_bfd_policy_budget_and_fill(chunks):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+# --- hypothesis property tests on the pure local packers (no Spark) -------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vectrekker_spark.operators.packing import fill_bfd, fill_ffs
+
+TOKS = st.lists(st.integers(min_value=1, max_value=150), max_size=200)
+
+
+def _check_invariants(toks, seq, pos, budget):
+    assert len(seq) == len(pos) == len(toks)
+    fills: dict[int, int] = {}
+    by_seq: dict[int, list[int]] = {}
+    for i, (s, p) in enumerate(zip(seq, pos)):
+        fills[s] = fills.get(s, 0) + toks[i]
+        by_seq.setdefault(s, []).append(p)
+    for s, total in fills.items():
+        # budget respected unless the sequence is a single oversize chunk
+        assert total <= budget or len(by_seq[s]) == 1
+    for positions in by_seq.values():
+        assert sorted(positions) == list(range(len(positions)))  # dense 0..n-1
+
+
+@settings(max_examples=200, deadline=None)
+@given(toks=TOKS)
+def test_prop_ffs_invariants(toks):
+    seq, pos = fill_ffs(toks, 100)
+    _check_invariants(toks, seq, pos, 100)
+    # ffs additionally: seq indexes are non-decreasing in input order
+    assert all(a <= b for a, b in zip(seq, seq[1:]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(toks=TOKS)
+def test_prop_bfd_invariants(toks):
+    seq, pos = fill_bfd(toks, 100)
+    _check_invariants(toks, seq, pos, 100)
+
+
+@settings(max_examples=200, deadline=None)
+@given(toks=TOKS)
+def test_prop_bfd_never_more_sequences_than_ffs(toks):
+    n_ffs = len(set(fill_ffs(toks, 100)[0]))
+    n_bfd = len(set(fill_bfd(toks, 100)[0]))
+    assert n_bfd <= n_ffs
+
+
 def test_unknown_policy_raises(chunks):
     with pytest.raises(ValueError, match="policy"):
         pack_sequences(chunks, BUDGET, policy="magic")

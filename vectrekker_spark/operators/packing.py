@@ -45,6 +45,48 @@ from pyspark.sql import functions as F
 _SEQS_PER_BUCKET = 1 << 33
 
 
+def fill_ffs(toks: list[int], max_tokens: int) -> tuple[list[int], list[int]]:
+    """First-fit-sequential local packer: (seq index, position) per chunk.
+    Pure function — property-tested directly (tests/test_packing.py)."""
+    seq_local = [0] * len(toks)
+    pos = [0] * len(toks)
+    cur_seq, cur_fill, cur_pos = 0, 0, 0
+    for i, t in enumerate(toks):
+        if cur_fill > 0 and cur_fill + t > max_tokens:
+            cur_seq, cur_fill, cur_pos = cur_seq + 1, 0, 0
+        seq_local[i] = cur_seq
+        pos[i] = cur_pos
+        cur_fill += t
+        cur_pos += 1
+    return seq_local, pos
+
+
+def fill_bfd(toks: list[int], max_tokens: int) -> tuple[list[int], list[int]]:
+    """Best-fit-decreasing local packer: visit chunks largest-first; place
+    each into the open sequence with the smallest sufficient remaining
+    capacity (classic BFD ≤ 11/9·OPT + 1). `caps` kept sorted for bisect;
+    ties broken toward the lowest seq id for determinism. Pure function."""
+    order = sorted(range(len(toks)), key=lambda i: (-toks[i], i))
+    seq_local = [0] * len(toks)
+    pos = [0] * len(toks)
+    caps: list[tuple[int, int]] = []  # sorted (remaining, seq) pairs
+    counts: list[int] = []  # chunks placed per seq
+    for i in order:
+        t = toks[i]
+        j = bisect.bisect_left(caps, (t, -1))
+        if j < len(caps):
+            rem, s = caps.pop(j)
+            rem -= t
+        else:
+            s, rem = len(counts), max_tokens - t
+            counts.append(0)
+        seq_local[i] = s
+        pos[i] = counts[s]
+        counts[s] += 1
+        bisect.insort(caps, (rem, s))
+    return seq_local, pos
+
+
 def pack_sequences(
     chunks: DataFrame,
     max_tokens: int,
@@ -73,51 +115,13 @@ def pack_sequences(
         f"`{n}` {t}" for n, t in chunks.dtypes
     ) + ", seq_id long, seq_pos int"
 
-    def _fill_ffs(toks: list[int]) -> tuple[list[int], list[int]]:
-        seq_local = [0] * len(toks)
-        pos = [0] * len(toks)
-        cur_seq, cur_fill, cur_pos = 0, 0, 0
-        for i, t in enumerate(toks):
-            if cur_fill > 0 and cur_fill + t > max_tokens:
-                cur_seq, cur_fill, cur_pos = cur_seq + 1, 0, 0
-            seq_local[i] = cur_seq
-            pos[i] = cur_pos
-            cur_fill += t
-            cur_pos += 1
-        return seq_local, pos
-
-    def _fill_bfd(toks: list[int]) -> tuple[list[int], list[int]]:
-        # visit chunks largest-first; place each into the open sequence with
-        # the smallest sufficient remaining capacity (classic best-fit-
-        # decreasing ≤ 11/9·OPT + 1). `caps` is kept sorted for bisect;
-        # ties broken toward the lowest seq id for determinism.
-        order = sorted(range(len(toks)), key=lambda i: (-toks[i], i))
-        seq_local = [0] * len(toks)
-        pos = [0] * len(toks)
-        caps: list[tuple[int, int]] = []  # sorted (remaining, seq) pairs
-        counts: list[int] = []  # chunks placed per seq
-        for i in order:
-            t = toks[i]
-            j = bisect.bisect_left(caps, (t, -1))
-            if j < len(caps):
-                rem, s = caps.pop(j)
-                rem -= t
-            else:
-                s, rem = len(counts), max_tokens - t
-                counts.append(0)
-            seq_local[i] = s
-            pos[i] = counts[s]
-            counts[s] += 1
-            bisect.insort(caps, (rem, s))
-        return seq_local, pos
-
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([doc_col, chunk_col], kind="mergesort").reset_index(
             drop=True
         )
         bucket = int(pdf["__bucket"].iloc[0])
         toks = [int(t) for t in pdf[tok_col]]
-        seq_local, pos = (_fill_bfd if policy == "bfd" else _fill_ffs)(toks)
+        seq_local, pos = (fill_bfd if policy == "bfd" else fill_ffs)(toks, max_tokens)
         assert max(seq_local, default=0) < _SEQS_PER_BUCKET, (
             "raise n_buckets: bucket overflow"
         )
