@@ -91,6 +91,31 @@ def test_bfd_policy_budget_and_fill(chunks):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_materialize_sequences(chunks):
+    from vectrekker_spark.operators.packing import materialize_sequences
+
+    packed = pack_sequences(chunks, BUDGET)
+    seqs = materialize_sequences(packed).cache()
+    stats = {r["seq_id"]: r for r in sequence_stats(packed, BUDGET).collect()}
+    rows = seqs.collect()
+    assert len(rows) == len(stats)
+    for r in rows:
+        s = stats[r["seq_id"]]
+        assert r["n_chunks"] == s["n_chunks"] and r["n_tokens"] == s["seq_tokens"]
+        assert len(r["text"].split("\n\n")) == r["n_chunks"]
+    # chunk text appears in seq_pos order regardless of partitioning
+    one = (
+        packed.filter(F.col("seq_id") == rows[0]["seq_id"])
+        .orderBy("seq_pos")
+        .collect()
+    )
+    assert rows[0]["text"] == "\n\n".join(c["chunk_text"] for c in one)
+    again = materialize_sequences(pack_sequences(chunks.repartition(3), BUDGET))
+    assert sorted(
+        (r["seq_id"], r["text"]) for r in again.collect()
+    ) == sorted((r["seq_id"], r["text"]) for r in rows)
+
+
 # --- hypothesis property tests on the pure local packers (no Spark) -------
 
 from hypothesis import given, settings

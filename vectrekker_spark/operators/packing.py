@@ -136,6 +136,40 @@ def pack_sequences(
     return bucketed.groupBy("__bucket").applyInPandas(pack, schema=out_schema)
 
 
+def materialize_sequences(
+    packed: DataFrame,
+    text_col: str = "chunk_text",
+    tok_col: str = "n_tokens",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Collapse packed chunk rows into one row per training sequence:
+    (seq_id, text, n_chunks, n_tokens), chunks joined in seq_pos order.
+
+    Order-correct under any parallelism: chunks are collected as
+    (seq_pos, text) structs, array_sort'ed (struct compare = positional,
+    so seq_pos order), then joined — no reliance on collect_list's
+    arrival order, which Spark does not guarantee.
+    """
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("seq_pos"), F.col(text_col)))
+            ).alias("__parts"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(tok_col).alias("n_tokens"),
+        )
+        .select(
+            "seq_id",
+            F.concat_ws(
+                sep, F.transform(F.col("__parts"), lambda s: s.getField(text_col))
+            ).alias("text"),
+            "n_chunks",
+            "n_tokens",
+        )
+    )
+
+
 def sequence_stats(packed: DataFrame, max_tokens: int,
                    tok_col: str = "n_tokens") -> DataFrame:
     """Per-sequence fill report: token total, chunk count, fill ratio.
