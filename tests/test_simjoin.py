@@ -75,6 +75,28 @@ def test_blas_guard_raises_on_oversized_right(planted):
         )
 
 
+def test_auto_route_picks_exact_under_cap(planted):
+    from vectrekker_spark.operators.knn import similarity_join_self_auto
+
+    auto = similarity_join_self_auto(planted, 0.95, "vec_id", "embedding")
+    exact = similarity_join_blas(
+        planted, planted, 0.95,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_auto_route_picks_bucketed_over_cap(planted):
+    from vectrekker_spark.operators.knn import similarity_join_self_auto
+
+    # force the bucketed branch with a tiny cap; planted dups still found
+    out = similarity_join_self_auto(
+        planted, 0.95, "vec_id", "embedding", max_exact_rows=10
+    )
+    assert out.count() >= 15
+
+
 def test_generic_simjoin_guard_raises_on_oversized_right(planted):
     from vectrekker_spark.operators.knn import similarity_join
 

@@ -230,6 +230,34 @@ def similarity_join_blas(
     )
 
 
+def similarity_join_self_auto(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_exact_rows: int = 1_000_000,
+) -> DataFrame:
+    """Auto-routed cosine-threshold SELF-join: EXACT blocked-BLAS when the
+    corpus fits the broadcast cap, else the SimHash-bucketed route (which
+    is approximate below cosine ≈0.95 — see similarity_join_bucketed's
+    recall math). One LIMIT-probe decides; callers that must control
+    exactness pick a concrete variant instead. Returns (l_id, r_id, score)
+    with l < r either way.
+    """
+    n_probe = df.select(id_col).limit(max_exact_rows + 1).count()
+    if n_probe <= max_exact_rows:
+        return similarity_join_blas(
+            df, df, threshold,
+            left_id=id_col, left_vec=vec_col,
+            right_id=id_col, right_vec=vec_col,
+            max_collect_rows=max_exact_rows,
+        )
+    dim = len(df.select(vec_col).first()[0])
+    return similarity_join_bucketed(
+        df, threshold, dim, id_col=id_col, vec_col=vec_col
+    )
+
+
 def similarity_join_bucketed(
     df: DataFrame,
     threshold: float,
