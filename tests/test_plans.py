@@ -53,6 +53,28 @@ def test_window_single_shuffle(spark, sf_dir):
     assert shuffle_count(df) <= 2  # partitionBy exchange + final orderBy
 
 
+def test_range_join_is_bucket_equi_not_nested_loop(spark, sf_dir):
+    # q09's bounded interval join must compile to a hash equi join on
+    # (key, bucket) — a BroadcastNestedLoopJoin/CartesianProduct here is the
+    # O(per-key^2) plan that dies at 100 TB
+    from vectrekker_spark.queries.relational import q09_range_join
+
+    plan = formatted_plan(q09_range_join(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    # d22's as-of join is union + ONE hash shuffle on the key + window; a
+    # second join-shaped shuffle would mean the plan regressed to range join
+    from vectrekker_spark.queries.relational import d22_asof_join
+
+    df = d22_asof_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    # key exchange + final orderBy exchange (+ AQE may add a coalesce read)
+    assert shuffle_count(df) <= 3, plan
+
+
 def test_agg_has_no_roundrobin_prespread(spark, sf_dir):
     # q03's partial aggregation shrinks the scan map-side; a round-robin
     # pre-spread would shuffle 600k full rows to save nothing (measured 2×
