@@ -57,6 +57,20 @@ def test_lsh_bands_collide_for_identical_docs(spark):
     assert (0, 1) in cands
 
 
+def test_null_text_is_not_duplicate_content(spark):
+    # real corpora carry nulls: each null-text doc must survive as its own
+    # group (md5(NULL) would otherwise merge them all into one "dup" cluster)
+    # and the minhash kernel must skip them instead of crashing
+    docs = spark.createDataFrame(
+        [(0, BASE), (1, None), (2, None), (3, ""), (4, BASE)],
+        "doc_id long, text string",
+    )
+    groups = {r["keep_id"]: r["dup_cnt"] for r in exact_dedup_map(docs).collect()}
+    assert groups == {0: 2, 1: 1, 2: 1, 3: 1}
+    pairs = {(r["l_id"], r["r_id"]) for r in minhash_dedup_pairs(docs, 0.5).collect()}
+    assert pairs == {(0, 4)}  # the real dup found; null docs never pair
+
+
 def test_minhash_dedup_against_corpus(spark):
     from vectrekker_spark.operators.dedup import band_hashes, minhash_dedup_against
 

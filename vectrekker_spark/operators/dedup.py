@@ -26,9 +26,20 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 def exact_dedup_map(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: one row per distinct text with the keeper
     (min id) and the duplicate count. A single hash-shuffle on md5(text);
-    at 100 TB, group keys are 32-byte digests, never the text itself."""
+    at 100 TB, group keys are 32-byte digests, never the text itself.
+
+    NULL text is NOT duplicate content: each null-text row gets a per-row
+    sentinel key ('__null__<id>') so it survives as its own group instead of
+    all null rows collapsing into one "duplicate" cluster (md5(NULL) is NULL,
+    and a plain GROUP BY would merge them — real corpora do carry nulls).
+    The q25 oracle mirrors the same COALESCE.
+    """
+    key = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    )
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        df.groupBy(key.alias("content_md5"))
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("dup_cnt"),
@@ -75,6 +86,11 @@ def minhash_signatures(
         for pdf in batches:
             ids, perms, mins = [], [], []
             for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                if text is None:
+                    # null text has no shingles → no signature rows → never
+                    # a near-dup candidate (matches exact_dedup_map's
+                    # null-is-not-duplicate-content rule)
+                    continue
                 toks = re.split(r"\s+", text.lower().strip())
                 n = len(toks)
                 upper = max(n - shingle_words, 0)

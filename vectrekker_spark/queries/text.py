@@ -31,8 +31,9 @@ def q25_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q25_SQL = """
-SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
-FROM documents GROUP BY md5(text) ORDER BY keep_id
+SELECT COALESCE(md5(text), '__null__' || doc_id) AS content_md5,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY 1 ORDER BY keep_id
 """
 
 
