@@ -48,3 +48,13 @@ def test_invalid_params(spark):
     df = None
     with pytest.raises(ValueError):
         chunk_text(df, size=10, overlap=10)
+
+
+def test_null_and_empty_text_emit_no_chunks(spark):
+    df = spark.createDataFrame(
+        [(0, "some real content here"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_text(df, size=10, overlap=2).collect()
+    assert {r["doc_id"] for r in rows} == {0}
+    assert all(r["chunk_text"] for r in rows)

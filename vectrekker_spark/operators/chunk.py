@@ -34,9 +34,14 @@ def chunk_text(
     if not 0 <= overlap < size:
         raise ValueError("require 0 <= overlap < size")
     step = size - overlap
+    # NULL/empty text yields NO chunks: length(NULL) is NULL and Spark's
+    # greatest() skips nulls, so the naive sequence bound silently emitted
+    # one junk (null or empty) chunk per such document.
     chunks = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {overlap}, 1), {step}), "
-        f"s -> substring({text_col}, s, {size}))"
+        f"CASE WHEN {text_col} IS NULL OR length({text_col}) = 0 THEN "
+        f"  array() "
+        f"ELSE transform(sequence(1, greatest(length({text_col}) - {overlap}, 1), {step}), "
+        f"  s -> substring({text_col}, s, {size})) END"
     )
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")

@@ -98,7 +98,8 @@ SELECT doc_id, CAST((s - 1) / 80 AS INT) AS chunk_id,
        md5(substr(text, s, 100)) AS chunk_md5
 FROM (SELECT doc_id, text,
              unnest(generate_series(1, greatest(length(text) - 20, 1), 80)) AS s
-      FROM documents)
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0)
 ORDER BY doc_id, chunk_id
 """
 

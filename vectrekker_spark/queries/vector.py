@@ -73,7 +73,9 @@ def hash_embed_batch(texts: pd.Series, dim: int = HASH_EMBED_DIM) -> pd.Series:
     Bucket weights are sums of ±1 — exact integers in float64 — so
     accumulation order cannot change the result vs the per-token loop form.
     """
-    tok_lists = [t.split() for t in texts]  # ≡ re.split(r"\s+", strip) sans empties
+    # None → no tokens → zero vector (dropped by q20's != 0 filter, matching
+    # the oracle's WHERE t <> '' which emits nothing for null text)
+    tok_lists = [(t or "").split() for t in texts]  # ≡ re.split(r"\s+", strip)
     n_docs = len(tok_lists)
     counts = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=n_docs)
     M = np.zeros((n_docs, dim), dtype=np.float64)
