@@ -94,6 +94,25 @@ def test_asof_and_range_join_on_empty(spark):
     assert asof_join(left, right, key="user_id").count() == 0
 
 
+def test_kernels_survive_null_text(spark):
+    # per-row Arrow kernels must skip null text, not crash the Python worker
+    import pandas as pd
+
+    from vectrekker_spark.operators.sketch import build_sketch, estimate
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha gamma words here"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    sketch = build_sketch(docs)
+    assert estimate(sketch, "alpha") >= 2  # nulls skipped, counts intact
+
+    from vectrekker_spark.queries.vector import hash_embed_batch
+
+    vecs = hash_embed_batch(pd.Series(["some text", None, ""]))
+    assert len(vecs[1]) == 64 and sum(vecs[1]) == 0.0  # null → zero vector
+
+
 def test_multimodal_on_empty(spark):
     from vectrekker_spark.operators.multimodal import (
         extract_features,

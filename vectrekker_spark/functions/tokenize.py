@@ -52,7 +52,10 @@ def tiktoken_count_udf():
     enc = tiktoken.get_encoding("cl100k_base")
 
     def count(texts: pd.Series) -> pd.Series:
-        return pd.Series([len(x) for x in enc.encode_batch(texts.tolist())])
+        # null-safe: encode_batch rejects None; null text counts 0 tokens
+        return pd.Series(
+            [len(x) for x in enc.encode_batch([t or "" for t in texts])]
+        )
 
     return F.pandas_udf(count, "int")
 

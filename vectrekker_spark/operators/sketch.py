@@ -75,7 +75,8 @@ def build_sketch(
         for pdf in batches:
             toks: list[str] = []
             for text in pdf[text_col]:
-                toks.extend(text.split())  # ≡ re.split(r"\s+", s.strip()) sans empties
+                # ≡ re.split(r"\s+", s.strip()) sans empties; null → no tokens
+                toks.extend((text or "").split())
             if not toks:
                 continue
             uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)

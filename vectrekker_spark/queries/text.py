@@ -355,6 +355,8 @@ def d13_winnowing(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:  # null/empty docs have no k-grams
+                    continue
                 t = text.lower()
                 c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
                     np.int64
