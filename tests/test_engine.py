@@ -74,3 +74,31 @@ def test_engine_asof_sugar(spark, sf_dir):
     right = spark.createDataFrame([(1, 5, 2.5)], "k long, ts long, v double")
     row = eng.asof_join(left, right, key="k").collect()[0]
     assert row["v"] == 2.5 and row["asof_ts"] == 5
+
+
+def test_engine_assembly_sugar(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text", "lang", "source")
+    # deterministic sampling / mixing / shuffle
+    s = eng.sample(docs, 0.3, seed="e")
+    assert 0 < s.count() < docs.count()
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    m = eng.mix(docs, {srcs[0]: 1.0}, strata_col="source")
+    assert {r["source"] for r in m.select("source").distinct().collect()} == {srcs[0]}
+    sh = eng.shuffle_order(docs.limit(50))
+    assert sh.count() == 50
+    # packing over chunked docs
+    from pyspark.sql import functions as F
+
+    chunks = spark.createDataFrame(
+        [(0, i, f"c{i}", 30) for i in range(10)],
+        "doc_id long, chunk_id long, chunk_text string, n_tokens int",
+    )
+    packed = eng.pack_sequences(chunks, 64)
+    assert packed.count() == 10
+    assert packed.groupBy("seq_id").agg(F.sum("n_tokens").alias("t")).filter(
+        F.col("t") > 64
+    ).count() == 0
+    # incremental near-dedup facade
+    hits = eng.near_dedup_against(docs.limit(20), docs.limit(20), threshold=0.99)
+    assert hits.count() >= 20  # every doc near-dups itself in the corpus copy
