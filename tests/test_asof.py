@@ -54,3 +54,17 @@ def test_asof_single_shuffle(spark):
     # one hash exchange on the key feeds the window sort; no range-join
     # explosion, no second shuffle
     assert shuffle_count(asof_join(left, right, key="k")) == 1
+
+
+def test_asof_null_ts_semantics(spark):
+    # a left row with NULL ts sorts before every right row (nulls first in
+    # the union window), so it matches nothing — document that contract
+    from vectrekker_spark.operators.asofjoin import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None), (2, 100)], "k long, ts long"
+    ).selectExpr("k", "CAST(ts AS long) AS ts")
+    right = spark.createDataFrame([(1, 50, 9.9), (2, 50, 8.8)], "k long, ts long, v double")
+    rows = {r["k"]: (r["v"], r["asof_ts"]) for r in asof_join(left, right, key="k").collect()}
+    assert rows[2] == (8.8, 50)
+    assert rows[1] == (None, None)  # null-ts left row matches nothing

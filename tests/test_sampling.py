@@ -71,6 +71,21 @@ def test_stratified_rates(docs):
         assert 0 < n_drop < n_drop_total
 
 
+def test_boundary_rates(docs):
+    n = docs.count()
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == n
+    # default_rate applies to strata missing from the rate map
+    assert (
+        stratified_hash_sample(docs, {}, strata_col="source", default_rate=1.0).count()
+        == n
+    )
+    assert (
+        stratified_hash_sample(docs, {}, strata_col="source", default_rate=0.0).count()
+        == 0
+    )
+
+
 def test_invalid_rates_raise(docs):
     with pytest.raises(ValueError):
         hash_sample(docs, 1.5)
