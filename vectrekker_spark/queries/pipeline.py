@@ -192,10 +192,14 @@ def _ivf_index(spark: SparkSession, sf: str):
 
 
 def d10_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    # IVF approximate NN: deterministic but not reasonably SQL-expressible →
-    # rows-only driver check; recall-vs-exact property test in
-    # tests/test_ann.py. Build is amortized via _ivf_index (index-build-once
-    # semantics); this call measures probe + in-cell scoring.
+    # IVF approximate NN. The registry variant deliberately uses the fully
+    # deterministic stride-centroid build (ann.py ivf_build method="stride"),
+    # so the WHOLE pipeline — centroid pick, argmin assignment, n_probe cell
+    # selection, in-cell top-k — is plain relational algebra and D10_SQL
+    # mirrors it exactly (every stage is a window/join over round-6 cosine).
+    # Recall-vs-exact is additionally property-tested in tests/test_ann.py.
+    # Build is amortized via _ivf_index (index-build-once semantics); this
+    # call measures probe + in-cell scoring.
     from vectrekker_spark.operators.ann import ivf_search
 
     em = tb(spark, sf, "embeddings")
@@ -204,6 +208,65 @@ def d10_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return ivf_search(queries, em, centroids, assign, k=10, n_probe=3).orderBy("qid", "rank")
+
+
+# Mirrors d10's deterministic stride-IVF pipeline stage by stage:
+#   stride = max(N // 10, 1); centroids = multiples of stride, cid < 10
+#   (ann.py ivf_build method="stride"); assignment = argmin over round-6
+#   cosine with cid-asc tie-break (knn_join k=1); probes = top-3 centroids
+#   per query (knn_join k=3); candidates = probed cells' members, DISTINCT;
+#   final = round-6 cosine top-10 per query, vec_id-asc tie-break.
+# cosine_sql accumulates in-order doubles — bit-identical to
+# functions/vector.py's aggregate expressions (see queries/util.py).
+from vectrekker_spark.queries.util import cosine_sql as _cos  # noqa: E402
+
+D10_SQL = f"""
+WITH p AS (
+  SELECT GREATEST(COUNT(*) // 10, 1) AS stride FROM embeddings
+),
+c AS (
+  SELECT vec_id // stride AS cid, embedding AS cvec
+  FROM embeddings, p
+  WHERE vec_id % stride = 0 AND vec_id // stride < 10
+),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos('c.cvec', 'e.embedding')}, 6) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+pr AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND({_cos('c.cvec', 'q.qvec')}, 6) DESC,
+                      c.cid ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 3
+),
+cand AS (
+  SELECT DISTINCT pr.qid, a.vec_id FROM pr JOIN a ON a.cid = pr.cid
+)
+SELECT qid, vec_id, score, rank FROM (
+  SELECT cand.qid AS qid, cand.vec_id AS vec_id,
+         ROUND({_cos('e.embedding', 'q.qvec')}, 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY cand.qid
+           ORDER BY ROUND({_cos('e.embedding', 'q.qvec')}, 6) DESC,
+                    e.vec_id ASC) AS rank
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN q ON q.qid = cand.qid
+) WHERE rank <= 10 ORDER BY qid, rank
+"""
 
 
 SPECS = [
@@ -215,6 +278,7 @@ SPECS = [
               "15-min-gap session windows (ST3 batch equivalent)"),
     QuerySpec("d09_incremental_delta", d09_incremental_delta, D09_SQL, ("pipeline",),
               "reference D1 delta semantics: unknown→0, strict >"),
-    QuerySpec("d10_ann_ivf", d10_ann_ivf, None, ("vector", "ann"),
-              "IVF approximate NN (rows-only check + recall property test)"),
+    QuerySpec("d10_ann_ivf", d10_ann_ivf, D10_SQL, ("vector", "ann"),
+              "deterministic stride-IVF approximate NN (oracle-checked end "
+              "to end; recall property test in tests/test_ann.py)"),
 ]
