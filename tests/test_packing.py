@@ -8,7 +8,12 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from vectrekker_spark.operators.packing import pack_sequences, sequence_stats
+from vectrekker_spark.operators.packing import (
+    _SEQS_PER_BUCKET,
+    derive_n_buckets,
+    pack_sequences,
+    sequence_stats,
+)
 
 BUDGET = 100
 
@@ -181,3 +186,70 @@ def test_doc_chunks_share_bucket_stream(chunks):
     )
     ids = [r["seq_id"] for r in seqs]
     assert ids == sorted(ids)
+
+
+# --- bucket-count auto-scaling (the 100 TB safety property) ---------------
+
+
+def test_derive_n_buckets_pure():
+    assert derive_n_buckets(0, 100) == 1  # empty corpus still packs
+    assert derive_n_buckets(1, 100) == 1
+    assert derive_n_buckets(100, 100) == 1
+    assert derive_n_buckets(101, 100) == 2
+    assert derive_n_buckets(10**13, 200_000) == 50_000_000  # 100 TB-ish
+    with pytest.raises(ValueError, match="positive"):
+        derive_n_buckets(10, 0)
+
+
+def test_auto_buckets_scale_with_corpus(spark):
+    # 400 single-chunk docs with a 10-row/bucket target must spread across
+    # many buckets — the fixed-default OOM shape (everything in few giant
+    # pandas groups) is the regression this pins against.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(400),
+            "chunk_id": [0] * 400,
+            "chunk_text": [f"d{i}" for i in range(400)],
+            "n_tokens": [7] * 400,
+        }
+    )
+    chunks = spark.createDataFrame(pdf).repartition(5)
+    packed = pack_sequences(chunks, BUDGET, target_rows_per_bucket=10).cache()
+    buckets = [
+        r["b"]
+        for r in packed.select(
+            (F.col("seq_id") / F.lit(_SEQS_PER_BUCKET)).cast("long").alias("b")
+        )
+        .groupBy("b")
+        .count()
+        .select("b")
+        .collect()
+    ]
+    n_buckets = derive_n_buckets(400, 10)
+    assert n_buckets == 40
+    assert all(0 <= b < n_buckets for b in buckets)
+    assert len(buckets) > 10  # xxhash spreads docs over many buckets
+    per_bucket = (
+        packed.select((F.col("seq_id") / F.lit(_SEQS_PER_BUCKET)).cast("long").alias("b"))
+        .groupBy("b")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_bucket <= 5 * 10  # no bucket concentrates the corpus
+    # coverage is unchanged by the bucket spread
+    assert packed.count() == 400
+    packed.unpersist()
+
+
+def test_auto_buckets_deterministic(chunks):
+    # auto-derived bucket count is a pure function of the row count, so the
+    # default path equals an explicit call with the same derived value
+    n = chunks.count()
+    auto = pack_sequences(chunks, BUDGET).orderBy("doc_id", "chunk_id").collect()
+    explicit = (
+        pack_sequences(chunks, BUDGET, n_buckets=derive_n_buckets(n))
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    assert [tuple(r) for r in auto] == [tuple(r) for r in explicit]

@@ -9,7 +9,10 @@ shard documents into hash buckets (every chunk of a doc lands in one
 bucket), run the greedy packer per bucket with ``applyInPandas``, and make
 sequence ids globally unique by offsetting with the bucket id. One shuffle
 (the groupBy), no driver collect, O(total chunks / n_buckets) memory per
-task — at 100 TB you raise ``n_buckets`` so each bucket fits an executor.
+task — and ``n_buckets`` is sized FROM the corpus by default
+(``derive_n_buckets``: one count job, bounded expected rows per bucket), so
+a 100 TB corpus gets proportionally more buckets instead of OOMing a fixed
+bucket count.
 
 Determinism/partition-invariance: the packer sorts each bucket by
 (doc, chunk) before filling, and bucket assignment depends only on the doc
@@ -43,6 +46,26 @@ from pyspark.sql import functions as F
 # Local sequence counter can't collide across buckets as long as no bucket
 # packs more than this many sequences; asserted in the packer.
 _SEQS_PER_BUCKET = 1 << 33
+
+# Auto-sizing target: each bucket materializes as ONE pandas DataFrame in a
+# Python worker, so the bucket count must grow with the corpus. 200k chunk
+# rows ≈ 0.8 GB of pandas at a typical 4 KB chunk_text — comfortably inside
+# an executor's Python worker at default memory settings.
+DEFAULT_ROWS_PER_BUCKET = 200_000
+
+
+def derive_n_buckets(n_rows: int, target_rows_per_bucket: int = DEFAULT_ROWS_PER_BUCKET) -> int:
+    """Smallest bucket count keeping EXPECTED rows per bucket ≤ target.
+
+    Pure function of the corpus size — same data ⇒ same bucket count ⇒ same
+    seq_ids, preserving pack_sequences' determinism guarantee. Hash bucketing
+    spreads docs ~uniformly, so the expectation is also the typical case; a
+    single doc with more chunks than the target still lands in one bucket
+    (packing is sequential within a doc by design) — re-chunk such docs
+    upstream."""
+    if target_rows_per_bucket <= 0:
+        raise ValueError("target_rows_per_bucket must be positive")
+    return max(1, -(-n_rows // target_rows_per_bucket))
 
 
 def fill_ffs(toks: list[int], max_tokens: int) -> tuple[list[int], list[int]]:
@@ -93,8 +116,9 @@ def pack_sequences(
     doc_col: str = "doc_id",
     chunk_col: str = "chunk_id",
     tok_col: str = "n_tokens",
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
     policy: str = "ffs",
+    target_rows_per_bucket: int = DEFAULT_ROWS_PER_BUCKET,
 ) -> DataFrame:
     """Assign every chunk to a packed sequence.
 
@@ -104,9 +128,18 @@ def pack_sequences(
     materialize sequences (e.g. ``concat_ws`` the text, ``sum`` the tokens).
     ``policy``: "ffs" (doc-order-preserving) or "bfd" (higher fill) — see
     module docstring.
+
+    ``n_buckets=None`` (default) sizes the bucket count from one count job:
+    ``derive_n_buckets(chunks.count(), target_rows_per_bucket)`` — so the
+    per-bucket pandas DataFrame stays bounded no matter the corpus size (a
+    fixed default would OOM a Python worker at 100 TB). The count is footer-
+    cheap on parquet-backed inputs; callers with expensive lineage who
+    already know their scale pass ``n_buckets`` explicitly to skip it.
     """
     if policy not in ("ffs", "bfd"):
         raise ValueError(f"unknown packing policy {policy!r}: use 'ffs' or 'bfd'")
+    if n_buckets is None:
+        n_buckets = derive_n_buckets(chunks.count(), target_rows_per_bucket)
     in_cols = chunks.columns
     for c in (doc_col, chunk_col, tok_col):
         if c not in in_cols:
