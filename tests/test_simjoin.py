@@ -129,3 +129,65 @@ def test_blas_guard_allows_exact_cap(planted):
         max_collect_rows=n,
     )
     assert out.count() >= 15
+
+
+def test_bucketed_cap_raises_on_planted_hot_bucket(spark):
+    # 300 IDENTICAL vectors: every LSH table hashes them into one bucket, the
+    # pathological skew shape. With a 100-row cap the kernel must raise with
+    # guidance instead of building the n×n matrix in one task.
+    rows = [(i, [1.0] * DIM) for i in range(300)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf).repartition(4)
+    with pytest.raises(Exception, match="max_bucket_rows"):
+        similarity_join_bucketed(
+            df, 0.95, DIM, "vec_id", "embedding", max_bucket_rows=100
+        ).count()
+
+
+def test_bucketed_tiled_kernel_matches_untiled(planted, monkeypatch):
+    # shrink the tile budget so every bucket splits into many row tiles —
+    # the result must equal the default (one-tile) run: tiling is a pure
+    # memory-shaping change, scores stay bit-identical
+    import vectrekker_spark.operators.knn as knn_mod
+
+    default = similarity_join_bucketed(planted, 0.95, DIM, "vec_id", "embedding")
+    d = sorted(map(tuple, default.collect()))
+    monkeypatch.setattr(knn_mod, "_TILE_ENTRIES", 8)  # tile = 1-2 rows
+    tiled = similarity_join_bucketed(planted, 0.95, DIM, "vec_id", "embedding")
+    assert sorted(map(tuple, tiled.collect())) == d
+
+
+def test_similarity_join_release_unpersists(planted):
+    from vectrekker_spark.operators.knn import release, similarity_join
+
+    out = similarity_join(
+        planted, planted, threshold=0.95,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    )
+    assert out.count() >= 15
+    cached = out._cached_right
+    assert cached.storageLevel.useMemory  # held while the plan may re-run
+    release(out)
+    assert not cached.storageLevel.useMemory
+    release(out)  # idempotent; plain DataFrames are a no-op too
+    release(planted)
+
+
+def test_auto_route_null_first_vector(spark):
+    # a NULL vector in row 0 must not crash the bucketed-route dim probe
+    from vectrekker_spark.operators.knn import similarity_join_self_auto
+
+    rows = [(0, None)] + [(i, [float(i)] * DIM) for i in range(1, 30)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    out = similarity_join_self_auto(df, 0.999, "vec_id", "embedding", max_exact_rows=5)
+    assert out.count() > 0  # parallel vectors are all cosine 1.0
+
+    # all-null vectors past the exact cap: no dimension derivable → clear error
+    nulls = spark.createDataFrame(
+        [(0, None), (1, None), (2, None)],
+        schema="vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        similarity_join_self_auto(nulls, 0.9, "vec_id", "embedding", max_exact_rows=1)

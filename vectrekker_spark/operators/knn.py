@@ -30,6 +30,11 @@ from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist, norm
 
 _METRICS = {"cosine": cosine_sim, "dot": dot, "l2": l2_dist}
 
+# Pairwise-score tile budget for similarity_join_bucketed's kernel: rows are
+# processed in tiles of ~this many matrix entries (~128 MB of float64), so a
+# bucket near max_bucket_rows never allocates an n×n matrix at once.
+_TILE_ENTRIES = 16 << 20
+
 
 def _score(metric: str, a, b):
     if metric not in _METRICS:
@@ -252,9 +257,19 @@ def similarity_join_self_auto(
             right_id=id_col, right_vec=vec_col,
             max_collect_rows=max_exact_rows,
         )
-    dim = len(df.select(vec_col).first()[0])
+    # null-safe dim probe: a NULL first vector must not crash the router
+    probe = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    if probe is None:
+        raise ValueError(
+            f"similarity_join_self_auto: no non-null {vec_col!r} vectors to "
+            "derive the dimension from"
+        )
     return similarity_join_bucketed(
-        df, threshold, dim, id_col=id_col, vec_col=vec_col
+        df, threshold, int(probe["d"]), id_col=id_col, vec_col=vec_col
     )
 
 
@@ -267,6 +282,7 @@ def similarity_join_bucketed(
     n_planes: int = 8,
     n_tables: int = 12,
     seed: int = 7,
+    max_bucket_rows: int = 100_000,
 ) -> DataFrame:
     """Cosine-threshold SELF-join without any driver-side collect — the
     100 TB route ``similarity_join_blas`` points at when its broadcast guard
@@ -289,13 +305,18 @@ def similarity_join_bucketed(
     hyperplane LSH cannot bucket far pairs efficiently.
 
     Shuffle cost: n_tables × (id, key, vec) — the standard LSH-table
-    multiplier, each row skinny. Skew note: a pathological bucket (millions
-    of identical vectors) concentrates in one task; cap bucket size upstream
-    (exact-dedup first — operators/dedup.py — makes that cheap) before
-    running this at scale.
+    multiplier, each row skinny. Skew guard: a pathological bucket (millions
+    of identical vectors) would concentrate O(n²) pair work in one task, so
+    the kernel ENFORCES ``max_bucket_rows`` — a bucket past the cap raises
+    with guidance (exact-dedup first — operators/dedup.py — collapses
+    identical vectors cheaply; or raise n_planes to split buckets finer)
+    instead of OOMing mid-job. Below the cap, the pairwise scores are
+    computed in row tiles so peak matrix memory stays ~100 MB regardless of
+    bucket size (never one n×n allocation).
     """
     import numpy as np
 
+    tile_entries = _TILE_ENTRIES  # bind at build time so tests can shrink it
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables * n_planes, dim))
     bc = df.sparkSession.sparkContext.broadcast(planes)
@@ -326,8 +347,14 @@ def similarity_join_bucketed(
                 }
             )
 
-    buckets = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        bucketize, schema=f"vid {id_t}, tbl int, key long, vec array<double>"
+    # NULL vectors can't score against anything — drop before the kernel
+    # (mirrors the blas route, where a null row would poison the matmul)
+    buckets = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            bucketize, schema=f"vid {id_t}, tbl int, key long, vec array<double>"
+        )
     )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -336,14 +363,36 @@ def similarity_join_bucketed(
             return pd.DataFrame({"l_id": [], "r_id": [], "score": []}).astype(
                 {"l_id": pdf["vid"].dtype, "r_id": pdf["vid"].dtype, "score": "float64"}
             )
+        if n > max_bucket_rows:
+            raise ValueError(
+                f"similarity_join_bucketed: LSH bucket (tbl={int(pdf['tbl'].iloc[0])}, "
+                f"key={int(pdf['key'].iloc[0])}) holds {n} rows > max_bucket_rows="
+                f"{max_bucket_rows}; the O(n²) pair check would dominate one "
+                "task. Run exact dedup first (operators/dedup.py collapses "
+                "identical vectors), raise n_planes to split buckets finer, "
+                "or raise the cap deliberately."
+            )
         ids = pdf["vid"].to_numpy()
         V = np.asarray(list(pdf["vec"]), dtype=np.float64)
         nrm = np.linalg.norm(V, axis=1)
         nrm[nrm == 0] = 1.0
-        S = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
-        mask = (S >= threshold) & (ids[:, None] < ids[None, :])
-        li, ri = np.nonzero(mask)
-        return pd.DataFrame({"l_id": ids[li], "r_id": ids[ri], "score": S[li, ri]})
+        # row-tiled pairwise scores: peak extra memory = tile × n doubles
+        # (~100 MB at the default tile), never one n×n matrix. Operand order
+        # (dot, then divide by the norm product) matches similarity_join_blas
+        # exactly, so scores stay bit-identical across the routes.
+        tile = max(1, tile_entries // n)
+        parts = []
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            S = np.round((V[lo:hi] @ V.T) / np.outer(nrm[lo:hi], nrm), 6)
+            mask = (S >= threshold) & (ids[lo:hi, None] < ids[None, :])
+            li, ri = np.nonzero(mask)
+            parts.append(
+                pd.DataFrame(
+                    {"l_id": ids[lo + li], "r_id": ids[ri], "score": S[li, ri]}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     return (
         buckets.groupBy("tbl", "key")
@@ -386,9 +435,12 @@ def similarity_join(
         F.col(right_id).alias("r_id"), F.col(right_vec).alias("r_vec")
     ).persist()  # the guard probe materializes this; the broadcast build
     # then reads the cached rows instead of recomputing the right side's
-    # lineage a second time. Bounded by the cap below (≤1M rows), and
-    # evictable — intentionally not unpersisted here because the returned
-    # plan is lazy and still needs it.
+    # lineage a second time. Bounded by the cap below (≤1M rows). The
+    # returned plan is lazy and still needs it, so it is NOT unpersisted
+    # here — the cached side is tracked on the result (``_cached_right``)
+    # and long-lived drivers call ``release(result)`` once the result is
+    # consumed, so repeated calls don't accumulate cached blocks.
+    r_cached = r  # keep the persisted handle; r is rebound below
     if r.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         r.unpersist()
         raise ValueError(
@@ -409,8 +461,21 @@ def similarity_join(
     cond = F.col("l_id") < F.col("r_id") if ordered_pairs else F.lit(True)
     pairs = l.join(F.broadcast(r), cond)
     keep = F.col("score") <= threshold if metric == "l2" else F.col("score") >= threshold
-    return (
+    out = (
         pairs.withColumn("score", score)
         .filter(keep)
         .select("l_id", "r_id", "score")
     )
+    out._cached_right = r_cached  # cleanup handle for release()
+    return out
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist the cached right side a ``similarity_join`` result holds.
+
+    Call after the result has been consumed (collected/written); a no-op on
+    DataFrames with nothing tracked. Mirrors CurationResult.unpersist() —
+    the repo's idiom for caller-controlled cache lifecycle."""
+    cached = getattr(result, "_cached_right", None)
+    if cached is not None:
+        cached.unpersist()
