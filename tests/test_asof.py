@@ -68,3 +68,35 @@ def test_asof_null_ts_semantics(spark):
     rows = {r["k"]: (r["v"], r["asof_ts"]) for r in asof_join(left, right, key="k").collect()}
     assert rows[2] == (8.8, 50)
     assert rows[1] == (None, None)  # null-ts left row matches nothing
+
+
+def test_asof_right_order_cols_no_preagg(spark):
+    # equal-ts duplicate right rows: right_order_cols=["v"] makes the max
+    # value win deterministically — identical to pre-aggregating MAX(v) per
+    # (k, ts) first, but with no groupBy exchange in the plan
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 10, 5.0), (1, 10, 3.0), (1, 15, 2.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        (r["k"], r["ts"]): (r["v"], r["asof_ts"])
+        for r in asof_join(left, right, key="k", right_order_cols=["v"]).collect()
+    }
+    assert got[(1, 10)] == (5.0, 10)  # max of the equal-ts burst
+    assert got[(1, 20)] == (2.0, 15)
+    # equivalence with the pre-aggregated form on a randomized workload
+    import random
+
+    rng = random.Random(7)
+    lrows = [(rng.randrange(4), rng.randrange(50)) for _ in range(120)]
+    rrows = [
+        (rng.randrange(4), rng.randrange(50), round(rng.uniform(0, 9), 2))
+        for _ in range(150)
+    ]
+    l = spark.createDataFrame(lrows, "k long, ts long").distinct()
+    r = spark.createDataFrame(rrows, "k long, ts long, v double")
+    pre = r.groupBy("k", "ts").agg(F.max("v").alias("v"))
+    a = asof_join(l, pre, key="k").orderBy("k", "ts").collect()
+    b = asof_join(l, r, key="k", right_order_cols=["v"]).orderBy("k", "ts").collect()
+    assert [tuple(x) for x in a] == [tuple(x) for x in b]

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from vectrekker_spark.operators.delta import detect_changes, merge_upsert
 
 
@@ -32,3 +34,43 @@ def test_merge_upsert_idempotent(spark):
     once = merge_upsert(base, updates, "id")
     twice = merge_upsert(once, updates, "id")
     assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+def test_merge_upsert_anti_matches_window(spark):
+    # both strategies implement identical MERGE semantics — including
+    # deterministic resolution of duplicate update keys (stable row hash)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B1"), (2, "B2"), (4, "D")], "id long, v string"
+    )
+    win = merge_upsert(base, upd, "id", strategy="window")
+    anti = merge_upsert(base, upd, "id", strategy="anti")
+    auto = merge_upsert(base, upd, "id")  # probes, picks anti here
+    w = sorted(tuple(r) for r in win.collect())
+    assert sorted(tuple(r) for r in anti.collect()) == w
+    assert sorted(tuple(r) for r in auto.collect()) == w
+    assert len(w) == 4  # 1,2,3,4 each exactly once
+    assert dict(w)[4] == "D"
+
+
+def test_merge_upsert_auto_falls_back_to_window(spark):
+    base = spark.createDataFrame([(i, "b") for i in range(10)], "id long, v string")
+    upd = spark.createDataFrame([(i, "u") for i in range(5, 15)], "id long, v string")
+    out = merge_upsert(base, upd, "id", broadcast_rows=3)  # cap below |upd|
+    rows = dict((r["id"], r["v"]) for r in out.collect())
+    assert len(rows) == 15 and rows[7] == "u" and rows[2] == "b"
+
+
+def test_merge_upsert_unknown_strategy_raises(spark):
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="strategy"):
+        merge_upsert(base, base, "id", strategy="magic")
+
+
+def test_merge_upsert_anti_updates_unique_skips_dedup(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    upd = spark.createDataFrame([(2, "B"), (3, "C")], "id long, v string")
+    out = merge_upsert(base, upd, "id", strategy="anti", updates_unique=True)
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "a"), (2, "B"), (3, "C")]

@@ -41,11 +41,21 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     matched_ts_col: str = "asof_ts",
+    right_order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Left as-of join. Returns every left row plus, for each of
     ``value_cols`` (default: all right columns except key/ts), the value from
     the latest right row with ``right_ts <= left_ts`` for the same ``key``
     (NULL when no such row), and that row's timestamp as ``matched_ts_col``.
+
+    ``right_order_cols``: extra sort columns (right-side names) appended to
+    the window ordering, so among right rows sharing (key, ts) the LAST by
+    these columns wins — e.g. ``["value"]`` makes the max value win. This
+    resolves equal-ts ties deterministically WITHOUT pre-aggregating the
+    right side (one fewer shuffle than the groupBy-first form); left rows
+    carry NULLs in these columns pre-window, so their relative order is
+    unaffected. Without it, equal-ts duplicate right rows leave the winner
+    engine/partitioning-dependent — pre-aggregate or pass this.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
@@ -63,7 +73,7 @@ def asof_join(
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", *(right_order_cols or []))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in [*value_cols, matched_ts_col]:

@@ -43,31 +43,70 @@ def detect_changes(
     )
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
-    """Last-writer-wins MERGE: update rows replace base rows on `key`;
-    unmatched update rows are inserts (`INSERT OR REPLACE` semantics of
-    `vectrekker/main.py:113-123`).
-
-    Implemented as union + per-key row_number so it works on plain parquet
-    (no Delta dependency); on a real lakehouse this maps 1:1 to
-    ``MERGE INTO base USING updates``. One shuffle on the key.
-    """
-    tagged = updates.withColumn("__pri", F.lit(0)).unionByName(
-        base.withColumn("__pri", F.lit(1))
-    )
-    from pyspark.sql import Window
-
-    # secondary order on a stable row hash: if the updates side ever carries
-    # duplicate keys, the winner is deterministic run-to-run instead of
-    # shuffle-arrival order. Map columns are excluded — Spark forbids hashing
-    # maps (hashcode not well-defined).
+def _update_row_hash(updates: DataFrame):
+    """Stable per-row hash for deterministic dup-key resolution. Map columns
+    are excluded — Spark forbids hashing maps (hashcode not well-defined)."""
     from pyspark.sql.types import MapType
 
     hashable = [
         f.name for f in updates.schema.fields if not isinstance(f.dataType, MapType)
     ]
-    row_hash = F.xxhash64(F.struct(*hashable)) if hashable else F.lit(0)
-    w = Window.partitionBy(key).orderBy("__pri", row_hash)
+    return F.xxhash64(F.struct(*hashable)) if hashable else F.lit(0)
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    strategy: str = "auto",
+    updates_unique: bool = False,
+    broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Last-writer-wins MERGE: update rows replace base rows on `key`;
+    unmatched update rows are inserts (`INSERT OR REPLACE` semantics of
+    `vectrekker/main.py:113-123`). Works on plain parquet (no Delta
+    dependency); on a real lakehouse this maps 1:1 to
+    ``MERGE INTO base USING updates``.
+
+    Strategies (the 100 TB dial — an incremental delta is almost always tiny
+    next to its base table):
+    - ``"anti"``: broadcast the update KEYS, ``base LEFT ANTI JOIN keys``,
+      union the updates back. The base is never shuffled — a narrow scan +
+      broadcast probe, exactly what a small-delta MERGE into a 100 TB base
+      must compile to. Requires the update side within ``broadcast_rows``.
+    - ``"window"``: union + per-key row_number. One full shuffle of
+      base+updates on the key — right when updates are comparable in size
+      to the base (backfills, reloads).
+    - ``"auto"`` (default): LIMIT-probe the update side once and pick.
+
+    Either strategy resolves duplicate update keys deterministically (stable
+    row-hash order, not shuffle-arrival); pass ``updates_unique=True`` when
+    the caller guarantees unique keys to skip that work on the anti path.
+    """
+    from pyspark.sql import Window
+
+    if strategy == "auto":
+        n = updates.select(key).limit(broadcast_rows + 1).count()
+        strategy = "anti" if n <= broadcast_rows else "window"
+    if strategy == "anti":
+        upd = updates
+        if not updates_unique:
+            wu = Window.partitionBy(key).orderBy(_update_row_hash(updates))
+            upd = (
+                updates.withColumn("__rn", F.row_number().over(wu))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        keep = base.join(F.broadcast(upd.select(key)), key, "left_anti")
+        return upd.unionByName(keep.select(*upd.columns))
+    if strategy != "window":
+        raise ValueError(
+            f"merge_upsert: unknown strategy {strategy!r}; one of auto/anti/window"
+        )
+    tagged = updates.withColumn("__pri", F.lit(0)).unionByName(
+        base.withColumn("__pri", F.lit(1))
+    )
+    w = Window.partitionBy(key).orderBy("__pri", _update_row_hash(updates))
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

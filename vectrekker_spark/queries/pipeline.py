@@ -11,7 +11,7 @@ from vectrekker_spark.functions.time import epoch_ms
 
 from vectrekker_spark.operators.delta import detect_changes, merge_upsert
 from vectrekker_spark.queries import QuerySpec
-from vectrekker_spark.queries.util import tb
+from vectrekker_spark.queries.util import tb, tb1
 
 DEC = "decimal(18,2)"
 
@@ -20,7 +20,11 @@ def q29_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     # Synthetic MERGE: updates (modified totalprice, status 'U') replace
     # matching base rows — INSERT OR REPLACE semantics of the reference's
     # state write-back (vectrekker/main.py:113-123) at table scale.
-    o = tb(spark, sf, "orders")
+    # tb1 (serial on the one-file fixture) + the explicit anti strategy:
+    # the delta is known-small with unique keys, so the base side is a
+    # narrow scan probed by broadcast keys — the plan a small-delta MERGE
+    # into a 100 TB base must compile to (no base shuffle, no probe job).
+    o = tb1(spark, sf, "orders")
     base = o.filter(F.col("o_orderkey") % 7 != 0)
     updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
@@ -30,7 +34,9 @@ def q29_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
-    merged = merge_upsert(base, updates, "o_orderkey")
+    merged = merge_upsert(
+        base, updates, "o_orderkey", strategy="anti", updates_unique=True
+    )
     return (
         merged.groupBy("o_orderstatus")
         .agg(

@@ -45,6 +45,21 @@ def tbp(spark: SparkSession, sf_dir: str, name: str, parts: int | None = None) -
     return df.repartition(parts or spark.sparkContext.defaultParallelism)
 
 
+def tb1(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``tb`` + serial (single-partition) execution when the table is one
+    small local parquet file.
+
+    The inverse dial of ``tbp``: sub-second window/join/merge queries on a
+    100k-row fixture pay more in task scheduling + shuffle stages than the
+    compute they spread — a single partition satisfies every clustering
+    requirement, so Catalyst plans them with ZERO exchanges (window sorts
+    and final ORDER BY run as one local sort each, like an embedded engine).
+    Gated on ``small_local``: a multi-split table at real scale skips the
+    coalesce entirely and keeps the distributed plan."""
+    df = tb(spark, sf_dir, name)
+    return df.coalesce(1) if small_local(sf_dir, name) else df
+
+
 def small_local(sf_dir: str, name: str, threshold: int = 64 << 20) -> bool:
     """True when the table is a single small local parquet file — the regime
     where serial plans beat distributed ones (see ``tbp`` docstring for the
