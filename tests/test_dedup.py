@@ -107,3 +107,20 @@ def test_simhash_near_dup_has_small_hamming_distance(spark):
     assert sh[0] == sh[1]
     assert ham(sh[0], sh[2]) <= 4  # near-dup: few bits differ
     assert ham(sh[0], sh[3]) > ham(sh[0], sh[2])  # unrelated doc further away
+
+
+def test_shingle_memo_cap_does_not_change_signatures(spark, monkeypatch):
+    # high-cardinality corpus (every shingle unique) with the memo capped at
+    # 8 entries: values must be identical to the uncapped run — the cap only
+    # bounds memory, never results
+    import vectrekker_spark.operators.dedup as dedup_mod
+    from vectrekker_spark.operators.dedup import minhash_signatures
+
+    rows = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = sorted(map(tuple, minhash_signatures(df).collect()))
+    monkeypatch.setattr(dedup_mod, "_SHINGLE_CACHE_MAX", 8)
+    capped = sorted(map(tuple, minhash_signatures(df).collect()))
+    assert capped == full and len(full) == 40 * 16

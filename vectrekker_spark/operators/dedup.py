@@ -15,6 +15,11 @@ from vectrekker_spark.functions.text import char_shingles, token_hash32, tokens,
 # Fixed-seed affine permutations h_i(x) = (a·x + b) mod P over 32-bit token
 # hashes. a < 2^30 keeps a·x < 2^62 (no BIGINT overflow in either engine).
 MINHASH_P = 2_147_483_647
+
+# Per-task cap on the shingle-hash memo (same idiom as queries/vector.py's
+# _TOKEN_CACHE): ~64 MB worst case; zipfian shingle vocab means the hot
+# entries are cached long before the cap.
+_SHINGLE_CACHE_MAX = 1 << 20
 MINHASH_PERMS: list[tuple[int, int]] = [
     (387420489, 12345), (268435399, 54321), (536870909, 98765), (100000007, 11111),
     (715827883, 22222), (999999937, 33333), (805306457, 44444), (611686087, 55555),
@@ -73,14 +78,20 @@ def minhash_signatures(
     B = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)[:, None]
     n_perms = len(MINHASH_PERMS)
 
+    cache_max = _SHINGLE_CACHE_MAX  # bound at build time (tests shrink it)
+
     def gen(batches):
+        # memo lives for one task; bounded so a high-cardinality corpus
+        # (all-unique shingles) can't grow it without limit — past the cap
+        # new shingles hash uncached, values unchanged
         cache: dict[str, int] = {}
 
         def shash(s: str) -> int:
             h = cache.get(s)
             if h is None:
                 h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                cache[s] = h
+                if len(cache) < cache_max:
+                    cache[s] = h
             return h
 
         for pdf in batches:

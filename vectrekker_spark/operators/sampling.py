@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from vectrekker_spark.operators.split import split_bucket
 
-# Denominator for rate quantization: rates are exact to 1e-6.
+# Denominator for rate quantization: rates quantize to 1e-6 buckets. The
+# bucket comes from a 32-bit md5 prefix reduced mod 1e6, so bucket sizes
+# carry a small modulo bias (~2.3e-4 relative) — realized fractions are
+# approximately the requested rate, not exact to the last digit. Rows whose
+# id is NULL hash to NULL and are DROPPED by every sampler's filter;
+# coalesce ids upstream if NULL-id rows must participate.
 _BUCKETS = 1_000_000
 
 
@@ -39,7 +44,8 @@ def hash_sample(
     df: DataFrame, fraction: float, id_col: str = "doc_id", seed: str = "s0"
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by hash(seed, id) — deterministic,
-    partition-invariant, stable under corpus growth. Narrow (no shuffle)."""
+    partition-invariant, stable under corpus growth. Narrow (no shuffle).
+    NULL ids are dropped (see _BUCKETS note); rate is quantized to 1e-6."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     return df.filter(sample_bucket(id_col, seed) < int(round(fraction * _BUCKETS)))

@@ -182,7 +182,9 @@ def _ivf_index(spark: SparkSession, sf: str):
         stat = (st.st_mtime_ns, st.st_size)
     except OSError:
         stat = None
-    key = (id(spark), sf)
+    # applicationId is stable per live session (id(spark) can alias a new
+    # session after GC and hand back DataFrames bound to a dead one)
+    key = (spark.sparkContext.applicationId, sf)
     hit = _IVF_INDEX_CACHE.get(key)
     if hit is not None and stat is not None and hit[0] == stat:
         return hit[1]
@@ -192,7 +194,12 @@ def _ivf_index(spark: SparkSession, sf: str):
     assign.count()  # materialize the index — the one-time build cost
     if stat is not None:
         if len(_IVF_INDEX_CACHE) >= 64:
-            _IVF_INDEX_CACHE.pop(next(iter(_IVF_INDEX_CACHE)))
+            _, (_c, _a) = _IVF_INDEX_CACHE.pop(next(iter(_IVF_INDEX_CACHE)))
+            for df in (_c, _a):
+                try:  # evicted entry may belong to a stopped session
+                    df.unpersist()
+                except Exception:
+                    pass
         _IVF_INDEX_CACHE[key] = (stat, (centroids, assign))
     return centroids, assign
 
