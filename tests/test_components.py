@@ -37,9 +37,20 @@ def test_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_adversarial_chain_converges_logarithmically(spark):
+    # diameter 60: plain propagation would need 60 rounds; pointer jumping
+    # must converge within ~log2(60)+slack. Two disjoint chains keep
+    # separate roots, proving jumps never cross components.
+    pairs = [(i, i + 1) for i in range(60)] + [(100 + i, 101 + i) for i in range(20)]
+    got = _cc(spark, pairs, max_iter=10)
+    assert all(got[i] == 0 for i in range(61))
+    assert all(got[100 + i] == 100 for i in range(21))
+
+
 def test_max_iter_raises(spark):
+    # reach after 2 jump-rounds is ~6 hops — a 40-chain cannot converge
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(spark, [(i, i + 1) for i in range(12)], max_iter=3)
+        _cc(spark, [(i, i + 1) for i in range(40)], max_iter=2)
 
 
 def test_partition_invariance(spark):

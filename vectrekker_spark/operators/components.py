@@ -6,14 +6,17 @@ dedup that only drops the right element of each pair both under-deletes
 dropped by some other pair). The standard pipeline is pairs → connected
 components → keep ONE representative per component.
 
-Algorithm: iterative min-label propagation. Every node starts labeled with
-itself; each round every node takes the min of its own and its neighbors'
-labels; converged when no label changes. Rounds needed = graph diameter,
-which for near-dup clusters is small (dup clusters are dense — typically
-2-4 hops), so this beats the more complex large-star/small-star contraction
-(Kiveris et al., "Connected Components in MapReduce") in practice while
-using only DataFrame ops. For adversarial long-chain graphs, raise
-``max_iter`` or pre-contract with the star algorithm.
+Algorithm: iterative min-label propagation with pointer jumping. Every node
+starts labeled with itself; each round every node takes the min of its own
+and its neighbors' labels, then compresses one pointer-chasing step
+(``comp(v) ← comp(comp(v))`` — the label map is itself a parent forest, and
+one extra self-join per round doubles how far a small label has travelled).
+Converged when no label changes. Rounds = O(log diameter) — near-dup
+clusters (dense, 2-4 hops) converge in the same 2-4 rounds they did under
+plain propagation, and an adversarial million-node chain needs ~20 rounds
+instead of a million, so the default ``max_iter`` covers every real graph
+without the large-star/small-star machinery (Kiveris et al., "Connected
+Components in MapReduce") — same asymptotics, one kernel, DataFrame-only.
 
 Scale shape per round: one shuffled join (edges ⋈ labels on node id) + one
 groupBy-min + one label update join — all narrow-key long/long shuffles with
@@ -40,7 +43,10 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; ``component``
     is the smallest node id in the node's connected component. Deterministic.
-    Raises if not converged within ``max_iter`` rounds (diameter bound)."""
+
+    Pointer jumping makes rounds O(log diameter), so the default
+    ``max_iter`` covers graphs of diameter ~2^25; the raise is a safety
+    net for genuinely pathological input, not a dial users must tune."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
@@ -59,22 +65,34 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = (
-            labels.join(nbr_min, "node", "left")
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        # pointer jump: comp(v) ← comp(comp(v)). Labels are node ids of the
+        # same component, so the composed label still is one; monotone
+        # non-increasing, and it halves the remaining pointer-chain depth.
+        parent = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("__jump")
+        )
+        jumped = (
+            stepped.join(parent, "comp", "left")
             .select(
                 "node",
-                F.col("comp").alias("old_comp"),
-                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                "old_comp",
+                F.coalesce("__jump", "comp").alias("comp"),
             )
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
-        labels = stepped.select("node", "comp")
+        changed = jumped.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = jumped.select("node", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "graph diameter exceeds the bound; raise max_iter"
+        "with pointer jumping that needs diameter ≳ 2^max_iter; check the "
+        "input for corruption or raise max_iter"
     )
 
 
