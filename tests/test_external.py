@@ -28,7 +28,10 @@ class _FakeState:
         self.embed_requests: list[list[str]] = []
         self.upserts: dict[str, list[float]] = {}
         self.indexes: list[dict] = []
-        self.fail_next = 0  # fail this many requests with 503 before serving
+        self.fail_next = 0  # fail this many requests before serving
+        self.fail_code = 503  # status for injected failures
+        self.retry_after: float | None = None  # Retry-After header seconds
+        self.reset_next = 0  # drop the connection (no response) this many times
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -42,9 +45,18 @@ class _Handler(BaseHTTPRequestHandler):
         payload = json.loads(self.rfile.read(n))
         st = self.state
         with st.lock:
+            if st.reset_next > 0:
+                st.reset_next -= 1
+                # simulate a connection reset: close without any response —
+                # the client sees http.client.RemoteDisconnected
+                self.close_connection = True
+                self.connection.close()
+                return
             if st.fail_next > 0:
                 st.fail_next -= 1
-                self.send_response(503)
+                self.send_response(st.fail_code)
+                if st.retry_after is not None:
+                    self.send_header("Retry-After", str(st.retry_after))
                 self.end_headers()
                 return
             if self.path == "/embeddings":
@@ -169,3 +181,68 @@ def test_sink_retries_transient_errors(fake_server):
     sink = HttpVectorSink(url, backoff_s=0.01)
     sink.upsert([("a", [1.0] * DIM, {})])
     assert state.upserts["a"] == [1.0] * DIM
+
+
+def test_retry_delay_pure():
+    import urllib.error
+    from email.message import Message
+
+    from vectrekker_spark.embedder import retry_delay
+
+    # plain exponential backoff without a header
+    assert retry_delay(None, 0.5, 0) == 0.5
+    assert retry_delay(None, 0.5, 3) == 4.0
+    assert retry_delay(None, 0.5, 20, cap_s=60.0) == 60.0  # capped
+
+    def http_err(headers: dict) -> urllib.error.HTTPError:
+        msg = Message()
+        for k, v in headers.items():
+            msg[k] = v
+        return urllib.error.HTTPError("http://x", 429, "too many", msg, None)
+
+    # Retry-After raises the delay when larger than the local backoff...
+    assert retry_delay(http_err({"Retry-After": "2.5"}), 0.01, 0) == 2.5
+    # ...never lowers it, and the cap still applies
+    assert retry_delay(http_err({"Retry-After": "0.1"}), 1.0, 2) == 4.0
+    assert retry_delay(http_err({"Retry-After": "9999"}), 0.01, 0, cap_s=30.0) == 30.0
+    # HTTP-date form is ignored (local backoff)
+    assert retry_delay(
+        http_err({"Retry-After": "Wed, 21 Oct 2015 07:28:00 GMT"}), 0.5, 1
+    ) == 1.0
+
+
+def test_http_embedder_honors_retry_after(fake_server):
+    import time
+
+    state, url = fake_server
+    state.fail_next, state.fail_code, state.retry_after = 1, 429, 0.4
+    emb = HttpEmbedder(f"{url}/embeddings", dim=DIM, backoff_s=0.001)
+    t0 = time.perf_counter()
+    vecs = emb.embed_batch(["abc"])
+    elapsed = time.perf_counter() - t0
+    assert len(vecs) == 1
+    assert elapsed >= 0.4  # waited the server's budget, not the 1ms backoff
+    assert len(state.embed_requests) == 1  # exactly one retry succeeded
+
+
+def test_http_embedder_retries_connection_reset(fake_server):
+    state, url = fake_server
+    state.reset_next = 2  # two dropped connections, then success
+    emb = HttpEmbedder(f"{url}/embeddings", dim=DIM, backoff_s=0.01)
+    vecs = emb.embed_batch(["abc"])
+    assert len(vecs) == 1 and vecs[0][0] == 3 / 100.0
+
+
+def test_sink_retries_connection_reset_and_retry_after(fake_server):
+    state, url = fake_server
+    state.reset_next = 1
+    sink = HttpVectorSink(url, backoff_s=0.01)
+    sink.upsert([("a", [1.0] * DIM, {})])
+    assert "a" in state.upserts
+    state.fail_next, state.fail_code, state.retry_after = 1, 429, 0.2
+    import time
+
+    t0 = time.perf_counter()
+    sink.upsert([("b", [2.0] * DIM, {})])
+    assert time.perf_counter() - t0 >= 0.2
+    assert "b" in state.upserts

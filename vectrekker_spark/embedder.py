@@ -34,6 +34,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+def retry_delay(
+    err: BaseException | None, backoff_s: float, attempt: int, cap_s: float = 60.0
+) -> float:
+    """Exponential-backoff delay for attempt N, raised to the server's
+    ``Retry-After`` (seconds form) when the error carries one — a 429's
+    explicit budget always wins over a shorter local guess. Capped so a
+    hostile/buggy header can't stall a task for minutes. Shared by
+    HttpEmbedder and HttpVectorSink."""
+    delay = backoff_s * (2**attempt)
+    if isinstance(err, urllib.error.HTTPError) and err.headers is not None:
+        v = err.headers.get("Retry-After")
+        if v:
+            try:
+                delay = max(delay, float(v))
+            except ValueError:
+                pass  # HTTP-date form: fall back to local backoff
+    return min(delay, cap_s)
+
+
 @runtime_checkable
 class Embedder(Protocol):
     """text batch → one fixed-dimension vector per text."""
@@ -135,10 +154,15 @@ class HttpEmbedder:
                 except urllib.error.HTTPError as e:
                     if e.code not in self.RETRYABLE or attempt >= self.max_retries:
                         raise
-                except (urllib.error.URLError, TimeoutError, ConnectionError):
+                    err: BaseException = e
+                except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+                    # covers connection resets: the server dropping the
+                    # socket mid-exchange surfaces as ConnectionResetError
+                    # (http.client.RemoteDisconnected) or a URLError wrap
                     if attempt >= self.max_retries:
                         raise
-                time.sleep(self.backoff_s * (2**attempt))
+                    err = e
+                time.sleep(retry_delay(err, self.backoff_s, attempt))
                 attempt += 1
         return out
 

@@ -68,6 +68,8 @@ class HttpVectorSink:
         req = urllib.request.Request(
             f"{self.base_url}{path}", data=body, headers=headers, method="POST"
         )
+        from vectrekker_spark.embedder import retry_delay
+
         attempt = 0
         while True:
             try:
@@ -76,10 +78,12 @@ class HttpVectorSink:
             except urllib.error.HTTPError as e:
                 if e.code not in self.RETRYABLE or attempt >= self.max_retries:
                     raise
-            except (urllib.error.URLError, TimeoutError, ConnectionError):
+                err: BaseException = e
+            except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
                 if attempt >= self.max_retries:
                     raise
-            time.sleep(self.backoff_s * (2**attempt))
+                err = e
+            time.sleep(retry_delay(err, self.backoff_s, attempt))
             attempt += 1
 
     def create_index_if_absent(self, name: str, dim: int, metric: str) -> None:
