@@ -107,3 +107,30 @@ def test_ivf_multi_assignment_shape_and_recall_gain(spark, em):
     recall1 = _recall(approx1, exact)
     assert recall2 >= 0.8, f"multi-assign IVF recall@{K} = {recall2}"
     assert recall2 >= recall1, (recall2, recall1)
+
+
+def test_assign_centroids_ties_and_guard(spark):
+    import pytest
+
+    from vectrekker_spark.operators.ann import assign_centroids
+
+    # two identical centroids: the tie must resolve to the LOWER cid
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "cid long, cvec array<double>",
+    )
+    got = {r["vec_id"]: r["cid"] for r in assign_centroids(corpus, cents).collect()}
+    assert got == {0: 1, 1: 2}  # tie → cid 1 (not 3); null vector dropped
+    # assign_k=2 emits both tied cells in cid order
+    multi = sorted(
+        (r["vec_id"], r["cid"])
+        for r in assign_centroids(corpus, cents, assign_k=2).collect()
+    )
+    assert multi == [(0, 1), (0, 3), (1, 1), (1, 2)] or multi[0:2] == [(0, 1), (0, 3)]
+    # centroid-side guard trips instead of collecting an unbounded side
+    with pytest.raises(ValueError, match="max_centroids"):
+        assign_centroids(corpus, cents, max_centroids=2)

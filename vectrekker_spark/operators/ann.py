@@ -21,6 +21,79 @@ from vectrekker_spark.functions.vector import l2_normalize
 from vectrekker_spark.operators.knn import knn_join
 
 
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assign_k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 200_000,
+) -> DataFrame:
+    """(id, cid) for every corpus vector: its ``assign_k`` nearest centroids
+    by round-6 cosine, ties broken by cid ascending (same ordering contract
+    as knn_join, so the d10 oracle's SQL argmin matches bit-for-bit on the
+    fixtures).
+
+    The 100 TB shape: centroids are the ~√N small side BY CONSTRUCTION, so
+    they are collected once (guarded by ``max_centroids`` — the repo's
+    LIMIT-probe idiom) and shipped to executors as one numpy matrix; each
+    Arrow batch of the corpus then does a single BLAS matmul + stable
+    argsort. The corpus is NEVER shuffled or broadcast — assignment is
+    embarrassingly parallel, unlike the previous knn_join formulation,
+    which broadcast the whole corpus as its query side. NULL vectors are
+    dropped (they can't score); zero vectors score 0 against every centroid
+    and land by the cid tie-break.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.select("cid", "cvec").limit(max_centroids + 1).collect()
+    if len(rows) > max_centroids:
+        raise ValueError(
+            f"assign_centroids: more than max_centroids={max_centroids} "
+            "centroids; that is no longer a broadcastable coarse quantizer — "
+            "reduce n_centroids (√N rule) or raise the cap deliberately."
+        )
+    if not rows:
+        id_t = dict(corpus.dtypes)[id_col]
+        return corpus.sparkSession.createDataFrame([], f"{id_col} {id_t}, cid long")
+    rows.sort(key=lambda r: r[0])  # cid ascending → stable-sort tie-break
+    cids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    C = np.asarray([r[1] for r in rows], dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    k = min(assign_k, len(rows))
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, C, cnorm))
+
+    def gen(batches):
+        cids_, C_, cnorm_ = bc.value
+        for pdf in batches:
+            pdf = pdf[pdf.iloc[:, 1].notna()]
+            if pdf.empty:
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            V = np.asarray(list(pdf.iloc[:, 1]), dtype=np.float64)
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            vnorm[vnorm == 0] = 1.0
+            # same operand order as knn_join/the oracle: dot, then divide
+            # by the norm product, then round(6)
+            S = np.round((V @ C_.T) / np.outer(vnorm, cnorm_), 6)
+            # stable argsort on -score keeps the cid-ascending input order
+            # among equal scores — knn_join's exact tie rule
+            top = np.argsort(-S, axis=1, kind="stable")[:, :k]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, k),
+                    "cid": cids_[top].reshape(-1),
+                }
+            )
+
+    id_t = dict(corpus.dtypes)[id_col]
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, schema=f"{id_col} {id_t}, cid long"
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     n_centroids: int = 10,
@@ -74,13 +147,11 @@ def ivf_build(
                 F.col(vec_col).alias("cvec"),
             )
         )
-    assign = knn_join(
-        corpus.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
-        centroids,
-        k=assign_k,
-        id_col="cid",
-        vec_col="cvec",
-    ).select("qid", "vec_id").toDF(id_col, "cid")
+    # narrow BLAS assignment: centroids broadcast, corpus streams — the
+    # knn_join form would broadcast the whole corpus as its query side
+    assign = assign_centroids(
+        corpus, centroids, assign_k=assign_k, id_col=id_col, vec_col=vec_col
+    )
     return centroids, assign
 
 
