@@ -168,9 +168,13 @@ def ivf_search(
     """Probe the n_probe nearest cells per query, brute-force within them.
 
     Candidate set is only the probed cells' vectors — the crossJoin blowup
-    never happens. Returns (qid, vec_id, score, rank)."""
-    probes = knn_join(queries, centroids, k=n_probe, id_col="cid", vec_col="cvec").select(
-        "qid", F.col("vec_id").alias("cid")
+    never happens. Returns (qid, vec_id, score, rank).
+
+    Probe selection reuses assign_centroids (same round-6/cid-asc tie
+    contract as knn_join), so an arbitrarily large query batch streams
+    against the broadcast centroids instead of being broadcast itself."""
+    probes = assign_centroids(
+        queries, centroids, assign_k=n_probe, id_col="qid", vec_col="qvec"
     )
     cand_ids = probes.join(assignments, "cid").select("qid", id_col).distinct()
     cands = cand_ids.join(corpus, id_col).join(
