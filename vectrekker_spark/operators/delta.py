@@ -98,7 +98,9 @@ def merge_upsert(
                 .drop("__rn")
             )
         keep = base.join(F.broadcast(upd.select(key)), key, "left_anti")
-        return upd.unionByName(keep.select(*upd.columns))
+        # unionByName (no column pruning): a base/updates schema mismatch
+        # raises here exactly as it does on the window path
+        return upd.unionByName(keep)
     if strategy != "window":
         raise ValueError(
             f"merge_upsert: unknown strategy {strategy!r}; one of auto/anti/window"
