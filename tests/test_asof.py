@@ -100,3 +100,20 @@ def test_asof_right_order_cols_no_preagg(spark):
     a = asof_join(l, pre, key="k").orderBy("k", "ts").collect()
     b = asof_join(l, r, key="k", right_order_cols=["v"]).orderBy("k", "ts").collect()
     assert [tuple(x) for x in a] == [tuple(x) for x in b]
+
+
+def test_asof_multi_value_cols_not_torn(spark):
+    # regression: with right_order_cols naming one value column, the OTHER
+    # value columns must come from the SAME winning right row — sequential
+    # window fills re-sorted by the replaced column and could mix rows
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, 9.0, "old"), (1, 2, None, "x"), (1, 2, 5.0, "y")],
+        "k long, ts long, v1 double, v2 string",
+    )
+    row = asof_join(left, right, key="k", right_order_cols=["v1"]).collect()[0]
+    # winner at ts=2 is the v1=5.0 row (nulls-first asc puts the NULL row
+    # earlier); v2 must be that same row's "y", never "x" or "old"
+    assert row["asof_ts"] == 2 and row["v2"] == "y"
+    # v1 itself forward-fills through the NULL to the winner's 5.0
+    assert row["v1"] == 5.0

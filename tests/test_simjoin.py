@@ -191,3 +191,14 @@ def test_auto_route_null_first_vector(spark):
     )
     with pytest.raises(ValueError, match="non-null"):
         similarity_join_self_auto(nulls, 0.9, "vec_id", "embedding", max_exact_rows=1)
+
+
+def test_blas_route_tolerates_null_vectors(spark):
+    # finding from review: the auto-router's NULL safety must hold on BOTH
+    # routes — the exact blas path used to crash on a None embedding
+    from vectrekker_spark.operators.knn import similarity_join_self_auto
+
+    rows = [(0, None)] + [(i, [float(i)] * DIM) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    out = similarity_join_self_auto(df, 0.999, "vec_id", "embedding")  # blas route
+    assert out.count() > 0

@@ -67,7 +67,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     p = table_path(sf_dir, name)
     stat = _stat_key(p)
-    ck = (id(spark), sf_dir, name)
+    # applicationId, not id(spark): after a session is stopped and GC'd a
+    # new one can reuse the address and be handed plans bound to the dead
+    # session (same fix as queries/pipeline._IVF_INDEX_CACHE)
+    ck = (spark.sparkContext.applicationId, sf_dir, name)
     hit = _TABLE_CACHE.get(ck)
     if hit is not None and stat is not None and hit[0] == stat:
         return hit[1]

@@ -76,6 +76,14 @@ def asof_join(
         .orderBy("__ts", "__side", *(right_order_cols or []))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in [*value_cols, matched_ts_col]:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # ONE select evaluates every forward-fill against the ORIGINAL columns.
+    # Sequential withColumn would re-resolve the window after each
+    # replacement: with right_order_cols naming a value column, the second
+    # fill would sort by the already-replaced first column and could tear
+    # values from different right rows into one output row.
+    filled = list(dict.fromkeys([*value_cols, matched_ts_col]))
+    u = u.select(
+        *[c for c in u.columns if c not in filled],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in filled],
+    )
     return u.filter(F.col("__side") == 1).drop("__ts", "__side")

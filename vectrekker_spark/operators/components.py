@@ -65,10 +65,15 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.col("comp").alias("old_comp"),
-            F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()  # the jump reads stepped twice; materialize
+            # once so the edges-join + groupBy-min don't execute twice/round
         )
         # pointer jump: comp(v) ← comp(comp(v)). Labels are node ids of the
         # same component, so the composed label still is one; monotone

@@ -82,6 +82,17 @@ def merge_upsert(
     Either strategy resolves duplicate update keys deterministically (stable
     row-hash order, not shuffle-arrival); pass ``updates_unique=True`` when
     the caller guarantees unique keys to skip that work on the anti path.
+
+    Contract (inherited from the reference's SQLite ``path PRIMARY KEY``,
+    `vectrekker/main.py:97-100`): keys are UNIQUE within ``base`` and
+    NON-NULL on both sides. Outside that contract the strategies diverge
+    (the anti path's equality join never matches NULL keys and keeps
+    duplicate base keys; the window path groups them) — results for
+    contract-violating inputs are unspecified either way.
+
+    ``"auto"`` costs one LIMIT-bounded count job over the update side at
+    plan-build time; in hot loops (per micro-batch) either pass an explicit
+    strategy or persist the updates first.
     """
     from pyspark.sql import Window
 
@@ -97,7 +108,12 @@ def merge_upsert(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        keep = base.join(F.broadcast(upd.select(key)), key, "left_anti")
+        # probe with DISTINCT raw keys (same key set as the dedup'd side) so
+        # the row_number dedup plan is never evaluated a second time
+        keys = (
+            updates.select(key) if updates_unique else updates.select(key).distinct()
+        )
+        keep = base.join(F.broadcast(keys), key, "left_anti")
         # unionByName (no column pruning): a base/updates schema mismatch
         # raises here exactly as it does on the window path
         return upd.unionByName(keep)

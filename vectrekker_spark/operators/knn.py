@@ -194,6 +194,7 @@ def similarity_join_blas(
 
     rows = (
         right.select(F.col(right_id), F.col(right_vec))
+        .filter(F.col(right_vec).isNotNull())  # NULLs can't score
         .limit(max_collect_rows + 1)
         .collect()
     )
@@ -216,6 +217,7 @@ def similarity_join_blas(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rid_, R_, rnorm_ = bc.value
         for pdf in batches:
+            pdf = pdf[pdf.iloc[:, 1].notna()]  # match the bucketed route
             if pdf.empty:
                 continue
             lid = pdf.iloc[:, 0].to_numpy()

@@ -188,6 +188,13 @@ def _ivf_index(spark: SparkSession, sf: str):
     hit = _IVF_INDEX_CACHE.get(key)
     if hit is not None and stat is not None and hit[0] == stat:
         return hit[1]
+    if hit is not None:  # stale entry (fixture rewritten): free the old index
+        del _IVF_INDEX_CACHE[key]
+        for df in hit[1]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     em = tb(spark, sf, "embeddings")
     centroids, assign = ivf_build(em, n_centroids=10, method="stride")
     centroids, assign = centroids.cache(), assign.cache()

@@ -228,8 +228,14 @@ def foreach_batch_upsert(
             if __import__("os").path.exists(target_path)
             else batch_df.limit(0)
         )
-        merged = merge_upsert(base, batch_df, key=key)
-        _atomic_replace(merged, target_path)
+        # persist: merge_upsert's auto probe + the merged write both read
+        # the batch; without this the source batch recomputes per action
+        batch_df.persist()
+        try:
+            merged = merge_upsert(base, batch_df, key=key)
+            _atomic_replace(merged, target_path)
+        finally:
+            batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(do_merge)
