@@ -74,3 +74,27 @@ def test_merge_upsert_anti_updates_unique_skips_dedup(spark):
     upd = spark.createDataFrame([(2, "B"), (3, "C")], "id long, v string")
     out = merge_upsert(base, upd, "id", strategy="anti", updates_unique=True)
     assert sorted(tuple(r) for r in out.collect()) == [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_merge_strategies_equivalent_randomized(spark):
+    # contract-respecting random workloads (unique non-null base keys):
+    # window and anti strategies must return identical row sets
+    import random
+
+    rng = random.Random(11)
+    for trial in range(4):
+        base_keys = rng.sample(range(200), k=60)
+        base = spark.createDataFrame(
+            [(k, f"b{k}") for k in base_keys], "id long, v string"
+        )
+        upd_rows = [
+            (rng.randrange(250), f"u{i}") for i in range(rng.randrange(1, 40))
+        ]
+        upd = spark.createDataFrame(upd_rows, "id long, v string")
+        win = sorted(
+            tuple(r) for r in merge_upsert(base, upd, "id", strategy="window").collect()
+        )
+        anti = sorted(
+            tuple(r) for r in merge_upsert(base, upd, "id", strategy="anti").collect()
+        )
+        assert anti == win, f"trial {trial}: strategies diverged"
