@@ -32,6 +32,7 @@ class _FakeState:
         self.fail_code = 503  # status for injected failures
         self.retry_after: float | None = None  # Retry-After header seconds
         self.reset_next = 0  # drop the connection (no response) this many times
+        self.connections = 0  # distinct TCP connections accepted
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -39,6 +40,13 @@ class _Handler(BaseHTTPRequestHandler):
 
     def log_message(self, *a):  # silence
         pass
+
+    def setup(self):
+        # one handler instance per accepted TCP connection (keep-alive
+        # requests share the instance) → counts distinct connections
+        with self.state.lock:
+            self.state.connections += 1
+        super().setup()
 
     def do_POST(self):
         n = int(self.headers.get("Content-Length", 0))
@@ -57,6 +65,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_response(st.fail_code)
                 if st.retry_after is not None:
                     self.send_header("Retry-After", str(st.retry_after))
+                self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
             if self.path == "/embeddings":
@@ -77,21 +86,40 @@ class _Handler(BaseHTTPRequestHandler):
                 body = b"{}"
             else:
                 self.send_response(404)
+                self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+
+def _serve(state: _FakeState, protocol: str):
+    # timeout: an idle keep-alive connection can't block the single-threaded
+    # server (and its shutdown) forever
+    handler = type(
+        "H", (_Handler,), {"state": state, "protocol_version": protocol, "timeout": 5}
+    )
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
 
 
 @pytest.fixture()
 def fake_server():
     state = _FakeState()
-    handler = type("H", (_Handler,), {"state": state})
-    srv = HTTPServer(("127.0.0.1", 0), handler)
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
+    srv = _serve(state, "HTTP/1.0")  # closes after every response
+    yield state, f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+@pytest.fixture()
+def fake_server_keepalive():
+    state = _FakeState()
+    srv = _serve(state, "HTTP/1.1")  # persistent connections
     yield state, f"http://127.0.0.1:{srv.server_port}"
     srv.shutdown()
 
@@ -231,6 +259,101 @@ def test_http_embedder_retries_connection_reset(fake_server):
     emb = HttpEmbedder(f"{url}/embeddings", dim=DIM, backoff_s=0.01)
     vecs = emb.embed_batch(["abc"])
     assert len(vecs) == 1 and vecs[0][0] == 3 / 100.0
+
+
+def test_pooled_client_reuses_keepalive_connection(fake_server_keepalive):
+    state, url = fake_server_keepalive
+    emb = HttpEmbedder(f"{url}/embeddings", dim=DIM, batch_size=1)
+    vecs = emb.embed_batch(["a", "bb", "ccc"])  # 3 requests at batch_size 1
+    emb.close()  # release the keep-alive socket (unblocks server teardown)
+    assert len(vecs) == 3
+    assert [len(r) for r in state.embed_requests] == [1, 1, 1]
+    assert state.connections == 1  # all three rode one pooled connection
+
+
+def test_pooled_client_degrades_on_http10_server(fake_server):
+    # an HTTP/1.0 server closes after each response; the pooled client must
+    # transparently re-dial instead of failing on the stale socket
+    state, url = fake_server
+    emb = HttpEmbedder(f"{url}/embeddings", dim=DIM, batch_size=1)
+    vecs = emb.embed_batch(["a", "bb", "ccc"])
+    assert len(vecs) == 3
+    assert state.connections == 3  # one connection per request, no errors
+
+
+def test_breaker_opens_and_fails_fast(fake_server):
+    from vectrekker_spark.http_client import CircuitOpenError
+
+    state, url = fake_server
+    state.fail_next = 10
+    emb = HttpEmbedder(
+        f"{url}/embeddings",
+        dim=DIM,
+        max_retries=9,
+        backoff_s=0.01,
+        breaker_threshold=2,
+        breaker_cooldown_s=60.0,
+    )
+    with pytest.raises(CircuitOpenError):
+        emb.embed_batch(["abc"])
+    # the circuit opened after exactly `threshold` requests — the remaining
+    # retry budget never hit the server
+    assert state.fail_next == 8
+
+
+def test_sink_breaker_opens_and_fails_fast(fake_server):
+    from vectrekker_spark.http_client import CircuitOpenError
+
+    state, url = fake_server
+    state.fail_next = 10
+    sink = HttpVectorSink(
+        url,
+        max_retries=9,
+        backoff_s=0.01,
+        breaker_threshold=3,
+        breaker_cooldown_s=60.0,
+    )
+    with pytest.raises(CircuitOpenError):
+        sink.upsert([("a", [1.0] * DIM, {})])
+    assert state.fail_next == 7
+
+
+def test_breaker_half_open_recovery():
+    from vectrekker_spark.http_client import CircuitBreaker, CircuitOpenError
+
+    now = [0.0]
+    br = CircuitBreaker(threshold=2, cooldown_s=10.0, clock=lambda: now[0])
+    br.before_request()  # closed: no-op
+    br.record_failure()
+    br.before_request()  # one failure < threshold: still closed
+    br.record_failure()  # second failure: opens
+    with pytest.raises(CircuitOpenError):
+        br.before_request()
+    now[0] = 5.0  # cooldown not elapsed
+    with pytest.raises(CircuitOpenError):
+        br.before_request()
+    now[0] = 11.0  # cooldown elapsed: one half-open trial admitted
+    br.before_request()
+    with pytest.raises(CircuitOpenError):
+        br.before_request()  # only ONE trial per window
+    br.record_success()  # trial succeeded: circuit closes
+    br.before_request()
+    br.before_request()  # closed again: unlimited
+
+
+def test_breaker_half_open_failure_reopens():
+    from vectrekker_spark.http_client import CircuitBreaker, CircuitOpenError
+
+    now = [0.0]
+    br = CircuitBreaker(threshold=1, cooldown_s=10.0, clock=lambda: now[0])
+    br.record_failure()  # opens immediately at threshold 1
+    now[0] = 11.0
+    br.before_request()  # half-open trial
+    br.record_failure()  # trial failed: re-opens with a fresh cooldown
+    with pytest.raises(CircuitOpenError):
+        br.before_request()
+    now[0] = 22.0
+    br.before_request()  # next window admits another trial
 
 
 def test_sink_retries_connection_reset_and_retry_after(fake_server):

@@ -22,10 +22,9 @@ connection setup across batches.
 
 from __future__ import annotations
 
-import json
 import time
 import urllib.error
-import urllib.request
+import urllib.parse
 from collections.abc import Iterator
 from typing import Protocol, runtime_checkable
 
@@ -33,24 +32,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-
-def retry_delay(
-    err: BaseException | None, backoff_s: float, attempt: int, cap_s: float = 60.0
-) -> float:
-    """Exponential-backoff delay for attempt N, raised to the server's
-    ``Retry-After`` (seconds form) when the error carries one — a 429's
-    explicit budget always wins over a shorter local guess. Capped so a
-    hostile/buggy header can't stall a task for minutes. Shared by
-    HttpEmbedder and HttpVectorSink."""
-    delay = backoff_s * (2**attempt)
-    if isinstance(err, urllib.error.HTTPError) and err.headers is not None:
-        v = err.headers.get("Retry-After")
-        if v:
-            try:
-                delay = max(delay, float(v))
-            except ValueError:
-                pass  # HTTP-date form: fall back to local backoff
-    return min(delay, cap_s)
+from vectrekker_spark.http_client import (  # noqa: F401  (re-export: public API)
+    CircuitBreaker,
+    CircuitOpenError,
+    PooledHttpClient,
+    retry_delay,
+)
 
 
 @runtime_checkable
@@ -79,10 +66,14 @@ class HttpEmbedder:
 
     vs the reference's loop (`vectrekker/main.py:172-185`): `batch_size`
     texts per request instead of 1, bounded exponential-backoff retry on
-    429/5xx/connection errors instead of crashing, and a per-client minimum
-    request interval as the rate limit. Generic `endpoint_url` — no
-    provider-specific code; the API key comes from an env var named by
-    `api_key_env` so credentials never live in job code.
+    429/5xx/connection errors instead of crashing, a per-client minimum
+    request interval as the rate limit, one keep-alive pooled connection
+    reused across batches (`PooledHttpClient`), and a circuit breaker that
+    fails fast after `breaker_threshold` consecutive request failures so a
+    dead endpoint costs O(threshold) requests per task, not
+    O(batches x max_retries). Generic `endpoint_url` — no provider-specific
+    code; the API key comes from an env var named by `api_key_env` so
+    credentials never live in job code.
     """
 
     RETRYABLE = {429, 500, 502, 503, 504}
@@ -98,7 +89,10 @@ class HttpEmbedder:
         min_interval_s: float = 0.0,
         timeout_s: float = 30.0,
         api_key_env: str = "EMBED_API_KEY",
+        breaker_threshold: int = 8,
+        breaker_cooldown_s: float = 30.0,
     ) -> None:
+        u = urllib.parse.urlsplit(endpoint_url)
         self.endpoint_url = endpoint_url
         self.dim = dim
         self.model = model
@@ -108,22 +102,27 @@ class HttpEmbedder:
         self.min_interval_s = min_interval_s
         self.timeout_s = timeout_s
         self.api_key_env = api_key_env
+        self._path = u.path or "/"
+        self._client = PooledHttpClient(
+            f"{u.scheme}://{u.netloc}", timeout_s=timeout_s
+        )
+        self._breaker = CircuitBreaker(breaker_threshold, breaker_cooldown_s)
         self._last_request_t = 0.0
+
+    def close(self) -> None:
+        self._client.close()
 
     # -- one HTTP round trip (retry loop lives in embed_batch) --------------
     def _post(self, texts: list[str]) -> list[list[float]]:
         import os
 
-        body = json.dumps({"model": self.model, "input": texts}).encode()
-        headers = {"Content-Type": "application/json"}
+        headers = {}
         key = os.environ.get(self.api_key_env, "")
         if key:
             headers["Authorization"] = f"Bearer {key}"
-        req = urllib.request.Request(
-            self.endpoint_url, data=body, headers=headers, method="POST"
+        payload = self._client.post_json(
+            self._path, {"model": self.model, "input": texts}, headers
         )
-        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            payload = json.load(resp)
         vecs = [row["embedding"] for row in payload["data"]]
         if len(vecs) != len(texts):
             raise ValueError(
@@ -142,23 +141,35 @@ class HttpEmbedder:
         self._last_request_t = time.monotonic()
 
     def embed_batch(self, texts: list[str]) -> list[list[float]]:
+        import http.client
+
         out: list[list[float]] = []
         for i in range(0, len(texts), self.batch_size):
             chunk = texts[i : i + self.batch_size]
             attempt = 0
             while True:
+                self._breaker.before_request()  # fail fast when the circuit is open
                 self._throttle()
                 try:
                     out.extend(self._post(chunk))
+                    self._breaker.record_success()
                     break
                 except urllib.error.HTTPError as e:
+                    self._breaker.record_failure()
                     if e.code not in self.RETRYABLE or attempt >= self.max_retries:
                         raise
                     err: BaseException = e
-                except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+                except (
+                    urllib.error.URLError,
+                    http.client.HTTPException,
+                    TimeoutError,
+                    ConnectionError,
+                    OSError,
+                ) as e:
                     # covers connection resets: the server dropping the
-                    # socket mid-exchange surfaces as ConnectionResetError
-                    # (http.client.RemoteDisconnected) or a URLError wrap
+                    # socket mid-exchange surfaces as RemoteDisconnected /
+                    # ConnectionResetError from the pooled transport
+                    self._breaker.record_failure()
                     if attempt >= self.max_retries:
                         raise
                     err = e

@@ -1,0 +1,174 @@
+"""Shared HTTP transport for the external embedder/sink clients
+(SURVEY.md §2.1 E1/K1/K2 external half; NEXT.md hardening item).
+
+The reference opens one fresh HTTPS connection per document
+(`vectrekker/main.py:172-185` — sequential SDK calls, no reuse, no
+backpressure handling). At Spark scale the same naivety multiplies: 1000
+executors x thousands of micro-batches means TCP+TLS setup per request and,
+when the endpoint goes down, every task burning its full retry schedule per
+batch. This module fixes both:
+
+- `PooledHttpClient` — one persistent keep-alive connection per client
+  instance (clients are task-local, built by a factory inside the worker, so
+  a connection is never serialized or shared across tasks). A stale pooled
+  socket (server closed between requests) is re-dialed once, transparently;
+  a reset on a FRESH connection propagates to the caller's retry loop so
+  injected/real outages still back off.
+- `CircuitBreaker` — consecutive-failure trip wire. After `threshold`
+  failures the circuit opens and calls fail fast with `CircuitOpenError`
+  for `cooldown_s` (no request, no sleep), then one half-open trial is let
+  through; success closes the circuit. This bounds the damage of a dead
+  endpoint: tasks fail in O(threshold) requests instead of
+  O(batches x max_retries), and Spark's task retry/alerting takes over.
+- `retry_delay` — exponential backoff that honors a server's `Retry-After`
+  (seconds form) and caps hostile values. Shared by both clients.
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import time
+import urllib.error
+import urllib.parse
+
+
+def retry_delay(
+    err: BaseException | None, backoff_s: float, attempt: int, cap_s: float = 60.0
+) -> float:
+    """Exponential-backoff delay for attempt N, raised to the server's
+    ``Retry-After`` (seconds form) when the error carries one — a 429's
+    explicit budget always wins over a shorter local guess. Capped so a
+    hostile/buggy header can't stall a task for minutes."""
+    delay = backoff_s * (2**attempt)
+    if isinstance(err, urllib.error.HTTPError) and err.headers is not None:
+        v = err.headers.get("Retry-After")
+        if v:
+            try:
+                delay = max(delay, float(v))
+            except ValueError:
+                pass  # HTTP-date form: fall back to local backoff
+    return min(delay, cap_s)
+
+
+class CircuitOpenError(RuntimeError):
+    """Raised instead of making a request while the circuit is open."""
+
+
+class CircuitBreaker:
+    """Consecutive-failure circuit breaker (closed -> open -> half-open).
+
+    Worker-local by construction (lives inside a task-local client); no
+    locking needed. `clock` is injectable for deterministic tests.
+    """
+
+    def __init__(
+        self, threshold: int = 8, cooldown_s: float = 30.0, clock=time.monotonic
+    ) -> None:
+        if threshold < 1:
+            raise ValueError("threshold must be >= 1")
+        self.threshold = threshold
+        self.cooldown_s = cooldown_s
+        self._clock = clock
+        self._failures = 0
+        self._opened_at: float | None = None
+        self._half_open_trial = False
+
+    def before_request(self) -> None:
+        """Gate a request: no-op when closed; raises when open; lets exactly
+        one trial through per cooldown window when half-open."""
+        if self._opened_at is None:
+            return
+        elapsed = self._clock() - self._opened_at
+        if elapsed < self.cooldown_s or self._half_open_trial:
+            raise CircuitOpenError(
+                f"circuit open after {self._failures} consecutive failures; "
+                f"retry in {max(0.0, self.cooldown_s - elapsed):.1f}s"
+            )
+        self._half_open_trial = True  # admit one probe request
+
+    def record_success(self) -> None:
+        self._failures = 0
+        self._opened_at = None
+        self._half_open_trial = False
+
+    def record_failure(self) -> None:
+        self._failures += 1
+        self._half_open_trial = False
+        if self._failures >= self.threshold:
+            self._opened_at = self._clock()
+
+
+class PooledHttpClient:
+    """Keep-alive JSON POST client over one persistent connection.
+
+    `post_json` returns the decoded JSON body on 2xx and raises
+    `urllib.error.HTTPError` (headers attached, so `retry_delay` can read
+    `Retry-After`) on any other status — same exception surface as the
+    previous urlopen-based transport, so callers' retry loops are unchanged.
+    Non-2xx responses are drained so the connection stays reusable.
+    """
+
+    def __init__(self, base_url: str, timeout_s: float = 30.0) -> None:
+        u = urllib.parse.urlsplit(base_url)
+        if u.scheme not in ("http", "https"):
+            raise ValueError(f"unsupported scheme: {u.scheme!r}")
+        self._scheme = u.scheme
+        self._host = u.hostname or ""
+        self._port = u.port
+        self._base_path = u.path.rstrip("/")
+        self.timeout_s = timeout_s
+        self._conn: http.client.HTTPConnection | None = None
+        self._used = False  # True once the live connection served a request
+
+    def _connect(self) -> http.client.HTTPConnection:
+        if self._conn is None:
+            cls = (
+                http.client.HTTPSConnection
+                if self._scheme == "https"
+                else http.client.HTTPConnection
+            )
+            self._conn = cls(self._host, self._port, timeout=self.timeout_s)
+            self._used = False
+        return self._conn
+
+    def close(self) -> None:
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+                self._used = False
+
+    def _url(self, path: str) -> str:
+        netloc = self._host if self._port is None else f"{self._host}:{self._port}"
+        return f"{self._scheme}://{netloc}{self._base_path}{path}"
+
+    def post_json(
+        self, path: str, payload: dict, headers: dict[str, str] | None = None
+    ) -> dict:
+        body = json.dumps(payload).encode()
+        hdrs = {"Content-Type": "application/json", **(headers or {})}
+        try:
+            resp = self._request(path, body, hdrs)
+        except (http.client.HTTPException, ConnectionError, TimeoutError, OSError):
+            was_reused = self._used
+            self.close()
+            if not was_reused:
+                raise  # fresh-connection failure: a real outage, let caller back off
+            # stale keep-alive socket (server idled it out between requests):
+            # one transparent re-dial, failures from here propagate
+            resp = self._request(path, body, hdrs)
+        data = resp.read()  # always drain: keeps the connection reusable
+        self._used = True
+        if not 200 <= resp.status < 300:
+            self.close()  # don't trust reuse after an error response
+            raise urllib.error.HTTPError(
+                self._url(path), resp.status, resp.reason, resp.headers, None
+            )
+        return json.loads(data) if data else {}
+
+    def _request(self, path: str, body: bytes, headers: dict[str, str]):
+        conn = self._connect()
+        conn.request("POST", f"{self._base_path}{path}", body=body, headers=headers)
+        return conn.getresponse()

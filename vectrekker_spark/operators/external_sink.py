@@ -19,13 +19,13 @@ effective idempotence, exactly like the reference's INSERT OR REPLACE.
 
 from __future__ import annotations
 
-import json
 import time
 import urllib.error
-import urllib.request
 from typing import Protocol, runtime_checkable
 
 from pyspark.sql import DataFrame
+
+from vectrekker_spark.http_client import CircuitBreaker, PooledHttpClient, retry_delay
 
 
 @runtime_checkable
@@ -39,7 +39,8 @@ class HttpVectorSink:
     """Batched JSON-over-HTTP sink: POST {"vectors":[{"id","values",
     "metadata"},...]} to `{base_url}/vectors/upsert`, DDL to
     `{base_url}/indexes` — the public request shape of managed vector
-    stores. Bounded retry on 429/5xx, same policy as HttpEmbedder."""
+    stores. Bounded retry on 429/5xx, keep-alive pooled connection, and a
+    fail-fast circuit breaker — same policy as HttpEmbedder."""
 
     RETRYABLE = {429, 500, 502, 503, 504}
 
@@ -50,36 +51,49 @@ class HttpVectorSink:
         backoff_s: float = 0.5,
         timeout_s: float = 30.0,
         api_key_env: str = "VECTOR_SINK_API_KEY",
+        breaker_threshold: int = 8,
+        breaker_cooldown_s: float = 30.0,
     ) -> None:
         self.base_url = base_url.rstrip("/")
         self.max_retries = max_retries
         self.backoff_s = backoff_s
         self.timeout_s = timeout_s
         self.api_key_env = api_key_env
+        self._client = PooledHttpClient(self.base_url, timeout_s=timeout_s)
+        self._breaker = CircuitBreaker(breaker_threshold, breaker_cooldown_s)
+
+    def close(self) -> None:
+        self._client.close()
 
     def _post(self, path: str, payload: dict) -> dict:
+        import http.client
         import os
 
-        body = json.dumps(payload).encode()
-        headers = {"Content-Type": "application/json"}
+        headers = {}
         key = os.environ.get(self.api_key_env, "")
         if key:
             headers["Authorization"] = f"Bearer {key}"
-        req = urllib.request.Request(
-            f"{self.base_url}{path}", data=body, headers=headers, method="POST"
-        )
-        from vectrekker_spark.embedder import retry_delay
 
         attempt = 0
         while True:
+            self._breaker.before_request()  # fail fast when the circuit is open
             try:
-                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                    return json.load(resp)
+                out = self._client.post_json(path, payload, headers)
+                self._breaker.record_success()
+                return out
             except urllib.error.HTTPError as e:
+                self._breaker.record_failure()
                 if e.code not in self.RETRYABLE or attempt >= self.max_retries:
                     raise
                 err: BaseException = e
-            except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+            except (
+                urllib.error.URLError,
+                http.client.HTTPException,
+                TimeoutError,
+                ConnectionError,
+                OSError,
+            ) as e:
+                self._breaker.record_failure()
                 if attempt >= self.max_retries:
                     raise
                 err = e
