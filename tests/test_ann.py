@@ -134,3 +134,84 @@ def test_assign_centroids_ties_and_guard(spark):
     # centroid-side guard trips instead of collecting an unbounded side
     with pytest.raises(ValueError, match="max_centroids"):
         assign_centroids(corpus, cents, max_centroids=2)
+
+
+# --- persisted inverted-list index: save / load / prune / append -----------
+
+
+def _rows(df):
+    return sorted((r["qid"], r["vec_id"], r["score"], r["rank"]) for r in df.collect())
+
+
+def test_ivf_save_load_search_roundtrip(spark, em, tmp_path):
+    from vectrekker_spark.operators.ann import (
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    centroids, assign = ivf_build(em, n_centroids=10, method="stride")
+    expected = _rows(ivf_search(_queries(em), em, centroids, assign, k=K, n_probe=3))
+
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign, em, path)
+    lc, cells = ivf_load(spark, path)
+    got = _rows(ivf_search_cells(_queries(em), lc, cells, k=K, n_probe=3))
+    assert got == expected
+
+    # on-disk layout: one directory per cell (partitioned by cid)
+    import os
+
+    dirs = sorted(d for d in os.listdir(f"{path}/cells") if d.startswith("cid="))
+    assert len(dirs) == 10
+
+
+def test_ivf_cells_probe_prunes_partitions(spark, em, tmp_path):
+    from vectrekker_spark.operators.ann import ivf_load, ivf_save, ivf_search_cells
+    from vectrekker_spark.plans import partition_filters
+
+    centroids, assign = ivf_build(em, n_centroids=10, method="stride")
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign, em, path)
+    lc, cells = ivf_load(spark, path)
+    res = ivf_search_cells(_queries(em), lc, cells, k=K, n_probe=3)
+    pf = [f for f in partition_filters(res) if "cid" in f]
+    # the cell scan carries a static cid predicate → only probed partitions read
+    assert pf and any("IN" in f or "in(" in f for f in pf), pf
+
+    # past the prune cap the static filter is skipped — Catalyst then prunes
+    # DYNAMICALLY off the probes join (the scale path for huge query batches)
+    res_nocap = ivf_search_cells(
+        _queries(em), lc, cells, k=K, n_probe=3, prune_max_cells=0
+    )
+    pf_nocap = [f for f in partition_filters(res_nocap) if "cid" in f]
+    assert pf_nocap and any("dynamicpruning" in f for f in pf_nocap), pf_nocap
+    assert _rows(res_nocap) == _rows(res)
+
+
+def test_ivf_append_matches_full_rebuild(spark, em, tmp_path):
+    from vectrekker_spark.operators.ann import (
+        assign_centroids,
+        ivf_append,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    n = em.count()
+    initial = em.filter(F.col("vec_id") < n // 2)
+    delta = em.filter(F.col("vec_id") >= n // 2)
+
+    centroids, assign0 = ivf_build(initial, n_centroids=8, method="stride")
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign0, initial, path)
+    ivf_append(delta, path)
+
+    lc, cells = ivf_load(spark, path)
+    assert cells.count() == n  # every vector indexed exactly once
+    got = _rows(ivf_search_cells(_queries(em), lc, cells, k=K, n_probe=3))
+
+    # oracle: same centroids, assignment over the FULL corpus in one shot
+    full_assign = assign_centroids(em, centroids)
+    expected = _rows(ivf_search(_queries(em), em, centroids, full_assign, k=K, n_probe=3))
+    assert got == expected

@@ -52,3 +52,14 @@ def shuffle_count(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return formatted_plan(df).count("WholeStageCodegen")
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """The PartitionFilters entries of every file scan in the plan —
+    partition-pruning check for partitioned tables (e.g. the IVF cell
+    layout: a probe must scan only its cells' directories)."""
+    out = []
+    for line in formatted_plan(df).splitlines():
+        if "PartitionFilters:" in line:
+            out.append(line.split("PartitionFilters:", 1)[1].strip())
+    return out
