@@ -82,6 +82,37 @@ def test_search_approx_flag(tmp_path, capsys, spark):
     assert a_path in lines[0] and "+1.000000" in lines[0]
 
 
+def test_ann_build_and_persisted_search(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    ivf = str(tmp_path / "ivf")
+    assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
+    capsys.readouterr()
+
+    assert main(["ann-build", "--index", index, "--out", ivf]) == 0
+    assert "built IVF index: 2 vectors" in capsys.readouterr().out
+
+    # persisted-index search: assign_k=2 on a 2-doc corpus puts both docs in
+    # every cell → the self-match MUST rank first at +1.0
+    a_path = str(content / "a.md")
+    assert main(["search", "--index", index, "--query-id", a_path, "--ivf", ivf, "-k", "2"]) == 0
+    lines = [line for line in capsys.readouterr().out.splitlines() if line.strip()]
+    assert len(lines) == 2
+    assert a_path in lines[0] and "+1.000000" in lines[0]
+
+    # incremental: nothing new → no-op; new file → exactly one appended
+    assert main(["ann-build", "--index", index, "--out", ivf, "--incremental"]) == 0
+    assert "0 new vectors" in capsys.readouterr().out
+    (content / "d.md").write_text("delta notes about incremental appends")
+    assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
+    capsys.readouterr()
+    assert main(["ann-build", "--index", index, "--out", ivf, "--incremental"]) == 0
+    assert "appended 1 vector(s)" in capsys.readouterr().out
+    assert main(["search", "--index", index, "--query-id", str(content / "d.md"), "--ivf", ivf, "-k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "d.md" in out and "+1.000000" in out
+
+
 def test_index_with_embed_endpoint(tmp_path, capsys, spark):
     # external-embedder flag against a local fake /embeddings server
     import json

@@ -4,6 +4,7 @@ console script at reference pyproject.toml:33), Spark-backed.
     python -m vectrekker_spark index  --content-dir D --state S --index I [--dry-run]
     python -m vectrekker_spark search --index I (--query-id PATH | --text T) [-k K]
     python -m vectrekker_spark stats  --index I
+    python -m vectrekker_spark ann-build --index I --out DIR [--incremental]
 
 Parity notes:
 - `--dry-run` prints the files that WOULD be re-indexed and exits before any
@@ -121,11 +122,25 @@ def cmd_search(args: argparse.Namespace) -> int:
         q = spark.createDataFrame(
             [("query", vec)], "qid string, qvec array<double>"
         )
+    if args.ivf:
+        # persisted inverted-list index (ann-build verb): probes read only
+        # their cells' partitions — no per-invocation rebuild, no corpus join
+        from vectrekker_spark.operators.ann import ivf_load, ivf_search_cells
+
+        centroids, cells = ivf_load(spark, args.ivf)
+        n_cells = centroids.count()
+        res = ivf_search_cells(
+            q, centroids, cells,
+            k=args.k, n_probe=max(1, n_cells // 3), id_col="id",
+        ).collect()
+        for r in res:
+            print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['id']}")
+        return 0
     if args.approx:
         # IVF approximate search (operators/ann): kmeans cells with
         # multi-assignment — the scale path when the index outgrows a
-        # brute-force scan. Built per invocation here; a long-running
-        # service would persist (centroids, assignments) beside the index.
+        # brute-force scan. Built per invocation here; use `ann-build` +
+        # `--ivf` to search a persisted index instead.
         from vectrekker_spark.operators.ann import ivf_build, ivf_search
 
         n_rows = index.count()
@@ -144,6 +159,44 @@ def cmd_search(args: argparse.Namespace) -> int:
     res = knn_join(q, index, k=args.k, id_col="id", vec_col="embedding").collect()
     for r in res:
         print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['vec_id']}")
+    return 0
+
+
+def cmd_ann_build(args: argparse.Namespace) -> int:
+    """Build (or incrementally extend) a persisted IVF ANN index beside the
+    vector index table — the reference's create-if-absent + changed-only
+    semantics (`vectrekker/main.py:143-147,162-167`) applied to the ANN
+    structure itself."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import ivf_append, ivf_build, ivf_save
+
+    spark = _spark()
+    index = spark.read.parquet(args.index).select("id", "embedding")
+    if args.incremental and os.path.exists(os.path.join(args.out, "cells")):
+        from vectrekker_spark.operators.ann import ivf_load
+
+        _, cells = ivf_load(spark, args.out)
+        delta = index.join(
+            cells.select(F.col("id")).distinct(), "id", "left_anti"
+        )
+        n = delta.count()
+        if n == 0:
+            print("ann index up to date: 0 new vectors")
+            return 0
+        ivf_append(delta, args.out, assign_k=args.assign_k, id_col="id")
+        print(f"appended {n} vector(s) to {args.out}")
+        return 0
+    n_rows = index.count()
+    n_cells = args.cells or max(2, min(64, int(n_rows**0.5)))
+    centroids, assign = ivf_build(
+        index, n_centroids=n_cells, id_col="id", vec_col="embedding",
+        assign_k=args.assign_k,
+    )
+    ivf_save(centroids, assign, index, args.out, id_col="id")
+    print(f"built IVF index: {n_rows} vectors in {n_cells} cell(s) at {args.out}")
     return 0
 
 
@@ -220,7 +273,26 @@ def build_parser() -> argparse.ArgumentParser:
         "--approx", action="store_true",
         help="IVF approximate search instead of the exact brute-force scan",
     )
+    se.add_argument(
+        "--ivf",
+        help="search a persisted IVF index dir (see ann-build) instead of "
+        "building one per invocation",
+    )
     se.set_defaults(fn=cmd_search)
+
+    ab = sub.add_parser(
+        "ann-build",
+        help="build or incrementally extend a persisted IVF ANN index",
+    )
+    ab.add_argument("--index", required=True, help="vector index parquet (id, embedding)")
+    ab.add_argument("--out", required=True, help="IVF index directory")
+    ab.add_argument("--cells", type=int, default=0, help="cell count (0 = sqrt(N))")
+    ab.add_argument("--assign-k", type=int, default=2, help="cells per vector")
+    ab.add_argument(
+        "--incremental", action="store_true",
+        help="append only vectors missing from the existing IVF index",
+    )
+    ab.set_defaults(fn=cmd_ann_build)
 
     st = sub.add_parser("stats", help="index summary")
     st.add_argument("--index", required=True)
