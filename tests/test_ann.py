@@ -215,3 +215,31 @@ def test_ivf_append_matches_full_rebuild(spark, em, tmp_path):
     full_assign = assign_centroids(em, centroids)
     expected = _rows(ivf_search(_queries(em), em, centroids, full_assign, k=K, n_probe=3))
     assert got == expected
+
+
+def test_ivf_compact_dedupes_reappended_batch(spark, em, tmp_path):
+    from vectrekker_spark.operators.ann import (
+        ivf_append,
+        ivf_compact,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    n = em.count()
+    centroids, assign = ivf_build(em, n_centroids=8, method="stride")
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign, em, path)
+    # re-append an already-indexed slice: duplicates land (at-least-once)
+    dup = em.filter(F.col("vec_id") < 50)
+    ivf_append(dup, path)
+    lc, cells = ivf_load(spark, path)
+    assert cells.count() == n + 50
+    before = _rows(ivf_search_cells(_queries(em), lc, cells, k=K, n_probe=3))
+
+    removed = ivf_compact(spark, path)
+    assert removed == 50
+    lc2, cells2 = ivf_load(spark, path)
+    assert cells2.count() == n
+    # search results unchanged by compaction
+    assert _rows(ivf_search_cells(_queries(em), lc2, cells2, k=K, n_probe=3)) == before

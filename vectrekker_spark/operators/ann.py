@@ -300,7 +300,7 @@ def ivf_append(
 
     At-least-once caveat: re-appending the same ids duplicates rows; search
     dedupes candidates by (qid, id) and duplicate rows carry identical
-    vectors, so results are unaffected (periodic compaction can drop them).
+    vectors, so results are unaffected (`ivf_compact` reclaims them).
     Centroids drift as the corpus grows — re-run ivf_build when recall
     degrades; append covers the between-rebuilds regime."""
     spark = new_corpus.sparkSession
@@ -314,6 +314,40 @@ def ivf_append(
     cells.repartition(F.col("cid")).write.mode("append").partitionBy("cid").parquet(
         f"{path}/cells"
     )
+
+
+def ivf_compact(spark, path: str) -> int:
+    """Rewrite the cells table dropping duplicate (cid, id) rows left by
+    re-appended batches (ivf_append's at-least-once caveat) and merging the
+    small files appends accrete. Stage-then-swap: the deduped table lands in
+    a dot-prefixed sibling dir, then replaces ``cells`` — a crash before the
+    swap leaves the original readable. Returns rows removed.
+
+    Duplicate rows carry identical vectors, so search results never change;
+    compaction is purely a size/file-count reclaim, cost ∝ index size — run
+    it on the cadence appends warrant, like any lakehouse OPTIMIZE."""
+    import os
+    import shutil
+
+    cells = spark.read.parquet(f"{path}/cells").withColumn(
+        "cid", F.col("cid").cast("long")
+    )
+    before = cells.count()
+    # writer contract (ivf_save/ivf_append): data columns are (id, vector),
+    # partition col cid is appended last at read → columns[0] is the id col
+    deduped = cells.dropDuplicates(["cid", cells.columns[0]])
+    staging = os.path.join(path, ".cells.compact")
+    deduped.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(staging)
+    after = spark.read.parquet(staging).count()
+    live = os.path.join(path, "cells")
+    trash = os.path.join(path, ".cells.trash")
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(live, trash)
+    os.rename(staging, live)
+    shutil.rmtree(trash, ignore_errors=True)
+    return before - after
 
 
 def ivf_search_cells(
