@@ -40,6 +40,21 @@ def test_engine_ivf_build_is_cached(spark, sf_dir):
     assert b3 is not b1  # different dials → different index
 
 
+def test_engine_persisted_ann_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, sf_dir)
+    path = str(tmp_path / "ivf")
+    eng.save_ann_index(path, n_centroids=4)
+    em = eng.table("embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = eng.approx_knn_persisted(path, q, k=5, n_probe=4).collect()
+    # probing every cell makes IVF exhaustive → must find the self-match
+    assert res[0]["vec_id"] == 0 and res[0]["rank"] == 1
+
+
 def test_engine_embed_sugar(spark, sf_dir):
     eng = Engine(spark, sf_dir)
     df = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")
