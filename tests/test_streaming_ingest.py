@@ -53,3 +53,52 @@ def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
     got = rows_of(spark.table("stream_sessions"))
     want = rows_of(d08_session_window(spark, sf_dir))
     assert got == want
+
+
+def test_streaming_ann_index_maintenance(spark, sf_dir, tmp_path):
+    """ST5 applied to the ANN index: vectors streaming in are appended to a
+    persisted IVF index against its existing centroids; the checkpoint makes
+    re-runs no-ops and a later batch lands incrementally."""
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+    from vectrekker_spark.streaming.jobs import foreach_batch_ann_append
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = em.count()
+    initial = em.filter(F.col("vec_id") < n // 2)
+    ivf = str(tmp_path / "ivf")
+    centroids, assign = ivf_build(initial, n_centroids=4, method="stride")
+    ivf_save(centroids, assign, initial, ivf)
+
+    # the delta arrives as files in a streamed directory
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    em.filter(F.col("vec_id") >= n // 2).write.parquet(str(stream_dir / "batch0"))
+    ckpt = str(tmp_path / "ckpt")
+    src = spark.readStream.schema(em.schema).parquet(str(stream_dir / "*"))
+    foreach_batch_ann_append(
+        src, ivf, ckpt, id_col="vec_id"
+    ).awaitTermination()
+    _, cells = ivf_load(spark, ivf)
+    assert cells.count() == n
+
+    # re-run with nothing new → checkpoint short-circuits, no duplicates
+    src2 = spark.readStream.schema(em.schema).parquet(str(stream_dir / "*"))
+    foreach_batch_ann_append(src2, ivf, ckpt, id_col="vec_id").awaitTermination()
+    _, cells2 = ivf_load(spark, ivf)
+    assert cells2.count() == n
+
+    # an appended vector is findable via the persisted probe path
+    lc, cells3 = ivf_load(spark, ivf)
+    probe_id = n - 1
+    q = em.filter(F.col("vec_id") == probe_id).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = ivf_search_cells(q, lc, cells3, k=1, n_probe=4).collect()
+    assert res and res[0]["vec_id"] == probe_id and res[0]["rank"] == 1

@@ -212,6 +212,45 @@ def streaming_index_pipeline(
     return foreach_batch_upsert(rows, index_path, key="id", checkpoint=checkpoint)
 
 
+def foreach_batch_ann_append(
+    stream: DataFrame,
+    ivf_path: str,
+    checkpoint: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    assign_k: int = 1,
+):
+    """Keep a persisted IVF index (operators/ann.ivf_save) current as vectors
+    stream in — ST5 applied to the ANN structure: each micro-batch is
+    assigned against the EXISTING centroids and appended to the cell table,
+    cost ∝ batch, the 100 TB history untouched.
+
+    Delivery is at-least-once per micro-batch (a crash between append and
+    checkpoint commit re-appends the batch); duplicate rows never change
+    search results (ivf_search_cells dedupes candidates by id, payloads are
+    identical) and `ivf_compact` reclaims them — effective idempotence, the
+    same contract as the MERGE sink. Returns the started query."""
+    from vectrekker_spark.operators.ann import ivf_append
+
+    def do_append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_append(
+            batch_df.select(id_col, vec_col),
+            ivf_path,
+            assign_k=assign_k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(do_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_upsert(
     stream: DataFrame, target_path: str, key: str, checkpoint: str
 ):
