@@ -243,3 +243,77 @@ def test_ivf_compact_dedupes_reappended_batch(spark, em, tmp_path):
     assert cells2.count() == n
     # search results unchanged by compaction
     assert _rows(ivf_search_cells(_queries(em), lc2, cells2, k=K, n_probe=3)) == before
+
+
+def test_ivf_append_inherits_saved_assign_k(spark, em, tmp_path):
+    # an index built multi-assigned must keep multi-assigning its appends
+    # without every call site re-stating assign_k (it's in the saved meta)
+    from vectrekker_spark.operators.ann import (
+        ivf_append,
+        ivf_load,
+        ivf_meta,
+        ivf_save,
+    )
+
+    n = em.count()
+    initial = em.filter(F.col("vec_id") < n - 10)
+    centroids, assign = ivf_build(initial, n_centroids=8, method="stride", assign_k=2)
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign, initial, path, assign_k=2)
+    assert ivf_meta(spark, path)["assign_k"] == 2
+
+    ivf_append(em.filter(F.col("vec_id") >= n - 10), path)  # no args: meta-driven
+    _, cells = ivf_load(spark, path)
+    appended = cells.filter(F.col("vec_id") >= n - 10)
+    assert appended.count() == 20  # 10 vectors x assign_k=2 cells each
+    assert appended.select("vec_id").distinct().count() == 10
+
+
+def test_ivf_search_cells_infers_columns_from_schema(spark, tmp_path):
+    # an ann-build-style index keyed by 'id' searches without the caller
+    # re-stating column names (VERDICT-class bug: facade hardcoded vec_id)
+    from vectrekker_spark.operators.ann import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"doc{i}", [float(i == j) for j in range(4)]) for i in range(4)],
+        "id string, embedding array<double>",
+    )
+    centroids, assign = ivf_build(
+        corpus.withColumn("n", F.monotonically_increasing_id()),
+        n_centroids=2, method="kmeans", id_col="id",
+    )
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign, corpus, path, id_col="id")
+    lc, cells = ivf_load(spark, path)
+    q = corpus.limit(1).selectExpr("id as qid", "embedding as qvec")
+    res = ivf_search_cells(q, lc, cells, k=1, n_probe=2).collect()
+    assert res and res[0]["id"] == "doc0" and res[0]["rank"] == 1
+
+
+def test_ivf_load_heals_crashed_compact_swap(spark, em, tmp_path):
+    import os
+    import shutil
+
+    from vectrekker_spark.operators.ann import ivf_load, ivf_save, ivf_search_cells
+
+    centroids, assign = ivf_build(em, n_centroids=4, method="stride")
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign, em, path)
+    n = em.count()
+
+    # crash window 1: cells renamed away, staging complete → promote staging
+    shutil.copytree(f"{path}/cells", f"{path}/.cells.compact")
+    shutil.move(f"{path}/cells", f"{path}/.cells.trash")
+    _, cells = ivf_load(spark, path)
+    assert cells.count() == n and os.path.exists(f"{path}/cells")
+    assert not os.path.exists(f"{path}/.cells.trash")  # cleanup finished too
+
+    # crash window 2: cells renamed away, no staging → roll back from trash
+    shutil.move(f"{path}/cells", f"{path}/.cells.trash")
+    _, cells2 = ivf_load(spark, path)
+    assert cells2.count() == n and os.path.exists(f"{path}/cells")

@@ -33,6 +33,7 @@ class _FakeState:
         self.retry_after: float | None = None  # Retry-After header seconds
         self.reset_next = 0  # drop the connection (no response) this many times
         self.connections = 0  # distinct TCP connections accepted
+        self.paths: list[str] = []  # raw request targets (incl. query strings)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -52,7 +53,13 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         payload = json.loads(self.rfile.read(n))
         st = self.state
+        route = self.path.split("?", 1)[0]  # clients may send query strings
+        if route.startswith("http://"):  # proxy-form absolute URI
+            import urllib.parse
+
+            route = urllib.parse.urlsplit(route).path
         with st.lock:
+            st.paths.append(self.path)
             if st.reset_next > 0:
                 st.reset_next -= 1
                 # simulate a connection reset: close without any response —
@@ -68,7 +75,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
-            if self.path == "/embeddings":
+            if route == "/embeddings":
                 texts = payload["input"]
                 st.embed_requests.append(list(texts))
                 # deterministic fake: v[j] = (len(text) + j) / 100
@@ -77,10 +84,10 @@ class _Handler(BaseHTTPRequestHandler):
                     for t in texts
                 ]
                 body = json.dumps({"data": data}).encode()
-            elif self.path == "/indexes":
+            elif route == "/indexes":
                 st.indexes.append(payload)
                 body = b"{}"
-            elif self.path == "/vectors/upsert":
+            elif route == "/vectors/upsert":
                 for v in payload["vectors"]:
                     st.upserts[v["id"]] = v["values"]
                 body = b"{}"
@@ -369,3 +376,66 @@ def test_sink_retries_connection_reset_and_retry_after(fake_server):
     sink.upsert([("b", [2.0] * DIM, {})])
     assert time.perf_counter() - t0 >= 0.2
     assert "b" in state.upserts
+
+
+def test_http_embedder_preserves_query_string(fake_server):
+    # Azure-style endpoints carry required query params — they must reach the
+    # server with every request
+    state, url = fake_server
+    emb = HttpEmbedder(f"{url}/embeddings?api-version=2024-02-01", dim=DIM)
+    vecs = emb.embed_batch(["abc"])
+    assert len(vecs) == 1
+    assert state.paths == ["/embeddings?api-version=2024-02-01"]
+
+
+def test_breaker_trip_skips_backoff_sleep(fake_server):
+    # a failure that trips the breaker must NOT burn the (possibly huge)
+    # Retry-After budget before failing fast
+    import time
+
+    from vectrekker_spark.http_client import CircuitOpenError
+
+    state, url = fake_server
+    state.fail_next, state.fail_code, state.retry_after = 10, 429, 30.0
+    emb = HttpEmbedder(
+        f"{url}/embeddings",
+        dim=DIM,
+        max_retries=9,
+        backoff_s=0.01,
+        breaker_threshold=1,  # first failure trips it
+        breaker_cooldown_s=60.0,
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(CircuitOpenError):
+        emb.embed_batch(["abc"])
+    assert time.perf_counter() - t0 < 5.0  # no 30 s Retry-After sleep
+    assert state.fail_next == 9  # exactly one request hit the server
+
+
+def test_breaker_unrecorded_trial_expires():
+    # a trial admitted but never recorded (exception between the gate and
+    # record_*) must not wedge the breaker open forever
+    from vectrekker_spark.http_client import CircuitBreaker, CircuitOpenError
+
+    now = [0.0]
+    br = CircuitBreaker(threshold=1, cooldown_s=10.0, clock=lambda: now[0])
+    br.record_failure()  # opens
+    now[0] = 11.0
+    br.before_request()  # trial admitted... outcome never recorded
+    with pytest.raises(CircuitOpenError):
+        br.before_request()  # trial outstanding within its window
+    now[0] = 22.0
+    br.before_request()  # stale trial expired → a new one is admitted
+
+
+def test_http_embedder_honors_proxy_env(fake_server, monkeypatch):
+    # executors whose only egress is an HTTP proxy: the pooled transport must
+    # dial the proxy and send the absolute URI (urllib parity)
+    state, url = fake_server
+    monkeypatch.setenv("http_proxy", url)
+    monkeypatch.delenv("no_proxy", raising=False)
+    emb = HttpEmbedder("http://upstream.invalid/embeddings", dim=DIM)
+    vecs = emb.embed_batch(["abc"])
+    assert len(vecs) == 1
+    # the request reached the PROXY (our fake) carrying the absolute URI
+    assert state.paths == ["http://upstream.invalid/embeddings"]

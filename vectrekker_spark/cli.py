@@ -179,23 +179,30 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
         from vectrekker_spark.operators.ann import ivf_load
 
         _, cells = ivf_load(spark, args.out)
+        # persist: the anti-join delta feeds both the count and the append —
+        # without it the index-vs-cells anti-join would execute twice
         delta = index.join(
             cells.select(F.col("id")).distinct(), "id", "left_anti"
-        )
-        n = delta.count()
-        if n == 0:
-            print("ann index up to date: 0 new vectors")
+        ).persist()
+        try:
+            n = delta.count()
+            if n == 0:
+                print("ann index up to date: 0 new vectors")
+                return 0
+            # id/vec/assign_k come from the index's saved metadata, so the
+            # append keeps the build's multi-assignment contract
+            ivf_append(delta, args.out)
+            print(f"appended {n} vector(s) to {args.out}")
             return 0
-        ivf_append(delta, args.out, assign_k=args.assign_k, id_col="id")
-        print(f"appended {n} vector(s) to {args.out}")
-        return 0
+        finally:
+            delta.unpersist()
     n_rows = index.count()
     n_cells = args.cells or max(2, min(64, int(n_rows**0.5)))
     centroids, assign = ivf_build(
         index, n_centroids=n_cells, id_col="id", vec_col="embedding",
         assign_k=args.assign_k,
     )
-    ivf_save(centroids, assign, index, args.out, id_col="id")
+    ivf_save(centroids, assign, index, args.out, id_col="id", assign_k=args.assign_k)
     print(f"built IVF index: {n_rows} vectors in {n_cells} cell(s) at {args.out}")
     return 0
 

@@ -102,7 +102,8 @@ class HttpEmbedder:
         self.min_interval_s = min_interval_s
         self.timeout_s = timeout_s
         self.api_key_env = api_key_env
-        self._path = u.path or "/"
+        # keep any query string (e.g. Azure-style ?api-version=...) on the path
+        self._path = (u.path or "/") + (f"?{u.query}" if u.query else "")
         self._client = PooledHttpClient(
             f"{u.scheme}://{u.netloc}", timeout_s=timeout_s
         )
@@ -173,6 +174,9 @@ class HttpEmbedder:
                     if attempt >= self.max_retries:
                         raise
                     err = e
+                # a failure that just tripped the breaker must not burn the
+                # backoff sleep (possibly a 60 s Retry-After) before failing
+                self._breaker.check_open()
                 time.sleep(retry_delay(err, self.backoff_s, attempt))
                 attempt += 1
         return out
@@ -199,11 +203,16 @@ def embed_column(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         emb: Embedder = embedder_factory()
-        for pdf in batches:
-            for lo in range(0, len(pdf), micro_batch):
-                part = pdf.iloc[lo : lo + micro_batch].copy()
-                vecs = emb.embed_batch(part[text_col].tolist())
-                part[out_col] = pd.Series(list(vecs), index=part.index)
-                yield part
+        try:
+            for pdf in batches:
+                for lo in range(0, len(pdf), micro_batch):
+                    part = pdf.iloc[lo : lo + micro_batch].copy()
+                    vecs = emb.embed_batch(part[text_col].tolist())
+                    part[out_col] = pd.Series(list(vecs), index=part.index)
+                    yield part
+        finally:
+            # release the pooled keep-alive socket when the task ends (Python
+            # workers are reused — GC alone would leak idle connections)
+            getattr(emb, "close", lambda: None)()
 
     return df.mapInPandas(run, out_schema)

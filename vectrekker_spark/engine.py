@@ -79,7 +79,7 @@ class Engine:
         from vectrekker_spark.operators.ann import ivf_save
 
         centroids, assign = self.ivf_index(n_centroids, assign_k)
-        ivf_save(centroids, assign, self.table("embeddings"), path)
+        ivf_save(centroids, assign, self.table("embeddings"), path, assign_k=assign_k)
 
     def approx_knn_persisted(
         self, path: str, queries_df: DataFrame, k: int = 10, n_probe: int = 6

@@ -31,6 +31,7 @@ import json
 import time
 import urllib.error
 import urllib.parse
+import urllib.request
 
 
 def retry_delay(
@@ -73,19 +74,41 @@ class CircuitBreaker:
         self._failures = 0
         self._opened_at: float | None = None
         self._half_open_trial = False
+        self._trial_at = 0.0
 
     def before_request(self) -> None:
-        """Gate a request: no-op when closed; raises when open; lets exactly
-        one trial through per cooldown window when half-open."""
+        """Gate a request: no-op when closed; raises when open; lets one
+        trial through per cooldown window when half-open. An admitted trial
+        whose outcome is never recorded (an exception between the gate and
+        record_*) expires after a further cooldown window, so the breaker
+        can never wedge permanently open."""
         if self._opened_at is None:
             return
-        elapsed = self._clock() - self._opened_at
-        if elapsed < self.cooldown_s or self._half_open_trial:
-            raise CircuitOpenError(
-                f"circuit open after {self._failures} consecutive failures; "
-                f"retry in {max(0.0, self.cooldown_s - elapsed):.1f}s"
-            )
+        now = self._clock()
+        if now - self._opened_at < self.cooldown_s:
+            raise CircuitOpenError(self._open_msg(now))
+        if self._half_open_trial and now - self._trial_at < self.cooldown_s:
+            raise CircuitOpenError(self._open_msg(now))
         self._half_open_trial = True  # admit one probe request
+        self._trial_at = now
+
+    def check_open(self) -> None:
+        """Non-mutating gate: raise iff the circuit is open and inside its
+        cooldown. Used by retry loops right after the opening failure, so a
+        freshly-tripped breaker skips the backoff sleep entirely (fail fast
+        means no request AND no sleep)."""
+        if (
+            self._opened_at is not None
+            and self._clock() - self._opened_at < self.cooldown_s
+        ):
+            raise CircuitOpenError(self._open_msg(self._clock()))
+
+    def _open_msg(self, now: float) -> str:
+        elapsed = now - (self._opened_at or now)
+        return (
+            f"circuit open after {self._failures} consecutive failures; "
+            f"retry in {max(0.0, self.cooldown_s - elapsed):.1f}s"
+        )
 
     def record_success(self) -> None:
         self._failures = 0
@@ -117,9 +140,20 @@ class PooledHttpClient:
         self._host = u.hostname or ""
         self._port = u.port
         self._base_path = u.path.rstrip("/")
+        self._base_query = u.query  # e.g. Azure-style ?api-version=... — kept
         self.timeout_s = timeout_s
         self._conn: http.client.HTTPConnection | None = None
         self._used = False  # True once the live connection served a request
+        # honor the same proxy env vars (http_proxy/https_proxy/no_proxy) the
+        # previous urllib.request transport did — executors whose only egress
+        # is a corporate proxy keep working
+        proxies = urllib.request.getproxies()
+        proxy = (
+            None
+            if urllib.request.proxy_bypass(self._host)
+            else proxies.get(self._scheme)
+        )
+        self._proxy = urllib.parse.urlsplit(proxy) if proxy else None
 
     def _connect(self) -> http.client.HTTPConnection:
         if self._conn is None:
@@ -128,7 +162,18 @@ class PooledHttpClient:
                 if self._scheme == "https"
                 else http.client.HTTPConnection
             )
-            self._conn = cls(self._host, self._port, timeout=self.timeout_s)
+            if self._proxy is not None:
+                conn = cls(
+                    self._proxy.hostname or "",
+                    self._proxy.port,
+                    timeout=self.timeout_s,
+                )
+                if self._scheme == "https":
+                    # CONNECT tunnel through the proxy to the real host
+                    conn.set_tunnel(self._host, self._port)
+                self._conn = conn
+            else:
+                self._conn = cls(self._host, self._port, timeout=self.timeout_s)
             self._used = False
         return self._conn
 
@@ -140,9 +185,17 @@ class PooledHttpClient:
                 self._conn = None
                 self._used = False
 
+    def _target(self, path: str) -> str:
+        """Request target: base path + path, with the base URL's query string
+        merged in (after any query the path itself carries)."""
+        target = f"{self._base_path}{path}"
+        if self._base_query:
+            target += ("&" if "?" in target else "?") + self._base_query
+        return target
+
     def _url(self, path: str) -> str:
         netloc = self._host if self._port is None else f"{self._host}:{self._port}"
-        return f"{self._scheme}://{netloc}{self._base_path}{path}"
+        return f"{self._scheme}://{netloc}{self._target(path)}"
 
     def post_json(
         self, path: str, payload: dict, headers: dict[str, str] | None = None
@@ -170,5 +223,12 @@ class PooledHttpClient:
 
     def _request(self, path: str, body: bytes, headers: dict[str, str]):
         conn = self._connect()
-        conn.request("POST", f"{self._base_path}{path}", body=body, headers=headers)
+        # plain HTTP through a proxy needs the absolute URI as the target;
+        # HTTPS tunnels via CONNECT and uses the origin-form target
+        target = (
+            self._url(path)
+            if self._proxy is not None and self._scheme == "http"
+            else self._target(path)
+        )
+        conn.request("POST", target, body=body, headers=headers)
         return conn.getresponse()

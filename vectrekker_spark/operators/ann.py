@@ -155,6 +155,28 @@ def ivf_build(
     return centroids, assign
 
 
+def _topk_by_score(cands: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Shared final stage of every candidate-set search here: round-6 cosine
+    against qvec, rank per query with the (score desc, id asc) tie-break the
+    d10 oracle depends on bit-for-bit, keep top-k. One definition so the
+    contract can't drift between the search paths."""
+    from pyspark.sql import Window
+
+    from vectrekker_spark.functions.vector import cosine_sim
+
+    scored = cands.select(
+        "qid",
+        F.col(id_col),
+        F.round(cosine_sim(vec_col, "qvec"), 6).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "score", "rank")
+    )
+
+
 def ivf_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -180,20 +202,7 @@ def ivf_search(
     cands = cand_ids.join(corpus, id_col).join(
         queries, "qid"
     )  # (qid, vec_id, embedding, qvec) — only probed-cell rows survive
-    from vectrekker_spark.functions.vector import cosine_sim
-    from pyspark.sql import Window
-
-    scored = cands.select(
-        "qid",
-        F.col(id_col),
-        F.round(cosine_sim(vec_col, "qvec"), 6).alias("score"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", id_col, "score", "rank")
-    )
+    return _topk_by_score(cands, k, id_col, vec_col)
 
 
 def quantized_rerank_knn(
@@ -216,9 +225,7 @@ def quantized_rerank_knn(
 
     Returns (qid, id_col, score, rank) with exact full-precision scores.
     """
-    from vectrekker_spark.functions.vector import cosine_sim
     from vectrekker_spark.operators.quantize import dequantize_int8, quantize_int8
-    from pyspark.sql import Window
 
     deq = dequantize_int8(
         quantize_int8(corpus.select(id_col, vec_col), vec_col=vec_col)
@@ -227,17 +234,7 @@ def quantized_rerank_knn(
         queries, deq, k=k * coarse_factor, id_col=id_col, vec_col=vec_col
     ).select("qid", F.col("vec_id").alias(id_col))
     cands = coarse.join(corpus.select(id_col, vec_col), id_col).join(queries, "qid")
-    scored = cands.select(
-        "qid",
-        F.col(id_col),
-        F.round(cosine_sim(vec_col, "qvec"), 6).alias("score"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", id_col, "score", "rank")
-    )
+    return _topk_by_score(cands, k, id_col, vec_col)
 
 
 def ivf_save(
@@ -247,6 +244,7 @@ def ivf_save(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_k: int | None = None,
 ) -> None:
     """Persist an IVF index as the classic inverted-list layout:
 
@@ -256,6 +254,10 @@ def ivf_save(
       cells' files (the partition-pruning promise in the module docstring,
       made real). The cell rows carry the vectors themselves (inverted
       lists), so probe-time search never joins back to the corpus table.
+    - ``{path}/meta``: one JSON row (id_col, vec_col, assign_k) so append /
+      search consumers recover the build parameters instead of guessing —
+      pass ``assign_k`` when the assignments were multi-assigned so appends
+      keep the same boundary-recall contract.
 
     Multi-assigned vectors (assign_k > 1) appear once per assigned cell —
     the standard IVF trade: index size ×assign_k for boundary recall.
@@ -263,6 +265,7 @@ def ivf_save(
     file per cell instead of n_tasks × n_cells small files; a skewed hot
     cell becomes one large (still splittable) parquet file.
     """
+    spark = centroids.sparkSession
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     cells = assignments.join(corpus.select(id_col, vec_col), id_col).select(
         "cid", id_col, vec_col
@@ -270,13 +273,51 @@ def ivf_save(
     cells.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(id_col, vec_col, assign_k)], "id_col string, vec_col string, assign_k int"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def ivf_meta(spark, path: str) -> dict:
+    """The saved build parameters ({id_col, vec_col, assign_k}); empty dict
+    for a pre-metadata index directory."""
+    try:
+        row = spark.read.json(f"{path}/meta").collect()
+    except Exception:
+        return {}
+    return {k: v for k, v in row[0].asDict().items() if v is not None} if row else {}
+
+
+def _recover_cells(path: str) -> None:
+    """Heal a crashed ivf_compact swap (local-FS layout): if ``cells`` is
+    missing, promote the completed staging dir, else roll back the trash
+    copy. Both are full tables, so either outcome is readable."""
+    import os
+
+    import shutil
+
+    live = os.path.join(path, "cells")
+    if os.path.exists(live):
+        return
+    staging = os.path.join(path, ".cells.compact")
+    trash = os.path.join(path, ".cells.trash")
+    if os.path.exists(staging):
+        os.rename(staging, live)  # staging was fully written before the swap
+        shutil.rmtree(trash, ignore_errors=True)  # finish the crashed cleanup
+    elif os.path.exists(trash):
+        os.rename(trash, live)  # roll back
 
 
 def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Load a saved IVF index → (centroids, cells).
+    """Load a saved IVF index → (centroids, cells); heals a half-finished
+    compact swap first.
 
     Partition discovery types the ``cid`` directory values as int; cast back
     to long so loaded plans match in-memory ones schema-for-schema."""
+    try:
+        _recover_cells(path)
+    except OSError:
+        pass  # non-local path (s3://...): nothing to heal with os primitives
     centroids = spark.read.parquet(f"{path}/centroids")
     cells = spark.read.parquet(f"{path}/cells").withColumn(
         "cid", F.col("cid").cast("long")
@@ -287,9 +328,9 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
 def ivf_append(
     new_corpus: DataFrame,
     path: str,
-    assign_k: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    assign_k: int | None = None,
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ) -> None:
     """Incrementally index a new batch into a saved IVF index — the
     reference's changed-files-only semantics (`vectrekker/main.py:143-147`)
@@ -298,12 +339,20 @@ def ivf_append(
     size; the 100 TB history is never touched. Tested equivalent to
     rebuilding the assignment over the full corpus with the same centroids.
 
+    Parameters left as None resolve from the index's saved metadata (then
+    fall back to vec_id/embedding/1) — so an index built multi-assigned
+    keeps multi-assigning its appends without every call site re-stating it.
+
     At-least-once caveat: re-appending the same ids duplicates rows; search
     dedupes candidates by (qid, id) and duplicate rows carry identical
     vectors, so results are unaffected (`ivf_compact` reclaims them).
     Centroids drift as the corpus grows — re-run ivf_build when recall
     degrades; append covers the between-rebuilds regime."""
     spark = new_corpus.sparkSession
+    meta = ivf_meta(spark, path)
+    id_col = id_col or meta.get("id_col", "vec_id")
+    vec_col = vec_col or meta.get("vec_col", "embedding")
+    assign_k = assign_k or meta.get("assign_k") or 1
     centroids = spark.read.parquet(f"{path}/centroids")
     assign = assign_centroids(
         new_corpus, centroids, assign_k=assign_k, id_col=id_col, vec_col=vec_col
@@ -319,9 +368,14 @@ def ivf_append(
 def ivf_compact(spark, path: str) -> int:
     """Rewrite the cells table dropping duplicate (cid, id) rows left by
     re-appended batches (ivf_append's at-least-once caveat) and merging the
-    small files appends accrete. Stage-then-swap: the deduped table lands in
-    a dot-prefixed sibling dir, then replaces ``cells`` — a crash before the
-    swap leaves the original readable. Returns rows removed.
+    small files appends accrete. Stage-then-swap, same local-FS idiom as the
+    partitioned merge commit: the deduped table lands in a dot-prefixed
+    sibling dir, then two renames swap it in. A crash before the first
+    rename leaves the original; a crash between the renames is healed by
+    ``_recover_cells`` (run by ivf_load and on the next compact) — the
+    staging copy is always complete before any rename happens. On an object
+    store, use the lakehouse's own OPTIMIZE instead of this helper. Returns
+    rows removed.
 
     Duplicate rows carry identical vectors, so search results never change;
     compaction is purely a size/file-count reclaim, cost ∝ index size — run
@@ -329,6 +383,7 @@ def ivf_compact(spark, path: str) -> int:
     import os
     import shutil
 
+    _recover_cells(path)
     cells = spark.read.parquet(f"{path}/cells").withColumn(
         "cid", F.col("cid").cast("long")
     )
@@ -337,6 +392,7 @@ def ivf_compact(spark, path: str) -> int:
     # partition col cid is appended last at read → columns[0] is the id col
     deduped = cells.dropDuplicates(["cid", cells.columns[0]])
     staging = os.path.join(path, ".cells.compact")
+    shutil.rmtree(staging, ignore_errors=True)
     deduped.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(staging)
@@ -356,12 +412,17 @@ def ivf_search_cells(
     cells: DataFrame,
     k: int = 10,
     n_probe: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
     prune_max_cells: int = 1024,
 ) -> DataFrame:
     """ivf_search against a saved (ivf_load) index: candidates come straight
     from the probed cells' inverted lists — no join back to the corpus.
+
+    id_col/vec_col default to the cells table's own schema (writer contract:
+    data columns are (id, vector), partition col cid last), so any
+    ivf_save/ann-build directory searches correctly without the caller
+    re-stating its column names.
 
     When the distinct probed cids fit under ``prune_max_cells`` they are
     collected and applied as an ``isin`` filter, so the cell scan statically
@@ -371,6 +432,9 @@ def ivf_search_cells(
     partition pruning govern the scan. Probe assignment is a narrow
     broadcast-BLAS map, so computing it once more for the cid collect is a
     second cheap pass over the query batch, never over the corpus."""
+    data_cols = [c for c in cells.columns if c != "cid"]
+    id_col = id_col or data_cols[0]
+    vec_col = vec_col or data_cols[1]
     probes = assign_centroids(
         queries, centroids, assign_k=n_probe, id_col="qid", vec_col="qvec"
     )
@@ -387,21 +451,7 @@ def ivf_search_cells(
         .dropDuplicates(["qid", id_col])
         .join(queries, "qid")
     )
-    from pyspark.sql import Window
-
-    from vectrekker_spark.functions.vector import cosine_sim
-
-    scored = cands.select(
-        "qid",
-        F.col(id_col),
-        F.round(cosine_sim(vec_col, "qvec"), 6).alias("score"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", id_col, "score", "rank")
-    )
+    return _topk_by_score(cands, k, id_col, vec_col)
 
 
 def lsh_model(

@@ -97,6 +97,8 @@ class HttpVectorSink:
                 if attempt >= self.max_retries:
                     raise
                 err = e
+            # fail fast on a freshly-tripped breaker: no sleep, no request
+            self._breaker.check_open()
             time.sleep(retry_delay(err, self.backoff_s, attempt))
             attempt += 1
 
@@ -134,15 +136,19 @@ def write_to_sink(
 
     def push(rows) -> None:
         sink: VectorSink = sink_factory()
-        batch: list[tuple[str, list[float], dict]] = []
-        for r in rows:
-            meta = dict(r[meta_col]) if meta_col and r[meta_col] is not None else {}
-            batch.append((r[id_col], list(r[vec_col]), meta))
-            if len(batch) >= batch_size:
+        try:
+            batch: list[tuple[str, list[float], dict]] = []
+            for r in rows:
+                meta = dict(r[meta_col]) if meta_col and r[meta_col] is not None else {}
+                batch.append((r[id_col], list(r[vec_col]), meta))
+                if len(batch) >= batch_size:
+                    sink.upsert(batch)
+                    batch = []
+            if batch:
                 sink.upsert(batch)
-                batch = []
-        if batch:
-            sink.upsert(batch)
+        finally:
+            # release the pooled keep-alive socket when the task ends
+            getattr(sink, "close", lambda: None)()
 
     cols = [id_col, vec_col] + ([meta_col] if meta_col else [])
     df.select(*cols).foreachPartition(push)

@@ -216,31 +216,36 @@ def foreach_batch_ann_append(
     stream: DataFrame,
     ivf_path: str,
     checkpoint: str,
-    id_col: str = "id",
-    vec_col: str = "embedding",
-    assign_k: int = 1,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+    assign_k: int | None = None,
 ):
     """Keep a persisted IVF index (operators/ann.ivf_save) current as vectors
     stream in — ST5 applied to the ANN structure: each micro-batch is
     assigned against the EXISTING centroids and appended to the cell table,
-    cost ∝ batch, the 100 TB history untouched.
+    cost ∝ batch, the 100 TB history untouched. Parameters left as None
+    resolve from the index's saved metadata, so a multi-assigned build keeps
+    multi-assigning its streamed appends.
 
     Delivery is at-least-once per micro-batch (a crash between append and
     checkpoint commit re-appends the batch); duplicate rows never change
     search results (ivf_search_cells dedupes candidates by id, payloads are
     identical) and `ivf_compact` reclaims them — effective idempotence, the
     same contract as the MERGE sink. Returns the started query."""
-    from vectrekker_spark.operators.ann import ivf_append
+    from vectrekker_spark.operators.ann import ivf_append, ivf_meta
 
     def do_append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        meta = ivf_meta(batch_df.sparkSession, ivf_path)
+        idc = id_col or meta.get("id_col", "vec_id")
+        vc = vec_col or meta.get("vec_col", "embedding")
         ivf_append(
-            batch_df.select(id_col, vec_col),
+            batch_df.select(idc, vc),
             ivf_path,
             assign_k=assign_k,
-            id_col=id_col,
-            vec_col=vec_col,
+            id_col=idc,
+            vec_col=vc,
         )
 
     return (
