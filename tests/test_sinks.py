@@ -48,3 +48,24 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert before == 37 and after == n == 1
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_write_manifest_counts_and_idempotence(spark, tmp_path):
+    import json
+
+    from vectrekker_spark.sources.sinks import write_manifest, write_shards
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(250)], "id long, t string")
+    out = str(tmp_path / "shards")
+    write_shards(df.repartition(1), out, rows_per_shard=100)
+    totals = write_manifest(spark, out)
+    assert totals["rows"] == 250 and totals["files"] == 3  # 100+100+50
+
+    lines = [json.loads(x) for x in open(f"{out}/_manifest.json")]
+    assert lines[-1] == dict(totals)
+    assert sum(e["rows"] for e in lines[:-1]) == 250
+    assert all(e["bytes"] > 0 for e in lines[:-1])
+
+    # re-running never counts its own manifest (or _SUCCESS) as a shard
+    totals2 = write_manifest(spark, out)
+    assert totals2 == totals

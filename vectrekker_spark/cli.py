@@ -233,6 +233,13 @@ def cmd_curate(args: argparse.Namespace) -> int:
     funnel = assemble_training_set(docs, args.out, cfg)
     for stage, n in funnel.items():
         print(f"{stage:>18s}  {n}")
+    from vectrekker_spark.sources.sinks import write_manifest
+
+    totals = write_manifest(spark, args.out)
+    print(
+        f"{'manifest':>18s}  {totals['files']} shard(s), "
+        f"{totals['rows']} rows, {totals['bytes']} bytes"
+    )
     return 0
 
 

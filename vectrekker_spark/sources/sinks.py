@@ -102,6 +102,49 @@ def write_shards(
     )
 
 
+def write_manifest(spark, path: str, fmt: str = "parquet") -> dict:
+    """Emit `{path}/_manifest.json`: one line per shard file with its row
+    count and byte size, plus a trailing totals line — the bookkeeping a
+    training data loader needs to plan epochs/resume without opening every
+    footer. Counts come from ONE metadata-level scan grouped by
+    `input_file_name()` (parquet answers from footers, no data read).
+    Returns the totals. Excludes `_`-prefixed files (incl. this manifest),
+    so re-running is idempotent."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load(path)
+    per_file = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    entries = []
+    for r in sorted(per_file, key=lambda r: r["file"]):
+        local = r["file"].removeprefix("file:")
+        name = _os.path.basename(local)
+        if name.startswith("_") or name.startswith("."):
+            continue
+        try:
+            size = _os.path.getsize(local)
+        except OSError:
+            size = None  # non-local FS: sizes come from the store's listing
+        entries.append({"file": name, "rows": r["rows"], "bytes": size})
+    totals = {
+        "files": len(entries),
+        "rows": sum(e["rows"] for e in entries),
+        "bytes": sum(e["bytes"] or 0 for e in entries),
+        "format": fmt,
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+        for e in entries:
+            f.write(_json.dumps(e) + "\n")
+        f.write(_json.dumps(totals) + "\n")
+    return totals
+
+
 def compact_parquet(
     spark, path: str, target_file_mb: int = 256, sort_col: str | None = None
 ) -> int:
