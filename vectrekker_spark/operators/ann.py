@@ -379,7 +379,13 @@ def ivf_compact(spark, path: str) -> int:
 
     Duplicate rows carry identical vectors, so search results never change;
     compaction is purely a size/file-count reclaim, cost ∝ index size — run
-    it on the cadence appends warrant, like any lakehouse OPTIMIZE."""
+    it on the cadence appends warrant, like any lakehouse OPTIMIZE.
+
+    Single-writer contract (same as the MERGE sink): compaction must not
+    run concurrently with ivf_append — an append landing between the
+    staging read and the swap would be silently discarded by the swap.
+    Serialize them (e.g. compact from the same scheduler that owns the
+    append cadence)."""
     import os
     import shutil
 
