@@ -317,3 +317,55 @@ def test_ivf_load_heals_crashed_compact_swap(spark, em, tmp_path):
     shutil.move(f"{path}/cells", f"{path}/.cells.trash")
     _, cells2 = ivf_load(spark, path)
     assert cells2.count() == n and os.path.exists(f"{path}/cells")
+
+
+def test_ivf_quantized_index(spark, em, tmp_path):
+    """IVF-SQ8: int8 cells are ~4x smaller, approximate search stays within
+    the reconstruction error, and the corpus re-rank returns exact scores."""
+    import os
+
+    from vectrekker_spark.operators.ann import (
+        ivf_append,
+        ivf_load,
+        ivf_meta,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    centroids, assign = ivf_build(em, n_centroids=8, method="stride")
+    full, q8 = str(tmp_path / "full"), str(tmp_path / "q8")
+    ivf_save(centroids, assign, em, full)
+    ivf_save(centroids, assign, em, q8, quantize=True)
+    assert ivf_meta(spark, q8)["quantized"] is True
+
+    def dirsize(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    assert dirsize(f"{q8}/cells") < 0.5 * dirsize(f"{full}/cells")
+
+    lc, fcells = ivf_load(spark, full)
+    _, qcells = ivf_load(spark, q8)
+    exact = _rows(ivf_search_cells(_queries(em), lc, fcells, k=K, n_probe=3))
+    exact_ids = {(q, i) for q, i, _, _ in exact}
+
+    # codes-only search: same candidates, scores off by <= the int8 error
+    approx = ivf_search_cells(_queries(em), lc, qcells, k=K, n_probe=3).collect()
+    approx_ids = {(r["qid"], r["vec_id"]) for r in approx}
+    assert len(approx_ids & exact_ids) / len(exact_ids) >= 0.9
+
+    # full-precision re-rank: identical rows (scores exact, same tie-breaks)
+    rer = _rows(
+        ivf_search_cells(_queries(em), lc, qcells, k=K, n_probe=3, corpus=em)
+    )
+    assert rer == exact
+
+    # appends to a quantized index stay quantized
+    n_before = qcells.count()
+    ivf_append(em.limit(5), q8)
+    _, qcells2 = ivf_load(spark, q8)
+    assert qcells2.count() == n_before + 5
+    assert "codes_scale" in qcells2.columns

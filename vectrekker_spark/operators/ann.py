@@ -245,6 +245,7 @@ def ivf_save(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_k: int | None = None,
+    quantize: bool = False,
 ) -> None:
     """Persist an IVF index as the classic inverted-list layout:
 
@@ -254,10 +255,16 @@ def ivf_save(
       cells' files (the partition-pruning promise in the module docstring,
       made real). The cell rows carry the vectors themselves (inverted
       lists), so probe-time search never joins back to the corpus table.
-    - ``{path}/meta``: one JSON row (id_col, vec_col, assign_k) so append /
-      search consumers recover the build parameters instead of guessing —
-      pass ``assign_k`` when the assignments were multi-assigned so appends
-      keep the same boundary-recall contract.
+    - ``{path}/meta``: one JSON row (id_col, vec_col, assign_k, quantized)
+      so append / search consumers recover the build parameters instead of
+      guessing — pass ``assign_k`` when the assignments were multi-assigned
+      so appends keep the same boundary-recall contract.
+
+    ``quantize=True`` stores int8 codes + per-vector scale instead of the
+    full vectors (IVF-SQ8): ~4× smaller cells → 4× less probe I/O, the
+    dominant index cost at 100 TB. Search dequantizes candidates in-flight;
+    pass the corpus to ivf_search_cells for an exact full-precision re-rank
+    of the survivors.
 
     Multi-assigned vectors (assign_k > 1) appear once per assigned cell —
     the standard IVF trade: index size ×assign_k for boundary recall.
@@ -267,15 +274,40 @@ def ivf_save(
     """
     spark = centroids.sparkSession
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    cells = assignments.join(corpus.select(id_col, vec_col), id_col).select(
-        "cid", id_col, vec_col
-    )
+    cells = _cell_rows(assignments, corpus, id_col, vec_col, quantize)
     cells.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/cells")
     spark.createDataFrame(
-        [(id_col, vec_col, assign_k)], "id_col string, vec_col string, assign_k int"
+        [(id_col, vec_col, assign_k, quantize)],
+        "id_col string, vec_col string, assign_k int, quantized boolean",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def _cell_rows(
+    assignments: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quantize: bool,
+) -> DataFrame:
+    """(cid, id, payload...) rows for the cells table — full vectors, or
+    int8 codes + scale when quantized."""
+    if not quantize:
+        return assignments.join(corpus.select(id_col, vec_col), id_col).select(
+            "cid", id_col, vec_col
+        )
+    from vectrekker_spark.operators.quantize import quantize_int8
+
+    # "codes"/"codes_scale", NOT "qvec": the search plan joins cells with the
+    # query batch, whose query-vector column is conventionally qvec
+    q = quantize_int8(corpus.select(id_col, vec_col), vec_col=vec_col)
+    return assignments.join(q, id_col).select(
+        "cid",
+        id_col,
+        F.col("qvec").alias("codes"),
+        F.col("qvec_scale").alias("codes_scale"),
+    )
 
 
 def ivf_meta(spark, path: str) -> dict:
@@ -357,8 +389,10 @@ def ivf_append(
     assign = assign_centroids(
         new_corpus, centroids, assign_k=assign_k, id_col=id_col, vec_col=vec_col
     )
-    cells = assign.join(new_corpus.select(id_col, vec_col), id_col).select(
-        "cid", id_col, vec_col
+    # a quantized index (IVF-SQ8) quantizes its appends too — the cells
+    # schema stays homogeneous
+    cells = _cell_rows(
+        assign, new_corpus, id_col, vec_col, bool(meta.get("quantized"))
     )
     cells.repartition(F.col("cid")).write.mode("append").partitionBy("cid").parquet(
         f"{path}/cells"
@@ -421,6 +455,8 @@ def ivf_search_cells(
     id_col: str | None = None,
     vec_col: str | None = None,
     prune_max_cells: int = 1024,
+    corpus: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """ivf_search against a saved (ivf_load) index: candidates come straight
     from the probed cells' inverted lists — no join back to the corpus.
@@ -429,6 +465,14 @@ def ivf_search_cells(
     data columns are (id, vector), partition col cid last), so any
     ivf_save/ann-build directory searches correctly without the caller
     re-stating its column names.
+
+    A quantized index (ivf_save(quantize=True) — cells carry int8 codes +
+    scale) dequantizes candidates in-flight: scores are then approximate to
+    the int8 reconstruction error (~1e-3 cosine). Pass ``corpus`` to re-rank
+    exactly: the quantized scan keeps the per-query top k·rerank_factor,
+    only those survivors join back to the full-precision vectors, and the
+    returned scores are exact — the FAISS-style IVF-SQ8 shape where the 4×
+    probe-I/O cut pays for a k·factor-row join.
 
     When the distinct probed cids fit under ``prune_max_cells`` they are
     collected and applied as an ``isin`` filter, so the cell scan statically
@@ -439,8 +483,8 @@ def ivf_search_cells(
     broadcast-BLAS map, so computing it once more for the cid collect is a
     second cheap pass over the query batch, never over the corpus."""
     data_cols = [c for c in cells.columns if c != "cid"]
+    quantized = len(data_cols) >= 3 and f"{data_cols[1]}_scale" in data_cols
     id_col = id_col or data_cols[0]
-    vec_col = vec_col or data_cols[1]
     probes = assign_centroids(
         queries, centroids, assign_k=n_probe, id_col="qid", vec_col="qvec"
     )
@@ -457,7 +501,19 @@ def ivf_search_cells(
         .dropDuplicates(["qid", id_col])
         .join(queries, "qid")
     )
-    return _topk_by_score(cands, k, id_col, vec_col)
+    if not quantized:
+        return _topk_by_score(cands, k, id_col, vec_col or data_cols[1])
+    from vectrekker_spark.operators.quantize import dequantize_int8
+
+    deq = dequantize_int8(cands, qvec_col=data_cols[1], out_col="__deq")
+    if corpus is None:
+        return _topk_by_score(deq, k, id_col, "__deq")
+    vec_col = vec_col or "embedding"
+    coarse = _topk_by_score(deq, k * rerank_factor, id_col, "__deq").select(
+        "qid", id_col
+    )
+    exact = coarse.join(corpus.select(id_col, vec_col), id_col).join(queries, "qid")
+    return _topk_by_score(exact, k, id_col, vec_col)
 
 
 def lsh_model(
