@@ -112,6 +112,14 @@ def test_ann_build_and_persisted_search(tmp_path, capsys, spark):
     out = capsys.readouterr().out
     assert "d.md" in out and "+1.000000" in out
 
+    # quantized build: searches through the same --ivf path (int8 cells)
+    ivf_q = str(tmp_path / "ivf_q8")
+    assert main(["ann-build", "--index", index, "--out", ivf_q, "--quantize"]) == 0
+    assert "quantized (int8) IVF index" in capsys.readouterr().out
+    assert main(["search", "--index", index, "--query-id", a_path, "--ivf", ivf_q, "-k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert a_path in out  # self-match found via int8 codes
+
 
 def test_index_with_embed_endpoint(tmp_path, capsys, spark):
     # external-embedder flag against a local fake /embeddings server

@@ -202,8 +202,12 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
         index, n_centroids=n_cells, id_col="id", vec_col="embedding",
         assign_k=args.assign_k,
     )
-    ivf_save(centroids, assign, index, args.out, id_col="id", assign_k=args.assign_k)
-    print(f"built IVF index: {n_rows} vectors in {n_cells} cell(s) at {args.out}")
+    ivf_save(
+        centroids, assign, index, args.out,
+        id_col="id", assign_k=args.assign_k, quantize=args.quantize,
+    )
+    kind = "quantized (int8) " if args.quantize else ""
+    print(f"built {kind}IVF index: {n_rows} vectors in {n_cells} cell(s) at {args.out}")
     return 0
 
 
@@ -305,6 +309,11 @@ def build_parser() -> argparse.ArgumentParser:
     ab.add_argument(
         "--incremental", action="store_true",
         help="append only vectors missing from the existing IVF index",
+    )
+    ab.add_argument(
+        "--quantize", action="store_true",
+        help="store int8 codes instead of full vectors (4x smaller cells; "
+        "search scores are approximate to the int8 error)",
     )
     ab.set_defaults(fn=cmd_ann_build)
 
