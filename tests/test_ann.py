@@ -369,3 +369,27 @@ def test_ivf_quantized_index(spark, em, tmp_path):
     _, qcells2 = ivf_load(spark, q8)
     assert qcells2.count() == n_before + 5
     assert "codes_scale" in qcells2.columns
+
+
+def test_ivf_quantized_rerank_infers_nondefault_vec_col(spark, tmp_path):
+    from vectrekker_spark.operators.ann import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, vec array<double>",
+    )
+    centroids, assign = ivf_build(
+        corpus, n_centroids=2, method="kmeans", vec_col="vec"
+    )
+    path = str(tmp_path / "q8")
+    ivf_save(centroids, assign, corpus, path, vec_col="vec", quantize=True)
+    lc, cells = ivf_load(spark, path)
+    q = corpus.limit(1).selectExpr("vec_id as qid", "vec as qvec")
+    # no vec_col passed: the re-rank takes the corpus's unique array column
+    res = ivf_search_cells(q, lc, cells, k=1, n_probe=2, corpus=corpus).collect()
+    assert res and res[0]["vec_id"] == 0 and res[0]["score"] == 1.0

@@ -191,3 +191,17 @@ def test_missing_content_dir_errors(tmp_path, capsys):
     rc = main(["index", "--state", str(tmp_path / "s"), "--index", str(tmp_path / "i")])
     assert rc == 2
     assert "content-dir" in capsys.readouterr().out
+
+
+def test_ann_build_incremental_quantize_mismatch_errors(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    ivf = str(tmp_path / "ivf")
+    assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
+    assert main(["ann-build", "--index", index, "--out", ivf]) == 0  # full-precision
+    capsys.readouterr()
+    # --quantize can't apply to an append into a full-precision index:
+    # error out instead of silently ignoring the flag
+    rc = main(["ann-build", "--index", index, "--out", ivf, "--incremental", "--quantize"])
+    assert rc == 2
+    assert "only applies at build time" in capsys.readouterr().out

@@ -117,3 +117,21 @@ def test_engine_assembly_sugar(spark, sf_dir):
     # incremental near-dedup facade
     hits = eng.near_dedup_against(docs.limit(20), docs.limit(20), threshold=0.99)
     assert hits.count() >= 20  # every doc near-dups itself in the corpus copy
+
+
+def test_engine_quantized_ann_facade(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, sf_dir)
+    path = str(tmp_path / "q8")
+    eng.save_ann_index(path, n_centroids=4, quantize=True)
+    em = eng.table("embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # rerank (default): exact full-precision scores → self-match at 1.0
+    res = eng.approx_knn_persisted(path, q, k=5, n_probe=4).collect()
+    assert res[0]["vec_id"] == 0 and res[0]["rank"] == 1 and res[0]["score"] == 1.0
+    # codes-only: still finds the self-match, score within the int8 error
+    res2 = eng.approx_knn_persisted(path, q, k=5, n_probe=4, rerank=False).collect()
+    assert res2[0]["vec_id"] == 0 and abs(res2[0]["score"] - 1.0) < 0.01

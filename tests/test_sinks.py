@@ -69,3 +69,13 @@ def test_write_manifest_counts_and_idempotence(spark, tmp_path):
     # re-running never counts its own manifest (or _SUCCESS) as a shard
     totals2 = write_manifest(spark, out)
     assert totals2 == totals
+
+
+def test_write_manifest_handles_spaces_in_path(spark, tmp_path):
+    from vectrekker_spark.sources.sinks import write_manifest, write_shards
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    out = str(tmp_path / "my shards")  # input_file_name percent-encodes this
+    write_shards(df.repartition(1), out, rows_per_shard=100)
+    totals = write_manifest(spark, out)
+    assert totals["rows"] == 10 and totals["bytes"] > 0  # sizes resolved

@@ -176,8 +176,17 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
     spark = _spark()
     index = spark.read.parquet(args.index).select("id", "embedding")
     if args.incremental and os.path.exists(os.path.join(args.out, "cells")):
-        from vectrekker_spark.operators.ann import ivf_load
+        from vectrekker_spark.operators.ann import ivf_load, ivf_meta
 
+        # quantization is a BUILD property (it lives in the index meta);
+        # an append can't convert a full-precision index, so a --quantize
+        # that would be silently ignored is an error, not a no-op
+        if args.quantize and not ivf_meta(spark, args.out).get("quantized"):
+            print(
+                f"error: index at {args.out} is full-precision; --quantize "
+                "only applies at build time (rebuild without --incremental)"
+            )
+            return 2
         _, cells = ivf_load(spark, args.out)
         # persist: the anti-join delta feeds both the count and the append —
         # without it the index-vs-cells anti-join would execute twice

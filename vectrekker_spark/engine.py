@@ -72,25 +72,53 @@ class Engine:
             queries_df, self.table("embeddings"), centroids, assign, k=k, n_probe=n_probe
         )
 
-    def save_ann_index(self, path: str, n_centroids: int = 16, assign_k: int = 2) -> None:
+    def save_ann_index(
+        self,
+        path: str,
+        n_centroids: int = 16,
+        assign_k: int = 2,
+        quantize: bool = False,
+    ) -> None:
         """Persist the (session-cached) IVF index as the cid-partitioned
         inverted-list layout (operators/ann.ivf_save) — pay the build once
-        per corpus version, not per session; extend with ivf_append."""
+        per corpus version, not per session; extend with ivf_append.
+        ``quantize`` stores int8 cells (IVF-SQ8, ~4× smaller)."""
         from vectrekker_spark.operators.ann import ivf_save
 
         centroids, assign = self.ivf_index(n_centroids, assign_k)
-        ivf_save(centroids, assign, self.table("embeddings"), path, assign_k=assign_k)
+        ivf_save(
+            centroids,
+            assign,
+            self.table("embeddings"),
+            path,
+            assign_k=assign_k,
+            quantize=quantize,
+        )
 
     def approx_knn_persisted(
-        self, path: str, queries_df: DataFrame, k: int = 10, n_probe: int = 6
+        self,
+        path: str,
+        queries_df: DataFrame,
+        k: int = 10,
+        n_probe: int = 6,
+        rerank: bool = True,
     ) -> DataFrame:
         """IVF kNN against a save_ann_index/ann-build directory: probes read
         only their cells' partitions (static or dynamic pruning), zero build
-        cost in this session."""
-        from vectrekker_spark.operators.ann import ivf_load, ivf_search_cells
+        cost in this session. On a quantized index, ``rerank`` (default)
+        supplies the embeddings table for the exact full-precision re-rank;
+        set False for codes-only scores (no corpus read at all)."""
+        from vectrekker_spark.operators.ann import ivf_load, ivf_meta, ivf_search_cells
 
         centroids, cells = ivf_load(self.spark, path)
-        return ivf_search_cells(queries_df, centroids, cells, k=k, n_probe=n_probe)
+        corpus = (
+            self.table("embeddings")
+            if rerank and ivf_meta(self.spark, path).get("quantized")
+            else None
+        )
+        return ivf_search_cells(
+            queries_df, centroids, cells, k=k, n_probe=n_probe, corpus=corpus
+        )
 
     def embed(self, df: DataFrame, embedder_factory=None, text_col: str = "text") -> DataFrame:
         """Append an `embedding` column via the pluggable Embedder protocol

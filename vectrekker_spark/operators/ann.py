@@ -233,7 +233,24 @@ def quantized_rerank_knn(
     coarse = knn_join(
         queries, deq, k=k * coarse_factor, id_col=id_col, vec_col=vec_col
     ).select("qid", F.col("vec_id").alias(id_col))
-    cands = coarse.join(corpus.select(id_col, vec_col), id_col).join(queries, "qid")
+    return _exact_rerank(coarse, corpus, queries, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    coarse_ids: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Stage 2 of every quantized search: join the coarse survivors (qid,
+    id) back to the full-precision corpus vectors and re-rank to the final
+    top-k — returned scores are exact. Shared so the re-rank contract can't
+    drift between quantized_rerank_knn and ivf_search_cells."""
+    cands = coarse_ids.join(corpus.select(id_col, vec_col), id_col).join(
+        queries, "qid"
+    )
     return _topk_by_score(cands, k, id_col, vec_col)
 
 
@@ -508,12 +525,22 @@ def ivf_search_cells(
     deq = dequantize_int8(cands, qvec_col=data_cols[1], out_col="__deq")
     if corpus is None:
         return _topk_by_score(deq, k, id_col, "__deq")
-    vec_col = vec_col or "embedding"
+    if vec_col is None:
+        # quantized cells carry codes, not the original column name — take
+        # the corpus's (unique) non-id array column instead of guessing
+        arrays = [
+            c for c, t in corpus.dtypes if c != id_col and t.startswith("array")
+        ]
+        if len(arrays) != 1:
+            raise ValueError(
+                "ivf_search_cells: pass vec_col explicitly — the corpus has "
+                f"{len(arrays)} candidate array columns: {arrays}"
+            )
+        vec_col = arrays[0]
     coarse = _topk_by_score(deq, k * rerank_factor, id_col, "__deq").select(
         "qid", id_col
     )
-    exact = coarse.join(corpus.select(id_col, vec_col), id_col).join(queries, "qid")
-    return _topk_by_score(exact, k, id_col, vec_col)
+    return _exact_rerank(coarse, corpus, queries, k, id_col, vec_col)
 
 
 def lsh_model(

@@ -109,9 +109,13 @@ def write_manifest(spark, path: str, fmt: str = "parquet") -> dict:
     footer. Counts come from ONE metadata-level scan grouped by
     `input_file_name()` (parquet answers from footers, no data read).
     Returns the totals. Excludes `_`-prefixed files (incl. this manifest),
-    so re-running is idempotent."""
+    so re-running is idempotent. The manifest itself is written locally
+    (temp file + rename, so a crash never leaves a truncated manifest) —
+    same local-FS idiom as `_atomic_replace`; on an object store, write the
+    returned totals through the store's own API."""
     import json as _json
     import os as _os
+    import urllib.parse as _up
 
     from pyspark.sql import functions as F
 
@@ -123,7 +127,8 @@ def write_manifest(spark, path: str, fmt: str = "parquet") -> dict:
     )
     entries = []
     for r in sorted(per_file, key=lambda r: r["file"]):
-        local = r["file"].removeprefix("file:")
+        # input_file_name() is a percent-encoded URI ("my dir" → my%20dir)
+        local = _up.unquote(_up.urlsplit(r["file"]).path)
         name = _os.path.basename(local)
         if name.startswith("_") or name.startswith("."):
             continue
@@ -138,10 +143,13 @@ def write_manifest(spark, path: str, fmt: str = "parquet") -> dict:
         "bytes": sum(e["bytes"] or 0 for e in entries),
         "format": fmt,
     }
-    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+    final = _os.path.join(path, "_manifest.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         for e in entries:
             f.write(_json.dumps(e) + "\n")
         f.write(_json.dumps(totals) + "\n")
+    _os.replace(tmp, final)
     return totals
 
 
