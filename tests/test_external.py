@@ -439,3 +439,43 @@ def test_http_embedder_honors_proxy_env(fake_server, monkeypatch):
     assert len(vecs) == 1
     # the request reached the PROXY (our fake) carrying the absolute URI
     assert state.paths == ["http://upstream.invalid/embeddings"]
+
+
+def test_breaker_liveness_property():
+    """Hypothesis: under ANY interleaving of failures, successes, unrecorded
+    trials, and clock advances, a request is always admitted within two
+    cooldown windows of quiet time — the breaker can never wedge permanently
+    open (the bug class fixed twice by hand)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectrekker_spark.http_client import CircuitBreaker, CircuitOpenError
+
+    event = st.sampled_from(["fail", "success", "admit_no_record", "tick"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(event, max_size=40), st.integers(1, 5))
+    def run(events, threshold):
+        now = [0.0]
+        br = CircuitBreaker(threshold=threshold, cooldown_s=10.0, clock=lambda: now[0])
+        for ev in events:
+            if ev == "fail":
+                br.record_failure()
+            elif ev == "success":
+                br.record_success()
+            elif ev == "admit_no_record":
+                try:
+                    br.before_request()  # may be refused; outcome never recorded
+                except CircuitOpenError:
+                    pass
+            else:
+                now[0] += 3.0
+        # liveness: after two full quiet cooldowns, the gate must open
+        now[0] += 21.0
+        br.before_request()  # must not raise
+        # ...and a recorded success fully closes the circuit
+        br.record_success()
+        br.before_request()
+        br.before_request()
+
+    run()
