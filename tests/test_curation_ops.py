@@ -135,3 +135,51 @@ def test_redact_pii_emails_and_phones(spark):
     }
     assert out[1] == "reach me at <EMAIL> or <PHONE> ok"
     assert out[2] == "no pii here at all just words"
+
+
+# --- BM25 relevance ---------------------------------------------------------
+
+
+def test_bm25_matches_first_principles_oracle(spark):
+    """bm25_scores vs the textbook Okapi formula computed independently in
+    plain Python (in-test oracle — the driver registry is at its 50-query
+    cap)."""
+    import math
+
+    import pytest
+
+    from vectrekker_spark.operators.tfidf import bm25_scores
+
+    rows = [
+        (0, "spark engines scale spark"),
+        (1, "ducks swim in ponds"),
+        (2, "spark clusters and spark executors run spark"),
+        (3, "entirely unrelated text here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, "spark executors").collect()
+    }
+
+    texts = {i: t.lower().split() for i, t in rows}
+    dls = {i: len(ts) for i, ts in texts.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    n = len(rows)
+    expected = {}
+    for i, ts in texts.items():
+        s = 0.0
+        for term in ("spark", "executors"):
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for ts2 in texts.values() if term in ts2)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl))
+        expected[i] = round(s, 6)
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i] == pytest.approx(expected[i], abs=1e-6), i
+    # relevance ordering: the spark-heavy doc wins; unrelated docs score 0
+    assert got[2] > got[0] > 0.0
+    assert got[1] == 0.0 and got[3] == 0.0

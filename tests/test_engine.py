@@ -81,6 +81,13 @@ def test_engine_curation_sugar(spark, sf_dir):
     # redaction replaces the text column in place
     pii = spark.createDataFrame([(1, "mail me: a.b@example.com")], "id long, text string")
     assert eng.redact_pii(pii).collect()[0]["text"] == "mail me: <EMAIL>"
+    # bm25 relevance gate: matching doc outscores a non-matching one
+    rel = spark.createDataFrame(
+        [(1, "spark executors shuffle"), (2, "gardening tips")],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["score"] for r in eng.bm25(rel, "spark").collect()}
+    assert scores[1] > scores[2] == 0.0
 
 
 def test_engine_asof_sugar(spark, sf_dir):

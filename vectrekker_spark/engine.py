@@ -158,6 +158,13 @@ class Engine:
 
         return top_terms(df, k=k, **kw)
 
+    def bm25(self, df: DataFrame, query: str | list[str], **kw) -> DataFrame:
+        """(id, score) Okapi BM25 relevance of each document to the query
+        terms — the lexical gate for query-targeted corpus curation."""
+        from vectrekker_spark.operators.tfidf import bm25_scores
+
+        return bm25_scores(df, query, **kw)
+
     def near_dedup(self, df: DataFrame, threshold: float = 0.7, **kw) -> DataFrame:
         """Cluster-aware near-dedup: MinHash pairs → connected components →
         keep one representative per cluster (operators/components)."""

@@ -65,3 +65,75 @@ def top_terms(docs: DataFrame, k: int = 100, **kw) -> DataFrame:
     return term_scores(docs, **kw).orderBy(
         F.desc("tfidf"), F.asc("term")
     ).limit(k)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str | list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score): Okapi BM25 relevance of every document to the query
+    terms — the standard lexical relevance gate for query-targeted corpus
+    curation (keep documents relevant to a topic set).
+
+    score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl)) · (k1+1)
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: doc length is a NARROW map (size(tokens(text)) — no
+    explode, no shuffle); only tokens matching the query terms are exploded
+    and shuffled, so the aggregated stream is ∝ query hits, not corpus
+    tokens; the per-term idf table (≤ |query| rows) and the single-row
+    avgdl/N aggregate broadcast. Documents with no query hits score 0.0
+    (kept, so the result can drive a filter threshold directly).
+    """
+    terms = query.split() if isinstance(query, str) else list(query)
+    terms = sorted({t.lower() for t in terms if t})
+    if not terms:
+        raise ValueError("bm25_scores: query has no terms")
+
+    lens = docs.select(
+        F.col(id_col),
+        F.size(F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")).alias(
+            "dl"
+        ),
+    )
+    stats = lens.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    hits = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    part = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    scored = part.groupBy(id_col).agg(F.round(F.sum("part"), 6).alias("score"))
+    return (
+        lens.select(id_col)
+        .join(scored, id_col, "left")
+        .select(F.col(id_col), F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
