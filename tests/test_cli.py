@@ -205,3 +205,15 @@ def test_ann_build_incremental_quantize_mismatch_errors(tmp_path, capsys, spark)
     rc = main(["ann-build", "--index", index, "--out", ivf, "--incremental", "--quantize"])
     assert rc == 2
     assert "only applies at build time" in capsys.readouterr().out
+
+
+def test_ann_compact_command(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    ivf = str(tmp_path / "ivf")
+    assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
+    assert main(["ann-build", "--index", index, "--out", ivf]) == 0
+    capsys.readouterr()
+    # nothing to reclaim on a fresh build
+    assert main(["ann-compact", "--ivf", ivf]) == 0
+    assert "removed 0 duplicate row(s)" in capsys.readouterr().out

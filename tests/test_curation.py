@@ -100,3 +100,26 @@ def test_curate_on_fixture_corpus(spark, sf_dir):
     assert res.funnel["after_exact_dedup"] <= res.funnel["input"]
     assert res.funnel["chunks"] >= res.funnel["after_lang"]  # ≥1 chunk per doc
     assert res.chunks.filter(F.length("chunk_text") == 0).count() == 0
+
+
+def test_curate_relevance_gate(spark):
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark executors shuffle partitions spark", "en"),
+            (1, "gardening tips for spring tulips", "en"),
+            (2, "spark catalyst optimizer plans", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        relevance_query="spark optimizer", min_relevance=0.1,
+    )
+    res = curate(docs, cfg)
+    kept = {r["doc_id"] for r in res.chunks.select("doc_id").distinct().collect()}
+    res.unpersist()
+    assert 1 not in kept  # the gardening doc fails the BM25 gate
+    assert {0, 2} <= kept
+    assert res.funnel["after_relevance"] == 2

@@ -220,6 +220,15 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_compact(args: argparse.Namespace) -> int:
+    from vectrekker_spark.operators.ann import ivf_compact
+
+    spark = _spark()
+    removed = ivf_compact(spark, args.ivf)
+    print(f"compacted {args.ivf}: removed {removed} duplicate row(s)")
+    return 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """Training-set assembly over a documents parquet: curation funnel →
     sequence packing → seeded shuffle → sharded export (curation.py)."""
@@ -238,6 +247,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
             near_dup_threshold=args.near_dup_threshold,
             chunk_size=args.chunk_size,
             embed=False,
+            relevance_query=args.query or "",
+            min_relevance=args.min_bm25,
         ),
         max_tokens=args.max_tokens,
         shuffle_seed=args.seed,
@@ -342,7 +353,20 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--max-tokens", type=int, default=2048)
     cu.add_argument("--seed", default="epoch0", help="training-order shuffle seed")
     cu.add_argument("--rows-per-shard", type=int, default=100_000)
+    cu.add_argument(
+        "--query", help="topic terms: keep only documents whose BM25 "
+        "relevance clears --min-bm25",
+    )
+    cu.add_argument("--min-bm25", type=float, default=0.0)
     cu.set_defaults(fn=cmd_curate)
+
+    ac = sub.add_parser(
+        "ann-compact",
+        help="reclaim duplicate rows and merge small files in a persisted "
+        "IVF index",
+    )
+    ac.add_argument("--ivf", required=True, help="IVF index directory")
+    ac.set_defaults(fn=cmd_ann_compact)
     return p
 
 

@@ -31,6 +31,8 @@ class CurationConfig:
     embed: bool = True
     text_col: str = "text"
     id_col: str = "doc_id"
+    relevance_query: str = ""  # empty → no relevance gate
+    min_relevance: float = 0.0  # BM25 threshold when relevance_query is set
 
 
 @dataclass
@@ -96,6 +98,19 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     funnel["after_quality"] = row["nq"]
     funnel["after_lang"] = row["nql"]
     docs = docs.filter(q_ok & lang_ok)
+
+    # 4b. optional query-relevance gate: keep documents whose Okapi BM25
+    # score against the topic terms clears the threshold (query-targeted
+    # corpora). Runs after the cheap filters so the scored set is smallest.
+    if cfg.relevance_query:
+        from vectrekker_spark.operators.tfidf import bm25_scores
+
+        rel = bm25_scores(
+            docs, cfg.relevance_query, id_col=cfg.id_col, text_col=cfg.text_col
+        )
+        keep = rel.filter(F.col("score") >= cfg.min_relevance).select(cfg.id_col)
+        docs = docs.join(keep, cfg.id_col, "left_semi")
+        funnel["after_relevance"] = docs.count()
 
     # 5. chunk — cached so the funnel count and the caller's consumption
     # execute the (mapInPandas) chunk stage exactly once
