@@ -82,31 +82,37 @@ def bm25_scores(
     score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl)) · (k1+1)
     with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
 
-    Scale shape: doc length is a NARROW map (size(tokens(text)) — no
-    explode, no shuffle); only tokens matching the query terms are exploded
-    and shuffled, so the aggregated stream is ∝ query hits, not corpus
-    tokens; the per-term idf table (≤ |query| rows) and the single-row
-    avgdl/N aggregate broadcast. Documents with no query hits score 0.0
-    (kept, so the result can drive a filter threshold directly).
+    Scale shape: ONE narrow projection computes doc length
+    (size(tokens(text))) and the query-hit token array per row; the final
+    all-docs join prunes to the id column (no text read). Uncached input is
+    scanned three times for text (the avgdl/N aggregate plus once per tf
+    consumer — Catalyst doesn't share the tf exchange across its two
+    differently-pruned branches); cache the input when scanning is the
+    dominant cost — curate()'s funnel already passes its cached survivors.
+    Doc length rides the (id, term) aggregation as a grouping key (it is
+    functionally dependent on id), so no separate lengths join exists; only
+    query-term hits are exploded and shuffled (∝ hits, not corpus tokens);
+    the per-term idf table (≤ |query| rows) and the single-row avgdl/N
+    aggregate broadcast. Documents with no query hits score 0.0 (kept, so
+    the result can drive a filter threshold directly).
     """
     terms = query.split() if isinstance(query, str) else list(query)
     terms = sorted({t.lower() for t in terms if t})
     if not terms:
         raise ValueError("bm25_scores: query has no terms")
 
-    lens = docs.select(
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(
         F.col(id_col),
-        F.size(F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")).alias(
-            "dl"
-        ),
+        F.size(F.filter(toks, lambda t: t != "")).alias("dl"),
+        F.filter(toks, lambda t: t.isin(terms)).alias("hit_toks"),
     )
-    stats = lens.agg(
-        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    stats = base.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("hit_toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    hits = docs.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
-    ).filter(F.col("term").isin(terms))
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     idf = df_t.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -116,24 +122,17 @@ def bm25_scores(
         ).alias("idf"),
         "avgdl",
     )
-    part = (
-        tf.join(F.broadcast(idf), "term")
-        .join(lens, id_col)
-        .select(
-            F.col(id_col),
-            (
-                F.col("idf")
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("part"),
-        )
+    part = tf.join(F.broadcast(idf), "term").select(
+        F.col(id_col),
+        (
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        ).alias("part"),
     )
     scored = part.groupBy(id_col).agg(F.round(F.sum("part"), 6).alias("score"))
     return (
-        lens.select(id_col)
+        docs.select(id_col)
         .join(scored, id_col, "left")
         .select(F.col(id_col), F.coalesce("score", F.lit(0.0)).alias("score"))
     )
