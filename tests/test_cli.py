@@ -217,3 +217,14 @@ def test_ann_compact_command(tmp_path, capsys, spark):
     # nothing to reclaim on a fresh build
     assert main(["ann-compact", "--ivf", ivf]) == 0
     assert "removed 0 duplicate row(s)" in capsys.readouterr().out
+
+
+def test_curate_query_flag_validation(tmp_path, capsys, spark, sf_dir):
+    out = str(tmp_path / "s")
+    docs = f"{sf_dir}/documents.parquet"
+    # whitespace-only query: clean error, not a traceback
+    rc = main(["curate", "--documents", docs, "--out", out, "--query", "   "])
+    assert rc == 2 and "at least one term" in capsys.readouterr().out
+    # --min-bm25 without --query: rejected, not silently ignored
+    rc = main(["curate", "--documents", docs, "--out", out, "--min-bm25", "0.5"])
+    assert rc == 2 and "requires --query" in capsys.readouterr().out

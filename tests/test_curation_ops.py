@@ -183,3 +183,46 @@ def test_bm25_matches_first_principles_oracle(spark):
     # relevance ordering: the spark-heavy doc wins; unrelated docs score 0
     assert got[2] > got[0] > 0.0
     assert got[1] == 0.0 and got[3] == 0.0
+
+
+def test_bm25_null_text_does_not_poison_stats(spark):
+    """A NULL text row must score 0.0 and stay OUT of the corpus stats —
+    size(null) = -1 corrupting avgdl was a review-caught bug."""
+    import math
+
+    import pytest
+
+    from vectrekker_spark.operators.tfidf import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark rules"), (1, None), (2, "spark")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, "spark").collect()}
+    assert got[1] == 0.0
+    # oracle over the two REAL docs only: N=2, avgdl=2
+    n, avgdl = 2, 2.0
+    df = 2
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    for i, (tf, dl) in {0: (2, 3), 2: (1, 1)}.items():
+        exp = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        assert got[i] == pytest.approx(round(exp, 6), abs=1e-6), i
+
+
+def test_bm25_zero_hit_docs_fail_strict_gate(spark):
+    """The curate gate is strict >, so min_relevance=0.0 means 'at least one
+    query-term hit' rather than a silent keep-everything no-op."""
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [(0, "spark executors", "en"), (1, "gardening tulips", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        relevance_query="spark",  # min_relevance left at the 0.0 default
+    )
+    res = curate(docs, cfg)
+    kept = {r["doc_id"] for r in res.chunks.select("doc_id").distinct().collect()}
+    res.unpersist()
+    assert kept == {0}

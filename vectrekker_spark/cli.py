@@ -238,6 +238,12 @@ def cmd_curate(args: argparse.Namespace) -> int:
         assemble_training_set,
     )
 
+    if args.query is not None and not args.query.split():
+        print("error: --query must contain at least one term")
+        return 2
+    if args.min_bm25 is not None and args.query is None:
+        print("error: --min-bm25 requires --query")
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
     cfg = AssemblyConfig(
@@ -248,7 +254,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             chunk_size=args.chunk_size,
             embed=False,
             relevance_query=args.query or "",
-            min_relevance=args.min_bm25,
+            min_relevance=args.min_bm25 if args.min_bm25 is not None else 0.0,
         ),
         max_tokens=args.max_tokens,
         shuffle_seed=args.seed,
@@ -355,9 +361,9 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--rows-per-shard", type=int, default=100_000)
     cu.add_argument(
         "--query", help="topic terms: keep only documents whose BM25 "
-        "relevance clears --min-bm25",
+        "relevance exceeds --min-bm25 (default 0.0 = at least one hit)",
     )
-    cu.add_argument("--min-bm25", type=float, default=0.0)
+    cu.add_argument("--min-bm25", type=float, default=None)
     cu.set_defaults(fn=cmd_curate)
 
     ac = sub.add_parser(

@@ -32,7 +32,10 @@ class CurationConfig:
     text_col: str = "text"
     id_col: str = "doc_id"
     relevance_query: str = ""  # empty → no relevance gate
-    min_relevance: float = 0.0  # BM25 threshold when relevance_query is set
+    # strict threshold: keep docs with BM25 score > min_relevance, so the
+    # 0.0 default means "at least one query-term hit" (zero-hit docs score
+    # exactly 0.0 and must not pass)
+    min_relevance: float = 0.0
 
 
 @dataclass
@@ -102,14 +105,18 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     # 4b. optional query-relevance gate: keep documents whose Okapi BM25
     # score against the topic terms clears the threshold (query-targeted
     # corpora). Runs after the cheap filters so the scored set is smallest.
+    # Strict >: zero-hit docs score exactly 0.0 and never pass. Cached:
+    # the BM25 pipeline (aggregates + explode + joins) must not re-execute
+    # for the chunk stage's consumption.
     if cfg.relevance_query:
         from vectrekker_spark.operators.tfidf import bm25_scores
 
         rel = bm25_scores(
             docs, cfg.relevance_query, id_col=cfg.id_col, text_col=cfg.text_col
         )
-        keep = rel.filter(F.col("score") >= cfg.min_relevance).select(cfg.id_col)
-        docs = docs.join(keep, cfg.id_col, "left_semi")
+        keep = rel.filter(F.col("score") > cfg.min_relevance).select(cfg.id_col)
+        docs = docs.join(keep, cfg.id_col, "left_semi").cache()
+        caches.append(docs)
         funnel["after_relevance"] = docs.count()
 
     # 5. chunk — cached so the funnel count and the caller's consumption

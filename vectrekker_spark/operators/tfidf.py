@@ -94,20 +94,35 @@ def bm25_scores(
     query-term hits are exploded and shuffled (∝ hits, not corpus tokens);
     the per-term idf table (≤ |query| rows) and the single-row avgdl/N
     aggregate broadcast. Documents with no query hits score 0.0 (kept, so
-    the result can drive a filter threshold directly).
+    the result can drive a filter threshold directly). NULL text scores 0.0
+    and is excluded from the corpus stats (N, avgdl); empty text scores 0.0
+    and participates with dl = 0.
+
+    Determinism note: the per-doc sum is IEEE double addition in shuffle
+    order (idf is libm ln), so scores are reproducible only to ~1 ulp
+    before the round(6); a document whose rounded score lands exactly on a
+    filter threshold can in principle flip across runs — pick thresholds
+    away from observed score values (the tfidf sqrt trick doesn't apply: a
+    multi-term sum has no order-free exact form).
     """
     terms = query.split() if isinstance(query, str) else list(query)
     terms = sorted({t.lower() for t in terms if t})
     if not terms:
         raise ValueError("bm25_scores: query has no terms")
 
+    from vectrekker_spark.functions.text import token_count
+
     toks = tokens(F.lower(F.col(text_col)))
     base = docs.select(
         F.col(id_col),
-        F.size(F.filter(toks, lambda t: t != "")).alias("dl"),
+        # token_count: codegen regexp count (not an interpreted HOF), and
+        # NULL text stays NULL instead of size(null) = -1 poisoning avgdl
+        token_count(F.col(text_col)).alias("dl"),
         F.filter(toks, lambda t: t.isin(terms)).alias("hit_toks"),
     )
-    stats = base.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    stats = base.filter(F.col("dl").isNotNull()).agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
     tf = (
         base.select(F.col(id_col), "dl", F.explode("hit_toks").alias("term"))
         .groupBy(id_col, "dl", "term")
