@@ -118,7 +118,8 @@ def test_ann_build_and_persisted_search(tmp_path, capsys, spark):
     assert "quantized (int8) IVF index" in capsys.readouterr().out
     assert main(["search", "--index", index, "--query-id", a_path, "--ivf", ivf_q, "-k", "1"]) == 0
     out = capsys.readouterr().out
-    assert a_path in out  # self-match found via int8 codes
+    # the index table doubles as the re-rank corpus → EXACT score, not int8
+    assert a_path in out and "+1.000000" in out
 
 
 def test_index_with_embed_endpoint(tmp_path, capsys, spark):

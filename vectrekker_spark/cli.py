@@ -124,14 +124,21 @@ def cmd_search(args: argparse.Namespace) -> int:
         )
     if args.ivf:
         # persisted inverted-list index (ann-build verb): probes read only
-        # their cells' partitions — no per-invocation rebuild, no corpus join
-        from vectrekker_spark.operators.ann import ivf_load, ivf_search_cells
+        # their cells' partitions — no per-invocation rebuild, no corpus
+        # join. On a quantized (int8) index the vector-index table doubles
+        # as the full-precision corpus for the exact re-rank.
+        from vectrekker_spark.operators.ann import ivf_load, ivf_meta, ivf_search_cells
 
         centroids, cells = ivf_load(spark, args.ivf)
+        corpus = (
+            index.select("id", "embedding")
+            if ivf_meta(spark, args.ivf).get("quantized")
+            else None
+        )
         n_cells = centroids.count()
         res = ivf_search_cells(
             q, centroids, cells,
-            k=args.k, n_probe=max(1, n_cells // 3), id_col="id",
+            k=args.k, n_probe=max(1, n_cells // 3), id_col="id", corpus=corpus,
         ).collect()
         for r in res:
             print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['id']}")
