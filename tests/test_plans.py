@@ -114,3 +114,28 @@ def test_ordered_barrier_sits_below_sort(spark, sf_dir):
     plan = formatted_plan(q16_string_fns(spark, sf_dir)).lower()
     assert "hashpartitioning" in plan and "rangepartitioning" in plan, plan
     assert plan.index("hashpartitioning") < plan.index("rangepartitioning"), plan
+
+
+def test_bm25_prunes_text_from_final_join(spark, sf_dir):
+    """bm25_scores' all-docs left join must read ONLY the id column — at
+    100 TB a third text scan for the zero-fill join would be the dominant
+    cost. The two text-consuming scans project exactly (id, text)."""
+    from vectrekker_spark.operators.tfidf import bm25_scores
+    from vectrekker_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(bm25_scores(docs, "data model"))
+    schemas = sorted(
+        line.split("ReadSchema:", 1)[1].strip()
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    )
+    id_only = [s for s in schemas if "text" not in s]
+    with_text = [s for s in schemas if "text" in s]
+    assert id_only and all("doc_id" in s for s in id_only), schemas
+    # every text-reading scan is pruned to at most (doc_id, text)
+    assert with_text and all(
+        set(s.split("<")[1].rstrip(">").split(",")) <= {"doc_id:bigint", "text:string"}
+        or "doc_id" not in s
+        for s in with_text
+    ), schemas
