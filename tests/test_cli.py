@@ -229,3 +229,18 @@ def test_curate_query_flag_validation(tmp_path, capsys, spark, sf_dir):
     # --min-bm25 without --query: rejected, not silently ignored
     rc = main(["curate", "--documents", docs, "--out", out, "--min-bm25", "0.5"])
     assert rc == 2 and "requires --query" in capsys.readouterr().out
+
+
+def test_stats_with_ivf_summary(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    ivf = str(tmp_path / "ivf")
+    assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
+    assert main(["ann-build", "--index", index, "--out", ivf]) == 0
+    capsys.readouterr()
+    assert main(["stats", "--index", index, "--ivf", ivf]) == 0
+    out = capsys.readouterr().out
+    assert "rows=2 dim=64..64" in out
+    # assign_k=2 on 2 docs in 2 cells → 4 rows, both cells hold both docs
+    assert "2 centroid(s)" in out and "4 row(s) (full)" in out
+    assert "cell sizes 2..2" in out and "assign_k=2" in out

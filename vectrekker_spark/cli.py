@@ -291,6 +291,24 @@ def cmd_stats(args: argparse.Namespace) -> int:
         F.max(F.size("embedding")).alias("max_dim"),
     ).collect()[0]
     print(f"rows={row['rows']} dim={row['min_dim']}..{row['max_dim']}")
+    if args.ivf:
+        from vectrekker_spark.operators.ann import ivf_load, ivf_meta
+
+        centroids, cells = ivf_load(spark, args.ivf)
+        meta = ivf_meta(spark, args.ivf)
+        sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        c = sizes.agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.sum("n").alias("rows"),
+            F.min("n").alias("min"),
+            F.max("n").alias("max"),
+        ).collect()[0]
+        kind = "int8" if meta.get("quantized") else "full"
+        print(
+            f"ivf: {centroids.count()} centroid(s), {c['cells']} non-empty "
+            f"cell(s), {c['rows']} row(s) ({kind}), cell sizes "
+            f"{c['min']}..{c['max']}, assign_k={meta.get('assign_k') or 1}"
+        )
     return 0
 
 
@@ -352,6 +370,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     st = sub.add_parser("stats", help="index summary")
     st.add_argument("--index", required=True)
+    st.add_argument("--ivf", help="also summarize a persisted IVF index dir")
     st.set_defaults(fn=cmd_stats)
 
     cu = sub.add_parser(
