@@ -158,3 +158,44 @@ def test_long_doc_chunking_path(spark, corpus):
     chunk_ids = [r["id"] for r in index.collect() if "#" in r["id"]]
     assert len(chunk_ids) >= 5  # 36004 chars / 7900 step → 5 chunks
     assert index.count() == 2 + len(chunk_ids)
+
+
+def test_embed_version_migration_is_incremental(spark, tmp_path):
+    """Changing the embedder identity re-embeds mtime-unchanged files; a
+    matching version is a no-op; pre-versioning state rows count as stale."""
+    from vectrekker_spark.pipeline import PipelineConfig, run_pipeline
+
+    content = tmp_path / "c"
+    content.mkdir()
+    (content / "a.md").write_text("alpha doc")
+    (content / "b.md").write_text("beta doc")
+    base = dict(
+        content_dir=str(content),
+        state_path=str(tmp_path / "state"),
+        index_path=str(tmp_path / "index"),
+    )
+
+    # run 1: UNVERSIONED (reference parity) → state rows carry null version
+    c1 = run_pipeline(spark, PipelineConfig(**base))
+    assert c1["indexed"] == 2
+    # unversioned re-run: mtime unchanged → nothing to do
+    assert run_pipeline(spark, PipelineConfig(**base))["changed"] == 0
+
+    # turning versioning ON treats every null-version row as stale
+    c2 = run_pipeline(spark, PipelineConfig(**base, embed_version="v2"))
+    assert c2["indexed"] == 2
+    # same version again → clean no-op
+    assert run_pipeline(spark, PipelineConfig(**base, embed_version="v2"))["changed"] == 0
+
+    # version bump → full incremental re-embed, mtimes untouched
+    c3 = run_pipeline(spark, PipelineConfig(**base, embed_version="v3"))
+    assert c3["indexed"] == 2
+    assert run_pipeline(spark, PipelineConfig(**base, embed_version="v3"))["changed"] == 0
+
+    # new file under the current version: only IT is selected
+    (content / "d.md").write_text("delta doc")
+    c4 = run_pipeline(spark, PipelineConfig(**base, embed_version="v3"))
+    assert c4["changed"] == 1 and c4["indexed"] == 1
+
+    state = spark.read.parquet(base["state_path"])
+    assert {r["embed_version"] for r in state.collect()} == {"v3"}

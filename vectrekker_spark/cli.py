@@ -36,7 +36,7 @@ def _spark():
 
 
 def cmd_index(args: argparse.Namespace) -> int:
-    from vectrekker_spark.operators.delta import detect_changes
+    from vectrekker_spark.operators.delta import detect_changes_versioned
     from vectrekker_spark.pipeline import (
         PipelineConfig,
         _read_or_empty,
@@ -55,9 +55,17 @@ def cmd_index(args: argparse.Namespace) -> int:
     spark = _spark()
     if args.dry_run:
         # list the delta and STOP — no side effects (unlike the reference)
+        from pyspark.sql import functions as F
+
         scan = scan_directory(spark, content_dir, pattern=regex)
         state = _read_or_empty(spark, args.state, STATE_SCHEMA)
-        changed = detect_changes(scan, state, key="path").select("path").collect()
+        if "embed_version" not in state.columns:
+            state = state.withColumn("embed_version", F.lit(None).cast("string"))
+        changed = (
+            detect_changes_versioned(scan, state, args.embed_version, key="path")
+            .select("path")
+            .collect()
+        )
         print(f"dry-run: {len(changed)} file(s) would be re-indexed")
         for r in changed:
             print(f"  {r['path']}")
@@ -82,6 +90,7 @@ def cmd_index(args: argparse.Namespace) -> int:
         content_regex=regex,
         chunk_size=args.chunk_size,
         embedder_factory=embedder_factory,
+        embed_version=args.embed_version,
     )
     counters = run_pipeline(spark, cfg)
     print(counters)
@@ -324,6 +333,11 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--index", required=True)
     ix.add_argument("--quarantine")
     ix.add_argument("--chunk-size", type=int, default=0)
+    ix.add_argument(
+        "--embed-version", default="",
+        help="embedder identity (model/dim/rev); changing it re-embeds "
+        "mtime-unchanged files incrementally",
+    )
     ix.add_argument(
         "--embed-endpoint",
         help="OpenAI-compatible /embeddings URL; omit for the local hashing embedder",

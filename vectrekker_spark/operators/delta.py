@@ -43,6 +43,46 @@ def detect_changes(
     )
 
 
+def detect_changes_versioned(
+    scan: DataFrame,
+    state: DataFrame,
+    version: str,
+    key: str = "path",
+    scan_ts: str = "mtime",
+    state_ts: str = "last_edit_time",
+    version_col: str = "embed_version",
+) -> DataFrame:
+    """detect_changes, plus artifact-version staleness: a row is selected
+    when its mtime is strictly newer OR its stored `version_col` differs
+    from `version` (null-safe — rows from a pre-versioning state, or never
+    processed, count as stale).
+
+    This closes the incremental pipeline's model-upgrade hole: with
+    mtime-only detection, switching embedders silently keeps every stale
+    vector (the reference shares the flaw — its SQLite cache is keyed on
+    mtime alone, `vectrekker/main.py:97-100,143-147`). A version bump
+    re-processes the corpus *incrementally*: each run re-embeds what it can,
+    commits state per doc, and a crash resumes with only the not-yet-
+    migrated rows still selected. Output: all scan columns + `cached_ts`.
+    """
+    if not version:
+        return detect_changes(scan, state, key, scan_ts, state_ts)
+    st = state.select(
+        F.col(key),
+        F.col(state_ts).alias("__cached_ts"),
+        F.col(version_col).alias("__cached_ver"),
+    )
+    return (
+        scan.join(st, key, "left")
+        .withColumn("cached_ts", F.coalesce(F.col("__cached_ts"), F.lit(0)))
+        .where(
+            (F.col("cached_ts") < F.col(scan_ts))
+            | ~F.col("__cached_ver").eqNullSafe(F.lit(version))
+        )
+        .drop("__cached_ts", "__cached_ver")
+    )
+
+
 def _update_row_hash(updates: DataFrame):
     """Stable per-row hash for deterministic dup-key resolution. Map columns
     are excluded — Spark forbids hashing maps (hashcode not well-defined)."""

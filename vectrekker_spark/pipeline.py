@@ -49,6 +49,10 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType(), False),
         T.StructField("last_edit_time", T.LongType(), False),
+        # embedder identity that produced the stored vectors; NULL for rows
+        # written before versioning (or with versioning off) — treated as
+        # stale whenever a version is configured
+        T.StructField("embed_version", T.StringType(), True),
     ]
 )
 
@@ -68,6 +72,11 @@ class PipelineConfig:
     # pandas_udf. Production: lambda: HttpEmbedder(url, dim=...) — batched,
     # rate-limited, retrying (the reference's E1 made scale-shaped).
     embedder_factory: object | None = None
+    # Identity of the embedder (model/dim/revision). When set, rows whose
+    # stored version differs are re-embedded even if their mtime is
+    # unchanged — incremental, crash-resumable model migration. Empty →
+    # mtime-only detection (reference parity).
+    embed_version: str = ""
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -95,7 +104,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
     n_scanned = scan.count()
 
     state = _read_or_empty(spark, cfg.state_path, STATE_SCHEMA)
-    changed = detect_changes(scan, state, key="path").cache()
+    if "embed_version" not in state.columns:  # pre-versioning state table
+        state = state.withColumn("embed_version", F.lit(None).cast("string"))
+    from vectrekker_spark.operators.delta import detect_changes_versioned
+
+    changed = detect_changes_versioned(
+        scan, state, cfg.embed_version, key="path"
+    ).cache()
     n_changed = changed.count()
     if n_changed == 0:  # reference's empty short-circuit (main.py:149-151)
         return {"scanned": n_scanned, "changed": 0, "indexed": 0, "quarantined": 0}
@@ -180,7 +195,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
     )
 
     # State commit strictly AFTER the index write (at-least-once ordering).
-    new_state = changed.select("path", F.col("mtime").alias("last_edit_time"))
+    new_state = changed.select(
+        "path",
+        F.col("mtime").alias("last_edit_time"),
+        (
+            F.lit(cfg.embed_version) if cfg.embed_version else F.lit(None)
+        ).cast("string").alias("embed_version"),
+    )
     merged_state = merge_upsert(state, new_state, key="path")
     _atomic_replace(merged_state, cfg.state_path)
     changed.unpersist()
