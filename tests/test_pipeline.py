@@ -199,3 +199,27 @@ def test_embed_version_migration_is_incremental(spark, tmp_path):
 
     state = spark.read.parquet(base["state_path"])
     assert {r["embed_version"] for r in state.collect()} == {"v3"}
+
+
+def test_max_changed_bounds_each_run(spark, tmp_path):
+    """A capped run processes a deterministic path-ordered slice and commits
+    only that slice — repeated runs drain the backlog to empty."""
+    from vectrekker_spark.pipeline import PipelineConfig, run_pipeline
+
+    content = tmp_path / "c"
+    content.mkdir()
+    for name in ("a.md", "b.md", "c.md"):
+        (content / name).write_text(f"doc {name}")
+    base = dict(
+        content_dir=str(content),
+        state_path=str(tmp_path / "state"),
+        index_path=str(tmp_path / "index"),
+        max_changed=2,
+    )
+    c1 = run_pipeline(spark, PipelineConfig(**base))
+    assert c1["changed"] == 2 and c1["indexed"] == 2
+    c2 = run_pipeline(spark, PipelineConfig(**base))
+    assert c2["changed"] == 1 and c2["indexed"] == 1  # the remaining file
+    assert run_pipeline(spark, PipelineConfig(**base))["changed"] == 0
+    idx = spark.read.parquet(base["index_path"])
+    assert idx.count() == 3  # all three landed across the bounded runs

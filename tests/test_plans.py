@@ -136,6 +136,5 @@ def test_bm25_prunes_text_from_final_join(spark, sf_dir):
     # every text-reading scan is pruned to at most (doc_id, text)
     assert with_text and all(
         set(s.split("<")[1].rstrip(">").split(",")) <= {"doc_id:bigint", "text:string"}
-        or "doc_id" not in s
         for s in with_text
     ), schemas

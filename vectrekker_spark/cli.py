@@ -91,6 +91,7 @@ def cmd_index(args: argparse.Namespace) -> int:
         chunk_size=args.chunk_size,
         embedder_factory=embedder_factory,
         embed_version=args.embed_version,
+        max_changed=args.max_changed,
     )
     counters = run_pipeline(spark, cfg)
     print(counters)
@@ -337,6 +338,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--embed-version", default="",
         help="embedder identity (model/dim/rev); changing it re-embeds "
         "mtime-unchanged files incrementally",
+    )
+    ix.add_argument(
+        "--max-changed", type=int, default=0,
+        help="process at most N changed files per run (0 = no cap): bounds "
+        "bulk imports / version migrations into small resumable runs",
     )
     ix.add_argument(
         "--embed-endpoint",

@@ -61,12 +61,18 @@ def detect_changes_versioned(
     mtime-only detection, switching embedders silently keeps every stale
     vector (the reference shares the flaw — its SQLite cache is keyed on
     mtime alone, `vectrekker/main.py:97-100,143-147`). A version bump
-    re-processes the corpus *incrementally*: each run re-embeds what it can,
-    commits state per doc, and a crash resumes with only the not-yet-
-    migrated rows still selected. Output: all scan columns + `cached_ts`.
+    re-processes the corpus incrementally at RUN granularity: state commits
+    once per successful run, so a crashed run redoes its own selection and
+    nothing more; bound each run's slice (PipelineConfig.max_changed) to
+    make a huge migration a sequence of small resumable runs. A state table
+    from before versioning (no `version_col` column) is backfilled with
+    nulls here, so every caller upgrades transparently. Output: all scan
+    columns + `cached_ts`.
     """
     if not version:
         return detect_changes(scan, state, key, scan_ts, state_ts)
+    if version_col not in state.columns:  # pre-versioning state table
+        state = state.withColumn(version_col, F.lit(None).cast("string"))
     st = state.select(
         F.col(key),
         F.col(state_ts).alias("__cached_ts"),

@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from vectrekker_spark.functions.tokenize import gate_token_count
 from vectrekker_spark.operators.chunk import chunk_text
-from vectrekker_spark.operators.delta import detect_changes, merge_upsert
+from vectrekker_spark.operators.delta import detect_changes_versioned, merge_upsert
 from vectrekker_spark.queries.vector import hash_embed_batch
 from vectrekker_spark.sources.files import scan_directory
 
@@ -77,6 +77,10 @@ class PipelineConfig:
     # unchanged — incremental, crash-resumable model migration. Empty →
     # mtime-only detection (reference parity).
     embed_version: str = ""
+    # >0 → process at most this many changed files per run (deterministic
+    # path order): bounds a huge backlog or version migration into small
+    # resumable runs, each committing its own state slice. 0 → no cap.
+    max_changed: int = 0
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -106,11 +110,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
     state = _read_or_empty(spark, cfg.state_path, STATE_SCHEMA)
     if "embed_version" not in state.columns:  # pre-versioning state table
         state = state.withColumn("embed_version", F.lit(None).cast("string"))
-    from vectrekker_spark.operators.delta import detect_changes_versioned
-
-    changed = detect_changes_versioned(
-        scan, state, cfg.embed_version, key="path"
-    ).cache()
+    changed = detect_changes_versioned(scan, state, cfg.embed_version, key="path")
+    if cfg.max_changed > 0:
+        # bounded slice in deterministic path order: a huge backlog (bulk
+        # import, --embed-version migration) becomes a sequence of small
+        # resumable runs, each committing its own state
+        changed = changed.orderBy("path").limit(cfg.max_changed)
+    changed = changed.cache()
     n_changed = changed.count()
     if n_changed == 0:  # reference's empty short-circuit (main.py:149-151)
         return {"scanned": n_scanned, "changed": 0, "indexed": 0, "quarantined": 0}
