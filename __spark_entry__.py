@@ -4,8 +4,9 @@ entry(spark)  — flagship query: top-10 cosine NN of vector 0 (the query the
                 reference's Pinecone index exists to answer; SURVEY.md §0, M1).
 queries()     — every implemented operator from SURVEY.md §2, one callable per
                 name, backed by vectrekker_spark.queries registry.
-oracle_sql()  — matching DuckDB SQL for each (omitted only for genuinely
-                non-SQL-expressible ops, e.g. IVF approximate NN).
+oracle_sql()  — matching DuckDB SQL for each registered query (all 50 —
+                even the stride-IVF ANN pipeline is expressed as
+                window/join SQL since r5).
 """
 
 from __future__ import annotations
