@@ -223,3 +223,29 @@ def test_max_changed_bounds_each_run(spark, tmp_path):
     assert run_pipeline(spark, PipelineConfig(**base))["changed"] == 0
     idx = spark.read.parquet(base["index_path"])
     assert idx.count() == 3  # all three landed across the bounded runs
+
+
+def test_max_changed_slice_is_respread(spark, tmp_path):
+    """The capped slice must not stay in the limit's single output partition
+    — the embed stage would run serial at scale."""
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.delta import detect_changes_versioned
+    from vectrekker_spark.pipeline import STATE_SCHEMA, _read_or_empty
+
+    content = tmp_path / "c"
+    content.mkdir()
+    for i in range(8):
+        (content / f"d{i}.md").write_text(f"doc {i}")
+    from vectrekker_spark.sources.files import scan_directory
+
+    scan = scan_directory(spark, str(content))
+    state = _read_or_empty(spark, str(tmp_path / "none"), STATE_SCHEMA)
+    sliced = (
+        detect_changes_versioned(scan, state, "", key="path")
+        .orderBy("path")
+        .limit(4)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    parts = sliced.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert parts > 1  # re-spread across tasks, not one serial partition

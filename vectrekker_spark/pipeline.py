@@ -114,8 +114,14 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
     if cfg.max_changed > 0:
         # bounded slice in deterministic path order: a huge backlog (bulk
         # import, --embed-version migration) becomes a sequence of small
-        # resumable runs, each committing its own state
-        changed = changed.orderBy("path").limit(cfg.max_changed)
+        # resumable runs, each committing its own state. The limit's
+        # TakeOrdered emits ONE partition — re-spread the slice so the
+        # embed stage runs parallel, not serial.
+        changed = (
+            changed.orderBy("path")
+            .limit(cfg.max_changed)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
     changed = changed.cache()
     n_changed = changed.count()
     if n_changed == 0:  # reference's empty short-circuit (main.py:149-151)
