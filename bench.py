@@ -1,12 +1,11 @@
 """Benchmark runner (driver contract, BASELINE.md).
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm-up execution then
-the median of 3 timed runs per query, and prints exactly ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q02_filter": s, ...}, "sf": 0.1,
-     "duckdb": {...}, "ratio": {...}}
+     "queries": {"q02_filter": s, ...}, "sf": 0.1, ...}
 
 Timing covers full plan execution to fully-materialized driver-side results:
 Arrow `toPandas()` — every result row crosses to Python, same endpoint as
@@ -14,6 +13,14 @@ the DuckDB baseline's `fetchall()`. The DuckDB baseline is re-measured in
 the same process on the same files each run (the stored baseline went stale
 in round 1), so the JSON line is self-contained: per-query ratio > 1 means
 Spark is slower.
+
+Contention hardening (round 6): Spark and DuckDB samples for the SAME query
+are interleaved (S,D,S,D,...) rather than run as two back-to-back full
+sweeps, so a transient load spike on the box skews both engines' medians
+for that query together instead of poisoning one engine's whole sweep.
+RUNS=5 with median. The sidecar `.bench_out.json` carries every raw sample
+plus a per-query dispersion flag (max/min of the Spark samples > 2 => the
+median is suspect; re-run before treating a ratio as an engine property).
 """
 
 from __future__ import annotations
@@ -31,24 +38,11 @@ from vectrekker_spark.session import get_spark  # noqa: E402
 
 # Brute-force-by-design queries excluded from the headline set would hide
 # real costs — keep everything; the bench IS the honesty check.
-RUNS = 3
+RUNS = 5
+DISPERSION_FLAG = 2.0  # max/min spread across samples above this => noisy
 
 
-def bench_spark(sf_dir: str) -> dict[str, float]:
-    spark = get_spark(app_name="vectrekker-bench")
-    timings: dict[str, float] = {}
-    for name, spec in sorted(all_specs().items()):
-        spec.spark(spark, sf_dir).toPandas()  # warm-up: JIT, codegen, footers
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).toPandas()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
-    return timings
-
-
-def bench_duckdb(sf_dir: str) -> dict[str, float]:
+def _duck_con(sf_dir: str):
     import duckdb
 
     from vectrekker_spark.catalog import TABLES
@@ -58,18 +52,45 @@ def bench_duckdb(sf_dir: str) -> dict[str, float]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    timings: dict[str, float] = {}
+    return con
+
+
+def bench_interleaved(sf_dir: str):
+    """Per query: warm both engines, then alternate timed samples.
+
+    Returns (spark_medians, duck_medians, spark_samples, duck_samples,
+    flagged) — medians rounded, samples raw, flagged = queries whose Spark
+    sample spread (max/min) exceeds DISPERSION_FLAG.
+    """
+    spark = get_spark(app_name="vectrekker-bench")
+    con = _duck_con(sf_dir)
+    sp_med: dict[str, float] = {}
+    du_med: dict[str, float] = {}
+    sp_samples: dict[str, list[float]] = {}
+    du_samples: dict[str, list[float]] = {}
+    flagged: list[str] = []
     for name, spec in sorted(all_specs().items()):
-        if spec.oracle is None:
-            continue
-        con.execute(spec.oracle).fetchall()  # warm-up
-        samples = []
+        spec.spark(spark, sf_dir).toPandas()  # warm-up: JIT, codegen, footers
+        if spec.oracle is not None:
+            con.execute(spec.oracle).fetchall()  # warm-up
+        ss: list[float] = []
+        ds: list[float] = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
-    return timings
+            spec.spark(spark, sf_dir).toPandas()
+            ss.append(time.perf_counter() - t0)
+            if spec.oracle is not None:
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                ds.append(time.perf_counter() - t0)
+        sp_samples[name] = [round(x, 4) for x in ss]
+        sp_med[name] = round(statistics.median(ss), 4)
+        if ds:
+            du_samples[name] = [round(x, 4) for x in ds]
+            du_med[name] = round(statistics.median(ds), 4)
+        if min(ss) > 0 and max(ss) / min(ss) > DISPERSION_FLAG:
+            flagged.append(name)
+    return sp_med, du_med, sp_samples, du_samples, flagged
 
 
 def ann_recall_at_10(sf_dir: str) -> float:
@@ -108,8 +129,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    timings = bench_spark(sf_dir)
-    duck = bench_duckdb(sf_dir)
+    timings, duck, sp_samples, du_samples, flagged = bench_interleaved(sf_dir)
     recall = ann_recall_at_10(sf_dir)
 
     total = round(sum(timings.values()), 4)
@@ -122,9 +142,11 @@ def main() -> None:
     }
     # The printed line stays small (scalars first, then the one required
     # per-query map) so the driver's bounded tail capture parses it; the
-    # three per-query detail dicts go to a sidecar file instead.
+    # per-query detail dicts (duckdb medians, ratios, raw samples) go to a
+    # sidecar file instead.
     # method: r2+ measure Arrow-materialized toPandas() and re-measure DuckDB
-    # in-process — not comparable with r1's collect()-based numbers.
+    # in-process — not comparable with r1's collect()-based numbers. r6+
+    # interleaves engines per query and uses median-of-5.
     summary = {
         "metric": "total_query_sec",
         "value": total,
@@ -134,10 +156,17 @@ def main() -> None:
         "ann_recall_at_10": recall,
         "spark_total_common": spark_common,
         "duckdb_total_common": duck_common,
-        "method": "toPandas-vs-duckdb-inproc-median3",
+        "method": "toPandas-vs-duckdb-inproc-interleaved-median5",
+        "dispersion_flagged": flagged,
         "queries": timings,
     }
-    detail = dict(summary, duckdb=duck, ratio=ratio)
+    detail = dict(
+        summary,
+        duckdb=duck,
+        ratio=ratio,
+        spark_samples=sp_samples,
+        duckdb_samples=du_samples,
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".bench_out.json"), "w") as f:
         json.dump(detail, f, indent=2)

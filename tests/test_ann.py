@@ -136,6 +136,32 @@ def test_assign_centroids_ties_and_guard(spark):
         assign_centroids(corpus, cents, max_centroids=2)
 
 
+def test_assign_centroids_byte_budget(spark):
+    """The collect guard is a BYTE budget, not just a row count: a high-dim
+    quantizer trips at rows × dim × 8 bytes even when the row cap would
+    allow it (VERDICT r5 §What's-wrong #1)."""
+    import pytest
+
+    from vectrekker_spark.operators.ann import assign_centroids
+
+    dim = 128
+    corpus = spark.createDataFrame(
+        [(0, [1.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(i)] * dim) for i in range(3)], "cid long, cvec array<double>"
+    )
+    # budget fits exactly 2 rows of dim-128 float64 → 3 centroids must raise,
+    # and the message states the derived row allowance
+    with pytest.raises(ValueError, match="max_centroid_bytes"):
+        assign_centroids(corpus, cents, max_centroid_bytes=dim * 8 * 2)
+    # same table passes once the budget covers it (row cap untouched)
+    got = assign_centroids(
+        corpus, cents, max_centroid_bytes=dim * 8 * 3
+    ).collect()
+    assert len(got) == 1
+
+
 # --- persisted inverted-list index: save / load / prune / append -----------
 
 

@@ -28,6 +28,7 @@ def assign_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_centroids: int = 200_000,
+    max_centroid_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """(id, cid) for every corpus vector: its ``assign_k`` nearest centroids
     by round-6 cosine, ties broken by cid ascending (same ordering contract
@@ -35,28 +36,42 @@ def assign_centroids(
     fixtures).
 
     The 100 TB shape: centroids are the ~√N small side BY CONSTRUCTION, so
-    they are collected once (guarded by ``max_centroids`` — the repo's
-    LIMIT-probe idiom) and shipped to executors as one numpy matrix; each
-    Arrow batch of the corpus then does a single BLAS matmul + stable
+    they are collected once and shipped to executors as one numpy matrix;
+    each Arrow batch of the corpus then does a single BLAS matmul + stable
     argsort. The corpus is NEVER shuffled or broadcast — assignment is
     embarrassingly parallel, unlike the previous knn_join formulation,
     which broadcast the whole corpus as its query side. NULL vectors are
     dropped (they can't score); zero vectors score 0 against every centroid
     and land by the cid tie-break.
+
+    The guard measures what it protects: the vector DIMENSION is probed
+    with a LIMIT-1 collect first, and the driver-side collect is capped at
+    ``min(max_centroids, max_centroid_bytes // (dim × 8))`` rows — so a
+    1536-dim quantizer trips at ~43k centroids (≈0.5 GB of float64) instead
+    of collecting 2.4 GB before a row-count cap would notice. The row cap
+    stays as a backstop for tiny dims.
     """
     import numpy as np
     import pandas as pd
 
-    rows = centroids.select("cid", "cvec").limit(max_centroids + 1).collect()
-    if len(rows) > max_centroids:
-        raise ValueError(
-            f"assign_centroids: more than max_centroids={max_centroids} "
-            "centroids; that is no longer a broadcastable coarse quantizer — "
-            "reduce n_centroids (√N rule) or raise the cap deliberately."
-        )
-    if not rows:
+    probe = (
+        centroids.select("cid", "cvec").where(F.col("cvec").isNotNull()).limit(1)
+    ).collect()
+    if not probe:
         id_t = dict(corpus.dtypes)[id_col]
         return corpus.sparkSession.createDataFrame([], f"{id_col} {id_t}, cid long")
+    dim = len(probe[0][1])
+    cap = min(max_centroids, max(1, max_centroid_bytes // (max(dim, 1) * 8)))
+    rows = centroids.select("cid", "cvec").limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"assign_centroids: more than {cap} centroids at dim={dim} "
+            f"(caps: max_centroids={max_centroids}, max_centroid_bytes="
+            f"{max_centroid_bytes} ≈ {max_centroid_bytes // (max(dim, 1) * 8)} "
+            "rows of float64); that is no longer a broadcastable coarse "
+            "quantizer — reduce n_centroids (√N rule) or raise the caps "
+            "deliberately."
+        )
     rows.sort(key=lambda r: r[0])  # cid ascending → stable-sort tie-break
     cids = np.asarray([r[0] for r in rows], dtype=np.int64)
     C = np.asarray([r[1] for r in rows], dtype=np.float64)
