@@ -201,19 +201,53 @@ def ivf_search(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_via: str = "blas",
+    unique_assignment: bool = False,
 ) -> DataFrame:
     """Probe the n_probe nearest cells per query, brute-force within them.
 
     Candidate set is only the probed cells' vectors — the crossJoin blowup
     never happens. Returns (qid, vec_id, score, rank).
 
-    Probe selection reuses assign_centroids (same round-6/cid-asc tie
-    contract as knn_join), so an arbitrarily large query batch streams
-    against the broadcast centroids instead of being broadcast itself."""
-    probes = assign_centroids(
-        queries, centroids, assign_k=n_probe, id_col="qid", vec_col="qvec"
-    )
-    cand_ids = probes.join(assignments, "cid").select("qid", id_col).distinct()
+    unique_assignment=True declares the index was built with assign_k=1
+    (each corpus vector lives in exactly one cell), which makes the
+    candidate (qid, id) pairs unique by construction and lets the search
+    skip its dedup exchange — one fewer shuffle on every probe. Leave False
+    for multi-assigned indexes, where the same pair can surface via two
+    probed cells and the dedup is load-bearing.
+
+    probe_via="blas" (default): probe selection reuses assign_centroids
+    (same round-6/cid-asc tie contract as knn_join), so an arbitrarily
+    large query batch streams against the broadcast centroids instead of
+    being broadcast itself — the scale path for bulk kNN-join workloads.
+    probe_via="expr": probe selection as a pure-JVM broadcast crossJoin +
+    window over the centroids (identical tie contract) — no Python worker
+    round-trip and no driver collect, which is faster for SMALL interactive
+    query batches (a handful of vectors per call: the reference's `search`
+    CLI shape, vectrekker/main.py:162-167). The amplification is
+    |queries| × |centroids| rows through one per-qid window, so keep it to
+    small batches; bulk joins want "blas"."""
+    if probe_via == "expr":
+        from pyspark.sql import Window
+
+        from vectrekker_spark.functions.vector import cosine_sim
+
+        w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("cid"))
+        probes = (
+            queries.filter(F.col("qvec").isNotNull())  # parity with blas path
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("s", F.round(cosine_sim("cvec", "qvec"), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_probe)
+            .select("qid", "cid")
+        )
+    else:
+        probes = assign_centroids(
+            queries, centroids, assign_k=n_probe, id_col="qid", vec_col="qvec"
+        )
+    cand_ids = probes.join(assignments, "cid").select("qid", id_col)
+    if not unique_assignment:
+        cand_ids = cand_ids.distinct()
     cands = cand_ids.join(corpus, id_col).join(
         queries, "qid"
     )  # (qid, vec_id, embedding, qvec) — only probed-cell rows survive

@@ -16,7 +16,13 @@ from vectrekker_spark.operators.decontaminate import contamination_report
 from vectrekker_spark.operators.split import hash_split, split_case_sql
 from vectrekker_spark.operators.tfidf import top_terms
 from vectrekker_spark.queries import QuerySpec
-from vectrekker_spark.queries.util import ordered, tbp, token_hash_sql, tokens_sql
+from vectrekker_spark.queries.util import (
+    ordered,
+    tb1,
+    tbp,
+    token_hash_sql,
+    tokens_sql,
+)
 
 LTOKS = tokens_sql("lower(text)")
 
@@ -78,8 +84,13 @@ GROUP BY train_id ORDER BY train_id
 
 def d20_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     # Top-100 corpus terms by sqrt-damped TF-IDF (operators/tfidf.py explains
-    # why sqrt idf and not ln: cross-engine IEEE determinism).
-    return top_terms(tbp(spark, sf, "documents"), k=100, min_df=2)
+    # why sqrt idf and not ln: cross-engine IEEE determinism). tb1, not tbp:
+    # spreading would push the full TEXT column through a round-robin
+    # exchange just to parallelize the explode, and on the single-row-group
+    # fixture the serial plan (explode + both aggs in one task, AQE-coalesced
+    # exchanges) measures fastest (0.46 s vs 0.59 tb / 0.70 tbp at sf0.1);
+    # at real scale tb1 is a no-op and the scan splits naturally.
+    return top_terms(tb1(spark, sf, "documents"), k=100, min_df=2)
 
 
 D20_SQL = f"""

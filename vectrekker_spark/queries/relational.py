@@ -27,7 +27,11 @@ def q02_filter(spark: SparkSession, sf: str) -> DataFrame:
     # Arithmetic in DECIMAL end-to-end: casting a *computed* double to decimal
     # diverges between engines (Spark rounds the shortest repr HALF_UP, DuckDB
     # rounds the exact binary expansion), so cast the inputs, not the result.
-    li = tb(spark, sf, "lineitem")
+    # tb1 + plain orderBy: the single-file fixture scan has one split, so the
+    # serial plan (0 exchanges — filter, project, sort in one task) is ~2×
+    # faster than the repartition+orderBy barrier; at scale tb1 is a no-op
+    # and this is a plain distributed range sort over a pushed-down filter.
+    li = tb1(spark, sf, "lineitem")
     net = (
         F.col("l_extendedprice").cast(DEC)
         * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
@@ -45,7 +49,7 @@ def q02_filter(spark: SparkSession, sf: str) -> DataFrame:
             "l_discount",
             net.alias("net_price"),
         )
-        .transform(lambda d: ordered(d, "l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
