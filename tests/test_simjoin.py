@@ -98,6 +98,9 @@ def test_auto_route_picks_bucketed_over_cap(planted):
 
 
 def test_generic_simjoin_guard_raises_on_oversized_right(planted):
+    # The ambiguous middle keeps the raise: a cross-dataset join
+    # (ordered_pairs=False) has no bucketed self-join equivalent, so the
+    # router must not silently switch semantics. Same for non-cosine.
     from vectrekker_spark.operators.knn import similarity_join
 
     with pytest.raises(ValueError, match="max_broadcast_rows"):
@@ -105,8 +108,48 @@ def test_generic_simjoin_guard_raises_on_oversized_right(planted):
             planted, planted, threshold=0.9,
             left_id="vec_id", left_vec="embedding",
             right_id="vec_id", right_vec="embedding",
+            ordered_pairs=False, max_broadcast_rows=10,
+        ).count()
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        similarity_join(
+            planted, planted, threshold=0.5, metric="l2",
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
             max_broadcast_rows=10,
         ).count()
+
+
+def test_generic_simjoin_auto_routes_to_bucketed_over_cap(planted):
+    # Self-join cosine past the broadcast cap falls through to the LSH
+    # kernel with NO caller changes — same pair set as the exact join on
+    # the planted ≥0.99-cosine dups (see the recall caveat on the planted
+    # fixture) and a warning flags the sub-0.95-threshold approximation.
+    import warnings
+
+    from vectrekker_spark.operators.knn import similarity_join, similarity_join_blas
+
+    exact = similarity_join_blas(
+        planted, planted, threshold=0.95,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # threshold ≥ 0.95 must NOT warn
+        routed = similarity_join(
+            planted, planted, threshold=0.95,
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+            max_broadcast_rows=10,
+        )
+    key = lambda df: sorted((r["l_id"], r["r_id"], r["score"]) for r in df.collect())
+    assert key(routed) == key(exact)
+    with pytest.warns(UserWarning, match="recall"):
+        similarity_join(
+            planted, planted, threshold=0.90,
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+            max_broadcast_rows=10,
+        )
 
 
 def test_generic_simjoin_within_cap_finds_planted(planted):

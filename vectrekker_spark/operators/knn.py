@@ -427,10 +427,18 @@ def similarity_join(
     Broadcasts the right side; the threshold filter runs inside the same
     codegen stage as the score, so non-matching pairs are never materialized.
     The broadcast is guarded the same way as similarity_join_blas: a
-    LIMIT-bounded probe raises past ``max_broadcast_rows`` (~0.5 GB at 64
-    float64 dims) instead of OOMing executors. For corpus×corpus self-join at
-    100 TB, pre-bucket with LSH (operators/ann.py) or
-    similarity_join_bucketed and run this on candidate pairs only.
+    LIMIT-bounded probe bounds the collect at ``max_broadcast_rows`` (~0.5 GB
+    at 64 float64 dims) instead of OOMing executors.
+
+    Past the guard the router AUTO-ROUTES when it safely can: in self-join
+    mode (``ordered_pairs=True``) with the cosine metric, the call falls
+    through to ``similarity_join_bucketed`` — the LSH route with no
+    driver-side collect, same (l_id, r_id, score) contract and bit-identical
+    scores (a warning notes the recall approximation for thresholds below
+    ~0.95; see that operator's recall math). The ambiguous middle still
+    raises: a CROSS-dataset join (ordered_pairs=False) or a non-cosine
+    metric has no bucketed equivalent here, so silently switching would
+    change semantics — those callers must pre-bucket explicitly.
     """
     l = left.select(F.col(left_id).alias("l_id"), F.col(left_vec).alias("l_vec"))
     r = right.select(
@@ -445,11 +453,38 @@ def similarity_join(
     r_cached = r  # keep the persisted handle; r is rebound below
     if r.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         r.unpersist()
+        if ordered_pairs and metric == "cosine":
+            import warnings
+
+            probe = (
+                right.filter(F.col(right_vec).isNotNull())
+                .select(F.size(right_vec).alias("d"))
+                .first()
+            )
+            if probe is None:
+                raise ValueError(
+                    "similarity_join: no non-null vectors to derive the "
+                    "dimension from on the bucketed fallback path"
+                )
+            if threshold < 0.95:
+                warnings.warn(
+                    "similarity_join: routed past the broadcast cap to the "
+                    f"LSH-bucketed kernel; at threshold={threshold} recall "
+                    "is approximate (see similarity_join_bucketed's recall "
+                    "math) — call a concrete variant to control exactness.",
+                    stacklevel=2,
+                )
+            return similarity_join_bucketed(
+                right, threshold, int(probe["d"]),
+                id_col=right_id, vec_col=right_vec,
+            )
         raise ValueError(
             f"similarity_join: right side exceeds max_broadcast_rows="
-            f"{max_broadcast_rows}; broadcasting it would OOM executors. "
-            "Bucket first (similarity_join_bucketed / LSH / IVF) and join "
-            "per bucket, or raise the cap deliberately."
+            f"{max_broadcast_rows}; broadcasting it would OOM executors, and "
+            "no bucketed equivalent exists for cross-dataset "
+            "(ordered_pairs=False) or non-cosine joins. Bucket first "
+            "(similarity_join_bucketed / LSH / IVF) and join per bucket, or "
+            "raise the cap deliberately."
         )
     if metric == "cosine":
         # per-side norms once, not per pair (same operand order as per-pair)
