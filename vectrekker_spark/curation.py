@@ -114,6 +114,8 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         rel = bm25_scores(
             docs, cfg.relevance_query, id_col=cfg.id_col, text_col=cfg.text_col
         )
+        if rel._cached_base is not None:  # release with the funnel's caches
+            caches.append(rel._cached_base)
         keep = rel.filter(F.col("score") > cfg.min_relevance).select(cfg.id_col)
         docs = docs.join(keep, cfg.id_col, "left_semi").cache()
         caches.append(docs)

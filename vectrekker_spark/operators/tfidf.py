@@ -83,6 +83,7 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """(id, score): Okapi BM25 relevance of every document to the query
     terms — the standard lexical relevance gate for query-targeted corpus
@@ -92,12 +93,16 @@ def bm25_scores(
     with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
 
     Scale shape: ONE narrow projection computes doc length
-    (size(tokens(text))) and the query-hit token array per row; the final
-    all-docs join prunes to the id column (no text read). Uncached input is
-    scanned three times for text (the avgdl/N aggregate plus once per tf
-    consumer — Catalyst doesn't share the tf exchange across its two
-    differently-pruned branches); cache the input when scanning is the
-    dominant cost — curate()'s funnel already passes its cached survivors.
+    (size(tokens(text))) and the query-hit token array per row, and that
+    skinny (id, dl, hit_toks) intermediate is persisted by default
+    (``cache_intermediate=True``), so the TEXT column is scanned exactly
+    once no matter how many consumers hang off it (the avgdl/N aggregate,
+    the tf branch, and the final zero-fill id join all read the cache —
+    without it Catalyst re-scans per differently-pruned branch). The cached
+    block is a tiny fraction of the corpus (no text), and the handle rides
+    the result as ``_cached_base`` — long-lived drivers call ``release()``
+    once the scores are consumed. Pass cache_intermediate=False to opt out
+    (e.g. when the caller already caches an equivalent projection).
     Doc length rides the (id, term) aggregation as a grouping key (it is
     functionally dependent on id), so no separate lengths join exists; only
     query-term hits are exploded and shuffled (∝ hits, not corpus tokens);
@@ -129,6 +134,8 @@ def bm25_scores(
         token_count(F.col(text_col)).alias("dl"),
         F.filter(toks, lambda t: t.isin(terms)).alias("hit_toks"),
     )
+    if cache_intermediate:
+        base = base.persist()
     stats = base.filter(F.col("dl").isNotNull()).agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )
@@ -155,8 +162,23 @@ def bm25_scores(
         ).alias("part"),
     )
     scored = part.groupBy(id_col).agg(F.round(F.sum("part"), 6).alias("score"))
-    return (
-        docs.select(id_col)
+    out = (
+        # zero-fill id list from base (≡ docs' ids, NULL text included):
+        # with the cache on this is an in-memory read, not another scan
+        base.select(id_col)
         .join(scored, id_col, "left")
         .select(F.col(id_col), F.coalesce("score", F.lit(0.0)).alias("score"))
     )
+    out._cached_base = base if cache_intermediate else None
+    return out
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist the cached intermediate a ``bm25_scores`` result holds.
+
+    Call after the scores have been consumed (collected/written); a no-op on
+    DataFrames with nothing tracked — same caller-controlled cache lifecycle
+    idiom as operators/knn.release."""
+    cached = getattr(result, "_cached_base", None)
+    if cached is not None:
+        cached.unpersist()
