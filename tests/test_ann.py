@@ -185,10 +185,15 @@ def test_ivf_save_load_search_roundtrip(spark, em, tmp_path):
     got = _rows(ivf_search_cells(_queries(em), lc, cells, k=K, n_probe=3))
     assert got == expected
 
-    # on-disk layout: one directory per cell (partitioned by cid)
+    # on-disk layout: one directory per cell (partitioned by cid) inside
+    # the CURRENT-pointed version dir
     import os
 
-    dirs = sorted(d for d in os.listdir(f"{path}/cells") if d.startswith("cid="))
+    from vectrekker_spark.operators.ann import cells_location
+
+    dirs = sorted(
+        d for d in os.listdir(cells_location(path)) if d.startswith("cid=")
+    )
     assert len(dirs) == 10
 
 
@@ -321,15 +326,30 @@ def test_ivf_search_cells_infers_columns_from_schema(spark, tmp_path):
     assert res and res[0]["id"] == "doc0" and res[0]["rank"] == 1
 
 
-def test_ivf_load_heals_crashed_compact_swap(spark, em, tmp_path):
+def _make_legacy_layout(path):
+    """Convert a freshly saved (versioned) index into the pre-versioning
+    on-disk layout: bare {path}/cells, no CURRENT pointer."""
     import os
     import shutil
 
-    from vectrekker_spark.operators.ann import ivf_load, ivf_save, ivf_search_cells
+    from vectrekker_spark.operators.ann import cells_dirname
+
+    shutil.move(os.path.join(path, cells_dirname(path)), os.path.join(path, "cells"))
+    os.remove(os.path.join(path, "CURRENT"))
+
+
+def test_ivf_load_heals_crashed_legacy_compact_swap(spark, em, tmp_path):
+    # Back-compat: a PRE-versioning index mid-crashed by the old two-rename
+    # compact still heals on load. Versioned indexes never enter this path.
+    import os
+    import shutil
+
+    from vectrekker_spark.operators.ann import ivf_load, ivf_save
 
     centroids, assign = ivf_build(em, n_centroids=4, method="stride")
     path = str(tmp_path / "ivf")
     ivf_save(centroids, assign, em, path)
+    _make_legacy_layout(path)
     n = em.count()
 
     # crash window 1: cells renamed away, staging complete → promote staging
@@ -343,6 +363,112 @@ def test_ivf_load_heals_crashed_compact_swap(spark, em, tmp_path):
     shutil.move(f"{path}/cells", f"{path}/.cells.trash")
     _, cells2 = ivf_load(spark, path)
     assert cells2.count() == n and os.path.exists(f"{path}/cells")
+
+
+def test_ivf_compact_keeps_old_version_readable(spark, em, tmp_path):
+    # ADVICE r5: a reader whose plan already resolved the old cells dir must
+    # survive a concurrent compact — the pointer flips, the old version
+    # stays on disk as the grace copy until the NEXT rewrite prunes it.
+    import os
+
+    from vectrekker_spark.operators.ann import (
+        cells_dirname,
+        ivf_append,
+        ivf_compact,
+        ivf_load,
+        ivf_save,
+    )
+
+    n = em.count()
+    centroids, assign = ivf_build(em, n_centroids=4, method="stride")
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign, em, path)
+    ivf_append(em.filter(F.col("vec_id") < 30), path)  # create duplicates
+
+    _, old_reader = ivf_load(spark, path)  # plan bound to the old version
+    old_name = cells_dirname(path)
+    assert ivf_compact(spark, path) == 30
+    # old version still fully readable by the in-flight plan...
+    assert old_reader.count() == n + 30
+    assert os.path.exists(os.path.join(path, old_name))
+    # ...and a fresh load sees the deduped new version
+    _, fresh = ivf_load(spark, path)
+    assert fresh.count() == n
+    assert cells_dirname(path) != old_name
+    # next rewrite prunes the grace copy (bounded retention)
+    ivf_compact(spark, path)
+    assert not os.path.exists(os.path.join(path, old_name))
+
+
+def test_ivf_compact_upgrades_legacy_layout(spark, em, tmp_path):
+    from vectrekker_spark.operators.ann import (
+        cells_dirname,
+        ivf_append,
+        ivf_compact,
+        ivf_load,
+        ivf_save,
+    )
+
+    n = em.count()
+    centroids, assign = ivf_build(em, n_centroids=4, method="stride")
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign, em, path)
+    _make_legacy_layout(path)
+    ivf_append(em.filter(F.col("vec_id") < 10), path)
+    assert ivf_compact(spark, path) == 10
+    assert cells_dirname(path).startswith("cells-v")  # upgraded
+    _, cells = ivf_load(spark, path)
+    assert cells.count() == n
+
+
+def test_ivf_delete_supersedes_rows_partition_locally(spark, em, tmp_path):
+    # The delete half of a vector upsert: target rows vanish, untouched
+    # partitions are hardlinked into the new version (same inodes — no data
+    # rewrite), and search stops returning the deleted ids.
+    import os
+
+    from vectrekker_spark.operators.ann import (
+        cells_location,
+        ivf_delete,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    n = em.count()
+    centroids, assign = ivf_build(em, n_centroids=8, method="stride")
+    path = str(tmp_path / "ivf")
+    ivf_save(centroids, assign, em, path)
+    old_loc = cells_location(path)
+    old_files = {
+        d: {f: os.stat(os.path.join(old_loc, d, f)).st_ino
+            for f in os.listdir(os.path.join(old_loc, d))}
+        for d in os.listdir(old_loc) if d.startswith("cid=")
+    }
+
+    _, cells0 = ivf_load(spark, path)
+    victim_cids = {
+        r["cid"] for r in cells0.filter(F.col("vec_id") < 20).select("cid").collect()
+    }
+    assert ivf_delete(spark, path, em.filter(F.col("vec_id") < 20).select("vec_id")) == 20
+    lc, cells = ivf_load(spark, path)
+    assert cells.count() == n - 20
+    assert cells.filter(F.col("vec_id") < 20).count() == 0
+    # unaffected partitions share inodes with the old version (hardlinks)
+    new_loc = cells_location(path)
+    assert new_loc != old_loc
+    for d, files in old_files.items():
+        cid = int(d.split("=")[1])
+        if cid in victim_cids:
+            continue
+        for f, ino in files.items():
+            assert os.stat(os.path.join(new_loc, d, f)).st_ino == ino, (d, f)
+    got = ivf_search_cells(_queries(em), lc, cells, k=K, n_probe=8).collect()
+    assert all(r["vec_id"] >= 20 for r in got)
+    # deleting ids that aren't indexed is a no-op
+    assert ivf_delete(
+        spark, path, em.filter(F.col("vec_id") < 0).select("vec_id")
+    ) == 0
 
 
 def test_ivf_quantized_index(spark, em, tmp_path):
@@ -371,7 +497,9 @@ def test_ivf_quantized_index(spark, em, tmp_path):
             for f in fs
         )
 
-    assert dirsize(f"{q8}/cells") < 0.5 * dirsize(f"{full}/cells")
+    from vectrekker_spark.operators.ann import cells_location
+
+    assert dirsize(cells_location(q8)) < 0.5 * dirsize(cells_location(full))
 
     lc, fcells = ivf_load(spark, full)
     _, qcells = ivf_load(spark, q8)

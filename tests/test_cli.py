@@ -102,7 +102,7 @@ def test_ann_build_and_persisted_search(tmp_path, capsys, spark):
 
     # incremental: nothing new → no-op; new file → exactly one appended
     assert main(["ann-build", "--index", index, "--out", ivf, "--incremental"]) == 0
-    assert "0 new vectors" in capsys.readouterr().out
+    assert "0 new or changed vectors" in capsys.readouterr().out
     (content / "d.md").write_text("delta notes about incremental appends")
     assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
     capsys.readouterr()
@@ -111,6 +111,37 @@ def test_ann_build_and_persisted_search(tmp_path, capsys, spark):
     assert main(["search", "--index", index, "--query-id", str(content / "d.md"), "--ivf", ivf, "-k", "1"]) == 0
     out = capsys.readouterr().out
     assert "d.md" in out and "+1.000000" in out
+
+    # changed vector: editing a.md re-embeds it under the same id; the
+    # incremental build must SUPERSEDE the stale cell rows, not skip them
+    # (id-only delta) nor append beside them (ADVICE r5 — stale scores /
+    # divergent duplicate payloads). After the run every (cid, id) slot
+    # holds exactly one row and every id one payload.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import ivf_load
+
+    a_file = content / "a.md"
+    a_file.write_text("completely different alpha content after an edit")
+    st = os.stat(a_file)
+    os.utime(a_file, (st.st_atime + 2, st.st_mtime + 2))  # strict > mtime
+    assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
+    capsys.readouterr()
+    assert main(["ann-build", "--index", index, "--out", ivf, "--incremental"]) == 0
+    out = capsys.readouterr().out
+    assert "appended 1 vector(s)" in out and "superseded" in out
+    _, cells = ivf_load(spark, ivf)
+    assert cells.groupBy("cid", "id").count().agg(F.max("count")).first()[0] == 1
+    payloads = cells.select("id", F.hash("embedding").alias("h")).distinct()
+    assert payloads.count() == cells.select("id").distinct().count()
+    assert main(["search", "--index", index, "--query-id", a_path, "--ivf", ivf, "-k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert a_path in out and "+1.000000" in out
+    # re-running immediately is a no-op (hash delta empty)
+    assert main(["ann-build", "--index", index, "--out", ivf, "--incremental"]) == 0
+    assert "0 new or changed vectors" in capsys.readouterr().out
 
     # quantized build: searches through the same --ivf path (int8 cells)
     ivf_q = str(tmp_path / "ivf_q8")

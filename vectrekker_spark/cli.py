@@ -192,33 +192,70 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
 
     spark = _spark()
     index = spark.read.parquet(args.index).select("id", "embedding")
-    if args.incremental and os.path.exists(os.path.join(args.out, "cells")):
-        from vectrekker_spark.operators.ann import ivf_load, ivf_meta
+    if args.incremental and (
+        os.path.exists(os.path.join(args.out, "CURRENT"))
+        or os.path.exists(os.path.join(args.out, "cells"))
+    ):
+        from vectrekker_spark.operators.ann import ivf_delete, ivf_load, ivf_meta
 
         # quantization is a BUILD property (it lives in the index meta);
         # an append can't convert a full-precision index, so a --quantize
         # that would be silently ignored is an error, not a no-op
-        if args.quantize and not ivf_meta(spark, args.out).get("quantized"):
+        meta = ivf_meta(spark, args.out)
+        if args.quantize and not meta.get("quantized"):
             print(
                 f"error: index at {args.out} is full-precision; --quantize "
                 "only applies at build time (rebuild without --incremental)"
             )
             return 2
         _, cells = ivf_load(spark, args.out)
-        # persist: the anti-join delta feeds both the count and the append —
-        # without it the index-vs-cells anti-join would execute twice
-        delta = index.join(
-            cells.select(F.col("id")).distinct(), "id", "left_anti"
-        ).persist()
+        # The delta is detected on (id, payload-hash), NOT id alone: a
+        # vector whose embedding CHANGED for an existing id (file edited and
+        # re-indexed, or an --embed-version migration) must supersede its
+        # old cell rows — appending beside them would leave search scoring
+        # stale vectors and break the identical-payload invariant that
+        # candidate dedup and ivf_compact rely on. Changed ids are deleted
+        # from their cells first (partition-local rewrite), then the whole
+        # delta appends. A quantized index compares quantized payloads —
+        # exactly what its cells store.
+        if meta.get("quantized"):
+            from vectrekker_spark.operators.quantize import quantize_int8
+
+            q = quantize_int8(index, vec_col="embedding")
+            idx_keyed = index.join(
+                q.select("id", F.hash("qvec", "qvec_scale").alias("__h")), "id"
+            )
+            cell_keys = cells.select(
+                F.col("id"), F.hash("codes", "codes_scale").alias("__h")
+            ).distinct()
+        else:
+            idx_keyed = index.withColumn("__h", F.hash("embedding"))
+            cell_keys = cells.select(
+                F.col("id"), F.hash("embedding").alias("__h")
+            ).distinct()
+        # persist: the delta feeds the counts, the delete key set and the
+        # append — without it the index-vs-cells anti-join re-executes
+        delta = (
+            idx_keyed.join(cell_keys, ["id", "__h"], "left_anti")
+            .drop("__h")
+            .persist()
+        )
         try:
             n = delta.count()
             if n == 0:
-                print("ann index up to date: 0 new vectors")
+                print("ann index up to date: 0 new or changed vectors")
                 return 0
+            changed = delta.select("id").join(
+                cells.select("id").distinct(), "id", "left_semi"
+            )
+            n_changed = ivf_delete(spark, args.out, changed)
             # id/vec/assign_k come from the index's saved metadata, so the
             # append keeps the build's multi-assignment contract
             ivf_append(delta, args.out)
-            print(f"appended {n} vector(s) to {args.out}")
+            print(
+                f"appended {n} vector(s) to {args.out}"
+                + (f" (superseded {n_changed} stale cell row(s))" if n_changed else "")
+            )
             return 0
         finally:
             delta.unpersist()

@@ -316,11 +316,15 @@ def ivf_save(
     """Persist an IVF index as the classic inverted-list layout:
 
     - ``{path}/centroids``: (cid, cvec) — tiny, one file.
-    - ``{path}/cells``: (id, vector) **partitioned by cid** — each probed
-      cell is its own parquet directory, so a search reads ONLY the probed
-      cells' files (the partition-pruning promise in the module docstring,
-      made real). The cell rows carry the vectors themselves (inverted
-      lists), so probe-time search never joins back to the corpus table.
+    - ``{path}/cells-v{N}`` + ``{path}/CURRENT`` pointer: (id, vector)
+      **partitioned by cid** — each probed cell is its own parquet
+      directory, so a search reads ONLY the probed cells' files (the
+      partition-pruning promise in the module docstring, made real). The
+      cell rows carry the vectors themselves (inverted lists), so
+      probe-time search never joins back to the corpus table. Rewrites
+      land in a NEW version and atomically flip CURRENT (see the
+      versioned-layout note), so concurrent readers never see a missing
+      table.
     - ``{path}/meta``: one JSON row (id_col, vec_col, assign_k, quantized)
       so append / search consumers recover the build parameters instead of
       guessing — pass ``assign_k`` when the assignments were multi-assigned
@@ -338,12 +342,23 @@ def ivf_save(
     file per cell instead of n_tasks × n_cells small files; a skewed hot
     cell becomes one large (still splittable) parquet file.
     """
+    import os
+
     spark = centroids.sparkSession
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     cells = _cell_rows(assignments, corpus, id_col, vec_col, quantize)
+    # versioned write + pointer flip: a REBUILD over an existing index keeps
+    # the old cells version readable for in-flight searches (see the
+    # versioned-layout note below) instead of overwriting under them
+    prev = cells_dirname(path) if os.path.exists(f"{path}/CURRENT") or os.path.exists(
+        f"{path}/cells"
+    ) else None
+    new_name = f"cells-v{_next_version(path)}"
     cells.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
-    ).parquet(f"{path}/cells")
+    ).parquet(f"{path}/{new_name}")
+    _flip_current(path, new_name)
+    _prune_versions(path, {new_name} | ({prev} if prev else set()))
     spark.createDataFrame(
         [(id_col, vec_col, assign_k, quantize)],
         "id_col string, vec_col string, assign_k int, quantized boolean",
@@ -387,13 +402,18 @@ def ivf_meta(spark, path: str) -> dict:
 
 
 def _recover_cells(path: str) -> None:
-    """Heal a crashed ivf_compact swap (local-FS layout): if ``cells`` is
-    missing, promote the completed staging dir, else roll back the trash
-    copy. Both are full tables, so either outcome is readable."""
+    """Heal a crashed LEGACY (pre-versioning) ivf_compact swap: if the
+    unversioned ``cells`` dir is missing and no CURRENT pointer exists,
+    promote the completed staging dir, else roll back the trash copy. Both
+    are full tables, so either outcome is readable. Versioned indexes never
+    need healing — an unflipped new version is unreferenced garbage that
+    the next rewrite prunes."""
     import os
 
     import shutil
 
+    if os.path.exists(os.path.join(path, "CURRENT")):
+        return
     live = os.path.join(path, "cells")
     if os.path.exists(live):
         return
@@ -406,9 +426,78 @@ def _recover_cells(path: str) -> None:
         os.rename(trash, live)  # roll back
 
 
+# --- versioned cells layout ------------------------------------------------
+# The cells table lives in {path}/cells-v{N}; {path}/CURRENT names the live
+# version (atomic os.replace flip). Rewrites (compact, delete, full rebuild)
+# write a complete NEW version and flip the pointer, so concurrent READERS
+# never observe a missing table: a plan that resolved the old directory keeps
+# reading its files — the previous version is retained as a grace copy until
+# the NEXT rewrite prunes it. Reader staleness is therefore bounded at one
+# rewrite; a session holding a plan across two rewrites must re-ivf_load.
+# Pre-versioning indexes (bare {path}/cells, no pointer) stay readable and
+# upgrade to the versioned layout on their first rewrite. Local-FS layout —
+# on an object store use the lakehouse's own OPTIMIZE/DELETE instead.
+
+
+def cells_dirname(path: str) -> str:
+    """Live cells directory name: the CURRENT pointer's target, else the
+    legacy unversioned ``cells``."""
+    try:
+        with open(f"{path}/CURRENT") as f:
+            name = f.read().strip()
+        if name:
+            return name
+    except OSError:
+        pass
+    return "cells"
+
+
+def cells_location(path: str) -> str:
+    """Full path of the live cells table (what spark.read should scan)."""
+    return f"{path}/{cells_dirname(path)}"
+
+
+def _next_version(path: str) -> int:
+    import os
+    import re
+
+    try:
+        versions = [
+            int(m.group(1))
+            for m in (re.fullmatch(r"cells-v(\d+)", d) for d in os.listdir(path))
+            if m
+        ]
+    except OSError:
+        versions = []
+    return max(versions, default=-1) + 1
+
+
+def _flip_current(path: str, name: str) -> None:
+    """Atomically point CURRENT at ``name`` (write-tmp + os.replace)."""
+    import os
+
+    tmp = os.path.join(path, ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(name + "\n")
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+
+
+def _prune_versions(path: str, keep: set[str]) -> None:
+    """Remove cells version dirs (and the legacy dir) not in ``keep``."""
+    import os
+    import re
+    import shutil
+
+    for d in os.listdir(path):
+        if d in keep:
+            continue
+        if d == "cells" or re.fullmatch(r"cells-v(\d+)", d):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
 def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a saved IVF index → (centroids, cells); heals a half-finished
-    compact swap first.
+    LEGACY compact swap first (versioned indexes need no healing).
 
     Partition discovery types the ``cid`` directory values as int; cast back
     to long so loaded plans match in-memory ones schema-for-schema."""
@@ -417,7 +506,7 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     except OSError:
         pass  # non-local path (s3://...): nothing to heal with os primitives
     centroids = spark.read.parquet(f"{path}/centroids")
-    cells = spark.read.parquet(f"{path}/cells").withColumn(
+    cells = spark.read.parquet(cells_location(path)).withColumn(
         "cid", F.col("cid").cast("long")
     )
     return centroids, cells
@@ -461,21 +550,91 @@ def ivf_append(
         assign, new_corpus, id_col, vec_col, bool(meta.get("quantized"))
     )
     cells.repartition(F.col("cid")).write.mode("append").partitionBy("cid").parquet(
-        f"{path}/cells"
+        cells_location(path)
     )
+
+
+def ivf_delete(spark, path: str, ids: DataFrame) -> int:
+    """Remove all cell rows for the given ids from a saved IVF index,
+    rewriting ONLY the partitions that contain them — the delete half of a
+    vector upsert (a changed embedding must supersede its old cell rows, or
+    searches keep scoring the stale vector and the duplicate-payload
+    invariant ivf_compact/search dedup rely on breaks).
+
+    ``ids``: a one-column DataFrame of ids to remove (column name must be
+    the index's id column). Affected cids are discovered by a semi-join
+    against the cells table (bounded by the cell count — the √N quantizer
+    rule keeps this a tiny collect). The rewrite is versioned and
+    reader-safe: surviving rows of the affected partitions are written into
+    a NEW cells version, every UNAFFECTED partition's files are hardlinked
+    across (no data copied — cost ∝ affected cells, never the index), and
+    the CURRENT pointer flips atomically. A crash before the flip leaves
+    the old version live and the half-built one as unreferenced garbage
+    pruned by the next rewrite.
+
+    Same single-writer contract as ivf_compact: don't run concurrently with
+    ivf_append, and on an object store prefer the lakehouse's own
+    DELETE/MERGE. Returns rows removed."""
+    _recover_cells(path)
+    live_name = cells_dirname(path)
+    cells = spark.read.parquet(f"{path}/{live_name}").withColumn(
+        "cid", F.col("cid").cast("long")
+    )
+    id_col = [c for c in cells.columns if c != "cid"][0]
+    hits = cells.join(ids.select(id_col), id_col, "leftsemi")
+    affected = {int(r[0]) for r in hits.select("cid").distinct().collect()}
+    if not affected:
+        return 0
+    removed = hits.count()
+    remain = cells.filter(F.col("cid").isin(list(affected))).join(
+        ids.select(id_col), id_col, "left_anti"
+    )
+    new_name = f"cells-v{_next_version(path)}"
+    # rewritten (possibly now-empty) partitions land in the new version...
+    remain.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/{new_name}")
+    # ...and untouched partitions are hardlinked across (copy on FSes
+    # without link support) — file count ∝ cell count, no data movement
+    _link_partitions(
+        f"{path}/{live_name}", f"{path}/{new_name}", skip_cids=affected
+    )
+    _flip_current(path, new_name)
+    _prune_versions(path, {new_name, live_name})
+    return removed
+
+
+def _link_partitions(src: str, dst: str, skip_cids: set[int]) -> None:
+    import os
+    import re
+    import shutil
+
+    for d in os.listdir(src):
+        m = re.fullmatch(r"cid=(-?\d+)", d)
+        if not m or int(m.group(1)) in skip_cids:
+            continue
+        os.makedirs(os.path.join(dst, d), exist_ok=True)
+        for fn in os.listdir(os.path.join(src, d)):
+            s, t = os.path.join(src, d, fn), os.path.join(dst, d, fn)
+            if os.path.exists(t):
+                continue
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
 
 
 def ivf_compact(spark, path: str) -> int:
     """Rewrite the cells table dropping duplicate (cid, id) rows left by
     re-appended batches (ivf_append's at-least-once caveat) and merging the
-    small files appends accrete. Stage-then-swap, same local-FS idiom as the
-    partitioned merge commit: the deduped table lands in a dot-prefixed
-    sibling dir, then two renames swap it in. A crash before the first
-    rename leaves the original; a crash between the renames is healed by
-    ``_recover_cells`` (run by ivf_load and on the next compact) — the
-    staging copy is always complete before any rename happens. On an object
-    store, use the lakehouse's own OPTIMIZE instead of this helper. Returns
-    rows removed.
+    small files appends accrete. The deduped table lands in a NEW cells
+    version and the CURRENT pointer flips atomically (versioned-layout
+    note above): concurrent READERS keep resolving the old directory —
+    which stays on disk as the grace copy until the next rewrite — so no
+    reader ever hits a missing table mid-swap. A crash before the flip
+    leaves the old version live; the half-built version is unreferenced
+    garbage pruned by the next rewrite. On an object store, use the
+    lakehouse's own OPTIMIZE instead of this helper. Returns rows removed.
 
     Duplicate rows carry identical vectors, so search results never change;
     compaction is purely a size/file-count reclaim, cost ∝ index size — run
@@ -483,32 +642,24 @@ def ivf_compact(spark, path: str) -> int:
 
     Single-writer contract (same as the MERGE sink): compaction must not
     run concurrently with ivf_append — an append landing between the
-    staging read and the swap would be silently discarded by the swap.
-    Serialize them (e.g. compact from the same scheduler that owns the
-    append cadence)."""
-    import os
-    import shutil
-
+    staging read and the flip would be silently discarded. Serialize them
+    (e.g. compact from the same scheduler that owns the append cadence)."""
     _recover_cells(path)
-    cells = spark.read.parquet(f"{path}/cells").withColumn(
+    live_name = cells_dirname(path)
+    cells = spark.read.parquet(f"{path}/{live_name}").withColumn(
         "cid", F.col("cid").cast("long")
     )
     before = cells.count()
     # writer contract (ivf_save/ivf_append): data columns are (id, vector),
     # partition col cid is appended last at read → columns[0] is the id col
     deduped = cells.dropDuplicates(["cid", cells.columns[0]])
-    staging = os.path.join(path, ".cells.compact")
-    shutil.rmtree(staging, ignore_errors=True)
+    new_name = f"cells-v{_next_version(path)}"
     deduped.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
-    ).parquet(staging)
-    after = spark.read.parquet(staging).count()
-    live = os.path.join(path, "cells")
-    trash = os.path.join(path, ".cells.trash")
-    shutil.rmtree(trash, ignore_errors=True)
-    os.rename(live, trash)
-    os.rename(staging, live)
-    shutil.rmtree(trash, ignore_errors=True)
+    ).parquet(f"{path}/{new_name}")
+    after = spark.read.parquet(f"{path}/{new_name}").count()
+    _flip_current(path, new_name)
+    _prune_versions(path, {new_name, live_name})
     return before - after
 
 
