@@ -547,3 +547,49 @@ def test_ivf_quantized_rerank_infers_nondefault_vec_col(spark, tmp_path):
     # no vec_col passed: the re-rank takes the corpus's unique array column
     res = ivf_search_cells(q, lc, cells, k=1, n_probe=2, corpus=corpus).collect()
     assert res and res[0]["vec_id"] == 0 and res[0]["score"] == 1.0
+
+
+def test_ivf_recall_estimate_detects_centroid_drift(spark, tmp_path):
+    """The stats-verb recall canary: build on 4 tight clusters (near-perfect
+    cells), then append a drifted batch that straddles the stale centroid
+    boundaries — the estimate must fall below the build-time value, because
+    bisector vectors split across two cells while n_probe=1 reads one."""
+    import numpy as np
+
+    from vectrekker_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_recall_estimate,
+        ivf_save,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per = 8, 30
+    base = []
+    for c in range(4):
+        center = np.zeros(dim)
+        center[c] = 1.0
+        for i in range(per):
+            base.append((c * per + i, (center + rng.normal(0, 0.05, dim)).tolist()))
+    base_df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "drift")
+    centroids, assign = ivf_build(base_df, n_centroids=4)
+    ivf_save(centroids, assign, base_df, path)
+    before = ivf_recall_estimate(spark, path, sample=240, k=5, n_probe=1)
+    assert before["sampled"] == 4 * per
+    assert before["recall"] > 0.9, before
+
+    drift = []
+    for gi, (a, b) in enumerate([(0, 1), (1, 2), (2, 3), (3, 0)]):
+        center = np.zeros(dim)
+        center[a] = center[b] = 1.0
+        for i in range(per):
+            drift.append(
+                (1000 + gi * per + i, (center + rng.normal(0, 0.15, dim)).tolist())
+            )
+    ivf_append(
+        spark.createDataFrame(drift, "vec_id long, embedding array<double>"), path
+    )
+    after = ivf_recall_estimate(spark, path, sample=240, k=5, n_probe=1)
+    assert after["sampled"] == 8 * per
+    assert after["recall"] < before["recall"] - 0.05, (before, after)

@@ -31,6 +31,21 @@ def test_dry_run_no_side_effects(tmp_path, capsys, spark):
     assert not os.path.exists(index) and not os.path.exists(state)  # no side effects
 
 
+def test_dry_run_honors_max_changed(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    rc = main([
+        "index", "--content-dir", str(content),
+        "--state", state, "--index", index, "--dry-run", "--max-changed", "1",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # the listing matches the next capped run: 1 sliced file, 2 backlog
+    assert "1 file(s) would be re-indexed (--max-changed 1; total backlog 2)" in out
+    assert str(content / "a.md") in out  # path-ordered slice: a.md first
+    assert str(content / "b.md") not in out
+
+
 def test_curate_command(tmp_path, capsys, spark, sf_dir):
     out_dir = str(tmp_path / "shards")
     rc = main([
@@ -275,3 +290,18 @@ def test_stats_with_ivf_summary(tmp_path, capsys, spark):
     # assign_k=2 on 2 docs in 2 cells → 4 rows, both cells hold both docs
     assert "2 centroid(s)" in out and "4 row(s) (full)" in out
     assert "cell sizes 2..2" in out and "assign_k=2" in out
+
+
+def test_stats_recall_canary(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    ivf = str(tmp_path / "ivf")
+    assert main(["index", "--content-dir", str(content), "--state", state, "--index", index]) == 0
+    assert main(["ann-build", "--index", index, "--out", ivf]) == 0
+    capsys.readouterr()
+    assert main([
+        "stats", "--index", index, "--ivf", ivf, "--recall-sample", "10",
+    ]) == 0
+    out = capsys.readouterr().out
+    # 2 docs, assign_k=2: every cell holds everything -> recall is exactly 1
+    assert "ivf recall@10 ~= 1.000 (2 sampled queries" in out

@@ -278,6 +278,30 @@ def test_pooled_client_reuses_keepalive_connection(fake_server_keepalive):
     assert state.connections == 1  # all three rode one pooled connection
 
 
+def test_pooled_client_non_idempotent_never_replays(fake_server_keepalive):
+    # at-least-once hazard: a reused socket dying mid-exchange normally
+    # triggers a transparent re-send; idempotent=False must surface the
+    # failure instead of replaying the request (class docstring contract)
+    from vectrekker_spark.http_client import PooledHttpClient
+
+    state, url = fake_server_keepalive
+    client = PooledHttpClient(url)
+    try:
+        client.post_json("/vectors/upsert", {"vectors": []})  # warm: reused now
+        state.reset_next = 1
+        with pytest.raises(OSError):
+            client.post_json("/vectors/upsert", {"vectors": []}, idempotent=False)
+        # the server saw the doomed request exactly once — no replay
+        assert len(state.paths) == 2
+        # default path still re-dials transparently after a stale socket
+        client.post_json("/vectors/upsert", {"vectors": []})  # re-warm: reused
+        state.reset_next = 1
+        assert client.post_json("/vectors/upsert", {"vectors": []}) == {}
+        assert len(state.paths) == 5  # dropped attempt + transparent replay
+    finally:
+        client.close()
+
+
 def test_pooled_client_degrades_on_http10_server(fake_server):
     # an HTTP/1.0 server closes after each response; the pooled client must
     # transparently re-dial instead of failing on the stale socket

@@ -102,3 +102,71 @@ def test_streaming_ann_index_maintenance(spark, sf_dir, tmp_path):
     )
     res = ivf_search_cells(q, lc, cells3, k=1, n_probe=4).collect()
     assert res and res[0]["vec_id"] == probe_id and res[0]["rank"] == 1
+
+
+def test_streaming_ann_soak_appends_compact_equals_rebuild(spark, sf_dir, tmp_path):
+    """Soak ST5 on the ANN structure end-to-end: three micro-batches of
+    appends (maxFilesPerTrigger=1), one at-least-once duplicate delivery,
+    one ivf_compact — search over the maintained index must equal search
+    over a one-shot batch build of the same corpus with the same centroids."""
+    from pyspark.sql import functions as F
+
+    from tests.helpers import rows_of
+    from vectrekker_spark.operators.ann import (
+        assign_centroids,
+        ivf_build,
+        ivf_compact,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+    from vectrekker_spark.streaming.jobs import foreach_batch_ann_append
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = em.count()
+    quarter = n // 4
+    initial = em.filter(F.col("vec_id") < quarter)
+    ivf = str(tmp_path / "ivf")
+    centroids, assign = ivf_build(initial, n_centroids=4, method="stride")
+    ivf_save(centroids, assign, initial, ivf)
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    for b in range(3):
+        lo, hi = quarter * (b + 1), quarter * (b + 2) if b < 2 else n
+        em.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(str(stream_dir / f"batch{b}"))
+    ckpt = str(tmp_path / "ckpt")
+    src = (
+        spark.readStream.schema(em.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    foreach_batch_ann_append(src, ivf, ckpt, id_col="vec_id").awaitTermination()
+    _, cells = ivf_load(spark, ivf)
+    assert cells.count() == n
+
+    # at-least-once redelivery: batch1 lands again via a fresh checkpoint
+    src2 = spark.readStream.schema(em.schema).parquet(str(stream_dir / "batch1"))
+    foreach_batch_ann_append(
+        src2, ivf, str(tmp_path / "ckpt2"), id_col="vec_id"
+    ).awaitTermination()
+    _, dup_cells = ivf_load(spark, ivf)
+    assert dup_cells.count() == n + quarter  # duplicates present pre-compact
+    removed = ivf_compact(spark, ivf)
+    assert removed == quarter
+    lc, cells2 = ivf_load(spark, ivf)
+    assert cells2.count() == n
+
+    # equality vs a one-shot batch build over the full corpus with the SAME
+    # centroids (appends index against build-time centroids by contract)
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_save(centroids, assign_centroids(em, centroids), em, rebuilt)
+    rc, rcells = ivf_load(spark, rebuilt)
+    q = em.filter(F.col("vec_id") % (n // 10) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = rows_of(ivf_search_cells(q, lc, cells2, k=5, n_probe=3))
+    want = rows_of(ivf_search_cells(q, rc, rcells, k=5, n_probe=3))
+    assert got == want and len(want) > 0

@@ -66,6 +66,18 @@ def cmd_index(args: argparse.Namespace) -> int:
             .select("path")
             .collect()
         )
+        if args.max_changed > 0 and len(changed) > args.max_changed:
+            # mirror run_pipeline's bounded slice (same deterministic path
+            # order) so the listing matches what the next run will process
+            sliced = sorted(r["path"] for r in changed)[: args.max_changed]
+            print(
+                f"dry-run: {len(sliced)} file(s) would be re-indexed "
+                f"(--max-changed {args.max_changed}; total backlog "
+                f"{len(changed)})"
+            )
+            for p in sliced:
+                print(f"  {p}")
+            return 0
         print(f"dry-run: {len(changed)} file(s) would be re-indexed")
         for r in changed:
             print(f"  {r['path']}")
@@ -356,6 +368,18 @@ def cmd_stats(args: argparse.Namespace) -> int:
             f"cell(s), {c['rows']} row(s) ({kind}), cell sizes "
             f"{c['min']}..{c['max']}, assign_k={meta.get('assign_k') or 1}"
         )
+        if args.recall_sample:
+            from vectrekker_spark.operators.ann import ivf_recall_estimate
+
+            r = ivf_recall_estimate(
+                spark, args.ivf, sample=args.recall_sample, n_probe=args.n_probe
+            )
+            print(
+                f"ivf recall@{r['k']} ~= {r['recall']:.3f} "
+                f"({r['sampled']} sampled queries, n_probe={r['n_probe']}) — "
+                "a drop vs the build-time value means centroid drift: "
+                "re-run ann-build"
+            )
     return 0
 
 
@@ -428,6 +452,16 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("stats", help="index summary")
     st.add_argument("--index", required=True)
     st.add_argument("--ivf", help="also summarize a persisted IVF index dir")
+    st.add_argument(
+        "--recall-sample", type=int, default=0,
+        help="with --ivf: estimate recall@10 on N sampled stored vectors "
+        "(exact brute-force vs the index's probes) — the centroid-drift "
+        "canary; 0 (default) skips the measurement",
+    )
+    st.add_argument(
+        "--n-probe", type=int, default=3,
+        help="probes per query for the --recall-sample estimate",
+    )
     st.set_defaults(fn=cmd_stats)
 
     cu = sub.add_parser(

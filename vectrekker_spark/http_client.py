@@ -130,6 +130,16 @@ class PooledHttpClient:
     `Retry-After`) on any other status — same exception surface as the
     previous urlopen-based transport, so callers' retry loops are unchanged.
     Non-2xx responses are drained so the connection stays reusable.
+
+    Delivery is AT-LEAST-ONCE on a reused connection: when a keep-alive
+    socket dies mid-exchange the client cannot tell "server idled out the
+    connection before the request arrived" from "server processed the
+    request and the connection reset while we read the reply", and the
+    transparent re-dial re-sends in both cases. Both shipped callers are
+    safe under replay (vector upsert is idempotent by key; an embed request
+    is repeatable — and the caller's own retry loop would re-send anyway),
+    but a non-idempotent endpoint must pass `idempotent=False`, which turns
+    the stale-socket re-dial off and surfaces the failure to the caller.
     """
 
     def __init__(self, base_url: str, timeout_s: float = 30.0) -> None:
@@ -198,7 +208,11 @@ class PooledHttpClient:
         return f"{self._scheme}://{netloc}{self._target(path)}"
 
     def post_json(
-        self, path: str, payload: dict, headers: dict[str, str] | None = None
+        self,
+        path: str,
+        payload: dict,
+        headers: dict[str, str] | None = None,
+        idempotent: bool = True,
     ) -> dict:
         body = json.dumps(payload).encode()
         hdrs = {"Content-Type": "application/json", **(headers or {})}
@@ -207,8 +221,11 @@ class PooledHttpClient:
         except (http.client.HTTPException, ConnectionError, TimeoutError, OSError):
             was_reused = self._used
             self.close()
-            if not was_reused:
-                raise  # fresh-connection failure: a real outage, let caller back off
+            if not (was_reused and idempotent):
+                # fresh-connection failure is a real outage; a non-idempotent
+                # request must not be replayed (at-least-once hazard — see
+                # class docstring). Either way the caller decides.
+                raise
             # stale keep-alive socket (server idled it out between requests):
             # one transparent re-dial, failures from here propagate
             resp = self._request(path, body, hdrs)

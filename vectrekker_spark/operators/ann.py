@@ -743,6 +743,80 @@ def ivf_search_cells(
     return _exact_rerank(coarse, corpus, queries, k, id_col, vec_col)
 
 
+def ivf_recall_estimate(
+    spark,
+    path: str,
+    sample: int = 100,
+    k: int = 10,
+    n_probe: int = 3,
+) -> dict:
+    """Sampled recall canary for a persisted index: how good are this
+    index's centroids for the vectors it currently holds?
+
+    Appends re-use build-time centroids (ivf_append), so a drifting corpus
+    — new vectors far from every training cluster — silently degrades
+    probe recall until a full rebuild. Nothing in the cells table exposes
+    that; the only way to see it is to measure. This estimator samples
+    ``sample`` stored vectors as queries (deterministic: lowest xxhash64 of
+    the id, so repeated calls on an unchanged index agree), runs
+    ``ivf_search_cells`` against exact brute-force top-k over the same
+    stored vectors, and reports the mean overlap.
+
+    Cost is bounded and corpus-shaped, not quadratic: the sampled queries
+    are a broadcast-crossJoin side, so ground truth is ONE streaming pass
+    over the cells table scoring each row against ≤``sample`` queries —
+    the same shape as any exact-knn batch. A quantized index is measured
+    in its own dequantized space (index-vs-index, the drift signal we
+    want), so no full-precision corpus is needed.
+
+    Returns ``{"recall": float, "k", "n_probe", "sampled": n_queries}``.
+    Surfaced as ``stats --ivf ... --recall-sample N`` on the CLI."""
+    centroids, cells = ivf_load(spark, path)
+    data_cols = [c for c in cells.columns if c != "cid"]
+    id_col = data_cols[0]
+    quantized = len(data_cols) >= 3 and f"{data_cols[1]}_scale" in data_cols
+    if quantized:
+        from vectrekker_spark.operators.quantize import dequantize_int8
+
+        vectors = dequantize_int8(
+            cells, qvec_col=data_cols[1], out_col="__vec"
+        ).select(id_col, "__vec")
+        vec_col = "__vec"
+    else:
+        vec_col = data_cols[1]
+        vectors = cells.select(id_col, vec_col)
+    # multi-assigned vectors appear in several cells with identical payloads
+    vectors = vectors.dropDuplicates([id_col])
+    queries = (
+        vectors.orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    )
+    queries = queries.persist()
+    exact = _topk_by_score(
+        F.broadcast(queries).crossJoin(vectors), k, id_col, vec_col
+    ).select("qid", id_col)
+    approx = ivf_search_cells(
+        queries, centroids, cells, k=k, n_probe=n_probe
+    ).select("qid", id_col, F.lit(1).alias("__hit"))
+    row = (
+        exact.join(approx, ["qid", id_col], "left")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("hit"),
+            F.countDistinct("qid").alias("sampled"),
+        )
+        .collect()[0]
+    )
+    queries.unpersist()
+    return {
+        "recall": (row["hit"] / row["total"]) if row["total"] else 1.0,
+        "k": k,
+        "n_probe": n_probe,
+        "sampled": row["sampled"],
+    }
+
+
 def lsh_model(
     corpus: DataFrame,
     bucket_length: float = 0.5,
