@@ -163,3 +163,23 @@ def test_bm25_uncached_final_join_prunes_to_id(spark, sf_dir):
         set(s.split("<")[1].rstrip(">").split(",")) <= {"doc_id:bigint", "text:string"}
         for s in with_text
     ), schemas
+
+
+def test_tpch_fact_table_never_broadcast(spark, sf_dir):
+    # lineitem is the fact: it must be the stream side of every join. A
+    # BroadcastExchange over it is a plan that only works while the fact
+    # fits the broadcast threshold — i.e. never at 100 TB. (Regression: the
+    # original c⋈o⋈li order made Catalyst build-side lineitem in all three
+    # TPC-H queries.)
+    from vectrekker_spark.plans import broadcast_subtrees
+    from vectrekker_spark.queries.tpch import (
+        t03_shipping_priority,
+        t05_local_supplier_volume,
+        t10_returned_items,
+    )
+
+    for q in (t03_shipping_priority, t05_local_supplier_volume, t10_returned_items):
+        subs = broadcast_subtrees(q(spark, sf_dir))
+        assert subs, "expected dim broadcasts in the TPC-H join plans"
+        for sub in subs:
+            assert "lineitem" not in sub, (q.__name__, sub)

@@ -63,3 +63,24 @@ def partition_filters(df: DataFrame) -> list[str]:
         if "PartitionFilters:" in line:
             out.append(line.split("PartitionFilters:", 1)[1].strip())
     return out
+
+
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """treeString of the BUILD side of every broadcast join in the pre-AQE
+    physical plan — lets tests assert WHAT a join plans to broadcast. The
+    build side is collected to the driver and shipped to every executor, so
+    a fact-table scan appearing here is an OOM-shaped plan the moment the
+    fact outgrows the threshold. (sparkPlan, not executedPlan: exchanges
+    aren't inserted yet, so the join node's buildSide is the signal.)"""
+
+    def walk(node, out):
+        if node.nodeName() in ("BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+            idx = 0 if node.buildSide().toString() == "BuildLeft" else 1
+            out.append(node.children().apply(idx).treeString())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), out)
+
+    res: list[str] = []
+    walk(df._jdf.queryExecution().sparkPlan(), res)  # noqa: SLF001
+    return res

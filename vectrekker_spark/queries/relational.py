@@ -357,7 +357,9 @@ ORDER BY shape, dim1, dim2
 
 
 def q12_rank_window(spark: SparkSession, sf: str) -> DataFrame:
-    o = tb(spark, sf, "orders")
+    # tb1: single-partition serial plan on the one-file local fixture (zero
+    # exchanges — the q13 pattern); distributed window plan at real scale
+    o = tb1(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )

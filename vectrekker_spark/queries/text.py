@@ -38,7 +38,12 @@ FROM documents GROUP BY 1 ORDER BY keep_id
 
 
 def q26_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = tbp(spark, sf, "documents")
+    from vectrekker_spark.queries.util import small_local, tb1
+
+    # tb1: one small local file → scan, regex counts, agg, and the |langs|-row
+    # sort all run in one task, zero exchanges (d12 pattern); at real scale
+    # the scan splits and this is the ordinary partial-agg + exchange plan
+    d = tb1(spark, sf, "documents")
     per_doc = d.select(
         "lang",
         "n_chars",
@@ -46,19 +51,18 @@ def q26_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         T.token_count("text").alias("n_tokens"),
         T.avg_word_len("text").alias("awl"),
     )
-    return (
-        per_doc.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("awl"), 4).alias("avg_word_len"),
-            F.sum(F.when(F.col("text_len") == F.col("n_chars"), 1).otherwise(0)).alias(
-                "n_chars_consistent"
-            ),
-        )
-        .orderBy("lang")
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("awl"), 4).alias("avg_word_len"),
+        F.sum(F.when(F.col("text_len") == F.col("n_chars"), 1).otherwise(0)).alias(
+            "n_chars_consistent"
+        ),
     )
+    if small_local(sf, "documents"):
+        return agg.sortWithinPartitions("lang")
+    return agg.orderBy("lang")
 
 
 Q26_SQL = f"""
@@ -79,17 +83,20 @@ FROM per_doc GROUP BY lang ORDER BY lang
 
 
 def q27_chunking(spark: SparkSession, sf: str) -> DataFrame:
-    d = tbp(spark, sf, "documents")
-    return (
-        chunk_text(d, size=100, overlap=20)
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.length("chunk_text").cast("long").alias("chunk_len"),
-            F.md5("chunk_text").alias("chunk_md5"),
-        )
-        .transform(lambda d: ordered(d, "doc_id", "chunk_id"))
+    from vectrekker_spark.queries.util import small_local, tb1
+
+    # tb1 + serial sort on the one-file fixture (d12 pattern, 0 exchanges);
+    # ordered() barrier at real scale
+    d = tb1(spark, sf, "documents")
+    chunks = chunk_text(d, size=100, overlap=20).select(
+        "doc_id",
+        "chunk_id",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
     )
+    if small_local(sf, "documents"):
+        return chunks.sortWithinPartitions("doc_id", "chunk_id")
+    return ordered(chunks, "doc_id", "chunk_id")
 
 
 Q27_SQL = """
@@ -264,14 +271,21 @@ def d06_fingerprint_meta(spark: SparkSession, sf: str) -> DataFrame:
     # Binary-column plumbing (north-star multimodal surface): treat content as
     # opaque bytes + typed metadata. Real decode lives in
     # operators/multimodal.py (stubbed — no media libs in this container).
-    d = tbp(spark, sf, "documents")
+    from vectrekker_spark.queries.util import small_local
+
+    d = tb(spark, sf, "documents")
     bin_col = F.encode(F.col("text"), "UTF-8")
-    return d.select(
+    out = d.select(
         "doc_id",
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5(bin_col).alias("content_md5"),
         T.fingerprint("text").alias("norm_fingerprint"),
-    ).transform(lambda d: ordered(d, "doc_id"))
+    )
+    if small_local(sf, "documents"):
+        # d12's serial plan: one scan task hashes and sorts in-task — zero
+        # exchanges on a single small local file; distributed at real scale
+        return out.coalesce(1).sortWithinPartitions("doc_id")
+    return ordered(out, "doc_id")
 
 
 D06_SQL = """

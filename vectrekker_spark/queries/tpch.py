@@ -39,12 +39,19 @@ REV_SQL = (
 def t03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, filter both sides of the
     # date, group, top-10 by revenue.
+    # lineitem is the FACT and must be the stream side: li ⋈ (build o) ⋈
+    # (build c) scans lineitem once with the smaller tables as hash builds
+    # (locally: broadcasts; at 100 TB the threshold demotes o to a shuffled
+    # join and lineitem still never builds). The previous c⋈o⋈li order made
+    # Catalyst BROADCAST LINEITEM — fine at sf0.1, an OOM-shaped plan the
+    # moment the fact outgrows the threshold, and measurably slower locally
+    # (hash-relation build over 600k rows).
     c = tb(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = tb(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
     li = tb(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(_revenue()) / 1000000.0).alias(REV))
         .select(
@@ -83,11 +90,17 @@ def t05_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     li = tb(spark, sf, "lineitem")
+    # stream-side lineitem (see t03): every other table hash-builds against
+    # the single fact scan; the c/s nationkey equality rides the supplier
+    # join as a composite key instead of a post-join filter
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -118,9 +131,10 @@ def t10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = tb(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = tb(spark, sf, "nation")
+    # stream-side lineitem (see t03)
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg((F.sum(_revenue()) / 1000000.0).alias(REV))

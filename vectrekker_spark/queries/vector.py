@@ -168,7 +168,17 @@ def q21_vector_metrics(spark: SparkSession, sf: str) -> DataFrame:
     # pair BY CONSTRUCTION — what matters at 1536 dims × corpus scale, and
     # robust to optimizer rewrites that break subtree identity. The oracle
     # mirrors the identical scalar arithmetic so parity is bit-exact.
-    em = tbp(spark, sf, "embeddings")
+    from vectrekker_spark.queries.util import small_local, tb1
+
+    # tb1 + explicit broadcast of the successor side on the one-file local
+    # fixture: the left-join runs inside the single scan task and the final
+    # sort is serial — zero data-shuffling exchanges (0.70→~0.3 s at sf0.1).
+    # At real scale the table is multi-split, the gate is off, and the
+    # successor join is the ordinary spread + Catalyst-chosen strategy (the
+    # whole table is the "dim" here, so no explicit broadcast hint: past the
+    # threshold that would be a fact broadcast).
+    serial = small_local(sf, "embeddings")
+    em = tb1(spark, sf, "embeddings") if serial else tbp(spark, sf, "embeddings")
     nsq = lambda c: F.aggregate(  # noqa: E731 - sum of squares, in-order
         F.col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )
@@ -184,7 +194,7 @@ def q21_vector_metrics(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").alias("b"),
         nsq("embedding").alias("__n2sq"),
     )
-    paired = base.join(nxt, "vec_id", "left").select(
+    paired = base.join(F.broadcast(nxt) if serial else nxt, "vec_id", "left").select(
         "vec_id", "dim", "__n1sq", "__n2sq", "__e0", dot("a", "b").alias("__d")
     )
     l2_from_parts = F.when(
@@ -208,7 +218,11 @@ def q21_vector_metrics(spark: SparkSession, sf: str) -> DataFrame:
             F.round("__d", 6).alias("dot_prod"),
             F.round(l2_from_parts, 6).alias("l2_distance"),
         )
-        .transform(lambda d: ordered(d, "vec_id"))
+        .transform(
+            lambda d: d.sortWithinPartitions("vec_id")
+            if serial
+            else ordered(d, "vec_id")
+        )
     )
 
 
@@ -234,13 +248,30 @@ ORDER BY vec_id
 
 
 def q22_topk_nn(spark: SparkSession, sf: str) -> DataFrame:
-    # plain tb: a 2000-row corpus scores in one BLAS call; 32-way spread was
-    # pure task overhead (0.73s → 0.34s measured)
+    # Single-query top-k is the interactive `search` shape
+    # (vectrekker/main.py:162-167): broadcast the one query row, score
+    # JVM-side in the scan stage, and let orderBy+limit compile to
+    # TakeOrderedAndProject — only k rows ever leave the scan, no Python
+    # worker, no per-qid window (knn_join is the BATCH operator; routing one
+    # query through it paid its mapInPandas + window exchanges: 0.60→0.27 s
+    # at sf0.1). rank is a row_number over the k survivors (single tiny
+    # partition post-limit), ordered exactly like the top-k selection.
+    from pyspark.sql import Window
+
+    from vectrekker_spark.functions.vector import cosine_sim
+
     em = tb(spark, sf, "embeddings")
     q = tb(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("embedding").alias("qvec")
     )
-    return knn_join(q, em, k=10).select("vec_id", "score", "rank").orderBy("rank")
+    topk = (
+        em.join(F.broadcast(q))
+        .select("vec_id", F.round(cosine_sim("embedding", "qvec"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 Q22_SQL = f"""
