@@ -328,13 +328,18 @@ def test_ivf_search_cells_infers_columns_from_schema(spark, tmp_path):
 
 def _make_legacy_layout(path):
     """Convert a freshly saved (versioned) index into the pre-versioning
-    on-disk layout: bare {path}/cells, no CURRENT pointer."""
+    on-disk layout: bare {path}/cells and {path}/centroids, no CURRENT
+    pointer, no versioned dirs."""
     import os
+    import re
     import shutil
 
     from vectrekker_spark.operators.ann import cells_dirname
 
     shutil.move(os.path.join(path, cells_dirname(path)), os.path.join(path, "cells"))
+    for d in os.listdir(path):
+        if re.fullmatch(r"centroids-v(\d+)", d):
+            shutil.move(os.path.join(path, d), os.path.join(path, "centroids"))
     os.remove(os.path.join(path, "CURRENT"))
 
 
@@ -593,3 +598,82 @@ def test_ivf_recall_estimate_detects_centroid_drift(spark, tmp_path):
     after = ivf_recall_estimate(spark, path, sample=240, k=5, n_probe=1)
     assert after["sampled"] == 8 * per
     assert after["recall"] < before["recall"] - 0.05, (before, after)
+
+
+def test_ivf_rebuild_keeps_old_centroids_readable(spark, em, tmp_path):
+    """A full rebuild over an existing index must not overwrite the live
+    centroids in place: a reader holding the old (centroids, cells) pair
+    keeps getting consistent results, and a fresh load pairs the NEW
+    centroids with the NEW cells (never new-centroids/old-cells)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    path = str(tmp_path / "rb")
+    centroids, assign = ivf_build(em, n_centroids=5, method="stride")
+    ivf_save(centroids, assign, em, path)
+    old_c, old_cells = ivf_load(spark, path)
+    q = em.limit(3).selectExpr("vec_id as qid", "embedding as qvec")
+    want = _rows(ivf_search_cells(q, old_c, old_cells, k=5, n_probe=2))
+
+    # rebuild with a DIFFERENT centroid count → different cid space
+    c2, a2 = ivf_build(em, n_centroids=8, method="stride")
+    ivf_save(c2, a2, em, path)
+    # the old reader's plans still resolve their directories (grace copies)
+    got_old = _rows(ivf_search_cells(q, old_c, old_cells, k=5, n_probe=2))
+    assert got_old == want
+    # a fresh load is internally consistent on the new version
+    new_c, new_cells = ivf_load(spark, path)
+    assert new_c.count() == 8
+    res = _rows(ivf_search_cells(q, new_c, new_cells, k=5, n_probe=2))
+    assert len(res) == 15  # 3 queries x k=5 — probes resolve real cells
+    # second rebuild prunes the first version's tables (grace policy)
+    c3, a3 = ivf_build(em, n_centroids=6, method="stride")
+    ivf_save(c3, a3, em, path)
+    dirs = set(os.listdir(path))
+    assert sum(1 for d in dirs if d.startswith("cells")) == 2
+    assert sum(1 for d in dirs if d.startswith("centroids")) == 2
+
+
+def test_ivf_delete_all_rows_keeps_index_usable(spark, em, tmp_path):
+    """Deleting every id (e.g. an embed-version migration re-embedding the
+    whole corpus) must leave a loadable, searchable, appendable EMPTY index,
+    not an uninferrable data-less directory."""
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        ivf_build,
+        ivf_compact,
+        ivf_delete,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    sub = em.filter(F.col("vec_id") < 50)
+    path = str(tmp_path / "empty")
+    centroids, assign = ivf_build(sub, n_centroids=3, method="stride")
+    ivf_save(centroids, assign, sub, path)
+    removed = ivf_delete(spark, path, sub.select("vec_id"))
+    assert removed == 50
+    lc, cells = ivf_load(spark, path)  # schema recovered from meta sidecar
+    assert cells.count() == 0
+    assert [c for c in cells.columns if c != "cid"][0] == "vec_id"
+    q = sub.limit(2).selectExpr("vec_id as qid", "embedding as qvec")
+    assert ivf_search_cells(q, lc, cells, k=3, n_probe=2).count() == 0
+    assert ivf_compact(spark, path) == 0  # compacting empty is a no-op
+    # appends repopulate the same index in place
+    from vectrekker_spark.operators.ann import ivf_append
+
+    ivf_append(sub, path)
+    lc2, cells2 = ivf_load(spark, path)
+    assert cells2.count() == 50
+    res = ivf_search_cells(q, lc2, cells2, k=1, n_probe=3).collect()
+    assert res and res[0]["score"] == 1.0

@@ -245,3 +245,24 @@ def test_blas_route_tolerates_null_vectors(spark):
     df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
     out = similarity_join_self_auto(df, 0.999, "vec_id", "embedding")  # blas route
     assert out.count() > 0
+
+
+def test_similarity_join_cross_frame_past_cap_raises(spark):
+    # ordered_pairs=True with DISTINCT frames must not auto-route: the
+    # bucketed self-join kernel would silently drop the left-side filter
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.knn import similarity_join
+
+    df = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    left = df.filter(F.col("vec_id") < 10)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        similarity_join(
+            left, df, threshold=0.5, ordered_pairs=True, max_broadcast_rows=5,
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+        )

@@ -233,17 +233,20 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
         if meta.get("quantized"):
             from vectrekker_spark.operators.quantize import quantize_int8
 
+            # xxhash64, not 32-bit hash: at billions of re-embedded vectors
+            # a 32-bit collision (~n/2^32) would leave one changed vector
+            # permanently stale with no later self-correction
             q = quantize_int8(index, vec_col="embedding")
             idx_keyed = index.join(
-                q.select("id", F.hash("qvec", "qvec_scale").alias("__h")), "id"
+                q.select("id", F.xxhash64("qvec", "qvec_scale").alias("__h")), "id"
             )
             cell_keys = cells.select(
-                F.col("id"), F.hash("codes", "codes_scale").alias("__h")
+                F.col("id"), F.xxhash64("codes", "codes_scale").alias("__h")
             ).distinct()
         else:
-            idx_keyed = index.withColumn("__h", F.hash("embedding"))
+            idx_keyed = index.withColumn("__h", F.xxhash64("embedding"))
             cell_keys = cells.select(
-                F.col("id"), F.hash("embedding").alias("__h")
+                F.col("id"), F.xxhash64("embedding").alias("__h")
             ).distinct()
         # persist: the delta feeds the counts, the delete key set and the
         # append — without it the index-vs-cells anti-join re-executes

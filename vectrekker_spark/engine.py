@@ -160,10 +160,22 @@ class Engine:
 
     def bm25(self, df: DataFrame, query: str | list[str], **kw) -> DataFrame:
         """(id, score) Okapi BM25 relevance of each document to the query
-        terms — the lexical gate for query-targeted corpus curation."""
+        terms — the lexical gate for query-targeted corpus curation.
+
+        The result carries a persisted intermediate (so the text column is
+        scanned once, not three times); when done with it, long-lived
+        drivers call ``Engine.release_bm25(result)`` — per-call caches
+        otherwise accumulate in storage memory across repeated queries."""
         from vectrekker_spark.operators.tfidf import bm25_scores
 
         return bm25_scores(df, query, **kw)
+
+    @staticmethod
+    def release_bm25(result: DataFrame) -> None:
+        """Unpersist the cached intermediate a ``bm25`` result carries."""
+        from vectrekker_spark.operators.tfidf import release
+
+        release(result)
 
     def near_dedup(self, df: DataFrame, threshold: float = 0.7, **kw) -> DataFrame:
         """Cluster-aware near-dedup: MinHash pairs → connected components →

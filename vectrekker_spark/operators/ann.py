@@ -345,23 +345,33 @@ def ivf_save(
     import os
 
     spark = centroids.sparkSession
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     cells = _cell_rows(assignments, corpus, id_col, vec_col, quantize)
     # versioned write + pointer flip: a REBUILD over an existing index keeps
     # the old cells version readable for in-flight searches (see the
-    # versioned-layout note below) instead of overwriting under them
+    # versioned-layout note below) instead of overwriting under them. The
+    # centroids version the rebuild INTRODUCES is written under the same
+    # version number — never in place over the live centroids, which a
+    # reader's in-flight plan (or its old-cells grace copy) still pairs with.
     prev = cells_dirname(path) if os.path.exists(f"{path}/CURRENT") or os.path.exists(
         f"{path}/cells"
     ) else None
-    new_name = f"cells-v{_next_version(path)}"
+    version = _next_version(path)
+    new_name = f"cells-v{version}"
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids-v{version}")
     cells.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/{new_name}")
     _flip_current(path, new_name)
     _prune_versions(path, {new_name} | ({prev} if prev else set()))
+    # cells_schema: lets readers recover an index whose every row was
+    # deleted (a data-less partitioned dir can't infer its schema). Stored
+    # in READ order — data columns first, partition col cid last — so the
+    # fallback table matches a normal partitioned read column-for-column.
+    read_order = [c for c in cells.columns if c != "cid"] + ["cid"]
     spark.createDataFrame(
-        [(id_col, vec_col, assign_k, quantize)],
-        "id_col string, vec_col string, assign_k int, quantized boolean",
+        [(id_col, vec_col, assign_k, quantize, cells.select(read_order).schema.json())],
+        "id_col string, vec_col string, assign_k int, quantized boolean, "
+        "cells_schema string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
@@ -434,6 +444,12 @@ def _recover_cells(path: str) -> None:
 # reading its files — the previous version is retained as a grace copy until
 # the NEXT rewrite prunes it. Reader staleness is therefore bounded at one
 # rewrite; a session holding a plan across two rewrites must re-ivf_load.
+# Centroids version the same way: a full REBUILD writes {path}/centroids-v{N}
+# beside cells-v{N} (never in place over the live table); compact/delete
+# reuse the centroids their input cells were built against, so the pairing
+# for any cells-vN is the highest centroids-vM with M ≤ N (_centroids_for),
+# falling back to the legacy unversioned dir. Pruning keeps exactly the
+# centroids the kept cells versions pair with.
 # Pre-versioning indexes (bare {path}/cells, no pointer) stay readable and
 # upgrade to the versioned layout on their first rewrite. Local-FS layout —
 # on an object store use the lakehouse's own OPTIMIZE/DELETE instead.
@@ -455,6 +471,39 @@ def cells_dirname(path: str) -> str:
 def cells_location(path: str) -> str:
     """Full path of the live cells table (what spark.read should scan)."""
     return f"{path}/{cells_dirname(path)}"
+
+
+def _centroids_for(path: str, cells_name: str) -> str:
+    """The centroids table paired with a given cells version: the highest
+    ``centroids-vM`` with M ≤ the cells version (rebuilds introduce a new
+    centroids version; compact/delete create cells versions WITHOUT touching
+    centroids, so the pairing walks down), else the legacy unversioned
+    ``centroids`` dir."""
+    import os
+    import re
+
+    m = re.fullmatch(r"cells-v(\d+)", cells_name)
+    if m:
+        n = int(m.group(1))
+        try:
+            versions = [
+                int(v.group(1))
+                for v in (
+                    re.fullmatch(r"centroids-v(\d+)", d) for d in os.listdir(path)
+                )
+                if v
+            ]
+        except OSError:
+            versions = []
+        eligible = [v for v in versions if v <= n]
+        if eligible:
+            return f"{path}/centroids-v{max(eligible)}"
+    return f"{path}/centroids"
+
+
+def centroids_location(path: str) -> str:
+    """Full path of the centroids table paired with the LIVE cells version."""
+    return _centroids_for(path, cells_dirname(path))
 
 
 def _next_version(path: str) -> int:
@@ -483,16 +532,46 @@ def _flip_current(path: str, name: str) -> None:
 
 
 def _prune_versions(path: str, keep: set[str]) -> None:
-    """Remove cells version dirs (and the legacy dir) not in ``keep``."""
+    """Remove cells version dirs (and the legacy dir) not in ``keep``, plus
+    any centroids dir no kept cells version pairs with (`_centroids_for`) —
+    so the grace-copy cells version always keeps the centroids it was built
+    against, and two rebuilds later both old tables go together."""
     import os
     import re
     import shutil
 
+    keep_centroids = {
+        os.path.basename(_centroids_for(path, name)) for name in keep
+    }
     for d in os.listdir(path):
-        if d in keep:
+        if d in keep or d in keep_centroids:
             continue
-        if d == "cells" or re.fullmatch(r"cells-v(\d+)", d):
+        if (
+            d == "cells"
+            or d == "centroids"
+            or re.fullmatch(r"(cells|centroids)-v(\d+)", d)
+        ):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def _read_cells(spark, path: str, location: str) -> DataFrame:
+    """Read a cells table; a fully-emptied index (ivf_delete of every id
+    leaves a version dir with no data files) recovers its schema from the
+    meta sidecar instead of failing parquet inference, so the index stays
+    loadable/searchable/appendable at zero rows."""
+    try:
+        return spark.read.parquet(location)
+    except Exception:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        schema_json = ivf_meta(spark, path).get("cells_schema")
+        if not schema_json:
+            raise  # pre-schema-sidecar index: surface the original error
+        return spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(schema_json))
+        )
 
 
 def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -505,8 +584,11 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
         _recover_cells(path)
     except OSError:
         pass  # non-local path (s3://...): nothing to heal with os primitives
-    centroids = spark.read.parquet(f"{path}/centroids")
-    cells = spark.read.parquet(cells_location(path)).withColumn(
+    # one pointer read for both tables: a rebuild flipping CURRENT between
+    # two reads must not pair new centroids with old cells
+    name = cells_dirname(path)
+    centroids = spark.read.parquet(_centroids_for(path, name))
+    cells = _read_cells(spark, path, f"{path}/{name}").withColumn(
         "cid", F.col("cid").cast("long")
     )
     return centroids, cells
@@ -540,7 +622,10 @@ def ivf_append(
     id_col = id_col or meta.get("id_col", "vec_id")
     vec_col = vec_col or meta.get("vec_col", "embedding")
     assign_k = assign_k or meta.get("assign_k") or 1
-    centroids = spark.read.parquet(f"{path}/centroids")
+    # one pointer read: the centroids used for assignment and the cells dir
+    # appended into must belong to the same version
+    name = cells_dirname(path)
+    centroids = spark.read.parquet(_centroids_for(path, name))
     assign = assign_centroids(
         new_corpus, centroids, assign_k=assign_k, id_col=id_col, vec_col=vec_col
     )
@@ -550,7 +635,7 @@ def ivf_append(
         assign, new_corpus, id_col, vec_col, bool(meta.get("quantized"))
     )
     cells.repartition(F.col("cid")).write.mode("append").partitionBy("cid").parquet(
-        cells_location(path)
+        f"{path}/{name}"
     )
 
 
@@ -577,7 +662,7 @@ def ivf_delete(spark, path: str, ids: DataFrame) -> int:
     DELETE/MERGE. Returns rows removed."""
     _recover_cells(path)
     live_name = cells_dirname(path)
-    cells = spark.read.parquet(f"{path}/{live_name}").withColumn(
+    cells = _read_cells(spark, path, f"{path}/{live_name}").withColumn(
         "cid", F.col("cid").cast("long")
     )
     id_col = [c for c in cells.columns if c != "cid"][0]
@@ -646,7 +731,7 @@ def ivf_compact(spark, path: str) -> int:
     (e.g. compact from the same scheduler that owns the append cadence)."""
     _recover_cells(path)
     live_name = cells_dirname(path)
-    cells = spark.read.parquet(f"{path}/{live_name}").withColumn(
+    cells = _read_cells(spark, path, f"{path}/{live_name}").withColumn(
         "cid", F.col("cid").cast("long")
     )
     before = cells.count()
@@ -657,7 +742,7 @@ def ivf_compact(spark, path: str) -> int:
     deduped.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/{new_name}")
-    after = spark.read.parquet(f"{path}/{new_name}").count()
+    after = _read_cells(spark, path, f"{path}/{new_name}").count()
     _flip_current(path, new_name)
     _prune_versions(path, {new_name, live_name})
     return before - after
@@ -793,22 +878,24 @@ def ivf_recall_estimate(
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     )
     queries = queries.persist()
-    exact = _topk_by_score(
-        F.broadcast(queries).crossJoin(vectors), k, id_col, vec_col
-    ).select("qid", id_col)
-    approx = ivf_search_cells(
-        queries, centroids, cells, k=k, n_probe=n_probe
-    ).select("qid", id_col, F.lit(1).alias("__hit"))
-    row = (
-        exact.join(approx, ["qid", id_col], "left")
-        .agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.coalesce("__hit", F.lit(0))).alias("hit"),
-            F.countDistinct("qid").alias("sampled"),
+    try:
+        exact = _topk_by_score(
+            F.broadcast(queries).crossJoin(vectors), k, id_col, vec_col
+        ).select("qid", id_col)
+        approx = ivf_search_cells(
+            queries, centroids, cells, k=k, n_probe=n_probe
+        ).select("qid", id_col, F.lit(1).alias("__hit"))
+        row = (
+            exact.join(approx, ["qid", id_col], "left")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("hit"),
+                F.countDistinct("qid").alias("sampled"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    queries.unpersist()
+    finally:
+        queries.unpersist()
     return {
         "recall": (row["hit"] / row["total"]) if row["total"] else 1.0,
         "k": k,

@@ -259,7 +259,15 @@ def similarity_join_self_auto(
             right_id=id_col, right_vec=vec_col,
             max_collect_rows=max_exact_rows,
         )
-    # null-safe dim probe: a NULL first vector must not crash the router
+    return _bucketed_self_fallback(df, threshold, id_col, vec_col)
+
+
+def _bucketed_self_fallback(
+    df: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared past-the-cap route (similarity_join_self_auto and the
+    similarity_join router): null-safe dim probe + bucketed self-join —
+    one definition so the two routers can't drift."""
     probe = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.size(vec_col).alias("d"))
@@ -267,8 +275,8 @@ def similarity_join_self_auto(
     )
     if probe is None:
         raise ValueError(
-            f"similarity_join_self_auto: no non-null {vec_col!r} vectors to "
-            "derive the dimension from"
+            f"similarity_join: no non-null {vec_col!r} vectors to "
+            "derive the dimension from on the bucketed fallback path"
         )
     return similarity_join_bucketed(
         df, threshold, int(probe["d"]), id_col=id_col, vec_col=vec_col
@@ -453,19 +461,13 @@ def similarity_join(
     r_cached = r  # keep the persisted handle; r is rebound below
     if r.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         r.unpersist()
-        if ordered_pairs and metric == "cosine":
+        # TRUE self-join only (left is right): routing a filtered-left /
+        # full-right call (ordered_pairs=True but distinct frames) through
+        # the self-join kernel would silently return pairs the caller's
+        # left-side filter excluded — that ambiguous shape keeps raising.
+        if ordered_pairs and metric == "cosine" and left is right:
             import warnings
 
-            probe = (
-                right.filter(F.col(right_vec).isNotNull())
-                .select(F.size(right_vec).alias("d"))
-                .first()
-            )
-            if probe is None:
-                raise ValueError(
-                    "similarity_join: no non-null vectors to derive the "
-                    "dimension from on the bucketed fallback path"
-                )
             if threshold < 0.95:
                 warnings.warn(
                     "similarity_join: routed past the broadcast cap to the "
@@ -474,10 +476,7 @@ def similarity_join(
                     "math) — call a concrete variant to control exactness.",
                     stacklevel=2,
                 )
-            return similarity_join_bucketed(
-                right, threshold, int(probe["d"]),
-                id_col=right_id, vec_col=right_vec,
-            )
+            return _bucketed_self_fallback(right, threshold, right_id, right_vec)
         raise ValueError(
             f"similarity_join: right side exceeds max_broadcast_rows="
             f"{max_broadcast_rows}; broadcasting it would OOM executors, and "

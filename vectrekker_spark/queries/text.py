@@ -61,7 +61,9 @@ def q26_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     if small_local(sf, "documents"):
-        return agg.sortWithinPartitions("lang")
+        # explicit coalesce: global order must not depend on AQE coalescing
+        # the aggregate's hash partitions down to one
+        return agg.coalesce(1).sortWithinPartitions("lang")
     return agg.orderBy("lang")
 
 
