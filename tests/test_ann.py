@@ -677,3 +677,68 @@ def test_ivf_delete_all_rows_keeps_index_usable(spark, em, tmp_path):
     assert cells2.count() == 50
     res = ivf_search_cells(q, lc2, cells2, k=1, n_probe=3).collect()
     assert res and res[0]["score"] == 1.0
+
+
+def test_ivf_orphan_centroids_never_mispaired(spark, em, tmp_path):
+    """A crashed rebuild leaves an orphan centroids-v{N} with no pointer
+    flip. A later compact must carry the LIVE pairing forward (recorded in
+    the pointer), not adopt the orphan — and must reclaim it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        ivf_build,
+        ivf_compact,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    path = str(tmp_path / "orphan")
+    centroids, assign = ivf_build(em, n_centroids=5, method="stride")
+    ivf_save(centroids, assign, em, path)
+    # simulate the crash: a rebuild wrote its centroids (8 of them, a
+    # different cid space) but died before writing cells / flipping
+    c8, _ = ivf_build(em, n_centroids=8, method="stride")
+    c8.write.parquet(f"{path}/centroids-v99")
+
+    ivf_compact(spark, path)  # allocates a fresh cells version
+    lc, cells = ivf_load(spark, path)
+    assert lc.count() == 5  # still the live build's centroids, not the orphan
+    q = em.limit(2).selectExpr("vec_id as qid", "embedding as qvec")
+    res = ivf_search_cells(q, lc, cells, k=1, n_probe=5).collect()
+    assert res and all(r["score"] == 1.0 for r in res)
+    # the orphan was unreferenced garbage: the rewrite pruned it
+    assert "centroids-v99" not in os.listdir(path)
+
+
+def test_ivf_read_corruption_not_masked_as_empty(spark, em, tmp_path):
+    """_read_cells' empty-index fallback must not swallow real read
+    failures: a cells dir whose data files are corrupt raises instead of
+    silently loading as an empty index (which a later compact would make
+    permanent)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        cells_location,
+        ivf_build,
+        ivf_load,
+        ivf_save,
+    )
+
+    path = str(tmp_path / "corrupt")
+    centroids, assign = ivf_build(em.limit(50), n_centroids=2, method="stride")
+    ivf_save(centroids, assign, em.limit(50), path)
+    live = cells_location(path)
+    # wreck every data file (truncated footers), keeping files present
+    for root, _dirs, files in os.walk(live):
+        for fn in files:
+            if not fn.startswith(("_", ".")):
+                with open(os.path.join(root, fn), "wb") as f:
+                    f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        ivf_load(spark, path)[1].collect()

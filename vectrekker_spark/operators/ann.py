@@ -352,27 +352,36 @@ def ivf_save(
     # centroids version the rebuild INTRODUCES is written under the same
     # version number — never in place over the live centroids, which a
     # reader's in-flight plan (or its old-cells grace copy) still pairs with.
-    prev = cells_dirname(path) if os.path.exists(f"{path}/CURRENT") or os.path.exists(
+    prev = current_pair(path) if os.path.exists(f"{path}/CURRENT") or os.path.exists(
         f"{path}/cells"
     ) else None
     version = _next_version(path)
-    new_name = f"cells-v{version}"
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids-v{version}")
+    new_cells, new_centroids = f"cells-v{version}", f"centroids-v{version}"
+    centroids.write.mode("overwrite").parquet(f"{path}/{new_centroids}")
     cells.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
-    ).parquet(f"{path}/{new_name}")
-    _flip_current(path, new_name)
-    _prune_versions(path, {new_name} | ({prev} if prev else set()))
-    # cells_schema: lets readers recover an index whose every row was
-    # deleted (a data-less partitioned dir can't infer its schema). Stored
-    # in READ order — data columns first, partition col cid last — so the
-    # fallback table matches a normal partitioned read column-for-column.
+    ).parquet(f"{path}/{new_cells}")
+    # meta BEFORE the flip (atomic single-file write): once the pointer
+    # names the new version, its meta is already in place. cells_schema lets
+    # readers recover an index whose every row was later deleted (a
+    # data-less partitioned dir can't infer its schema) — stored in READ
+    # order (data columns first, partition col cid last) so the fallback
+    # table matches a normal partitioned read column-for-column.
     read_order = [c for c in cells.columns if c != "cid"] + ["cid"]
-    spark.createDataFrame(
-        [(id_col, vec_col, assign_k, quantize, cells.select(read_order).schema.json())],
-        "id_col string, vec_col string, assign_k int, quantized boolean, "
-        "cells_schema string",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    _write_meta(
+        path,
+        {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "assign_k": assign_k,
+            "quantized": quantize,
+            "cells_schema": cells.select(read_order).schema.json(),
+        },
+    )
+    _flip_current(path, new_cells, new_centroids)
+    _prune_versions(
+        path, {new_cells, new_centroids} | (set(prev) if prev else set())
+    )
 
 
 def _cell_rows(
@@ -402,13 +411,50 @@ def _cell_rows(
 
 
 def ivf_meta(spark, path: str) -> dict:
-    """The saved build parameters ({id_col, vec_col, assign_k}); empty dict
-    for a pre-metadata index directory."""
+    """The saved build parameters ({id_col, vec_col, assign_k, quantized,
+    cells_schema}); empty dict for a pre-metadata index directory. Reads
+    the atomic ``meta.json`` file first, falling back to the legacy
+    Spark-written ``meta`` directory."""
+    import json as _json
+    import os
+
+    try:
+        with open(os.path.join(path, "meta.json")) as f:
+            return {k: v for k, v in _json.load(f).items() if v is not None}
+    except (OSError, ValueError):
+        pass
     try:
         row = spark.read.json(f"{path}/meta").collect()
     except Exception:
         return {}
     return {k: v for k, v in row[0].asDict().items() if v is not None} if row else {}
+
+
+def _upgrade_meta_schema(spark, path: str, cells: DataFrame) -> None:
+    """Backfill ``cells_schema`` into the meta sidecar of an index saved
+    before the sidecar existed — delete/compact rewrites hold the full cells
+    table in hand, so the one rewrite that could empty the table also makes
+    it recoverable. No-op when the sidecar is already present."""
+    meta = ivf_meta(spark, path)
+    if meta.get("cells_schema"):
+        return
+    read_order = [c for c in cells.columns if c != "cid"] + ["cid"]
+    meta["cells_schema"] = cells.select(read_order).schema.json()
+    _write_meta(path, meta)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    """Atomically (re)write the index meta sidecar as ONE json file —
+    write-tmp + os.replace, the same discipline as the CURRENT pointer, so
+    no reader ever sees a missing or half-written meta (Spark's
+    dir-overwrite deletes before it writes)."""
+    import json as _json
+    import os
+
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
 
 
 def _recover_cells(path: str) -> None:
@@ -445,27 +491,40 @@ def _recover_cells(path: str) -> None:
 # the NEXT rewrite prunes it. Reader staleness is therefore bounded at one
 # rewrite; a session holding a plan across two rewrites must re-ivf_load.
 # Centroids version the same way: a full REBUILD writes {path}/centroids-v{N}
-# beside cells-v{N} (never in place over the live table); compact/delete
-# reuse the centroids their input cells were built against, so the pairing
-# for any cells-vN is the highest centroids-vM with M ≤ N (_centroids_for),
-# falling back to the legacy unversioned dir. Pruning keeps exactly the
-# centroids the kept cells versions pair with.
-# Pre-versioning indexes (bare {path}/cells, no pointer) stay readable and
-# upgrade to the versioned layout on their first rewrite. Local-FS layout —
-# on an object store use the lakehouse's own OPTIMIZE/DELETE instead.
+# beside cells-v{N} (never in place over the live table), and the pointer
+# records the PAIR explicitly ("cells-vN centroids-vM" in one atomic file) —
+# compact/delete flips carry the unchanged centroids name forward, so an
+# aborted rebuild's orphan centroids version can never be mispaired with a
+# later cells version (orphans are unreferenced garbage pruned by the next
+# successful rewrite). Single-name pointers written by earlier versions of
+# this module fall back to the highest centroids-vM ≤ N, else the legacy
+# unversioned dir. Pre-versioning indexes (bare {path}/cells +
+# {path}/centroids, no pointer) stay readable and upgrade on their first
+# rewrite. Local-FS layout — on an object store use the lakehouse's own
+# OPTIMIZE/DELETE instead.
+
+
+def current_pair(path: str) -> tuple[str, str]:
+    """(cells_dirname, centroids_dirname) of the live version — ONE pointer
+    read, so the two tables can never come from different versions. Pointer
+    forms: "cells-vN centroids-vM" (current), "cells-vN" (older module
+    versions: centroids resolved by the ≤-version heuristic), absent
+    (pre-versioning legacy dirs)."""
+    try:
+        with open(f"{path}/CURRENT") as f:
+            tokens = f.read().split()
+    except OSError:
+        tokens = []
+    cells_name = tokens[0] if tokens else "cells"
+    if len(tokens) > 1:
+        return cells_name, tokens[1]
+    return cells_name, _centroids_heuristic(path, cells_name)
 
 
 def cells_dirname(path: str) -> str:
     """Live cells directory name: the CURRENT pointer's target, else the
     legacy unversioned ``cells``."""
-    try:
-        with open(f"{path}/CURRENT") as f:
-            name = f.read().strip()
-        if name:
-            return name
-    except OSError:
-        pass
-    return "cells"
+    return current_pair(path)[0]
 
 
 def cells_location(path: str) -> str:
@@ -473,12 +532,13 @@ def cells_location(path: str) -> str:
     return f"{path}/{cells_dirname(path)}"
 
 
-def _centroids_for(path: str, cells_name: str) -> str:
-    """The centroids table paired with a given cells version: the highest
-    ``centroids-vM`` with M ≤ the cells version (rebuilds introduce a new
-    centroids version; compact/delete create cells versions WITHOUT touching
-    centroids, so the pairing walks down), else the legacy unversioned
-    ``centroids`` dir."""
+def _centroids_heuristic(path: str, cells_name: str) -> str:
+    """Centroids dir NAME for a cells version when the pointer predates
+    pair recording: the highest ``centroids-vM`` with M ≤ the cells version
+    (only full rebuilds introduce centroids versions), else the legacy
+    unversioned ``centroids``. Single-name pointers were only ever written
+    by module versions whose rebuilds wrote centroids in place, so no
+    orphan centroids version can exist beside them."""
     import os
     import re
 
@@ -497,13 +557,13 @@ def _centroids_for(path: str, cells_name: str) -> str:
             versions = []
         eligible = [v for v in versions if v <= n]
         if eligible:
-            return f"{path}/centroids-v{max(eligible)}"
-    return f"{path}/centroids"
+            return f"centroids-v{max(eligible)}"
+    return "centroids"
 
 
 def centroids_location(path: str) -> str:
     """Full path of the centroids table paired with the LIVE cells version."""
-    return _centroids_for(path, cells_dirname(path))
+    return f"{path}/{current_pair(path)[1]}"
 
 
 def _next_version(path: str) -> int:
@@ -512,8 +572,11 @@ def _next_version(path: str) -> int:
 
     try:
         versions = [
-            int(m.group(1))
-            for m in (re.fullmatch(r"cells-v(\d+)", d) for d in os.listdir(path))
+            int(m.group(2))
+            for m in (
+                re.fullmatch(r"(cells|centroids)-v(\d+)", d)
+                for d in os.listdir(path)
+            )
             if m
         ]
     except OSError:
@@ -521,30 +584,28 @@ def _next_version(path: str) -> int:
     return max(versions, default=-1) + 1
 
 
-def _flip_current(path: str, name: str) -> None:
-    """Atomically point CURRENT at ``name`` (write-tmp + os.replace)."""
+def _flip_current(path: str, cells_name: str, centroids_name: str) -> None:
+    """Atomically point CURRENT at the (cells, centroids) pair
+    (write-tmp + os.replace)."""
     import os
 
     tmp = os.path.join(path, ".CURRENT.tmp")
     with open(tmp, "w") as f:
-        f.write(name + "\n")
+        f.write(f"{cells_name} {centroids_name}\n")
     os.replace(tmp, os.path.join(path, "CURRENT"))
 
 
 def _prune_versions(path: str, keep: set[str]) -> None:
-    """Remove cells version dirs (and the legacy dir) not in ``keep``, plus
-    any centroids dir no kept cells version pairs with (`_centroids_for`) —
-    so the grace-copy cells version always keeps the centroids it was built
-    against, and two rebuilds later both old tables go together."""
+    """Remove managed dirs (cells/centroids, versioned or legacy) not in
+    ``keep``. Callers pass the EXPLICIT set of dir names the live and grace
+    versions reference, so an aborted rebuild's orphan tables are reclaimed
+    here and a kept cells version always keeps its paired centroids."""
     import os
     import re
     import shutil
 
-    keep_centroids = {
-        os.path.basename(_centroids_for(path, name)) for name in keep
-    }
     for d in os.listdir(path):
-        if d in keep or d in keep_centroids:
+        if d in keep:
             continue
         if (
             d == "cells"
@@ -554,21 +615,46 @@ def _prune_versions(path: str, keep: set[str]) -> None:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
+def _dir_has_data_files(location: str) -> bool:
+    """True if the directory tree contains any non-marker file — i.e. the
+    parquet read failed for a reason OTHER than genuine emptiness."""
+    import os
+
+    for root, _dirs, files in os.walk(location):
+        for fn in files:
+            if not (fn.startswith("_") or fn.startswith(".")):
+                return True
+    return False
+
+
 def _read_cells(spark, path: str, location: str) -> DataFrame:
     """Read a cells table; a fully-emptied index (ivf_delete of every id
     leaves a version dir with no data files) recovers its schema from the
     meta sidecar instead of failing parquet inference, so the index stays
-    loadable/searchable/appendable at zero rows."""
+    loadable/searchable/appendable at zero rows.
+
+    The fallback is DELIBERATELY narrow: only an AnalysisException (the
+    schema-inference failure an empty dir produces) on a directory that
+    verifiably holds no data files qualifies. A corrupt part file, a
+    permission error, or a pruned-version race must keep failing loudly —
+    masking those as an empty index would let a later compact write a real
+    empty version over live data."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(location)
-    except Exception:
+    except AnalysisException:
         import json as _json
 
         from pyspark.sql.types import StructType
 
+        try:
+            truly_empty = not _dir_has_data_files(location)
+        except OSError:
+            truly_empty = False  # non-local path: can't verify, so don't mask
         schema_json = ivf_meta(spark, path).get("cells_schema")
-        if not schema_json:
-            raise  # pre-schema-sidecar index: surface the original error
+        if not truly_empty or not schema_json:
+            raise  # corruption/pre-sidecar index: surface the original error
         return spark.createDataFrame(
             [], StructType.fromJson(_json.loads(schema_json))
         )
@@ -586,9 +672,9 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
         pass  # non-local path (s3://...): nothing to heal with os primitives
     # one pointer read for both tables: a rebuild flipping CURRENT between
     # two reads must not pair new centroids with old cells
-    name = cells_dirname(path)
-    centroids = spark.read.parquet(_centroids_for(path, name))
-    cells = _read_cells(spark, path, f"{path}/{name}").withColumn(
+    cells_name, centroids_name = current_pair(path)
+    centroids = spark.read.parquet(f"{path}/{centroids_name}")
+    cells = _read_cells(spark, path, f"{path}/{cells_name}").withColumn(
         "cid", F.col("cid").cast("long")
     )
     return centroids, cells
@@ -624,16 +710,25 @@ def ivf_append(
     assign_k = assign_k or meta.get("assign_k") or 1
     # one pointer read: the centroids used for assignment and the cells dir
     # appended into must belong to the same version
-    name = cells_dirname(path)
-    centroids = spark.read.parquet(_centroids_for(path, name))
+    name, centroids_name = current_pair(path)
+    centroids = spark.read.parquet(f"{path}/{centroids_name}")
+    # a quantized index (IVF-SQ8) quantizes its appends too — the cells
+    # schema must stay homogeneous, so the decision comes from the LIVE
+    # cells schema itself whenever rows exist (int8 codes + scale columns),
+    # with the meta flag only as the empty-table fallback: a meta file one
+    # crash behind the pointer can never make an append write
+    # mixed-precision rows into the cells dir.
+    live = _read_cells(spark, path, f"{path}/{name}")
+    data_cols = [c for c in live.columns if c != "cid"]
+    quantized = (
+        len(data_cols) >= 3 and f"{data_cols[1]}_scale" in data_cols
+        if data_cols
+        else bool(meta.get("quantized"))
+    )
     assign = assign_centroids(
         new_corpus, centroids, assign_k=assign_k, id_col=id_col, vec_col=vec_col
     )
-    # a quantized index (IVF-SQ8) quantizes its appends too — the cells
-    # schema stays homogeneous
-    cells = _cell_rows(
-        assign, new_corpus, id_col, vec_col, bool(meta.get("quantized"))
-    )
+    cells = _cell_rows(assign, new_corpus, id_col, vec_col, quantized)
     cells.repartition(F.col("cid")).write.mode("append").partitionBy("cid").parquet(
         f"{path}/{name}"
     )
@@ -661,7 +756,7 @@ def ivf_delete(spark, path: str, ids: DataFrame) -> int:
     ivf_append, and on an object store prefer the lakehouse's own
     DELETE/MERGE. Returns rows removed."""
     _recover_cells(path)
-    live_name = cells_dirname(path)
+    live_name, centroids_name = current_pair(path)
     cells = _read_cells(spark, path, f"{path}/{live_name}").withColumn(
         "cid", F.col("cid").cast("long")
     )
@@ -684,8 +779,10 @@ def ivf_delete(spark, path: str, ids: DataFrame) -> int:
     _link_partitions(
         f"{path}/{live_name}", f"{path}/{new_name}", skip_cids=affected
     )
-    _flip_current(path, new_name)
-    _prune_versions(path, {new_name, live_name})
+    _upgrade_meta_schema(spark, path, cells)
+    # centroids are untouched: the flip carries the live pairing forward
+    _flip_current(path, new_name, centroids_name)
+    _prune_versions(path, {new_name, live_name, centroids_name})
     return removed
 
 
@@ -730,7 +827,7 @@ def ivf_compact(spark, path: str) -> int:
     staging read and the flip would be silently discarded. Serialize them
     (e.g. compact from the same scheduler that owns the append cadence)."""
     _recover_cells(path)
-    live_name = cells_dirname(path)
+    live_name, centroids_name = current_pair(path)
     cells = _read_cells(spark, path, f"{path}/{live_name}").withColumn(
         "cid", F.col("cid").cast("long")
     )
@@ -742,9 +839,11 @@ def ivf_compact(spark, path: str) -> int:
     deduped.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/{new_name}")
+    _upgrade_meta_schema(spark, path, cells)  # before the read below: a
+    # compact that empties the table needs the schema sidecar to verify it
     after = _read_cells(spark, path, f"{path}/{new_name}").count()
-    _flip_current(path, new_name)
-    _prune_versions(path, {new_name, live_name})
+    _flip_current(path, new_name, centroids_name)
+    _prune_versions(path, {new_name, live_name, centroids_name})
     return before - after
 
 

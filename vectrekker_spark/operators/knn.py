@@ -438,15 +438,17 @@ def similarity_join(
     LIMIT-bounded probe bounds the collect at ``max_broadcast_rows`` (~0.5 GB
     at 64 float64 dims) instead of OOMing executors.
 
-    Past the guard the router AUTO-ROUTES when it safely can: in self-join
-    mode (``ordered_pairs=True``) with the cosine metric, the call falls
-    through to ``similarity_join_bucketed`` — the LSH route with no
-    driver-side collect, same (l_id, r_id, score) contract and bit-identical
-    scores (a warning notes the recall approximation for thresholds below
-    ~0.95; see that operator's recall math). The ambiguous middle still
-    raises: a CROSS-dataset join (ordered_pairs=False) or a non-cosine
-    metric has no bucketed equivalent here, so silently switching would
-    change semantics — those callers must pre-bucket explicitly.
+    Past the guard the router AUTO-ROUTES when it safely can: a TRUE
+    self-join — the SAME DataFrame object passed as both ``left`` and
+    ``right``, with ``ordered_pairs=True`` and the cosine metric — falls
+    through to ``similarity_join_bucketed``, the LSH route with no
+    driver-side collect, same (l_id, r_id, score) contract and
+    bit-identical scores (a warning notes the recall approximation for
+    thresholds below ~0.95; see that operator's recall math). Everything
+    else still raises: distinct frames (even lineage-equal ones — the
+    bucketed kernel would silently drop a left-side filter), a cross-dataset
+    join (ordered_pairs=False), or a non-cosine metric have no safe
+    bucketed equivalent here — those callers must pre-bucket explicitly.
     """
     l = left.select(F.col(left_id).alias("l_id"), F.col(left_vec).alias("l_vec"))
     r = right.select(
@@ -479,11 +481,13 @@ def similarity_join(
             return _bucketed_self_fallback(right, threshold, right_id, right_vec)
         raise ValueError(
             f"similarity_join: right side exceeds max_broadcast_rows="
-            f"{max_broadcast_rows}; broadcasting it would OOM executors, and "
-            "no bucketed equivalent exists for cross-dataset "
-            "(ordered_pairs=False) or non-cosine joins. Bucket first "
-            "(similarity_join_bucketed / LSH / IVF) and join per bucket, or "
-            "raise the cap deliberately."
+            f"{max_broadcast_rows}; broadcasting it would OOM executors. "
+            "Auto-routing applies only to a TRUE self-join (pass the SAME "
+            "DataFrame object as left and right, ordered_pairs=True, cosine "
+            "metric); no bucketed equivalent exists for distinct frames, "
+            "cross-dataset (ordered_pairs=False), or non-cosine joins. "
+            "Bucket first (similarity_join_bucketed / LSH / IVF) and join "
+            "per bucket, or raise the cap deliberately."
         )
     if metric == "cosine":
         # per-side norms once, not per pair (same operand order as per-pair)
