@@ -303,8 +303,15 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 def q11_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     # ROLLUP and CUBE exercised in one spec (union of the two tagged shapes)
     # so both stay driver-checked under the 50-query cap.
-    o, c, n = tb(spark, sf, "orders"), tb(spark, sf, "customer"), tb(spark, sf, "nation")
-    j = o.join(c, o.o_custkey == c.c_custkey).join(
+    # tb1 on orders: both branches run serial on the one-file local fixture
+    # (scan → broadcast joins → Expand → in-task agg, zero data-shuffling
+    # exchanges; the 175-row result sorts serially below). Distributed
+    # partial-agg plan at real scale.
+    from vectrekker_spark.queries.util import small_local, tb1
+
+    serial = small_local(sf, "orders")
+    o, c, n = tb1(spark, sf, "orders"), tb(spark, sf, "customer"), tb(spark, sf, "nation")
+    j = o.join(F.broadcast(c) if serial else c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     roll = (
@@ -335,7 +342,10 @@ def q11_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
             "revenue",
         )
     )
-    return roll.unionAll(cub).orderBy("shape", "dim1", "dim2")
+    out = roll.unionAll(cub)
+    if serial:
+        return out.coalesce(1).sortWithinPartitions("shape", "dim1", "dim2")
+    return out.orderBy("shape", "dim1", "dim2")
 
 
 Q11_SQL = """
