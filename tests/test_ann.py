@@ -742,3 +742,24 @@ def test_ivf_read_corruption_not_masked_as_empty(spark, em, tmp_path):
                     f.write(b"not a parquet file")
     with pytest.raises(Exception):
         ivf_load(spark, path)[1].collect()
+
+
+def test_ivf_recall_estimate_quantized_index(spark, em, tmp_path):
+    """The recall canary measures a quantized index in its own dequantized
+    space — no full-precision corpus needed, and sane values come back."""
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        ivf_build,
+        ivf_recall_estimate,
+        ivf_save,
+    )
+
+    sub = em.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "q8r")
+    centroids, assign = ivf_build(sub, n_centroids=4, method="stride")
+    ivf_save(centroids, assign, sub, path, quantize=True)
+    r = ivf_recall_estimate(spark, path, sample=20, k=5, n_probe=4)
+    assert r["sampled"] == 20
+    # n_probe = all cells → candidates are the whole corpus → recall exact
+    assert r["recall"] == 1.0, r
