@@ -763,3 +763,34 @@ def test_ivf_recall_estimate_quantized_index(spark, em, tmp_path):
     assert r["sampled"] == 20
     # n_probe = all cells → candidates are the whole corpus → recall exact
     assert r["recall"] == 1.0, r
+
+
+def test_ivf_orphan_meta_never_adopted(spark, em, tmp_path):
+    """An aborted rebuild's meta-v{N}.json (written before the crash, never
+    referenced by a flip) must not change what ivf_meta reports, and the
+    next rewrite reclaims it — metadata stays in lockstep with the pointer."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        ivf_build,
+        ivf_compact,
+        ivf_meta,
+        ivf_save,
+    )
+
+    sub = em.filter(F.col("vec_id") < 50)
+    path = str(tmp_path / "ometa")
+    centroids, assign = ivf_build(sub, n_centroids=2, method="stride")
+    ivf_save(centroids, assign, sub, path)
+    assert ivf_meta(spark, path).get("quantized") is False
+    # simulate: a quantized rebuild wrote its meta then died pre-flip
+    with open(os.path.join(path, "meta-v99.json"), "w") as f:
+        json.dump({"id_col": "vec_id", "vec_col": "embedding",
+                   "quantized": True}, f)
+    assert ivf_meta(spark, path).get("quantized") is False  # pointer rules
+    ivf_compact(spark, path)
+    assert ivf_meta(spark, path).get("quantized") is False
+    assert "meta-v99.json" not in os.listdir(path)  # orphan reclaimed

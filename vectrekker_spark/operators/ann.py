@@ -352,18 +352,20 @@ def ivf_save(
     # centroids version the rebuild INTRODUCES is written under the same
     # version number — never in place over the live centroids, which a
     # reader's in-flight plan (or its old-cells grace copy) still pairs with.
-    prev = current_pair(path) if os.path.exists(f"{path}/CURRENT") or os.path.exists(
-        f"{path}/cells"
-    ) else None
+    prev = _current_names(path) if os.path.exists(
+        f"{path}/CURRENT"
+    ) or os.path.exists(f"{path}/cells") else None
     version = _next_version(path)
     new_cells, new_centroids = f"cells-v{version}", f"centroids-v{version}"
+    new_meta = f"meta-v{version}.json"
     centroids.write.mode("overwrite").parquet(f"{path}/{new_centroids}")
     cells.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/{new_cells}")
-    # meta BEFORE the flip (atomic single-file write): once the pointer
-    # names the new version, its meta is already in place. cells_schema lets
-    # readers recover an index whose every row was later deleted (a
+    # meta is VERSIONED and named by the pointer, so metadata can never be
+    # a crash ahead of or behind the tables it describes — the flip makes
+    # (cells, centroids, meta) live together or not at all. cells_schema
+    # lets readers recover an index whose every row was later deleted (a
     # data-less partitioned dir can't infer its schema) — stored in READ
     # order (data columns first, partition col cid last) so the fallback
     # table matches a normal partitioned read column-for-column.
@@ -377,11 +379,13 @@ def ivf_save(
             "quantized": quantize,
             "cells_schema": cells.select(read_order).schema.json(),
         },
+        new_meta,
     )
-    _flip_current(path, new_cells, new_centroids)
-    _prune_versions(
-        path, {new_cells, new_centroids} | (set(prev) if prev else set())
-    )
+    _flip_current(path, new_cells, new_centroids, new_meta)
+    keep = {new_cells, new_centroids, new_meta}
+    if prev:
+        keep |= {n for n in prev if n}
+    _prune_versions(path, keep)
 
 
 def _cell_rows(
@@ -412,17 +416,21 @@ def _cell_rows(
 
 def ivf_meta(spark, path: str) -> dict:
     """The saved build parameters ({id_col, vec_col, assign_k, quantized,
-    cells_schema}); empty dict for a pre-metadata index directory. Reads
-    the atomic ``meta.json`` file first, falling back to the legacy
-    Spark-written ``meta`` directory."""
+    cells_schema}); empty dict for a pre-metadata index directory. The
+    CURRENT pointer names the live version's meta file (so metadata can
+    never be a crash ahead of or behind the tables it describes); pointers
+    written before meta versioning fall back to the unversioned
+    ``meta.json``, then the legacy Spark-written ``meta`` directory."""
     import json as _json
     import os
 
-    try:
-        with open(os.path.join(path, "meta.json")) as f:
-            return {k: v for k, v in _json.load(f).items() if v is not None}
-    except (OSError, ValueError):
-        pass
+    meta_name = _current_names(path)[2]
+    for fname in ([meta_name] if meta_name else []) + ["meta.json"]:
+        try:
+            with open(os.path.join(path, fname)) as f:
+                return {k: v for k, v in _json.load(f).items() if v is not None}
+        except (OSError, ValueError):
+            pass
     try:
         row = spark.read.json(f"{path}/meta").collect()
     except Exception:
@@ -430,31 +438,38 @@ def ivf_meta(spark, path: str) -> dict:
     return {k: v for k, v in row[0].asDict().items() if v is not None} if row else {}
 
 
-def _upgrade_meta_schema(spark, path: str, cells: DataFrame) -> None:
-    """Backfill ``cells_schema`` into the meta sidecar of an index saved
-    before the sidecar existed — delete/compact rewrites hold the full cells
-    table in hand, so the one rewrite that could empty the table also makes
-    it recoverable. No-op when the sidecar is already present."""
+def _upgrade_meta_schema(
+    spark, path: str, cells: DataFrame, version: int, meta_name: str | None
+) -> str | None:
+    """Backfill ``cells_schema`` into the metadata of an index saved before
+    the schema sidecar existed — delete/compact rewrites hold the full
+    cells table in hand, so the one rewrite that could empty the table also
+    makes it recoverable. Returns the meta filename the new pointer should
+    reference: the upgraded ``meta-v{version}.json`` when a backfill was
+    needed, else the incoming name unchanged."""
     meta = ivf_meta(spark, path)
     if meta.get("cells_schema"):
-        return
+        return meta_name
     read_order = [c for c in cells.columns if c != "cid"] + ["cid"]
     meta["cells_schema"] = cells.select(read_order).schema.json()
-    _write_meta(path, meta)
+    new_name = f"meta-v{version}.json"
+    _write_meta(path, meta, new_name)
+    return new_name
 
 
-def _write_meta(path: str, meta: dict) -> None:
-    """Atomically (re)write the index meta sidecar as ONE json file —
-    write-tmp + os.replace, the same discipline as the CURRENT pointer, so
-    no reader ever sees a missing or half-written meta (Spark's
-    dir-overwrite deletes before it writes)."""
+def _write_meta(path: str, meta: dict, filename: str) -> None:
+    """Atomically write an index meta sidecar file — write-tmp +
+    os.replace, the same discipline as the CURRENT pointer, so no reader
+    ever sees a missing or half-written meta (Spark's dir-overwrite deletes
+    before it writes). Versioned filenames (meta-v{N}.json) become live
+    only when a pointer flip references them."""
     import json as _json
     import os
 
-    tmp = os.path.join(path, ".meta.json.tmp")
+    tmp = os.path.join(path, f".{filename}.tmp")
     with open(tmp, "w") as f:
         _json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    os.replace(tmp, os.path.join(path, filename))
 
 
 def _recover_cells(path: str) -> None:
@@ -490,25 +505,29 @@ def _recover_cells(path: str) -> None:
 # reading its files — the previous version is retained as a grace copy until
 # the NEXT rewrite prunes it. Reader staleness is therefore bounded at one
 # rewrite; a session holding a plan across two rewrites must re-ivf_load.
-# Centroids version the same way: a full REBUILD writes {path}/centroids-v{N}
-# beside cells-v{N} (never in place over the live table), and the pointer
-# records the PAIR explicitly ("cells-vN centroids-vM" in one atomic file) —
-# compact/delete flips carry the unchanged centroids name forward, so an
-# aborted rebuild's orphan centroids version can never be mispaired with a
-# later cells version (orphans are unreferenced garbage pruned by the next
-# successful rewrite). Single-name pointers written by earlier versions of
-# this module fall back to the highest centroids-vM ≤ N, else the legacy
-# unversioned dir. Pre-versioning indexes (bare {path}/cells +
-# {path}/centroids, no pointer) stay readable and upgrade on their first
-# rewrite. Local-FS layout — on an object store use the lakehouse's own
-# OPTIMIZE/DELETE instead.
+# Centroids and metadata version the same way: a full REBUILD writes
+# {path}/centroids-v{N} and {path}/meta-v{N}.json beside cells-v{N} (never
+# in place over the live artifacts), and the pointer records the TRIPLE
+# explicitly ("cells-vN centroids-vM meta-vK.json" in one atomic file) —
+# compact/delete flips carry the unchanged centroids/meta names forward, so
+# an aborted rebuild's orphan artifacts can never be mispaired with a later
+# cells version and metadata can never be a crash ahead of or behind the
+# tables it describes (orphans are unreferenced garbage pruned by the next
+# successful rewrite). Shorter pointers written by earlier versions of this
+# module degrade gracefully: two tokens resolve meta from the unversioned
+# meta.json / legacy meta dir; one token resolves centroids from the
+# highest centroids-vM ≤ N, else the legacy unversioned dir. Pre-versioning
+# indexes (bare {path}/cells + {path}/centroids, no pointer) stay readable
+# and upgrade on their first rewrite. Local-FS layout — on an object store
+# use the lakehouse's own OPTIMIZE/DELETE instead.
 
 
-def current_pair(path: str) -> tuple[str, str]:
-    """(cells_dirname, centroids_dirname) of the live version — ONE pointer
-    read, so the two tables can never come from different versions. Pointer
-    forms: "cells-vN centroids-vM" (current), "cells-vN" (older module
-    versions: centroids resolved by the ≤-version heuristic), absent
+def _current_names(path: str) -> tuple[str, str, str | None]:
+    """(cells_dirname, centroids_dirname, meta_filename|None) of the live
+    version — ONE pointer read, so the tables and their metadata can never
+    come from different versions. Pointer forms: "cells-vN centroids-vM
+    meta-vN.json" (current), two tokens (meta resolved from the unversioned
+    fallbacks), one token (centroids via the ≤-version heuristic), absent
     (pre-versioning legacy dirs)."""
     try:
         with open(f"{path}/CURRENT") as f:
@@ -516,9 +535,15 @@ def current_pair(path: str) -> tuple[str, str]:
     except OSError:
         tokens = []
     cells_name = tokens[0] if tokens else "cells"
-    if len(tokens) > 1:
-        return cells_name, tokens[1]
-    return cells_name, _centroids_heuristic(path, cells_name)
+    centroids_name = (
+        tokens[1] if len(tokens) > 1 else _centroids_heuristic(path, cells_name)
+    )
+    return cells_name, centroids_name, tokens[2] if len(tokens) > 2 else None
+
+
+def current_pair(path: str) -> tuple[str, str]:
+    """(cells_dirname, centroids_dirname) of the live version."""
+    return _current_names(path)[:2]
 
 
 def cells_dirname(path: str) -> str:
@@ -584,22 +609,29 @@ def _next_version(path: str) -> int:
     return max(versions, default=-1) + 1
 
 
-def _flip_current(path: str, cells_name: str, centroids_name: str) -> None:
-    """Atomically point CURRENT at the (cells, centroids) pair
-    (write-tmp + os.replace)."""
+def _flip_current(
+    path: str, cells_name: str, centroids_name: str, meta_name: str | None
+) -> None:
+    """Atomically point CURRENT at the (cells, centroids, meta) triple
+    (write-tmp + os.replace). ``meta_name`` None (an index whose metadata
+    still lives in the unversioned fallbacks) writes the two-token form."""
     import os
 
     tmp = os.path.join(path, ".CURRENT.tmp")
     with open(tmp, "w") as f:
-        f.write(f"{cells_name} {centroids_name}\n")
+        suffix = f" {meta_name}" if meta_name else ""
+        f.write(f"{cells_name} {centroids_name}{suffix}\n")
     os.replace(tmp, os.path.join(path, "CURRENT"))
 
 
 def _prune_versions(path: str, keep: set[str]) -> None:
-    """Remove managed dirs (cells/centroids, versioned or legacy) not in
-    ``keep``. Callers pass the EXPLICIT set of dir names the live and grace
-    versions reference, so an aborted rebuild's orphan tables are reclaimed
-    here and a kept cells version always keeps its paired centroids."""
+    """Remove managed artifacts (cells/centroids dirs and versioned meta
+    files, versioned or legacy) not in ``keep``. Callers pass the EXPLICIT
+    set of names the live and grace versions reference, so an aborted
+    rebuild's orphan tables are reclaimed here and a kept cells version
+    always keeps its paired centroids and metadata. The unversioned
+    ``meta.json``/``meta`` fallbacks are never pruned — two-token pointers
+    still resolve through them."""
     import os
     import re
     import shutil
@@ -613,18 +645,40 @@ def _prune_versions(path: str, keep: set[str]) -> None:
             or re.fullmatch(r"(cells|centroids)-v(\d+)", d)
         ):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        elif re.fullmatch(r"meta-v(\d+)\.json", d):
+            try:
+                os.remove(os.path.join(path, d))
+            except OSError:
+                pass
 
 
 def _dir_has_data_files(location: str) -> bool:
     """True if the directory tree contains any non-marker file — i.e. the
-    parquet read failed for a reason OTHER than genuine emptiness."""
+    parquet read failed for a reason OTHER than genuine emptiness. A
+    missing or unlistable directory raises OSError (os.walk swallows
+    scandir errors by default — that would classify a vanished table as
+    'empty', the exact masking this check exists to prevent)."""
     import os
 
-    for root, _dirs, files in os.walk(location):
+    if not os.path.isdir(location):
+        raise OSError(f"not a listable directory: {location}")
+
+    def _raise(err):
+        raise err
+
+    for _root, _dirs, files in os.walk(location, onerror=_raise):
         for fn in files:
             if not (fn.startswith("_") or fn.startswith(".")):
                 return True
     return False
+
+
+def _cells_quantized(cells: DataFrame) -> bool:
+    """Writer-contract sniff: quantized (IVF-SQ8) cells carry (id, codes,
+    codes_scale) data columns — ONE definition shared by every consumer so
+    the heuristic can't drift between paths."""
+    data_cols = [c for c in cells.columns if c != "cid"]
+    return len(data_cols) >= 3 and f"{data_cols[1]}_scale" in data_cols
 
 
 def _read_cells(spark, path: str, location: str) -> DataFrame:
@@ -719,10 +773,9 @@ def ivf_append(
     # crash behind the pointer can never make an append write
     # mixed-precision rows into the cells dir.
     live = _read_cells(spark, path, f"{path}/{name}")
-    data_cols = [c for c in live.columns if c != "cid"]
     quantized = (
-        len(data_cols) >= 3 and f"{data_cols[1]}_scale" in data_cols
-        if data_cols
+        _cells_quantized(live)
+        if [c for c in live.columns if c != "cid"]
         else bool(meta.get("quantized"))
     )
     assign = assign_centroids(
@@ -756,7 +809,7 @@ def ivf_delete(spark, path: str, ids: DataFrame) -> int:
     ivf_append, and on an object store prefer the lakehouse's own
     DELETE/MERGE. Returns rows removed."""
     _recover_cells(path)
-    live_name, centroids_name = current_pair(path)
+    live_name, centroids_name, meta_name = _current_names(path)
     cells = _read_cells(spark, path, f"{path}/{live_name}").withColumn(
         "cid", F.col("cid").cast("long")
     )
@@ -769,7 +822,8 @@ def ivf_delete(spark, path: str, ids: DataFrame) -> int:
     remain = cells.filter(F.col("cid").isin(list(affected))).join(
         ids.select(id_col), id_col, "left_anti"
     )
-    new_name = f"cells-v{_next_version(path)}"
+    version = _next_version(path)
+    new_name = f"cells-v{version}"
     # rewritten (possibly now-empty) partitions land in the new version...
     remain.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
@@ -779,10 +833,13 @@ def ivf_delete(spark, path: str, ids: DataFrame) -> int:
     _link_partitions(
         f"{path}/{live_name}", f"{path}/{new_name}", skip_cids=affected
     )
-    _upgrade_meta_schema(spark, path, cells)
-    # centroids are untouched: the flip carries the live pairing forward
-    _flip_current(path, new_name, centroids_name)
-    _prune_versions(path, {new_name, live_name, centroids_name})
+    meta_name = _upgrade_meta_schema(spark, path, cells, version, meta_name)
+    # centroids/meta are untouched: the flip carries the live names forward
+    _flip_current(path, new_name, centroids_name, meta_name)
+    keep = {new_name, live_name, centroids_name}
+    if meta_name:
+        keep.add(meta_name)
+    _prune_versions(path, keep)
     return removed
 
 
@@ -827,7 +884,7 @@ def ivf_compact(spark, path: str) -> int:
     staging read and the flip would be silently discarded. Serialize them
     (e.g. compact from the same scheduler that owns the append cadence)."""
     _recover_cells(path)
-    live_name, centroids_name = current_pair(path)
+    live_name, centroids_name, meta_name = _current_names(path)
     cells = _read_cells(spark, path, f"{path}/{live_name}").withColumn(
         "cid", F.col("cid").cast("long")
     )
@@ -835,15 +892,21 @@ def ivf_compact(spark, path: str) -> int:
     # writer contract (ivf_save/ivf_append): data columns are (id, vector),
     # partition col cid is appended last at read → columns[0] is the id col
     deduped = cells.dropDuplicates(["cid", cells.columns[0]])
-    new_name = f"cells-v{_next_version(path)}"
+    version = _next_version(path)
+    new_name = f"cells-v{version}"
     deduped.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/{new_name}")
-    _upgrade_meta_schema(spark, path, cells)  # before the read below: a
-    # compact that empties the table needs the schema sidecar to verify it
-    after = _read_cells(spark, path, f"{path}/{new_name}").count()
-    _flip_current(path, new_name, centroids_name)
-    _prune_versions(path, {new_name, live_name, centroids_name})
+    meta_name = _upgrade_meta_schema(spark, path, cells, version, meta_name)
+    # explicit-schema read: verifies the persisted rows without parquet
+    # inference, so a compact that EMPTIES the table (data-less dir) still
+    # verifies cleanly — and does so independent of the pointer state
+    after = spark.read.schema(cells.schema).parquet(f"{path}/{new_name}").count()
+    _flip_current(path, new_name, centroids_name, meta_name)
+    keep = {new_name, live_name, centroids_name}
+    if meta_name:
+        keep.add(meta_name)
+    _prune_versions(path, keep)
     return before - after
 
 
@@ -884,7 +947,7 @@ def ivf_search_cells(
     broadcast-BLAS map, so computing it once more for the cid collect is a
     second cheap pass over the query batch, never over the corpus."""
     data_cols = [c for c in cells.columns if c != "cid"]
-    quantized = len(data_cols) >= 3 and f"{data_cols[1]}_scale" in data_cols
+    quantized = _cells_quantized(cells)
     id_col = id_col or data_cols[0]
     probes = assign_centroids(
         queries, centroids, assign_k=n_probe, id_col="qid", vec_col="qvec"
@@ -958,8 +1021,7 @@ def ivf_recall_estimate(
     centroids, cells = ivf_load(spark, path)
     data_cols = [c for c in cells.columns if c != "cid"]
     id_col = data_cols[0]
-    quantized = len(data_cols) >= 3 and f"{data_cols[1]}_scale" in data_cols
-    if quantized:
+    if _cells_quantized(cells):
         from vectrekker_spark.operators.quantize import dequantize_int8
 
         vectors = dequantize_int8(

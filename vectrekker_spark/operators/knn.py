@@ -467,7 +467,15 @@ def similarity_join(
         # full-right call (ordered_pairs=True but distinct frames) through
         # the self-join kernel would silently return pairs the caller's
         # left-side filter excluded — that ambiguous shape keeps raising.
-        if ordered_pairs and metric == "cosine" and left is right:
+        if (
+            ordered_pairs
+            and metric == "cosine"
+            and left is right
+            and left_id == right_id
+            and left_vec == right_vec
+        ):
+            # same-object AND same-column: a cross-column join over one
+            # frame (title_vec vs body_vec) has no self-join equivalent
             import warnings
 
             if threshold < 0.95:

@@ -307,7 +307,7 @@ def q11_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     # (scan → broadcast joins → Expand → in-task agg, zero data-shuffling
     # exchanges; the 175-row result sorts serially below). Distributed
     # partial-agg plan at real scale.
-    from vectrekker_spark.queries.util import small_local, tb1
+    from vectrekker_spark.queries.util import small_local
 
     serial = small_local(sf, "orders")
     o, c, n = tb1(spark, sf, "orders"), tb(spark, sf, "customer"), tb(spark, sf, "nation")
