@@ -421,16 +421,27 @@ def ivf_meta(spark, path: str) -> dict:
     never be a crash ahead of or behind the tables it describes); pointers
     written before meta versioning fall back to the unversioned
     ``meta.json``, then the legacy Spark-written ``meta`` directory."""
+    tokens = _pointer_tokens(path)
+    return _meta_named(spark, path, tokens[2] if len(tokens) > 2 else None)
+
+
+def _meta_named(spark, path: str, meta_name: str | None) -> dict:
+    """Metadata resolution given an already-read pointer token. A
+    POINTER-NAMED meta file that is missing raises — falling back to the
+    stale unversioned copies would silently mis-describe the live tables
+    (the metadata analog of a vanished cells dir, which also fails loudly).
+    Only nameless pointers use the unversioned fallbacks."""
     import json as _json
     import os
 
-    meta_name = _current_names(path)[2]
-    for fname in ([meta_name] if meta_name else []) + ["meta.json"]:
-        try:
-            with open(os.path.join(path, fname)) as f:
-                return {k: v for k, v in _json.load(f).items() if v is not None}
-        except (OSError, ValueError):
-            pass
+    if meta_name:
+        with open(os.path.join(path, meta_name)) as f:  # OSError propagates
+            return {k: v for k, v in _json.load(f).items() if v is not None}
+    try:
+        with open(os.path.join(path, "meta.json")) as f:
+            return {k: v for k, v in _json.load(f).items() if v is not None}
+    except (OSError, ValueError):
+        pass
     try:
         row = spark.read.json(f"{path}/meta").collect()
     except Exception:
@@ -439,19 +450,19 @@ def ivf_meta(spark, path: str) -> dict:
 
 
 def _upgrade_meta_schema(
-    spark, path: str, cells: DataFrame, version: int, meta_name: str | None
+    path: str, meta: dict, cells: DataFrame, version: int, meta_name: str | None
 ) -> str | None:
     """Backfill ``cells_schema`` into the metadata of an index saved before
     the schema sidecar existed — delete/compact rewrites hold the full
     cells table in hand, so the one rewrite that could empty the table also
-    makes it recoverable. Returns the meta filename the new pointer should
-    reference: the upgraded ``meta-v{version}.json`` when a backfill was
-    needed, else the incoming name unchanged."""
-    meta = ivf_meta(spark, path)
+    makes it recoverable. ``meta`` is the caller's already-resolved live
+    metadata (one pointer read per operation). Returns the meta filename
+    the new pointer should reference: the upgraded ``meta-v{version}.json``
+    when a backfill was needed, else the incoming name unchanged."""
     if meta.get("cells_schema"):
         return meta_name
     read_order = [c for c in cells.columns if c != "cid"] + ["cid"]
-    meta["cells_schema"] = cells.select(read_order).schema.json()
+    meta = {**meta, "cells_schema": cells.select(read_order).schema.json()}
     new_name = f"meta-v{version}.json"
     _write_meta(path, meta, new_name)
     return new_name
@@ -522,6 +533,15 @@ def _recover_cells(path: str) -> None:
 # use the lakehouse's own OPTIMIZE/DELETE instead.
 
 
+def _pointer_tokens(path: str) -> list[str]:
+    """Raw CURRENT pointer tokens (one atomic read); [] when absent."""
+    try:
+        with open(f"{path}/CURRENT") as f:
+            return f.read().split()
+    except OSError:
+        return []
+
+
 def _current_names(path: str) -> tuple[str, str, str | None]:
     """(cells_dirname, centroids_dirname, meta_filename|None) of the live
     version — ONE pointer read, so the tables and their metadata can never
@@ -529,11 +549,7 @@ def _current_names(path: str) -> tuple[str, str, str | None]:
     meta-vN.json" (current), two tokens (meta resolved from the unversioned
     fallbacks), one token (centroids via the ≤-version heuristic), absent
     (pre-versioning legacy dirs)."""
-    try:
-        with open(f"{path}/CURRENT") as f:
-            tokens = f.read().split()
-    except OSError:
-        tokens = []
+    tokens = _pointer_tokens(path)
     cells_name = tokens[0] if tokens else "cells"
     centroids_name = (
         tokens[1] if len(tokens) > 1 else _centroids_heuristic(path, cells_name)
@@ -681,11 +697,15 @@ def _cells_quantized(cells: DataFrame) -> bool:
     return len(data_cols) >= 3 and f"{data_cols[1]}_scale" in data_cols
 
 
-def _read_cells(spark, path: str, location: str) -> DataFrame:
+def _read_cells(spark, location: str, schema_json: str | None) -> DataFrame:
     """Read a cells table; a fully-emptied index (ivf_delete of every id
-    leaves a version dir with no data files) recovers its schema from the
-    meta sidecar instead of failing parquet inference, so the index stays
-    loadable/searchable/appendable at zero rows.
+    leaves a version dir with no data files) recovers its schema from
+    ``schema_json`` (the caller's ALREADY-RESOLVED meta — passing it in
+    keeps the one-pointer-read invariant: a concurrent flip between the
+    caller's pointer read and this fallback must not pair an old cells
+    location with a newer version's schema) instead of failing parquet
+    inference, so the index stays loadable/searchable/appendable at zero
+    rows.
 
     The fallback is DELIBERATELY narrow: only an AnalysisException (the
     schema-inference failure an empty dir produces) on a directory that
@@ -706,7 +726,6 @@ def _read_cells(spark, path: str, location: str) -> DataFrame:
             truly_empty = not _dir_has_data_files(location)
         except OSError:
             truly_empty = False  # non-local path: can't verify, so don't mask
-        schema_json = ivf_meta(spark, path).get("cells_schema")
         if not truly_empty or not schema_json:
             raise  # corruption/pre-sidecar index: surface the original error
         return spark.createDataFrame(
@@ -724,11 +743,12 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
         _recover_cells(path)
     except OSError:
         pass  # non-local path (s3://...): nothing to heal with os primitives
-    # one pointer read for both tables: a rebuild flipping CURRENT between
-    # two reads must not pair new centroids with old cells
-    cells_name, centroids_name = current_pair(path)
+    # one pointer read for both tables AND the metadata: a rebuild flipping
+    # CURRENT mid-load must not mix artifacts from two versions
+    cells_name, centroids_name, meta_name = _current_names(path)
+    schema_json = _meta_named(spark, path, meta_name).get("cells_schema")
     centroids = spark.read.parquet(f"{path}/{centroids_name}")
-    cells = _read_cells(spark, path, f"{path}/{cells_name}").withColumn(
+    cells = _read_cells(spark, f"{path}/{cells_name}", schema_json).withColumn(
         "cid", F.col("cid").cast("long")
     )
     return centroids, cells
@@ -758,24 +778,23 @@ def ivf_append(
     Centroids drift as the corpus grows — re-run ivf_build when recall
     degrades; append covers the between-rebuilds regime."""
     spark = new_corpus.sparkSession
-    meta = ivf_meta(spark, path)
+    # one pointer read: the centroids used for assignment, the metadata,
+    # and the cells dir appended into must all belong to the same version
+    name, centroids_name, meta_name = _current_names(path)
+    meta = _meta_named(spark, path, meta_name)
     id_col = id_col or meta.get("id_col", "vec_id")
     vec_col = vec_col or meta.get("vec_col", "embedding")
     assign_k = assign_k or meta.get("assign_k") or 1
-    # one pointer read: the centroids used for assignment and the cells dir
-    # appended into must belong to the same version
-    name, centroids_name = current_pair(path)
     centroids = spark.read.parquet(f"{path}/{centroids_name}")
     # a quantized index (IVF-SQ8) quantizes its appends too — the cells
     # schema must stay homogeneous, so the decision comes from the LIVE
-    # cells schema itself whenever rows exist (int8 codes + scale columns),
-    # with the meta flag only as the empty-table fallback: a meta file one
-    # crash behind the pointer can never make an append write
-    # mixed-precision rows into the cells dir.
-    live = _read_cells(spark, path, f"{path}/{name}")
+    # cells schema itself (present even for an empty table via the schema
+    # fallback): a meta flag one crash behind the pointer can never make an
+    # append write mixed-precision rows into the cells dir.
+    live = _read_cells(spark, f"{path}/{name}", meta.get("cells_schema"))
     quantized = (
         _cells_quantized(live)
-        if [c for c in live.columns if c != "cid"]
+        if live.columns != ["cid"]
         else bool(meta.get("quantized"))
     )
     assign = assign_centroids(
@@ -810,9 +829,10 @@ def ivf_delete(spark, path: str, ids: DataFrame) -> int:
     DELETE/MERGE. Returns rows removed."""
     _recover_cells(path)
     live_name, centroids_name, meta_name = _current_names(path)
-    cells = _read_cells(spark, path, f"{path}/{live_name}").withColumn(
-        "cid", F.col("cid").cast("long")
-    )
+    meta = _meta_named(spark, path, meta_name)
+    cells = _read_cells(
+        spark, f"{path}/{live_name}", meta.get("cells_schema")
+    ).withColumn("cid", F.col("cid").cast("long"))
     id_col = [c for c in cells.columns if c != "cid"][0]
     hits = cells.join(ids.select(id_col), id_col, "leftsemi")
     affected = {int(r[0]) for r in hits.select("cid").distinct().collect()}
@@ -833,7 +853,7 @@ def ivf_delete(spark, path: str, ids: DataFrame) -> int:
     _link_partitions(
         f"{path}/{live_name}", f"{path}/{new_name}", skip_cids=affected
     )
-    meta_name = _upgrade_meta_schema(spark, path, cells, version, meta_name)
+    meta_name = _upgrade_meta_schema(path, meta, cells, version, meta_name)
     # centroids/meta are untouched: the flip carries the live names forward
     _flip_current(path, new_name, centroids_name, meta_name)
     keep = {new_name, live_name, centroids_name}
@@ -885,9 +905,10 @@ def ivf_compact(spark, path: str) -> int:
     (e.g. compact from the same scheduler that owns the append cadence)."""
     _recover_cells(path)
     live_name, centroids_name, meta_name = _current_names(path)
-    cells = _read_cells(spark, path, f"{path}/{live_name}").withColumn(
-        "cid", F.col("cid").cast("long")
-    )
+    meta = _meta_named(spark, path, meta_name)
+    cells = _read_cells(
+        spark, f"{path}/{live_name}", meta.get("cells_schema")
+    ).withColumn("cid", F.col("cid").cast("long"))
     before = cells.count()
     # writer contract (ivf_save/ivf_append): data columns are (id, vector),
     # partition col cid is appended last at read → columns[0] is the id col
@@ -897,7 +918,7 @@ def ivf_compact(spark, path: str) -> int:
     deduped.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/{new_name}")
-    meta_name = _upgrade_meta_schema(spark, path, cells, version, meta_name)
+    meta_name = _upgrade_meta_schema(path, meta, cells, version, meta_name)
     # explicit-schema read: verifies the persisted rows without parquet
     # inference, so a compact that EMPTIES the table (data-less dir) still
     # verifies cleanly — and does so independent of the pointer state

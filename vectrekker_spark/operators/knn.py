@@ -440,13 +440,15 @@ def similarity_join(
 
     Past the guard the router AUTO-ROUTES when it safely can: a TRUE
     self-join — the SAME DataFrame object passed as both ``left`` and
-    ``right``, with ``ordered_pairs=True`` and the cosine metric — falls
-    through to ``similarity_join_bucketed``, the LSH route with no
-    driver-side collect, same (l_id, r_id, score) contract and
-    bit-identical scores (a warning notes the recall approximation for
-    thresholds below ~0.95; see that operator's recall math). Everything
-    else still raises: distinct frames (even lineage-equal ones — the
-    bucketed kernel would silently drop a left-side filter), a cross-dataset
+    ``right``, with MATCHING id/vec column names on both sides,
+    ``ordered_pairs=True``, and the cosine metric — falls through to
+    ``similarity_join_bucketed``, the LSH route with no driver-side
+    collect, same (l_id, r_id, score) contract and bit-identical scores (a
+    warning notes the recall approximation for thresholds below ~0.95; see
+    that operator's recall math). Everything else still raises: distinct
+    frames (even lineage-equal ones — the bucketed kernel would silently
+    drop a left-side filter), a cross-COLUMN join over one frame
+    (title_vec vs body_vec has no self-join equivalent), a cross-dataset
     join (ordered_pairs=False), or a non-cosine metric have no safe
     bucketed equivalent here — those callers must pre-bucket explicitly.
     """
@@ -490,10 +492,12 @@ def similarity_join(
         raise ValueError(
             f"similarity_join: right side exceeds max_broadcast_rows="
             f"{max_broadcast_rows}; broadcasting it would OOM executors. "
-            "Auto-routing applies only to a TRUE self-join (pass the SAME "
-            "DataFrame object as left and right, ordered_pairs=True, cosine "
-            "metric); no bucketed equivalent exists for distinct frames, "
-            "cross-dataset (ordered_pairs=False), or non-cosine joins. "
+            "Auto-routing applies only to a TRUE self-join (the SAME "
+            "DataFrame object as left and right, matching id/vec column "
+            "names on both sides, ordered_pairs=True, cosine metric); no "
+            "bucketed equivalent exists for distinct frames, cross-column "
+            "joins over one frame, cross-dataset (ordered_pairs=False), or "
+            "non-cosine joins. "
             "Bucket first (similarity_join_bucketed / LSH / IVF) and join "
             "per bucket, or raise the cap deliberately."
         )
