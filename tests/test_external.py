@@ -290,13 +290,18 @@ def test_pooled_client_non_idempotent_never_replays(fake_server_keepalive):
         client.post_json("/vectors/upsert", {"vectors": []})  # warm: reused now
         state.reset_next = 1
         with pytest.raises(OSError):
-            client.post_json("/vectors/upsert", {"vectors": []}, idempotent=False)
+            # the DEFAULT is now non-idempotent: no transparent replay
+            client.post_json("/vectors/upsert", {"vectors": []})
         # the server saw the doomed request exactly once — no replay
         assert len(state.paths) == 2
-        # default path still re-dials transparently after a stale socket
-        client.post_json("/vectors/upsert", {"vectors": []})  # re-warm: reused
+        # opt-in idempotent path still re-dials transparently after a stale
+        # socket (the contract the embed/upsert call sites declare)
+        client.post_json("/vectors/upsert", {"vectors": []}, idempotent=True)
         state.reset_next = 1
-        assert client.post_json("/vectors/upsert", {"vectors": []}) == {}
+        assert (
+            client.post_json("/vectors/upsert", {"vectors": []}, idempotent=True)
+            == {}
+        )
         assert len(state.paths) == 5  # dropped attempt + transparent replay
     finally:
         client.close()

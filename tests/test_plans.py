@@ -116,6 +116,24 @@ def test_ordered_barrier_sits_below_sort(spark, sf_dir):
     assert plan.index("hashpartitioning") < plan.index("rangepartitioning"), plan
 
 
+def test_ordered_barrier_width_follows_session(spark, sf_dir):
+    # the barrier must be as wide as the session's shuffle setting — a fixed
+    # small constant would funnel a corpus-sized result (one row per doc at
+    # 100 TB) through a handful of tasks. AQE coalesces it back down when
+    # the result is small, so width is free locally.
+    import re
+
+    from vectrekker_spark.queries.util import ordered
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = ordered(
+        spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey"),
+        "p_partkey",
+    )
+    plan = formatted_plan(df).lower()
+    assert re.search(rf"hashpartitioning\([^)]*,\s*{parts}\)", plan), plan
+
+
 def test_bm25_scans_text_once(spark, sf_dir):
     """A bare bm25_scores call must scan the TEXT column exactly once — the
     skinny (id, dl, hit_toks) intermediate is persisted by default, so the

@@ -121,8 +121,11 @@ class HttpEmbedder:
         key = os.environ.get(self.api_key_env, "")
         if key:
             headers["Authorization"] = f"Bearer {key}"
+        # idempotent=True: re-embedding the same texts is safe (documented
+        # at-least-once contract), so a stale keep-alive socket may replay
         payload = self._client.post_json(
-            self._path, {"model": self.model, "input": texts}, headers
+            self._path, {"model": self.model, "input": texts}, headers,
+            idempotent=True,
         )
         vecs = [row["embedding"] for row in payload["data"]]
         if len(vecs) != len(texts):

@@ -212,8 +212,13 @@ class PooledHttpClient:
         path: str,
         payload: dict,
         headers: dict[str, str] | None = None,
-        idempotent: bool = True,
+        idempotent: bool = False,
     ) -> dict:
+        # idempotent defaults FALSE: transparent stale-socket replay is an
+        # at-least-once hazard, so each endpoint opts in explicitly (the two
+        # shipped callers — embed + vector upsert — both document replay
+        # safety and pass idempotent=True). A future non-idempotent caller
+        # gets fail-fast semantics without having to know about the flag.
         body = json.dumps(payload).encode()
         hdrs = {"Content-Type": "application/json", **(headers or {})}
         try:

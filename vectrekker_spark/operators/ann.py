@@ -1031,9 +1031,13 @@ def ivf_recall_estimate(
     stored vectors, and reports the mean overlap.
 
     Cost is bounded and corpus-shaped, not quadratic: the sampled queries
-    are a broadcast-crossJoin side, so ground truth is ONE streaming pass
-    over the cells table scoring each row against ≤``sample`` queries —
-    the same shape as any exact-knn batch. A quantized index is measured
+    are a broadcast-crossJoin side, so the SCORING is one streaming pass
+    over the cells table against ≤``sample`` queries — the same shape as
+    any exact-knn batch. The top-k selection behind it is NOT free,
+    though: ``_topk_by_score``'s per-qid window shuffles all
+    sample × n_vectors scored rows through one exchange before ranking,
+    so on a huge index run this canary deliberately (maintenance cadence,
+    smaller ``sample``), not casually per query. A quantized index is measured
     in its own dequantized space (index-vs-index, the drift signal we
     want), so no full-precision corpus is needed.
 

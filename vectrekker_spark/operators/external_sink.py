@@ -78,7 +78,9 @@ class HttpVectorSink:
         while True:
             self._breaker.before_request()  # fail fast when the circuit is open
             try:
-                out = self._client.post_json(path, payload, headers)
+                # idempotent=True: upsert-by-id replays harmlessly
+                # (documented at-least-once contract of the sink)
+                out = self._client.post_json(path, payload, headers, idempotent=True)
                 self._breaker.record_success()
                 return out
             except urllib.error.HTTPError as e:

@@ -259,15 +259,23 @@ def similarity_join_self_auto(
             right_id=id_col, right_vec=vec_col,
             max_collect_rows=max_exact_rows,
         )
-    return _bucketed_self_fallback(df, threshold, id_col, vec_col)
+    return _bucketed_self_fallback(
+        df, threshold, id_col, vec_col, caller="similarity_join_self_auto"
+    )
 
 
 def _bucketed_self_fallback(
-    df: DataFrame, threshold: float, id_col: str, vec_col: str
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    caller: str = "similarity_join",
 ) -> DataFrame:
     """Shared past-the-cap route (similarity_join_self_auto and the
     similarity_join router): null-safe dim probe + bucketed self-join —
-    one definition so the two routers can't drift."""
+    one definition so the two routers can't drift. ``caller`` names the
+    public entry point in errors, so a failure is attributed to the API the
+    user actually called."""
     probe = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.size(vec_col).alias("d"))
@@ -275,7 +283,7 @@ def _bucketed_self_fallback(
     )
     if probe is None:
         raise ValueError(
-            f"similarity_join: no non-null {vec_col!r} vectors to "
+            f"{caller}: no non-null {vec_col!r} vectors to "
             "derive the dimension from on the bucketed fallback path"
         )
     return similarity_join_bucketed(

@@ -97,7 +97,9 @@ def q27_chunking(spark: SparkSession, sf: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_md5"),
     )
     if small_local(sf, "documents"):
-        return chunks.sortWithinPartitions("doc_id", "chunk_id")
+        # explicit coalesce(1): the global order must not silently depend on
+        # chunk_text staying a narrow op over the tb1 single partition
+        return chunks.coalesce(1).sortWithinPartitions("doc_id", "chunk_id")
     return ordered(chunks, "doc_id", "chunk_id")
 
 

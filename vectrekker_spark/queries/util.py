@@ -74,7 +74,7 @@ def small_local(sf_dir: str, name: str, threshold: int = 64 << 20) -> bool:
         return False
 
 
-def ordered(df: DataFrame, *cols: str, parts: int = 8) -> DataFrame:
+def ordered(df: DataFrame, *cols: str, parts: int | None = None) -> DataFrame:
     """Total sort with a hash-shuffle barrier on the first sort key.
 
     A bare ``orderBy`` makes the range partitioner SAMPLE its child, and when
@@ -84,7 +84,20 @@ def ordered(df: DataFrame, *cols: str, parts: int = 8) -> DataFrame:
     parse, regex kernels, pandas UDFs). The barrier materializes the skinny
     result rows once; sampling then reads shuffle output. Costs one small
     exchange — skip it for plans that already end in an exchange
-    (aggregations, joins on the sort key)."""
+    (aggregations, joins on the sort key).
+
+    ``parts`` defaults to the session's ``spark.sql.shuffle.partitions`` so
+    a full-corpus-sized result (one row per document) gets a barrier as wide
+    as every other shuffle in the job — a fixed small constant here would
+    funnel the whole result through a handful of tasks at scale. AQE
+    coalesces the partitions back down when the result is actually small,
+    so the wide default costs nothing locally."""
+    if parts is None:
+        spark = df.sparkSession
+        try:
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. unset/"auto" under AQE
+            parts = spark.sparkContext.defaultParallelism
     return df.repartition(parts, cols[0]).orderBy(*cols)
 
 

@@ -219,7 +219,10 @@ def q21_vector_metrics(spark: SparkSession, sf: str) -> DataFrame:
             F.round(l2_from_parts, 6).alias("l2_distance"),
         )
         .transform(
-            lambda d: d.sortWithinPartitions("vec_id")
+            # explicit coalesce(1): pin the serial branch's single-partition
+            # invariant instead of relying on the broadcast left-join
+            # preserving the tb1 partitioning implicitly
+            lambda d: d.coalesce(1).sortWithinPartitions("vec_id")
             if serial
             else ordered(d, "vec_id")
         )
