@@ -24,3 +24,25 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     assert sorted(sdf.columns) == sorted(ocols), "column sets differ"
     assert len(srows) == len(orows), f"row count {len(srows)} != {len(orows)}"
     assert srows == orows
+
+
+def test_get_json_object_parity(spark, duck, sf_dir):
+    """Path-extraction JSON access (`get_json_object` ≡ DuckDB
+    json_extract_string): q19 now parses with one schema'd from_json, so
+    this keeps the path-style API oracle-covered (SURVEY §2 Map/JSON row)."""
+    from pyspark.sql import functions as F
+
+    sdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").cast("long").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+    _, orows = duck_rows(
+        duck,
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+        "FROM events ORDER BY event_id",
+    )
+    assert rows_of(sdf) == orows

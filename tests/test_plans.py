@@ -183,6 +183,57 @@ def test_bm25_uncached_final_join_prunes_to_id(spark, sf_dir):
     ), schemas
 
 
+def test_q19_single_scan_single_parse(spark, sf_dir):
+    # the merged JSON spec must read and parse `props` exactly once: one
+    # events FileScan, one from_json, and the grouping-sets Expand sitting
+    # ABOVE the parse so only skinny parsed rows are duplicated (r6 verdict:
+    # the old two-branch form paid the dominant JSON-parse cost twice).
+    from vectrekker_spark.queries.relational import q19_json
+
+    df = q19_json(spark, sf_dir)
+    plan = formatted_plan(df)
+    scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln or ("Location:" in ln and "events" in ln)
+    ]
+    event_scans = [ln for ln in scans if "events" in ln]
+    assert len(event_scans) == 1, plan
+    assert plan.count("from_json") == 1, plan
+    # the grouping-sets Expand is present (it duplicates parsed rows only)
+    assert "Expand" in plan, plan
+
+
+def _final_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_q06_q11_fact_shuffle_reused_at_runtime(spark, sf_dir):
+    # both arms of the merged union specs hang off ONE pre-aggregated fact
+    # lineage; AQE's stage cache must dedupe the identical exchanges so the
+    # fact (orders) is scanned and shuffled once per query, not per arm
+    # (r6 verdict "double-scan union specs").
+    from vectrekker_spark.queries.relational import q06_outer_joins, q11_grouping_sets
+
+    for fn in (q06_outer_joins, q11_grouping_sets):
+        df = fn(spark, sf_dir)
+        df.collect()
+        final = _final_plan(df)
+        final_section = final.split("== Initial Plan ==")[0]
+        assert "ReusedExchange" in final_section, (fn.__name__, final)
+
+
+def test_q07_serial_plan_has_zero_exchanges(spark, sf_dir):
+    # on one-file local fixtures the semi+anti union runs as two
+    # single-partition broadcast probes + one in-task sort — no shuffles;
+    # the distributed plan at scale is untouched (small_local gate).
+    from vectrekker_spark.queries.relational import q07_semi_anti_join
+
+    df = q07_semi_anti_join(spark, sf_dir)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+
+
 def test_tpch_fact_table_never_broadcast(spark, sf_dir):
     # lineitem is the fact: it must be the stream side of every join. A
     # BroadcastExchange over it is a plan that only works while the fact
