@@ -84,6 +84,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     cache_intermediate: bool = True,
+    stable_sum: bool = False,
 ) -> DataFrame:
     """(id, score): Okapi BM25 relevance of every document to the query
     terms — the standard lexical relevance gate for query-targeted corpus
@@ -112,12 +113,19 @@ def bm25_scores(
     and is excluded from the corpus stats (N, avgdl); empty text scores 0.0
     and participates with dl = 0.
 
-    Determinism note: the per-doc sum is IEEE double addition in shuffle
-    order (idf is libm ln), so scores are reproducible only to ~1 ulp
-    before the round(6); a document whose rounded score lands exactly on a
-    filter threshold can in principle flip across runs — pick thresholds
-    away from observed score values (the tfidf sqrt trick doesn't apply: a
-    multi-term sum has no order-free exact form).
+    Determinism note: by default the per-doc sum is IEEE double addition in
+    shuffle order (idf is libm ln), so scores are reproducible only to ~1
+    ulp before the round(6); a document whose rounded score lands exactly
+    on a filter threshold can in principle flip across runs — pick
+    thresholds away from observed score values (the tfidf sqrt trick
+    doesn't apply: a multi-term sum has no order-free exact form).
+    ``stable_sum=True`` makes the per-doc sum order-deterministic instead:
+    the term partials are collected, sorted by term, and folded in order
+    (F.aggregate), which an oracle can mirror exactly with an ORDER BY
+    list aggregate — use it when scores must hash-compare across engines
+    or runs. Costs a per-doc collect_list over ≤|query| partials (bounded
+    by the query length, not the document), so the plan shape at scale is
+    unchanged.
     """
     terms = query.split() if isinstance(query, str) else list(query)
     terms = sorted({t.lower() for t in terms if t})
@@ -155,13 +163,33 @@ def bm25_scores(
     )
     part = tf.join(F.broadcast(idf), "term").select(
         F.col(id_col),
+        "term",
         (
             F.col("idf")
             * (F.col("tf") * (k1 + 1.0))
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
         ).alias("part"),
     )
-    scored = part.groupBy(id_col).agg(F.round(F.sum("part"), 6).alias("score"))
+    if stable_sum:
+        # order-deterministic fold: sort the ≤|query| partials by term and
+        # accumulate left-to-right (see docstring)
+        scored = (
+            part.groupBy(id_col)
+            .agg(
+                F.array_sort(F.collect_list(F.struct("term", "part"))).alias("__ps")
+            )
+            .select(
+                F.col(id_col),
+                F.round(
+                    F.aggregate(
+                        "__ps", F.lit(0.0), lambda acc, x: acc + x["part"]
+                    ),
+                    6,
+                ).alias("score"),
+            )
+        )
+    else:
+        scored = part.groupBy(id_col).agg(F.round(F.sum("part"), 6).alias("score"))
     out = (
         # zero-fill id list from base (≡ docs' ids, NULL text included):
         # with the cache on this is an in-memory read, not another scan

@@ -149,6 +149,74 @@ FROM inj ORDER BY doc_id
 """
 
 
+_BM25_TERMS = sorted({"vector", "merge", "scan", "data"})
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def d24_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    # Okapi BM25 relevance of every document to a fixed query
+    # (operators/tfidf.bm25_scores — the curate CLI's --query/--min-bm25
+    # gate), registered so the operator carries a driver oracle row
+    # (r6 verdict #6; it was property-tested only while the registry was
+    # full). stable_sum makes the per-doc partial sum an order-deterministic
+    # term-sorted fold, which the oracle mirrors with an ORDER BY list
+    # aggregate — bit-stable across engines AND across driver re-runs.
+    # cache_intermediate=False: a registry query can't release() a persisted
+    # block after the driver collects, and on the one-file fixture the three
+    # consumers re-read a single small scan; production callers keep the
+    # default caching + release() lifecycle.
+    from vectrekker_spark.operators.tfidf import bm25_scores
+
+    d = tb1(spark, sf, "documents")
+    out = bm25_scores(
+        d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+        cache_intermediate=False, stable_sum=True,
+    )
+    return ordered(out, "doc_id")
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+D24_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(trim(text), '\\S+')) AS dl,
+         list_filter({LTOKS}, t -> t IN ({_TERMS_SQL})) AS hit_toks
+  FROM documents),
+stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM base WHERE dl IS NOT NULL),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(hit_toks) AS term FROM base)
+  GROUP BY doc_id, dl, term),
+dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+idf AS (
+  -- every numeric literal is CAST to DOUBLE so DuckDB mirrors Spark's IEEE
+  -- op-for-op evaluation instead of exact DECIMAL arithmetic (a bare 1.2
+  -- parses as DECIMAL here); the .5 offsets are dyadic so the casts are
+  -- value-exact
+  SELECT term,
+         ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE) / CAST(df + 0.5 AS DOUBLE))
+           AS idf,
+         avgdl
+  FROM dfx CROSS JOIN stats),
+parts AS (
+  SELECT tf.doc_id AS doc_id, tf.term AS term,
+         idf.idf * (tf.tf * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+           / (tf.tf + CAST({_BM25_K1!r} AS DOUBLE)
+              * (CAST({1.0 - _BM25_B!r} AS DOUBLE)
+                 + (CAST({_BM25_B!r} AS DOUBLE) * tf.dl) / idf.avgdl))
+           AS part
+  FROM tf JOIN idf USING (term)),
+scored AS (
+  SELECT doc_id,
+         ROUND(list_aggregate(list(part ORDER BY term), 'sum'), 6) AS score
+  FROM parts GROUP BY doc_id)
+SELECT b.doc_id AS doc_id, COALESCE(s.score, 0.0) AS score
+FROM base b LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("d18_hash_split", d18_hash_split, D18_SQL, ("curation",),
               "deterministic salted-hash train/val/test split + stats"),
@@ -159,4 +227,6 @@ SPECS = [
               "top-100 corpus terms by sqrt-damped TF-IDF"),
     QuerySpec("d21_pii_redact", d21_pii_redact, D21_SQL, ("curation",),
               "regex PII scrub (emails/phones) with planted fixtures"),
+    QuerySpec("d24_bm25", d24_bm25, D24_SQL, ("curation", "relevance"),
+              "Okapi BM25 relevance scores (order-deterministic fold)"),
 ]
