@@ -340,7 +340,9 @@ def _make_legacy_layout(path):
     for d in os.listdir(path):
         if re.fullmatch(r"centroids-v(\d+)", d):
             shutil.move(os.path.join(path, d), os.path.join(path, "centroids"))
-    os.remove(os.path.join(path, "CURRENT"))
+    for d in os.listdir(path):
+        if d == "CURRENT" or re.fullmatch(r"CURRENT-v(\d+)", d):
+            os.remove(os.path.join(path, d))
 
 
 def test_ivf_load_heals_crashed_legacy_compact_swap(spark, em, tmp_path):
@@ -794,3 +796,118 @@ def test_ivf_orphan_meta_never_adopted(spark, em, tmp_path):
     ivf_compact(spark, path)
     assert ivf_meta(spark, path).get("quantized") is False
     assert "meta-v99.json" not in os.listdir(path)  # orphan reclaimed
+
+
+def test_index_lifecycle_is_rename_free(spark, em, tmp_path, monkeypatch):
+    """The whole pointer lifecycle — save, load, search, append, delete,
+    compact — must never rename or overwrite-in-place (os.replace/os.rename
+    banned for the duration): the protocol that makes it safe on an object
+    store, where immutable PUT + LIST-highest is all you get. (The only
+    sanctioned rename lives in the LEGACY pre-versioning healing path,
+    which versioned indexes never enter.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        ivf_compact,
+        ivf_delete,
+        ivf_append,
+        ivf_load,
+        ivf_save,
+        ivf_search_cells,
+    )
+
+    def _banned(*a, **k):
+        raise AssertionError("rename/replace used in the index lifecycle")
+
+    monkeypatch.setattr(os, "replace", _banned)
+    monkeypatch.setattr(os, "rename", _banned)
+
+    sub = em.filter(F.col("vec_id") < 80)
+    path = str(tmp_path / "norename")
+    centroids, assign = ivf_build(sub, n_centroids=4, method="stride")
+    ivf_save(centroids, assign, sub, path)
+
+    q = sub.limit(3).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    lc, cells = ivf_load(spark, path)
+    assert ivf_search_cells(q, lc, cells, k=3, n_probe=4).count() == 9
+
+    delta = em.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    ivf_append(delta, path)
+    removed = ivf_delete(spark, path, sub.limit(5).select("vec_id"))
+    assert removed >= 5
+    assert ivf_compact(spark, path) >= 0
+    lc, cells = ivf_load(spark, path)
+    assert ivf_search_cells(q, lc, cells, k=3, n_probe=4).count() == 9
+
+    # pruning kept the live + grace pointers only, and no legacy file exists
+    pointers = sorted(d for d in os.listdir(path) if d.startswith("CURRENT"))
+    assert "CURRENT" not in pointers
+    assert 1 <= len(pointers) <= 2, pointers
+
+
+def test_legacy_current_file_reads_and_upgrades(spark, em, tmp_path):
+    """An index whose pointer is the legacy single rewritten CURRENT file
+    stays readable, and its first rewrite upgrades it to the versioned
+    highest-wins protocol (removing the shadowed legacy file)."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        _pointer_tokens,
+        ivf_compact,
+        ivf_load,
+        ivf_save,
+    )
+
+    sub = em.filter(F.col("vec_id") < 50)
+    path = str(tmp_path / "legacyptr")
+    centroids, assign = ivf_build(sub, n_centroids=2, method="stride")
+    ivf_save(centroids, assign, sub, path)
+    tokens = _pointer_tokens(path)
+    # demote to the legacy layout: one rewritten CURRENT file, no versions
+    with open(os.path.join(path, "CURRENT"), "w") as f:
+        f.write(" ".join(tokens) + "\n")
+    for d in os.listdir(path):
+        if re.fullmatch(r"CURRENT-v(\d+)", d):
+            os.remove(os.path.join(path, d))
+
+    assert _pointer_tokens(path) == tokens  # legacy fallback read
+    _, cells = ivf_load(spark, path)
+    assert cells.count() == sub.count()
+
+    ivf_compact(spark, path)  # first rewrite upgrades the pointer
+    assert not os.path.exists(os.path.join(path, "CURRENT"))
+    assert any(
+        re.fullmatch(r"CURRENT-v(\d+)", d) for d in os.listdir(path)
+    )
+    _, cells = ivf_load(spark, path)
+    assert cells.count() == sub.count()
+
+
+def test_torn_pointer_write_falls_back_to_previous_version(spark, em, tmp_path):
+    """A pointer file without the trailing-newline commit marker (a torn
+    local write) is skipped; the reader takes the next-lower version, which
+    still names the grace artifact set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import _pointer_tokens, ivf_load, ivf_save
+
+    sub = em.filter(F.col("vec_id") < 50)
+    path = str(tmp_path / "tornptr")
+    centroids, assign = ivf_build(sub, n_centroids=2, method="stride")
+    ivf_save(centroids, assign, sub, path)
+    good = _pointer_tokens(path)
+    top = max(
+        int(d.split("-v")[1]) for d in os.listdir(path) if d.startswith("CURRENT-v")
+    )
+    with open(os.path.join(path, f"CURRENT-v{top + 1}"), "w") as f:
+        f.write("cells-v999 centroids-v999")  # no newline: uncommitted
+    assert _pointer_tokens(path) == good
+    _, cells = ivf_load(spark, path)
+    assert cells.count() == sub.count()

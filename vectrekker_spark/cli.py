@@ -200,14 +200,16 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
 
     from pyspark.sql import functions as F
 
-    from vectrekker_spark.operators.ann import ivf_append, ivf_build, ivf_save
+    from vectrekker_spark.operators.ann import (
+        index_exists,
+        ivf_append,
+        ivf_build,
+        ivf_save,
+    )
 
     spark = _spark()
     index = spark.read.parquet(args.index).select("id", "embedding")
-    if args.incremental and (
-        os.path.exists(os.path.join(args.out, "CURRENT"))
-        or os.path.exists(os.path.join(args.out, "cells"))
-    ):
+    if args.incremental and index_exists(args.out):
         from vectrekker_spark.operators.ann import ivf_delete, ivf_load, ivf_meta
 
         # quantization is a BUILD property (it lives in the index meta);

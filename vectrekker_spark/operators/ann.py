@@ -352,9 +352,9 @@ def ivf_save(
     # centroids version the rebuild INTRODUCES is written under the same
     # version number — never in place over the live centroids, which a
     # reader's in-flight plan (or its old-cells grace copy) still pairs with.
-    prev = _current_names(path) if os.path.exists(
-        f"{path}/CURRENT"
-    ) or os.path.exists(f"{path}/cells") else None
+    prev = _current_names(path) if _pointer_tokens(path) or os.path.exists(
+        f"{path}/cells"
+    ) else None
     version = _next_version(path)
     new_cells, new_centroids = f"cells-v{version}", f"centroids-v{version}"
     new_meta = f"meta-v{version}.json"
@@ -469,18 +469,18 @@ def _upgrade_meta_schema(
 
 
 def _write_meta(path: str, meta: dict, filename: str) -> None:
-    """Atomically write an index meta sidecar file — write-tmp +
-    os.replace, the same discipline as the CURRENT pointer, so no reader
-    ever sees a missing or half-written meta (Spark's dir-overwrite deletes
-    before it writes). Versioned filenames (meta-v{N}.json) become live
-    only when a pointer flip references them."""
+    """Write an index meta sidecar file. Rename-free on purpose (object
+    stores have no rename): versioned filenames (meta-v{N}.json) become
+    live ONLY when a later pointer flip references them, so no reader can
+    observe the file mid-write — a crash before the flip leaves an
+    unreferenced orphan that the next rewrite prunes. Version numbers never
+    repeat (the paired cells-v{N} dir exists before this is called, so
+    _next_version always advances past N), hence no torn-overwrite risk."""
     import json as _json
     import os
 
-    tmp = os.path.join(path, f".{filename}.tmp")
-    with open(tmp, "w") as f:
+    with open(os.path.join(path, filename), "w") as f:
         _json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, filename))
 
 
 def _recover_cells(path: str) -> None:
@@ -494,7 +494,7 @@ def _recover_cells(path: str) -> None:
 
     import shutil
 
-    if os.path.exists(os.path.join(path, "CURRENT")):
+    if _pointer_tokens(path):
         return
     live = os.path.join(path, "cells")
     if os.path.exists(live):
@@ -509,8 +509,10 @@ def _recover_cells(path: str) -> None:
 
 
 # --- versioned cells layout ------------------------------------------------
-# The cells table lives in {path}/cells-v{N}; {path}/CURRENT names the live
-# version (atomic os.replace flip). Rewrites (compact, delete, full rebuild)
+# The cells table lives in {path}/cells-v{N}; the highest {path}/CURRENT-v{K}
+# pointer file names the live version (immutable create-exclusive writes,
+# highest-wins reads — rename-free, see _flip_current/_pointer_tokens for the
+# object-store mapping). Rewrites (compact, delete, full rebuild)
 # write a complete NEW version and flip the pointer, so concurrent READERS
 # never observe a missing table: a plan that resolved the old directory keeps
 # reading its files — the previous version is retained as a grace copy until
@@ -528,13 +530,52 @@ def _recover_cells(path: str) -> None:
 # module degrade gracefully: two tokens resolve meta from the unversioned
 # meta.json / legacy meta dir; one token resolves centroids from the
 # highest centroids-vM ≤ N, else the legacy unversioned dir. Pre-versioning
-# indexes (bare {path}/cells + {path}/centroids, no pointer) stay readable
-# and upgrade on their first rewrite. Local-FS layout — on an object store
-# use the lakehouse's own OPTIMIZE/DELETE instead.
+# indexes (bare {path}/cells + {path}/centroids, no pointer, or the legacy
+# single rewritten CURRENT file) stay readable and upgrade on their first
+# rewrite. The pointer protocol itself is object-store safe (immutable PUTs
+# + LIST-highest; no rename anywhere in the live path) — but for the DATA
+# rewrites prefer the lakehouse's own OPTIMIZE/DELETE on an object store.
+
+
+def _pointer_versions(path: str) -> list[int]:
+    """Versions of every ``CURRENT-v{K}`` pointer file, descending."""
+    import os
+    import re
+
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return []
+    return sorted(
+        (
+            int(m.group(1))
+            for m in (re.fullmatch(r"CURRENT-v(\d+)", n) for n in names)
+            if m
+        ),
+        reverse=True,
+    )
 
 
 def _pointer_tokens(path: str) -> list[str]:
-    """Raw CURRENT pointer tokens (one atomic read); [] when absent."""
+    """Live pointer tokens (one logical read); [] when absent.
+
+    Rename-free highest-wins protocol (object-store safe): each flip writes
+    an immutable ``CURRENT-v{K}`` file with a monotonically increasing K —
+    never overwriting or renaming — and readers LIST the directory and read
+    the highest K. A trailing newline is the commit marker: a file without
+    it is a torn local write (object stores PUT atomically, so this only
+    guards plain filesystems) and the reader falls back to the next-lower
+    version, which still names a live-or-grace artifact set. The legacy
+    single rewritten ``CURRENT`` file is honored when no versioned pointer
+    exists, so pre-upgrade indexes stay readable."""
+    for v in _pointer_versions(path):
+        try:
+            with open(f"{path}/CURRENT-v{v}") as f:
+                raw = f.read()
+        except OSError:
+            continue  # pruned between the listing and the read: try older
+        if raw.endswith("\n") and raw.split():
+            return raw.split()
     try:
         with open(f"{path}/CURRENT") as f:
             return f.read().split()
@@ -555,6 +596,14 @@ def _current_names(path: str) -> tuple[str, str, str | None]:
         tokens[1] if len(tokens) > 1 else _centroids_heuristic(path, cells_name)
     )
     return cells_name, centroids_name, tokens[2] if len(tokens) > 2 else None
+
+
+def index_exists(path: str) -> bool:
+    """True when a saved index lives at ``path`` — a live pointer (any
+    protocol generation) or a legacy unversioned cells dir."""
+    import os
+
+    return bool(_pointer_tokens(path)) or os.path.exists(f"{path}/cells")
 
 
 def current_pair(path: str) -> tuple[str, str]:
@@ -628,16 +677,47 @@ def _next_version(path: str) -> int:
 def _flip_current(
     path: str, cells_name: str, centroids_name: str, meta_name: str | None
 ) -> None:
-    """Atomically point CURRENT at the (cells, centroids, meta) triple
-    (write-tmp + os.replace). ``meta_name`` None (an index whose metadata
-    still lives in the unversioned fallbacks) writes the two-token form."""
+    """Atomically point the index at the (cells, centroids, meta) triple.
+
+    Writes a NEW immutable ``CURRENT-v{K}`` pointer file (K = highest
+    existing + 1) via create-exclusive — no rename, no overwrite — so the
+    same protocol maps onto an object store: every pointer is a single
+    atomic PUT (use If-None-Match/conditional-PUT for the create-exclusive
+    guarantee there) and readers take the highest listed version. Two
+    racing writers land distinct versions and highest-wins gives
+    last-writer-wins, exactly the semantics the old os.replace flip had.
+    After a successful flip the previous-but-one pointers are pruned (the
+    immediately-previous one is kept as the grace pointer, matching the
+    grace artifact set) and a legacy ``CURRENT`` file, now shadowed, is
+    removed so it can never dangle at pruned artifacts.
+
+    ``meta_name`` None (an index whose metadata still lives in the
+    unversioned fallbacks) writes the two-token form."""
     import os
 
-    tmp = os.path.join(path, ".CURRENT.tmp")
-    with open(tmp, "w") as f:
-        suffix = f" {meta_name}" if meta_name else ""
-        f.write(f"{cells_name} {centroids_name}{suffix}\n")
-    os.replace(tmp, os.path.join(path, "CURRENT"))
+    suffix = f" {meta_name}" if meta_name else ""
+    content = f"{cells_name} {centroids_name}{suffix}\n"
+    versions = _pointer_versions(path)
+    k = (versions[0] + 1) if versions else 0
+    for _ in range(1000):  # bounded: concurrent flips each bump K once
+        try:
+            with open(os.path.join(path, f"CURRENT-v{k}"), "x") as f:
+                f.write(content)
+            break
+        except FileExistsError:
+            k += 1
+    else:
+        raise OSError(f"could not claim a pointer version under {path}")
+    for old in _pointer_versions(path):
+        if old < k - 1:
+            try:
+                os.remove(os.path.join(path, f"CURRENT-v{old}"))
+            except OSError:
+                pass
+    try:
+        os.remove(os.path.join(path, "CURRENT"))  # shadowed legacy pointer
+    except OSError:
+        pass
 
 
 def _prune_versions(path: str, keep: set[str]) -> None:
