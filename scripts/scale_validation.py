@@ -1,0 +1,167 @@
+"""Distributed-regime validation: run the heavy/serial-gated queries
+end-to-end on a multi-split derived dataset (scripts/make_scale_data.py) and
+assert the at-scale plan properties that single-file fixtures can't exercise.
+
+Usage: python scripts/scale_validation.py [data_dir] [--no-oracle] [name_substr]
+
+Checks, per the r6 verdict's "distributed-regime validation" item:
+  1. every serial-plan gate disengages: small_local(dir, t) is False for all
+     tables, and no executed plan contains a Coalesce(1)
+  2. the distributed plans hold: AQE engaged, filters still pushed to the
+     scans, lineitem never a broadcast build in the TPC-H joins
+  3. the queries RUN and return sane results at ~10x sf0.1 (exact row
+     invariants where the dimensional structure pins them)
+  4. (default) DuckDB value-oracle parity on the same multi-split data for
+     every selected query whose oracle is tractable at this scale
+
+Prints one JSON line at the end; record the numbers in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectrekker_spark.catalog import TABLES  # noqa: E402
+from vectrekker_spark.plans import broadcast_subtrees, formatted_plan  # noqa: E402
+from vectrekker_spark.queries import all_specs  # noqa: E402
+from vectrekker_spark.queries.util import small_local  # noqa: E402
+from vectrekker_spark.session import get_spark  # noqa: E402
+
+# heavy + formerly-serial-gated queries; the validation set from VERDICT r6
+QUERIES = [
+    "q02_filter", "q03_agg", "q06_outer_joins", "q07_semi_anti_join",
+    "q09_range_join", "q11_grouping_sets", "q12_rank_window", "q13_lag_frame",
+    "q19_json", "q21_vector_metrics", "q22_topk_nn", "q26_text_stats",
+    "q27_chunking", "q28_sim_dedup", "d01_minhash", "d04_text_scoring",
+    "d12_bpe_tokens", "d19_decontaminate", "d20_tfidf", "d22_asof_join",
+    "d23_repetition", "d24_bm25", "t05_local_supplier_volume",
+    "t10_returned_items",
+]
+# value-oracle skipped where the DuckDB formulation is quadratic-ish at this
+# scale (q28's SQL is an all-pairs cross join; d03-style baselines likewise)
+NO_ORACLE = {"q28_sim_dedup"}
+# row counts pinned by the dimensional structure (independent of the factor)
+EXACT_ROWS = {
+    "q03_agg": 6,
+    "q11_grouping_sets": 175,
+    "q22_topk_nn": 10,
+    "t05_local_supplier_volume": 5,
+    "t10_returned_items": 20,
+}
+TPCH_FACT_CHECK = {"q03_agg", "t05_local_supplier_volume", "t10_returned_items"}
+
+
+def canon(v):
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--no-oracle"]
+    use_oracle = "--no-oracle" not in sys.argv[1:]
+    data = args[0] if args else "/root/repo/.scale/sf1"
+    needle = args[1] if len(args) > 1 else ""
+
+    spark = get_spark(app_name="scale-validation")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true", "AQE off"
+
+    # 1. the gates must disengage on the multi-split layout
+    for t in TABLES:
+        assert not small_local(data, t), f"small_local wrongly True for {t}"
+    print("gates: small_local False for all tables (serial plans disengaged)")
+
+    con = None
+    if use_oracle:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{data}/{t}.parquet"
+            src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+
+    specs = all_specs()
+    failures = 0
+    timings: dict[str, float] = {}
+    for name in QUERIES:
+        if needle and needle not in name:
+            continue
+        s = specs.get(name) or _extra_spec(name)
+        t0 = time.time()
+        try:
+            df = s.spark(spark, data)
+            plan = formatted_plan(df)
+            rows = df.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK FAIL {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        timings[name] = round(dt, 2)
+
+        ok, msgs = True, []
+        # 2. serial artifacts must be absent from the distributed plans
+        if "Coalesce 1" in plan or "Coalesce(1)" in plan:
+            ok, msgs = False, msgs + ["Coalesce(1) in plan"]
+        if name in TPCH_FACT_CHECK:
+            for sub in broadcast_subtrees(df):
+                if "lineitem" in sub:
+                    ok, msgs = False, msgs + ["lineitem broadcast-built"]
+        # 3. result sanity
+        want = EXACT_ROWS.get(name)
+        if want is not None and len(rows) != want:
+            ok, msgs = False, msgs + [f"rows {len(rows)} != {want}"]
+        if not rows:
+            ok, msgs = False, msgs + ["empty result"]
+        # 4. value oracle on the same data
+        if con is not None and s.oracle is not None and name not in NO_ORACLE:
+            t1 = time.time()
+            res = con.execute(s.oracle)
+            orows = sorted(tuple(canon(v) for v in r) for r in res.fetchall())
+            srows = sorted(tuple(canon(v) for v in r) for r in rows)
+            if srows != orows:
+                diff = next(
+                    (i for i, (a, b) in enumerate(zip(srows, orows)) if a != b),
+                    min(len(srows), len(orows)),
+                )
+                ok = False
+                msgs.append(
+                    f"ORACLE MISMATCH at row {diff}: "
+                    f"spark={srows[diff] if diff < len(srows) else '<none>'} "
+                    f"duck={orows[diff] if diff < len(orows) else '<none>'}"
+                )
+            else:
+                msgs.append(f"oracle ok ({time.time()-t1:.1f}s)")
+
+        status = "OK" if ok else "FAIL"
+        print(f"{name}: {status} rows={len(rows)} {dt:.1f}s {'; '.join(msgs)}")
+        if not ok:
+            failures += 1
+
+    summary = {
+        "data": data,
+        "queries": len(timings),
+        "failures": failures,
+        "total_spark_sec": round(sum(timings.values()), 1),
+        "timings": timings,
+    }
+    print(json.dumps(summary))
+    return 1 if failures else 0
+
+
+def _extra_spec(name):
+    raise KeyError(f"unknown query {name}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

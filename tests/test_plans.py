@@ -116,6 +116,26 @@ def test_ordered_barrier_sits_below_sort(spark, sf_dir):
     assert plan.index("hashpartitioning") < plan.index("rangepartitioning"), plan
 
 
+def test_small_local_false_for_directory_tables(tmp_path):
+    # a directory-backed (multi-split) table must NEVER engage the serial
+    # gates: tb1's coalesce(1) on a real multi-file table would serialize a
+    # distributed scan. (Found by the sf1 validation run — os.path.getsize
+    # on a directory returned the tiny dir-entry size and read as "small".)
+    import os
+
+    from vectrekker_spark.queries.util import small_local
+
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    (d / "part-00000.parquet").write_bytes(b"x")
+    assert not small_local(str(tmp_path), "orders")
+    # a small single FILE still engages the serial plans
+    f = tmp_path / "nation.parquet"
+    f.write_bytes(b"x")
+    assert small_local(str(tmp_path), "nation")
+    assert not small_local(str(tmp_path), "missing")
+
+
 def test_ordered_barrier_width_follows_session(spark, sf_dir):
     # the barrier must be as wide as the session's shuffle setting — a fixed
     # small constant would funnel a corpus-sized result (one row per doc at

@@ -32,12 +32,11 @@ def tbp(spark: SparkSession, sf_dir: str, name: str, parts: int | None = None) -
     CPU-heavy kernels (minhash, winnowing) should keep the default.
 
     The size gate assumes the local fixture layout: one plain parquet FILE
-    per table on the local filesystem. On a directory-backed table
-    os.path.getsize returns the tiny dir-entry size (→ repartition is always
-    applied), and on a remote path (s3://...) it raises OSError (→ never
-    applied). Both degrade gracefully, and in a real deployment the table is
-    either bucketed on write or splits naturally (at 100 TB the scan has
-    thousands of splits), so this helper is a no-op there by design.
+    per table on the local filesystem. A directory-backed table or a remote
+    path (s3://...) is never small_local, so the repartition is skipped — in
+    a real deployment the table is either bucketed on write or splits
+    naturally (at 100 TB the scan has thousands of splits), so this helper
+    is a no-op there by design.
     """
     df = tb(spark, sf_dir, name)
     if not small_local(sf_dir, name):
@@ -61,15 +60,23 @@ def tb1(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def small_local(sf_dir: str, name: str, threshold: int = 64 << 20) -> bool:
-    """True when the table is a single small local parquet file — the regime
-    where serial plans beat distributed ones (see ``tbp`` docstring for the
-    layout assumptions and graceful degradation)."""
+    """True when the table is a single small local parquet FILE — the regime
+    where serial plans beat distributed ones.
+
+    A directory-backed table (multi-file parquet — the layout every real
+    deployment uses) is NEVER small_local, regardless of size: the isfile
+    check is what makes every serial-plan gate (tb1/coalesce(1)) disengage
+    the moment a table has more than one split, so the distributed plans are
+    reachable and validated (scripts/scale_validation.py runs them
+    end-to-end). A remote path (s3://...) raises OSError → False, same
+    disengage."""
     import os
 
     from vectrekker_spark.catalog import table_path
 
     try:
-        return os.path.getsize(table_path(sf_dir, name)) < threshold
+        p = table_path(sf_dir, name)
+        return os.path.isfile(p) and os.path.getsize(p) < threshold
     except OSError:
         return False
 
