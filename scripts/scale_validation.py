@@ -32,16 +32,8 @@ from vectrekker_spark.queries import all_specs  # noqa: E402
 from vectrekker_spark.queries.util import small_local  # noqa: E402
 from vectrekker_spark.session import get_spark  # noqa: E402
 
-# heavy + formerly-serial-gated queries; the validation set from VERDICT r6
-QUERIES = [
-    "q02_filter", "q03_agg", "q06_outer_joins", "q07_semi_anti_join",
-    "q09_range_join", "q11_grouping_sets", "q12_rank_window", "q13_lag_frame",
-    "q19_json", "q21_vector_metrics", "q22_topk_nn", "q26_text_stats",
-    "q27_chunking", "q28_sim_dedup", "d01_minhash", "d04_text_scoring",
-    "d12_bpe_tokens", "d19_decontaminate", "d20_tfidf", "d22_asof_join",
-    "d23_repetition", "d24_bm25", "t05_local_supplier_volume",
-    "t10_returned_items",
-]
+# the FULL registry runs distributed — every registered query, not a sample
+QUERIES = sorted(all_specs())
 # value-oracle skipped where the DuckDB formulation is quadratic-ish at this
 # scale (q28's SQL is an all-pairs cross join; d03-style baselines likewise)
 NO_ORACLE = {"q28_sim_dedup"}
@@ -96,7 +88,7 @@ def main() -> int:
     for name in QUERIES:
         if needle and needle not in name:
             continue
-        s = specs.get(name) or _extra_spec(name)
+        s = specs[name]
         t0 = time.time()
         try:
             df = s.spark(spark, data)
@@ -157,10 +149,6 @@ def main() -> int:
     }
     print(json.dumps(summary))
     return 1 if failures else 0
-
-
-def _extra_spec(name):
-    raise KeyError(f"unknown query {name}")
 
 
 if __name__ == "__main__":
