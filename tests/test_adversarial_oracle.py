@@ -1,0 +1,176 @@
+"""Adversarial-fixture oracle parity: run the REAL registered specs and
+their REAL DuckDB oracles against planted edge-case tables (unmatched FK
+rows, NULL keys, NULL/empty/whitespace text, missing JSON fields) written to
+a tmp dir. The driver's gate only sees the well-behaved generated fixtures;
+these pin the r7 rewrites' equivalences (q06 pre-aggregated outer joins,
+q11 cuboid-derived rollup/cube, q19 grouping-sets single parse, d24 BM25
+stable fold) on data shaped to break them."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from collections import Counter
+
+from tests.helpers import canon
+from vectrekker_spark.queries import all_specs
+
+SPECS = all_specs()
+
+
+def _write(tmp_path, name: str, df: pd.DataFrame) -> None:
+    df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+
+
+def _parity(spark, tmp_path, name: str):
+    # multiset compare (NULL sort keys make tuple-sorting ill-typed here;
+    # the driver's hash gate is order-insensitive the same way)
+    spec = SPECS[name]
+    sdf = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    try:
+        import os
+
+        for f in os.listdir(tmp_path):
+            if f.endswith(".parquet"):
+                con.execute(
+                    f"CREATE VIEW {f[:-8]} AS "
+                    f"SELECT * FROM read_parquet('{tmp_path / f}')"
+                )
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = Counter(tuple(canon(v) for v in r) for r in res.fetchall())
+    finally:
+        con.close()
+    assert sorted(sdf.columns) == sorted(ocols)
+    srows = Counter(tuple(canon(v) for v in r) for r in sdf.collect())
+    assert srows == orows, (srows - orows, orows - srows)
+    return sum(srows.values())
+
+
+def test_q06_outer_joins_adversarial(spark, tmp_path):
+    # customers with no orders, orders with no customer, NULL o_custkey,
+    # and a customer with many orders — the pre-aggregated rewrite must
+    # match the row-level SQL on every one of these.
+    _write(tmp_path, "customer", pd.DataFrame({"c_custkey": [1, 2, 3, 4]}))
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": [10, 11, 12, 13, 14, 15],
+                "o_custkey": pd.array([1, 1, 1, 2, 999, None], dtype="Int64"),
+            }
+        ),
+    )
+    assert _parity(spark, tmp_path, "q06_outer_joins") == 8  # 4 customers × 2
+
+
+def test_q11_grouping_sets_adversarial(spark, tmp_path):
+    # NULL o_orderpriority / o_orderstatus values: genuine-NULL groups and
+    # rollup/cube subtotal rows both display as 'ALL' (the documented
+    # conflation) — the cuboid rewrite must reproduce BOTH rows exactly.
+    # FKs kept intact (the rewrite's documented precondition).
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": range(8),
+                "o_custkey": [1, 1, 2, 2, 3, 3, 1, 2],
+                "o_orderstatus": pd.array(
+                    ["O", None, "F", "O", None, "F", "O", "F"]
+                ),
+                "o_orderpriority": pd.array(
+                    ["1-URGENT", "1-URGENT", None, "2-HIGH", None, "2-HIGH",
+                     None, "1-URGENT"]
+                ),
+                "o_totalprice": [10.5, 20.25, 30.0, 40.75, 50.0, 60.5, 70.0, 80.25],
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "customer",
+        pd.DataFrame({"c_custkey": [1, 2, 3], "c_nationkey": [0, 0, 1]}),
+    )
+    _write(
+        tmp_path,
+        "nation",
+        pd.DataFrame({"n_nationkey": [0, 1], "n_name": ["AAA", "BBB"]}),
+    )
+    _parity(spark, tmp_path, "q11_grouping_sets")
+
+
+def test_q19_json_adversarial(spark, tmp_path):
+    # props: k present / k missing / empty object / NULL props; NULL
+    # event_type. One from_json must agree with the oracle's per-branch
+    # json_extract on every shape.
+    _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": range(8),
+                "user_id": [1] * 8,
+                "event_type": pd.array(
+                    ["click", "click", None, "view", "view", None, "click", "view"]
+                ),
+                "ts": pd.to_datetime(["2024-01-01"] * 8),
+                "value": [1.0] * 8,
+                "props": pd.array(
+                    [
+                        '{"k": 10}', '{"k": 55}', '{"k": 100}', "{}",
+                        None, '{"k": 7}', '{"k": 0}', '{"k": -20}',
+                    ]
+                ),
+            }
+        ),
+    )
+    _parity(spark, tmp_path, "q19_json")
+
+
+def test_d24_bm25_adversarial(spark, tmp_path):
+    # NULL text (scores 0, excluded from corpus stats), empty and
+    # whitespace-only text (dl=0), repeated query terms, docs with no hits.
+    _write(
+        tmp_path,
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(7),
+                "text": pd.array(
+                    [
+                        "data data data merge",
+                        "vector scan",
+                        None,
+                        "",
+                        "   ",
+                        "nothing relevant here at all",
+                        "DATA Merge VECTOR scan data",
+                    ]
+                ),
+            }
+        ),
+    )
+    assert _parity(spark, tmp_path, "d24_bm25") == 7
+
+
+def test_q07_semi_anti_adversarial(spark, tmp_path):
+    # NULL join keys on both probe sides: NULL never matches in EXISTS or
+    # NOT EXISTS — both engines must agree on which rows survive.
+    _write(tmp_path, "customer", pd.DataFrame(
+        {"c_custkey": [1, 2, 3], "c_name": ["a", "b", "c"]}))
+    _write(tmp_path, "orders", pd.DataFrame(
+        {"o_orderkey": [1, 2, 3],
+         "o_custkey": pd.array([1, None, 9], dtype="Int64")}))
+    _write(tmp_path, "part", pd.DataFrame(
+        {"p_partkey": [7, 8, 9], "p_name": ["x", "y", "z"]}))
+    _write(tmp_path, "lineitem", pd.DataFrame(
+        {"l_orderkey": [1, 1, 2],
+         "l_partkey": pd.array([7, None, 99], dtype="Int64")}))
+    # semi: only customer 1; anti: parts 8 and 9 (NULL l_partkey matches no
+    # part; 99 references nothing)
+    assert _parity(spark, tmp_path, "q07_semi_anti_join") == 3
