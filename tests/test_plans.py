@@ -181,23 +181,29 @@ def test_bm25_scans_text_once(spark, sf_dir):
     release(out)
 
 
-def test_bm25_uncached_final_join_prunes_to_id(spark, sf_dir):
-    """With cache_intermediate=False (caller manages caching), the zero-fill
-    join's scan must still prune to the id column only."""
+def test_bm25_has_no_zero_fill_join(spark, sf_dir):
+    """The sentinel-term zero-fill (r7) removed the corpus-sized id join:
+    even uncached, the plan must contain no join of two corpus-sized sides
+    (the only joins are broadcasts of the tiny idf/stats tables) and at
+    most two pruned text scans (stats + tf branches)."""
     from vectrekker_spark.operators.tfidf import bm25_scores
     from vectrekker_spark.plans import formatted_plan
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = formatted_plan(bm25_scores(docs, "data model", cache_intermediate=False))
-    schemas = sorted(
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    schemas = [
         line.split("ReadSchema:", 1)[1].strip()
         for line in plan.splitlines()
         if "ReadSchema:" in line
-    )
-    id_only = [s for s in schemas if "text" not in s]
+    ]
+    # uncached consumers: stats, tf, df_t (df_t shares tf's exchange at
+    # runtime via AQE stage reuse; with the default cache all three read
+    # the in-memory block and text is scanned ONCE — see the cached test)
     with_text = [s for s in schemas if "text" in s]
-    assert id_only and all("doc_id" in s for s in id_only), schemas
-    assert with_text and all(
+    assert 1 <= len(with_text) <= 3, schemas
+    assert all(
         set(s.split("<")[1].rstrip(">").split(",")) <= {"doc_id:bigint", "text:string"}
         for s in with_text
     ), schemas

@@ -97,21 +97,32 @@ def bm25_scores(
     (size(tokens(text))) and the query-hit token array per row, and that
     skinny (id, dl, hit_toks) intermediate is persisted by default
     (``cache_intermediate=True``), so the TEXT column is scanned exactly
-    once no matter how many consumers hang off it (the avgdl/N aggregate,
-    the tf branch, and the final zero-fill id join all read the cache —
-    without it Catalyst re-scans per differently-pruned branch). The cached
-    block is a tiny fraction of the corpus (no text), and the handle rides
-    the result as ``_cached_base`` — long-lived drivers call ``release()``
-    once the scores are consumed. Pass cache_intermediate=False to opt out
-    (e.g. when the caller already caches an equivalent projection).
+    once no matter how many consumers hang off it (the avgdl/N aggregate
+    and the tf branch both read the cache — without it Catalyst re-scans
+    per differently-pruned branch). The cached block is a tiny fraction of
+    the corpus (no text), and the handle rides the result as
+    ``_cached_base`` — long-lived drivers call ``release()`` once the
+    scores are consumed. Pass cache_intermediate=False to opt out (e.g.
+    when the caller already caches an equivalent projection).
     Doc length rides the (id, term) aggregation as a grouping key (it is
     functionally dependent on id), so no separate lengths join exists; only
-    query-term hits are exploded and shuffled (∝ hits, not corpus tokens);
-    the per-term idf table (≤ |query| rows) and the single-row avgdl/N
-    aggregate broadcast. Documents with no query hits score 0.0 (kept, so
-    the result can drive a filter threshold directly). NULL text scores 0.0
-    and is excluded from the corpus stats (N, avgdl); empty text scores 0.0
-    and participates with dl = 0.
+    query-term hits are exploded and shuffled (∝ hits, not corpus tokens,
+    plus one sentinel row per document — see below); the per-term idf table
+    (≤ |query| rows + the sentinel) and the single-row avgdl/N aggregate
+    broadcast.
+
+    Zero-fill WITHOUT a join: every document's hit array carries one extra
+    sentinel token ``''`` (never a real token — tokens are non-empty by
+    construction, and empty query terms are dropped), whose idf row is
+    pinned to 0.0. Each document therefore reaches the final per-doc
+    aggregate with at least one partial whose contribution is exactly
+    +0.0, so documents with no query hits score 0.0 WITHOUT the
+    corpus-sized zero-fill join (and its shuffle+sort of the whole id set)
+    the r6 implementation paid. Output is one row per DISTINCT id — ids
+    are expected unique (the reference's PRIMARY KEY contract). NULL text
+    scores 0.0 (its NULL dl makes the sentinel partial NULL; the final
+    coalesce restores 0.0) and is excluded from the corpus stats (N,
+    avgdl); empty text scores 0.0 and participates with dl = 0.
 
     Determinism note: by default the per-doc sum is IEEE double addition in
     shuffle order (idf is libm ln), so scores are reproducible only to ~1
@@ -135,12 +146,17 @@ def bm25_scores(
     from vectrekker_spark.functions.text import token_count
 
     toks = tokens(F.lower(F.col(text_col)))
+    hits = F.filter(toks, lambda t: t.isin(terms))
     base = docs.select(
         F.col(id_col),
         # token_count: codegen regexp count (not an interpreted HOF), and
         # NULL text stays NULL instead of size(null) = -1 poisoning avgdl
         token_count(F.col(text_col)).alias("dl"),
-        F.filter(toks, lambda t: t.isin(terms)).alias("hit_toks"),
+        # '' sentinel appended (NULL-text hits coalesce to empty first):
+        # every doc emits ≥1 exploded row → join-free zero-fill (docstring)
+        F.concat(F.coalesce(hits, F.array()), F.array(F.lit(""))).alias(
+            "hit_toks"
+        ),
     )
     if cache_intermediate:
         base = base.persist()
@@ -152,13 +168,28 @@ def bm25_scores(
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    df_t = (
+        tf.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+    ).unionByName(
+        # the sentinel's df row (idf pinned to 0.0 below → contributes
+        # exactly +0.0 per document); a literal 1-row frame so the stats
+        # aggregate is consumed exactly once by the crossJoin
+        docs.sparkSession.range(1).select(
+            F.lit("").alias("term"), F.lit(None).cast("long").alias("df")
+        )
+    )
     idf = df_t.crossJoin(F.broadcast(stats)).select(
         "term",
-        F.log(
-            1.0
-            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
+        F.when(F.col("term") == "", F.lit(0.0))
+        .otherwise(
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+        )
+        .alias("idf"),
         "avgdl",
     )
     part = tf.join(F.broadcast(idf), "term").select(
@@ -171,8 +202,10 @@ def bm25_scores(
         ).alias("part"),
     )
     if stable_sum:
-        # order-deterministic fold: sort the ≤|query| partials by term and
-        # accumulate left-to-right (see docstring)
+        # order-deterministic fold: sort the ≤|query|+1 partials by term and
+        # accumulate left-to-right (see docstring; the '' sentinel sorts
+        # first and adds exactly 0.0, so the fold is value-identical to the
+        # sentinel-free sum)
         scored = (
             part.groupBy(id_col)
             .agg(
@@ -190,12 +223,10 @@ def bm25_scores(
         )
     else:
         scored = part.groupBy(id_col).agg(F.round(F.sum("part"), 6).alias("score"))
-    out = (
-        # zero-fill id list from base (≡ docs' ids, NULL text included):
-        # with the cache on this is an in-memory read, not another scan
-        base.select(id_col)
-        .join(scored, id_col, "left")
-        .select(F.col(id_col), F.coalesce("score", F.lit(0.0)).alias("score"))
+    # every doc is present via its sentinel row; the only NULL scores are
+    # NULL-text docs (NULL dl → NULL partial) — restore their 0.0 here
+    out = scored.select(
+        F.col(id_col), F.coalesce("score", F.lit(0.0)).alias("score")
     )
     out._cached_base = base if cache_intermediate else None
     return out
