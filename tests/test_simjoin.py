@@ -75,6 +75,40 @@ def test_blas_guard_raises_on_oversized_right(planted):
         )
 
 
+def test_blas_byte_budget_trips_on_dim(planted):
+    # the collect guard is a BYTE budget too: at rows × dim × 8 bytes a
+    # high-dim column must trip even when the row cap would allow it (the
+    # assign_centroids max_centroid_bytes idiom, VERDICT r5 §1)
+    n = planted.count()
+    with pytest.raises(ValueError, match="max_collect_bytes"):
+        similarity_join_blas(
+            planted, planted, threshold=0.9,
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+            max_collect_bytes=DIM * 8 * (n - 1),  # one row short
+        )
+    # a budget that covers the side passes (row cap untouched)
+    out = similarity_join_blas(
+        planted, planted, threshold=0.9,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+        max_collect_bytes=DIM * 8 * n,
+    )
+    assert out.count() >= 0
+
+
+def test_auto_route_byte_budget_routes_to_bucketed(planted):
+    # past the byte budget (but under the row cap) the self-join router
+    # must pick the bucketed kernel instead of letting the BLAS guard raise
+    from vectrekker_spark.operators.knn import similarity_join_self_auto
+
+    out = similarity_join_self_auto(
+        planted, 0.95, "vec_id", "embedding",
+        max_exact_bytes=DIM * 8 * 2,
+    )
+    assert out.count() >= 15  # planted dups still found
+
+
 def test_auto_route_picks_exact_under_cap(planted):
     from vectrekker_spark.operators.knn import similarity_join_self_auto
 
@@ -227,13 +261,18 @@ def test_auto_route_null_first_vector(spark):
     out = similarity_join_self_auto(df, 0.999, "vec_id", "embedding", max_exact_rows=5)
     assert out.count() > 0  # parallel vectors are all cosine 1.0
 
-    # all-null vectors past the exact cap: no dimension derivable → clear error
+    # all-null vectors (regardless of the caps): since r7 the router's own
+    # dim probe sees there is nothing scorable and returns the correct
+    # EMPTY result with the right schema — previously this raised only
+    # because the pre-probe router had to hand the bucketed kernel a
+    # dimension it couldn't derive
     nulls = spark.createDataFrame(
         [(0, None), (1, None), (2, None)],
         schema="vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="non-null"):
-        similarity_join_self_auto(nulls, 0.9, "vec_id", "embedding", max_exact_rows=1)
+    out = similarity_join_self_auto(nulls, 0.9, "vec_id", "embedding", max_exact_rows=1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["l_id", "r_id", "score"]
 
 
 def test_blas_route_tolerates_null_vectors(spark):

@@ -164,6 +164,7 @@ def similarity_join_blas(
     right_vec: str = "r_vec",
     ordered_pairs: bool = True,
     max_collect_rows: int = 1_000_000,
+    max_collect_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Cosine similarity join via blocked BLAS: the right side (must be the
     small/broadcastable side) is shipped to every executor as a dense float64
@@ -171,11 +172,16 @@ def similarity_join_blas(
     it instead of millions of interpreted per-pair expressions. ~50-100×
     faster than the expression form for brute-force self-joins.
 
-    The right side is driver-collected, so it MUST be broadcast-sized:
-    the collect is capped at ``max_collect_rows`` (default 1M rows ≈ 0.5 GB
-    at 64 float64 dims) and raises past the cap instead of OOMing the
-    driver. The cap is enforced with a LIMIT cap+1 collect — no extra
-    counting job, and an oversized side stops fetching at cap+1 rows.
+    The right side is driver-collected, so it MUST be broadcast-sized: the
+    collect is capped at ``max_collect_rows`` AND at the row allowance
+    ``max_collect_bytes`` implies for the probed vector dimension
+    (rows × dim × 8 — the same byte-budget discipline as the centroid
+    collect in operators/ann.assign_centroids: a row cap alone would let a
+    4096-dim embedding column collect 32 GB where a 64-dim one collects
+    0.5 GB). Raises past either cap instead of OOMing the driver; the cap
+    is enforced with a LIMIT cap+1 collect — no extra counting job beyond
+    the one-row dim probe, and an oversized side stops fetching at cap+1
+    rows.
 
     At 100 TB neither side fits a broadcast — there you bucket first
     (similarity_join_bucketed below, MinHash LSH in operators/dedup.py, IVF
@@ -192,23 +198,26 @@ def similarity_join_blas(
     r_id_t = dict(right.dtypes)[right_id]
     out_schema = f"l_id {l_id_t}, r_id {r_id_t}, score double"
 
-    rows = (
-        right.select(F.col(right_id), F.col(right_vec))
-        .filter(F.col(right_vec).isNotNull())  # NULLs can't score
-        .limit(max_collect_rows + 1)
-        .collect()
+    nn_right = right.select(F.col(right_id), F.col(right_vec)).filter(
+        F.col(right_vec).isNotNull()  # NULLs can't score
     )
-    if len(rows) > max_collect_rows:
-        raise ValueError(
-            f"similarity_join_blas: right side exceeds max_collect_rows="
-            f"{max_collect_rows}; it would not be broadcast-safe. Bucket "
-            "first (similarity_join_bucketed / LSH / IVF) and join per "
-            "bucket. NOTE: the bucketed route is APPROXIMATE — recall is "
-            ">0.999 only in the near-dup regime (cosine ≳ 0.95 at its "
-            "defaults; ~0.98 at 0.9, lower below) while this path is exact."
-        )
-    if not rows:  # empty right side → empty result, correct schema
+    probe = nn_right.select(F.size(F.col(right_vec)).alias("d")).first()
+    if probe is None:  # empty right side → empty result, correct schema
         return left.sparkSession.createDataFrame([], out_schema)
+    dim = int(probe["d"])
+    allowed = min(max_collect_rows, max(1, max_collect_bytes // (dim * 8)))
+    rows = nn_right.limit(allowed + 1).collect()
+    if len(rows) > allowed:
+        raise ValueError(
+            f"similarity_join_blas: right side exceeds the collect cap "
+            f"({allowed} rows = min(max_collect_rows={max_collect_rows}, "
+            f"max_collect_bytes={max_collect_bytes} at dim={dim})); it "
+            "would not be broadcast-safe. Bucket first "
+            "(similarity_join_bucketed / LSH / IVF) and join per bucket. "
+            "NOTE: the bucketed route is APPROXIMATE — recall is >0.999 "
+            "only in the near-dup regime (cosine ≳ 0.95 at its defaults; "
+            "~0.98 at 0.9, lower below) while this path is exact."
+        )
     rid = np.asarray([r[0] for r in rows])  # dtype inferred; string ids OK
     R = np.asarray([r[1] for r in rows], dtype=np.float64)
     rnorm = np.sqrt((R * R).sum(axis=1))
@@ -243,21 +252,44 @@ def similarity_join_self_auto(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_exact_rows: int = 1_000_000,
+    max_exact_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Auto-routed cosine-threshold SELF-join: EXACT blocked-BLAS when the
-    corpus fits the broadcast cap, else the SimHash-bucketed route (which
+    corpus fits the broadcast cap — BOTH the row cap and the byte budget
+    the probed vector dimension implies (rows × dim × 8), so a high-dim
+    embedding column routes to the bucketed path at the same memory
+    footprint a low-dim one would — else the SimHash-bucketed route (which
     is approximate below cosine ≈0.95 — see similarity_join_bucketed's
-    recall math). One LIMIT-probe decides; callers that must control
-    exactness pick a concrete variant instead. Returns (l_id, r_id, score)
-    with l < r either way.
+    recall math). One dim-probe + one LIMIT-probe decide; callers that
+    must control exactness pick a concrete variant instead. Returns
+    (l_id, r_id, score) with l < r either way.
     """
-    n_probe = df.select(id_col).limit(max_exact_rows + 1).count()
-    if n_probe <= max_exact_rows:
+    probe = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if probe is None:
+        # no non-null vectors: the exact kernel returns the empty result
+        # with the correct schema (nothing to route around)
         return similarity_join_blas(
             df, df, threshold,
             left_id=id_col, left_vec=vec_col,
             right_id=id_col, right_vec=vec_col,
             max_collect_rows=max_exact_rows,
+            max_collect_bytes=max_exact_bytes,
+        )
+    allowed = min(
+        max_exact_rows, max(1, max_exact_bytes // (int(probe["d"]) * 8))
+    )
+    n_probe = df.select(id_col).limit(allowed + 1).count()
+    if n_probe <= allowed:
+        return similarity_join_blas(
+            df, df, threshold,
+            left_id=id_col, left_vec=vec_col,
+            right_id=id_col, right_vec=vec_col,
+            max_collect_rows=max_exact_rows,
+            max_collect_bytes=max_exact_bytes,
         )
     return _bucketed_self_fallback(
         df, threshold, id_col, vec_col, caller="similarity_join_self_auto"
