@@ -131,6 +131,26 @@ def test_auto_route_picks_bucketed_over_cap(planted):
     assert out.count() >= 15
 
 
+def test_generic_simjoin_byte_budget_auto_routes(planted):
+    # the expression router's broadcast guard is byte-aware too: a true
+    # self-join past the BYTE budget (row cap untouched) auto-routes to the
+    # bucketed kernel instead of building an oversized broadcast
+    import warnings
+
+    from vectrekker_spark.operators.knn import release, similarity_join
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = similarity_join(
+            planted, planted, 0.95,
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+            max_broadcast_bytes=DIM * 8 * 2,
+        )
+    assert out.count() >= 15
+    release(out)
+
+
 def test_generic_simjoin_guard_raises_on_oversized_right(planted):
     # The ambiguous middle keeps the raise: a cross-dataset join
     # (ordered_pairs=False) has no bucketed self-join equivalent, so the

@@ -462,6 +462,7 @@ def similarity_join(
     right_vec: str = "r_vec",
     ordered_pairs: bool = True,
     max_broadcast_rows: int = 1_000_000,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """All pairs within threshold (embedding-space near-dup, L6).
 
@@ -475,8 +476,11 @@ def similarity_join(
     Broadcasts the right side; the threshold filter runs inside the same
     codegen stage as the score, so non-matching pairs are never materialized.
     The broadcast is guarded the same way as similarity_join_blas: a
-    LIMIT-bounded probe bounds the collect at ``max_broadcast_rows`` (~0.5 GB
-    at 64 float64 dims) instead of OOMing executors.
+    LIMIT-bounded probe bounds the build at ``max_broadcast_rows`` AND at
+    the row allowance ``max_broadcast_bytes`` implies for the probed vector
+    dimension (rows × dim × 8) — so a high-dim embedding column trips (or
+    auto-routes) at the same executor-memory footprint a low-dim one would
+    — instead of OOMing executors.
 
     Past the guard the router AUTO-ROUTES when it safely can: a TRUE
     self-join — the SAME DataFrame object passed as both ``left`` and
@@ -503,7 +507,16 @@ def similarity_join(
     # and long-lived drivers call ``release(result)`` once the result is
     # consumed, so repeated calls don't accumulate cached blocks.
     r_cached = r  # keep the persisted handle; r is rebound below
-    if r.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+    dim_row = r.filter(F.col("r_vec").isNotNull()).select(
+        F.size("r_vec").alias("d")
+    ).first()
+    allowed = max_broadcast_rows
+    if dim_row is not None:
+        allowed = min(
+            max_broadcast_rows,
+            max(1, max_broadcast_bytes // (int(dim_row["d"]) * 8)),
+        )
+    if r.limit(allowed + 1).count() > allowed:
         r.unpersist()
         # TRUE self-join only (left is right): routing a filtered-left /
         # full-right call (ordered_pairs=True but distinct frames) through
@@ -530,8 +543,10 @@ def similarity_join(
                 )
             return _bucketed_self_fallback(right, threshold, right_id, right_vec)
         raise ValueError(
-            f"similarity_join: right side exceeds max_broadcast_rows="
-            f"{max_broadcast_rows}; broadcasting it would OOM executors. "
+            f"similarity_join: right side exceeds the broadcast cap "
+            f"({allowed} rows = min(max_broadcast_rows={max_broadcast_rows}, "
+            f"max_broadcast_bytes={max_broadcast_bytes} at the probed "
+            "dim)); broadcasting it would OOM executors. "
             "Auto-routing applies only to a TRUE self-join (the SAME "
             "DataFrame object as left and right, matching id/vec column "
             "names on both sides, ordered_pairs=True, cosine metric); no "
