@@ -2,7 +2,8 @@
 end-to-end on a multi-split derived dataset (scripts/make_scale_data.py) and
 assert the at-scale plan properties that single-file fixtures can't exercise.
 
-Usage: python scripts/scale_validation.py [data_dir] [--no-oracle] [name_substr]
+Usage: python scripts/scale_validation.py [data_dir] [--no-oracle]
+       [--streaming] [name_substr]
 
 Checks, per the r6 verdict's "distributed-regime validation" item:
   1. every serial-plan gate disengages: small_local(dir, t) is False for all
@@ -13,6 +14,11 @@ Checks, per the r6 verdict's "distributed-regime validation" item:
      invariants where the dimensional structure pins them)
   4. (default) DuckDB value-oracle parity on the same multi-split data for
      every selected query whose oracle is tractable at this scale
+  5. (--streaming) the ST2 tumbling-window aggregation consumed as a real
+     file-source STREAM over the multi-file events directory (several
+     micro-batches at maxFilesPerTrigger=8) must produce row-for-row the
+     batch q30 result — the streaming path exercised in its distributed
+     multi-split regime, not just on one-file fixtures
 
 Prints one JSON line at the end; record the numbers in SCALE.md.
 """
@@ -58,9 +64,42 @@ def canon(v):
     return v
 
 
+def streaming_check(spark, data: str) -> tuple[bool, float]:
+    """Drain the multi-file events dir through the real ST2 streaming plan
+    (file source, several micro-batches) and compare with batch q30."""
+    import shutil
+    import tempfile
+
+    from vectrekker_spark.queries import all_specs
+    from vectrekker_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        windowed_counts,
+    )
+
+    t0 = time.time()
+    ckpt = tempfile.mkdtemp(prefix="scale-stream-ckpt-")
+    try:
+        stream = windowed_counts(read_events_stream(spark, f"{data}/events.parquet"))
+        run_available_now(stream, ckpt, "scale_stream_q30")
+        got = {
+            tuple(r)
+            for r in spark.table("scale_stream_q30").collect()
+        }
+        want = {
+            tuple(r)
+            for r in all_specs()["q30_tumbling_window"].spark(spark, data).collect()
+        }
+        return got == want and len(want) > 0, time.time() - t0
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--no-oracle"]
+    flags = {"--no-oracle", "--streaming"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     use_oracle = "--no-oracle" not in sys.argv[1:]
+    use_streaming = "--streaming" in sys.argv[1:]
     data = args[0] if args else "/root/repo/.scale/sf1"
     needle = args[1] if len(args) > 1 else ""
 
@@ -140,11 +179,20 @@ def main() -> int:
         if not ok:
             failures += 1
 
+    stream_ok = None
+    if use_streaming:
+        ok, dt = streaming_check(spark, data)
+        stream_ok = bool(ok)
+        print(f"streaming ST2 ≡ batch q30: {'OK' if ok else 'FAIL'} ({dt:.1f}s)")
+        if not ok:
+            failures += 1
+
     summary = {
         "data": data,
         "queries": len(timings),
         "failures": failures,
         "total_spark_sec": round(sum(timings.values()), 1),
+        "streaming_st2_matches_batch": stream_ok,
         "timings": timings,
     }
     print(json.dumps(summary))
