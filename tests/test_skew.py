@@ -79,3 +79,53 @@ def test_non_decomposable_combiner_raises(spark):
     df = spark.range(10).select(F.lit("k").alias("k"), F.col("id").alias("v"))
     with pytest.raises(ValueError, match="not decomposable"):
         salted_agg(df, "k", {"m": (F.avg("v"), "avg")})
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB skew story is two-layer: the salting operators above for
+    aggregations, and AQE's runtime skew-join splitting for joins
+    (session.py enables it). This pins that the AQE path actually FIRES:
+    a 90%-hot-key sort-merge join must show skew handling in the final
+    adaptive plan and still produce exact results."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # force a shuffled join and scale the skew thresholds down to the
+        # test's data volume (defaults are sized for real clusters)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "200k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        n = 200_000
+        # md5 payload: incompressible, so the hot partition's shuffle BYTES
+        # actually exceed the scaled-down skew threshold
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.concat(F.md5(F.col("id").cast("string")),
+                     F.md5((F.col("id") + 1).cast("string"))).alias("pay"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        joined = left.join(right, "k")
+        # collect() executes joined's OWN query execution (count() would
+        # build a separate one whose final plan we couldn't inspect)
+        assert len(joined.collect()) == n  # every left row matches one key
+        final = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            joined._jdf.queryExecution(), "simple"
+        )
+        final_section = final.split("== Initial Plan ==")[0]
+        assert "skew=true" in final_section, final_section
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
