@@ -72,29 +72,36 @@ def test_q11_grouping_sets_adversarial(spark, tmp_path):
     # NULL o_orderpriority / o_orderstatus values: genuine-NULL groups and
     # rollup/cube subtotal rows both display as 'ALL' (the documented
     # conflation) — the cuboid rewrite must reproduce BOTH rows exactly.
-    # FKs kept intact (the rewrite's documented precondition).
+    # FKs deliberately broken: a dangling o_custkey (999), a NULL
+    # o_custkey, and a customer whose nationkey matches no nation — the
+    # oracle's CUBE is over raw orders (keeps all three shapes) while its
+    # ROLLUP inner-joins (drops them); the single-scan cuboid must
+    # reproduce both via its left-join + matched-flag split.
     _write(
         tmp_path,
         "orders",
         pd.DataFrame(
             {
-                "o_orderkey": range(8),
-                "o_custkey": [1, 1, 2, 2, 3, 3, 1, 2],
+                "o_orderkey": range(11),
+                "o_custkey": pd.array(
+                    [1, 1, 2, 2, 3, 3, 1, 2, 999, None, 4], dtype="Int64"
+                ),
                 "o_orderstatus": pd.array(
-                    ["O", None, "F", "O", None, "F", "O", "F"]
+                    ["O", None, "F", "O", None, "F", "O", "F", "O", "F", "O"]
                 ),
                 "o_orderpriority": pd.array(
                     ["1-URGENT", "1-URGENT", None, "2-HIGH", None, "2-HIGH",
-                     None, "1-URGENT"]
+                     None, "1-URGENT", "2-HIGH", None, "1-URGENT"]
                 ),
-                "o_totalprice": [10.5, 20.25, 30.0, 40.75, 50.0, 60.5, 70.0, 80.25],
+                "o_totalprice": [10.5, 20.25, 30.0, 40.75, 50.0, 60.5, 70.0,
+                                 80.25, 11.0, 12.5, 13.75],
             }
         ),
     )
     _write(
         tmp_path,
         "customer",
-        pd.DataFrame({"c_custkey": [1, 2, 3], "c_nationkey": [0, 0, 1]}),
+        pd.DataFrame({"c_custkey": [1, 2, 3, 4], "c_nationkey": [0, 0, 1, 9]}),
     )
     _write(
         tmp_path,

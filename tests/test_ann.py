@@ -911,3 +911,72 @@ def test_torn_pointer_write_falls_back_to_previous_version(spark, em, tmp_path):
     assert _pointer_tokens(path) == good
     _, cells = ivf_load(spark, path)
     assert cells.count() == sub.count()
+
+
+def test_prune_after_torn_pointer_keeps_committed_grace(spark, em, tmp_path):
+    """A torn (uncommitted) top pointer must not shift the prune window:
+    after the next flip, a COMMITTED older pointer survives as the grace
+    pointer and the torn file is removed — never the reverse (review
+    finding: a numeric cutoff deleted the last readable pointer and kept
+    the unreadable torn one)."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import (
+        _pointer_tokens,
+        ivf_compact,
+        ivf_load,
+        ivf_save,
+    )
+
+    sub = em.filter(F.col("vec_id") < 50)
+    path = str(tmp_path / "tornprune")
+    centroids, assign = ivf_build(sub, n_centroids=2, method="stride")
+    ivf_save(centroids, assign, sub, path)  # CURRENT-v0 (committed)
+    top = max(
+        int(d.split("-v")[1]) for d in os.listdir(path) if d.startswith("CURRENT-v")
+    )
+    torn = os.path.join(path, f"CURRENT-v{top + 1}")
+    with open(torn, "w") as f:
+        f.write("cells-v999 centroids-v999")  # crashed flip: no newline
+
+    ivf_compact(spark, path)  # next rewrite flips past the torn version
+
+    pointers = {
+        d: int(d.split("-v")[1])
+        for d in os.listdir(path)
+        if re.fullmatch(r"CURRENT-v(\d+)", d)
+    }
+    assert not os.path.exists(torn), pointers  # torn file reclaimed
+    committed = sorted(pointers.values())
+    # new live pointer + the committed grace pointer both present
+    assert len(committed) == 2 and committed[0] == top, pointers
+    assert _pointer_tokens(path)  # and the index still resolves
+    _, cells = ivf_load(spark, path)
+    assert cells.count() == sub.count()
+
+
+def test_similarity_join_rejects_zero_dim_vectors(spark):
+    # an empty-array (non-null) embedding must fail loudly, not
+    # ZeroDivisionError inside the byte-budget arithmetic
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.knn import (
+        similarity_join_blas,
+        similarity_join_self_auto,
+    )
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="zero-dimension"):
+        similarity_join_blas(
+            df, df, 0.5,
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+        )
+    with pytest.raises(ValueError, match="zero-dimension"):
+        similarity_join_self_auto(df, 0.5, "vec_id", "embedding")

@@ -342,8 +342,6 @@ def ivf_save(
     file per cell instead of n_tasks × n_cells small files; a skewed hot
     cell becomes one large (still splittable) parquet file.
     """
-    import os
-
     spark = centroids.sparkSession
     cells = _cell_rows(assignments, corpus, id_col, vec_col, quantize)
     # versioned write + pointer flip: a REBUILD over an existing index keeps
@@ -352,9 +350,7 @@ def ivf_save(
     # centroids version the rebuild INTRODUCES is written under the same
     # version number — never in place over the live centroids, which a
     # reader's in-flight plan (or its old-cells grace copy) still pairs with.
-    prev = _current_names(path) if _pointer_tokens(path) or os.path.exists(
-        f"{path}/cells"
-    ) else None
+    prev = _current_names(path) if index_exists(path) else None
     version = _next_version(path)
     new_cells, new_centroids = f"cells-v{version}", f"centroids-v{version}"
     new_meta = f"meta-v{version}.json"
@@ -708,16 +704,41 @@ def _flip_current(
             k += 1
     else:
         raise OSError(f"could not claim a pointer version under {path}")
+    # Prune: keep the new pointer plus the highest COMMITTED older one as
+    # the grace pointer. The cutoff must consider commit markers, not raw
+    # version numbers — with a TORN CURRENT-v{k-1} left by a crashed flip,
+    # a numeric `< k-1` cutoff would delete the last readable pointer and
+    # leave only the unreadable torn file (exactly the crash case the
+    # protocol exists for). Torn files at or above the grace version are
+    # removed too, so they can't become the permanent top of the listing.
+    grace = None
     for old in _pointer_versions(path):
-        if old < k - 1:
-            try:
-                os.remove(os.path.join(path, f"CURRENT-v{old}"))
-            except OSError:
-                pass
+        if old >= k or grace is not None:
+            continue
+        if _pointer_committed(path, old):
+            grace = old
+    for old in _pointer_versions(path):
+        if old == k or old == grace:
+            continue
+        try:
+            os.remove(os.path.join(path, f"CURRENT-v{old}"))
+        except OSError:
+            pass
     try:
         os.remove(os.path.join(path, "CURRENT"))  # shadowed legacy pointer
     except OSError:
         pass
+
+
+def _pointer_committed(path: str, version: int) -> bool:
+    """True when CURRENT-v{version} is fully written (trailing-newline
+    commit marker, ≥1 token)."""
+    try:
+        with open(f"{path}/CURRENT-v{version}") as f:
+            raw = f.read()
+    except OSError:
+        return False
+    return raw.endswith("\n") and bool(raw.split())
 
 
 def _prune_versions(path: str, keep: set[str]) -> None:

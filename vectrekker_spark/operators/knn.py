@@ -165,6 +165,7 @@ def similarity_join_blas(
     ordered_pairs: bool = True,
     max_collect_rows: int = 1_000_000,
     max_collect_bytes: int = 512 << 20,
+    probed_dim: int | None = None,
 ) -> DataFrame:
     """Cosine similarity join via blocked BLAS: the right side (must be the
     small/broadcastable side) is shipped to every executor as a dense float64
@@ -201,10 +202,21 @@ def similarity_join_blas(
     nn_right = right.select(F.col(right_id), F.col(right_vec)).filter(
         F.col(right_vec).isNotNull()  # NULLs can't score
     )
-    probe = nn_right.select(F.size(F.col(right_vec)).alias("d")).first()
-    if probe is None:  # empty right side → empty result, correct schema
-        return left.sparkSession.createDataFrame([], out_schema)
-    dim = int(probe["d"])
+    if probed_dim is None:
+        probe = nn_right.select(F.size(F.col(right_vec)).alias("d")).first()
+        if probe is None:  # empty right side → empty result, correct schema
+            return left.sparkSession.createDataFrame([], out_schema)
+        dim = int(probe["d"])
+    else:
+        # a router that already probed passes the dim through, so the
+        # probe job isn't paid twice per routed call
+        dim = probed_dim
+    if dim <= 0:
+        raise ValueError(
+            "similarity_join_blas: zero-dimension vectors cannot be scored "
+            f"(probed {right_vec!r} size {dim}); cosine similarity is "
+            "undefined for empty embeddings"
+        )
     allowed = min(max_collect_rows, max(1, max_collect_bytes // (dim * 8)))
     rows = nn_right.limit(allowed + 1).collect()
     if len(rows) > allowed:
@@ -279,9 +291,13 @@ def similarity_join_self_auto(
             max_collect_rows=max_exact_rows,
             max_collect_bytes=max_exact_bytes,
         )
-    allowed = min(
-        max_exact_rows, max(1, max_exact_bytes // (int(probe["d"]) * 8))
-    )
+    dim = int(probe["d"])
+    if dim <= 0:
+        raise ValueError(
+            "similarity_join_self_auto: zero-dimension vectors cannot be "
+            f"scored (probed {vec_col!r} size {dim})"
+        )
+    allowed = min(max_exact_rows, max(1, max_exact_bytes // (dim * 8)))
     n_probe = df.select(id_col).limit(allowed + 1).count()
     if n_probe <= allowed:
         return similarity_join_blas(
@@ -290,6 +306,7 @@ def similarity_join_self_auto(
             right_id=id_col, right_vec=vec_col,
             max_collect_rows=max_exact_rows,
             max_collect_bytes=max_exact_bytes,
+            probed_dim=dim,  # don't pay the probe job twice
         )
     return _bucketed_self_fallback(
         df, threshold, id_col, vec_col, caller="similarity_join_self_auto"
@@ -512,6 +529,12 @@ def similarity_join(
     ).first()
     allowed = max_broadcast_rows
     if dim_row is not None:
+        if int(dim_row["d"]) <= 0:
+            r.unpersist()
+            raise ValueError(
+                "similarity_join: zero-dimension vectors cannot be scored "
+                f"(probed {right_vec!r} size {int(dim_row['d'])})"
+            )
         allowed = min(
             max_broadcast_rows,
             max(1, max_broadcast_bytes // (int(dim_row["d"]) * 8)),

@@ -203,7 +203,12 @@ def q07_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     # is untouched.
     from vectrekker_spark.queries.util import small_local
 
-    serial = small_local(sf, "customer") and small_local(sf, "lineitem")
+    # gate on ALL four tables — the force-broadcast sides (orders, lineitem)
+    # especially: a layout where only the probe sides are small must not
+    # ship a large orders file to every executor
+    serial = all(
+        small_local(sf, t) for t in ("customer", "orders", "part", "lineitem")
+    )
     c, o = tb1(spark, sf, "customer"), tb(spark, sf, "orders")
     semi = c.join(
         F.broadcast(o) if serial else o, c.c_custkey == o.o_custkey, "left_semi"
@@ -331,26 +336,36 @@ def q11_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     # partial-agg plan at real scale.
     # Single fact scan (r6 verdict: rollup and cube each scanned orders):
     # ONE pass aggregates the joined fact to the finest-grain cuboid
-    # (n_name, o_orderstatus, o_orderpriority) — a few hundred rows — and
-    # both grouping-set shapes RE-aggregate that cuboid (counts and DECIMAL
-    # sums are additive, and the decimal→double cast happens only at the
-    # end, so values are bit-identical to aggregating the raw rows). The
-    # two arms share the cuboid's exchange lineage, so ReuseExchange
-    # materializes the fact scan + shuffle once (plan-asserted); the Expand
-    # operators then multiply ~375 rows instead of the fact. This is the
-    # 100 TB shape: aggregate early, derive every rollup from the cuboid.
+    # (n_name, o_orderstatus, o_orderpriority, matched) — a few hundred
+    # rows — and both grouping-set shapes RE-aggregate that cuboid (counts
+    # and DECIMAL sums are additive, and the decimal→double cast happens
+    # only at the end, so values are bit-identical to aggregating the raw
+    # rows). The two arms share the cuboid's exchange lineage, so
+    # ReuseExchange materializes the fact scan + shuffle once
+    # (plan-asserted); the Expand operators then multiply ~375 rows instead
+    # of the fact. This is the 100 TB shape: aggregate early, derive every
+    # rollup from the cuboid.
     #
-    # The cube over the JOINED relation equals the oracle's cube over raw
-    # orders because o_custkey→customer→nation are intact FKs in this star
-    # (verified for the fixtures; an inner dim join drops no fact rows).
+    # The dims join LEFT so the cuboid loses NO fact rows, and a `__m`
+    # matched flag rides the grain: the rollup arm filters to __m (the
+    # oracle's INNER customer⋈nation join), the cube arm re-aggregates ALL
+    # rows (the oracle's raw-orders cube) — exact on arbitrary data,
+    # dangling/NULL o_custkey included; no FK-integrity precondition.
     from vectrekker_spark.queries.util import small_local
 
     serial = small_local(sf, "orders")
     o, c, n = tb1(spark, sf, "orders"), tb(spark, sf, "customer"), tb(spark, sf, "nation")
-    j = o.join(F.broadcast(c) if serial else c, o.o_custkey == c.c_custkey).join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
-    )
-    base = j.groupBy("n_name", "o_orderstatus", "o_orderpriority").agg(
+    j = o.join(
+        F.broadcast(c) if serial else c, o.o_custkey == c.c_custkey, "left"
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+    base = j.groupBy(
+        "n_name",
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.col("c_custkey").isNotNull() & F.col("n_nationkey").isNotNull()).alias(
+            "__m"
+        ),
+    ).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col("o_totalprice").cast(DEC)).alias("__rev"),
     )
@@ -367,8 +382,14 @@ def q11_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
             "revenue",
         )
 
-    roll = reagg(base.rollup("n_name", "o_orderpriority"), "rollup", "n_name", "o_orderpriority")
-    cub = reagg(base.cube("o_orderstatus", "o_orderpriority"), "cube", "o_orderstatus", "o_orderpriority")
+    roll = reagg(
+        base.filter(F.col("__m")).rollup("n_name", "o_orderpriority"),
+        "rollup", "n_name", "o_orderpriority",
+    )
+    cub = reagg(
+        base.cube("o_orderstatus", "o_orderpriority"),
+        "cube", "o_orderstatus", "o_orderpriority",
+    )
     out = roll.unionAll(cub)
     if serial:
         return out.coalesce(1).sortWithinPartitions("shape", "dim1", "dim2")
