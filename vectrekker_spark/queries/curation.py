@@ -164,10 +164,14 @@ def d24_bm25(spark: SparkSession, sf: str) -> DataFrame:
     # cache_intermediate=False: a registry query can't release() a persisted
     # block after the driver collects, and on the one-file fixture the three
     # consumers re-read a single small scan; production callers keep the
-    # default caching + release() lifecycle.
+    # default caching + release() lifecycle. Plain tb (no tb1 coalesce, no
+    # tbp spread): measured fastest — the coalesce serializes the tokenize
+    # across the consumers (1.11 s vs 0.77 median at sf0.1) and a text
+    # pre-spread exchange costs more than it parallelizes.
     from vectrekker_spark.operators.tfidf import bm25_scores
+    from vectrekker_spark.queries.util import tb
 
-    d = tb1(spark, sf, "documents")
+    d = tb(spark, sf, "documents")
     out = bm25_scores(
         d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
         cache_intermediate=False, stable_sum=True,

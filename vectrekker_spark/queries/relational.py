@@ -629,7 +629,14 @@ def q19_json(spark: SparkSession, sf: str) -> DataFrame:
     # row-shape group is the row itself). The path-extraction style
     # (`get_json_object` ≡ json_extract) stays covered by a dedicated
     # parity test against DuckDB in tests/test_oracle.py.
-    e = tb(spark, sf, "events")
+    # tbp(8): the single-file fixture scan has ONE split, so the JSON parse
+    # — the dominant CPU — would run in one task; a small round-robin
+    # pre-spread parallelizes it (8-way beats 32-way: task overhead exceeds
+    # the per-row cost at sf0.1; measured 0.80→0.59 s median). At scale the
+    # scan splits naturally and tbp is a no-op.
+    from vectrekker_spark.queries.util import tbp
+
+    e = tbp(spark, sf, "events", 8)
     k = F.from_json("props", "k INT").getField("k")
     parsed = e.select("event_id", "event_type", k.alias("k"))
     aggd = parsed.groupingSets(
