@@ -69,3 +69,22 @@ def test_filter_rules_can_be_disabled(spark):
         .collect()
     }
     assert kept == {2, 3, 4}  # only doc1's dup3=1.0 breaches
+
+
+def test_null_and_empty_text_docs_are_retained(spark):
+    """The sentinel row (join-free zero-fill) must keep every document in
+    the report — NULL text (where the gram-array concat is NULL) and empty
+    text included — with 0.0 fractions, matching the old join-based
+    zero-fill behavior."""
+    from vectrekker_spark.operators.repetition import repetition_report
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a a a a")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_report(df).collect()}
+    assert set(rows) == {0, 1, 2}
+    for d in (0, 1):
+        assert rows[d]["top2gram_frac"] == 0.0
+        assert rows[d]["dup3gram_frac"] == 0.0
+    assert rows[2]["top2gram_frac"] == 1.0  # "a a" is every 2-gram
+    assert rows[2]["dup3gram_frac"] == 1.0  # "a a a" repeats

@@ -12,14 +12,19 @@ Three metrics per document:
   (default k=3): catches templated/looping text with several phrases.
 
 Scale shape (the 100 TB story):
-- The line metric never leaves the row: split + array_distinct + size.
+- ONE text scan total: the line metric (split + array_distinct + size — a
+  pure row expression) rides the gram stream as a functionally-dependent
+  group key, so there is no second scan and no join to attach it.
 - The n-gram metrics explode to a narrow (doc_id, k, gram) stream — the raw
   text dies at the scan — with BOTH k-streams produced by a single pass
-  (one generator over a concat of tagged structs, not two scans/unions).
-- Count→fraction is two partial-aggregating groupBys on (doc_id, k[, gram]):
-  map-side combine collapses each doc's grams before the shuffle, so shuffle
-  volume is O(distinct grams per doc), and both aggs share the doc_id
-  partitioning. No driver state, no collects.
+  (one generator over a concat of tagged structs, not two scans/unions),
+  plus one sentinel row per document so empty/gram-less docs reach the
+  final aggregate without a zero-fill join (the bm25_scores pattern).
+- Count→fraction is two partial-aggregating groupBys: (doc, k, gram) counts,
+  then ONE conditional aggregate per doc for both k-families (not one
+  groupBy per family) — map-side combine collapses each doc's grams before
+  the shuffle, so shuffle volume is O(distinct grams per doc). No driver
+  state, no collects, no joins.
 
 Thresholded dropping (``filter_repetitive``) anti-joins the flagged ids back
 — the same set-oriented pattern as operators/decontaminate.py.
@@ -60,38 +65,43 @@ def repetition_report(
             lambda s: F.struct(F.lit(k).alias("k"), s.alias("gram")),
         )
 
-    g = (
-        df.select(F.col(id_col), F.explode(F.concat(tagged(top_k), tagged(dup_k))).alias("kg"))
-        .select(id_col, F.col("kg.k").alias("k"), F.col("kg.gram").alias("gram"))
+    # one sentinel (k=0) row per doc: every document — empty, gram-less, or
+    # NULL text (where concat of the gram arrays is NULL) — reaches the
+    # final aggregate, so no zero-fill join is needed; dup_line_frac rides
+    # the group keys (functionally dependent on the id) so the line metric
+    # costs no second scan and no join
+    sentinel = F.array(F.struct(F.lit(0).alias("k"), F.lit("").alias("gram")))
+    stream = F.coalesce(F.concat(tagged(top_k), tagged(dup_k), sentinel), sentinel)
+    g = df.select(
+        F.col(id_col),
+        dup_line_fraction(text_col).alias("dup_line_frac"),
+        F.explode(stream).alias("kg"),
+    ).select(
+        id_col, "dup_line_frac", F.col("kg.k").alias("k"), F.col("kg.gram").alias("gram")
     )
-    counts = g.groupBy(id_col, "k", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    per_k = counts.groupBy(id_col, "k").agg(
-        F.sum("cnt").alias("total"),
-        F.max("cnt").alias("top"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("dup"),
+    counts = g.groupBy(id_col, "dup_line_frac", "k", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    wide = per_k.groupBy(id_col).agg(
-        F.max(
-            F.when(
-                F.col("k") == top_k,
-                F.round(F.col("top").cast("double") / F.col("total"), 6),
-            )
-        ).alias(top_name),
-        F.max(
-            F.when(
-                F.col("k") == dup_k,
-                F.round(F.col("dup").cast("double") / F.col("total"), 6),
-            )
-        ).alias(dup_name),
+    is_top, is_dup = F.col("k") == top_k, F.col("k") == dup_k
+    wide = counts.groupBy(id_col, "dup_line_frac").agg(
+        F.max(F.when(is_top, F.col("cnt"))).alias("__top_top"),
+        F.sum(F.when(is_top, F.col("cnt"))).alias("__top_total"),
+        F.sum(F.when(is_dup & (F.col("cnt") >= 2), F.col("cnt")).otherwise(0)).alias(
+            "__dup_dup"
+        ),
+        F.sum(F.when(is_dup, F.col("cnt"))).alias("__dup_total"),
     )
-    lines = df.select(
-        F.col(id_col), dup_line_fraction(text_col).alias("dup_line_frac")
-    )
-    return lines.join(wide, id_col, "left").select(
+    return wide.select(
         id_col,
         "dup_line_frac",
-        F.coalesce(F.col(top_name), F.lit(0.0)).alias(top_name),
-        F.coalesce(F.col(dup_name), F.lit(0.0)).alias(dup_name),
+        F.coalesce(
+            F.round(F.col("__top_top").cast("double") / F.col("__top_total"), 6),
+            F.lit(0.0),
+        ).alias(top_name),
+        F.coalesce(
+            F.round(F.col("__dup_dup").cast("double") / F.col("__dup_total"), 6),
+            F.lit(0.0),
+        ).alias(dup_name),
     )
 
 
