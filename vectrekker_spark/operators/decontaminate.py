@@ -69,12 +69,21 @@ def contamination_report(
     b = shingle_hashes(bench, id_col, text_col, k).withColumnRenamed(
         id_col, "bench_id"
     )
+    # size(collect_set(..)) instead of two countDistinct: a MIXED distinct
+    # aggregate (two DISTINCT columns in one agg) makes Catalyst Expand
+    # every joined row ×2 and run a two-level distinct aggregation (3
+    # exchanges) — the same planner behavior tfidf.term_scores works
+    # around. Per-group sets partial-merge map-side, values are identical
+    # (neither column is nullable here), and the plan is one ordinary
+    # partial+final aggregate: no Expand, one exchange.
     return (
         t.join(b, "shingle_hash")
         .groupBy("train_id")
         .agg(
-            F.countDistinct("shingle_hash").alias("n_shared_shingles"),
-            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.size(F.collect_set("shingle_hash")).cast("long").alias(
+                "n_shared_shingles"
+            ),
+            F.size(F.collect_set("bench_id")).cast("long").alias("n_bench_docs"),
         )
     )
 
