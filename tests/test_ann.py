@@ -980,3 +980,89 @@ def test_similarity_join_rejects_zero_dim_vectors(spark):
         )
     with pytest.raises(ValueError, match="zero-dimension"):
         similarity_join_self_auto(df, 0.5, "vec_id", "embedding")
+
+
+def test_pointer_prune_never_deletes_newer_committed_pointer(tmp_path):
+    """Two racing flips: the slow writer wins the create-exclusive on v1
+    but stalls; the fast writer bumps to v2, commits, and prunes first.
+    When the slow writer (k=1) then runs ITS prune, it must not remove
+    the racer's newer committed
+    CURRENT-v2 (advisor r8 finding: highest-wins means the newest
+    committed pointer is the index — deleting it rolls the index back,
+    possibly to artifacts the racer's own prune already reclaimed)."""
+    import os
+
+    from vectrekker_spark.operators.ann import (
+        _pointer_tokens,
+        _prune_pointers,
+    )
+
+    path = str(tmp_path / "race")
+    os.makedirs(path)
+    # committed history: v0 (old), v1 (slow writer A's flip), v2 (fast
+    # writer B's flip — already committed AND pruned: B kept v2 + grace v1)
+    for v, tokens in [(0, "cells-v0 centroids-v0"),
+                      (1, "cells-v1 centroids-v1"),
+                      (2, "cells-v2 centroids-v2")]:
+        with open(os.path.join(path, f"CURRENT-v{v}"), "w") as f:
+            f.write(tokens + "\n")
+
+    _prune_pointers(path, 1)  # slow writer A finishes second with k=1
+
+    survivors = sorted(
+        d for d in os.listdir(path) if d.startswith("CURRENT-v")
+    )
+    assert "CURRENT-v2" in survivors, survivors  # racer's pointer intact
+    assert "CURRENT-v1" in survivors, survivors  # A's own pointer intact
+    # highest-wins read still resolves to the racer's (newest) version
+    assert _pointer_tokens(path) == ["cells-v2", "centroids-v2"]
+
+
+def test_pointer_prune_leaves_midwrite_higher_version_alone(tmp_path):
+    """A higher version WITHOUT a commit marker may be a racer mid-write,
+    not a torn crash — the lower-k prune must leave it; only a LATER flip
+    (whose k lands above it) may reclaim it."""
+    import os
+
+    from vectrekker_spark.operators.ann import _prune_pointers
+
+    path = str(tmp_path / "midwrite")
+    os.makedirs(path)
+    with open(os.path.join(path, "CURRENT-v0"), "w") as f:
+        f.write("cells-v0 centroids-v0\n")
+    with open(os.path.join(path, "CURRENT-v1"), "w") as f:
+        f.write("cells-v1 centroids-v1")  # no newline: still being written
+
+    _prune_pointers(path, 0)
+
+    assert os.path.exists(os.path.join(path, "CURRENT-v1"))
+    assert os.path.exists(os.path.join(path, "CURRENT-v0"))
+
+
+def test_artifact_prune_keeps_every_pointed_version(tmp_path):
+    """_prune_versions honors EVERY committed pointer on disk, not just the
+    caller's explicit keep-set: a racer that committed a higher pointer
+    between our flip and our prune keeps its cells/centroids dirs (advisor
+    r8: without this, the slow writer's keep-set reclaims the fast
+    writer's committed artifacts and its surviving pointer dangles)."""
+    import os
+
+    from vectrekker_spark.operators.ann import _prune_versions
+
+    path = str(tmp_path / "artifacts")
+    os.makedirs(path)
+    for d in ["cells-v0", "centroids-v0", "cells-v7", "centroids-v7",
+              "cells-v3", "centroids-v3"]:
+        os.makedirs(os.path.join(path, d))
+        with open(os.path.join(path, d, "part-0.parquet"), "w") as f:
+            f.write("x")
+    # racer's committed pointer references the v7 pair
+    with open(os.path.join(path, "CURRENT-v5"), "w") as f:
+        f.write("cells-v7 centroids-v7\n")
+
+    # our keep-set only knows our own live pair (v0); v3 is a true orphan
+    _prune_versions(path, {"cells-v0", "centroids-v0"})
+
+    left = set(os.listdir(path))
+    assert {"cells-v0", "centroids-v0", "cells-v7", "centroids-v7"} <= left
+    assert "cells-v3" not in left and "centroids-v3" not in left

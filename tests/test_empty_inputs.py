@@ -70,6 +70,18 @@ def test_similarity_joins_on_empty(empty_vecs):
     assert set(out.columns) == {"l_id", "r_id", "score"}
     assert similarity_join_self_auto(empty_vecs, 0.9, "vec_id", "embedding").count() == 0
 
+    # probed_dim set (router fast path skips the dim probe) with an empty
+    # right side at collect time must return the documented empty result,
+    # not raise numpy AxisError on a (0,)-shaped matrix (advisor r8)
+    out = similarity_join_blas(
+        empty_vecs, empty_vecs, 0.9,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+        probed_dim=8,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"l_id", "r_id", "score"}
+
 
 def test_curate_on_empty(empty_docs):
     from vectrekker_spark.curation import CurationConfig, curate

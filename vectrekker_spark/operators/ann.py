@@ -685,7 +685,13 @@ def _flip_current(
     After a successful flip the previous-but-one pointers are pruned (the
     immediately-previous one is kept as the grace pointer, matching the
     grace artifact set) and a legacy ``CURRENT`` file, now shadowed, is
-    removed so it can never dangle at pruned artifacts.
+    removed so it can never dangle at pruned artifacts. Pruning never
+    touches versions ABOVE this flip's own K: a concurrent flip that
+    claimed a higher version may have committed (deleting its pointer
+    would roll the index back) or may still be mid-write (its file looks
+    torn only because the racer hasn't finished) — either way it is the
+    racer's, not ours. A genuinely torn higher version from a crash is
+    cleaned by the NEXT flip, whose K lands above it.
 
     ``meta_name`` None (an index whose metadata still lives in the
     unversioned fallbacks) writes the two-token form."""
@@ -703,14 +709,30 @@ def _flip_current(
         except FileExistsError:
             k += 1
     else:
-        raise OSError(f"could not claim a pointer version under {path}")
-    # Prune: keep the new pointer plus the highest COMMITTED older one as
-    # the grace pointer. The cutoff must consider commit markers, not raw
-    # version numbers — with a TORN CURRENT-v{k-1} left by a crashed flip,
-    # a numeric `< k-1` cutoff would delete the last readable pointer and
-    # leave only the unreadable torn file (exactly the crash case the
-    # protocol exists for). Torn files at or above the grace version are
-    # removed too, so they can't become the permanent top of the listing.
+        raise OSError(
+            f"could not claim a pointer version under {path}; the already-"
+            f"written artifact set ({cells_name}, {centroids_name}"
+            f"{', ' + meta_name if meta_name else ''}) is left unreferenced "
+            f"and will be reclaimed by the next successful rewrite's prune"
+        )
+    _prune_pointers(path, k)
+
+
+def _prune_pointers(path: str, k: int) -> None:
+    """Prune pointer files after a flip that claimed version ``k``: keep
+    ``k`` plus the highest COMMITTED older one as the grace pointer. The
+    cutoff must consider commit markers, not raw version numbers — with a
+    TORN CURRENT-v{k-1} left by a crashed flip, a numeric ``< k-1`` cutoff
+    would delete the last readable pointer and leave only the unreadable
+    torn file (exactly the crash case the protocol exists for). Torn files
+    ABOVE grace but BELOW ``k`` are removed too, so they can't become the
+    permanent top of the listing; versions above ``k`` belong to a
+    concurrent racer that claimed later — committed (deleting it would
+    roll the index back) or still mid-write (it only LOOKS torn) — and are
+    never removed here. A genuinely torn higher version from a crash is
+    cleaned by the next flip, whose ``k`` lands above it."""
+    import os
+
     grace = None
     for old in _pointer_versions(path):
         if old >= k or grace is not None:
@@ -718,7 +740,7 @@ def _flip_current(
         if _pointer_committed(path, old):
             grace = old
     for old in _pointer_versions(path):
-        if old == k or old == grace:
+        if old >= k or old == grace:
             continue
         try:
             os.remove(os.path.join(path, f"CURRENT-v{old}"))
@@ -741,14 +763,41 @@ def _pointer_committed(path: str, version: int) -> bool:
     return raw.endswith("\n") and bool(raw.split())
 
 
+def _referenced_names(path: str) -> set[str]:
+    """Artifact names referenced by EVERY committed pointer still present
+    (versioned and legacy). Prune keep-sets union this in so a concurrent
+    flip that committed a HIGHER pointer version between our flip and our
+    prune keeps its cells/centroids/meta dirs — without it, the slower
+    writer's explicit live+grace keep-set would reclaim the faster
+    writer's committed artifacts and leave its surviving pointer dangling."""
+    import os
+
+    names: set[str] = set()
+    for v in _pointer_versions(path):
+        if _pointer_committed(path, v):
+            try:
+                with open(f"{path}/CURRENT-v{v}") as f:
+                    names.update(f.read().split())
+            except OSError:
+                pass
+    try:
+        with open(f"{path}/CURRENT") as f:
+            names.update(f.read().split())
+    except OSError:
+        pass
+    return names
+
+
 def _prune_versions(path: str, keep: set[str]) -> None:
     """Remove managed artifacts (cells/centroids dirs and versioned meta
     files, versioned or legacy) not in ``keep``. Callers pass the EXPLICIT
     set of names the live and grace versions reference, so an aborted
     rebuild's orphan tables are reclaimed here and a kept cells version
-    always keeps its paired centroids and metadata. The unversioned
-    ``meta.json``/``meta`` fallbacks are never pruned — two-token pointers
-    still resolve through them."""
+    always keeps its paired centroids and metadata; every pointer still on
+    disk is additionally honored via ``_referenced_names`` (racer safety).
+    The unversioned ``meta.json``/``meta`` fallbacks are never pruned —
+    two-token pointers still resolve through them."""
+    keep = keep | _referenced_names(path)
     import os
     import re
     import shutil

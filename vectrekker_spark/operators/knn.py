@@ -230,6 +230,11 @@ def similarity_join_blas(
             "only in the near-dup regime (cosine ≳ 0.95 at its defaults; "
             "~0.98 at 0.9, lower below) while this path is exact."
         )
+    if not rows:
+        # reachable even with probed_dim set (the probe job and this
+        # collect job are separate reads — the source can empty between
+        # them, or a router probe may cover a different snapshot)
+        return left.sparkSession.createDataFrame([], out_schema)
     rid = np.asarray([r[0] for r in rows])  # dtype inferred; string ids OK
     R = np.asarray([r[1] for r in rows], dtype=np.float64)
     rnorm = np.sqrt((R * R).sum(axis=1))

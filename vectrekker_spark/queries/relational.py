@@ -349,8 +349,12 @@ def q11_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     # The dims join LEFT so the cuboid loses NO fact rows, and a `__m`
     # matched flag rides the grain: the rollup arm filters to __m (the
     # oracle's INNER customer⋈nation join), the cube arm re-aggregates ALL
-    # rows (the oracle's raw-orders cube) — exact on arbitrary data,
-    # dangling/NULL o_custkey included; no FK-integrity precondition.
+    # rows (the oracle's raw-orders cube) — exact with dangling or NULL
+    # o_custkey (those rows survive unmatched). Precondition: c_custkey is
+    # unique (the TPC-H PK contract) — a DUPLICATED c_custkey would fan
+    # out order rows through the LEFT join and inflate the cube arm's
+    # counts/revenue, which a cube over raw `o` could not; pre-aggregate
+    # orders per custkey before the dim join if that contract can't hold.
     from vectrekker_spark.queries.util import small_local
 
     serial = small_local(sf, "orders")
