@@ -124,3 +124,24 @@ def test_shingle_memo_cap_does_not_change_signatures(spark, monkeypatch):
     monkeypatch.setattr(dedup_mod, "_SHINGLE_CACHE_MAX", 8)
     capped = sorted(map(tuple, minhash_signatures(df).collect()))
     assert capped == full and len(full) == 40 * 16
+
+
+def test_ngram_jaccard_guard_rejects_unbounded_max_id(spark):
+    # the O(n²) baseline's cap is load-bearing: a caller must not be able
+    # to point it at a real corpus (r7 verdict)
+    import pytest
+
+    from vectrekker_spark.operators.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="minhash_dedup_pairs"):
+        ngram_jaccard_pairs(_docs(spark), max_id=10**9)
+
+
+def test_simhash_single_shuffle_plan(spark):
+    # the rewrite computes all 16 bit-votes in ONE aggregation over the
+    # token stream: exactly one exchange, no Expand/second agg stage
+    from vectrekker_spark.operators.dedup import simhash16
+
+    plan = simhash16(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" not in plan, plan
