@@ -12,6 +12,7 @@ container, so:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -45,8 +46,14 @@ def tiktoken_available() -> bool:
 
 def tiktoken_count_udf():
     """Arrow-batched cl100k_base token counter. Raises ImportError when
-    tiktoken is absent — callers should fall back to bpe_like_token_count."""
-    import pandas as pd  # noqa: PLC0415
+    tiktoken is absent — callers should fall back to bpe_like_token_count.
+
+    pandas must be a MODULE-level import: with ``from __future__ import
+    annotations`` the `pd.Series` hints are strings that pandas_udf's
+    signature inference resolves against the module globals — a
+    function-local ``import pandas`` left them unresolvable and the UDF
+    construction raised UNSUPPORTED_SIGNATURE (caught by the fake-encoder
+    parity test, tests/test_tiktoken_parity.py)."""
     import tiktoken  # noqa: PLC0415
 
     enc = tiktoken.get_encoding("cl100k_base")
