@@ -178,6 +178,67 @@ def merge_upsert(
     )
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package (and its JVM jar) is importable."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def merge_upsert_delta(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    updates_unique: bool = False,
+) -> None:
+    """The lakehouse branch of P2: ``MERGE INTO`` a Delta table at ``path``
+    with last-writer-wins parity to :func:`merge_upsert` (same
+    `INSERT OR REPLACE` semantics as `vectrekker/main.py:113-123`).
+
+    Generated statement::
+
+        MERGE INTO base b USING updates u ON b.{key} = u.{key}
+        WHEN MATCHED THEN UPDATE SET *   -- update rows replace base rows
+        WHEN NOT MATCHED THEN INSERT *   -- unmatched update rows insert
+
+    Duplicate update keys are resolved BEFORE the merge with the same
+    stable row-hash rule as merge_upsert — Delta's MERGE raises
+    ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE`` when two
+    source rows hit one target row, so the dedup is a correctness
+    requirement here, not just determinism. Same key contract as
+    merge_upsert (unique in base, non-null both sides).
+
+    At scale this is the preferred branch: Delta compiles the small-delta
+    merge to a touched-file rewrite with data skipping — the transactional
+    analog of merge_upsert_partitioned's touched-bucket rewrite — and
+    readers get snapshot isolation instead of the parquet path's
+    stage-and-swap window. Raises ImportError when delta-spark is absent
+    (callers fall back to the parquet strategies)."""
+    from delta.tables import DeltaTable  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    upd = updates
+    if not updates_unique:
+        wu = Window.partitionBy(key).orderBy(_update_row_hash(updates))
+        upd = (
+            updates.withColumn("__rn", F.row_number().over(wu))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("b")
+        .merge(upd.alias("u"), f"b.{key} = u.{key}")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
 def merge_upsert_partitioned(
     spark,
     path: str,
