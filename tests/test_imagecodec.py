@@ -1,0 +1,148 @@
+"""Pure-numpy PNG/PPM micro-decoder tests (r7 verdict #7): the multimodal
+path runs a REAL decode end-to-end with no media library. The forward PNG
+filters are implemented independently HERE, so the decoder's inverse is
+checked against the spec, not against itself."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vectrekker_spark.functions.imagecodec import (
+    decode_image_array,
+    decode_png,
+    decode_ppm,
+    encode_png,
+)
+
+
+def _rng(seed=7):
+    return np.random.RandomState(seed)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4], ids=["gray", "gray+a", "rgb", "rgba"])
+def test_png_roundtrip(channels):
+    arr = _rng(channels).randint(0, 256, size=(13, 9, channels), dtype=np.uint8)
+    out = decode_png(encode_png(arr))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+def _forward_filter(f: int, raw: np.ndarray, prev: np.ndarray, bpp: int) -> bytes:
+    """Spec §6 forward filters (independent of the decoder's inverse)."""
+    raw_i, prev_i = raw.astype(np.int64), prev.astype(np.int64)
+    out = np.empty(len(raw), dtype=np.int64)
+    for i in range(len(raw)):
+        a = raw_i[i - bpp] if i >= bpp else 0
+        b = prev_i[i]
+        c = prev_i[i - bpp] if i >= bpp else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) // 2
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (raw_i[i] - pred) % 256
+    return out.astype(np.uint8).tobytes()
+
+
+@pytest.mark.parametrize("f", [0, 1, 2, 3, 4], ids=["none", "sub", "up", "avg", "paeth"])
+def test_png_all_filter_types_reconstruct(f):
+    import struct
+    import zlib
+
+    arr = _rng(f + 10).randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        line = arr[y].reshape(-1)
+        raw += bytes([f]) + _forward_filter(f, line, prev, c)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), arr)
+
+
+def test_ppm_decode_with_comments():
+    arr = _rng(3).randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    ppm = b"P6 # a comment\n# another\n 6 4\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(ppm), arr)
+
+
+def test_unsupported_variants_raise_or_none():
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")  # ASCII PPM out of scope
+    assert decode_image_array(b"\xff\xd8\xff\xe0JFIF") is None  # JPEG
+    assert decode_image_array(b"") is None
+    assert decode_image_array(b"plain text") is None
+    # truncated pixel data must not decode
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert decode_image_array(b"P6\n2 2\n255\n" + arr.tobytes()[:-1]) is None
+
+
+def test_decode_image_uses_micro_decoder_without_pil():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: decode_image returns PIL.Image there")
+    except ImportError:
+        pass
+    from vectrekker_spark.operators.multimodal import decode_image
+
+    arr = _rng(1).randint(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    out = decode_image(encode_png(arr))
+    assert np.array_equal(out, arr)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG stays out of scope
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    """A mixed corpus: real PNG payloads get decoded-pixel features
+    (provably different from the byte histogram of the same payload);
+    non-image payloads fall back, flagged decoded=false."""
+    from vectrekker_spark.operators.multimodal import (
+        byte_histogram_features,
+        extract_features,
+        image_pixel_features,
+    )
+
+    png1 = encode_png(_rng(11).randint(0, 256, size=(16, 16, 3), dtype=np.uint8))
+    png2 = encode_png(np.full((8, 8), 200, dtype=np.uint8))  # grayscale
+    ppm = b"P6\n4 4\n255\n" + _rng(12).randint(0, 256, (4, 4, 3), np.uint8).tobytes()
+    txt = b"not an image at all"
+    df = spark.createDataFrame(
+        [(1, bytearray(png1)), (2, bytearray(png2)),
+         (3, bytearray(ppm)), (4, bytearray(txt))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert [rows[i]["decoded"] for i in (1, 2, 3, 4)] == [True, True, True, False]
+    for i, payload in [(1, png1), (2, png2), (3, ppm)]:
+        assert rows[i]["features"] == pytest.approx(image_pixel_features(payload))
+        # pixel features ≠ byte histogram of the compressed payload:
+        # the decode demonstrably happened
+        assert rows[i]["features"] != pytest.approx(byte_histogram_features(payload))
+    assert rows[4]["features"] == pytest.approx(byte_histogram_features(txt))
+    # the flat-gray image concentrates all luminance in one bin
+    assert rows[2]["features"][200 * 16 // 256] == pytest.approx(1.0)

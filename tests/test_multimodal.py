@@ -33,6 +33,7 @@ def test_extract_features_matches_local(spark, media):
     for r in rows:
         expected = byte_histogram_features(originals[r["media_id"]])
         assert r["n_bytes"] == len(originals[r["media_id"]])
+        assert r["decoded"] is False  # text bytes are not a decodable image
         assert [round(x, 9) for x in r["features"]] == [round(x, 9) for x in expected]
         assert abs(sum(r["features"]) - 1.0) < 1e-9
 

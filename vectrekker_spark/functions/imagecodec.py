@@ -1,0 +1,184 @@
+"""Pure-numpy image micro-decoders (PNG + binary PPM) for the multimodal
+path.
+
+The container ships no media library (PIL/ffmpeg absent), but stubbing the
+decode entirely left the multimodal feature extraction exercising only the
+byte-histogram stand-in (r7 verdict #7). These decoders are built from the
+PUBLIC format specs alone — PNG (RFC 2083: chunk layout, zlib-compressed
+scanlines, the five per-scanline filters) and Netpbm P6 — using only
+stdlib zlib + numpy, so `extract_features` can run a REAL
+decode→pixels→features pipeline end-to-end in any environment.
+
+Scope (deliberately a micro-decoder, not a PIL replacement): 8-bit,
+non-interlaced PNG in grayscale / gray+alpha / RGB / RGBA, and binary PPM
+(P6, maxval 255). Anything else raises ValueError and callers fall back to
+the byte-histogram stand-in. Real pipelines on a cluster with PIL installed
+never reach this code — `decode_image` prefers the library.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type → samples per pixel (spec §4.1.1)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def is_png(content: bytes) -> bool:
+    return bool(content) and content[:8] == PNG_MAGIC
+
+
+def is_ppm(content: bytes) -> bool:
+    return bool(content) and content[:2] == b"P6"
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to an (H, W, C) uint8 array."""
+    if not is_png(content):
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, channels = 8, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+            if color not in _CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            channels = _CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        out[y] = _unfilter(f, line, prev, channels)
+        prev = out[y]
+    return out.reshape(height, width, channels)
+
+
+def _unfilter(f: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse one PNG scanline filter (spec §6). `line` is filtered bytes,
+    `prev` the RECONSTRUCTED previous scanline, `bpp` bytes per pixel.
+    Filters 1/3/4 have a within-row dependency on the just-reconstructed
+    left neighbor, so those run a per-byte loop; 0/2 vectorize."""
+    if f == 0:  # None
+        return line
+    if f == 2:  # Up
+        return (line.astype(np.int32) + prev).astype(np.uint8)
+    rec = line.astype(np.int32)
+    pv = prev.astype(np.int32)
+    if f == 1:  # Sub
+        for i in range(bpp, len(rec)):
+            rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+    elif f == 3:  # Average
+        for i in range(len(rec)):
+            a = rec[i - bpp] if i >= bpp else 0
+            rec[i] = (rec[i] + (a + pv[i]) // 2) & 0xFF
+    elif f == 4:  # Paeth
+        for i in range(len(rec)):
+            a = rec[i - bpp] if i >= bpp else 0
+            c = pv[i - bpp] if i >= bpp else 0
+            b = pv[i]
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            rec[i] = (rec[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter type {f}")
+    return rec.astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0, one IDAT) — the test-fixture
+    counterpart of decode_png, so round-trip tests need no media library."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval ≤255) to an (H, W, 3) uint8 array."""
+    if not is_ppm(content):
+        raise ValueError("not a binary PPM: bad magic")
+    # header: P6 <w> <h> <maxval>, tokens separated by whitespace, with
+    # '#' comments running to end-of-line; pixel data follows ONE whitespace
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(content) and content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    need = w * h * 3
+    data = content[pos : pos + need]
+    if len(data) != need:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def decode_image_array(content: bytes) -> np.ndarray | None:
+    """(H, W, C) uint8 pixels for payloads the micro-decoders understand;
+    None for anything else (caller falls back to byte-level features)."""
+    try:
+        if is_png(content):
+            return decode_png(content)
+        if is_ppm(content):
+            return decode_ppm(content)
+    except ValueError:
+        return None
+    return None

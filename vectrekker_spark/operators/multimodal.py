@@ -28,21 +28,58 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = "media_id long, n_bytes long, features array<double>"
+FEATURE_SCHEMA = "media_id long, n_bytes long, decoded boolean, features array<double>"
 
 
 def decode_image(content: bytes):
-    """Real decode — requires PIL, which this container doesn't ship."""
+    """Decode an image payload. Prefers PIL (returns a PIL.Image); without
+    it, falls back to the pure-numpy PNG/PPM micro-decoders in
+    functions/imagecodec.py (returns an (H, W, C) uint8 ndarray) so a real
+    decode still runs end-to-end in library-less environments. Payloads in
+    a format the micro-decoders don't cover raise NotImplementedError."""
     try:
         from PIL import Image  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover - env-dependent
+    except ImportError:
+        from vectrekker_spark.functions.imagecodec import (  # noqa: PLC0415
+            decode_image_array,
+        )
+
+        arr = decode_image_array(content)
+        if arr is not None:
+            return arr
         raise NotImplementedError(
-            "image decode requires PIL; use byte_histogram_features as the "
-            "deterministic stand-in in this environment"
-        ) from e
+            "image decode without PIL covers only 8-bit non-interlaced PNG "
+            "and binary PPM (functions/imagecodec.py); this payload is "
+            "neither — install PIL or use byte_histogram_features"
+        )
     import io
 
     return Image.open(io.BytesIO(content))
+
+
+def image_pixel_features(content: bytes, n_bins: int = 16) -> list[float] | None:
+    """REAL decoded-pixel features: L1-normalized luminance histogram over
+    the decoded image (PNG/PPM via the numpy micro-decoder — no media
+    library needed). None when the payload isn't decodable; callers fall
+    back to the byte-level stand-in. Same shape/normalization as
+    byte_histogram_features, so the two interchange downstream."""
+    from vectrekker_spark.functions.imagecodec import decode_image_array
+
+    arr = decode_image_array(content)
+    if arr is None:
+        return None
+    # ITU-R 601 luma for color; alpha (channels 2/4) never weighs in
+    if arr.shape[2] >= 3:
+        lum = (
+            0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+        )
+    else:
+        lum = arr[:, :, 0].astype(np.float64)
+    hist = np.bincount(
+        np.minimum(lum.astype(np.int64) * n_bins // 256, n_bins - 1).ravel(),
+        minlength=n_bins,
+    ).astype(np.float64)
+    return (hist / hist.sum()).tolist()
 
 
 def byte_histogram_features(content: bytes, n_bins: int = 16) -> list[float]:
@@ -64,17 +101,29 @@ def extract_features(
     Arrow streams each partition as pandas batches; per-batch python cost is
     amortized, nothing is collected to the driver, and partitioning is
     preserved — the pattern a real decoder would drop into.
-    """
+
+    Per payload: a REAL pixel decode (PNG/PPM via the numpy micro-decoder,
+    no media library required) produces a luminance histogram and
+    ``decoded=true``; undecodable payloads fall back to the byte-histogram
+    stand-in with ``decoded=false``, so mixed corpora never crash the batch
+    (the reference's quarantine philosophy, vectrekker/main.py:175-178,
+    applied to media: classify, don't abort)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feats(b):
+            px = image_pixel_features(b or b"")
+            return (True, px) if px is not None else (
+                False, byte_histogram_features(b or b"")
+            )
+
         for pdf in batches:
+            pairs = pdf[content_col].map(feats)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
                     "n_bytes": pdf[content_col].map(lambda b: len(b) if b is not None else 0),
-                    "features": pdf[content_col].map(
-                        lambda b: byte_histogram_features(b or b"")
-                    ),
+                    "decoded": pairs.map(lambda p: p[0]),
+                    "features": pairs.map(lambda p: p[1]),
                 }
             )
 
