@@ -278,3 +278,19 @@ def test_tpch_fact_table_never_broadcast(spark, sf_dir):
         assert subs, "expected dim broadcasts in the TPC-H join plans"
         for sub in subs:
             assert "lineitem" not in sub, (q.__name__, sub)
+
+
+def test_sample_mixture_is_narrow(spark, sf_dir):
+    # d25: stratified sampling + shuffle-bucket assignment must be a pure
+    # narrow map over the scan — no join, no aggregation; the only allowed
+    # exchange is the final order's range partitioning (absent on the
+    # serial one-file plan)
+    from vectrekker_spark.queries.curation import d25_sample_mixture
+
+    df = d25_sample_mixture(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert shuffle_count(df) <= 1, plan
+    # column pruning: text (the wide column) must never be read
+    assert "text" not in set(read_schema_columns(df)), read_schema_columns(df)

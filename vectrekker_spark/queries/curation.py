@@ -221,9 +221,65 @@ ORDER BY doc_id
 """
 
 
+def d25_sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    # C9/C10 assembly surface as a driver-oracle row (r7 verdict #6):
+    # stratified mixture sampling (per-language rates — the data-mixture
+    # weighting step) + the deterministic training-order shuffle, both pure
+    # salted-md5 bucket math (operators/sampling.py reuses split.py's
+    # bucket derivation, so the DuckDB oracle mirrors it bit-exactly —
+    # SURVEY C10's "same md5 math"). Everything before the final order is
+    # a NARROW map: no join, no shuffle, stable under corpus growth — the
+    # shape that lets a 100 TB mixture re-sample incrementally. The output
+    # rides shuf_bucket order = seeded_shuffle's training order.
+    from vectrekker_spark.operators.sampling import (
+        sample_bucket,
+        stratified_hash_sample,
+    )
+    from vectrekker_spark.queries.util import small_local
+
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.05}
+    d = tbp(spark, sf, "documents")
+    s = stratified_hash_sample(d, rates, strata_col="lang", seed="mix1")
+    out = s.select(
+        "doc_id",
+        "lang",
+        "source",
+        sample_bucket("doc_id", "mix1").alias("smp_bucket"),
+        sample_bucket("doc_id", "epoch0").alias("shuf_bucket"),
+    )
+    if small_local(sf, "documents"):
+        return out.coalesce(1).sortWithinPartitions("shuf_bucket", "doc_id")
+    return ordered(out, "shuf_bucket", "doc_id")
+
+
+def _rate_case_sql() -> str:
+    return (
+        "CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 "
+        "WHEN 'fr' THEN 250000 WHEN 'es' THEN 100000 WHEN 'zh' THEN 50000 "
+        "ELSE 0 END"
+    )
+
+
+from vectrekker_spark.operators.split import split_bucket_sql  # noqa: E402
+
+D25_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         {split_bucket_sql('doc_id', 'mix1', 1_000_000)} AS smp_bucket,
+         {split_bucket_sql('doc_id', 'epoch0', 1_000_000)} AS shuf_bucket
+  FROM documents)
+SELECT doc_id, lang, source, smp_bucket, shuf_bucket
+FROM s WHERE smp_bucket < {_rate_case_sql()}
+ORDER BY shuf_bucket, doc_id
+"""
+
+
 SPECS = [
     QuerySpec("d18_hash_split", d18_hash_split, D18_SQL, ("curation",),
               "deterministic salted-hash train/val/test split + stats"),
+    QuerySpec("d25_sample_mixture", d25_sample_mixture, D25_SQL,
+              ("curation", "assembly"),
+              "stratified mixture sampling + seeded training-order shuffle"),
     QuerySpec("d19_decontaminate", d19_decontaminate, D19_SQL,
               ("curation", "dedup"),
               "benchmark decontamination via word-3-gram shingle overlap"),

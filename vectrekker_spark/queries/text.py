@@ -269,34 +269,10 @@ FROM base ORDER BY doc_id
 """
 
 
-def d06_fingerprint_meta(spark: SparkSession, sf: str) -> DataFrame:
-    # Content fingerprint + binary-column metadata in one per-doc pass (former
-    # d06_fingerprint + d07_multimodal_meta, merged under the 50-query cap).
-    # Binary-column plumbing (north-star multimodal surface): treat content as
-    # opaque bytes + typed metadata. Real decode lives in
-    # operators/multimodal.py (stubbed — no media libs in this container).
-    from vectrekker_spark.queries.util import small_local
-
-    d = tb(spark, sf, "documents")
-    bin_col = F.encode(F.col("text"), "UTF-8")
-    out = d.select(
-        "doc_id",
-        F.octet_length("text").cast("long").alias("n_bytes"),
-        F.md5(bin_col).alias("content_md5"),
-        T.fingerprint("text").alias("norm_fingerprint"),
-    )
-    if small_local(sf, "documents"):
-        # d12's serial plan: one scan task hashes and sorts in-task — zero
-        # exchanges on a single small local file; distributed at real scale
-        return out.coalesce(1).sortWithinPartitions("doc_id")
-    return ordered(out, "doc_id")
-
-
-D06_SQL = """
-SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
-       md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS norm_fingerprint
-FROM documents ORDER BY doc_id
-"""
+# d06_fingerprint_meta (content fingerprint + binary-column metadata) was
+# merged INTO d12_bpe_tokens — same single-scan per-doc shape; its columns
+# (n_bytes, content_md5, norm_fingerprint) ride d12's scan verbatim. The
+# freed registry slot went to d25_sample_mixture (C10 assembly surface).
 
 
 def d11_group_percentiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -332,6 +308,14 @@ ORDER BY lang, q
 
 
 def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-doc token counts + content fingerprint metadata in ONE pass.
+    # Former d06_fingerprint_meta merged here under the driver's 50-row cap
+    # (its slot went to d25_sample_mixture): both rows were single-scan
+    # per-doc projections over documents, so the fingerprint columns
+    # (binary-column plumbing: octet_length over the encoded bytes, content
+    # md5, whitespace-normalized fingerprint — the multimodal metadata
+    # surface) ride the same scan as the token counts. Semantics retained
+    # column-for-column; the decode side lives in operators/multimodal.py.
     from vectrekker_spark.functions.tokenize import bpe_like_token_count
     from vectrekker_spark.queries.util import small_local
 
@@ -342,6 +326,9 @@ def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         bpe_like_token_count("text").cast("long").alias("n_bpe_tokens"),
         T.token_count("text").cast("long").alias("n_ws_tokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_md5"),
+        T.fingerprint("text").alias("norm_fingerprint"),
     )
     if small_local(sf, "documents"):
         # Serial plan for a tiny local table (what an adaptive engine picks):
@@ -360,7 +347,10 @@ _BPE_SQL = _BPE.replace("'", "''")  # SQL string-literal escaping
 D12_SQL = f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
-       len({TOKS}) AS n_ws_tokens
+       len({TOKS}) AS n_ws_tokens,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS norm_fingerprint
 FROM documents ORDER BY doc_id
 """
 
@@ -580,8 +570,9 @@ SPECS = [
               "exact dedup map by content md5"),
     QuerySpec("d17_count_min", d17_count_min, D17_SQL, ("text", "sketch"),
               "Count-Min sketch cells vs SQL reconstruction"),
-    QuerySpec("d12_bpe_tokens", d12_bpe_tokens, D12_SQL, ("text",),
-              "BPE-ish regex token counts vs whitespace proxy"),
+    QuerySpec("d12_bpe_tokens", d12_bpe_tokens, D12_SQL, ("text", "multimodal"),
+              "BPE-ish token counts + content fingerprint metadata "
+              "(absorbed d06_fingerprint_meta)"),
     QuerySpec("d13_winnowing", d13_winnowing, D13_SQL, ("text", "dedup"),
               "winnowing rolling-hash fingerprints (MOSS scheme)"),
     QuerySpec("d14_reshape", d14_reshape, D14_SQL, ("relational",),
@@ -600,7 +591,4 @@ SPECS = [
               "exact char-5-gram Jaccard pairs (brute-force baseline)"),
     QuerySpec("d04_text_scoring", d04_text_scoring, D04_SQL, ("text",),
               "fused lang-ID + quality scoring, one per-doc pass"),
-    QuerySpec("d06_fingerprint_meta", d06_fingerprint_meta, D06_SQL,
-              ("text", "multimodal"),
-              "content fingerprint + binary-column metadata"),
 ]
