@@ -97,9 +97,16 @@ def streaming_check(spark, data: str) -> tuple[bool, float]:
 
 def main() -> int:
     flags = {"--no-oracle", "--streaming"}
-    args = [a for a in sys.argv[1:] if a not in flags]
-    use_oracle = "--no-oracle" not in sys.argv[1:]
-    use_streaming = "--streaming" in sys.argv[1:]
+    out_path = None
+    rest = []
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            out_path = a[len("--out=") :]
+        else:
+            rest.append(a)
+    args = [a for a in rest if a not in flags]
+    use_oracle = "--no-oracle" not in rest
+    use_streaming = "--streaming" in rest
     data = args[0] if args else "/root/repo/.scale/sf1"
     needle = args[1] if len(args) > 1 else ""
 
@@ -196,6 +203,13 @@ def main() -> int:
         "timings": timings,
     }
     print(json.dumps(summary))
+    if out_path:
+        # tracked artifact (r7 verdict #8): BENCH_sf1-style JSON so
+        # round-over-round scale regressions diff like the sf0.1 bench
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 
