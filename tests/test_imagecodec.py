@@ -96,6 +96,13 @@ def test_unsupported_variants_raise_or_none():
     assert decode_image_array(b"\xff\xd8\xff\xe0JFIF") is None  # JPEG
     assert decode_image_array(b"") is None
     assert decode_image_array(b"plain text") is None
+    # corrupt IDAT (zlib.error) and truncated IHDR (struct.error) are
+    # classification outcomes, not crashes
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    corrupt = bytearray(good)
+    corrupt[43] ^= 0xFF  # flip a byte inside the compressed stream
+    assert decode_image_array(bytes(corrupt)) is None
+    assert decode_image_array(good[:20]) is None
     # truncated pixel data must not decode
     arr = np.zeros((2, 2, 3), dtype=np.uint8)
     assert decode_image_array(b"P6\n2 2\n255\n" + arr.tobytes()[:-1]) is None

@@ -173,12 +173,15 @@ def decode_ppm(content: bytes) -> np.ndarray:
 
 def decode_image_array(content: bytes) -> np.ndarray | None:
     """(H, W, C) uint8 pixels for payloads the micro-decoders understand;
-    None for anything else (caller falls back to byte-level features)."""
+    None for anything else (caller falls back to byte-level features).
+    zlib.error (corrupt IDAT) and struct.error (truncated header) are
+    classification outcomes here, same as ValueError — a malformed payload
+    in a 100 TB corpus must fall back, never crash the batch."""
     try:
         if is_png(content):
             return decode_png(content)
         if is_ppm(content):
             return decode_ppm(content)
-    except ValueError:
+    except (ValueError, zlib.error, struct.error):
         return None
     return None
