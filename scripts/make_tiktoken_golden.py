@@ -4,9 +4,11 @@ Uses the REAL tiktoken cl100k_base the moment an environment has it
 installed (then the golden carries true reference-parity counts —
 `vectrekker/main.py:170` tokenizes with this exact encoding); falls back to
 the deterministic stand-in in tests/fake_tiktoken.py otherwise. The
-`encoder` field records which one produced the file, and
-tests/test_tiktoken_parity.py skips its fake-injection when the real
-library is present, asserting directly against the real-count golden.
+`encoder` field records which one produced the file.
+tests/test_tiktoken_parity.py always checks Spark-UDF counts against the
+ACTIVE encoder driver-side, pins the golden when its encoder kind matches,
+and FAILS (not skips) when the real library appears while the golden is
+still fake-produced — run this script then to refresh it.
 
 Usage: python scripts/make_tiktoken_golden.py [documents.parquet]
 """

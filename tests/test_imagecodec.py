@@ -153,3 +153,74 @@ def test_extract_features_real_decode_end_to_end(spark):
     assert rows[4]["features"] == pytest.approx(byte_histogram_features(txt))
     # the flat-gray image concentrates all luminance in one bin
     assert rows[2]["features"][200 * 16 // 256] == pytest.approx(1.0)
+
+
+def test_decompression_bomb_classifies_not_oom():
+    # IHDR claims a huge image → rejected at the header (before any
+    # allocation); a small-dims header with an over-long stream is caught
+    # by the bounded decompress + length check. Neither may MemoryError.
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    huge_ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0)
+    bomb1 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", huge_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image_array(bomb1) is None
+
+    small_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", small_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20)))  # 64 MB claimed
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image_array(bomb2) is None
+
+
+def test_zero_dimension_images_rejected():
+    import struct
+    import zlib
+
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((0, 4, 3), dtype=np.uint8))
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    zero = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image_array(zero) is None
+    assert decode_image_array(b"P6\n0 0\n255\n") is None
+    # so image_pixel_features can never emit NaNs flagged decoded=true
+    from vectrekker_spark.operators.multimodal import image_pixel_features
+
+    assert image_pixel_features(zero) is None
+
+
+def test_ppm_low_maxval_rescales():
+    # Netpbm samples are fractions of maxval: a maxval-15 image must not
+    # collapse into luminance bin 0
+    raw = np.array([[[15, 15, 15], [0, 0, 0]]], dtype=np.uint8)  # 1x2
+    ppm = b"P6\n2 1\n15\n" + raw.tobytes()
+    out = decode_ppm(ppm)
+    assert out[0, 0].tolist() == [255, 255, 255]
+    assert out[0, 1].tolist() == [0, 0, 0]
+    mid = b"P6\n1 1\n100\n" + bytes([50, 50, 50])
+    assert decode_ppm(mid)[0, 0].tolist() == [128, 128, 128]  # round(50*2.55)

@@ -28,23 +28,6 @@ GOLDEN = os.path.join(
 )
 
 
-@pytest.fixture()
-def with_fake_tiktoken(monkeypatch):
-    """Install the fake as `tiktoken` (skipped if the real library exists —
-    then the golden file itself carries real counts and the same assertions
-    hold against it)."""
-    if "tiktoken" in sys.modules or _real_tiktoken_importable():
-        pytest.skip("real tiktoken present; golden regenerated against it")
-    # the pandas_udf closure captures the ENCODER OBJECT; ship the fake
-    # module's code to Spark's python workers by value, not by reference
-    from pyspark import cloudpickle
-
-    cloudpickle.register_pickle_by_value(fake_tiktoken)
-    monkeypatch.setitem(sys.modules, "tiktoken", fake_tiktoken)
-    yield
-    cloudpickle.unregister_pickle_by_value(fake_tiktoken)
-
-
 def _real_tiktoken_importable() -> bool:
     try:
         import tiktoken  # noqa: F401
@@ -54,7 +37,45 @@ def _real_tiktoken_importable() -> bool:
         return False
 
 
-def test_count_udf_matches_golden_through_spark(spark, with_fake_tiktoken):
+@pytest.fixture()
+def active_tiktoken(monkeypatch):
+    """Make SOME tiktoken importable and return (module, is_real): the real
+    library when present (no injection — the UDF path then runs for real),
+    else the fake installed into sys.modules. Either way the UDF tests
+    below exercise the real-library code path with a known encoder."""
+    if _real_tiktoken_importable():
+        import tiktoken
+
+        yield tiktoken, True
+        return
+    # the pandas_udf closure captures the ENCODER OBJECT; ship the fake
+    # module's code to Spark's python workers by value, not by reference
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(fake_tiktoken)
+    monkeypatch.setitem(sys.modules, "tiktoken", fake_tiktoken)
+    yield fake_tiktoken, False
+    cloudpickle.unregister_pickle_by_value(fake_tiktoken)
+
+
+@pytest.fixture()
+def with_fake_tiktoken(active_tiktoken):
+    """Tests pinned to the FAKE's specific counts skip under the real
+    library (its counts differ by design)."""
+    mod, is_real = active_tiktoken
+    if is_real:
+        pytest.skip("real tiktoken present; fake-specific counts don't apply")
+    yield
+
+
+def test_count_udf_matches_golden_through_spark(spark, active_tiktoken):
+    """Spark-UDF counts must equal the active encoder's driver-side counts
+    on the documents fixture — plumbing parity regardless of which encoder
+    is importable. The committed golden is additionally pinned when it was
+    produced by the active encoder kind; under a REAL tiktoken with a
+    fake-produced golden the test flags the stale file instead of silently
+    skipping (regenerate via scripts/make_tiktoken_golden.py)."""
+    import duckdb
     from pyspark.sql import functions as F
 
     from vectrekker_spark.functions.tokenize import (
@@ -62,7 +83,8 @@ def test_count_udf_matches_golden_through_spark(spark, with_fake_tiktoken):
         tiktoken_count_udf,
     )
 
-    assert tiktoken_available()  # the injected module satisfies the probe
+    mod, is_real = active_tiktoken
+    assert tiktoken_available()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = {
         str(r["doc_id"]): r["n"]
@@ -70,9 +92,24 @@ def test_count_udf_matches_golden_through_spark(spark, with_fake_tiktoken):
             "doc_id", tiktoken_count_udf()(F.col("text")).alias("n")
         ).collect()
     }
+    enc = mod.get_encoding("cl100k_base")
+    rows = duckdb.sql(
+        "select doc_id, text from "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    driver_counts = {str(d): len(enc.encode(t or "")) for d, t in rows}
+    assert out == driver_counts  # Spark plumbing ≡ driver-side encoder
+
     with open(GOLDEN) as f:
-        golden = json.load(f)["counts"]
-    assert out == {k: int(v) for k, v in golden.items()}
+        gold = json.load(f)
+    golden_is_real = gold["encoder"] == "tiktoken"
+    if golden_is_real == is_real:
+        assert out == {k: int(v) for k, v in gold["counts"].items()}
+    else:
+        pytest.fail(
+            "golden encoder kind doesn't match the importable tiktoken — "
+            "regenerate: python scripts/make_tiktoken_golden.py"
+        )
 
 
 def test_gate_switches_off_the_proxy_when_tiktoken_imports(

@@ -28,6 +28,14 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # PNG color type → samples per pixel (spec §4.1.1)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Upper bound on DECODED size (scanlines incl. filter bytes). Decoding is
+# bounded by this, never by what the compressed stream claims: a crafted
+# ~1000:1 decompression-bomb IDAT must fail as a ValueError the callers
+# classify, not as a MemoryError/OOM that kills the executor. 64 MB is far
+# above any corpus-filtering feature fixture; a real pipeline decoding
+# billboard-size assets uses PIL with its own limits.
+MAX_DECODED_BYTES = 64 << 20
+
 
 def is_png(content: bytes) -> bool:
     return bool(content) and content[:8] == PNG_MAGIC
@@ -59,7 +67,17 @@ def decode_png(content: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported PNG color type {color}")
             if interlace != 0:
                 raise ValueError("interlaced PNG unsupported")
+            if width == 0 or height == 0:
+                # the spec requires nonzero dimensions; a 0×N image would
+                # also produce an empty pixel set whose feature histogram
+                # divides by zero downstream
+                raise ValueError("PNG with zero width or height")
             channels = _CHANNELS[color]
+            if height * (width * channels + 1) > MAX_DECODED_BYTES:
+                raise ValueError(
+                    f"PNG decoded size {height}x{width}x{channels} exceeds "
+                    f"the {MAX_DECODED_BYTES >> 20} MB micro-decoder bound"
+                )
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -67,9 +85,13 @@ def decode_png(content: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # max_length bounds the ALLOCATION: a decompression bomb stops at
+    # expected+1 bytes and fails the length check below as a plain
+    # ValueError instead of exhausting executor memory
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG scanline data has wrong length")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -122,6 +144,8 @@ def encode_png(arr: np.ndarray) -> bytes:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("PNG requires nonzero dimensions")
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
@@ -164,11 +188,27 @@ def decode_ppm(content: bytes) -> np.ndarray:
     w, h, maxval = tokens
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
+    if maxval <= 0:
+        raise ValueError("PPM maxval must be positive")
+    if w == 0 or h == 0:
+        raise ValueError("PPM with zero width or height")
     need = w * h * 3
+    if need + 1 > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PPM {h}x{w} exceeds the {MAX_DECODED_BYTES >> 20} MB "
+            "micro-decoder bound"
+        )
     data = content[pos : pos + need]
     if len(data) != need:
         raise ValueError("truncated PPM pixel data")
-    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if maxval == 255:
+        return arr.copy()
+    # Netpbm samples are fractions of maxval: rescale to [0,255] (rounded)
+    # — without this a maxval-15 image's luminance collapses into bin 0
+    return ((arr.astype(np.uint32) * 255 + maxval // 2) // maxval).clip(
+        0, 255
+    ).astype(np.uint8)
 
 
 def decode_image_array(content: bytes) -> np.ndarray | None:

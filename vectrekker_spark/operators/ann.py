@@ -341,6 +341,15 @@ def ivf_save(
     ``repartition(cid)`` before the write puts each cell in one task → one
     file per cell instead of n_tasks × n_cells small files; a skewed hot
     cell becomes one large (still splittable) parquet file.
+
+    Single-writer contract (same as ivf_append/ivf_compact): index
+    REWRITES must be serialized — two concurrent rebuilds can be handed
+    the same artifact version by _next_version, and an unflipped writer's
+    artifact dirs are not protected from the other's prune. Readers are
+    always safe; a contract violation degrades to pointer-level
+    last-writer-wins (committed pointers and their artifacts are never
+    deleted by a racer — see _prune_pointers/_referenced_names), not to a
+    broken index.
     """
     spark = centroids.sparkSession
     cells = _cell_rows(assignments, corpus, id_col, vec_col, quantize)
@@ -769,7 +778,15 @@ def _referenced_names(path: str) -> set[str]:
     flip that committed a HIGHER pointer version between our flip and our
     prune keeps its cells/centroids/meta dirs — without it, the slower
     writer's explicit live+grace keep-set would reclaim the faster
-    writer's committed artifacts and leave its surviving pointer dangling."""
+    writer's committed artifacts and leave its surviving pointer dangling.
+
+    Scope: this protects COMMITTED racers only. A rewrite that has written
+    artifact dirs but not yet flipped its pointer is invisible here (and
+    _next_version can hand two concurrent rebuilds the same artifact
+    version) — index REWRITES therefore carry the single-writer contract
+    ivf_compact states; the commit-level protection below is what makes a
+    violated contract degrade to last-writer-wins on the POINTER rather
+    than a deleted live index."""
     import os
 
     names: set[str] = set()
@@ -925,6 +942,8 @@ def ivf_append(
     At-least-once caveat: re-appending the same ids duplicates rows; search
     dedupes candidates by (qid, id) and duplicate rows carry identical
     vectors, so results are unaffected (`ivf_compact` reclaims them).
+    Single-writer contract (same as ivf_save/ivf_compact): appends are
+    index rewrites too — serialize them against other writers.
     Centroids drift as the corpus grows — re-run ivf_build when recall
     degrades; append covers the between-rebuilds regime."""
     spark = new_corpus.sparkSession

@@ -100,6 +100,23 @@ def _update_row_hash(updates: DataFrame):
     return F.xxhash64(F.struct(*hashable)) if hashable else F.lit(0)
 
 
+def _dedup_updates(updates: DataFrame, key: str) -> DataFrame:
+    """One row per key, chosen by the stable row-hash order — THE
+    last-writer-wins tie-break rule, shared by merge_upsert's anti branch
+    and merge_upsert_delta (where it is a correctness requirement: Delta
+    raises on multiple source rows matching one target row). A single
+    definition keeps the parquet and Delta branches resolving duplicate
+    keys identically."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    wu = Window.partitionBy(key).orderBy(_update_row_hash(updates))
+    return (
+        updates.withColumn("__rn", F.row_number().over(wu))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def merge_upsert(
     base: DataFrame,
     updates: DataFrame,
@@ -140,20 +157,11 @@ def merge_upsert(
     plan-build time; in hot loops (per micro-batch) either pass an explicit
     strategy or persist the updates first.
     """
-    from pyspark.sql import Window
-
     if strategy == "auto":
         n = updates.select(key).limit(broadcast_rows + 1).count()
         strategy = "anti" if n <= broadcast_rows else "window"
     if strategy == "anti":
-        upd = updates
-        if not updates_unique:
-            wu = Window.partitionBy(key).orderBy(_update_row_hash(updates))
-            upd = (
-                updates.withColumn("__rn", F.row_number().over(wu))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
+        upd = updates if updates_unique else _dedup_updates(updates, key)
         # probe with DISTINCT raw keys (same key set as the dedup'd side) so
         # the row_number dedup plan is never evaluated a second time
         keys = (
@@ -167,9 +175,13 @@ def merge_upsert(
         raise ValueError(
             f"merge_upsert: unknown strategy {strategy!r}; one of auto/anti/window"
         )
+    from pyspark.sql import Window  # noqa: PLC0415
+
     tagged = updates.withColumn("__pri", F.lit(0)).unionByName(
         base.withColumn("__pri", F.lit(1))
     )
+    # same _update_row_hash tie-break as _dedup_updates, with the __pri tag
+    # putting update rows ahead of base rows in one combined window
     w = Window.partitionBy(key).orderBy("__pri", _update_row_hash(updates))
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
@@ -219,16 +231,8 @@ def merge_upsert_delta(
     stage-and-swap window. Raises ImportError when delta-spark is absent
     (callers fall back to the parquet strategies)."""
     from delta.tables import DeltaTable  # noqa: PLC0415
-    from pyspark.sql import Window  # noqa: PLC0415
 
-    upd = updates
-    if not updates_unique:
-        wu = Window.partitionBy(key).orderBy(_update_row_hash(updates))
-        upd = (
-            updates.withColumn("__rn", F.row_number().over(wu))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+    upd = updates if updates_unique else _dedup_updates(updates, key)
     (
         DeltaTable.forPath(spark, path)
         .alias("b")

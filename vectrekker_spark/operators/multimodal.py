@@ -2,11 +2,17 @@
 pipelines: opaque `binary` payloads + typed metadata, processed via
 Arrow-batched `mapInPandas`.
 
-The media libraries (PIL/torchaudio/ffmpeg) are NOT in this container, so
-the actual decode is stubbed: `decode_image` raises NotImplementedError
-unless PIL is importable, and `byte_histogram_features` is the
-deterministic fake used by tests. Everything Spark-side — schema, batch
-iteration, partitioning behavior, output contract — is real and tested.
+The media libraries (PIL/torchaudio/ffmpeg) are NOT in this container, but
+image decode is REAL anyway for the formats the pure-numpy micro-decoders
+cover (8-bit non-interlaced PNG, binary PPM — functions/imagecodec.py):
+`decode_image` prefers PIL when importable, falls back to the
+micro-decoder (returning an (H, W, C) uint8 array), and raises
+NotImplementedError only for formats neither covers. `extract_features`
+decodes per payload (luminance-histogram features, decoded=true) with
+`byte_histogram_features` as the byte-level fallback for everything else
+(decoded=false) — mixed corpora classify rather than abort. PCM audio
+features are likewise real (numpy over the raw samples); only
+container-format audio/video decode stays out of scope.
 """
 
 from __future__ import annotations
