@@ -1,0 +1,96 @@
+"""RIFF/WAVE micro-parser tests: WAV bytes are hand-built from the public
+layout here (no audio library), so the parser is checked against the spec,
+not against itself."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vectrekker_spark.functions.audiocodec import is_wav, parse_wav, wav_mono_f64
+
+
+def make_wav(samples: np.ndarray, rate: int = 16000, extra_chunk: bytes = b"") -> bytes:
+    """Canonical PCM16 WAV: samples is (n_frames, n_channels) int16."""
+    n_frames, n_ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += extra_chunk
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_roundtrip_mono_and_stereo():
+    rng = np.random.RandomState(5)
+    mono = rng.randint(-32768, 32767, size=(100, 1), dtype=np.int16)
+    rate, ch, out = parse_wav(make_wav(mono, rate=8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(out, mono)
+
+    stereo = rng.randint(-32768, 32767, size=(64, 2), dtype=np.int16)
+    rate, ch, out = parse_wav(make_wav(stereo, rate=44100))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(out, stereo)
+    # downmix = channel mean
+    mixed = wav_mono_f64(make_wav(stereo))
+    expect = (stereo.astype(np.float64) / 32768.0).mean(axis=1)
+    assert np.allclose(mixed, expect)
+
+
+def test_parser_skips_unknown_chunks_and_word_aligns():
+    # a LIST chunk with ODD length before data: the pad byte must be
+    # honored or every later chunk misparses
+    mono = np.arange(10, dtype=np.int16).reshape(-1, 1)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    rate, ch, out = parse_wav(make_wav(mono, extra_chunk=extra))
+    assert np.array_equal(out, mono)
+
+
+def test_unsupported_variants_raise():
+    mono = np.zeros((4, 1), dtype=np.int16)
+    good = make_wav(mono)
+    # float32 WAV (format tag 3)
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3
+    with pytest.raises(ValueError):
+        parse_wav(bytes(bad_fmt))
+    assert wav_mono_f64(bytes(bad_fmt)) is None
+    # 8-bit
+    bad_bits = bytearray(good)
+    bad_bits[34] = 8
+    with pytest.raises(ValueError):
+        parse_wav(bytes(bad_bits))
+    # truncated data chunk
+    with pytest.raises(ValueError):
+        parse_wav(good[:-3])
+    # not WAV at all
+    assert not is_wav(b"plain bytes")
+    assert wav_mono_f64(b"plain bytes") is None
+
+
+def test_pcm_window_features_accepts_wav_and_raw_identically(spark):
+    """The SAME sine signal as (a) raw PCM16 bytes and (b) a WAV container
+    must produce identical window features — the container parse is a real
+    decode, not a different code path's approximation."""
+    from vectrekker_spark.operators.multimodal import pcm_window_features
+
+    sr, freq, amp = 16000, 100.0, 0.5
+    t = np.arange(sr) / sr
+    wave = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    raw = wave.tobytes()
+    wav = make_wav(wave.reshape(-1, 1), rate=sr)
+    # stereo with both channels equal downmixes to the same mono signal
+    wav2 = make_wav(np.column_stack([wave, wave]), rate=sr)
+    df = spark.createDataFrame(
+        [(1, bytearray(raw)), (2, bytearray(wav)), (3, bytearray(wav2))],
+        "media_id long, content binary",
+    )
+    rows = pcm_window_features(df, window=1600).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["window_no"], r["rms"], r["zcr"]))
+    assert len(by_id[1]) == len(by_id[2]) == len(by_id[3]) == 10
+    assert sorted(by_id[1]) == sorted(by_id[2]) == sorted(by_id[3])

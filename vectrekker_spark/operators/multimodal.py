@@ -193,12 +193,19 @@ def pcm_window_features(
     df: DataFrame, window: int = 1024,
     content_col: str = "content", id_col: str = "media_id",
 ) -> DataFrame:
-    """REAL audio feature extraction (no external libs): interpret the binary
-    payload as little-endian PCM16 and emit per-window RMS energy and
-    zero-crossing rate — the standard cheap audio features for corpus
-    filtering (silence/noise gates). Arrow-batched numpy over mapInPandas;
-    one output row per complete window, trailing partial windows dropped.
-    """
+    """REAL audio feature extraction (no external libs): per-window RMS
+    energy and zero-crossing rate — the standard cheap audio features for
+    corpus filtering (silence/noise gates). Arrow-batched numpy over
+    mapInPandas; one output row per complete window, trailing partial
+    windows dropped.
+
+    Payload handling: a RIFF/WAVE container (the common corpus case) is
+    parsed for real by functions/audiocodec.py — PCM16 samples extracted
+    from the data chunk, multi-channel downmixed by mean; anything else is
+    interpreted as raw little-endian PCM16 bytes (the historical
+    contract). Worker-side classification per payload, so mixed corpora
+    never crash the batch."""
+    from vectrekker_spark.functions.audiocodec import wav_mono_f64
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -206,9 +213,11 @@ def pcm_window_features(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 if not content:
                     continue
-                samples = np.frombuffer(
-                    content[: (len(content) // 2) * 2], dtype="<i2"
-                ).astype(np.float64) / 32768.0
+                samples = wav_mono_f64(bytes(content))
+                if samples is None:
+                    samples = np.frombuffer(
+                        content[: (len(content) // 2) * 2], dtype="<i2"
+                    ).astype(np.float64) / 32768.0
                 n_win = len(samples) // window
                 if n_win == 0:
                     continue
