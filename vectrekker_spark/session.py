@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join pruning and dynamic partition pruning
+        # ride the Spark 4 defaults (bloomFilter.enabled=true, creation side
+        # ≤10 MB, application side ≥10 GB scan): they fire exactly in the
+        # big-scan regime this engine targets and stay out of the way on
+        # test-sized data — deliberately NOT overridden here.
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "128m")
