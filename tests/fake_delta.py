@@ -43,6 +43,10 @@ class _MergeBuilder:
         self.clauses.append("whenMatchedUpdateAll")
         return self
 
+    def whenMatchedDelete(self) -> "_MergeBuilder":
+        self.clauses.append("whenMatchedDelete")
+        return self
+
     def whenNotMatchedInsertAll(self) -> "_MergeBuilder":
         self.clauses.append("whenNotMatchedInsertAll")
         return self
@@ -60,13 +64,18 @@ class _MergeBuilder:
         key = m.group(1)
         src = self.source
         tgt = spark.read.parquet(self.table.path)
+        # Delta's multiple-match restriction applies to UPDATE/full-row
+        # clauses (which target row would win?); a pure DELETE of matched
+        # rows is well-defined regardless — but duplicate source keys still
+        # raise in Delta, so the fake mirrors that for any matched clause.
         dup = (
             src.join(tgt.select(key).distinct(), key, "leftsemi")
             .groupBy(key)
             .count()
             .filter("count > 1")
         )
-        if dup.take(1):
+        has_matched = any(c.startswith("whenMatched") for c in self.clauses)
+        if has_matched and dup.take(1):
             raise MultipleSourceRowsError(
                 "multiple source rows matched a single target row; Delta "
                 "MERGE requires the source be deduplicated on the merge key"
@@ -77,6 +86,9 @@ class _MergeBuilder:
                 tgt.join(src.select(key), key, "left_anti"),
                 src.join(tgt.select(key), key, "leftsemi"),
             ]
+        elif "whenMatchedDelete" in self.clauses:
+            # matched target rows are dropped
+            parts = [tgt.join(src.select(key), key, "left_anti")]
         else:
             parts = [tgt]  # no matched clause: target rows all survive
         if "whenNotMatchedInsertAll" in self.clauses:

@@ -118,3 +118,118 @@ def test_premerge_dedup_is_load_bearing(spark, sf_dir, tmp_path, with_fake_delta
 
     # target untouched after the failed merge
     assert _rows(spark.read.parquet(path)) == _rows(base)
+
+
+@pytest.fixture()
+def parquet_append(monkeypatch):
+    """Route the grouped merge's transaction 2 through a parquet append —
+    DataFrameWriter.format('delta') needs the real JVM extension the fake
+    can't intercept; everything MERGE-shaped still runs through the fake
+    builder."""
+    import vectrekker_spark.operators.delta as dmod
+
+    monkeypatch.setattr(
+        dmod, "_delta_append",
+        lambda df, path: df.write.mode("append").parquet(path),
+    )
+    yield
+
+
+def test_grouped_delta_merge_matches_partitioned_sink(
+    spark, tmp_path, with_fake_delta, parquet_append
+):
+    """REPLACE-GROUP semantics across both branches: same base, same new
+    rows (doc B re-chunked from 3 rows to 1, doc D quarantined away, doc E
+    new) must leave the identical index row-set."""
+    from vectrekker_spark.operators.delta import (
+        merge_upsert_delta_grouped,
+        merge_upsert_partitioned,
+        read_partitioned_table,
+    )
+
+    base = spark.createDataFrame(
+        [("a#0", "a", [1.0]), ("b#0", "b", [2.0]), ("b#1", "b", [2.1]),
+         ("b#2", "b", [2.2]), ("c#0", "c", [3.0]), ("d#0", "d", [4.0])],
+        "id string, doc_path string, embedding array<double>",
+    )
+    new_rows = spark.createDataFrame(
+        [("b#0", "b", [9.0]), ("e#0", "e", [5.0])],
+        "id string, doc_path string, embedding array<double>",
+    )
+    delete_groups = spark.createDataFrame([("d",)], "doc_path string")
+
+    dpath = str(tmp_path / "delta_idx")
+    base.write.parquet(dpath)
+    merge_upsert_delta_grouped(
+        spark, dpath, new_rows, group_col="doc_path", delete_groups=delete_groups
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(dpath).collect())
+
+    ppath = str(tmp_path / "parquet_idx")
+    merge_upsert_partitioned(spark, ppath, base, key="id", group_col="doc_path")
+    merge_upsert_partitioned(
+        spark, ppath, new_rows, key="id", group_col="doc_path",
+        delete_groups=delete_groups,
+    )
+    want = sorted(tuple(r) for r in read_partitioned_table(spark, ppath).collect())
+
+    assert got == want
+    # stale chunk ids b#1/b#2 and the quarantined doc d are gone
+    ids = {r[0] for r in got}
+    assert ids == {"a#0", "b#0", "c#0", "e#0"}
+
+    # the delete-merge used the distinct touched-group set on doc_path
+    tbl = fake_delta.DeltaTable.last
+    assert tbl.executed_merges == [
+        {"condition": "b.doc_path = u.doc_path", "clauses": ["whenMatchedDelete"]}
+    ]
+
+
+def test_pipeline_delta_branch_equals_parquet_branch(
+    spark, tmp_path, with_fake_delta, parquet_append
+):
+    """run_pipeline(index_format='delta') drives the lakehouse sink through
+    the product surface and must build the same index as the parquet
+    branch — including incremental re-embedding of a touched file."""
+    import os
+
+    from vectrekker_spark.operators.delta import read_partitioned_table
+    from vectrekker_spark.pipeline import PipelineConfig, run_pipeline
+
+    content = tmp_path / "content"
+    content.mkdir()
+    (content / "a.md").write_text("alpha document about sparks and vectors")
+    (content / "b.md").write_text("beta document with different words")
+
+    def cfg(sub: str, fmt: str) -> PipelineConfig:
+        d = tmp_path / sub
+        d.mkdir()
+        return PipelineConfig(
+            content_dir=str(content),
+            state_path=str(d / "state.parquet"),
+            index_path=str(d / "index.parquet"),
+            quarantine_path=str(d / "quarantine.parquet"),
+            index_format=fmt,
+        )
+
+    cd, cp = cfg("delta", "delta"), cfg("parquet", "parquet")
+    r1d, r1p = run_pipeline(spark, cd), run_pipeline(spark, cp)
+    assert r1d == r1p and r1d["indexed"] == 2
+
+    # touch a file → exactly one re-embed through BOTH sinks
+    a = content / "a.md"
+    st = a.stat()
+    a.write_text("alpha document rewritten with new content")
+    os.utime(a, (st.st_atime, st.st_mtime + 2))
+    r2d, r2p = run_pipeline(spark, cd), run_pipeline(spark, cp)
+    assert r2d == r2p and r2d["indexed"] == 1
+
+    rows_d = sorted(
+        (r["id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(cd.index_path).collect()
+    )
+    rows_p = sorted(
+        (r["id"], tuple(r["embedding"]))
+        for r in read_partitioned_table(spark, cp.index_path).collect()
+    )
+    assert rows_d == rows_p and len(rows_d) == 2

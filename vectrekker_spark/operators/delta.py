@@ -243,6 +243,59 @@ def merge_upsert_delta(
     )
 
 
+def merge_upsert_delta_grouped(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    group_col: str,
+    delete_groups: DataFrame | None = None,
+) -> None:
+    """REPLACE-GROUP merge into a Delta table — the lakehouse analog of
+    :func:`merge_upsert_partitioned`'s semantics (pipeline.py's index
+    sink): every group (source document) present in ``new_rows`` or
+    ``delete_groups`` retires ALL its existing rows, then ``new_rows``
+    lands. Chunk ids the new document version no longer produces can never
+    linger as stale hits.
+
+    Two Delta transactions:
+      1. ``MERGE ON b.{group} = u.{group} WHEN MATCHED THEN DELETE`` with
+         the DISTINCT touched-group set as source (unique per key, so the
+         multiple-source-match restriction never trips; one source group
+         deleting many target rows is fine),
+      2. append ``new_rows``.
+    Delta compiles the delete-merge to a touched-file rewrite via data
+    skipping on the group column — cost ∝ delta size, the same property
+    the parquet path gets from hash-bucket pruning.
+
+    Crash window: between the two transactions the group's rows are absent.
+    Same at-least-once posture as the rest of the pipeline — state commits
+    only after the index write, so a crash re-processes those docs on the
+    next run; readers needing isolation snapshot the pre-merge version
+    (Delta time travel). Raises ImportError when delta-spark is absent."""
+    from delta.tables import DeltaTable  # noqa: PLC0415
+
+    groups = new_rows.select(group_col).distinct()
+    if delete_groups is not None:
+        groups = groups.unionByName(
+            delete_groups.select(F.col(delete_groups.columns[0]).alias(group_col))
+        ).distinct()
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("b")
+        .merge(groups.alias("u"), f"b.{group_col} = u.{group_col}")
+        .whenMatchedDelete()
+        .execute()
+    )
+    _delta_append(new_rows, path)
+
+
+def _delta_append(new_rows: DataFrame, path: str) -> None:
+    """Transaction 2 of the grouped merge — separated so the fake-Delta
+    tests can substitute a parquet append (DataFrameWriter.format('delta')
+    needs the real JVM extension the fake can't intercept)."""
+    new_rows.write.format("delta").mode("append").save(path)
+
+
 def merge_upsert_partitioned(
     spark,
     path: str,

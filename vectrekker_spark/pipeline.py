@@ -81,6 +81,23 @@ class PipelineConfig:
     # path order): bounds a huge backlog or version migration into small
     # resumable runs, each committing its own state slice. 0 → no cap.
     max_changed: int = 0
+    # "parquet" (default): hash-bucketed REPLACE-GROUP merge with the
+    # stage-then-swap commit (no dependencies). "delta": the lakehouse
+    # branch — delete-matched-groups MERGE + append via delta-spark
+    # (operators/delta.merge_upsert_delta_grouped), giving readers snapshot
+    # isolation instead of the swap window. Requires delta_available();
+    # the index must then be read with spark.read.format("delta").
+    index_format: str = "parquet"
+
+
+def _ensure_delta_index(spark: SparkSession, path: str) -> None:
+    """First run of a delta-format pipeline: materialize an empty index
+    table so DeltaTable.forPath resolves (an append of zero INDEX_SCHEMA
+    rows creates the table; no-op when the table exists)."""
+    if not os.path.exists(path):
+        from vectrekker_spark.operators.delta import _delta_append
+
+        _delta_append(spark.createDataFrame([], INDEX_SCHEMA), path)
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -193,18 +210,32 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
             embed(F.col("text")).alias("embedding"),
             F.create_map().cast("map<string,string>").alias("metadata"),
         )
-    # Partition-aware REPLACE-GROUP merge keyed on the source document: a
-    # re-processed doc retires ALL its previous index rows (chunk ids the new
-    # version no longer produces would otherwise linger as stale hits), and
-    # only the hash buckets containing changed docs are read and rewritten —
-    # merge cost ∝ delta size, not index size.
-    from vectrekker_spark.operators.delta import merge_upsert_partitioned
-
+    # REPLACE-GROUP merge keyed on the source document: a re-processed doc
+    # retires ALL its previous index rows (chunk ids the new version no
+    # longer produces would otherwise linger as stale hits); cost ∝ delta
+    # size, not index size. parquet → hash-bucket pruning + stage-then-swap
+    # commit; delta → delete-matched-groups MERGE + append (data skipping on
+    # doc_path, snapshot-isolated readers).
     n_indexed = new_rows.count()
-    merge_upsert_partitioned(
-        spark, cfg.index_path, new_rows, key="id", group_col="doc_path",
-        delete_groups=quarantined_paths,
-    )
+    if cfg.index_format == "delta":
+        from vectrekker_spark.operators.delta import merge_upsert_delta_grouped
+
+        _ensure_delta_index(spark, cfg.index_path)
+        merge_upsert_delta_grouped(
+            spark, cfg.index_path, new_rows, group_col="doc_path",
+            delete_groups=quarantined_paths,
+        )
+    elif cfg.index_format == "parquet":
+        from vectrekker_spark.operators.delta import merge_upsert_partitioned
+
+        merge_upsert_partitioned(
+            spark, cfg.index_path, new_rows, key="id", group_col="doc_path",
+            delete_groups=quarantined_paths,
+        )
+    else:
+        raise ValueError(
+            f"index_format must be parquet or delta, got {cfg.index_format!r}"
+        )
 
     # State commit strictly AFTER the index write (at-least-once ordering).
     new_state = changed.select(
