@@ -94,3 +94,23 @@ def test_pcm_window_features_accepts_wav_and_raw_identically(spark):
         by_id.setdefault(r["media_id"], []).append((r["window_no"], r["rms"], r["zcr"]))
     assert len(by_id[1]) == len(by_id[2]) == len(by_id[3]) == 10
     assert sorted(by_id[1]) == sorted(by_id[2]) == sorted(by_id[3])
+
+
+def test_unsupported_wav_encodings_skip_not_garbage(spark):
+    """A float32 WAV must emit NO feature rows — reinterpreting its header
+    + float bytes as raw PCM16 would fabricate plausible garbage (review
+    finding). Non-WAV payloads keep the raw-PCM16 contract."""
+    from vectrekker_spark.operators.multimodal import pcm_window_features
+
+    mono = np.zeros((4000, 1), dtype=np.int16)
+    float_wav = bytearray(make_wav(mono))
+    float_wav[20] = 3  # format tag: IEEE float
+    raw = np.zeros(4000, dtype="<i2").tobytes()
+    df = spark.createDataFrame(
+        [(1, float_wav), (2, bytearray(raw))],
+        "media_id long, content binary",
+    )
+    rows = pcm_window_features(df, window=1000).collect()
+    ids = {r["media_id"] for r in rows}
+    assert 1 not in ids  # unsupported WAV: skipped, no fabricated features
+    assert sum(1 for r in rows if r["media_id"] == 2) == 4  # raw path intact

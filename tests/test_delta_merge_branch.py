@@ -233,3 +233,64 @@ def test_pipeline_delta_branch_equals_parquet_branch(
         for r in read_partitioned_table(spark, cp.index_path).collect()
     )
     assert rows_d == rows_p and len(rows_d) == 2
+
+
+def test_delta_format_without_library_fails_fast(spark, tmp_path):
+    """index_format='delta' without delta-spark must raise ImportError at
+    run START — before any scan/embed work or quarantine side effect, and
+    not as a raw DATA_SOURCE_NOT_FOUND from the writer (review finding)."""
+    try:
+        import delta.tables  # noqa: F401
+
+        pytest.skip("real delta-spark present")
+    except ImportError:
+        pass
+    from vectrekker_spark.pipeline import PipelineConfig, run_pipeline
+
+    content = tmp_path / "content"
+    content.mkdir()
+    (content / "a.md").write_text("doc")
+    cfg = PipelineConfig(
+        content_dir=str(content),
+        state_path=str(tmp_path / "state.parquet"),
+        index_path=str(tmp_path / "index.parquet"),
+        index_format="delta",
+    )
+    with pytest.raises(ImportError, match="delta-spark"):
+        run_pipeline(spark, cfg)
+    assert not (tmp_path / "state.parquet").exists()  # nothing committed
+
+    cfg2 = PipelineConfig(
+        content_dir=str(content),
+        state_path=str(tmp_path / "state.parquet"),
+        index_path=str(tmp_path / "index.parquet"),
+        index_format="iceberg",
+    )
+    with pytest.raises(ValueError, match="index_format"):
+        run_pipeline(spark, cfg2)
+
+
+def test_grouped_delta_merge_keys_delete_groups_by_name(
+    spark, tmp_path, with_fake_delta, parquet_append
+):
+    # a delete_groups frame with an extra leading column must still key on
+    # the NAMED group column (review finding: positional columns[0])
+    from vectrekker_spark.operators.delta import merge_upsert_delta_grouped
+
+    base = spark.createDataFrame(
+        [("a#0", "a", [1.0]), ("d#0", "d", [4.0])],
+        "id string, doc_path string, embedding array<double>",
+    )
+    new_rows = spark.createDataFrame(
+        [], "id string, doc_path string, embedding array<double>"
+    )
+    delete_groups = spark.createDataFrame(
+        [(9001, "d")], "n_tokens long, doc_path string"
+    )
+    path = str(tmp_path / "byname")
+    base.write.parquet(path)
+    merge_upsert_delta_grouped(
+        spark, path, new_rows, group_col="doc_path", delete_groups=delete_groups
+    )
+    ids = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert ids == {"a#0"}  # doc d retired; 9001 never misread as a group

@@ -77,10 +77,13 @@ def parse_wav(content: bytes) -> tuple[int, int, np.ndarray]:
 
 def wav_mono_f64(content: bytes) -> np.ndarray | None:
     """Mono float64 samples in [-1, 1) for WAV payloads; None when the
-    payload isn't a parseable PCM16 WAV (caller falls back to raw-PCM16
-    interpretation). Multi-channel audio downmixes by channel mean — the
+    payload isn't a parseable PCM16 WAV. Callers must treat None for a
+    payload that IS RIFF/WAVE (is_wav true) as "unsupported encoding —
+    skip", never as license to reinterpret the container bytes as raw
+    PCM16 (header + non-int16 samples would fabricate plausible garbage
+    features). Multi-channel audio downmixes by channel mean — the
     standard corpus-filtering choice (energy/ZCR gates care about the
-    mixture, not the stereo image)."""
+    mixture, not the stereo image). Accepts any bytes-like buffer."""
     try:
         _rate, _ch, samples = parse_wav(content)
     except (ValueError, struct.error):

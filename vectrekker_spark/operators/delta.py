@@ -276,8 +276,11 @@ def merge_upsert_delta_grouped(
 
     groups = new_rows.select(group_col).distinct()
     if delete_groups is not None:
+        # select by NAME, exactly like merge_upsert_partitioned's twin — a
+        # positional columns[0] would silently mis-key a frame that carries
+        # extra columns ahead of the group column
         groups = groups.unionByName(
-            delete_groups.select(F.col(delete_groups.columns[0]).alias(group_col))
+            delete_groups.select(group_col)
         ).distinct()
     (
         DeltaTable.forPath(spark, path)

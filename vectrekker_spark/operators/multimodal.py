@@ -201,11 +201,16 @@ def pcm_window_features(
 
     Payload handling: a RIFF/WAVE container (the common corpus case) is
     parsed for real by functions/audiocodec.py — PCM16 samples extracted
-    from the data chunk, multi-channel downmixed by mean; anything else is
-    interpreted as raw little-endian PCM16 bytes (the historical
-    contract). Worker-side classification per payload, so mixed corpora
-    never crash the batch."""
-    from vectrekker_spark.functions.audiocodec import wav_mono_f64
+    from the data chunk, multi-channel downmixed by mean. A payload that
+    IS a WAV but in an encoding the parser doesn't cover (float32, 24-bit,
+    WAVE_FORMAT_EXTENSIBLE, oversized data chunk) is SKIPPED — emitting no
+    rows, like empty content — never reinterpreted: feeding its header and
+    non-int16 sample bytes through the raw branch would fabricate
+    plausible-looking garbage features. Only payloads with no RIFF/WAVE
+    signature take the raw little-endian PCM16 interpretation (the
+    historical contract). Worker-side classification per payload, so mixed
+    corpora never crash the batch."""
+    from vectrekker_spark.functions.audiocodec import is_wav, wav_mono_f64
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -213,8 +218,13 @@ def pcm_window_features(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 if not content:
                     continue
-                samples = wav_mono_f64(bytes(content))
-                if samples is None:
+                # no copy: the parser and frombuffer accept the Arrow
+                # bytearray buffer directly
+                if is_wav(content):
+                    samples = wav_mono_f64(content)
+                    if samples is None:
+                        continue  # unsupported WAV encoding: classify, skip
+                else:
                     samples = np.frombuffer(
                         content[: (len(content) // 2) * 2], dtype="<i2"
                     ).astype(np.float64) / 32768.0

@@ -121,6 +121,22 @@ def _atomic_replace(df: DataFrame, path: str) -> None:
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
     """One incremental run. Returns counters (scanned/changed/indexed/quarantined)."""
+    # Config validated BEFORE any work or side effect: a typo'd format (or
+    # a delta request without delta-spark) must not cost a full scan+embed
+    # and a duplicate quarantine append before failing at the sink.
+    if cfg.index_format not in ("parquet", "delta"):
+        raise ValueError(
+            f"index_format must be parquet or delta, got {cfg.index_format!r}"
+        )
+    if cfg.index_format == "delta":
+        from vectrekker_spark.operators.delta import delta_available
+
+        if not delta_available():
+            raise ImportError(
+                "index_format='delta' requires the delta-spark package "
+                "(and its JVM extension); install it or use the default "
+                "parquet index sink"
+            )
     scan = scan_directory(spark, cfg.content_dir, pattern=cfg.content_regex)
     n_scanned = scan.count()
 
@@ -225,16 +241,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
             spark, cfg.index_path, new_rows, group_col="doc_path",
             delete_groups=quarantined_paths,
         )
-    elif cfg.index_format == "parquet":
+    else:  # "parquet" — validated at run start
         from vectrekker_spark.operators.delta import merge_upsert_partitioned
 
         merge_upsert_partitioned(
             spark, cfg.index_path, new_rows, key="id", group_col="doc_path",
             delete_groups=quarantined_paths,
-        )
-    else:
-        raise ValueError(
-            f"index_format must be parquet or delta, got {cfg.index_format!r}"
         )
 
     # State commit strictly AFTER the index write (at-least-once ordering).
