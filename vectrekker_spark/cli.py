@@ -104,6 +104,7 @@ def cmd_index(args: argparse.Namespace) -> int:
         embedder_factory=embedder_factory,
         embed_version=args.embed_version,
         max_changed=args.max_changed,
+        index_format=args.index_format,
     )
     counters = run_pipeline(spark, cfg)
     print(counters)
@@ -415,6 +416,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="OpenAI-compatible /embeddings URL; omit for the local hashing embedder",
     )
     ix.add_argument("--embed-dim", type=int, default=64)
+    ix.add_argument(
+        "--index-format", default="parquet", choices=["parquet", "delta"],
+        help="index sink: hash-bucketed parquet (default, no deps) or a "
+        "Delta table via delta-spark (snapshot-isolated MERGE)",
+    )
     ix.add_argument("--dry-run", action="store_true")
     ix.set_defaults(fn=cmd_index)
 
