@@ -171,6 +171,13 @@ def bm25_scores(
     df_t = (
         tf.filter(F.col("term") != "")
         .groupBy("term")
+        # countDistinct over the already-unique (id, term) pairs looks
+        # redundant, but Catalyst FUSES tf's groupBy into the distinct
+        # rewrite here (the physical plan aggregates on [term, id]
+        # directly and prunes dl) — a plain count(1) keeps tf's 3-key
+        # aggregate alive and shuffles the extra dl column for identical
+        # values (plan-diffed + interleaved A/B'd at sf0.1: no win either
+        # cached or uncached). Don't "simplify" this without re-measuring.
         .agg(F.countDistinct(id_col).alias("df"))
     ).unionByName(
         # the sentinel's df row (idf pinned to 0.0 below → contributes
