@@ -223,6 +223,24 @@ class Engine:
 
         return minhash_dedup_against(new, corpus, threshold=threshold, **kw)
 
+    def duplicate_spans(self, df: DataFrame, n: int = 10, **kw) -> DataFrame:
+        """Redundant token spans (boilerplate/quoted passages repeated
+        across the corpus) per document — span-level exact substring
+        dedup (operators/spandedup.duplicate_spans)."""
+        from vectrekker_spark.operators.spandedup import duplicate_spans
+
+        return duplicate_spans(df, n=n, **kw)
+
+    def strip_spans(self, df: DataFrame, n: int = 10, **kw) -> DataFrame:
+        """All columns + ``text_clean``: the text with redundant spans
+        removed, one canonical occurrence kept corpus-wide
+        (operators/spandedup.strip_duplicate_spans)."""
+        from vectrekker_spark.operators.spandedup import (
+            strip_duplicate_spans,
+        )
+
+        return strip_duplicate_spans(df, n=n, **kw)
+
     def redact_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Replace emails/phones in `text_col` with placeholder tags
         (functions/text.redact_pii), in place of the original column."""
