@@ -197,7 +197,7 @@ def test_spans_match_brute_force(spark, data, n):
 # --- plan hygiene -----------------------------------------------------------
 
 
-def test_plan_no_cartesian_no_python(spark):
+def test_plan_no_cartesian_arrow_only_python(spark):
     df = _docs(spark, [(1, BOILER), (2, BOILER)])
     plan = (
         strip_duplicate_spans(df, n=10)
@@ -207,4 +207,52 @@ def test_plan_no_cartesian_no_python(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Cartesian" not in plan
-    assert "Python" not in plan  # pure Catalyst, no UDF stage
+    # the only Python in the plan is the Arrow gram kernel — the strip
+    # itself (HOF filter) and the span algebra stay JVM-side
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+
+
+def test_kernel_matches_expression_twin(spark):
+    from vectrekker_spark.operators.spandedup import (
+        _gram_occurrences,
+        _gram_occurrences_expr,
+    )
+
+    rows = [
+        (1, f"Alpha BETA {BOILER} x  y\tz"),  # case + run-whitespace
+        (2, None),
+        (3, "  "),
+        (4, "short"),
+        (5, f"{BOILER} {BOILER}"),
+    ]
+    df = _docs(spark, rows)
+    k = {tuple(r) for r in _gram_occurrences(df, 10, "doc_id", "text").collect()}
+    e = {
+        tuple(r)
+        for r in _gram_occurrences_expr(df, 10, "doc_id", "text").collect()
+    }
+    assert k == e and k  # identical and non-empty
+
+
+def test_cache_lifecycle_and_precomputed_spans(spark):
+    from vectrekker_spark.operators.spandedup import release
+
+    df = _docs(spark, [(1, BOILER), (2, f"pre {BOILER} post")])
+    spans = duplicate_spans(df, n=10)
+    assert spans._cached_grams is not None
+    spans.collect()
+    assert spans._cached_grams.storageLevel.useMemory
+    # strip against the precomputed spans: no new cache handle taken
+    stripped = strip_duplicate_spans(df, n=10, spans=spans)
+    assert stripped._cached_grams is None
+    got = {r["doc_id"]: r["text_clean"] for r in stripped.collect()}
+    assert got == {1: BOILER, 2: "pre post"}
+    release(spans)
+    assert not spans._cached_grams.storageLevel.useMemory
+    # derived-internally path: the strip result carries the handle
+    s2 = strip_duplicate_spans(df, n=10)
+    assert s2._cached_grams is not None
+    s2.collect()
+    release(s2)
+    release(s2)  # idempotent / no-op safe

@@ -12,8 +12,13 @@ array). A suffix array is not a Spark-shaped structure; the Spark-first
 equivalent used here seeds on fixed-length token n-grams:
 
 1. every n-token gram occurrence becomes a narrow (id, pos, md5(gram)) row
-   (the text column never shuffles — same explode discipline as winnowing,
-   functions/text.word_grams);
+   (the text column never shuffles). Gram hashing is a per-doc Arrow
+   kernel (mapInPandas), the same choice the winnowing fingerprinter
+   made and for the same measured reason: the pure-Catalyst gram chain
+   (functions/text._gram_chain) is 9 interpreted zip_with passes at
+   n=10 and benched 1.74 s vs the kernel's 0.55 s on the sf0.1 corpus;
+   `_gram_occurrences_expr` keeps the expression form as the
+   tested-identical cross-check (md5 over the identical gram strings);
 2. the corpus-canonical occurrence of each duplicated gram is the minimal
    (id, pos), computed as ``groupBy(gram).agg(min(struct(id, pos)))`` — an
    aggregation, NOT a window over gram partitions, deliberately: partial
@@ -28,7 +33,13 @@ equivalent used here seeds on fixed-length token n-grams:
 4. ``strip_duplicate_spans`` rebuilds the text keeping only uncovered
    tokens (index-aware F.filter — an interpreted HOF, but per-row over
    the token array with a per-doc span list that is small by
-   construction; no Python stage).
+   construction; the strip itself is pure Catalyst).
+
+The gram stream feeds two consumers (the canonical-occurrence aggregate
+and the flag join), so ``duplicate_spans`` persists it by default
+(``cache_intermediate=True``) and hands the cache out on the result as
+``_cached_grams`` — long-lived drivers call ``release()`` once the spans
+are consumed, the same lifecycle idiom as operators/tfidf.bm25_scores.
 
 Semantics (documented contract, mirrored by the tests' independent
 brute-force oracle):
@@ -67,7 +78,43 @@ def _gram_occurrences(
     df: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, pos, gh): every n-gram occurrence, gram hashed to 32 hex chars
-    so the shuffled rows stay narrow regardless of n."""
+    (md5 — 128 bits, so a hash collision silently merging two distinct
+    grams stays negligible even at 100 TB gram counts; a 64-bit key would
+    see millions of expected collisions there) so the shuffled rows stay
+    narrow regardless of n. Arrow kernel — see the module docstring for
+    the measured rationale; emits exactly the values of
+    ``_gram_occurrences_expr`` (tested)."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not t:
+                    continue
+                # .lower().split() ≡ tokens(lower(text)): whitespace-run
+                # split of trimmed text (the expr twin is the tested proof)
+                tk = [w.encode("utf-8") for w in t.lower().split()]
+                m = len(tk) - n + 1
+                for p in range(m if m > 0 else 0):
+                    ids.append(i)
+                    poss.append(p)
+                    hs.append(hashlib.md5(b" ".join(tk[p : p + n])).hexdigest())
+            yield pd.DataFrame({id_col: ids, "pos": poss, "gh": hs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, pos int, gh string"
+    )
+
+
+def _gram_occurrences_expr(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Pure-Catalyst twin of ``_gram_occurrences`` (functions/text.word_grams
+    + F.md5). Value-identical by construction and by test; kept as the
+    cross-check for the kernel's tokenize/join/hash semantics."""
     return df.select(
         F.col(id_col),
         F.posexplode(word_grams(F.col(text_col), n)).alias("pos", "gram"),
@@ -80,17 +127,21 @@ def duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int | None = None,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """(id, span_start, span_end, span_tokens) for every maximal redundant
     span — 0-based inclusive token positions in the whitespace
     tokenization of the document. See the module docstring for the
-    precise redundancy contract.
+    precise redundancy contract and the ``_cached_grams``/``release``
+    cache lifecycle.
     """
     if n < 2:
         raise ValueError(f"duplicate_spans: n must be >= 2, got {n}")
     min_tokens = n if min_tokens is None else min_tokens
 
     g = _gram_occurrences(df, n, id_col, text_col)
+    if cache_intermediate:
+        g = g.persist()
     # Canonical occurrence per duplicated gram: min (id, pos), as a
     # partial-aggregating groupBy (skew-tolerant — module docstring §2).
     # struct comparison is lexicographic over (id, pos), exactly the
@@ -132,7 +183,7 @@ def duplicate_spans(
             F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
-    return (
+    out = (
         isl.groupBy(id_col, "isl")
         .agg(
             F.min("pos").alias("span_start"),
@@ -144,6 +195,16 @@ def duplicate_spans(
         .filter(F.col("span_tokens") >= min_tokens)
         .select(id_col, "span_start", "span_end", "span_tokens")
     )
+    out._cached_grams = g if cache_intermediate else None
+    return out
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist the cached gram stream a ``duplicate_spans`` result holds
+    (no-op on DataFrames with nothing tracked — the tfidf/knn idiom)."""
+    cached = getattr(result, "_cached_grams", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def strip_duplicate_spans(
@@ -153,16 +214,24 @@ def strip_duplicate_spans(
     text_col: str = "text",
     min_tokens: int | None = None,
     out_col: str = "text_clean",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """All input columns + ``out_col``: the text with every redundant span
     removed (kept tokens in original case, single-space joined — see the
     module docstring for the normalization contract). Documents without
     redundant spans still get whitespace-normalized output, so the column
     is uniformly "the post-dedup training text".
+
+    Pass ``spans=`` (a ``duplicate_spans`` result, e.g. one already
+    collected for an audit report) to strip against it directly instead
+    of re-deriving the gram stream; n/min_tokens are ignored for
+    detection then (the caller owns consistency and the cache release).
     """
-    spans = duplicate_spans(
-        df, n=n, id_col=id_col, text_col=text_col, min_tokens=min_tokens
-    )
+    derived_here = spans is None
+    if derived_here:
+        spans = duplicate_spans(
+            df, n=n, id_col=id_col, text_col=text_col, min_tokens=min_tokens
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -177,8 +246,15 @@ def strip_duplicate_spans(
     clean = F.when(
         F.col(text_col).isNull(), F.lit(None).cast("string")
     ).otherwise(F.concat_ws(" ", kept))
-    return (
+    out = (
         df.join(per_doc, id_col, "left")
         .withColumn(out_col, clean)
         .drop("__spans")
     )
+    # thread the gram cache through so release(strip_result) works when the
+    # spans were derived here; a caller-passed spans frame keeps ownership
+    # of its own cache (None here — the caller releases)
+    out._cached_grams = (
+        getattr(spans, "_cached_grams", None) if derived_here else None
+    )
+    return out
