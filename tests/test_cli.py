@@ -275,6 +275,11 @@ def test_curate_query_flag_validation(tmp_path, capsys, spark, sf_dir):
     # --min-bm25 without --query: rejected, not silently ignored
     rc = main(["curate", "--documents", docs, "--out", out, "--min-bm25", "0.5"])
     assert rc == 2 and "requires --query" in capsys.readouterr().out
+    # --strip-span-ngram=1 is degenerate: rejected before any stage runs
+    rc = main(
+        ["curate", "--documents", docs, "--out", out, "--strip-span-ngram", "1"]
+    )
+    assert rc == 2 and "strip-span-ngram" in capsys.readouterr().out
 
 
 def test_stats_with_ivf_summary(tmp_path, capsys, spark):

@@ -123,3 +123,40 @@ def test_curate_relevance_gate(spark):
     assert 1 not in kept  # the gardening doc fails the BM25 gate
     assert {0, 2} <= kept
     assert res.funnel["after_relevance"] == 2
+
+
+def test_curate_span_strip_stage(spark):
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique words here {boiler}", "en"),
+            (1, f"{boiler} totally different tail content", "en"),
+            (2, "no shared content in this document at all", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        strip_span_ngram=10, chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    chunks = {
+        r["doc_id"]: r["chunk_text"] for r in res.chunks.collect()
+    }
+    res.unpersist()
+    assert res.funnel["span_stripped_docs"] == 1  # only doc 1 was touched
+    assert chunks[0] == f"unique words here {boiler}"  # canonical copy kept
+    assert chunks[1] == "totally different tail content"
+    assert chunks[2] == "no shared content in this document at all"
+
+
+def test_curate_span_strip_validates_at_start(spark):
+    import pytest
+
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame([(0, "x", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="strip_span_ngram"):
+        curate(docs, CurationConfig(strip_span_ngram=1))

@@ -316,6 +316,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if args.min_bm25 is not None and args.query is None:
         print("error: --min-bm25 requires --query")
         return 2
+    if args.strip_span_ngram and args.strip_span_ngram < 2:
+        # validated before the session spins up / any stage runs (same
+        # run-START contract as the delta/index-format checks)
+        print("error: --strip-span-ngram must be >= 2 (0 disables)")
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
     cfg = AssemblyConfig(
@@ -327,6 +332,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             embed=False,
             relevance_query=args.query or "",
             min_relevance=args.min_bm25 if args.min_bm25 is not None else 0.0,
+            strip_span_ngram=args.strip_span_ngram,
         ),
         max_tokens=args.max_tokens,
         shuffle_seed=args.seed,
@@ -483,6 +489,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--min-quality", type=float, default=0.7)
     cu.add_argument("--langs", help="comma-separated langs to keep (default all)")
     cu.add_argument("--near-dup-threshold", type=float, default=0.7)
+    cu.add_argument(
+        "--strip-span-ngram", type=int, default=0,
+        help="strip corpus-redundant token spans of >= N tokens before the "
+        "quality gate (0 = off)",
+    )
     cu.add_argument("--chunk-size", type=int, default=512)
     cu.add_argument("--max-tokens", type=int, default=2048)
     cu.add_argument("--seed", default="epoch0", help="training-order shuffle seed")

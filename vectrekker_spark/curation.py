@@ -36,6 +36,11 @@ class CurationConfig:
     # 0.0 default means "at least one query-term hit" (zero-hit docs score
     # exactly 0.0 and must not pass)
     min_relevance: float = 0.0
+    # 0 → off; n ≥ 2 → strip corpus-redundant token spans of ≥ n tokens
+    # (operators/spandedup) after near-dup removal, BEFORE the quality
+    # gate — deliberately, so quality scores judge the deduplicated text
+    # (repeated boilerplate otherwise inflates a doc's apparent quality)
+    strip_span_ngram: int = 0
 
 
 @dataclass
@@ -68,6 +73,12 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     """Run the funnel; returns chunked (and optionally embedded) rows plus
     per-stage survivor counts."""
     cfg = cfg or CurationConfig()
+    if cfg.strip_span_ngram and cfg.strip_span_ngram < 2:
+        # fail before any stage executes (run-START validation contract)
+        raise ValueError(
+            f"CurationConfig.strip_span_ngram must be 0 (off) or >= 2, "
+            f"got {cfg.strip_span_ngram}"
+        )
     docs = docs.cache()  # read once: every stage + count consumes it
     caches = [docs]
     funnel: dict[str, int] = {"input": docs.count()}
@@ -83,6 +94,31 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     # and every later stage re-reads the survivors)
     docs = _drop_near_dups(docs, cfg).cache()
     caches.append(docs)
+
+    # 2b. optional span-level dedup: strip corpus-redundant token spans in
+    # place (doc count unchanged — the funnel records how many documents
+    # were touched). Cached: later stages consume the stripped text
+    # repeatedly, and the spans' gram cache joins the funnel's lifecycle.
+    if cfg.strip_span_ngram:
+        from vectrekker_spark.operators.spandedup import (
+            duplicate_spans,
+            strip_duplicate_spans,
+        )
+
+        spans = duplicate_spans(
+            docs, n=cfg.strip_span_ngram,
+            id_col=cfg.id_col, text_col=cfg.text_col,
+        )
+        if spans._cached_grams is not None:
+            caches.append(spans._cached_grams)
+        funnel["span_stripped_docs"] = (
+            spans.select(cfg.id_col).distinct().count()
+        )
+        docs = strip_duplicate_spans(
+            docs, id_col=cfg.id_col, text_col=cfg.text_col,
+            out_col=cfg.text_col, spans=spans,
+        ).cache()
+        caches.append(docs)
 
     # 3+4. quality and language filters. The three funnel counts (post-near-dup,
     # post-quality, post-lang) come from ONE conditional-aggregation pass over
