@@ -170,3 +170,70 @@ def test_streaming_ann_soak_appends_compact_equals_rebuild(spark, sf_dir, tmp_pa
     got = rows_of(ivf_search_cells(q, lc, cells2, k=5, n_probe=3))
     want = rows_of(ivf_search_cells(q, rc, rcells, k=5, n_probe=3))
     assert got == want and len(want) > 0
+
+
+def test_streaming_near_dedup_against_history(spark, tmp_path):
+    from vectrekker_spark.streaming.jobs import foreach_batch_near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while morning light settles across the quiet valley floor"
+    )
+    uniq1 = "completely unrelated prose about compilers and register allocation strategies"
+    uniq2 = (
+        "a second standalone document describing tide patterns in estuaries "
+        "where brackish water mixes daily with inland runoff under seasonal "
+        "winds that reshape the sandbars"
+    )
+    near_base = base.replace("quiet", "silent")  # one-token edit: near-dup
+    near_uniq2 = uniq2.replace("second", "third")
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt_nd")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src / "*")
+        )
+        foreach_batch_near_dedup(
+            stream, corpus, ckpt, threshold=0.7
+        ).awaitTermination()
+
+    def corpus_ids():
+        import pyspark.sql.functions as F
+
+        df = spark.read.parquet(f"{corpus}/docs")
+        return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+    # batch 1: in-batch near-dup (id 2 ~ id 1) dropped, min id kept
+    write_batch("b1", [(1, base), (2, near_base), (3, uniq1)])
+    run()
+    assert corpus_ids() == [1, 3]
+
+    # batch 2: id 4 near-dups HISTORY doc 1 via the persisted band index;
+    # id 5 is novel
+    write_batch("b2", [(4, near_base), (5, uniq2)])
+    run()
+    assert corpus_ids() == [1, 3, 5]
+
+    # same checkpoint, no new files: nothing reprocessed
+    run()
+    assert corpus_ids() == [1, 3, 5]
+
+    # batch 3: near-dup of a doc accepted in batch 2 — the index grew
+    write_batch("b3", [(6, near_uniq2)])
+    run()
+    assert corpus_ids() == [1, 3, 5]
+
+    # the band index covers exactly the accepted docs
+    bands = spark.read.parquet(f"{corpus}/bands")
+    assert sorted(
+        r["doc_id"] for r in bands.select("doc_id").distinct().collect()
+    ) == [1, 3, 5]

@@ -287,3 +287,97 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_near_dedup(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming ingestion with incremental near-dedup against ALL history —
+    C11 (operators/dedup.minhash_dedup_against) composed with ST5: each
+    micro-batch is (1) near-deduped within itself (min-id keeper, the
+    curation funnel's policy), (2) checked against the corpus via the
+    PERSISTED band index at ``{corpus_path}/bands`` — so history is never
+    re-signatured; the batch costs O(|batch| signatures) + one band-bucket
+    join + exact-Jaccard verification on candidates only — and (3) the
+    survivors are appended to ``{corpus_path}/docs`` with their band hashes
+    appended to the index, keeping the next batch's check incremental.
+
+    Scale shape per batch: the batch's band table is small, so both joins
+    broadcast the batch side and STREAM the corpus-sized tables (band index
+    scan + candidate verification scan) — no corpus shuffle, history never
+    moves. Delivery is at-least-once per micro-batch (a crash between the
+    docs append and the bands append re-appends the batch on redelivery);
+    duplicate (id, band) rows in the index and duplicate ids in the docs
+    table never change future dedup DECISIONS (candidates are distinct-ed
+    before verification) — the same effective-idempotence contract as
+    foreach_batch_ann_append, and an exact-dedup compact over the docs
+    table reclaims them. Returns the started query.
+    """
+    import os
+
+    from vectrekker_spark.operators.dedup import (
+        band_hashes,
+        minhash_dedup_against,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    docs_path = os.path.join(corpus_path, "docs")
+    bands_path = os.path.join(corpus_path, "bands")
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            # 1. in-batch near-dedup (two near-dups arriving together must
+            # not both pass the history check): drop every pair's larger id
+            pairs = minhash_dedup_pairs(
+                batch, threshold=threshold, text_col=text_col, id_col=id_col
+            )
+            losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
+            fresh = batch.join(losers, id_col, "left_anti")
+            # 2. against history, via the persisted band index
+            if os.path.exists(bands_path):
+                dup = minhash_dedup_against(
+                    fresh,
+                    spark.read.parquet(docs_path),
+                    threshold=threshold,
+                    text_col=text_col,
+                    id_col=id_col,
+                    corpus_bands=spark.read.parquet(bands_path),
+                )
+                fresh = fresh.join(
+                    dup.select(F.col("new_id").alias(id_col)).distinct(),
+                    id_col,
+                    "left_anti",
+                )
+            # 3. pin the accept decisions once, then both appends read the
+            # pinned rows (the docs append must not race a bands recompute
+            # against its own write)
+            fresh = fresh.persist()
+            try:
+                fresh.write.mode("append").parquet(docs_path)
+                band_hashes(
+                    minhash_signatures(
+                        fresh, text_col=text_col, id_col=id_col
+                    ),
+                    id_col=id_col,
+                ).write.mode("append").parquet(bands_path)
+            finally:
+                fresh.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
