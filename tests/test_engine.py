@@ -142,3 +142,20 @@ def test_engine_quantized_ann_facade(spark, sf_dir, tmp_path):
     # codes-only: still finds the self-match, score within the int8 error
     res2 = eng.approx_knn_persisted(path, q, k=5, n_probe=4, rerank=False).collect()
     assert res2[0]["vec_id"] == 0 and abs(res2[0]["score"] - 1.0) < 0.01
+
+
+def test_engine_span_dedup_sugar(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    boiler = "0 1 2 3 4 5 6 7 8 9"
+    df = spark.createDataFrame(
+        [(1, f"aa bb {boiler}"), (2, f"cc dd {boiler} ee")],
+        "doc_id long, text string",
+    )
+    spans = eng.duplicate_spans(df, n=10).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"]) for r in spans] == [
+        (2, 2, 11)
+    ]
+    cleaned = {
+        r["doc_id"]: r["text_clean"] for r in eng.strip_spans(df, n=10).collect()
+    }
+    assert cleaned == {1: f"aa bb {boiler}", 2: "cc dd ee"}

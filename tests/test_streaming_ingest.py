@@ -237,3 +237,26 @@ def test_streaming_near_dedup_against_history(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in bands.select("doc_id").distinct().collect()
     ) == [1, 3, 5]
+
+
+def test_compact_near_dedup_corpus(spark, tmp_path):
+    from vectrekker_spark.streaming.jobs import compact_near_dedup_corpus
+
+    corpus = tmp_path / "corpus2"
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "doc_id long, text string"
+    )
+    bands = spark.createDataFrame(
+        [(1, 0, "h1"), (2, 0, "h2")], "doc_id long, band int, band_hash string"
+    )
+    # simulate a crash-redelivered batch: both tables appended twice
+    for _ in range(2):
+        docs.write.mode("append").parquet(str(corpus / "docs"))
+        bands.write.mode("append").parquet(str(corpus / "bands"))
+    out = compact_near_dedup_corpus(spark, str(corpus))
+    assert out == {"docs_removed": 2, "bands_removed": 2}
+    assert spark.read.parquet(str(corpus / "docs")).count() == 2
+    assert spark.read.parquet(str(corpus / "bands")).count() == 2
+    # idempotent: a second compact removes nothing and rewrites nothing
+    out2 = compact_near_dedup_corpus(spark, str(corpus))
+    assert out2 == {"docs_removed": 0, "bands_removed": 0}

@@ -381,3 +381,36 @@ def foreach_batch_near_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_near_dedup_corpus(
+    spark: SparkSession, corpus_path: str, id_col: str = "doc_id"
+) -> dict[str, int]:
+    """Reclaim foreach_batch_near_dedup's at-least-once redelivery
+    duplicates: drop repeated ids from ``{corpus_path}/docs`` (redelivered
+    rows are byte-identical payloads — any survivor is THE row) and
+    repeated (id, band, band_hash) rows from the band index, rewriting
+    both tables with the stage-then-swap used everywhere else. Returns
+    removed-row counts. Single-writer contract, like ivf_compact: don't
+    run concurrently with an ingesting stream."""
+    import os
+
+    from vectrekker_spark.pipeline import _atomic_replace
+
+    out: dict[str, int] = {}
+    for name, dedup in (
+        ("docs", lambda df: df.dropDuplicates([id_col])),
+        ("bands", lambda df: df.distinct()),
+    ):
+        path = os.path.join(corpus_path, name)
+        df = spark.read.parquet(path).persist()
+        try:
+            before = df.count()
+            clean = dedup(df)
+            removed = before - clean.count()
+            if removed:
+                _atomic_replace(clean, path)
+            out[f"{name}_removed"] = removed
+        finally:
+            df.unpersist()
+    return out
