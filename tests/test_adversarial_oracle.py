@@ -181,3 +181,39 @@ def test_q07_semi_anti_adversarial(spark, tmp_path):
     # semi: only customer 1; anti: parts 8 and 9 (NULL l_partkey matches no
     # part; 99 references nothing)
     assert _parity(spark, tmp_path, "q07_semi_anti_join") == 3
+
+
+_NASTY_WS_DOCS = pd.DataFrame(
+    {
+        "doc_id": range(8),
+        "text": pd.array(
+            [
+                # Unicode whitespace (NBSP, line-sep, ideographic space):
+                # TOKEN CONTENT under the engine's Java/RE2 tokenization —
+                # Python str.split() would tokenize these differently
+                "intro\u00a0text alpha beta gamma delta",
+                "intro text alpha beta gamma delta",
+                "a\u2028b c d e f g",
+                "x\u3000y\u2028z w v u t",
+                # boundary non-space whitespace: trim strips only spaces,
+                # so Java split yields boundary '' tokens
+                "\tlead alpha beta gamma delta tail\n",
+                " spaced   out alpha beta gamma delta ",
+                None,
+                "",
+            ]
+        ),
+    }
+)
+
+
+@pytest.mark.parametrize("name", ["d01_minhash", "d17_count_min", "q20_hash_embed_udf"])
+def test_python_kernels_ascii_tokenize_adversarial(spark, tmp_path, name):
+    # regression: the minhash / count-min / hash-embed Arrow kernels once
+    # tokenized with Python's UNICODE whitespace (str.split / re \s) while
+    # their DuckDB oracles and the JVM verification paths split on the
+    # ASCII class — green on the ASCII fixtures, silently divergent on
+    # scraped-web text. Parity on planted Unicode/boundary whitespace pins
+    # the shared functions/pytokens twins.
+    _write(tmp_path, "documents", _NASTY_WS_DOCS)
+    assert _parity(spark, tmp_path, name) > 0

@@ -225,6 +225,14 @@ def test_kernel_matches_expression_twin(spark):
         (3, "  "),
         (4, "short"),
         (5, f"{BOILER} {BOILER}"),
+        # ASCII-vs-Unicode whitespace: tokens() is Java split — \xa0 /
+        #   / 　 are TOKEN CONTENT, and leading \t / trailing \n
+        # produce boundary empty tokens (trim strips only spaces). The
+        # kernel must replicate all of it or strip positions misalign.
+        (6, f"intro text {BOILER}"),
+        (7, f"\tlead {BOILER} tail\n"),
+        (8, f"a　b c {BOILER}"),
+        (9, f" spaced   out {BOILER} "),
     ]
     df = _docs(spark, rows)
     k = {tuple(r) for r in _gram_occurrences(df, 10, "doc_id", "text").collect()}
@@ -233,6 +241,28 @@ def test_kernel_matches_expression_twin(spark):
         for r in _gram_occurrences_expr(df, 10, "doc_id", "text").collect()
     }
     assert k == e and k  # identical and non-empty
+
+
+def test_strip_aligns_on_unicode_whitespace(spark):
+    # regression: the kernel once tokenized with Python str.split()
+    # (Unicode whitespace) while strip indexes tokens() (Java ASCII \s) —
+    # a \xa0 doc had its span positions applied to a shifted token array,
+    # deleting a unique token and keeping boilerplate. 'intro\xa0text' is
+    # ONE token under the contract, so BOILER sits at positions 1..10.
+    df = _docs(
+        spark,
+        [(1, f"aa bb {BOILER}"), (2, f"intro text {BOILER} zz")],
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, n=10).collect()
+    }
+    assert spans == {(2, 1, 10)}
+    cleaned = {
+        r["doc_id"]: r["text_clean"]
+        for r in strip_duplicate_spans(df, n=10).collect()
+    }
+    assert cleaned == {1: f"aa bb {BOILER}", 2: "intro text zz"}
 
 
 def test_cache_lifecycle_and_precomputed_spans(spark):

@@ -27,8 +27,14 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    # regexp_count of non-space runs ≡ size(tokens(...)) for every input
-    # (empty/whitespace-only → 0), without materializing the split array.
+    # regexp_count of non-space runs ≡ size(tokens(...)) whenever the text
+    # has no leading/trailing NON-SPACE whitespace (empty/ws-only → 0),
+    # without materializing the split array. On e.g. '\tfoo' the two
+    # deliberately differ: tokens() is Java split-after-space-trim and
+    # yields a boundary '' token (['', 'foo']) where this counts \S+ runs
+    # (1) — the count is the honest "how many words" answer, and bm25
+    # (the one consumer mixing both) never term-matches a '' token since
+    # query terms are non-empty by construction.
     return F.regexp_count(F.trim(_c(text)), F.lit(r"\S+"))
 
 

@@ -69,10 +69,11 @@ def minhash_signatures(
     DuckDB oracle.
     """
     import hashlib
-    import re
 
     import numpy as np
     import pandas as pd
+
+    from vectrekker_spark.functions.pytokens import java_tokens
 
     A = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64)[:, None]
     B = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)[:, None]
@@ -102,7 +103,11 @@ def minhash_signatures(
                     # a near-dup candidate (matches exact_dedup_map's
                     # null-is-not-duplicate-content rule)
                     continue
-                toks = re.split(r"\s+", text.lower().strip())
+                # java_tokens ≡ word_shingles' tokens()/the RE2 oracle
+                # split — NOT Python/re Unicode \s (functions/pytokens);
+                # n < k (incl. empty text) folds to the single all-token
+                # join below, matching word_shingles' guard
+                toks = java_tokens(text.lower())
                 n = len(toks)
                 upper = max(n - shingle_words, 0)
                 shingles = {

@@ -69,14 +69,18 @@ def build_sketch(
     if merge not in ("driver", "distributed"):
         raise ValueError(f"merge must be 'driver' or 'distributed', got {merge!r}")
 
+    from vectrekker_spark.functions.pytokens import java_words
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = np.zeros((depth, width), dtype=np.int64)
         cache: dict[str, np.ndarray] = {}
         for pdf in batches:
             toks: list[str] = []
             for text in pdf[text_col]:
-                # ≡ re.split(r"\s+", s.strip()) sans empties; null → no tokens
-                toks.extend((text or "").split())
+                # java_words: ASCII \S+ runs, ≡ the d17 oracle's
+                # string_split_regex + t <> '' — NOT str.split()'s Unicode
+                # whitespace (functions/pytokens); null → no tokens
+                toks.extend(java_words(text or ""))
             if not toks:
                 continue
             uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)

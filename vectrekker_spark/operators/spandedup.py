@@ -88,15 +88,19 @@ def _gram_occurrences(
 
     import pandas as pd
 
+    # java_tokens, NOT str.split(): a doc with U+00A0/U+2028/U+3000
+    # (common in scraped web text) would otherwise tokenize differently
+    # here than in strip_duplicate_spans' tokens() indexing, stripping
+    # the WRONG positions (see functions/pytokens docstring).
+    from vectrekker_spark.functions.pytokens import java_tokens
+
     def gen(batches):
         for pdf in batches:
             ids, poss, hs = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 if not t:
                     continue
-                # .lower().split() ≡ tokens(lower(text)): whitespace-run
-                # split of trimmed text (the expr twin is the tested proof)
-                tk = [w.encode("utf-8") for w in t.lower().split()]
+                tk = [w.encode("utf-8") for w in java_tokens(t.lower())]
                 m = len(tk) - n + 1
                 for p in range(m if m > 0 else 0):
                     ids.append(i)

@@ -129,7 +129,11 @@ WITH perms(perm, a, b) AS (VALUES {_PERM_VALUES}),
 sh AS (
   SELECT doc_id,
          list_transform({_SHINGLES}, s -> {token_hash_sql('s')}) AS hs
-  FROM documents)
+  FROM documents
+  -- null text has no shingles → NO signature rows (the kernel's rule,
+  -- matching exact_dedup_map's null-is-not-duplicate-content contract);
+  -- without this the cross join would emit NULL-minhash rows per perm
+  WHERE text IS NOT NULL)
 SELECT sh.doc_id AS doc_id, perms.perm AS perm,
        list_min(list_transform(sh.hs, x -> (perms.a * x + perms.b) % {MINHASH_P}))
          AS minhash

@@ -74,8 +74,12 @@ def hash_embed_batch(texts: pd.Series, dim: int = HASH_EMBED_DIM) -> pd.Series:
     accumulation order cannot change the result vs the per-token loop form.
     """
     # None → no tokens → zero vector (dropped by q20's != 0 filter, matching
-    # the oracle's WHERE t <> '' which emits nothing for null text)
-    tok_lists = [(t or "").split() for t in texts]  # ≡ re.split(r"\s+", strip)
+    # the oracle's WHERE t <> '' which emits nothing for null text).
+    # java_words: ASCII \S+ runs ≡ the oracle's string_split_regex +
+    # t <> '' — NOT str.split()'s Unicode whitespace (functions/pytokens)
+    from vectrekker_spark.functions.pytokens import java_words
+
+    tok_lists = [java_words(t or "") for t in texts]
     n_docs = len(tok_lists)
     counts = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=n_docs)
     M = np.zeros((n_docs, dim), dtype=np.float64)
