@@ -155,7 +155,11 @@ def test_engine_span_dedup_sugar(spark, sf_dir):
     assert [(r["doc_id"], r["span_start"], r["span_end"]) for r in spans] == [
         (2, 2, 11)
     ]
-    cleaned = {
-        r["doc_id"]: r["text_clean"] for r in eng.strip_spans(df, n=10).collect()
-    }
+    stripped = eng.strip_spans(df, n=10)
+    cleaned = {r["doc_id"]: r["text_clean"] for r in stripped.collect()}
     assert cleaned == {1: f"aa bb {boiler}", 2: "cc dd ee"}
+    # the facade exposes the cache release (the release_bm25 idiom): a
+    # long-lived driver must be able to free the gram cache per call
+    assert stripped._cached_grams.storageLevel.useMemory
+    Engine.release_spans(stripped)
+    assert not stripped._cached_grams.storageLevel.useMemory

@@ -111,6 +111,13 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         )
         if spans._cached_grams is not None:
             caches.append(spans._cached_grams)
+        # persist the spans themselves, not just the gram stream: the
+        # funnel count below materializes the dup-agg/flag-join/island
+        # chain (the expensive duplicate-proportional stages past the
+        # cache), and without this the strip would re-run all of it
+        # instead of reading the tiny cached span table
+        spans = spans.persist()
+        caches.append(spans)
         funnel["span_stripped_docs"] = (
             spans.select(cfg.id_col).distinct().count()
         )

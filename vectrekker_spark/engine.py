@@ -226,7 +226,9 @@ class Engine:
     def duplicate_spans(self, df: DataFrame, n: int = 10, **kw) -> DataFrame:
         """Redundant token spans (boilerplate/quoted passages repeated
         across the corpus) per document — span-level exact substring
-        dedup (operators/spandedup.duplicate_spans)."""
+        dedup (operators/spandedup.duplicate_spans). The result carries a
+        persisted gram stream; long-lived drivers call
+        ``Engine.release_spans(result)`` when done (the bm25 idiom)."""
         from vectrekker_spark.operators.spandedup import duplicate_spans
 
         return duplicate_spans(df, n=n, **kw)
@@ -234,12 +236,21 @@ class Engine:
     def strip_spans(self, df: DataFrame, n: int = 10, **kw) -> DataFrame:
         """All columns + ``text_clean``: the text with redundant spans
         removed, one canonical occurrence kept corpus-wide
-        (operators/spandedup.strip_duplicate_spans)."""
+        (operators/spandedup.strip_duplicate_spans). Carries the derived
+        spans' gram cache — release with ``Engine.release_spans``."""
         from vectrekker_spark.operators.spandedup import (
             strip_duplicate_spans,
         )
 
         return strip_duplicate_spans(df, n=n, **kw)
+
+    @staticmethod
+    def release_spans(result: DataFrame) -> None:
+        """Unpersist the cached gram stream a ``duplicate_spans`` /
+        ``strip_spans`` result carries."""
+        from vectrekker_spark.operators.spandedup import release
+
+        release(result)
 
     def redact_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Replace emails/phones in `text_col` with placeholder tags

@@ -160,6 +160,17 @@ def band_hashes(
     )
 
 
+def _pairs_from_bands(banded: DataFrame, id_col: str) -> DataFrame:
+    l = banded.select(F.col(id_col).alias("l_id"), "band", "band_hash")
+    r = banded.select(F.col(id_col).alias("r_id"), "band", "band_hash")
+    return (
+        l.join(r, ["band", "band_hash"])
+        .filter(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sig_rows: DataFrame,
     id_col: str = "doc_id",
@@ -171,14 +182,39 @@ def lsh_candidate_pairs(
     the band bucket — the classic sub-quadratic near-dup search; only
     same-bucket docs ever meet. Returns distinct (l_id, r_id) with l < r.
     """
-    banded = band_hashes(sig_rows, id_col=id_col, bands=bands)
-    l = banded.select(F.col(id_col).alias("l_id"), "band", "band_hash")
-    r = banded.select(F.col(id_col).alias("r_id"), "band", "band_hash")
+    return _pairs_from_bands(band_hashes(sig_rows, id_col=id_col, bands=bands), id_col)
+
+
+def _verify_jaccard(
+    cands: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    l_key: str,
+    r_key: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (l_key, r_key) pairs: join the
+    TEXT columns through the candidate spine and shingle AFTER the joins, so
+    shingle arrays are computed only for actual candidates — a corpus with
+    zero candidates pays zero shingle work (the old shape pre-projected
+    shingles below the join, shingling every streamed row per consumer, and
+    shuffled the ~3x-larger overlapping-gram arrays instead of the text).
+    A doc appearing in k candidate pairs re-shingles k times — candidate
+    counts are band-collision-bounded, so that stays duplicate-proportional."""
+    l = left.select(F.col(id_col).alias(l_key), F.col(text_col).alias("__l_text"))
+    r = right.select(F.col(id_col).alias(r_key), F.col(text_col).alias("__r_text"))
+    inter = F.size(F.array_intersect("__l_sh", "__r_sh"))
+    union = F.size("__l_sh") + F.size("__r_sh") - inter
     return (
-        l.join(r, ["band", "band_hash"])
-        .filter(F.col("l_id") < F.col("r_id"))
-        .select("l_id", "r_id")
-        .distinct()
+        cands.join(l, l_key)
+        .join(r, r_key)
+        .withColumn("__l_sh", word_shingles(F.col("__l_text")))
+        .withColumn("__r_sh", word_shingles(F.col("__r_text")))
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(l_key, r_key, "jaccard")
     )
 
 
@@ -187,24 +223,23 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: LSH candidates, then exact Jaccard
-    verification on the candidate pairs only. Returns (l_id, r_id, jaccard)."""
-    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col)
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col)).alias("sh")
-    )
-    l = sh.select(F.col(id_col).alias("l_id"), F.col("sh").alias("l_sh"))
-    r = sh.select(F.col(id_col).alias("r_id"), F.col("sh").alias("r_sh"))
-    inter = F.size(F.array_intersect("l_sh", "r_sh"))
-    union = F.size("l_sh") + F.size("r_sh") - inter
-    return (
-        cands.join(l, "l_id")
-        .join(r, "r_id")
-        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("l_id", "r_id", "jaccard")
+    verification on the candidate pairs only. Returns (l_id, r_id, jaccard).
+
+    Pass ``bands_df`` (a band_hashes() table for ``df``, e.g. one the caller
+    already computed and persisted for an index append) to skip the
+    signature kernel entirely — the streaming ingest path signs each
+    micro-batch exactly once this way."""
+    if bands_df is None:
+        bands_df = band_hashes(
+            minhash_signatures(df, text_col=text_col, id_col=id_col),
+            id_col=id_col,
+        )
+    cands = _pairs_from_bands(bands_df, id_col)
+    return _verify_jaccard(
+        cands, df, df, threshold, text_col, id_col, "l_id", "r_id"
     )
 
 
@@ -215,6 +250,7 @@ def minhash_dedup_against(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: which NEW docs near-duplicate an EXISTING
     corpus doc. The cross-corpus variant of minhash_dedup_pairs — the shape
@@ -222,15 +258,24 @@ def minhash_dedup_against(
     100 TB of history without re-pairing history against itself).
 
     Pass ``corpus_bands`` (a persisted band_hashes() table for the corpus)
-    to skip re-signaturing history: the batch then costs
-    O(|new| signatures) + one band-bucket join against the index + exact
-    Jaccard verification on candidates only. Returns
+    to skip re-signaturing history, and ``new_bands`` (a band_hashes()
+    table for ``new``) to skip signing the batch here too — the streaming
+    ingest path signs each micro-batch exactly once and reuses the bands
+    across in-batch dedup, this check, and the index append. With both
+    passed the whole plan is Python-free: one band-bucket join against the
+    index + exact Jaccard verification with shingles computed only for
+    candidate rows (post-join — see _verify_jaccard; the corpus (id, text)
+    scan to fetch candidate texts remains, which an id-bucketed docs table
+    turns into a pruned lookup at scale). Returns
     (new_id, corpus_id, jaccard) for pairs at/above threshold; anti-join
     `new` on new_id to keep only novel documents.
     """
-    new_bands = band_hashes(
-        minhash_signatures(new, text_col=text_col, id_col=id_col), id_col=id_col
-    ).select(F.col(id_col).alias("new_id"), "band", "band_hash")
+    if new_bands is None:
+        new_bands = band_hashes(
+            minhash_signatures(new, text_col=text_col, id_col=id_col),
+            id_col=id_col,
+        )
+    nb = new_bands.select(F.col(id_col).alias("new_id"), "band", "band_hash")
     if corpus_bands is None:
         corpus_bands = band_hashes(
             minhash_signatures(corpus, text_col=text_col, id_col=id_col),
@@ -238,24 +283,12 @@ def minhash_dedup_against(
         )
     cb = corpus_bands.select(F.col(id_col).alias("corpus_id"), "band", "band_hash")
     cands = (
-        new_bands.join(cb, ["band", "band_hash"])
+        nb.join(cb, ["band", "band_hash"])
         .select("new_id", "corpus_id")
         .distinct()
     )
-    l = new.select(
-        F.col(id_col).alias("new_id"), word_shingles(F.col(text_col)).alias("l_sh")
-    )
-    r = corpus.select(
-        F.col(id_col).alias("corpus_id"), word_shingles(F.col(text_col)).alias("r_sh")
-    )
-    inter = F.size(F.array_intersect("l_sh", "r_sh"))
-    union = F.size("l_sh") + F.size("r_sh") - inter
-    return (
-        cands.join(l, "new_id")
-        .join(r, "corpus_id")
-        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("new_id", "corpus_id", "jaccard")
+    return _verify_jaccard(
+        cands, new, corpus, threshold, text_col, id_col, "new_id", "corpus_id"
     )
 
 

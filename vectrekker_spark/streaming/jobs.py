@@ -302,10 +302,14 @@ def foreach_batch_near_dedup(
     micro-batch is (1) near-deduped within itself (min-id keeper, the
     curation funnel's policy), (2) checked against the corpus via the
     PERSISTED band index at ``{corpus_path}/bands`` — so history is never
-    re-signatured; the batch costs O(|batch| signatures) + one band-bucket
-    join + exact-Jaccard verification on candidates only — and (3) the
-    survivors are appended to ``{corpus_path}/docs`` with their band hashes
-    appended to the index, keeping the next batch's check incremental.
+    re-signatured — and (3) the survivors are appended to
+    ``{corpus_path}/docs`` with their band hashes appended to the index,
+    keeping the next batch's check incremental. The batch is signed
+    EXACTLY ONCE: one persisted band table feeds all three steps (the
+    self-dedup, the history check via ``new_bands=``, and the survivor
+    index append), so the per-batch cost is one signature pass + two
+    band-bucket joins + exact-Jaccard verification with shingles computed
+    only for candidate rows.
 
     Scale shape per batch: the batch's band table is small, so both joins
     broadcast the batch side and STREAM the corpus-sized tables (band index
@@ -335,11 +339,23 @@ def foreach_batch_near_dedup(
             return
         spark = batch_df.sparkSession
         batch = batch_df.persist()
+        # sign the batch ONCE: the persisted band table feeds the in-batch
+        # self-dedup, the history check, and the survivor index append —
+        # without it each step re-ran the signature kernel over the same
+        # micro-batch text (3x the dominant per-batch CPU)
+        batch_bands = band_hashes(
+            minhash_signatures(batch, text_col=text_col, id_col=id_col),
+            id_col=id_col,
+        ).persist()
         try:
             # 1. in-batch near-dedup (two near-dups arriving together must
             # not both pass the history check): drop every pair's larger id
             pairs = minhash_dedup_pairs(
-                batch, threshold=threshold, text_col=text_col, id_col=id_col
+                batch,
+                threshold=threshold,
+                text_col=text_col,
+                id_col=id_col,
+                bands_df=batch_bands,
             )
             losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
             fresh = batch.join(losers, id_col, "left_anti")
@@ -352,6 +368,9 @@ def foreach_batch_near_dedup(
                     text_col=text_col,
                     id_col=id_col,
                     corpus_bands=spark.read.parquet(bands_path),
+                    new_bands=batch_bands.join(
+                        fresh.select(id_col), id_col, "left_semi"
+                    ),
                 )
                 fresh = fresh.join(
                     dup.select(F.col("new_id").alias(id_col)).distinct(),
@@ -364,15 +383,15 @@ def foreach_batch_near_dedup(
             fresh = fresh.persist()
             try:
                 fresh.write.mode("append").parquet(docs_path)
-                band_hashes(
-                    minhash_signatures(
-                        fresh, text_col=text_col, id_col=id_col
-                    ),
-                    id_col=id_col,
+                # survivor bands = the batch bands filtered to survivors —
+                # no third signature pass
+                batch_bands.join(
+                    fresh.select(id_col), id_col, "left_semi"
                 ).write.mode("append").parquet(bands_path)
             finally:
                 fresh.unpersist()
         finally:
+            batch_bands.unpersist()
             batch.unpersist()
 
     return (
