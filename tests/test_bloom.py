@@ -1,0 +1,281 @@
+"""Bloom-filter membership: no false negatives, bounded false positives,
+kernel equivalence (literal JVM vs pandas broadcast), DuckDB bit-for-bit
+build parity, merge/save/load lifecycle, and the zero-shuffle plan shape
+the operator exists for."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.bloom import (
+    BloomFilter,
+    array_hit_counts,
+    bloom_build,
+    bloom_load,
+    bloom_merge,
+    bloom_params,
+    bloom_save,
+    might_contain,
+)
+from vectrekker_spark.operators.decontaminate import (
+    benchmark_bloom,
+    decontaminate,
+    decontaminate_bloom,
+)
+from vectrekker_spark.plans import formatted_plan, shuffle_count
+
+PRESENT = [f"item-{i}" for i in range(300)]
+ABSENT = [f"absent-{i}" for i in range(2000)]
+
+
+@pytest.fixture(scope="module")
+def bloom(spark):
+    df = spark.createDataFrame([(s,) for s in PRESENT], "key string")
+    return bloom_build(df, "key", fpp=0.01)
+
+
+def _probe(spark, bloom, keys, strategy):
+    df = spark.createDataFrame([(s,) for s in keys], "key string")
+    rows = might_contain(df, "key", bloom, strategy=strategy).collect()
+    return {r["key"]: r["might_contain"] for r in rows}
+
+
+def test_params_sizing():
+    m1, k1 = bloom_params(1000, 0.01)
+    m2, k2 = bloom_params(10000, 0.01)
+    assert m2 > m1 and m1 % 64 == 0
+    assert 1 <= k1 <= 30
+    # tighter fpp → bigger bitmap
+    assert bloom_params(1000, 0.0001)[0] > m1
+    with pytest.raises(ValueError):
+        bloom_params(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_params(100, 1.5)
+
+
+@pytest.mark.parametrize("strategy", ["literal", "pandas"])
+def test_no_false_negatives(spark, bloom, strategy):
+    got = _probe(spark, bloom, PRESENT, strategy)
+    assert all(got.values()), "bloom false negative — must never happen"
+
+
+@pytest.mark.parametrize("strategy", ["literal", "pandas"])
+def test_false_positive_rate_bounded(spark, bloom, strategy):
+    got = _probe(spark, bloom, ABSENT, strategy)
+    fp = sum(got.values())
+    # fpp=0.01 over 2000 probes ⇒ E[fp]=20, σ≈4.4; 50 is > 6σ
+    assert fp < 50, f"false-positive rate blown: {fp}/2000"
+
+
+def test_kernels_agree_bitwise(spark, bloom):
+    keys = PRESENT[:50] + ABSENT[:200]
+    assert _probe(spark, bloom, keys, "literal") == _probe(spark, bloom, keys, "pandas")
+
+
+@pytest.mark.parametrize("strategy", ["literal", "pandas"])
+def test_null_key_is_false(spark, bloom, strategy):
+    df = spark.createDataFrame([(None,), ("item-1",)], "key string")
+    rows = {
+        r["key"]: r["might_contain"]
+        for r in might_contain(df, "key", bloom, strategy=strategy).collect()
+    }
+    assert rows[None] is False and rows["item-1"] is True
+
+
+def test_empty_build_side(spark):
+    empty = spark.createDataFrame([], "key string")
+    b = bloom_build(empty, "key", fpp=0.01)
+    assert b.bits_set() == 0 and b.n_items == 0
+    got = _probe(spark, b, ABSENT[:20], "literal")
+    assert not any(got.values())
+
+
+def test_max_bits_guard(spark):
+    df = spark.createDataFrame([("x",)], "key string")
+    with pytest.raises(ValueError, match="max_bits"):
+        bloom_build(df, "key", m_bits=1 << 30, k=3, max_bits=1 << 27)
+
+
+def test_duckdb_build_and_probe_parity(spark, duck, bloom):
+    """The bitmap is reproducible bit-for-bit in ANSI SQL (same md5-prefix
+    double-hash family), and DuckDB's arithmetic-shift probe agrees with
+    both Spark kernels — the operator's hash math is engine-neutral."""
+    m, k = bloom.m_bits, bloom.k
+    duck.execute("CREATE OR REPLACE TABLE bf_items(t VARCHAR)")
+    duck.executemany("INSERT INTO bf_items VALUES (?)", [(s,) for s in PRESENT])
+    words_sql = f"""
+        WITH h AS (
+          SELECT ('0x'||substr(md5(t),1,8))::BIGINT AS h1,
+                 ('0x'||substr(md5(t),9,8))::BIGINT | 1 AS h2
+          FROM bf_items
+        ), probes AS (
+          SELECT (h1 + r.i * h2) % {m} AS pos FROM h CROSS JOIN range({k}) r(i)
+        )
+        SELECT pos // 64 AS word_idx,
+               bit_or(CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)
+                      ELSE 1::BIGINT << (pos % 64)::INT END) AS bits
+        FROM probes GROUP BY 1 ORDER BY 1
+    """
+    duck_words = np.zeros(m // 64, dtype=np.int64)
+    for idx, bits in duck.execute(words_sql).fetchall():
+        duck_words[idx] = bits
+    assert np.array_equal(duck_words, bloom.words)
+
+    probe_keys = PRESENT[:30] + ABSENT[:100]
+    duck.execute("CREATE OR REPLACE TABLE bf_words(word_idx BIGINT, bits BIGINT)")
+    nz = np.nonzero(bloom.words)[0]
+    duck.executemany(
+        "INSERT INTO bf_words VALUES (?, ?)",
+        [(int(i), int(bloom.words[i])) for i in nz],
+    )
+    duck.execute("CREATE OR REPLACE TABLE bf_probe(t VARCHAR)")
+    duck.executemany("INSERT INTO bf_probe VALUES (?)", [(s,) for s in probe_keys])
+    member_sql = f"""
+        WITH h AS (
+          SELECT t, ('0x'||substr(md5(t),1,8))::BIGINT AS h1,
+                 ('0x'||substr(md5(t),9,8))::BIGINT | 1 AS h2
+          FROM bf_probe
+        ), probes AS (
+          SELECT t, (h1 + r.i * h2) % {m} AS pos FROM h CROSS JOIN range({k}) r(i)
+        ), checked AS (
+          SELECT p.t,
+                 coalesce((SELECT (w.bits >> (p.pos % 64)::INT) & 1
+                           FROM bf_words w WHERE w.word_idx = p.pos // 64), 0) AS bit
+          FROM probes p
+        )
+        SELECT t, min(bit) = 1 AS member FROM checked GROUP BY t
+    """
+    duck_member = dict(duck.execute(member_sql).fetchall())
+    spark_member = _probe(spark, bloom, probe_keys, "literal")
+    assert duck_member == spark_member
+
+
+def test_merge_is_union(spark):
+    a_keys = [f"a-{i}" for i in range(100)]
+    b_keys = [f"b-{i}" for i in range(100)]
+    m, k = bloom_params(200, 0.01)
+    a = bloom_build(
+        spark.createDataFrame([(s,) for s in a_keys], "key string"), "key", m_bits=m, k=k
+    )
+    b = bloom_build(
+        spark.createDataFrame([(s,) for s in b_keys], "key string"), "key", m_bits=m, k=k
+    )
+    merged = bloom_merge(a, b)
+    got = _probe(spark, merged, a_keys + b_keys, "pandas")
+    assert all(got.values())
+    # union bit-for-bit: exactly the OR of the parts
+    assert np.array_equal(merged.words, a.words | b.words)
+    with pytest.raises(ValueError, match="different params"):
+        bloom_merge(a, BloomFilter(np.zeros(m // 64, np.int64), m, k + 1))
+
+
+def test_save_load_roundtrip(spark, bloom, tmp_path):
+    p = str(tmp_path / "bf")
+    bloom_save(bloom, p)
+    loaded = bloom_load(p)
+    assert np.array_equal(loaded.words, bloom.words)
+    assert (loaded.m_bits, loaded.k, loaded.n_items) == (
+        bloom.m_bits,
+        bloom.k,
+        bloom.n_items,
+    )
+    with pytest.raises(ValueError, match="no bloom meta"):
+        bloom_load(str(tmp_path / "nope"))
+    # corrupt format version fails loudly
+    import json, os
+
+    meta = json.load(open(os.path.join(p, "meta.json")))
+    meta["format"] = 99
+    json.dump(meta, open(os.path.join(p, "meta.json"), "w"))
+    with pytest.raises(ValueError, match="unsupported bloom format"):
+        bloom_load(p)
+
+
+def test_estimated_fpp_monotone(spark):
+    df1 = spark.createDataFrame([(f"x{i}",) for i in range(50)], "key string")
+    df2 = spark.createDataFrame([(f"y{i}",) for i in range(500)], "key string")
+    m, k = bloom_params(200, 0.01)
+    light = bloom_build(df1, "key", m_bits=m, k=k)
+    heavy = bloom_build(df2, "key", m_bits=m, k=k)
+    assert 0.0 < light.estimated_fpp() < heavy.estimated_fpp() <= 1.0
+
+
+@pytest.mark.parametrize("strategy", ["literal", "pandas"])
+def test_array_hit_counts(spark, bloom, strategy):
+    data = [
+        (1, ["item-1", "item-2", "nope-a"]),
+        (2, ["nope-b", "nope-c"]),
+        (3, []),
+        (4, None),
+        (5, ["item-7"]),
+    ]
+    df = spark.createDataFrame(data, "id int, arr array<string>")
+    got = {
+        r["id"]: r["n_hits"]
+        for r in array_hit_counts(df, "arr", bloom, strategy=strategy).collect()
+    }
+    # FPs can only push counts UP; with this bloom's fpp the planted counts
+    # are the overwhelmingly likely exact values, and the floor is hard
+    assert got[1] >= 2 and got[5] >= 1
+    assert got[3] == 0 and got[4] == 0
+    assert got[2] <= 2  # can never exceed the array length
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown fox went home to sleep early"),  # shares a shingle w/ 1
+        (4, "completely unrelated text about spark bloom filters"),
+        (5, None),
+        (6, ""),
+        (7, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+@pytest.mark.parametrize("strategy", ["literal", "pandas"])
+def test_decontaminate_bloom_matches_exact(spark, strategy):
+    """No false negatives vs the exact join by construction; at fpp=1e-6 on
+    this fixture the results are identical (seeded data → deterministic)."""
+    train = _docs(spark)
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high"), (101, "")],
+        "doc_id int, text string",
+    )
+    exact_kept = {
+        r["doc_id"] for r in decontaminate(train, bench, k=3).select("doc_id").collect()
+    }
+    bf = benchmark_bloom(bench, k=3, fpp=1e-6)
+    bloom_kept = {
+        r["doc_id"]
+        for r in decontaminate_bloom(train, bf, k=3, strategy=strategy)
+        .select("doc_id")
+        .collect()
+    }
+    # guaranteed direction: bloom never keeps a doc the exact path drops
+    assert bloom_kept <= exact_kept
+    # and at this fpp they coincide
+    assert bloom_kept == exact_kept
+    # sanity on the fixture itself: the contaminated docs really dropped
+    # (docs 1/3 share "the quick brown" with bench 100; docs 5/6 shingle to
+    # [''] — null and empty text alike — colliding with bench 101's [''])
+    assert {1, 3, 5, 6} & exact_kept == set()
+
+
+def test_probe_plans_are_narrow(spark, bloom):
+    """The whole point: probing is a zero-shuffle narrow map in BOTH
+    kernels, and the literal kernel has no Python stage at all."""
+    df = spark.createDataFrame([(s,) for s in PRESENT[:20]], "key string")
+    lit_df = might_contain(df, "key", bloom, strategy="literal")
+    pd_df = might_contain(df, "key", bloom, strategy="pandas")
+    assert shuffle_count(lit_df) == 0 and shuffle_count(pd_df) == 0
+    lit_plan = formatted_plan(lit_df)
+    assert "EvalPython" not in lit_plan  # Batch/ArrowEvalPython both
+
+    deco = decontaminate_bloom(_docs(spark), bloom, strategy="pandas")
+    deco_plan = formatted_plan(deco)
+    assert shuffle_count(deco) == 0
+    assert "Join" not in deco_plan and "Generate" not in deco_plan  # no join/explode

@@ -310,3 +310,70 @@ def test_stats_recall_canary(tmp_path, capsys, spark):
     out = capsys.readouterr().out
     # 2 docs, assign_k=2: every cell holds everything -> recall is exactly 1
     assert "ivf recall@10 ~= 1.000 (2 sampled queries" in out
+
+
+def test_bloom_build_and_curate_decontaminate(tmp_path, capsys, spark, sf_dir):
+    docs_path = f"{sf_dir}/documents.parquet"
+    bench_path = str(tmp_path / "bench.parquet")
+    # smallest non-null-text ids: min-id keeper policy guarantees doc 0
+    # survives every dedup stage and is still present to be dropped by
+    # the decontamination gate
+    (
+        spark.read.parquet(docs_path)
+        .where("text IS NOT NULL")
+        .orderBy("doc_id")
+        .limit(3)
+        .write.parquet(bench_path)
+    )
+    bloom_dir = str(tmp_path / "bloom")
+    rc = main(["bloom-build", "--bench", bench_path, "--out", bloom_dir])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "bloom:" in out and "estimated fpp" in out
+    # flag validation fails fast, before any Spark work
+    assert main(["bloom-build", "--bench", bench_path, "--out", bloom_dir,
+                 "--fpp", "2.0"]) == 2
+    assert main(["curate", "--documents", docs_path, "--out", str(tmp_path / "x"),
+                 "--bench-bloom", bloom_dir, "--decontam-shingle-k", "0"]) == 2
+    capsys.readouterr()
+
+    out_dir = str(tmp_path / "shards")
+    rc = main([
+        "curate", "--documents", docs_path, "--out", out_dir,
+        "--min-quality", "0.0", "--bench-bloom", bloom_dir,
+        "--rows-per-shard", "1000",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "after_decontaminate" in out
+    # the 3 benchmark docs (at least) were dropped by the gate
+    lines = {l.split()[0]: int(l.split()[1]) for l in out.splitlines()
+             if len(l.split()) == 2 and l.split()[1].isdigit()}
+    assert lines["after_decontaminate"] < lines["after_lang"]
+
+
+def test_curate_bad_bloom_path_fails_at_run_start(tmp_path, spark, sf_dir):
+    import pytest
+
+    with pytest.raises(ValueError, match="no bloom meta"):
+        main([
+            "curate", "--documents", f"{sf_dir}/documents.parquet",
+            "--out", str(tmp_path / "y"),
+            "--bench-bloom", str(tmp_path / "not-a-bloom"),
+        ])
+
+
+def test_profile_command(tmp_path, capsys, spark, sf_dir):
+    import json
+
+    out_json = str(tmp_path / "prof.json")
+    rc = main([
+        "profile", "--table", f"{sf_dir}/documents.parquet",
+        "--columns", "doc_id,text", "--out", out_json,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "doc_id" in out and "text" in out and "column" in out
+    prof = json.load(open(out_json))
+    assert {p["column"] for p in prof} == {"doc_id", "text"}
+    assert all(p["n_rows"] > 0 for p in prof)

@@ -88,6 +88,11 @@ def test_engine_curation_sugar(spark, sf_dir):
     )
     scores = {r["doc_id"]: r["score"] for r in eng.bm25(rel, "spark").collect()}
     assert scores[1] > scores[2] == 0.0
+    # bloom decontamination facade: subset of train, superset of exact drops
+    bf = eng.benchmark_bloom(bench, fpp=1e-6)
+    bloom_kept = eng.decontaminate_bloom(train, bf)
+    assert bloom_kept.count() <= kept.count()
+    bf.release()
 
 
 def test_engine_asof_sugar(spark, sf_dir):

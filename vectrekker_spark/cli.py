@@ -321,6 +321,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
         # run-START contract as the delta/index-format checks)
         print("error: --strip-span-ngram must be >= 2 (0 disables)")
         return 2
+    if args.decontam_shingle_k < 1:
+        print("error: --decontam-shingle-k must be >= 1")
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
     cfg = AssemblyConfig(
@@ -333,6 +336,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
             relevance_query=args.query or "",
             min_relevance=args.min_bm25 if args.min_bm25 is not None else 0.0,
             strip_span_ngram=args.strip_span_ngram,
+            bench_bloom_path=args.bench_bloom or "",
+            decontaminate_shingle_k=args.decontam_shingle_k,
+            decontaminate_max_shared=args.decontam_max_shared,
         ),
         max_tokens=args.max_tokens,
         shuffle_seed=args.seed,
@@ -348,6 +354,72 @@ def cmd_curate(args: argparse.Namespace) -> int:
         f"{'manifest':>18s}  {totals['files']} shard(s), "
         f"{totals['rows']} rows, {totals['bytes']} bytes"
     )
+    return 0
+
+
+def cmd_bloom_build(args: argparse.Namespace) -> int:
+    """Build + save a benchmark-shingle bloom for later zero-shuffle
+    decontamination runs (curate --bench-bloom)."""
+    if not (0.0 < args.fpp < 1.0):
+        print("error: --fpp must be in (0, 1)")
+        return 2
+    if args.shingle_k < 1:
+        print("error: --shingle-k must be >= 1")
+        return 2
+    from vectrekker_spark.operators.bloom import bloom_save
+    from vectrekker_spark.operators.decontaminate import benchmark_bloom
+
+    spark = _spark()
+    bench = spark.read.parquet(args.bench)
+    bf = benchmark_bloom(
+        bench,
+        text_col=args.text_col,
+        k=args.shingle_k,
+        fpp=args.fpp,
+        expected_shingles=args.expected,
+    )
+    bloom_save(bf, args.out)
+    print(
+        f"bloom: {bf.m_bits} bits ({bf.m_bits // 8} bytes), k={bf.k}, "
+        f"{bf.n_items if bf.n_items is not None else '?'} shingle(s), "
+        f"estimated fpp {bf.estimated_fpp():.2e} -> {args.out}"
+    )
+    return 0
+
+
+def cmd_profile(args: argparse.Namespace) -> int:
+    """One-scan per-column profile of a parquet table."""
+    from vectrekker_spark.operators.profile import profile_table
+
+    spark = _spark()
+    df = spark.read.parquet(args.table)
+    cols = args.columns.split(",") if args.columns else None
+    prof = profile_table(df, columns=cols).collect()
+    hdr = (
+        f"{'column':<20s} {'dtype':<14s} {'nulls':>7s} {'distinct':>9s} "
+        f"{'min':>14s} {'max':>14s} {'mean':>12s} {'avg_len':>8s}"
+    )
+    print(hdr)
+    for r in prof:
+        def _s(v, n):  # noqa: E306 — tiny local formatter
+            if v is None:
+                return " " * (n - 1) + "-"
+            if isinstance(v, float):
+                return f"{v:>{n}.4g}"
+            return f"{str(v)[:n]:>{n}s}"
+
+        print(
+            f"{r['column'][:20]:<20s} {r['dtype'][:14]:<14s} "
+            f"{r['null_frac']:>7.2%} {r['approx_distinct']:>9d} "
+            f"{_s(r['min'], 14)} {_s(r['max'], 14)} "
+            f"{_s(r['mean'], 12)} {_s(r['avg_len'], 8)}"
+        )
+    if args.out:
+        import json
+
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump([r.asDict() for r in prof], f, indent=1)
+        print(f"profile written to {args.out}")
     return 0
 
 
@@ -503,7 +575,44 @@ def build_parser() -> argparse.ArgumentParser:
         "relevance exceeds --min-bm25 (default 0.0 = at least one hit)",
     )
     cu.add_argument("--min-bm25", type=float, default=None)
+    cu.add_argument(
+        "--bench-bloom",
+        help="saved benchmark bloom dir (bloom-build): drop docs whose "
+        "shingles hit it (zero-shuffle decontamination)",
+    )
+    cu.add_argument(
+        "--decontam-shingle-k", type=int, default=3,
+        help="shingle k for --bench-bloom; MUST match the bloom-build k",
+    )
+    cu.add_argument(
+        "--decontam-max-shared", type=int, default=0,
+        help="drop docs with more than this many bloom-hit shingles",
+    )
     cu.set_defaults(fn=cmd_curate)
+
+    bb = sub.add_parser(
+        "bloom-build",
+        help="compress a benchmark set's shingles into a saved bloom filter "
+        "for curate --bench-bloom",
+    )
+    bb.add_argument("--bench", required=True, help="benchmark documents parquet")
+    bb.add_argument("--out", required=True, help="output bloom directory")
+    bb.add_argument("--text-col", default="text")
+    bb.add_argument("--shingle-k", type=int, default=3)
+    bb.add_argument("--fpp", type=float, default=0.001)
+    bb.add_argument(
+        "--expected", type=int, default=None,
+        help="expected distinct shingles (skips the sizing count job)",
+    )
+    bb.set_defaults(fn=cmd_bloom_build)
+
+    pf = sub.add_parser(
+        "profile", help="one-scan per-column data-quality profile of a table"
+    )
+    pf.add_argument("--table", required=True, help="parquet path")
+    pf.add_argument("--columns", help="comma-separated subset (default all)")
+    pf.add_argument("--out", help="also write the full profile as JSON here")
+    pf.set_defaults(fn=cmd_profile)
 
     ac = sub.add_parser(
         "ann-compact",

@@ -41,6 +41,16 @@ class CurationConfig:
     # gate — deliberately, so quality scores judge the deduplicated text
     # (repeated boilerplate otherwise inflates a doc's apparent quality)
     strip_span_ngram: int = 0
+    # '' → off; else a saved benchmark bloom directory (operators/bloom
+    # .bloom_save) — docs whose shingles hit the bloom more than
+    # ``decontaminate_max_shared`` times are dropped via the zero-shuffle
+    # gate (operators/decontaminate.decontaminate_bloom). The shingle k
+    # must match the k the bloom was BUILT with — the filter only stores
+    # hashes, so a mismatch silently finds no overlaps; keep the two
+    # configured together.
+    bench_bloom_path: str = ""
+    decontaminate_shingle_k: int = 3
+    decontaminate_max_shared: int = 0
 
 
 @dataclass
@@ -79,6 +89,18 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             f"CurationConfig.strip_span_ngram must be 0 (off) or >= 2, "
             f"got {cfg.strip_span_ngram}"
         )
+    bench_bloom = None
+    if cfg.bench_bloom_path:
+        # load (and thereby validate) the benchmark filter at run START —
+        # a bad path/corrupt filter must not fail after dedup already ran
+        from vectrekker_spark.operators.bloom import bloom_load
+
+        if cfg.decontaminate_shingle_k < 1:
+            raise ValueError(
+                f"CurationConfig.decontaminate_shingle_k must be >= 1, "
+                f"got {cfg.decontaminate_shingle_k}"
+            )
+        bench_bloom = bloom_load(cfg.bench_bloom_path)
     docs = docs.cache()  # read once: every stage + count consumes it
     caches = [docs]
     funnel: dict[str, int] = {"input": docs.count()}
@@ -163,6 +185,22 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         docs = docs.join(keep, cfg.id_col, "left_semi").cache()
         caches.append(docs)
         funnel["after_relevance"] = docs.count()
+
+    # 4c. optional benchmark decontamination against the pre-built bloom:
+    # a narrow map over the (already filtered, smallest) survivor set —
+    # no join, no shuffle. Bloom false positives only over-drop, the safe
+    # direction for a contamination gate.
+    if bench_bloom is not None:
+        from vectrekker_spark.operators.decontaminate import decontaminate_bloom
+
+        docs = decontaminate_bloom(
+            docs, bench_bloom,
+            text_col=cfg.text_col,
+            k=cfg.decontaminate_shingle_k,
+            max_shared=cfg.decontaminate_max_shared,
+        ).cache()
+        caches.append(docs)
+        funnel["after_decontaminate"] = docs.count()
 
     # 5. chunk — cached so the funnel count and the caller's consumption
     # execute the (mapInPandas) chunk stage exactly once

@@ -144,6 +144,29 @@ class Engine:
 
         return decontaminate(train, bench, **kw)
 
+    def profile(self, df: DataFrame, **kw) -> DataFrame:
+        """One-scan per-column data-quality profile
+        (operators/profile.profile_table)."""
+        from vectrekker_spark.operators.profile import profile_table
+
+        return profile_table(df, **kw)
+
+    def benchmark_bloom(self, bench: DataFrame, **kw):
+        """Compress a benchmark set's shingles into a broadcastable
+        BloomFilter (operators/decontaminate.benchmark_bloom); persist it
+        with operators.bloom.bloom_save for reuse across runs."""
+        from vectrekker_spark.operators.decontaminate import benchmark_bloom
+
+        return benchmark_bloom(bench, **kw)
+
+    def decontaminate_bloom(self, train: DataFrame, bench_bloom, **kw) -> DataFrame:
+        """Zero-shuffle decontamination against a pre-built benchmark bloom
+        (operators/decontaminate.decontaminate_bloom): one narrow map over
+        the corpus, false positives only over-drop."""
+        from vectrekker_spark.operators.decontaminate import decontaminate_bloom
+
+        return decontaminate_bloom(train, bench_bloom, **kw)
+
     def asof_join(
         self, left: DataFrame, right: DataFrame, key: str, **kw
     ) -> DataFrame:

@@ -1,0 +1,423 @@
+"""Broadcast Bloom-filter membership — the zero-shuffle scale path for
+"filter a 100 TB corpus against a bounded reference set" (benchmark
+decontamination, URL/ID blocklists, seen-before checks).
+
+Why a Bloom filter and not the join the exact operators use: the exact
+decontamination join (operators/decontaminate.py) shuffles the probe side's
+(id, shingle_hash) stream unless Spark broadcasts the reference table; a
+Bloom filter compresses the WHOLE reference set into a fixed-size bitmap
+(e.g. 10 M shingles at fpp=1% ≈ 12 MB) that broadcasts to every executor,
+so probing the corpus is a narrow map — no shuffle, no join, no corpus-side
+data movement at all. The price is one-sided error: `might_contain` has
+false POSITIVES (rate ≈ fpp) and zero false negatives. For decontamination
+and blocklists that direction is safe — an FP only over-drops.
+
+Scale shape:
+- Build: one pass over the reference side; the only shuffle is the
+  bit-assembly groupBy over ≤ m/64 skinny (word_idx, bits) rows, and the
+  driver collects at most m/64 longs (bounded by ``max_bits``).
+- Probe: narrow map over the corpus. Two interchangeable kernels:
+  ``literal`` embeds the bitmap as a JVM array literal (whole-stage codegen,
+  zero Python — for bitmaps up to ~128 KB), ``pandas`` ships the bitmap as a
+  Spark broadcast variable into an Arrow-vectorized kernel (for big bitmaps;
+  still zero shuffle). ``auto`` routes on bitmap size, the
+  similarity_join_self_auto idiom.
+- Blooms over shards merge by bitwise OR (same m, k) — a commutative
+  monoid, so per-corpus/per-day filters fold in any order.
+
+Hash family (shared md5-prefix family used across the engine, so DuckDB can
+mirror the build bit-for-bit — see tests/test_bloom.py's oracle):
+h1 = first 8 md5 hex digits, h2 = next 8 digits | 1 (odd), both 32-bit
+non-negative; probe i sets bit (h1 + i·h2) mod m (Kirsch–Mitzenmacher
+double hashing — i ≤ 30 and h < 2^32 keep every intermediate < 2^37, so
+the arithmetic is overflow-free in int64 on the JVM, in numpy, and in
+DuckDB alike, no ANSI/wraparound dependence).
+
+Reference scope note: the reference (vectrekker/main.py) has no membership
+or decontamination surface; north-star training-pipeline addition.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_K = 30
+# 2^27 bits = 16 MB bitmap, ≤ 2 M collected longs; sized for ~13 M reference
+# items at fpp=1%. Bigger reference sets: raise max_bits explicitly (the
+# probe-side broadcast grows linearly) or build per-shard blooms and
+# bloom_merge them.
+DEFAULT_MAX_BITS = 1 << 27
+# literal-kernel cap, in 64-bit words (16384 → 128 KB bitmap). Each of the
+# k probes embeds its own copy of the array literal in the plan tree, so the
+# serialized stage grows ~k × bitmap — keep the cap modest and let the
+# pandas kernel (one broadcast, shared by every probe) carry big bitmaps.
+LIT_CAP_WORDS = 16384
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def bloom_params(expected: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for ``expected`` items at false-positive rate ``fpp``:
+    m = -n·ln p / ln²2 rounded up to a word, k = m/n·ln 2 clamped to
+    [1, MAX_K]."""
+    if expected < 1:
+        raise ValueError(f"expected must be >= 1, got {expected}")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = math.ceil(-expected * math.log(fpp) / (math.log(2) ** 2))
+    m_bits = ((max(m, 64) + 63) // 64) * 64
+    k = max(1, min(MAX_K, round(m_bits / expected * math.log(2))))
+    return m_bits, k
+
+
+@dataclass
+class BloomFilter:
+    """Immutable-by-convention bitmap + parameters. ``words`` is int64
+    (bit 63 rides the sign bit; every kernel tests bits with shift-and-mask,
+    which is sign-safe). ``n_items`` is the build-side count when known
+    (None when the caller supplied m/k and expected explicitly)."""
+
+    words: np.ndarray  # int64, length m_bits // 64
+    m_bits: int
+    k: int
+    n_items: int | None = None
+    # applicationId → Broadcast, the _IVF_INDEX_CACHE idiom: one broadcast
+    # per SparkSession per filter, released via .release()
+    _bc: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def __post_init__(self) -> None:
+        self.words = np.asarray(self.words, dtype=np.int64)
+        if self.m_bits % 64 != 0 or self.m_bits < 64:
+            raise ValueError(f"m_bits must be a positive multiple of 64, got {self.m_bits}")
+        if len(self.words) != self.m_bits // 64:
+            raise ValueError(
+                f"words length {len(self.words)} != m_bits/64 = {self.m_bits // 64}"
+            )
+        if not (1 <= self.k <= MAX_K):
+            raise ValueError(f"k must be in [1, {MAX_K}], got {self.k}")
+
+    def bits_set(self) -> int:
+        """Population count of the bitmap (exact)."""
+        return int(np.unpackbits(self.words.view(np.uint8)).sum())
+
+    def estimated_fpp(self) -> float:
+        """Current false-positive rate estimate (load^k). Rises as items
+        are added; a saturated filter (load → 1) says "maybe" to
+        everything — re-size rather than trust it."""
+        return (self.bits_set() / self.m_bits) ** self.k
+
+    def _broadcast(self, spark: SparkSession):
+        app = spark.sparkContext.applicationId
+        bc = self._bc.get(app)
+        if bc is None:
+            bc = spark.sparkContext.broadcast(self.words)
+            self._bc[app] = bc
+        return bc
+
+    def release(self) -> None:
+        """Unpersist every broadcast copy (call when done probing)."""
+        for bc in self._bc.values():
+            try:
+                bc.unpersist()
+            except Exception:
+                pass
+        self._bc.clear()
+
+
+def _hash_pair(col: Column) -> tuple[Column, Column]:
+    """(h1, h2) columns of the engine's md5-prefix family; h2 forced odd so
+    the double-hash probe sequence covers the bitmap. DuckDB twin:
+    ('0x'||substr(md5(x),1,8))::BIGINT / (...9,8)::BIGINT | 1."""
+    hx = F.md5(col)
+    h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").bitwiseOR(F.lit(1))
+    return h1, h2
+
+
+def bloom_build(
+    df: DataFrame,
+    col: Column | str,
+    expected: int | None = None,
+    fpp: float = 0.01,
+    m_bits: int | None = None,
+    k: int | None = None,
+    max_bits: int = DEFAULT_MAX_BITS,
+) -> BloomFilter:
+    """One pass over the reference side → BloomFilter.
+
+    Sizing: pass ``expected`` (skips the count job) or let the builder run
+    one ``count()`` over the keyed side; ``m_bits``/``k`` override both.
+    NULL keys are dropped (membership of NULL is False by contract).
+
+    Plan: explode k probe positions map-side (narrow), groupBy(word_idx)
+    bit_or — the shuffle moves at most min(n·k, m/64) 16-byte rows and the
+    driver collects ≤ m/64 of them. The corpus/probe side is never touched.
+    """
+    keyed = df.select(_c(col).alias("__key")).where(F.col("__key").isNotNull())
+    n_items: int | None = expected
+    if m_bits is None or k is None:
+        n = expected if expected is not None else keyed.count()
+        n_items = n
+        auto_m, auto_k = bloom_params(max(1, n), fpp)
+        m_bits = m_bits if m_bits is not None else auto_m
+        k = k if k is not None else auto_k
+    m_bits = ((m_bits + 63) // 64) * 64
+    if m_bits > max_bits:
+        raise ValueError(
+            f"bloom bitmap of {m_bits} bits exceeds max_bits={max_bits} "
+            f"(driver collects m/64 longs and every probe broadcasts the "
+            f"bitmap). Raise max_bits deliberately, or build per-shard "
+            f"filters and bloom_merge() them."
+        )
+    if not (1 <= k <= MAX_K):
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    h1, h2 = _hash_pair(F.col("__key"))
+    probes = F.array(*[(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)])
+    rows = (
+        keyed.select(F.explode(probes).alias("pos"))
+        .select(
+            F.expr("pos DIV 64").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in rows:
+        words[r["word_idx"]] = r["bits"]
+    return BloomFilter(words=words, m_bits=m_bits, k=k, n_items=n_items)
+
+
+def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+    """Union of two filters over the same (m, k): bitwise OR. The result
+    answers might_contain(x) = True iff either side would (tested), so
+    per-shard builds fold associatively."""
+    if (a.m_bits, a.k) != (b.m_bits, b.k):
+        raise ValueError(
+            f"cannot merge blooms with different params: "
+            f"(m={a.m_bits}, k={a.k}) vs (m={b.m_bits}, k={b.k})"
+        )
+    n = None if a.n_items is None or b.n_items is None else a.n_items + b.n_items
+    return BloomFilter(words=a.words | b.words, m_bits=a.m_bits, k=a.k, n_items=n)
+
+
+# ---------------------------------------------------------------------------
+# probe kernels
+
+
+def _resolve_strategy(strategy: str, bloom: BloomFilter) -> str:
+    if strategy not in ("auto", "literal", "pandas"):
+        raise ValueError(f"strategy must be auto|literal|pandas, got {strategy!r}")
+    if strategy == "auto":
+        return "literal" if len(bloom.words) <= LIT_CAP_WORDS else "pandas"
+    return strategy
+
+
+def _words_lit(bloom: BloomFilter) -> Column:
+    """The bitmap as a JVM array literal. The cast is load-bearing: lit()
+    infers element types from VALUES, so an all-small bitmap (e.g. a fresh
+    or sparse filter) would come out array<int> and getbit would then
+    reject positions >= 32."""
+    return F.lit(bloom.words.tolist()).cast("array<bigint>")
+
+
+def _probe_pred(arr: Column, h1: Column, h2: Column, m_bits: int, k: int) -> Column:
+    """JVM membership predicate: all k probed bits set. getbit on the
+    element_at word is sign-safe for bit 63."""
+    pred = None
+    for i in range(k):
+        pos = (h1 + F.lit(i) * h2) % F.lit(m_bits)
+        word = F.element_at(arr, F.floor(pos / 64).cast("int") + 1)
+        bit_set = F.getbit(word, pos % 64) == 1
+        pred = bit_set if pred is None else (pred & bit_set)
+    return pred
+
+
+def _scalar_pandas_udf(bc, m_bits: int, k: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def check(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        words = bc.value
+        mask = h1.isna().to_numpy()
+        a = h1.fillna(0).to_numpy(dtype=np.int64)
+        b = h2.fillna(1).to_numpy(dtype=np.int64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + i * b) % m_bits
+            ok &= ((words[pos >> 6] >> (pos & 63)) & 1).astype(bool)
+        ok[mask] = False
+        return pd.Series(ok)
+
+    return check
+
+
+def might_contain(
+    df: DataFrame,
+    col: Column | str,
+    bloom: BloomFilter,
+    out_col: str = "might_contain",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Add a boolean column: True if ``col`` MIGHT be in the filter (FP rate
+    ≈ fpp), False means definitely absent. NULL keys → False. A narrow map
+    either way — no shuffle, no join (plan-asserted in tests)."""
+    strategy = _resolve_strategy(strategy, bloom)
+    h1, h2 = _hash_pair(_c(col))
+    t1, t2 = "__bf_h1", "__bf_h2"
+    # pre-project the hash pair so md5 evaluates once, not once per probe
+    staged = df.withColumns({t1: h1, t2: h2})
+    if strategy == "literal":
+        pred = _probe_pred(
+            _words_lit(bloom), F.col(t1), F.col(t2), bloom.m_bits, bloom.k
+        )
+        out = staged.withColumn(out_col, F.coalesce(pred, F.lit(False)))
+    else:
+        udf = _scalar_pandas_udf(bloom._broadcast(df.sparkSession), bloom.m_bits, bloom.k)
+        out = staged.withColumn(out_col, udf(F.col(t1), F.col(t2)))
+    return out.drop(t1, t2)
+
+
+def _array_pandas_udf(bc, m_bits: int, k: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def hits(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        words = bc.value
+        arrs1 = [
+            np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, np.int64)
+            for a in h1s
+        ]
+        arrs2 = [
+            np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, np.int64)
+            for a in h2s
+        ]
+        lens = np.array([len(a) for a in arrs1], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(arrs1), dtype=np.int32))
+        f1 = np.concatenate(arrs1)
+        f2 = np.concatenate(arrs2)
+        ok = np.ones(len(f1), dtype=bool)
+        for i in range(k):
+            pos = (f1 + i * f2) % m_bits
+            ok &= ((words[pos >> 6] >> (pos & 63)) & 1).astype(bool)
+        # segment sums without reduceat's empty-segment pitfalls
+        c = np.concatenate([[0], np.cumsum(ok)])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        return pd.Series((c[ends] - c[starts]).astype(np.int32))
+
+    return hits
+
+
+def array_hit_counts(
+    df: DataFrame,
+    arr_col: Column | str,
+    bloom: BloomFilter,
+    out_col: str = "n_hits",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Per-row count of array elements that might be in the filter.
+    ``arr_col`` is array<string>; NULL array → 0. Narrow map, no explode,
+    no shuffle — the per-doc regroup an explode+groupBy would need never
+    happens because the array stays row-local."""
+    strategy = _resolve_strategy(strategy, bloom)
+    arr = _c(arr_col)
+    hx = F.transform(arr, lambda s: F.md5(s))
+    h1s = F.transform(hx, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"))
+    h2s = F.transform(
+        hx,
+        lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(F.lit(1)),
+    )
+    t1, t2 = "__bf_h1s", "__bf_h2s"
+    staged = df.withColumns({t1: h1s, t2: h2s})
+    if strategy == "literal":
+        lit_arr = _words_lit(bloom)
+        per_elem = F.zip_with(
+            F.col(t1),
+            F.col(t2),
+            lambda a, b: _probe_pred(lit_arr, a, b, bloom.m_bits, bloom.k).cast("int"),
+        )
+        n = F.aggregate(per_elem, F.lit(0), lambda acc, x: acc + x)
+        out = staged.withColumn(out_col, F.coalesce(n, F.lit(0)))
+    else:
+        udf = _array_pandas_udf(bloom._broadcast(df.sparkSession), bloom.m_bits, bloom.k)
+        out = staged.withColumn(out_col, udf(F.col(t1), F.col(t2)))
+    return out.drop(t1, t2)
+
+
+# ---------------------------------------------------------------------------
+# persistence — single-writer by contract (the ivf_compact contract): one
+# process writes a given filter directory; readers see either the old
+# complete state or the new one because meta.json is written LAST and load
+# requires it.
+
+_META_NAME = "meta.json"
+_WORDS_NAME = "words.parquet"
+_FORMAT = 1
+
+
+def bloom_save(bloom: BloomFilter, path: str) -> None:
+    """Persist as a directory: sparse non-zero words as parquet, then
+    meta.json as the commit marker. Language-neutral so any engine with
+    parquet + json can load the filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    nz = np.nonzero(bloom.words)[0]
+    pq.write_table(
+        pa.table(
+            {
+                "word_idx": pa.array(nz, type=pa.int64()),
+                "bits": pa.array(bloom.words[nz], type=pa.int64()),
+            }
+        ),
+        os.path.join(path, _WORDS_NAME),
+    )
+    meta = {
+        "format": _FORMAT,
+        "m_bits": bloom.m_bits,
+        "k": bloom.k,
+        "n_items": bloom.n_items,
+    }
+    with open(os.path.join(path, _META_NAME), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+
+
+def bloom_load(path: str) -> BloomFilter:
+    """Load a saved filter; a missing/corrupt meta or words file fails
+    loudly (no silent empty-filter fallback — an empty filter would wave
+    EVERYTHING through a decontamination gate)."""
+    import pyarrow.parquet as pq
+
+    meta_path = os.path.join(path, _META_NAME)
+    if not os.path.isfile(meta_path):
+        raise ValueError(
+            f"no bloom meta at {meta_path} — not a saved filter, or a write "
+            f"that died before its meta.json commit marker"
+        )
+    with open(meta_path, encoding="utf-8") as f:
+        meta = json.load(f)
+    if meta.get("format") != _FORMAT:
+        raise ValueError(f"unsupported bloom format {meta.get('format')!r} at {path}")
+    t = pq.read_table(os.path.join(path, _WORDS_NAME))
+    words = np.zeros(meta["m_bits"] // 64, dtype=np.int64)
+    idx = t.column("word_idx").to_numpy()
+    if len(idx) and (idx.min() < 0 or idx.max() >= len(words)):
+        raise ValueError(f"bloom words at {path} index outside m_bits={meta['m_bits']}")
+    words[idx] = t.column("bits").to_numpy()
+    return BloomFilter(
+        words=words, m_bits=meta["m_bits"], k=meta["k"], n_items=meta["n_items"]
+    )

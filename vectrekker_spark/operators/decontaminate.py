@@ -105,3 +105,60 @@ def decontaminate(
         .select(F.col("train_id").alias(id_col))
     )
     return train.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Bloom route — the zero-shuffle variant for when even the shingle join is
+# too much movement: compress the benchmark shingle set into a broadcast
+# bitmap once, then decontaminating the corpus is a single narrow map (no
+# explode survives the plan, no join, no shuffle — asserted in tests).
+# One-sided error: a bloom false positive (rate ≈ fpp) OVER-drops a clean
+# training doc, never under-drops a contaminated one — the safe direction
+# for decontamination. The exact join above stays the audit/report path.
+
+
+def benchmark_bloom(
+    bench: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    fpp: float = 0.001,
+    expected_shingles: int | None = None,
+    **bloom_kw,
+):
+    """Build a BloomFilter over the benchmark set's distinct word k-gram
+    shingles (the raw shingle STRINGS — build and probe share the bloom's
+    own md5 hash family, so there is no cross-kernel hash parity to keep).
+    Pass ``expected_shingles`` to skip the sizing count job; save/merge via
+    operators.bloom for reuse across pipeline runs."""
+    from vectrekker_spark.operators.bloom import bloom_build
+
+    sh = bench.select(F.explode(word_shingles(text_col, k)).alias("__sh"))
+    return bloom_build(sh, "__sh", expected=expected_shingles, fpp=fpp, **bloom_kw)
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    bench_bloom,
+    text_col: str = "text",
+    k: int = 3,
+    max_shared: int = 0,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Drop training docs whose distinct shingles hit the benchmark bloom
+    more than ``max_shared`` times. Matches `decontaminate`'s semantics
+    (word_shingles is per-doc distinct; ``k`` must equal the build's
+    shingle k) modulo bloom false positives, which only over-drop —
+    property-tested: every doc the exact join drops, this drops too.
+    NULL/empty/short text follows word_shingles' single-shingle rule in
+    BOTH paths (null and '' both shingle to [''], so an empty train doc
+    matches an empty benchmark doc — tested)."""
+    from vectrekker_spark.operators.bloom import array_hit_counts
+
+    hits = array_hit_counts(
+        train.withColumn("__sh", word_shingles(text_col, k)),
+        "__sh",
+        bench_bloom,
+        out_col="__n_hits",
+        strategy=strategy,
+    )
+    return hits.where(F.col("__n_hits") <= max_shared).drop("__sh", "__n_hits")

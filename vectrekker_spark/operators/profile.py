@@ -1,0 +1,180 @@
+"""One-pass table profiling — per-column data-quality stats in a SINGLE
+scan + aggregate, the "what is actually in this 100 TB table" primitive a
+curation pipeline runs before deciding anything else (null rates before
+keying, cardinalities before choosing join strategies/bloom sizes, length
+distributions before packing budgets).
+
+Scale shape: every statistic is a built-in partial-aggregable JVM function
+(count / approx_count_distinct HLL / min / max / avg / stddev /
+percentile_approx's bounded QuantileSummaries), so the whole profile is one
+scan, map-side partials, and ONE exchange carrying a single combined row —
+plan-asserted in tests. No collect-and-loop per column, no Python in the
+scan. The reshaped result is one tiny row per column, returned as a
+DataFrame so it can be written next to the data it describes.
+
+Reference scope note: the reference (vectrekker/main.py) has no profiling
+surface; north-star training-pipeline addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+ORDERED_TYPES = NUMERIC_TYPES + (T.StringType, T.DateType, T.TimestampType)
+
+DEFAULT_PERCENTILES = (0.25, 0.5, 0.75)
+
+
+def _length_expr(c: Column, dt: T.DataType) -> Column | None:
+    """Per-row "size" by type: chars for strings, bytes for binary,
+    elements for arrays/maps. None when length has no meaning."""
+    if isinstance(dt, T.StringType):
+        return F.length(c)
+    if isinstance(dt, T.BinaryType):
+        return F.octet_length(c)
+    if isinstance(dt, (T.ArrayType, T.MapType)):
+        # size(NULL) is -1 under the engine's non-ANSI config (legacy
+        # sizeOfNull) and would silently drag avg_len down — null-guard so
+        # avg/max skip missing arrays like they skip missing strings
+        return F.when(c.isNotNull(), F.size(c))
+    return None
+
+
+def _column_type(df: DataFrame, name: str) -> T.DataType:
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    dt = schema.get(name)
+    if dt is None:
+        # dotted path into a struct — resolve through a projection
+        dt = df.select(F.col(name)).schema.fields[0].dataType
+    return dt
+
+
+def _profile_exprs(
+    df: DataFrame,
+    names: list[str],
+    percentiles: tuple[float, ...],
+    rsd: float,
+    accuracy: int,
+) -> list[Column]:
+    exprs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, name in enumerate(names):
+        c = F.col(name)
+        dt = _column_type(df, name)
+        exprs.append(F.count(c).alias(f"__{i}_nonnull"))
+        exprs.append(F.approx_count_distinct(c, rsd).alias(f"__{i}_distinct"))
+        if isinstance(dt, ORDERED_TYPES):
+            exprs.append(F.min(c).cast("string").alias(f"__{i}_min"))
+            exprs.append(F.max(c).cast("string").alias(f"__{i}_max"))
+        if isinstance(dt, NUMERIC_TYPES):
+            d = c.cast("double")
+            exprs.append(F.avg(d).alias(f"__{i}_mean"))
+            exprs.append(F.stddev(d).alias(f"__{i}_stddev"))
+            exprs.append(
+                F.percentile_approx(
+                    d,
+                    F.array(*[F.lit(p) for p in percentiles]),
+                    F.lit(accuracy),
+                ).alias(f"__{i}_pcts")
+            )
+        ln = _length_expr(c, dt)
+        if ln is not None:
+            exprs.append(F.avg(ln.cast("double")).alias(f"__{i}_avg_len"))
+            exprs.append(F.max(ln).cast("long").alias(f"__{i}_max_len"))
+    return exprs
+
+
+def profile_agg(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    percentiles: tuple[float, ...] = DEFAULT_PERCENTILES,
+    rsd: float = 0.05,
+    percentile_accuracy: int = 10000,
+) -> DataFrame:
+    """The single-row combined aggregate behind profile_table, un-collected
+    — exposed so plan tests can assert the one-scan/one-exchange shape
+    without running the job."""
+    for p in percentiles:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentile {p} outside [0, 1]")
+    names = columns if columns is not None else df.columns
+    if not names:
+        raise ValueError("no columns to profile")
+    return df.agg(*_profile_exprs(df, names, percentiles, rsd, percentile_accuracy))
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    percentiles: tuple[float, ...] = DEFAULT_PERCENTILES,
+    rsd: float = 0.05,
+    percentile_accuracy: int = 10000,
+) -> DataFrame:
+    """Profile ``columns`` (default: all top-level) in one scan.
+
+    Result: one row per column —
+      column, dtype, n_rows, n_nonnull, null_frac,
+      approx_distinct (HLL, relative sd ``rsd``),
+      min / max (stringified for a uniform schema; ordered types only),
+      mean / stddev (numeric only),
+      percentiles (array<double> aligned with ``percentiles``; numeric only),
+      avg_len / max_len (string chars, binary bytes, array/map elements).
+
+    Struct columns get null/count/distinct stats only; profile their fields
+    by passing dotted names (``["meta.width"]``) via ``columns``. Percentile
+    memory is bounded by percentile_approx's summaries — safe at any scale.
+    """
+    names = columns if columns is not None else df.columns
+    row = profile_agg(df, names, percentiles, rsd, percentile_accuracy).collect()[0]
+    d = row.asDict()
+    n_rows = d["__n_rows"]
+    out = []
+    for i, name in enumerate(names):
+        dt = _column_type(df, name)
+        nonnull = d[f"__{i}_nonnull"]
+        pcts = d.get(f"__{i}_pcts")
+        out.append(
+            {
+                "column": name,
+                "dtype": dt.simpleString(),
+                "n_rows": n_rows,
+                "n_nonnull": nonnull,
+                "null_frac": (float(n_rows - nonnull) / n_rows) if n_rows else 0.0,
+                "approx_distinct": d[f"__{i}_distinct"],
+                "min": d.get(f"__{i}_min"),
+                "max": d.get(f"__{i}_max"),
+                "mean": d.get(f"__{i}_mean"),
+                "stddev": d.get(f"__{i}_stddev"),
+                "percentiles": None if pcts is None else [float(x) for x in pcts],
+                "avg_len": d.get(f"__{i}_avg_len"),
+                "max_len": d.get(f"__{i}_max_len"),
+            }
+        )
+    result_schema = T.StructType(
+        [
+            T.StructField("column", T.StringType(), False),
+            T.StructField("dtype", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("n_nonnull", T.LongType(), False),
+            T.StructField("null_frac", T.DoubleType(), False),
+            T.StructField("approx_distinct", T.LongType(), True),
+            T.StructField("min", T.StringType(), True),
+            T.StructField("max", T.StringType(), True),
+            T.StructField("mean", T.DoubleType(), True),
+            T.StructField("stddev", T.DoubleType(), True),
+            T.StructField("percentiles", T.ArrayType(T.DoubleType()), True),
+            T.StructField("avg_len", T.DoubleType(), True),
+            T.StructField("max_len", T.LongType(), True),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, result_schema)

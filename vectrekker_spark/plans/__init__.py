@@ -50,6 +50,15 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
 
 
+def scan_count(df: DataFrame) -> int:
+    """Number of file-scan nodes (each node appears once as '(n) Scan' in
+    the detail section — counting the raw substring would double-count the
+    tree summary)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan ", formatted_plan(df), re.MULTILINE))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     return formatted_plan(df).count("WholeStageCodegen")
 
