@@ -279,3 +279,94 @@ def test_probe_plans_are_narrow(spark, bloom):
     deco_plan = formatted_plan(deco)
     assert shuffle_count(deco) == 0
     assert "Join" not in deco_plan and "Generate" not in deco_plan  # no join/explode
+
+# --- review-pass regressions -----------------------------------------------
+
+
+def test_save_overwrite_is_crash_safe(spark, bloom, tmp_path):
+    """Overwriting a saved filter must never leave old meta paired with new
+    words (old-m positions vs new-m bits = false NEGATIVES). The writer
+    un-commits (removes meta) first, so every mid-rewrite crash point
+    leaves a directory load rejects loudly; a completed overwrite loads
+    the NEW filter."""
+    p = str(tmp_path / "bf")
+    bloom_save(bloom, p)
+    small = bloom_build(
+        spark.createDataFrame([("x",)], "key string"), "key", m_bits=64, k=2
+    )
+    bloom_save(small, p)  # full overwrite with different params
+    loaded = bloom_load(p)
+    assert (loaded.m_bits, loaded.k) == (64, 2)
+    assert np.array_equal(loaded.words, small.words)
+    # simulated crash window: meta removed, words half-written → loud error
+    import os
+
+    os.remove(os.path.join(p, "meta.json"))
+    with pytest.raises(ValueError, match="no bloom meta"):
+        bloom_load(p)
+
+
+@pytest.mark.parametrize("strategy", ["literal", "pandas"])
+def test_array_null_elements_are_non_hits(spark, bloom, strategy):
+    """NULL array elements must count as non-hits in BOTH kernels (the
+    literal kernel's aggregate would otherwise null-poison the whole row's
+    count; the pandas kernel would probe a garbage NaN-cast position)."""
+    df = spark.createDataFrame(
+        [(1, ["item-1", None, "item-2"]), (2, [None]), (3, [None, "absent-zz"])],
+        "id int, arr array<string>",
+    )
+    got = {
+        r["id"]: r["n_hits"]
+        for r in array_hit_counts(df, "arr", bloom, strategy=strategy).collect()
+    }
+    assert got[1] >= 2  # the null didn't zero the row
+    assert got[2] == 0
+    assert got[3] <= 1
+
+
+def test_decontaminate_bloom_validation(spark, bloom):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="max_shared"):
+        decontaminate_bloom(docs, bloom, max_shared=-1)
+    with pytest.raises(ValueError, match="reserved"):
+        decontaminate_bloom(docs.withColumn("__n_hits", F.lit(1)), bloom)
+    with pytest.raises(ValueError, match="reserved as bloom temp"):
+        might_contain(docs.withColumn("__bf_h1", F.lit(1)), "text", bloom)
+
+
+def test_benchmark_bloom_sizes_on_distinct_shingles(spark):
+    """Cross-doc repeated shingles must not inflate the sizing count: two
+    identical docs contribute their shingles ONCE."""
+    one = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id int, text string"
+    )
+    two = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        "doc_id int, text string",
+    )
+    a, b = benchmark_bloom(one), benchmark_bloom(two)
+    assert a.n_items == b.n_items
+    assert np.array_equal(a.words, b.words)
+
+
+def test_shingle_k_provenance_enforced(spark, tmp_path):
+    bench = spark.createDataFrame([(1, "a b c d e f")], "doc_id int, text string")
+    bf = benchmark_bloom(bench, k=5)
+    assert bf.attrs["shingle_k"] == 5
+    # attrs survive save/load
+    p = str(tmp_path / "bf5")
+    bloom_save(bf, p)
+    assert bloom_load(p).attrs["shingle_k"] == 5
+    train = _docs(spark)
+    with pytest.raises(ValueError, match="shingle_k=5"):
+        decontaminate_bloom(train, bf, k=3)
+    # merge refuses mismatched provenance
+    other = benchmark_bloom(bench, k=3)
+    with pytest.raises(ValueError):
+        bloom_merge(bf, other)
+
+
+def test_expected_must_be_positive(spark):
+    df = spark.createDataFrame([("x",)], "key string")
+    with pytest.raises(ValueError, match="expected must be >= 1"):
+        bloom_build(df, "key", expected=0)

@@ -324,6 +324,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if args.decontam_shingle_k < 1:
         print("error: --decontam-shingle-k must be >= 1")
         return 2
+    if args.decontam_max_shared < 0:
+        print("error: --decontam-max-shared must be >= 0")
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
     cfg = AssemblyConfig(
@@ -365,6 +368,9 @@ def cmd_bloom_build(args: argparse.Namespace) -> int:
         return 2
     if args.shingle_k < 1:
         print("error: --shingle-k must be >= 1")
+        return 2
+    if args.expected is not None and args.expected < 1:
+        print("error: --expected must be >= 1 (or omit it to count)")
         return 2
     from vectrekker_spark.operators.bloom import bloom_save
     from vectrekker_spark.operators.decontaminate import benchmark_bloom

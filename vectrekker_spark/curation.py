@@ -100,7 +100,22 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 f"CurationConfig.decontaminate_shingle_k must be >= 1, "
                 f"got {cfg.decontaminate_shingle_k}"
             )
+        if cfg.decontaminate_max_shared < 0:
+            raise ValueError(
+                f"CurationConfig.decontaminate_max_shared must be >= 0, "
+                f"got {cfg.decontaminate_max_shared} — a negative gate "
+                f"drops every document"
+            )
         bench_bloom = bloom_load(cfg.bench_bloom_path)
+        built_k = bench_bloom.attrs.get("shingle_k")
+        if built_k is not None and built_k != cfg.decontaminate_shingle_k:
+            raise ValueError(
+                f"benchmark bloom at {cfg.bench_bloom_path} was built with "
+                f"shingle_k={built_k} but decontaminate_shingle_k="
+                f"{cfg.decontaminate_shingle_k}: mismatched shingling "
+                f"probes disjoint hashes and the gate would be a silent "
+                f"no-op"
+            )
     docs = docs.cache()  # read once: every stage + count consumes it
     caches = [docs]
     funnel: dict[str, int] = {"input": docs.count()}

@@ -91,6 +91,11 @@ class BloomFilter:
     m_bits: int
     k: int
     n_items: int | None = None
+    # builder-provided provenance (e.g. benchmark_bloom's shingle_k /
+    # text_col) — persisted in meta.json so consumers can refuse a filter
+    # built under different preprocessing instead of silently probing
+    # mismatched hashes
+    attrs: dict = field(default_factory=dict)
     # applicationId → Broadcast, the _IVF_INDEX_CACHE idiom: one broadcast
     # per SparkSession per filter, released via .release()
     _bc: dict = field(default_factory=dict, repr=False, compare=False)
@@ -163,6 +168,11 @@ def bloom_build(
     bit_or — the shuffle moves at most min(n·k, m/64) 16-byte rows and the
     driver collects ≤ m/64 of them. The corpus/probe side is never touched.
     """
+    if expected is not None and expected < 1:
+        raise ValueError(
+            f"expected must be >= 1 when given, got {expected} — an "
+            f"undersized filter saturates and answers 'maybe' to everything"
+        )
     keyed = df.select(_c(col).alias("__key")).where(F.col("__key").isNotNull())
     n_items: int | None = expected
     if m_bits is None or k is None:
@@ -208,8 +218,16 @@ def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
             f"cannot merge blooms with different params: "
             f"(m={a.m_bits}, k={a.k}) vs (m={b.m_bits}, k={b.k})"
         )
+    if a.attrs != b.attrs:
+        raise ValueError(
+            f"cannot merge blooms with different provenance attrs: "
+            f"{a.attrs!r} vs {b.attrs!r} — same (m, k) under different "
+            f"preprocessing still probes disjoint hash sets"
+        )
     n = None if a.n_items is None or b.n_items is None else a.n_items + b.n_items
-    return BloomFilter(words=a.words | b.words, m_bits=a.m_bits, k=a.k, n_items=n)
+    return BloomFilter(
+        words=a.words | b.words, m_bits=a.m_bits, k=a.k, n_items=n, attrs=dict(a.attrs)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +240,18 @@ def _resolve_strategy(strategy: str, bloom: BloomFilter) -> str:
     if strategy == "auto":
         return "literal" if len(bloom.words) <= LIT_CAP_WORDS else "pandas"
     return strategy
+
+
+def _reserve(df: DataFrame, *names: str) -> None:
+    """Refuse to stage temp columns over caller columns — withColumns would
+    silently overwrite and the trailing drop() would then destroy the
+    caller's data."""
+    clash = set(names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename them "
+            f"before probing (reserved as bloom temp columns)"
+        )
 
 
 def _words_lit(bloom: BloomFilter) -> Column:
@@ -276,6 +306,7 @@ def might_contain(
     strategy = _resolve_strategy(strategy, bloom)
     h1, h2 = _hash_pair(_c(col))
     t1, t2 = "__bf_h1", "__bf_h2"
+    _reserve(df, t1, t2)
     # pre-project the hash pair so md5 evaluates once, not once per probe
     staged = df.withColumns({t1: h1, t2: h2})
     if strategy == "literal":
@@ -329,11 +360,14 @@ def array_hit_counts(
     strategy: str = "auto",
 ) -> DataFrame:
     """Per-row count of array elements that might be in the filter.
-    ``arr_col`` is array<string>; NULL array → 0. Narrow map, no explode,
-    no shuffle — the per-doc regroup an explode+groupBy would need never
-    happens because the array stays row-local."""
+    ``arr_col`` is array<string>; NULL array → 0 and NULL ELEMENTS are
+    non-hits (filtered before hashing — without this the two kernels
+    diverge: NULL poisons the literal kernel's running sum while the
+    pandas kernel would probe a garbage NaN→INT_MIN position). Narrow map,
+    no explode, no shuffle — the per-doc regroup an explode+groupBy would
+    need never happens because the array stays row-local."""
     strategy = _resolve_strategy(strategy, bloom)
-    arr = _c(arr_col)
+    arr = F.filter(_c(arr_col), lambda s: s.isNotNull())
     hx = F.transform(arr, lambda s: F.md5(s))
     h1s = F.transform(hx, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"))
     h2s = F.transform(
@@ -341,6 +375,7 @@ def array_hit_counts(
         lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(F.lit(1)),
     )
     t1, t2 = "__bf_h1s", "__bf_h2s"
+    _reserve(df, t1, t2)
     staged = df.withColumns({t1: h1s, t2: h2s})
     if strategy == "literal":
         lit_arr = _words_lit(bloom)
@@ -371,11 +406,22 @@ _FORMAT = 1
 def bloom_save(bloom: BloomFilter, path: str) -> None:
     """Persist as a directory: sparse non-zero words as parquet, then
     meta.json as the commit marker. Language-neutral so any engine with
-    parquet + json can load the filter."""
+    parquet + json can load the filter.
+
+    Overwrite ordering (single WRITER by contract, like ivf rewrites, but
+    readers may race): the OLD meta is removed FIRST, so a crash anywhere
+    mid-rewrite leaves a directory bloom_load rejects loudly — never the
+    old meta silently paired with new words, which could yield false
+    NEGATIVES (positions computed mod old-m against bits set mod new-m),
+    the one error direction a decontamination gate must not have. The new
+    meta is staged and os.replace'd so the marker itself appears whole."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, _META_NAME)
+    if os.path.exists(meta_path):
+        os.remove(meta_path)  # un-commit before touching words
     nz = np.nonzero(bloom.words)[0]
     pq.write_table(
         pa.table(
@@ -391,9 +437,12 @@ def bloom_save(bloom: BloomFilter, path: str) -> None:
         "m_bits": bloom.m_bits,
         "k": bloom.k,
         "n_items": bloom.n_items,
+        "attrs": bloom.attrs,
     }
-    with open(os.path.join(path, _META_NAME), "w", encoding="utf-8") as f:
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump(meta, f)
+    os.replace(tmp, meta_path)
 
 
 def bloom_load(path: str) -> BloomFilter:
@@ -419,5 +468,9 @@ def bloom_load(path: str) -> BloomFilter:
         raise ValueError(f"bloom words at {path} index outside m_bits={meta['m_bits']}")
     words[idx] = t.column("bits").to_numpy()
     return BloomFilter(
-        words=words, m_bits=meta["m_bits"], k=meta["k"], n_items=meta["n_items"]
+        words=words,
+        m_bits=meta["m_bits"],
+        k=meta["k"],
+        n_items=meta["n_items"],
+        attrs=meta.get("attrs") or {},
     )

@@ -129,11 +129,22 @@ def benchmark_bloom(
     shingles (the raw shingle STRINGS — build and probe share the bloom's
     own md5 hash family, so there is no cross-kernel hash parity to keep).
     Pass ``expected_shingles`` to skip the sizing count job; save/merge via
-    operators.bloom for reuse across pipeline runs."""
+    operators.bloom for reuse across pipeline runs.
+
+    The exploded stream is deduplicated CROSS-corpus before sizing:
+    word_shingles dedups only within a doc, and sizing on the raw stream
+    would count every cross-doc repetition (5-50× for common trigrams),
+    over-sizing the bitmap by the same factor and mis-reporting n_items.
+    The distinct is a shuffle of the benchmark side only — the bounded
+    side by the operator's premise. The filter records its shingle_k and
+    text_col in ``attrs`` so decontaminate_bloom can refuse a mismatched
+    probe instead of silently finding no overlaps."""
     from vectrekker_spark.operators.bloom import bloom_build
 
-    sh = bench.select(F.explode(word_shingles(text_col, k)).alias("__sh"))
-    return bloom_build(sh, "__sh", expected=expected_shingles, fpp=fpp, **bloom_kw)
+    sh = bench.select(F.explode(word_shingles(text_col, k)).alias("__sh")).distinct()
+    bf = bloom_build(sh, "__sh", expected=expected_shingles, fpp=fpp, **bloom_kw)
+    bf.attrs.update({"kind": "shingles", "shingle_k": k, "text_col": text_col})
+    return bf
 
 
 def decontaminate_bloom(
@@ -151,9 +162,31 @@ def decontaminate_bloom(
     property-tested: every doc the exact join drops, this drops too.
     NULL/empty/short text follows word_shingles' single-shingle rule in
     BOTH paths (null and '' both shingle to [''], so an empty train doc
-    matches an empty benchmark doc — tested)."""
+    matches an empty benchmark doc — tested).
+
+    A filter built by benchmark_bloom carries its shingle_k in ``attrs``;
+    a mismatch with ``k`` raises instead of silently probing disjoint
+    hashes (which would pass every contaminated doc)."""
     from vectrekker_spark.operators.bloom import array_hit_counts
 
+    if max_shared < 0:
+        raise ValueError(
+            f"max_shared must be >= 0, got {max_shared} — hit counts are "
+            f"never negative, so this gate would drop EVERY document"
+        )
+    built_k = bench_bloom.attrs.get("shingle_k")
+    if built_k is not None and built_k != k:
+        raise ValueError(
+            f"bloom was built with shingle_k={built_k} but the probe uses "
+            f"k={k}: the hashes are disjoint and decontamination would be "
+            f"a silent no-op — pass matching k"
+        )
+    clash = {"__sh", "__n_hits"} & set(train.columns)
+    if clash:
+        raise ValueError(
+            f"train already has column(s) {sorted(clash)} — rename them "
+            f"(reserved as decontaminate_bloom temp columns)"
+        )
     hits = array_hit_counts(
         train.withColumn("__sh", word_shingles(text_col, k)),
         "__sh",

@@ -51,13 +51,22 @@ def _length_expr(c: Column, dt: T.DataType) -> Column | None:
     return None
 
 
-def _column_type(df: DataFrame, name: str) -> T.DataType:
+def _column_types(df: DataFrame, names: list[str]) -> dict[str, T.DataType]:
+    """name → dtype for every profiled column, resolved once (not per call
+    per column — a 2000-column table would otherwise rebuild the schema
+    dict O(n²) times on the driver). Dotted struct paths resolve through
+    one combined projection."""
     schema = {f.name: f.dataType for f in df.schema.fields}
-    dt = schema.get(name)
-    if dt is None:
-        # dotted path into a struct — resolve through a projection
-        dt = df.select(F.col(name)).schema.fields[0].dataType
-    return dt
+    out: dict[str, T.DataType] = {}
+    dotted = [n for n in names if n not in schema]
+    if dotted:
+        fields = df.select(*[F.col(n) for n in dotted]).schema.fields
+        for n, f in zip(dotted, fields):
+            out[n] = f.dataType
+    for n in names:
+        if n not in out:
+            out[n] = schema[n]
+    return out
 
 
 def _profile_exprs(
@@ -67,10 +76,11 @@ def _profile_exprs(
     rsd: float,
     accuracy: int,
 ) -> list[Column]:
+    types = _column_types(df, names)
     exprs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for i, name in enumerate(names):
         c = F.col(name)
-        dt = _column_type(df, name)
+        dt = types[name]
         exprs.append(F.count(c).alias(f"__{i}_nonnull"))
         exprs.append(F.approx_count_distinct(c, rsd).alias(f"__{i}_distinct"))
         if isinstance(dt, ORDERED_TYPES):
@@ -138,9 +148,10 @@ def profile_table(
     row = profile_agg(df, names, percentiles, rsd, percentile_accuracy).collect()[0]
     d = row.asDict()
     n_rows = d["__n_rows"]
+    types = _column_types(df, names)
     out = []
     for i, name in enumerate(names):
-        dt = _column_type(df, name)
+        dt = types[name]
         nonnull = d[f"__{i}_nonnull"]
         pcts = d.get(f"__{i}_pcts")
         out.append(
