@@ -234,10 +234,17 @@ def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
 # probe kernels
 
 
-def _resolve_strategy(strategy: str, bloom: BloomFilter) -> str:
+def _resolve_strategy(strategy: str, bloom: BloomFilter, route: str = "scalar") -> str:
     if strategy not in ("auto", "literal", "pandas"):
         raise ValueError(f"strategy must be auto|literal|pandas, got {strategy!r}")
     if strategy == "auto":
+        if route == "array":
+            # measured (sf1, 50k docs, k=13): the array literal kernel's
+            # zip_with/aggregate lambdas are CodegenFallback (interpreted)
+            # and run 3.5× slower than the Arrow kernel (7.8 vs 2.2 s) —
+            # the same HOF-vs-codegen result as the simhash A/B. The
+            # scalar route has no HOFs and stays literal-first.
+            return "pandas"
         return "literal" if len(bloom.words) <= LIT_CAP_WORDS else "pandas"
     return strategy
 
@@ -365,8 +372,11 @@ def array_hit_counts(
     diverge: NULL poisons the literal kernel's running sum while the
     pandas kernel would probe a garbage NaN→INT_MIN position). Narrow map,
     no explode, no shuffle — the per-doc regroup an explode+groupBy would
-    need never happens because the array stays row-local."""
-    strategy = _resolve_strategy(strategy, bloom)
+    need never happens because the array stays row-local. ``auto`` picks
+    the Arrow kernel here (the literal kernel's per-element HOFs are
+    interpreted — measured 3.5× slower; pass strategy='literal' only when
+    a Python-free plan is worth that)."""
+    strategy = _resolve_strategy(strategy, bloom, route="array")
     arr = F.filter(_c(arr_col), lambda s: s.isNotNull())
     hx = F.transform(arr, lambda s: F.md5(s))
     h1s = F.transform(hx, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"))
