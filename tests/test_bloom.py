@@ -370,3 +370,101 @@ def test_expected_must_be_positive(spark):
     df = spark.createDataFrame([("x",)], "key string")
     with pytest.raises(ValueError, match="expected must be >= 1"):
         bloom_build(df, "key", expected=0)
+
+
+# --- incremental exact dedup (bloom-accelerated) ----------------------------
+
+
+def _ingest_fixture(spark):
+    history = spark.createDataFrame(
+        [(i, f"history document number {i}") for i in range(200)],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        # 3 verbatim dups of history, 2 genuinely new, 1 null text
+        [
+            (1000, "history document number 7"),
+            (1001, "history document number 42"),
+            (1002, "history document number 199"),
+            (1003, "a brand new document"),
+            (1004, "another brand new document"),
+            (1005, None),
+        ],
+        "doc_id int, text string",
+    )
+    return history, new
+
+
+def test_exact_dedup_against_with_and_without_bloom(spark):
+    from vectrekker_spark.operators.dedup import content_bloom, exact_dedup_against
+
+    history, new = _ingest_fixture(spark)
+    plain = {r["doc_id"] for r in exact_dedup_against(new, history).collect()}
+    bf = content_bloom(history, fpp=1e-4)
+    accel = {
+        r["doc_id"]
+        for r in exact_dedup_against(new, history, history_bloom=bf).collect()
+    }
+    assert plain == accel == {1003, 1004, 1005}  # null-text row survives
+    bf.release()
+
+
+def test_exact_dedup_against_saturated_bloom_stays_exact(spark):
+    """A worthless (saturated) bloom must only cost speed, never
+    correctness: everything routes through the verification join."""
+    from vectrekker_spark.operators.dedup import exact_dedup_against
+
+    history, new = _ingest_fixture(spark)
+    saturated = BloomFilter(
+        np.full(1, -1, dtype=np.int64), m_bits=64, k=1
+    )  # every probe hits
+    got = {
+        r["doc_id"]
+        for r in exact_dedup_against(new, history, history_bloom=saturated).collect()
+    }
+    assert got == {1003, 1004, 1005}
+
+
+def test_exact_dedup_against_reserved_cols(spark):
+    from vectrekker_spark.operators.dedup import exact_dedup_against
+
+    history, new = _ingest_fixture(spark)
+    with pytest.raises(ValueError, match="reserved"):
+        exact_dedup_against(new.withColumn("__h", F.lit("x")), history)
+
+
+def test_bloom_add_grows_incrementally(spark):
+    from vectrekker_spark.operators.bloom import bloom_add
+    from vectrekker_spark.operators.dedup import content_bloom, exact_dedup_against
+
+    history, new = _ingest_fixture(spark)
+    bf = content_bloom(history, fpp=1e-4)
+    batch1 = new.where("text IS NOT NULL")
+    grown = bloom_add(bf, batch1, "text")
+    # the original filter is untouched; the grown one flags the new batch
+    assert grown.bits_set() > bf.bits_set()
+    flagged = {
+        r["doc_id"]
+        for r in exact_dedup_against(
+            batch1, history.unionByName(batch1), history_bloom=grown
+        ).collect()
+    }
+    assert flagged == set()  # every batch1 doc is now "seen"
+    bf.release(); grown.release()
+
+
+def test_exact_dedup_against_bloom_plan_shape(spark):
+    """The accelerator's point: history is scanned but never shuffled —
+    the only exchanges key on the (tiny) maybe-set digests, and the
+    maybe-keys semi-filter broadcasts."""
+    from vectrekker_spark.operators.dedup import content_bloom, exact_dedup_against
+    from vectrekker_spark.plans import formatted_plan, uses_broadcast_join
+
+    history, new = _ingest_fixture(spark)
+    bf = content_bloom(history, fpp=1e-4)
+    out = exact_dedup_against(new, history, history_bloom=bf)
+    plan = formatted_plan(out)
+    assert uses_broadcast_join(out)
+    # no sort-merge join anywhere: history never becomes a shuffled join side
+    assert "SortMergeJoin" not in plan
+    bf.release()
