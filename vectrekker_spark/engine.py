@@ -246,6 +246,17 @@ class Engine:
 
         return minhash_dedup_against(new, corpus, threshold=threshold, **kw)
 
+    def exact_dedup_against(
+        self, new: DataFrame, history: DataFrame, **kw
+    ) -> DataFrame:
+        """Incremental EXACT dedup of a new batch against history
+        (operators/dedup.exact_dedup_against); pass history_bloom= (see
+        operators/dedup.content_bloom) so definite-new rows skip the
+        verification join."""
+        from vectrekker_spark.operators.dedup import exact_dedup_against
+
+        return exact_dedup_against(new, history, **kw)
+
     def duplicate_spans(self, df: DataFrame, n: int = 10, **kw) -> DataFrame:
         """Redundant token spans (boilerplate/quoted passages repeated
         across the corpus) per document — span-level exact substring

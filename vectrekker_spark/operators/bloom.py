@@ -17,11 +17,12 @@ Scale shape:
   bit-assembly groupBy over ≤ m/64 skinny (word_idx, bits) rows, and the
   driver collects at most m/64 longs (bounded by ``max_bits``).
 - Probe: narrow map over the corpus. Two interchangeable kernels:
-  ``literal`` embeds the bitmap as a JVM array literal (whole-stage codegen,
-  zero Python — for bitmaps up to ~128 KB), ``pandas`` ships the bitmap as a
-  Spark broadcast variable into an Arrow-vectorized kernel (for big bitmaps;
-  still zero shuffle). ``auto`` routes on bitmap size, the
-  similarity_join_self_auto idiom.
+  ``literal`` attaches the bitmap as a broadcast SINGLE-ROW array (pure
+  JVM, zero Python — NOT an expression literal: see _words_row for why),
+  ``pandas`` ships the bitmap as a Spark broadcast variable into an
+  Arrow-vectorized kernel. Neither shuffles. ``auto`` keeps small bitmaps
+  on the Python-free kernel and routes big ones (and all array probes —
+  HOFs are interpreted) to Arrow, the similarity_join_self_auto idiom.
 - Blooms over shards merge by bitwise OR (same m, k) — a commutative
   monoid, so per-corpus/per-day filters fold in any order.
 
@@ -55,10 +56,11 @@ MAX_K = 30
 # probe-side broadcast grows linearly) or build per-shard blooms and
 # bloom_merge them.
 DEFAULT_MAX_BITS = 1 << 27
-# literal-kernel cap, in 64-bit words (16384 → 128 KB bitmap). Each of the
-# k probes embeds its own copy of the array literal in the plan tree, so the
-# serialized stage grows ~k × bitmap — keep the cap modest and let the
-# pandas kernel (one broadcast, shared by every probe) carry big bitmaps.
+# scalar-route preference cap, in 64-bit words (16384 → 128 KB bitmap).
+# Both kernels handle any size (the JVM kernel rides a broadcast row, not
+# an expression literal); measured at sf1 the Arrow kernel is slightly
+# faster at every size tested (0.45 vs 0.70 s over 50k probes), so this
+# cap only bounds where `auto` still buys the Python-free plan.
 LIT_CAP_WORDS = 16384
 
 
@@ -230,6 +232,22 @@ def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
     )
 
 
+def bloom_add(bloom: BloomFilter, df: DataFrame, col: Column | str) -> BloomFilter:
+    """Fold a new batch's keys into an existing filter (returns a NEW
+    filter — the input is never mutated): builds a delta bloom with the
+    same (m, k) and ORs it in. The incremental-ingestion shape: one bloom
+    per corpus, grown per batch, re-saved with bloom_save. Watch
+    estimated_fpp() as it grows — a filter sized for the original corpus
+    saturates if the corpus outgrows it several-fold (re-size + rebuild
+    then)."""
+    delta = bloom_build(df, col, m_bits=bloom.m_bits, k=bloom.k)
+    delta.attrs = dict(bloom.attrs)
+    # delta rows aren't counted (explicit m/k skips the sizing job), so the
+    # merged n_items is honestly unknown (None); estimated_fpp() stays the
+    # saturation signal
+    return bloom_merge(bloom, delta)
+
+
 # ---------------------------------------------------------------------------
 # probe kernels
 
@@ -261,12 +279,22 @@ def _reserve(df: DataFrame, *names: str) -> None:
         )
 
 
-def _words_lit(bloom: BloomFilter) -> Column:
-    """The bitmap as a JVM array literal. The cast is load-bearing: lit()
-    infers element types from VALUES, so an all-small bitmap (e.g. a fresh
-    or sparse filter) would come out array<int> and getbit would then
-    reject positions >= 32."""
-    return F.lit(bloom.words.tolist()).cast("array<bigint>")
+def _words_row(df: DataFrame, bloom: BloomFilter) -> DataFrame:
+    """Attach the bitmap to every row as `__bf_words` via a broadcast
+    single-row cross join. NOT F.lit(words): PySpark lowers a list literal
+    to a CreateArray with one child PER WORD, so a 15k-word bitmap × k
+    probe references became a multi-MB expression tree whose evaluation
+    dominated the probe (measured 39 s vs 0.8 s for the whole job at sf1).
+    The broadcast row materializes the array once per executor and
+    element_at stays O(1)."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    words_df = spark.createDataFrame(
+        [(bloom.words.tolist(),)],
+        T.StructType([T.StructField("__bf_words", T.ArrayType(T.LongType()), False)]),
+    )
+    return df.crossJoin(F.broadcast(words_df))
 
 
 def _probe_pred(arr: Column, h1: Column, h2: Column, m_bits: int, k: int) -> Column:
@@ -313,14 +341,17 @@ def might_contain(
     strategy = _resolve_strategy(strategy, bloom)
     h1, h2 = _hash_pair(_c(col))
     t1, t2 = "__bf_h1", "__bf_h2"
-    _reserve(df, t1, t2)
+    _reserve(df, t1, t2, "__bf_words")
     # pre-project the hash pair so md5 evaluates once, not once per probe
     staged = df.withColumns({t1: h1, t2: h2})
     if strategy == "literal":
+        staged = _words_row(staged, bloom)
         pred = _probe_pred(
-            _words_lit(bloom), F.col(t1), F.col(t2), bloom.m_bits, bloom.k
+            F.col("__bf_words"), F.col(t1), F.col(t2), bloom.m_bits, bloom.k
         )
-        out = staged.withColumn(out_col, F.coalesce(pred, F.lit(False)))
+        out = staged.withColumn(out_col, F.coalesce(pred, F.lit(False))).drop(
+            "__bf_words"
+        )
     else:
         udf = _scalar_pandas_udf(bloom._broadcast(df.sparkSession), bloom.m_bits, bloom.k)
         out = staged.withColumn(out_col, udf(F.col(t1), F.col(t2)))
@@ -385,17 +416,18 @@ def array_hit_counts(
         lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(F.lit(1)),
     )
     t1, t2 = "__bf_h1s", "__bf_h2s"
-    _reserve(df, t1, t2)
+    _reserve(df, t1, t2, "__bf_words")
     staged = df.withColumns({t1: h1s, t2: h2s})
     if strategy == "literal":
-        lit_arr = _words_lit(bloom)
+        staged = _words_row(staged, bloom)
+        arr_col = F.col("__bf_words")
         per_elem = F.zip_with(
             F.col(t1),
             F.col(t2),
-            lambda a, b: _probe_pred(lit_arr, a, b, bloom.m_bits, bloom.k).cast("int"),
+            lambda a, b: _probe_pred(arr_col, a, b, bloom.m_bits, bloom.k).cast("int"),
         )
         n = F.aggregate(per_elem, F.lit(0), lambda acc, x: acc + x)
-        out = staged.withColumn(out_col, F.coalesce(n, F.lit(0)))
+        out = staged.withColumn(out_col, F.coalesce(n, F.lit(0))).drop("__bf_words")
     else:
         udf = _array_pandas_udf(bloom._broadcast(df.sparkSession), bloom.m_bits, bloom.k)
         out = staged.withColumn(out_col, udf(F.col(t1), F.col(t2)))
