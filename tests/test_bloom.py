@@ -468,3 +468,42 @@ def test_exact_dedup_against_bloom_plan_shape(spark):
     # no sort-merge join anywhere: history never becomes a shuffled join side
     assert "SortMergeJoin" not in plan
     bf.release()
+
+
+def test_bloom_add_respects_custom_max_bits(spark):
+    """A filter legitimately built past DEFAULT_MAX_BITS must stay
+    growable: bloom_add forwards the filter's own size as the cap."""
+    from vectrekker_spark.operators.bloom import DEFAULT_MAX_BITS, bloom_add
+
+    big_m = DEFAULT_MAX_BITS * 2
+    bf = BloomFilter(np.zeros(big_m // 64, np.int64), m_bits=big_m, k=3)
+    grown = bloom_add(bf, spark.createDataFrame([("x",)], "key string"), "key")
+    assert grown.m_bits == big_m and grown.bits_set() == 3
+
+
+def test_exact_dedup_against_rejects_mismatched_bloom(spark):
+    from vectrekker_spark.operators.dedup import content_bloom, exact_dedup_against
+
+    history, new = _ingest_fixture(spark)
+    wrong_col = content_bloom(history.withColumnRenamed("text", "title"),
+                              text_col="title", fpp=1e-3)
+    with pytest.raises(ValueError, match="provenance"):
+        exact_dedup_against(new, history, history_bloom=wrong_col)
+    shingle_bf = benchmark_bloom(history)
+    with pytest.raises(ValueError, match="provenance"):
+        exact_dedup_against(new, history, history_bloom=shingle_bf)
+
+
+def test_exact_dedup_against_probe_cache_released(spark):
+    from vectrekker_spark.operators.dedup import content_bloom, exact_dedup_against
+
+    history, new = _ingest_fixture(spark)
+    bf = content_bloom(history, fpp=1e-3)
+    out = exact_dedup_against(new, history, history_bloom=bf)
+    out.count()
+    assert out._cached_probe is not None
+    assert out._cached_probe.storageLevel.useMemory  # actually persisted
+    out._cached_probe.unpersist()
+    plain = exact_dedup_against(new, history)
+    assert plain._cached_probe is None
+    bf.release()

@@ -240,7 +240,9 @@ def bloom_add(bloom: BloomFilter, df: DataFrame, col: Column | str) -> BloomFilt
     estimated_fpp() as it grows — a filter sized for the original corpus
     saturates if the corpus outgrows it several-fold (re-size + rebuild
     then)."""
-    delta = bloom_build(df, col, m_bits=bloom.m_bits, k=bloom.k)
+    # forward the filter's own size as the cap: a bloom legitimately built
+    # past DEFAULT_MAX_BITS (explicit max_bits) must stay growable
+    delta = bloom_build(df, col, m_bits=bloom.m_bits, k=bloom.k, max_bits=bloom.m_bits)
     delta.attrs = dict(bloom.attrs)
     # delta rows aren't counted (explicit m/k skips the sizing job), so the
     # merged n_items is honestly unknown (None); estimated_fpp() stays the
@@ -267,15 +269,17 @@ def _resolve_strategy(strategy: str, bloom: BloomFilter, route: str = "scalar") 
     return strategy
 
 
-def _reserve(df: DataFrame, *names: str) -> None:
+def _reserve(df: DataFrame, *names: str, what: str = "bloom temp columns") -> None:
     """Refuse to stage temp columns over caller columns — withColumns would
     silently overwrite and the trailing drop() would then destroy the
-    caller's data."""
+    caller's data. Shared by every operator that stages __-prefixed temps
+    (might_contain, array_hit_counts, decontaminate_bloom,
+    exact_dedup_against)."""
     clash = set(names) & set(df.columns)
     if clash:
         raise ValueError(
             f"input already has column(s) {sorted(clash)} — rename them "
-            f"before probing (reserved as bloom temp columns)"
+            f"(reserved as {what})"
         )
 
 
@@ -336,8 +340,11 @@ def might_contain(
     strategy: str = "auto",
 ) -> DataFrame:
     """Add a boolean column: True if ``col`` MIGHT be in the filter (FP rate
-    ≈ fpp), False means definitely absent. NULL keys → False. A narrow map
-    either way — no shuffle, no join (plan-asserted in tests)."""
+    ≈ fpp), False means definitely absent. NULL keys → False. Zero-shuffle
+    either way (plan-asserted in tests); the ``literal`` kernel attaches
+    the bitmap via a broadcast single-row cross join (a
+    BroadcastNestedLoopJoin node, no data movement beyond the bitmap), the
+    ``pandas`` kernel is join-free."""
     strategy = _resolve_strategy(strategy, bloom)
     h1, h2 = _hash_pair(_c(col))
     t1, t2 = "__bf_h1", "__bf_h2"
@@ -420,11 +427,11 @@ def array_hit_counts(
     staged = df.withColumns({t1: h1s, t2: h2s})
     if strategy == "literal":
         staged = _words_row(staged, bloom)
-        arr_col = F.col("__bf_words")
+        words_col = F.col("__bf_words")
         per_elem = F.zip_with(
             F.col(t1),
             F.col(t2),
-            lambda a, b: _probe_pred(arr_col, a, b, bloom.m_bits, bloom.k).cast("int"),
+            lambda a, b: _probe_pred(words_col, a, b, bloom.m_bits, bloom.k).cast("int"),
         )
         n = F.aggregate(per_elem, F.lit(0), lambda acc, x: acc + x)
         out = staged.withColumn(out_col, F.coalesce(n, F.lit(0))).drop("__bf_words")

@@ -381,7 +381,6 @@ def exact_dedup_against(
     new: DataFrame,
     history: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     history_bloom=None,
     strategy: str = "auto",
 ) -> DataFrame:
@@ -412,13 +411,16 @@ def exact_dedup_against(
     the removed history-side SHUFFLE — the regime where that dominates is
     network-bound clusters with 10⁹+ history keys, not a local box. Pair
     with a digest-bucketed history table to prune the remaining scan.
+
+    On the bloom path the probe frame is persisted (three consumers —
+    definite-new, maybe, and the broadcast maybe-keys — must not re-run
+    md5 + the probe); it rides the result as ``_cached_probe`` so a
+    long-lived driver can ``result._cached_probe.unpersist()`` after
+    materializing (None on the plain path).
     """
-    clash = {"__h", "__maybe"} & set(new.columns)
-    if clash:
-        raise ValueError(
-            f"new already has column(s) {sorted(clash)} — rename them "
-            f"(reserved as exact_dedup_against temp columns)"
-        )
+    from vectrekker_spark.operators.bloom import _reserve
+
+    _reserve(new, "__h", "__maybe", what="exact_dedup_against temp columns")
     text = F.col(text_col)
     nulls = new.where(text.isNull())
     hashed = new.where(text.isNotNull()).withColumn("__h", F.md5(text))
@@ -431,9 +433,21 @@ def exact_dedup_against(
     else:
         from vectrekker_spark.operators.bloom import might_contain
 
+        attrs = history_bloom.attrs
+        if attrs and (
+            attrs.get("kind") != "content" or attrs.get("text_col") != text_col
+        ):
+            raise ValueError(
+                f"history_bloom provenance {attrs!r} does not match a "
+                f"content bloom over {text_col!r}: a filter built over "
+                f"different keys rejects texts that ARE in history, and "
+                f"those rows would skip verification — exact duplicates "
+                f"would leak through. Build it with content_bloom(history, "
+                f"text_col={text_col!r})."
+            )
         flagged = might_contain(
             hashed, text_col, history_bloom, out_col="__maybe", strategy=strategy
-        )
+        ).persist()  # three consumers below — probe + md5 must run once
         definite_new = flagged.where(~F.col("__maybe"))
         maybe = flagged.where(F.col("__maybe"))
         maybe_keys = maybe.select("__h").distinct()
@@ -445,4 +459,8 @@ def exact_dedup_against(
             maybe.join(F.broadcast(hits), "__h", "left_anti")
         )
         kept = kept.drop("__maybe")
-    return kept.drop("__h").unionByName(nulls)
+    result = kept.drop("__h").unionByName(nulls)
+    # the bm25/_cached_base idiom: the persisted probe frame rides the
+    # result so a long-lived driver can release it once consumed
+    result._cached_probe = flagged if history_bloom is not None else None
+    return result
