@@ -103,3 +103,90 @@ def test_decode_image_stub_raises_without_pil():
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n")
+
+
+# --- header sniffing (format + dimensions without decode) -------------------
+
+
+def _jpeg_bytes(w=640, h=480):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01" + b"\x11\x00\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w=320, h=200):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def _bmp_bytes(w=100, h=-50):
+    import struct
+
+    return b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, h)
+
+
+def test_sniff_image_meta_known_formats():
+    import numpy as np
+
+    from vectrekker_spark.functions.imagecodec import encode_png, sniff_image_meta
+
+    png = encode_png(np.zeros((7, 9, 3), dtype=np.uint8))
+    assert sniff_image_meta(png) == {"format": "png", "width": 9, "height": 7}
+    assert sniff_image_meta(_jpeg_bytes()) == {
+        "format": "jpeg", "width": 640, "height": 480,
+    }
+    assert sniff_image_meta(_gif_bytes()) == {
+        "format": "gif", "width": 320, "height": 200,
+    }
+    # BMP height is stored negative for top-down rows — reported absolute
+    assert sniff_image_meta(_bmp_bytes()) == {
+        "format": "bmp", "width": 100, "height": 50,
+    }
+    assert sniff_image_meta(b"P6\n# comment\n12 34\n255\n") == {
+        "format": "ppm", "width": 12, "height": 34,
+    }
+    assert sniff_image_meta(b"") is None
+    assert sniff_image_meta(b"not an image at all") is None
+
+
+def test_sniff_never_raises_on_garbage_or_truncation():
+    import random
+
+    from vectrekker_spark.functions.imagecodec import sniff_image_meta
+
+    rng = random.Random(42)
+    for _ in range(200):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
+        sniff_image_meta(blob)  # any result, no exception
+    for payload in (_jpeg_bytes(), _gif_bytes(), _bmp_bytes(), b"P6 1 1 255 "):
+        for cut in range(len(payload)):
+            sniff_image_meta(payload[:cut])  # truncations never raise
+
+
+def test_image_meta_operator(spark):
+    import numpy as np
+
+    from vectrekker_spark.functions.imagecodec import encode_png
+    from vectrekker_spark.operators.multimodal import image_meta
+
+    rows = [
+        (1, bytearray(encode_png(np.zeros((4, 6, 3), dtype=np.uint8)))),
+        (2, bytearray(_jpeg_bytes(w=32, h=16))),
+        (3, bytearray(b"garbage bytes")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in image_meta(df).collect()}
+    assert (got[1]["img_format"], got[1]["img_width"], got[1]["img_height"]) == (
+        "png", 6, 4,
+    )
+    assert (got[2]["img_format"], got[2]["img_width"], got[2]["img_height"]) == (
+        "jpeg", 32, 16,
+    )
+    assert got[3]["img_format"] is None and got[4]["img_format"] is None

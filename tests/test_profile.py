@@ -104,3 +104,41 @@ def test_single_scan_single_exchange(spark, sf_dir):
     assert shuffle_count(agg) <= 1
     assert scan_count(agg) == 1
     assert "EvalPython" not in formatted_plan(agg)
+
+# --- drift detection --------------------------------------------------------
+
+
+def test_profile_diff_flags(spark):
+    from vectrekker_spark.operators.profile import profile_diff
+
+    base = spark.createDataFrame(
+        [(i, float(i % 10), f"u{i}") for i in range(200)],
+        "id long, score double, user string",
+    )
+    # drifted: score's mean jumps far beyond 3 old-sigmas, user goes
+    # half-null, id gains a dtype change, and a column appears/disappears
+    drifted = spark.createDataFrame(
+        [
+            (str(i), float(1000 + i % 10), f"u{i}" if i % 2 else None, i)
+            for i in range(200)
+        ],
+        "id string, score double, user string, extra long",
+    )
+    prof_old = profile_table(base)
+    prof_new = profile_table(drifted, columns=["id", "score", "user", "extra"])
+    diff = {r["column"]: r for r in profile_diff(prof_old, prof_new).collect()}
+    assert "dtype_changed" in diff["id"]["flags"]
+    assert "mean_shift" in diff["score"]["flags"]
+    assert "null_frac_jump" in diff["user"]["flags"]
+    assert diff["extra"]["status"] == "added"
+    assert diff["score"]["mean_shift_sigmas"] > 100
+
+
+def test_profile_diff_clean_is_ok(spark, fixture_df):
+    from vectrekker_spark.operators.profile import profile_diff
+
+    p = profile_table(fixture_df)
+    diff = profile_diff(p, p).collect()
+    assert all(r["status"] == "ok" and r["flags"] == [] for r in diff)
+    with pytest.raises(ValueError, match="distinct_ratio_band"):
+        profile_diff(p, p, distinct_ratio_band=(2.0, 0.5))

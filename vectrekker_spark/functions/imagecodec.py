@@ -225,3 +225,100 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
     except (ValueError, zlib.error, struct.error):
         return None
     return None
+
+
+# ---------------------------------------------------------------------------
+# Header sniffing — format + dimensions WITHOUT decoding. Pure struct reads
+# of the public container specs, so a 100 TB mixed-media corpus can be
+# inventoried (format mix, resolution distribution, aspect-ratio filters)
+# at header cost instead of decode cost, including formats the
+# micro-decoders above deliberately don't decode (JPEG, GIF, BMP).
+
+# JPEG start-of-frame markers carrying dimensions (ITU T.81 §B.2.2):
+# every SOFn except DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+}
+# markers with NO length field (T.81 §B.1.1.3): TEM, RSTn, SOI, EOI
+_JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8), 0xD8, 0xD9}
+
+
+def _sniff_jpeg(b: bytes) -> dict | None:
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:  # SOI
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None  # marker desync: corrupt stream
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            i += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            return None
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            # SOF payload: precision(1) height(2) width(2) (§B.2.2)
+            if i + 9 > len(b):
+                return None
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return {"format": "jpeg", "width": w, "height": h}
+        i += 2 + seg_len
+    return None
+
+
+def sniff_image_meta(content: bytes) -> dict | None:
+    """(format, width, height) from container headers alone — no decode,
+    no size limit concerns (reads a handful of bytes). Returns None for
+    anything unrecognized or truncated before its dimension fields; never
+    raises on arbitrary bytes (fuzz-tested)."""
+    b = content or b""
+    try:
+        if b.startswith(PNG_MAGIC) and len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])  # RFC 2083 §4.1.1
+            return {"format": "png", "width": w, "height": h}
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])  # GIF89a spec §18
+            return {"format": "gif", "width": w, "height": h}
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])  # BITMAPINFOHEADER
+            return {"format": "bmp", "width": w, "height": abs(h)}
+        if b[:2] == b"P6":
+            toks = _ppm_header_tokens(b)
+            if toks is not None:
+                return {"format": "ppm", "width": toks[0], "height": toks[1]}
+            return None
+        return _sniff_jpeg(b)
+    except Exception:
+        return None
+
+
+def _ppm_header_tokens(b: bytes) -> tuple[int, int] | None:
+    """width/height from a P6 header: whitespace-separated tokens with
+    '#' comments (Netpbm spec), scanning a bounded prefix."""
+    i, toks = 2, []
+    head = b[: min(len(b), 4096)]
+    while i < len(head) and len(toks) < 2:
+        c = head[i : i + 1]
+        if c == b"#":
+            nl = head.find(b"\n", i)
+            if nl < 0:
+                return None
+            i = nl + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(head) and not head[j : j + 1].isspace():
+                j += 1
+            tok = head[i:j]
+            if not tok.isdigit():
+                return None
+            toks.append(int(tok))
+            i = j
+    return (toks[0], toks[1]) if len(toks) == 2 else None

@@ -267,3 +267,45 @@ def frame_sample_plan(
         "frame_no",
         (F.col("frame_no") * frame_size).alias("byte_offset"),
     )
+
+
+IMAGE_META_SCHEMA = "format string, width int, height int"
+
+
+def image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach (img_format, img_width, img_height) sniffed from container
+    headers — no decode, no media library (functions/imagecodec
+    .sniff_image_meta: PNG/JPEG/GIF/BMP/PPM from the public specs).
+    Unrecognized/corrupt/NULL payloads yield NULLs, never errors, so a
+    mixed 100 TB corpus can be inventoried (format mix, resolution and
+    aspect-ratio distributions, tiny-image filters) at header-read cost in
+    one narrow Arrow pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    from vectrekker_spark.functions.imagecodec import sniff_image_meta
+
+    @pandas_udf(IMAGE_META_SCHEMA)
+    def sniff(content: pd.Series) -> pd.DataFrame:
+        metas = [sniff_image_meta(c) if c is not None else None for c in content]
+        return pd.DataFrame(
+            {
+                "format": [m["format"] if m else None for m in metas],
+                "width": pd.array(
+                    [m["width"] if m else None for m in metas], dtype="Int32"
+                ),
+                "height": pd.array(
+                    [m["height"] if m else None for m in metas], dtype="Int32"
+                ),
+            }
+        )
+
+    tmp = "__img_meta"
+    if tmp in df.columns:
+        raise ValueError(f"input already has column {tmp!r} — rename it")
+    out = df.withColumn(tmp, sniff(F.col(content_col)))
+    return (
+        out.withColumn("img_format", F.col(f"{tmp}.format"))
+        .withColumn("img_width", F.col(f"{tmp}.width"))
+        .withColumn("img_height", F.col(f"{tmp}.height"))
+        .drop(tmp)
+    )

@@ -189,3 +189,94 @@ def profile_table(
         ]
     )
     return df.sparkSession.createDataFrame(out, result_schema)
+
+
+DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("column", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),  # ok|added|removed|flagged
+        T.StructField("dtype_old", T.StringType(), True),
+        T.StructField("dtype_new", T.StringType(), True),
+        T.StructField("null_frac_delta", T.DoubleType(), True),
+        T.StructField("distinct_ratio", T.DoubleType(), True),
+        T.StructField("mean_shift_sigmas", T.DoubleType(), True),
+        T.StructField("flags", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    null_frac_jump: float = 0.05,
+    distinct_ratio_band: tuple[float, float] = (0.5, 2.0),
+    mean_shift_max_sigmas: float = 3.0,
+) -> DataFrame:
+    """Drift report between two profile_table outputs of the same table
+    (yesterday's snapshot vs today's): per-column deltas plus a ``flags``
+    array naming every breached gate, so an ingestion pipeline can assert
+    ``diff.filter(size(flags) > 0).isEmpty()`` before shipping a batch.
+
+    Gates: ``dtype_changed``; ``null_frac_jump`` (absolute increase above
+    the threshold — a feed silently going null-heavy); ``distinct_ratio``
+    outside the band (cardinality collapse/explosion; the band default is
+    generous to HLL error, widen it for low-count columns);
+    ``mean_shift`` beyond N old-stddevs (distribution moved). Columns only
+    in one profile are ``added``/``removed``. Pure driver-side math over
+    the two tiny profiles — no scan of the data itself."""
+    lo, hi = distinct_ratio_band
+    if not (0 < lo <= hi):
+        raise ValueError(f"distinct_ratio_band must be 0 < lo <= hi, got {lo, hi}")
+    o = {r["column"]: r.asDict() for r in old.collect()}
+    n = {r["column"]: r.asDict() for r in new.collect()}
+    rows = []
+    for col in sorted(set(o) | set(n)):
+        a, b = o.get(col), n.get(col)
+        if a is None or b is None:
+            rows.append(
+                {
+                    "column": col,
+                    "status": "added" if a is None else "removed",
+                    "dtype_old": a["dtype"] if a else None,
+                    "dtype_new": b["dtype"] if b else None,
+                    "null_frac_delta": None,
+                    "distinct_ratio": None,
+                    "mean_shift_sigmas": None,
+                    "flags": ["added" if a is None else "removed"],
+                }
+            )
+            continue
+        flags = []
+        if a["dtype"] != b["dtype"]:
+            flags.append("dtype_changed")
+        nf_delta = b["null_frac"] - a["null_frac"]
+        if nf_delta > null_frac_jump:
+            flags.append("null_frac_jump")
+        ratio = None
+        if a["approx_distinct"] is not None and b["approx_distinct"] is not None:
+            ratio = b["approx_distinct"] / max(a["approx_distinct"], 1)
+            if a["approx_distinct"] > 0 and not (lo <= ratio <= hi):
+                flags.append("distinct_ratio")
+        shift = None
+        if (
+            a["mean"] is not None
+            and b["mean"] is not None
+            and a["stddev"] is not None
+            and a["stddev"] > 0
+        ):
+            shift = abs(b["mean"] - a["mean"]) / a["stddev"]
+            if shift > mean_shift_max_sigmas:
+                flags.append("mean_shift")
+        rows.append(
+            {
+                "column": col,
+                "status": "flagged" if flags else "ok",
+                "dtype_old": a["dtype"],
+                "dtype_new": b["dtype"],
+                "null_frac_delta": nf_delta,
+                "distinct_ratio": ratio,
+                "mean_shift_sigmas": shift,
+                "flags": flags,
+            }
+        )
+    return old.sparkSession.createDataFrame(rows, DIFF_SCHEMA)
