@@ -190,3 +190,57 @@ def test_image_meta_operator(spark):
         "jpeg", 32, 16,
     )
     assert got[3]["img_format"] is None and got[4]["img_format"] is None
+
+
+def test_sniff_rejects_hostile_dimensions(spark):
+    """Out-of-int32 dimensions must yield None (they crashed the Int32
+    kernel columns before), and a BITMAPCOREHEADER BMP (DIB size 12,
+    16-bit dims) must parse correctly instead of fusing width|height."""
+    import struct
+
+    from vectrekker_spark.functions.imagecodec import PNG_MAGIC, sniff_image_meta
+    from vectrekker_spark.operators.multimodal import image_meta
+
+    hostile_png = (
+        PNG_MAGIC + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 0xFFFFFFFF, 7) + b"\x08\x02\x00\x00\x00"
+    )
+    assert sniff_image_meta(hostile_png) is None
+    assert sniff_image_meta(b"P6 99999999999999 7 255 ") is None
+    assert sniff_image_meta(b"P6 0 7 255 ") is None  # zero-dim: invalid
+
+    core_bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 100, 50)
+    )
+    assert sniff_image_meta(core_bmp) == {"format": "bmp", "width": 100, "height": 50}
+
+    # end-to-end: the hostile payloads classify as NULL, never crash a task
+    df = spark.createDataFrame(
+        [(1, bytearray(hostile_png)), (2, bytearray(b"P6 99999999999999 7 255 "))],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r["img_format"] for r in image_meta(df).collect()}
+    assert got == {1: None, 2: None}
+
+
+def test_sniff_jpeg_fill_byte_walk_is_bounded():
+    """b'\\xff\\xd8' + megabytes of 0xFF fill must return fast (the marker
+    walk caps its scanned prefix), not iterate the whole payload."""
+    import time
+
+    from vectrekker_spark.functions.imagecodec import sniff_image_meta
+
+    blob = b"\xff\xd8" + b"\xff" * (8 << 20)
+    t0 = time.time()
+    assert sniff_image_meta(blob) is None
+    assert time.time() - t0 < 2.0
+
+
+def test_image_meta_refuses_output_column_clash(spark):
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.multimodal import image_meta
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "media_id long, content binary")
+    with pytest.raises(ValueError, match="img_width"):
+        image_meta(df.withColumn("img_width", F.lit(1)))

@@ -142,3 +142,23 @@ def test_profile_diff_clean_is_ok(spark, fixture_df):
     assert all(r["status"] == "ok" and r["flags"] == [] for r in diff)
     with pytest.raises(ValueError, match="distinct_ratio_band"):
         profile_diff(p, p, distinct_ratio_band=(2.0, 0.5))
+
+
+def test_profile_diff_constant_history_and_feed_revival(spark):
+    """Two blind spots: a constant-history column whose mean moves is
+    infinite sigmas (must flag), and an all-null column coming alive must
+    flag instead of sailing through."""
+    from vectrekker_spark.operators.profile import profile_diff
+
+    old = spark.createDataFrame(
+        [(2.0, None) for _ in range(50)], "version double, feature string"
+    )
+    new = spark.createDataFrame(
+        [(3000.0, f"v{i}") for i in range(50)], "version double, feature string"
+    )
+    diff = {r["column"]: r for r in profile_diff(
+        profile_table(old), profile_table(new)).collect()}
+    assert "mean_shift" in diff["version"]["flags"]
+    assert diff["version"]["mean_shift_sigmas"] == float("inf")
+    assert "null_frac_drop" in diff["feature"]["flags"]
+    assert "distinct_ratio" in diff["feature"]["flags"]

@@ -164,26 +164,42 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def decode_ppm(content: bytes) -> np.ndarray:
-    """Decode a binary PPM (P6, maxval ≤255) to an (H, W, 3) uint8 array."""
-    if not is_ppm(content):
-        raise ValueError("not a binary PPM: bad magic")
-    # header: P6 <w> <h> <maxval>, tokens separated by whitespace, with
-    # '#' comments running to end-of-line; pixel data follows ONE whitespace
+def _ppm_header(
+    content: bytes, n_tokens: int = 3, limit: int | None = None
+) -> tuple[list[int], int]:
+    """The ONE Netpbm header tokenizer (decode_ppm and sniff_image_meta
+    both call it — two hand-rolled copies of the grammar would drift):
+    ``n_tokens`` whitespace-separated integer tokens after the P6 magic,
+    '#' comments running to end-of-line. Returns (tokens, offset just past
+    the final token); raises ValueError on truncation or a non-digit
+    token. ``limit`` bounds the scanned prefix for header sniffing."""
+    data = content if limit is None else content[:limit]
     pos, tokens = 2, []
-    while len(tokens) < 3:
-        while pos < len(content) and content[pos : pos + 1].isspace():
+    while len(tokens) < n_tokens:
+        while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
-        if pos < len(content) and content[pos : pos + 1] == b"#":
-            while pos < len(content) and content[pos] != 0x0A:
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
                 pos += 1
             continue
         start = pos
-        while pos < len(content) and not content[pos : pos + 1].isspace():
+        while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         if start == pos:
             raise ValueError("truncated PPM header")
-        tokens.append(int(content[start:pos]))
+        tok = data[start:pos]
+        if not tok.isdigit():
+            raise ValueError("non-numeric PPM header token")
+        tokens.append(int(tok))
+    return tokens, pos
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval ≤255) to an (H, W, 3) uint8 array.
+    Header: P6 <w> <h> <maxval>; pixel data follows ONE whitespace."""
+    if not is_ppm(content):
+        raise ValueError("not a binary PPM: bad magic")
+    tokens, pos = _ppm_header(content, 3)
     pos += 1  # the single whitespace after maxval
     w, h, maxval = tokens
     if maxval > 255:
@@ -243,9 +259,18 @@ _JPEG_SOF = {
 _JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8), 0xD8, 0xD9}
 
 
+# Marker-walk bound: headers (APPn/EXIF/SOF) precede the entropy-coded
+# scan, and APPn segments cap at 64 KB each — 1 MB of prefix covers any
+# sane header run, and it bounds the worst-case fill-byte walk (a hostile
+# b'\xff\xd8' + gigabytes of 0xFF must not turn the header-cost inventory
+# pass into an O(payload) one).
+_JPEG_SCAN_LIMIT = 1 << 20
+
+
 def _sniff_jpeg(b: bytes) -> dict | None:
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:  # SOI
         return None
+    b = b[:_JPEG_SCAN_LIMIT]
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -257,8 +282,6 @@ def _sniff_jpeg(b: bytes) -> dict | None:
         if marker in _JPEG_STANDALONE:
             i += 2
             continue
-        if i + 4 > len(b):
-            return None
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
         if seg_len < 2:
             return None
@@ -272,53 +295,47 @@ def _sniff_jpeg(b: bytes) -> dict | None:
     return None
 
 
+def _checked(fmt: str, w: int, h: int) -> dict | None:
+    """Reject dimensions no real image has and no int32 consumer can hold:
+    a hostile PNG header carries up to 2^32-1 and a PPM digit token is
+    unbounded — letting those through crashed the image_meta kernel's
+    Int32 columns instead of yielding the contractual NULL."""
+    if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
+        return {"format": fmt, "width": w, "height": h}
+    return None
+
+
 def sniff_image_meta(content: bytes) -> dict | None:
     """(format, width, height) from container headers alone — no decode,
-    no size limit concerns (reads a handful of bytes). Returns None for
-    anything unrecognized or truncated before its dimension fields; never
-    raises on arbitrary bytes (fuzz-tested)."""
+    bounded reads (the JPEG marker walk caps at 1 MB of prefix). Returns
+    None for anything unrecognized, truncated before its dimension fields,
+    or carrying out-of-range dimensions; never raises on arbitrary bytes
+    (fuzz-tested)."""
     b = content or b""
     try:
         if b.startswith(PNG_MAGIC) and len(b) >= 24 and b[12:16] == b"IHDR":
             w, h = struct.unpack(">II", b[16:24])  # RFC 2083 §4.1.1
-            return {"format": "png", "width": w, "height": h}
+            return _checked("png", w, h)
         if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             w, h = struct.unpack("<HH", b[6:10])  # GIF89a spec §18
-            return {"format": "gif", "width": w, "height": h}
-        if b[:2] == b"BM" and len(b) >= 26:
-            w, h = struct.unpack("<ii", b[18:26])  # BITMAPINFOHEADER
-            return {"format": "bmp", "width": w, "height": abs(h)}
+            return _checked("gif", w, h)
+        if b[:2] == b"BM" and len(b) >= 22:
+            # the DIB header size discriminates the two layouts: 12 =
+            # BITMAPCOREHEADER (16-bit dims, ends at offset 22), else
+            # BITMAPINFOHEADER-family (32-bit signed dims; negative
+            # height = top-down row order)
+            dib = struct.unpack("<I", b[14:18])[0]
+            if dib == 12:
+                w, h = struct.unpack("<HH", b[18:22])
+            elif len(b) >= 26:
+                w, h = struct.unpack("<ii", b[18:26])
+            else:
+                return None
+            return _checked("bmp", w, abs(h))
         if b[:2] == b"P6":
-            toks = _ppm_header_tokens(b)
-            if toks is not None:
-                return {"format": "ppm", "width": toks[0], "height": toks[1]}
-            return None
-        return _sniff_jpeg(b)
+            (w, h), _ = _ppm_header(b, 2, limit=4096)
+            return _checked("ppm", w, h)
+        m = _sniff_jpeg(b)
+        return _checked("jpeg", m["width"], m["height"]) if m else None
     except Exception:
         return None
-
-
-def _ppm_header_tokens(b: bytes) -> tuple[int, int] | None:
-    """width/height from a P6 header: whitespace-separated tokens with
-    '#' comments (Netpbm spec), scanning a bounded prefix."""
-    i, toks = 2, []
-    head = b[: min(len(b), 4096)]
-    while i < len(head) and len(toks) < 2:
-        c = head[i : i + 1]
-        if c == b"#":
-            nl = head.find(b"\n", i)
-            if nl < 0:
-                return None
-            i = nl + 1
-        elif c.isspace():
-            i += 1
-        else:
-            j = i
-            while j < len(head) and not head[j : j + 1].isspace():
-                j += 1
-            tok = head[i:j]
-            if not tok.isdigit():
-                return None
-            toks.append(int(tok))
-            i = j
-    return (toks[0], toks[1]) if len(toks) == 2 else None

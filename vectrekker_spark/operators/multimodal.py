@@ -300,8 +300,13 @@ def image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         )
 
     tmp = "__img_meta"
-    if tmp in df.columns:
-        raise ValueError(f"input already has column {tmp!r} — rename it")
+    clash = {tmp, "img_format", "img_width", "img_height"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename them "
+            f"(image_meta writes img_format/img_width/img_height and would "
+            f"silently overwrite)"
+        )
     out = df.withColumn(tmp, sniff(F.col(content_col)))
     return (
         out.withColumn("img_format", F.col(f"{tmp}.format"))

@@ -18,6 +18,8 @@ surface; north-star training-pipeline addition.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -217,12 +219,14 @@ def profile_diff(
     array naming every breached gate, so an ingestion pipeline can assert
     ``diff.filter(size(flags) > 0).isEmpty()`` before shipping a batch.
 
-    Gates: ``dtype_changed``; ``null_frac_jump`` (absolute increase above
-    the threshold — a feed silently going null-heavy); ``distinct_ratio``
-    outside the band (cardinality collapse/explosion; the band default is
-    generous to HLL error, widen it for low-count columns);
-    ``mean_shift`` beyond N old-stddevs (distribution moved). Columns only
-    in one profile are ``added``/``removed``. Pure driver-side math over
+    Gates: ``dtype_changed``; ``null_frac_jump`` / ``null_frac_drop``
+    (null fraction moved more than the threshold in either direction — a
+    feed going dark OR coming alive); ``distinct_ratio`` outside the band
+    (cardinality collapse/explosion, including from/to zero; the band
+    default is generous to HLL error, widen it for low-count columns);
+    ``mean_shift`` beyond N old-stddevs (infinite sigmas when the old
+    column was constant — the gate must not go blind on constant history).
+    Columns only in one profile are ``added``/``removed``. Pure driver-side math over
     the two tiny profiles — no scan of the data itself."""
     lo, hi = distinct_ratio_band
     if not (0 < lo <= hi):
@@ -252,19 +256,26 @@ def profile_diff(
         nf_delta = b["null_frac"] - a["null_frac"]
         if nf_delta > null_frac_jump:
             flags.append("null_frac_jump")
+        if -nf_delta > null_frac_jump:
+            # a column coming ALIVE (all-null feed starts populating) is as
+            # much a feed change as one going dark — without this, the
+            # 100%-null → fully-populated case sailed through unflagged
+            flags.append("null_frac_drop")
         ratio = None
         if a["approx_distinct"] is not None and b["approx_distinct"] is not None:
             ratio = b["approx_distinct"] / max(a["approx_distinct"], 1)
-            if a["approx_distinct"] > 0 and not (lo <= ratio <= hi):
+            if not (lo <= ratio <= hi) and (a["approx_distinct"] > 0 or b["approx_distinct"] > 0):
                 flags.append("distinct_ratio")
         shift = None
-        if (
-            a["mean"] is not None
-            and b["mean"] is not None
-            and a["stddev"] is not None
-            and a["stddev"] > 0
-        ):
-            shift = abs(b["mean"] - a["mean"]) / a["stddev"]
+        if a["mean"] is not None and b["mean"] is not None:
+            sd = a["stddev"]
+            if sd is not None and sd > 0 and not math.isnan(sd):
+                shift = abs(b["mean"] - a["mean"]) / sd
+            else:
+                # constant/single-row history: ANY mean change is infinite
+                # sigmas — the gate must not go blind exactly when the old
+                # column never varied
+                shift = 0.0 if b["mean"] == a["mean"] else math.inf
             if shift > mean_shift_max_sigmas:
                 flags.append("mean_shift")
         rows.append(
