@@ -114,3 +114,54 @@ def test_unsupported_wav_encodings_skip_not_garbage(spark):
     ids = {r["media_id"] for r in rows}
     assert 1 not in ids  # unsupported WAV: skipped, no fabricated features
     assert sum(1 for r in rows if r["media_id"] == 2) == 4  # raw path intact
+
+
+# --- header sniffing --------------------------------------------------------
+
+
+def test_sniff_wav_meta_reports_params():
+    from vectrekker_spark.functions.audiocodec import sniff_wav_meta
+
+    samples = np.zeros((100, 2), dtype=np.int16)
+    m = sniff_wav_meta(make_wav(samples, rate=8000))
+    assert m == {
+        "format_tag": 1, "n_channels": 2, "sample_rate": 8000, "bits": 16,
+        "data_bytes": 400, "duration_sec": pytest.approx(100 / 8000),
+    }
+    # non-PCM / non-16-bit files are REPORTED, not errored (parse_wav would
+    # raise on both) — the inventory must see what they are
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(float_fmt) + 8 + 8)
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(float_fmt)) + float_fmt
+           + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    m = sniff_wav_meta(wav)
+    assert (m["format_tag"], m["bits"], m["sample_rate"]) == (3, 32, 44100)
+    assert m["duration_sec"] == pytest.approx(8 / (44100 * 4))
+
+
+def test_sniff_wav_meta_clamps_truncated_data():
+    from vectrekker_spark.functions.audiocodec import sniff_wav_meta
+
+    wav = make_wav(np.zeros((100, 1), dtype=np.int16))
+    cut = wav[:-100]  # declared data length now exceeds the payload
+    m = sniff_wav_meta(cut)
+    assert m is not None and m["data_bytes"] == 200 - 100
+
+
+def test_sniff_wav_meta_never_raises_and_is_bounded():
+    import random
+    import time
+
+    from vectrekker_spark.functions.audiocodec import sniff_wav_meta
+
+    rng = random.Random(7)
+    for _ in range(200):
+        sniff_wav_meta(bytes(rng.randrange(256) for _ in range(rng.randrange(48))))
+    wav = make_wav(np.zeros((10, 1), dtype=np.int16))
+    for cut in range(len(wav)):
+        sniff_wav_meta(wav[:cut])
+    # a bomb of millions of zero-length chunks must return fast (chunk cap)
+    bomb = b"RIFF" + struct.pack("<I", 4) + b"WAVE" + b"\x00" * (32 << 20)
+    t0 = time.time()
+    assert sniff_wav_meta(bomb) is None
+    assert time.time() - t0 < 1.0

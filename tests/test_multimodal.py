@@ -244,3 +244,34 @@ def test_image_meta_refuses_output_column_clash(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], "media_id long, content binary")
     with pytest.raises(ValueError, match="img_width"):
         image_meta(df.withColumn("img_width", F.lit(1)))
+
+
+def test_audio_meta_operator(spark):
+    import struct as _struct
+
+    import numpy as np
+
+    from vectrekker_spark.operators.multimodal import audio_meta
+
+    def wav_bytes(frames, ch, rate):
+        samples = np.zeros((frames, ch), dtype=np.int16)
+        data = samples.tobytes()
+        fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * 2 * ch, 2 * ch, 16)
+        chunks = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + _struct.pack("<I", len(data)) + data)
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rows = [
+        (1, bytearray(wav_bytes(1600, 1, 16000))),
+        (2, bytearray(b"not audio")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in audio_meta(df).collect()}
+    assert got[1]["aud_rate"] == 16000 and got[1]["aud_channels"] == 1
+    assert got[1]["aud_duration"] == pytest.approx(0.1)
+    assert got[2]["aud_rate"] is None and got[3]["aud_rate"] is None
+    from pyspark.sql import functions as FF
+
+    with pytest.raises(ValueError, match="aud_rate"):
+        audio_meta(df.withColumn("aud_rate", FF.lit(1)))

@@ -89,3 +89,62 @@ def wav_mono_f64(content: bytes) -> np.ndarray | None:
     except (ValueError, struct.error):
         return None
     return (samples.astype(np.float64) / 32768.0).mean(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Header sniffing — format parameters + duration WITHOUT touching sample
+# data, the audio counterpart of imagecodec.sniff_image_meta: inventory a
+# mixed corpus (rate/channel/duration distributions, non-PCM detection) at
+# header cost. Unlike parse_wav this REPORTS non-PCM/non-16-bit files
+# (format_tag/bits tell the caller what they are) instead of raising.
+
+# chunk-walk bound: real WAVs carry a handful of chunks; a hostile blob of
+# millions of zero-length chunks must not cost O(payload/8) iterations
+_MAX_CHUNKS = 256
+
+
+def sniff_wav_meta(content: bytes) -> dict | None:
+    """(format_tag, n_channels, sample_rate, bits, data_bytes,
+    duration_sec) from the RIFF chunk headers alone. ``duration_sec`` is
+    computed from the declared data length and fmt parameters (None when
+    they don't define a positive frame size). Returns None for non-WAV,
+    truncated-before-fmt, or nonsense-parameter payloads; never raises on
+    arbitrary bytes (fuzz-tested)."""
+    b = content or b""
+    try:
+        if not is_wav(b):
+            return None
+        pos, fmt, data_len = 12, None, None
+        for _ in range(_MAX_CHUNKS):
+            if pos + 8 > len(b):
+                break
+            ctype = b[pos : pos + 4]
+            (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            if ctype == b"fmt " and length >= 16 and pos + 24 <= len(b):
+                fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+            elif ctype == b"data":
+                # header truth, clamped to what the payload actually holds
+                # (a truncated upload must not claim its declared length)
+                data_len = min(length, max(0, len(b) - pos - 8))
+            pos += 8 + length + (length & 1)
+        if fmt is None:
+            return None
+        tag, n_ch, rate, _byte_rate, _align, bits = fmt
+        if n_ch == 0 or rate == 0:
+            return None
+        frame_bytes = n_ch * (bits // 8) if bits >= 8 else 0
+        duration = (
+            (data_len / (rate * frame_bytes))
+            if data_len is not None and frame_bytes > 0
+            else None
+        )
+        return {
+            "format_tag": tag,
+            "n_channels": n_ch,
+            "sample_rate": rate,
+            "bits": bits,
+            "data_bytes": data_len,
+            "duration_sec": duration,
+        }
+    except Exception:
+        return None

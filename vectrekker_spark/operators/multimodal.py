@@ -314,3 +314,60 @@ def image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         .withColumn("img_height", F.col(f"{tmp}.height"))
         .drop(tmp)
     )
+
+
+AUDIO_META_SCHEMA = (
+    "format_tag int, n_channels int, sample_rate int, bits int, "
+    "data_bytes long, duration_sec double"
+)
+
+
+def audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach WAV header parameters (functions/audiocodec.sniff_wav_meta)
+    as aud_format_tag / aud_channels / aud_rate / aud_bits / aud_bytes /
+    aud_duration — header-read cost, sample data untouched. Non-WAV,
+    corrupt, and NULL payloads yield NULLs; non-PCM and non-16-bit WAVs
+    are REPORTED (the tag/bits columns say what they are) rather than
+    errored, so a corpus inventory sees them."""
+    from pyspark.sql.functions import pandas_udf
+
+    from vectrekker_spark.functions.audiocodec import sniff_wav_meta
+
+    out_cols = {
+        "aud_format_tag": "format_tag",
+        "aud_channels": "n_channels",
+        "aud_rate": "sample_rate",
+        "aud_bits": "bits",
+        "aud_bytes": "data_bytes",
+        "aud_duration": "duration_sec",
+    }
+    tmp = "__aud_meta"
+    clash = ({tmp} | set(out_cols)) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename them "
+            f"(audio_meta writes {sorted(out_cols)} and would overwrite)"
+        )
+
+    @pandas_udf(AUDIO_META_SCHEMA)
+    def sniff(content: pd.Series) -> pd.DataFrame:
+        metas = [sniff_wav_meta(c) if c is not None else None for c in content]
+
+        def col(name, dtype):
+            return pd.array([m[name] if m else None for m in metas], dtype=dtype)
+
+        return pd.DataFrame(
+            {
+                "format_tag": col("format_tag", "Int32"),
+                "n_channels": col("n_channels", "Int32"),
+                "sample_rate": col("sample_rate", "Int32"),
+                "bits": col("bits", "Int32"),
+                "data_bytes": col("data_bytes", "Int64"),
+                "duration_sec": col("duration_sec", "Float64"),
+            }
+        )
+
+    out = df.withColumn(tmp, sniff(F.col(content_col)))
+    for out_name, field in out_cols.items():
+        out = out.withColumn(out_name, F.col(f"{tmp}.{field}"))
+    return out.drop(tmp)
