@@ -136,3 +136,101 @@ def heavy_hitters(
     return sorted(
         [(t, c) for t, c in est if c >= min_count], key=lambda x: (-x[1], x[0])
     )
+
+
+def top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    local_candidates: int = 1024,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> list[tuple[str, int]]:
+    """Approximate global top-k tokens in ONE pass over the data.
+
+    The missing half of the sketch story: `heavy_hitters` scores a
+    caller-supplied candidate list, but at 100 TB nobody HAS that list.
+    Here each partition's Arrow kernel emits BOTH its Count-Min partial
+    and its local exact top-``local_candidates`` tokens; the driver merges
+    the matrices (int64 monoid fold), unions the candidate sets, and
+    ranks candidates by their CM estimate.
+
+    Guarantees and their limits: estimates are CM upper bounds over the
+    FULL stream (never under the true count, over by ≤ ε·N w.h.p.) — the
+    candidate tracker never affects them. Candidate membership: the
+    per-partition tracker holds at most 128 × local_candidates counters
+    (lossy top-count pruning when it doubles past that), so a partition's
+    local vocabulary never OOMs a task; a token can only fall out of
+    candidacy if its running count is outside the top ~128·C at a prune
+    point, which a global heavy hitter — locally heavy in at least one
+    partition — is not. Rank order in the far tail is best-effort.
+    Movement: P × (depth·width·8 + local top-C) bytes — KBs per
+    partition, no token-stream shuffle at all (an exact groupBy-count's
+    shuffle is bounded by vocabulary size, which partial aggregation
+    usually tames; this path exists for when even the vocabulary is too
+    hot — n-gram streams, adversarial key floods).
+
+    Returns [(token, estimated_count)] sorted by estimate desc, then token.
+    """
+    if k < 1 or local_candidates < k:
+        raise ValueError(
+            f"need local_candidates >= k >= 1, got k={k}, "
+            f"local_candidates={local_candidates}"
+        )
+    from vectrekker_spark.functions.pytokens import java_words
+
+    prune_cap = local_candidates * 128
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = np.zeros((depth, width), dtype=np.int64)
+        counts: dict[str, int] = {}
+        cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            toks: list[str] = []
+            for text in pdf[text_col]:
+                toks.extend(java_words(text or ""))
+            if not toks:
+                continue
+            uniq, ucnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            cells = np.empty((depth, len(uniq)), dtype=np.int64)
+            for i, tok in enumerate(uniq):
+                cached = cache.get(tok)
+                if cached is None:
+                    cached = np.array(
+                        [_cell(tok, d, width) for d in range(depth)], dtype=np.int64
+                    )
+                    cache[tok] = cached
+                cells[:, i] = cached
+                counts[tok] = counts.get(tok, 0) + int(ucnt[i])
+            for d in range(depth):
+                m[d] += np.bincount(
+                    cells[d], weights=ucnt, minlength=width
+                ).astype(np.int64)
+            if len(counts) > 2 * prune_cap:
+                counts = dict(
+                    sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:prune_cap]
+                )
+                # the hash-cell memo grows with vocabulary too — shed the
+                # entries whose tokens just fell out of candidacy
+                cache = {t: v for t, v in cache.items() if t in counts}
+        top = sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:local_candidates]
+        yield pd.DataFrame(
+            {
+                "d": list(range(depth)) + [None] * len(top),
+                "cells": [m[d].tolist() for d in range(depth)] + [None] * len(top),
+                "token": [None] * depth + [t for t, _ in top],
+            }
+        )
+
+    rows = df.select(text_col).mapInPandas(
+        gen, schema="d int, cells array<long>, token string"
+    ).collect()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    candidates: set[str] = set()
+    for r in rows:
+        if r["d"] is not None:
+            merged[r["d"]] += np.asarray(r["cells"], dtype=np.int64)
+        elif r["token"] is not None:
+            candidates.add(r["token"])
+    est = [(t, estimate(merged, t)) for t in candidates]
+    return sorted(est, key=lambda x: (-x[1], x[0]))[:k]
