@@ -165,3 +165,21 @@ def test_sniff_wav_meta_never_raises_and_is_bounded():
     t0 = time.time()
     assert sniff_wav_meta(bomb) is None
     assert time.time() - t0 < 1.0
+
+
+def test_sniff_wav_rejects_out_of_int32_rate_and_uses_byte_rate():
+    from vectrekker_spark.functions.audiocodec import sniff_wav_meta
+
+    hostile = struct.pack("<HHIIHH", 1, 1, 0xFFFFFFFF, 4, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(hostile)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(hostile)) + hostile)
+    assert sniff_wav_meta(wav) is None  # would crash Int32 columns downstream
+
+    # 12-bit PCM with 2-byte block align: duration comes from byte_rate
+    # (the spec's definition), not bits//8 frame math
+    f12 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 12)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(f12) + 8 + 3200) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(f12)) + f12
+           + b"data" + struct.pack("<I", 3200) + b"\x00" * 3200)
+    m = sniff_wav_meta(wav)
+    assert m["duration_sec"] == pytest.approx(3200 / 16000)

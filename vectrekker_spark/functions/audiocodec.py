@@ -129,13 +129,18 @@ def sniff_wav_meta(content: bytes) -> dict | None:
             pos += 8 + length + (length & 1)
         if fmt is None:
             return None
-        tag, n_ch, rate, _byte_rate, _align, bits = fmt
-        if n_ch == 0 or rate == 0:
+        tag, n_ch, rate, byte_rate, _align, bits = fmt
+        # rate is a uint32 field: values past int32 are hostile/corrupt and
+        # would crash the Int32 meta columns downstream (the imagecodec
+        # _checked lesson) — reject, don't propagate
+        if n_ch == 0 or rate == 0 or rate > 0x7FFFFFFF:
             return None
-        frame_bytes = n_ch * (bits // 8) if bits >= 8 else 0
+        # duration from the declared average byte rate — the spec's own
+        # definition, correct for non-byte-aligned bit depths AND for
+        # compressed tags where bits//8-based frame math is meaningless
         duration = (
-            (data_len / (rate * frame_bytes))
-            if data_len is not None and frame_bytes > 0
+            (data_len / byte_rate)
+            if data_len is not None and 0 < byte_rate <= 0x7FFFFFFF
             else None
         )
         return {

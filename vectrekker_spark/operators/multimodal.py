@@ -272,6 +272,46 @@ def frame_sample_plan(
 IMAGE_META_SCHEMA = "format string, width int, height int"
 
 
+def _attach_meta(
+    df: DataFrame,
+    content_col: str,
+    sniff_fn,
+    udf_schema: str,
+    field_dtypes: dict,
+    out_cols: dict,
+    tmp: str,
+    op_name: str,
+) -> DataFrame:
+    """The ONE header-sniffing operator scaffold (image_meta and
+    audio_meta share it — the clash guard, temp-struct attach, and column
+    fan-out must behave identically across *_meta operators): sniff each
+    payload with ``sniff_fn`` (None-safe), build the struct column, explode
+    it into ``out_cols`` (output name → struct field), refuse to overwrite
+    any caller column."""
+    from pyspark.sql.functions import pandas_udf
+
+    clash = ({tmp} | set(out_cols)) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename them "
+            f"({op_name} writes {sorted(out_cols)} and would overwrite)"
+        )
+
+    @pandas_udf(udf_schema)
+    def sniff(content: pd.Series) -> pd.DataFrame:
+        metas = [sniff_fn(c) if c is not None else None for c in content]
+        cols = {}
+        for field, dt in field_dtypes.items():
+            vals = [m[field] if m else None for m in metas]
+            cols[field] = pd.array(vals, dtype=dt) if dt else vals
+        return pd.DataFrame(cols)
+
+    out = df.withColumn(tmp, sniff(F.col(content_col)))
+    for out_name, field in out_cols.items():
+        out = out.withColumn(out_name, F.col(f"{tmp}.{field}"))
+    return out.drop(tmp)
+
+
 def image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Attach (img_format, img_width, img_height) sniffed from container
     headers — no decode, no media library (functions/imagecodec
@@ -280,39 +320,17 @@ def image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     mixed 100 TB corpus can be inventoried (format mix, resolution and
     aspect-ratio distributions, tiny-image filters) at header-read cost in
     one narrow Arrow pass."""
-    from pyspark.sql.functions import pandas_udf
-
     from vectrekker_spark.functions.imagecodec import sniff_image_meta
 
-    @pandas_udf(IMAGE_META_SCHEMA)
-    def sniff(content: pd.Series) -> pd.DataFrame:
-        metas = [sniff_image_meta(c) if c is not None else None for c in content]
-        return pd.DataFrame(
-            {
-                "format": [m["format"] if m else None for m in metas],
-                "width": pd.array(
-                    [m["width"] if m else None for m in metas], dtype="Int32"
-                ),
-                "height": pd.array(
-                    [m["height"] if m else None for m in metas], dtype="Int32"
-                ),
-            }
-        )
-
-    tmp = "__img_meta"
-    clash = {tmp, "img_format", "img_width", "img_height"} & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"input already has column(s) {sorted(clash)} — rename them "
-            f"(image_meta writes img_format/img_width/img_height and would "
-            f"silently overwrite)"
-        )
-    out = df.withColumn(tmp, sniff(F.col(content_col)))
-    return (
-        out.withColumn("img_format", F.col(f"{tmp}.format"))
-        .withColumn("img_width", F.col(f"{tmp}.width"))
-        .withColumn("img_height", F.col(f"{tmp}.height"))
-        .drop(tmp)
+    return _attach_meta(
+        df,
+        content_col,
+        sniff_image_meta,
+        IMAGE_META_SCHEMA,
+        {"format": None, "width": "Int32", "height": "Int32"},
+        {"img_format": "format", "img_width": "width", "img_height": "height"},
+        "__img_meta",
+        "image_meta",
     )
 
 
@@ -329,45 +347,29 @@ def audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     corrupt, and NULL payloads yield NULLs; non-PCM and non-16-bit WAVs
     are REPORTED (the tag/bits columns say what they are) rather than
     errored, so a corpus inventory sees them."""
-    from pyspark.sql.functions import pandas_udf
-
     from vectrekker_spark.functions.audiocodec import sniff_wav_meta
 
-    out_cols = {
-        "aud_format_tag": "format_tag",
-        "aud_channels": "n_channels",
-        "aud_rate": "sample_rate",
-        "aud_bits": "bits",
-        "aud_bytes": "data_bytes",
-        "aud_duration": "duration_sec",
-    }
-    tmp = "__aud_meta"
-    clash = ({tmp} | set(out_cols)) & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"input already has column(s) {sorted(clash)} — rename them "
-            f"(audio_meta writes {sorted(out_cols)} and would overwrite)"
-        )
-
-    @pandas_udf(AUDIO_META_SCHEMA)
-    def sniff(content: pd.Series) -> pd.DataFrame:
-        metas = [sniff_wav_meta(c) if c is not None else None for c in content]
-
-        def col(name, dtype):
-            return pd.array([m[name] if m else None for m in metas], dtype=dtype)
-
-        return pd.DataFrame(
-            {
-                "format_tag": col("format_tag", "Int32"),
-                "n_channels": col("n_channels", "Int32"),
-                "sample_rate": col("sample_rate", "Int32"),
-                "bits": col("bits", "Int32"),
-                "data_bytes": col("data_bytes", "Int64"),
-                "duration_sec": col("duration_sec", "Float64"),
-            }
-        )
-
-    out = df.withColumn(tmp, sniff(F.col(content_col)))
-    for out_name, field in out_cols.items():
-        out = out.withColumn(out_name, F.col(f"{tmp}.{field}"))
-    return out.drop(tmp)
+    return _attach_meta(
+        df,
+        content_col,
+        sniff_wav_meta,
+        AUDIO_META_SCHEMA,
+        {
+            "format_tag": "Int32",
+            "n_channels": "Int32",
+            "sample_rate": "Int32",
+            "bits": "Int32",
+            "data_bytes": "Int64",
+            "duration_sec": "Float64",
+        },
+        {
+            "aud_format_tag": "format_tag",
+            "aud_channels": "n_channels",
+            "aud_rate": "sample_rate",
+            "aud_bits": "bits",
+            "aud_bytes": "data_bytes",
+            "aud_duration": "duration_sec",
+        },
+        "__aud_meta",
+        "audio_meta",
+    )

@@ -42,6 +42,30 @@ def _cell(token: str, d: int, width: int = WIDTH) -> int:
     return int(h[:8], 16) % width
 
 
+def _accumulate_batch(
+    m: np.ndarray, toks: list, cache: dict, depth: int, width: int
+):
+    """Fold one batch's token list into the local CM matrix — the ONE
+    per-batch kernel (build_sketch and top_tokens both call it; two
+    copies of the unique/memo/bincount dance would drift). Returns the
+    (uniq, counts) pair so callers can extend their own trackers."""
+    uniq, ucnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    cells = np.empty((depth, len(uniq)), dtype=np.int64)
+    for i, tok in enumerate(uniq):
+        cached = cache.get(tok)
+        if cached is None:
+            cached = np.array(
+                [_cell(tok, d, width) for d in range(depth)], dtype=np.int64
+            )
+            cache[tok] = cached
+        cells[:, i] = cached
+    for d in range(depth):
+        # int-valued float64 bincount is exact below 2^53 — far above any
+        # per-partition token count
+        m[d] += np.bincount(cells[d], weights=ucnt, minlength=width).astype(np.int64)
+    return uniq, ucnt
+
+
 def build_sketch(
     df: DataFrame,
     text_col: str = "text",
@@ -83,22 +107,7 @@ def build_sketch(
                 toks.extend(java_words(text or ""))
             if not toks:
                 continue
-            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            cells = np.empty((depth, len(uniq)), dtype=np.int64)
-            for i, tok in enumerate(uniq):
-                cached = cache.get(tok)
-                if cached is None:
-                    cached = np.array(
-                        [_cell(tok, d, width) for d in range(depth)], dtype=np.int64
-                    )
-                    cache[tok] = cached
-                cells[:, i] = cached
-            for d in range(depth):
-                # int-valued float64 bincount is exact below 2^53 — far above
-                # any per-partition token count
-                m[d] += np.bincount(
-                    cells[d], weights=counts, minlength=width
-                ).astype(np.int64)
+            _accumulate_batch(m, toks, cache, depth, width)
         yield pd.DataFrame(
             {"d": list(range(depth)), "cells": [m[d].tolist() for d in range(depth)]}
         )
@@ -158,12 +167,13 @@ def top_tokens(
     Guarantees and their limits: estimates are CM upper bounds over the
     FULL stream (never under the true count, over by ≤ ε·N w.h.p.) — the
     candidate tracker never affects them. Candidate membership: the
-    per-partition tracker holds at most 128 × local_candidates counters
-    (lossy top-count pruning when it doubles past that), so a partition's
-    local vocabulary never OOMs a task; a token can only fall out of
-    candidacy if its running count is outside the top ~128·C at a prune
-    point, which a global heavy hitter — locally heavy in at least one
-    partition — is not. Rank order in the far tail is best-effort.
+    per-partition tracker is pruned back to 128 × local_candidates
+    counters whenever it doubles past that (peak residency ≈ 256·C
+    counters plus one batch's uniques — size executors to the PEAK), so a
+    partition's local vocabulary never OOMs a task; a token can only fall
+    out of candidacy if its running count is outside the top ~128·C at a
+    prune point, which a global heavy hitter — locally heavy in at least
+    one partition — is not. Rank order in the far tail is best-effort.
     Movement: P × (depth·width·8 + local top-C) bytes — KBs per
     partition, no token-stream shuffle at all (an exact groupBy-count's
     shuffle is bounded by vocabulary size, which partial aggregation
@@ -177,6 +187,8 @@ def top_tokens(
             f"need local_candidates >= k >= 1, got k={k}, "
             f"local_candidates={local_candidates}"
         )
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
     from vectrekker_spark.functions.pytokens import java_words
 
     prune_cap = local_candidates * 128
@@ -191,21 +203,9 @@ def top_tokens(
                 toks.extend(java_words(text or ""))
             if not toks:
                 continue
-            uniq, ucnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            cells = np.empty((depth, len(uniq)), dtype=np.int64)
+            uniq, ucnt = _accumulate_batch(m, toks, cache, depth, width)
             for i, tok in enumerate(uniq):
-                cached = cache.get(tok)
-                if cached is None:
-                    cached = np.array(
-                        [_cell(tok, d, width) for d in range(depth)], dtype=np.int64
-                    )
-                    cache[tok] = cached
-                cells[:, i] = cached
                 counts[tok] = counts.get(tok, 0) + int(ucnt[i])
-            for d in range(depth):
-                m[d] += np.bincount(
-                    cells[d], weights=ucnt, minlength=width
-                ).astype(np.int64)
             if len(counts) > 2 * prune_cap:
                 counts = dict(
                     sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:prune_cap]
