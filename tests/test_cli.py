@@ -329,7 +329,7 @@ def test_bloom_build_and_curate_decontaminate(tmp_path, capsys, spark, sf_dir):
     rc = main(["bloom-build", "--bench", bench_path, "--out", bloom_dir])
     out = capsys.readouterr().out
     assert rc == 0
-    assert "bloom:" in out and "estimated fpp" in out
+    assert "bloom[shingles]:" in out and "estimated fpp" in out
     # flag validation fails fast, before any Spark work
     assert main(["bloom-build", "--bench", bench_path, "--out", bloom_dir,
                  "--fpp", "2.0"]) == 2
@@ -377,3 +377,27 @@ def test_profile_command(tmp_path, capsys, spark, sf_dir):
     prof = json.load(open(out_json))
     assert {p["column"] for p in prof} == {"doc_id", "text"}
     assert all(p["n_rows"] > 0 for p in prof)
+
+
+def test_bloom_build_content_kind(tmp_path, capsys, spark, sf_dir):
+    import pytest
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    bloom_dir = str(tmp_path / "cbloom")
+    rc = main(["bloom-build", "--bench", docs_path, "--out", bloom_dir,
+               "--kind", "content"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "bloom[content]:" in out and "doc(s)" in out
+    # a content bloom is usable for incremental exact dedup...
+    from vectrekker_spark.operators.bloom import bloom_load
+    from vectrekker_spark.operators.dedup import exact_dedup_against
+
+    bf = bloom_load(bloom_dir)
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    assert exact_dedup_against(docs, docs, history_bloom=bf).count() == \
+        docs.where("text IS NULL").count()
+    # ...but the decontamination gate refuses it at run START
+    with pytest.raises(ValueError, match="kind='content'"):
+        main(["curate", "--documents", docs_path, "--out", str(tmp_path / "z"),
+              "--bench-bloom", bloom_dir])
+    bf.release()

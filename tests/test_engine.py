@@ -168,3 +168,22 @@ def test_engine_span_dedup_sugar(spark, sf_dir):
     assert stripped._cached_grams.storageLevel.useMemory
     Engine.release_spans(stripped)
     assert not stripped._cached_grams.storageLevel.useMemory
+
+
+def test_engine_profiling_and_sketch_sugar(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, sf_dir)
+    docs = eng.table("documents")
+    prof = eng.profile(docs, columns=["doc_id", "text"])
+    assert {r["column"] for r in prof.collect()} == {"doc_id", "text"}
+    diff = eng.profile_diff(prof, prof)
+    assert all(r["status"] == "ok" for r in diff.collect())
+    top = eng.top_tokens(docs, k=3)
+    assert len(top) == 3 and all(c > 0 for _, c in top)
+    media = docs.limit(5).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    assert eng.image_meta(media).count() == 5
+    assert eng.audio_meta(media).count() == 5

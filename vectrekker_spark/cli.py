@@ -361,8 +361,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
 
 
 def cmd_bloom_build(args: argparse.Namespace) -> int:
-    """Build + save a benchmark-shingle bloom for later zero-shuffle
-    decontamination runs (curate --bench-bloom)."""
+    """Build + save a bloom filter: --kind shingles (benchmark shingles,
+    for curate --bench-bloom decontamination) or --kind content (whole-text
+    content bloom, for exact_dedup_against's history prefilter)."""
     if not (0.0 < args.fpp < 1.0):
         print("error: --fpp must be in (0, 1)")
         return 2
@@ -373,21 +374,31 @@ def cmd_bloom_build(args: argparse.Namespace) -> int:
         print("error: --expected must be >= 1 (or omit it to count)")
         return 2
     from vectrekker_spark.operators.bloom import bloom_save
-    from vectrekker_spark.operators.decontaminate import benchmark_bloom
 
     spark = _spark()
     bench = spark.read.parquet(args.bench)
-    bf = benchmark_bloom(
-        bench,
-        text_col=args.text_col,
-        k=args.shingle_k,
-        fpp=args.fpp,
-        expected_shingles=args.expected,
-    )
+    if args.kind == "content":
+        from vectrekker_spark.operators.dedup import content_bloom
+
+        bf = content_bloom(
+            bench, text_col=args.text_col, fpp=args.fpp, expected=args.expected
+        )
+        unit = "doc(s)"
+    else:
+        from vectrekker_spark.operators.decontaminate import benchmark_bloom
+
+        bf = benchmark_bloom(
+            bench,
+            text_col=args.text_col,
+            k=args.shingle_k,
+            fpp=args.fpp,
+            expected_shingles=args.expected,
+        )
+        unit = "shingle(s)"
     bloom_save(bf, args.out)
     print(
-        f"bloom: {bf.m_bits} bits ({bf.m_bits // 8} bytes), k={bf.k}, "
-        f"{bf.n_items if bf.n_items is not None else '?'} shingle(s), "
+        f"bloom[{args.kind}]: {bf.m_bits} bits ({bf.m_bits // 8} bytes), "
+        f"k={bf.k}, {bf.n_items if bf.n_items is not None else '?'} {unit}, "
         f"estimated fpp {bf.estimated_fpp():.2e} -> {args.out}"
     )
     return 0
@@ -603,6 +614,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     bb.add_argument("--bench", required=True, help="benchmark documents parquet")
     bb.add_argument("--out", required=True, help="output bloom directory")
+    bb.add_argument(
+        "--kind", choices=("shingles", "content"), default="shingles",
+        help="shingles: decontamination filter (curate --bench-bloom); "
+        "content: whole-text filter for incremental exact dedup",
+    )
     bb.add_argument("--text-col", default="text")
     bb.add_argument("--shingle-k", type=int, default=3)
     bb.add_argument("--fpp", type=float, default=0.001)

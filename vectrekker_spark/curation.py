@@ -107,6 +107,13 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 f"drops every document"
             )
         bench_bloom = bloom_load(cfg.bench_bloom_path)
+        kind = bench_bloom.attrs.get("kind")
+        if kind is not None and kind != "shingles":
+            raise ValueError(
+                f"benchmark bloom at {cfg.bench_bloom_path} has provenance "
+                f"kind={kind!r}, not a shingle filter — the decontamination "
+                f"gate would match nothing (bloom-build --kind shingles)"
+            )
         built_k = bench_bloom.attrs.get("shingle_k")
         if built_k is not None and built_k != cfg.decontaminate_shingle_k:
             raise ValueError(

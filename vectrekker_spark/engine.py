@@ -151,6 +151,35 @@ class Engine:
 
         return profile_table(df, **kw)
 
+    def profile_diff(self, old: DataFrame, new: DataFrame, **kw) -> DataFrame:
+        """Drift gates between two profile snapshots
+        (operators/profile.profile_diff)."""
+        from vectrekker_spark.operators.profile import profile_diff
+
+        return profile_diff(old, new, **kw)
+
+    def top_tokens(self, df: DataFrame, k: int = 20, **kw):
+        """One-pass approximate global top-k tokens
+        (operators/sketch.top_tokens): local candidates + Count-Min
+        estimates, no token-stream shuffle."""
+        from vectrekker_spark.operators.sketch import top_tokens
+
+        return top_tokens(df, k=k, **kw)
+
+    def image_meta(self, df: DataFrame, **kw) -> DataFrame:
+        """Header-cost image inventory columns
+        (operators/multimodal.image_meta)."""
+        from vectrekker_spark.operators.multimodal import image_meta
+
+        return image_meta(df, **kw)
+
+    def audio_meta(self, df: DataFrame, **kw) -> DataFrame:
+        """Header-cost WAV inventory columns
+        (operators/multimodal.audio_meta)."""
+        from vectrekker_spark.operators.multimodal import audio_meta
+
+        return audio_meta(df, **kw)
+
     def benchmark_bloom(self, bench: DataFrame, **kw):
         """Compress a benchmark set's shingles into a broadcastable
         BloomFilter (operators/decontaminate.benchmark_bloom); persist it

@@ -174,6 +174,13 @@ def decontaminate_bloom(
             f"max_shared must be >= 0, got {max_shared} — hit counts are "
             f"never negative, so this gate would drop EVERY document"
         )
+    kind = bench_bloom.attrs.get("kind")
+    if kind is not None and kind != "shingles":
+        raise ValueError(
+            f"bloom provenance kind={kind!r} is not a shingle filter — "
+            f"probing shingles against it matches nothing (build with "
+            f"benchmark_bloom / bloom-build --kind shingles)"
+        )
     built_k = bench_bloom.attrs.get("shingle_k")
     if built_k is not None and built_k != k:
         raise ValueError(
