@@ -394,8 +394,12 @@ def test_bloom_build_content_kind(tmp_path, capsys, spark, sf_dir):
 
     bf = bloom_load(bloom_dir)
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
-    assert exact_dedup_against(docs, docs, history_bloom=bf).count() == \
-        docs.where("text IS NULL").count()
+    deduped = exact_dedup_against(docs, docs, history_bloom=bf)
+    assert deduped.count() == docs.where("text IS NULL").count()
+    deduped._cached_probe.unpersist()
+    # --shingle-k is a shingles-mode dial; content mode refuses it fast
+    assert main(["bloom-build", "--bench", docs_path, "--out", bloom_dir,
+                 "--kind", "content", "--shingle-k", "5"]) == 2
     # ...but the decontamination gate refuses it at run START
     with pytest.raises(ValueError, match="kind='content'"):
         main(["curate", "--documents", docs_path, "--out", str(tmp_path / "z"),

@@ -325,3 +325,36 @@ def test_similarity_join_cross_frame_past_cap_raises(spark):
             left_id="vec_id", left_vec="embedding",
             right_id="vec_id", right_vec="embedding",
         )
+
+
+def test_blas_left_repartitions_only_when_compute_bound(spark):
+    """A compute-bound matmul must not inherit byte-based file packing:
+    past the 8 MB right-matrix gate the left side spreads to the session
+    parallelism (the sf1 q28 serialization bug); below it the plan keeps
+    its partitioning (bench-scale fixtures stay shuffle-free)."""
+    from vectrekker_spark.operators.knn import similarity_join_blas
+
+    dim = 64
+
+    def corpus(n):
+        rows = [
+            (i, [float((i * 7 + j) % 13 + 1) for j in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    big = corpus(17000)  # 17000 × 64 × 8 ≈ 8.3 MB > gate
+    out = similarity_join_blas(
+        big.coalesce(1), big, threshold=0.9999,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    )
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+    small = corpus(200)
+    out_small = similarity_join_blas(
+        small.coalesce(1), small, threshold=0.9999,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    )
+    assert out_small.rdd.getNumPartitions() == 1

@@ -367,8 +367,13 @@ def cmd_bloom_build(args: argparse.Namespace) -> int:
     if not (0.0 < args.fpp < 1.0):
         print("error: --fpp must be in (0, 1)")
         return 2
-    if args.shingle_k < 1:
+    if args.shingle_k is not None and args.shingle_k < 1:
         print("error: --shingle-k must be >= 1")
+        return 2
+    if args.kind == "content" and args.shingle_k is not None:
+        # fail fast rather than silently build a whole-text bloom the user
+        # thought was shingle-granular
+        print("error: --shingle-k only applies to --kind shingles")
         return 2
     if args.expected is not None and args.expected < 1:
         print("error: --expected must be >= 1 (or omit it to count)")
@@ -390,7 +395,7 @@ def cmd_bloom_build(args: argparse.Namespace) -> int:
         bf = benchmark_bloom(
             bench,
             text_col=args.text_col,
-            k=args.shingle_k,
+            k=args.shingle_k if args.shingle_k is not None else 3,
             fpp=args.fpp,
             expected_shingles=args.expected,
         )
@@ -609,10 +614,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     bb = sub.add_parser(
         "bloom-build",
-        help="compress a benchmark set's shingles into a saved bloom filter "
-        "for curate --bench-bloom",
+        help="compress a reference corpus into a saved bloom filter: "
+        "benchmark shingles for curate --bench-bloom, or whole-text "
+        "content for incremental exact dedup",
     )
-    bb.add_argument("--bench", required=True, help="benchmark documents parquet")
+    bb.add_argument("--bench", required=True, help="reference documents parquet")
     bb.add_argument("--out", required=True, help="output bloom directory")
     bb.add_argument(
         "--kind", choices=("shingles", "content"), default="shingles",
@@ -620,11 +626,16 @@ def build_parser() -> argparse.ArgumentParser:
         "content: whole-text filter for incremental exact dedup",
     )
     bb.add_argument("--text-col", default="text")
-    bb.add_argument("--shingle-k", type=int, default=3)
+    bb.add_argument(
+        "--shingle-k", type=int, default=None,
+        help="shingle size for --kind shingles (default 3); invalid with "
+        "--kind content",
+    )
     bb.add_argument("--fpp", type=float, default=0.001)
     bb.add_argument(
         "--expected", type=int, default=None,
-        help="expected distinct shingles (skips the sizing count job)",
+        help="expected item count — distinct shingles for --kind shingles, "
+        "rows for --kind content (skips the sizing count job)",
     )
     bb.set_defaults(fn=cmd_bloom_build)
 

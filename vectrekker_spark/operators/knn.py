@@ -258,9 +258,20 @@ def similarity_join_blas(
                 {"l_id": lid[li], "r_id": rid_[ri], "score": scores[li, ri]}
             )
 
-    return left.select(F.col(left_id), F.col(left_vec)).mapInPandas(
-        gen, schema=out_schema
-    )
+    lsel = left.select(F.col(left_id), F.col(left_vec))
+    # A compute-bound stage must be partitioned by COMPUTE, not bytes:
+    # Spark's file packing reads a ~35 MB corpus as 1-2 partitions
+    # (maxPartitionBytes), which would serialize an O(n_left·n_right·dim)
+    # matmul onto 1-2 Python workers — measured at sf1 (60k×60k×64) this
+    # was the whole 15-50 s cost of q28, with ~3 s once spread. Gate on
+    # the right matrix size (each left row costs n_right·dim mults): a
+    # small right side means trivial per-row compute, and the bench-scale
+    # fixtures stay on their shuffle-free plans.
+    if R.nbytes >= (8 << 20):
+        target = left.sparkSession.sparkContext.defaultParallelism
+        if lsel.rdd.getNumPartitions() < target:
+            lsel = lsel.repartition(target)
+    return lsel.mapInPandas(gen, schema=out_schema)
 
 
 def similarity_join_self_auto(
