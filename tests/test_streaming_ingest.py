@@ -260,3 +260,76 @@ def test_compact_near_dedup_corpus(spark, tmp_path):
     # idempotent: a second compact removes nothing and rewrites nothing
     out2 = compact_near_dedup_corpus(spark, str(corpus))
     assert out2 == {"docs_removed": 0, "bands_removed": 0}
+
+
+def test_streaming_exact_dedup_against_history(spark, tmp_path):
+    from vectrekker_spark.operators.bloom import bloom_load
+    from vectrekker_spark.streaming.jobs import foreach_batch_exact_dedup
+
+    a, b, c, d = (
+        "alpha document body one",
+        "beta document body two",
+        "gamma document body three",
+        "delta document body four",
+    )
+    src = tmp_path / "incoming_x"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus_x")
+    ckpt = str(tmp_path / "ckpt_x")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src / "*")
+        )
+        foreach_batch_exact_dedup(stream, corpus, ckpt).awaitTermination()
+
+    def corpus_rows():
+        df = spark.read.parquet(f"{corpus}/docs")
+        return sorted((r["doc_id"], r["text"]) for r in df.collect())
+
+    # batch 1: in-batch exact dup (id 2 repeats id 1's text) dropped,
+    # min id kept; null text survives
+    write_batch("b1", [(1, a), (2, a), (3, b), (4, None)])
+    run()
+    assert corpus_rows() == [(1, a), (3, b), (4, None)]
+    g0 = bloom_load(f"{corpus}/bloom")
+    assert g0.bits_set() > 0
+
+    # batch 2: id 5 repeats HISTORY doc 1 verbatim → dropped via the
+    # persisted bloom + verification; id 6 novel; null survives again
+    write_batch("b2", [(5, a), (6, c), (7, None)])
+    run()
+    assert corpus_rows() == [(1, a), (3, b), (4, None), (6, c), (7, None)]
+    assert bloom_load(f"{corpus}/bloom").bits_set() >= g0.bits_set()
+
+    # same checkpoint, no new files: nothing reprocessed
+    run()
+    assert len(corpus_rows()) == 5
+
+    # torn bloom (crash mid-save): the batch still dedups EXACTLY via the
+    # verified fallback, and the bloom heals (rebuilt over history+fresh)
+    import os
+
+    os.remove(f"{corpus}/bloom/meta.json")
+    write_batch("b3", [(8, c), (9, d)])  # 8 dups history doc 6
+    run()
+    assert corpus_rows() == [
+        (1, a), (3, b), (4, None), (6, c), (7, None), (9, d),
+    ]
+    healed = bloom_load(f"{corpus}/bloom")
+    assert healed.bits_set() > 0
+
+    # at-least-once redelivery: batch 3 again via a fresh checkpoint —
+    # the verification join drops every already-appended row
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "b3")
+    )
+    foreach_batch_exact_dedup(
+        stream2, corpus, str(tmp_path / "ckpt_x2")
+    ).awaitTermination()
+    assert len(corpus_rows()) == 6  # no duplicates added

@@ -433,3 +433,114 @@ def compact_near_dedup_corpus(
         finally:
             df.unpersist()
     return out
+
+
+def foreach_batch_exact_dedup(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 1e-3,
+    expected_total: int = 1_000_000,
+):
+    """Streaming ingestion with EXACT dedup against all history — the ST7
+    near-dedup pipeline's exact-duplicate twin, built on the content bloom:
+    each micro-batch is (1) exact-deduped within itself (min-id keeper per
+    content hash), (2) checked against ``{corpus_path}/docs`` via
+    operators/dedup.exact_dedup_against accelerated by the PERSISTED
+    content bloom at ``{corpus_path}/bloom``, and (3) the survivors are
+    folded into the bloom and appended to the docs table.
+
+    Correctness invariant — the bloom is always a SUPERSET of the docs
+    table's contents: the bloom is saved BEFORE the docs append, so every
+    crash window degrades to bloom false positives (extra verification
+    work), never to false negatives (a doc in history the bloom denies
+    would bypass verification and let an exact duplicate through). The
+    bloom is sized ONCE for ``expected_total`` docs and grown per batch
+    with bloom_add; if the corpus outgrows it the effective fpp rises,
+    which again only costs verification traffic — exactness never depends
+    on the bloom (a torn/unreadable bloom falls back to the plain verified
+    anti-join for that batch and is REBUILT from docs + survivors, sized
+    for ``expected_total`` again).
+
+    Delivery is at-least-once per micro-batch: a redelivered batch's rows
+    are flagged maybe-seen (they were bloomed pre-crash) and the
+    verification join drops exactly those already in docs. NULL-text rows
+    always survive (NULL is not duplicate content, the engine-wide rule) —
+    which also means a REDELIVERED null-text row re-appends (it has no
+    content key to match on); reclaim those with an id-distinct compact,
+    the same effective-idempotence contract as the ST7 docs table.
+    Returns the started query.
+    """
+    import os
+
+    from vectrekker_spark.operators.bloom import bloom_add, bloom_load, bloom_save
+    from vectrekker_spark.operators.dedup import (
+        content_bloom,
+        exact_dedup_against,
+        exact_dedup_map,
+    )
+
+    docs_path = os.path.join(corpus_path, "docs")
+    bloom_path = os.path.join(corpus_path, "bloom")
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            keepers = exact_dedup_map(
+                batch, text_col=text_col, id_col=id_col
+            ).select(F.col("keep_id").alias(id_col))
+            fresh = batch.join(keepers, id_col, "left_semi")
+            bloom = None
+            have_docs = os.path.exists(docs_path)
+            if have_docs:
+                try:
+                    bloom = bloom_load(bloom_path)
+                except ValueError:
+                    bloom = None  # torn save: verified plain join, heal below
+                fresh = exact_dedup_against(
+                    fresh,
+                    spark.read.parquet(docs_path),
+                    text_col=text_col,
+                    history_bloom=bloom,
+                )
+            fresh = fresh.persist()
+            probe = getattr(fresh, "_cached_probe", None)
+            try:
+                if fresh.isEmpty():
+                    return
+                if bloom is None:
+                    # first batch, or healing a torn bloom: (re)build over
+                    # history + survivors, sized for the eventual corpus
+                    seed = fresh.select(id_col, text_col)
+                    if have_docs:
+                        seed = (
+                            spark.read.parquet(docs_path)
+                            .select(id_col, text_col)
+                            .unionByName(seed)
+                        )
+                    bloom = content_bloom(
+                        seed, text_col=text_col, fpp=fpp, expected=expected_total
+                    )
+                else:
+                    bloom = bloom_add(bloom, fresh, text_col)
+                # bloom FIRST, docs second (the superset invariant above)
+                bloom_save(bloom, bloom_path)
+                fresh.write.mode("append").parquet(docs_path)
+            finally:
+                if probe is not None:
+                    probe.unpersist()
+                fresh.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
