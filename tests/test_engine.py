@@ -187,3 +187,26 @@ def test_engine_profiling_and_sketch_sugar(spark, sf_dir):
     )
     assert eng.image_meta(media).count() == 5
     assert eng.audio_meta(media).count() == 5
+
+
+def test_engine_semdedup_and_quality_sugar(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, sf_dir)
+    emb = eng.table("embeddings").limit(40)
+    kept = eng.semantic_dedup(emb, threshold=0.999, n_clusters=2)
+    dec = eng.semantic_dedup_decisions(emb, threshold=0.999, n_clusters=2)
+    assert kept.count() == dec.where(F.col("keep")).count()
+    assert dec.count() == 40
+
+    docs = eng.table("documents").limit(30)
+    labeled = docs.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    w, b = eng.fit_quality(labeled, n_features=1 << 10, iters=20)
+    assert isinstance(b, float) and len(w) == 1 << 10
+    scored = eng.score_quality(docs, w, bias=b)
+    assert scored.where(F.col("quality_score").isNull()).count() == docs.where(
+        F.col("text").isNull()
+    ).count()
+    kept_q = eng.quality_filter(docs, np.zeros(16), min_score=0.4)
+    assert kept_q.count() == docs.where(F.col("text").isNotNull()).count()

@@ -1,0 +1,220 @@
+"""Semantic dedup (operators/semdedup.py, SURVEY C15).
+
+Verification strategy (no driver-oracle row — the greedy prune is
+sequentially dependent, not SQL-expressible; same class as C9/C11/C12):
+- brute-force Python oracle equivalence on the single-cluster path,
+- greedy invariants on clustered runs (kept pairs below threshold within a
+  cell, every dropped row names a kept same-cell dup_of at/above it),
+- partition invariance, determinism, null handling, cap guard,
+- plan shape (no cartesian product, single cid shuffle into the kernel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators import semdedup
+from vectrekker_spark.operators.semdedup import (
+    semantic_dedup,
+    semantic_dedup_decisions,
+)
+
+
+def _unit(v):
+    a = np.asarray(v, dtype=np.float64)
+    n = np.linalg.norm(a)
+    return (a / n).tolist() if n else a.tolist()
+
+
+def _mk(spark, rows, num_partitions=None):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.repartition(num_partitions) if num_partitions else df
+
+
+def _greedy_oracle(rows, threshold):
+    """Independent row-by-row greedy over id-sorted rows: keep iff round-6
+    cosine vs every already-kept < threshold; dup_of = first argmax."""
+    rows = sorted((r for r in rows if r[1] is not None), key=lambda r: r[0])
+    kept, out = [], {}
+    for rid, vec in rows:
+        u = np.asarray(_unit(vec))
+        best_s, best_j = -2.0, None
+        for kid, ku in kept:
+            s = float(np.round(ku @ u, 6))
+            if s > best_s:
+                best_s, best_j = s, kid
+        if kept and best_s >= threshold:
+            out[rid] = (False, best_j, best_s)
+        else:
+            kept.append((rid, u))
+            out[rid] = (True, None, None)
+    return out
+
+
+def _planted_rows(seed=0, n_base=24, dim=8):
+    """Vectors in two tight groups plus noise; ids interleaved so min-id
+    winners are spread across the input order."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    g1 = rng.standard_normal(dim)
+    g2 = -g1 + rng.standard_normal(dim) * 0.01
+    for i in range(n_base):
+        base = g1 if i % 2 == 0 else g2
+        rows.append((i, _unit(base + rng.standard_normal(dim) * 0.005)))
+    for i in range(n_base, n_base + 10):
+        rows.append((i, _unit(rng.standard_normal(dim))))
+    return rows
+
+
+def test_single_cluster_matches_bruteforce_oracle(spark):
+    rows = _planted_rows()
+    got = {
+        r["vec_id"]: (r["keep"], r["dup_of"], r["score"])
+        for r in semantic_dedup_decisions(
+            _mk(spark, rows, 5), threshold=0.9, n_clusters=1
+        ).collect()
+    }
+    want = _greedy_oracle(rows, 0.9)
+    assert got == want
+    # the planted groups actually deduplicate
+    assert sum(1 for k, _, _ in got.values() if not k) >= 20
+
+
+def test_invariants_with_clustering(spark):
+    rows = _planted_rows(seed=3, n_base=30)
+    dec = semantic_dedup_decisions(
+        _mk(spark, rows, 7), threshold=0.92, n_clusters=4
+    ).collect()
+    by_id = {r["vec_id"]: r for r in dec}
+    assert set(by_id) == {r[0] for r in rows}
+    vecs = {r[0]: np.asarray(_unit(r[1])) for r in rows}
+    # every dropped row names a kept, same-cell dup_of at/above threshold
+    for r in dec:
+        if not r["keep"]:
+            d = by_id[r["dup_of"]]
+            assert d["keep"] and d["cid"] == r["cid"] and d["vec_id"] < r["vec_id"]
+            s = float(np.round(vecs[r["dup_of"]] @ vecs[r["vec_id"]], 6))
+            assert s == pytest.approx(r["score"]) and s >= 0.92
+    # kept pairs within a cell all score below threshold
+    kept = [(r["cid"], r["vec_id"]) for r in dec if r["keep"]]
+    for cid, a in kept:
+        for cid2, b in kept:
+            if cid == cid2 and a < b:
+                assert float(np.round(vecs[a] @ vecs[b], 6)) < 0.92
+
+
+def test_partition_invariance_and_determinism(spark):
+    # Given a FIXED quantizer, decisions are a pure function of the
+    # (id, vec) set — layout-independent. (MLlib KMeans itself is seeded
+    # but layout-SENSITIVE — k-means|| init samples per partition — which
+    # is why the operator docstring tells incremental runs to persist and
+    # reuse centroids.)
+    rows = _planted_rows(seed=7)
+    rng = np.random.default_rng(5)
+    cents = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(3)],
+        "cid long, cvec array<double>",
+    )
+    a = sorted(
+        map(tuple, semantic_dedup_decisions(
+            _mk(spark, rows, 2), threshold=0.9, centroids=cents
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, semantic_dedup_decisions(
+            _mk(spark, rows, 9), threshold=0.9, centroids=cents
+        ).collect())
+    )
+    assert a == b
+    # and the auto-KMeans path is deterministic for a fixed layout
+    c = sorted(
+        map(tuple, semantic_dedup_decisions(
+            _mk(spark, rows, 4), threshold=0.9, n_clusters=3
+        ).collect())
+    )
+    d = sorted(
+        map(tuple, semantic_dedup_decisions(
+            _mk(spark, rows, 4), threshold=0.9, n_clusters=3
+        ).collect())
+    )
+    assert c == d
+
+
+def test_semantic_dedup_filters_corpus(spark):
+    rows = _planted_rows()
+    df = _mk(spark, rows, 4)
+    kept = semantic_dedup(df, threshold=0.9, n_clusters=1)
+    dec = semantic_dedup_decisions(df, threshold=0.9, n_clusters=1)
+    want = sorted(r["vec_id"] for r in dec.collect() if r["keep"])
+    assert sorted(r["vec_id"] for r in kept.collect()) == want
+    assert kept.columns == df.columns
+
+
+def test_null_vectors_kept_with_null_cid(spark):
+    rows = [(1, _unit([1.0, 0.0])), (2, None), (3, _unit([1.0, 1e-7]))]
+    dec = {r["vec_id"]: r for r in semantic_dedup_decisions(
+        _mk(spark, rows), threshold=0.99, n_clusters=1
+    ).collect()}
+    assert dec[2]["keep"] and dec[2]["cid"] is None and dec[2]["dup_of"] is None
+    assert dec[1]["keep"] and not dec[3]["keep"] and dec[3]["dup_of"] == 1
+
+
+def test_precomputed_centroids_respected(spark):
+    # two orthogonal cells; identical vectors land in the same cell and dedup
+    rows = [
+        (10, _unit([1.0, 0.0, 0.0])),
+        (11, _unit([1.0, 0.001, 0.0])),
+        (20, _unit([0.0, 1.0, 0.0])),
+        (21, _unit([0.0, 1.0, 0.001])),
+    ]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], "cid long, cvec array<double>"
+    )
+    dec = {r["vec_id"]: r for r in semantic_dedup_decisions(
+        _mk(spark, rows), threshold=0.999, centroids=cents
+    ).collect()}
+    assert dec[10]["keep"] and dec[20]["keep"]
+    assert dec[11]["dup_of"] == 10 and dec[21]["dup_of"] == 20
+    assert {dec[10]["cid"], dec[11]["cid"]} == {0}
+    assert {dec[20]["cid"], dec[21]["cid"]} == {1}
+
+
+def test_cell_cap_guard(spark):
+    rows = [(i, _unit([1.0, float(i)])) for i in range(12)]
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup_decisions(
+            _mk(spark, rows), threshold=0.99, n_clusters=1, max_cluster_rows=5
+        ).collect()
+
+
+def test_tiled_and_blocked_paths_match(spark, monkeypatch):
+    # shrink the tile budget so the kept-set loop runs multiple tiles, and
+    # use enough rows to cross the 1024-row block boundary logic via a
+    # smaller synthetic block by just exceeding tile width repeatedly
+    monkeypatch.setattr(semdedup, "_TILE_ENTRIES", 64)
+    rows = _planted_rows(seed=11, n_base=40)
+    got = {
+        r["vec_id"]: (r["keep"], r["dup_of"], r["score"])
+        for r in semantic_dedup_decisions(
+            _mk(spark, rows, 3), threshold=0.9, n_clusters=1
+        ).collect()
+    }
+    assert got == _greedy_oracle(rows, 0.9)
+
+
+def test_plan_no_cartesian_single_shuffle(spark):
+    rows = _planted_rows()
+    dec = semantic_dedup_decisions(_mk(spark, rows, 4), threshold=0.9, n_clusters=1)
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_empty_and_all_null_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup_decisions(empty, n_clusters=1).count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "vec_id long, embedding array<double>")
+    dec = semantic_dedup_decisions(nulls).collect()
+    assert sorted(r["vec_id"] for r in dec) == [1, 2]
+    assert all(r["keep"] for r in dec)

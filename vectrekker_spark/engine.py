@@ -323,3 +323,51 @@ class Engine:
         from vectrekker_spark.functions.text import redact_pii
 
         return df.withColumn(text_col, redact_pii(F.col(text_col)))
+
+    def semantic_dedup(
+        self, df: DataFrame, threshold: float = 0.95, **kw
+    ) -> DataFrame:
+        """Corpus minus embedding-space near-duplicates, cluster-bounded
+        SemDeDup recipe (operators/semdedup.semantic_dedup — min id per
+        near-dup chain survives). Pass centroids= (e.g. a persisted IVF
+        index's centroids) to keep decisions stable across incremental
+        runs."""
+        from vectrekker_spark.operators.semdedup import semantic_dedup
+
+        return semantic_dedup(df, threshold=threshold, **kw)
+
+    def semantic_dedup_decisions(
+        self, df: DataFrame, threshold: float = 0.95, **kw
+    ) -> DataFrame:
+        """Per-row (id, cid, keep, dup_of, score) audit frame for
+        semantic_dedup — what dropped, near what, how close."""
+        from vectrekker_spark.operators.semdedup import (
+            semantic_dedup_decisions,
+        )
+
+        return semantic_dedup_decisions(df, threshold=threshold, **kw)
+
+    def fit_quality(self, labeled: DataFrame, **kw):
+        """(weights, bias) from a BOUNDED labeled sample — driver-side
+        hashed-BoW logistic fit (operators/qualityscore.fit_linear_quality;
+        train small, apply at scale)."""
+        from vectrekker_spark.operators.qualityscore import fit_linear_quality
+
+        return fit_linear_quality(labeled, **kw)
+
+    def score_quality(self, df: DataFrame, weights, bias: float = 0.0, **kw) -> DataFrame:
+        """All columns + ``quality_score`` = sigmoid(mean hashed-token
+        weight + bias), one zero-shuffle narrow map
+        (operators/qualityscore.score_linear)."""
+        from vectrekker_spark.operators.qualityscore import score_linear
+
+        return score_linear(df, weights, bias=bias, **kw)
+
+    def quality_filter(
+        self, df: DataFrame, weights, bias: float = 0.0, min_score: float = 0.5, **kw
+    ) -> DataFrame:
+        """Rows at/above min_score under the linear quality model
+        (operators/qualityscore.quality_filter); NULL-text rows drop."""
+        from vectrekker_spark.operators.qualityscore import quality_filter
+
+        return quality_filter(df, weights, bias=bias, min_score=min_score, **kw)

@@ -29,6 +29,7 @@ def assign_centroids(
     vec_col: str = "embedding",
     max_centroids: int = 200_000,
     max_centroid_bytes: int = 512 * 1024 * 1024,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(id, cid) for every corpus vector: its ``assign_k`` nearest centroids
     by round-6 cosine, ties broken by cid ascending (same ordering contract
@@ -50,6 +51,12 @@ def assign_centroids(
     1536-dim quantizer trips at ~43k centroids (≈0.5 GB of float64) instead
     of collecting 2.4 GB before a row-count cap would notice. The row cap
     stays as a backstop for tiny dims.
+
+    ``carry_vec=True`` appends the input vector as a third column
+    (id, cid, vec) so cluster-grouped consumers (operators/semdedup.py) get
+    the vectors without a corpus-sized id join — the assignment is narrow
+    either way, so carrying the column is free until the consumer's own
+    shuffle moves it.
     """
     import numpy as np
     import pandas as pd
@@ -57,9 +64,12 @@ def assign_centroids(
     probe = (
         centroids.select("cid", "cvec").where(F.col("cvec").isNotNull()).limit(1)
     ).collect()
+    types = dict(corpus.dtypes)
+    out_schema = f"{id_col} {types[id_col]}, cid long" + (
+        f", {vec_col} {types[vec_col]}" if carry_vec else ""
+    )
     if not probe:
-        id_t = dict(corpus.dtypes)[id_col]
-        return corpus.sparkSession.createDataFrame([], f"{id_col} {id_t}, cid long")
+        return corpus.sparkSession.createDataFrame([], out_schema)
     dim = len(probe[0][1])
     cap = min(max_centroids, max(1, max_centroid_bytes // (max(dim, 1) * 8)))
     rows = centroids.select("cid", "cvec").limit(cap + 1).collect()
@@ -96,16 +106,17 @@ def assign_centroids(
             # stable argsort on -score keeps the cid-ascending input order
             # among equal scores — knn_join's exact tie rule
             top = np.argsort(-S, axis=1, kind="stable")[:, :k]
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(ids, k),
-                    "cid": cids_[top].reshape(-1),
-                }
-            )
+            out = {
+                id_col: np.repeat(ids, k),
+                "cid": cids_[top].reshape(-1),
+            }
+            if carry_vec:
+                vecs = list(pdf.iloc[:, 1])
+                out[vec_col] = [v for v in vecs for _ in range(k)]
+            yield pd.DataFrame(out)
 
-    id_t = dict(corpus.dtypes)[id_col]
     return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        gen, schema=f"{id_col} {id_t}, cid long"
+        gen, schema=out_schema
     )
 
 

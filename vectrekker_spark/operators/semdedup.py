@@ -1,0 +1,249 @@
+"""Semantic (embedding-space) deduplication, cluster-bounded — the 100 TB
+path for "drop documents whose embeddings near-duplicate another's".
+
+The exact similarity join (queries/vector.py q28 / operators/knn.py
+similarity_join) scores PAIRS: correct, but the candidate set is corpus² and
+even the LSH-bucketed route materializes every qualifying pair. For corpus
+curation the question is cheaper than the pair list: per document, "is there
+an earlier-kept document this close to me?" — a keep/drop DECISION. The
+SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication") bounds that decision with a
+coarse clustering: k-means the embeddings, then compare ONLY within a
+cluster. Recall is bounded by the clustering (a near-dup pair straddling a
+cell boundary is missed — the paper accepts this; q28/similarity_join stays
+the exact tool), cost drops from O(N²) to Σ O(|cell|·kept).
+
+Scale shape:
+- Centroids: ~√N rows BY CONSTRUCTION, broadcast once
+  (assign_centroids' byte-budgeted collect — ann.py).
+- Assignment: one NARROW Arrow map over the corpus (BLAS matmul per batch);
+  the corpus is never broadcast and never shuffled for assignment.
+- Decisions: ONE shuffle, on cid, into per-cluster applyInPandas kernels.
+  Greedy in-id-order prune inside each cell, row-tiled BLAS (peak memory
+  ~tile × dim doubles, never |cell|²), with the same enforced cell cap as
+  similarity_join_bucketed — a pathological mega-cell raises with guidance
+  instead of OOMing one task.
+
+Determinism: the keep rule is "min id wins" — scan ids ascending, keep a
+vector iff its round-6 cosine against every ALREADY-KEPT vector in the cell
+is < threshold. (The paper keeps the point with lowest similarity to the
+centroid; min-id is the tie rule every dedup operator in this engine uses —
+operators/dedup.py exact/minhash, q28's l_id < r_id — and makes the result
+a pure function of the (id, vec, cid) set, independent of partitioning.)
+Greedy gives the invariant: every kept pair in a cell scores < threshold,
+and every dropped row names a kept `dup_of` with score ≥ threshold.
+
+Reference scope note: the reference (vectrekker/main.py) has no dedup
+surface at all; north-star training-pipeline addition (SURVEY.md §2.2 C15).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.ann import assign_centroids, ivf_build
+
+# row-tile budget for the per-cell scoring matmul (entries of float64);
+# module-level so tests can shrink it to force multi-tile paths.
+_TILE_ENTRIES = 16_000_000
+
+
+def semantic_dedup_decisions(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """Per-row keep/drop decisions: (id, cid, keep, dup_of, score).
+
+    - ``keep=true``  → row survives; dup_of/score are NULL.
+    - ``keep=false`` → dup_of is the KEPT id this row duplicated (same
+      cell, min-id-first greedy), score its round-6 cosine (≥ threshold).
+    - NULL-vector rows are kept verbatim with cid NULL (they cannot score
+      against anything — the exact-dedup null-text rule).
+
+    ``centroids`` (cid, cvec) may be precomputed/persisted (e.g. from
+    ivf_build or an ivf_save'd index's centroids table) — reusing a
+    quantizer keeps decisions stable across incremental runs, and is the
+    only way to make the result a pure function of the (id, vec) set:
+    given fixed centroids, decisions are partition-layout-invariant
+    (tested); the auto-KMeans path is seeded (deterministic for a fixed
+    input layout) but MLlib's k-means|| init samples per partition, so a
+    re-layout can move cell boundaries. Single assignment only: each
+    vector must land in exactly ONE cell or keep/drop votes would conflict
+    across cells.
+    """
+    spark = corpus.sparkSession
+    types = dict(corpus.dtypes)
+    id_t = types[id_col]
+    out_schema = f"{id_col} {id_t}, cid long, keep boolean, dup_of {id_t}, score double"
+
+    if centroids is None:
+        if n_clusters is None:
+            # √N rule over the scorable rows (KMeans needs k ≤ n)
+            n = corpus.where(F.col(vec_col).isNotNull()).count()
+            n_clusters = max(1, int(np.sqrt(n)))
+        if n_clusters == 1:
+            # one cell: assignment is a constant — skip the KMeans job
+            assigned = corpus.select(
+                F.col(id_col),
+                F.lit(0).cast("long").alias("cid"),
+                F.col(vec_col),
+            ).where(F.col(vec_col).isNotNull())
+        else:
+            centroids, _ = ivf_build(
+                corpus.where(F.col(vec_col).isNotNull()),
+                n_centroids=n_clusters,
+                id_col=id_col,
+                vec_col=vec_col,
+                method="kmeans",
+            )
+            assigned = None
+    else:
+        assigned = None
+
+    if assigned is None:
+        assigned = assign_centroids(
+            corpus,
+            centroids,
+            assign_k=1,
+            id_col=id_col,
+            vec_col=vec_col,
+            carry_vec=True,
+        )
+
+    tile_entries = _TILE_ENTRIES  # bind at build time so tests can shrink it
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                "cid": pd.Series([], dtype="int64"),
+                "keep": pd.Series([], dtype="bool"),
+                "dup_of": pd.Series([], dtype=pdf[id_col].dtype),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if n == 0:
+            return empty
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cell cid={int(pdf['cid'].iloc[0])} holds "
+                f"{n} rows > max_cluster_rows={max_cluster_rows}; the greedy "
+                "prune would concentrate O(n·kept) work in one task. Raise "
+                "n_clusters (√N rule keeps cells bounded), run exact dedup "
+                "first (operators/dedup.py collapses identical vectors), or "
+                "raise the cap deliberately."
+            )
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0] = 1.0
+        U = V / nrm[:, None]  # round-6 cosine == round(dot of unit rows, 6)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.zeros(n, dtype=ids.dtype)
+        score = np.full(n, np.nan)
+        # Blocked greedy: rows are scored against the already-kept set one
+        # BLOCK at a time (one GEMM, row-tiled over the kept set), then only
+        # the within-block dependency runs sequentially — identical
+        # decisions to pure row-by-row greedy (dup_of = FIRST argmax over
+        # kept-so-far in id order; the strict `>` merges keep that rule
+        # across tiles and across the prior/within-block split).
+        block = 1024
+        tile = max(1, tile_entries // block)
+        kept_global: list[int] = []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            m = hi - lo
+            best_s = np.full(m, -2.0)
+            best_j = np.full(m, -1, dtype=np.int64)
+            if kept_global:
+                K = np.asarray(kept_global)
+                for klo in range(0, len(K), tile):
+                    sub = K[klo : klo + tile]
+                    S = np.round(U[lo:hi] @ U[sub].T, 6)  # m × |sub|
+                    j = np.argmax(S, axis=1)
+                    s = S[np.arange(m), j]
+                    better = s > best_s
+                    best_s[better] = s[better]
+                    best_j[better] = sub[j[better]]
+            blk_kept: list[int] = []
+            for r in range(m):
+                i = lo + r
+                bs, bj = float(best_s[r]), int(best_j[r])
+                if blk_kept:
+                    s = np.round(U[np.asarray(blk_kept)] @ U[i], 6)
+                    j = int(np.argmax(s))
+                    if s[j] > bs:
+                        bs, bj = float(s[j]), blk_kept[j]
+                if bs >= threshold:
+                    keep[i] = False
+                    dup_of[i] = ids[bj]
+                    score[i] = bs
+                else:
+                    blk_kept.append(i)
+            kept_global.extend(blk_kept)
+        out = pd.DataFrame(
+            {
+                id_col: ids,
+                "cid": pdf["cid"].to_numpy(),
+                "keep": keep,
+                "dup_of": dup_of,
+                "score": score,
+            }
+        )
+        # NULL out dup_of/score on kept rows (object dtype + None maps to a
+        # real Spark NULL through Arrow — float NaN would be ambiguous)
+        out["dup_of"] = out["dup_of"].astype(object).where(~out["keep"], None)
+        out["score"] = out["score"].astype(object).where(~out["keep"], None)
+        return out
+
+    decisions = assigned.groupBy("cid").applyInPandas(prune, schema=out_schema)
+
+    # NULL vectors never reach the kernel (assign_centroids drops them);
+    # re-attach as kept-with-NULL-cid so the decision frame covers the input
+    nulls = corpus.where(F.col(vec_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("long").alias("cid"),
+        F.lit(True).alias("keep"),
+        F.lit(None).cast(id_t).alias("dup_of"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return decisions.unionByName(nulls)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """The corpus with semantic near-duplicates dropped (min id per
+    near-dup chain survives; all original columns retained). One extra
+    key-shuffle semi-join of the decisions onto the corpus — the decision
+    frame is (id, cid, flags)-narrow, so the join moves ids, not vectors.
+    """
+    decisions = semantic_dedup_decisions(
+        corpus,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        centroids=centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_cluster_rows=max_cluster_rows,
+    )
+    kept = decisions.where(F.col("keep")).select(id_col)
+    return corpus.join(kept, on=id_col, how="left_semi")
