@@ -147,3 +147,11 @@ def test_plan_is_narrow(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_out_col_needing_quotes(spark):
+    # out_col is backtick-quoted in the DDL schema like the input columns
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    scored = score_linear(df, np.zeros(8), out_col="quality score")
+    row = scored.collect()[0]
+    assert row["quality score"] == 0.5

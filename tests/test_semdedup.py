@@ -190,10 +190,12 @@ def test_cell_cap_guard(spark):
 
 
 def test_tiled_and_blocked_paths_match(spark, monkeypatch):
-    # shrink the tile budget so the kept-set loop runs multiple tiles, and
-    # use enough rows to cross the 1024-row block boundary logic via a
-    # smaller synthetic block by just exceeding tile width repeatedly
+    # shrink BOTH kernel constants so the 40-row cell runs multiple greedy
+    # blocks (cross-block kept_global GEMM + strict-`>` merge) and multiple
+    # row tiles per block — the production 1024/16M values would leave both
+    # merge paths unexecuted at test scale
     monkeypatch.setattr(semdedup, "_TILE_ENTRIES", 64)
+    monkeypatch.setattr(semdedup, "_BLOCK_ROWS", 7)
     rows = _planted_rows(seed=11, n_base=40)
     got = {
         r["vec_id"]: (r["keep"], r["dup_of"], r["score"])
@@ -202,6 +204,31 @@ def test_tiled_and_blocked_paths_match(spark, monkeypatch):
         ).collect()
     }
     assert got == _greedy_oracle(rows, 0.9)
+
+
+def test_empty_user_centroids_raise(spark):
+    rows = [(1, _unit([1.0, 0.0])), (2, _unit([0.0, 1.0]))]
+    empty = spark.createDataFrame([], "cid long, cvec array<double>")
+    with pytest.raises(ValueError, match="no non-null cvec"):
+        semantic_dedup_decisions(_mk(spark, rows), centroids=empty)
+    nulls = spark.createDataFrame([(0, None)], "cid long, cvec array<double>")
+    with pytest.raises(ValueError, match="no non-null cvec"):
+        semantic_dedup(_mk(spark, rows), centroids=nulls)
+
+
+def test_null_centroid_rows_skipped(spark):
+    # a NULL cvec row among real centroids must not crash the broadcast
+    # collect; assignment sees only the non-null centroids
+    rows = [(10, _unit([1.0, 0.0])), (20, _unit([0.0, 1.0]))]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "cid long, cvec array<double>",
+    )
+    dec = {r["vec_id"]: r for r in semantic_dedup_decisions(
+        _mk(spark, rows), threshold=0.999, centroids=cents
+    ).collect()}
+    assert dec[10]["cid"] == 0 and dec[20]["cid"] == 2
+    assert dec[10]["keep"] and dec[20]["keep"]
 
 
 def test_plan_no_cartesian_single_shuffle(spark):

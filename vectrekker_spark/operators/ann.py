@@ -72,7 +72,14 @@ def assign_centroids(
         return corpus.sparkSession.createDataFrame([], out_schema)
     dim = len(probe[0][1])
     cap = min(max_centroids, max(1, max_centroid_bytes // (max(dim, 1) * 8)))
-    rows = centroids.select("cid", "cvec").limit(cap + 1).collect()
+    # the probe above skips NULL cvec rows — the collect must too, or one
+    # null row in a user-persisted centroids table crashes np.asarray below
+    rows = (
+        centroids.select("cid", "cvec")
+        .where(F.col("cvec").isNotNull())
+        .limit(cap + 1)
+        .collect()
+    )
     if len(rows) > cap:
         raise ValueError(
             f"assign_centroids: more than {cap} centroids at dim={dim} "
@@ -147,6 +154,28 @@ def ivf_build(
     Returns (centroids(cid, cvec), assignments(vec_id, cid); assign_k rows
     per vector when multi-assigned).
     """
+    centroids = ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col, method=method
+    )
+    # narrow BLAS assignment: centroids broadcast, corpus streams — the
+    # knn_join form would broadcast the whole corpus as its query side
+    assign = assign_centroids(
+        corpus, centroids, assign_k=assign_k, id_col=id_col, vec_col=vec_col
+    )
+    return centroids, assign
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+) -> DataFrame:
+    """Just the (cid, cvec) centroids of ivf_build, no assignment pass —
+    for consumers that run their own assignment (operators/semdedup.py) and
+    would otherwise pay ivf_build's eager assign_centroids collect +
+    broadcast twice. Semantics identical to ivf_build's centroid arm."""
     if method == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -158,27 +187,20 @@ def ivf_build(
         rows = [
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
-        centroids = corpus.sparkSession.createDataFrame(
+        return corpus.sparkSession.createDataFrame(
             rows, "cid long, cvec array<double>"
         )
-    else:
-        n = corpus.count()
-        stride = max(n // n_centroids, 1)
-        centroids = (
-            corpus.filter(
-                (F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_centroids)
-            )
-            .select(
-                (F.col(id_col) / stride).cast("long").alias("cid"),
-                F.col(vec_col).alias("cvec"),
-            )
+    n = corpus.count()
+    stride = max(n // n_centroids, 1)
+    return (
+        corpus.filter(
+            (F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_centroids)
         )
-    # narrow BLAS assignment: centroids broadcast, corpus streams — the
-    # knn_join form would broadcast the whole corpus as its query side
-    assign = assign_centroids(
-        corpus, centroids, assign_k=assign_k, id_col=id_col, vec_col=vec_col
+        .select(
+            (F.col(id_col) / stride).cast("long").alias("cid"),
+            F.col(vec_col).alias("cvec"),
+        )
     )
-    return centroids, assign
 
 
 def _topk_by_score(cands: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:

@@ -120,7 +120,7 @@ def score_linear(
             pdf[out_col] = pd.Series(scores, index=pdf.index, dtype=object)
             yield pdf
 
-    return df.mapInPandas(gen, schema=f"{fields}, {out_col} double")
+    return df.mapInPandas(gen, schema=f"{fields}, `{out_col}` double")
 
 
 def quality_filter(

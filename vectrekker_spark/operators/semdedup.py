@@ -46,11 +46,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vectrekker_spark.operators.ann import assign_centroids, ivf_build
+from vectrekker_spark.operators.ann import assign_centroids, ivf_centroids
 
-# row-tile budget for the per-cell scoring matmul (entries of float64);
-# module-level so tests can shrink it to force multi-tile paths.
+# row-tile budget for the per-cell scoring matmul (entries of float64) and
+# the greedy block width; module-level so tests can shrink them to force
+# the multi-tile and cross-block merge paths.
 _TILE_ENTRIES = 16_000_000
+_BLOCK_ROWS = 1024
 
 
 def semantic_dedup_decisions(
@@ -99,7 +101,10 @@ def semantic_dedup_decisions(
                 F.col(vec_col),
             ).where(F.col(vec_col).isNotNull())
         else:
-            centroids, _ = ivf_build(
+            # centroids-only builder: ivf_build would additionally run (and
+            # discard) a full assignment pass, collecting + broadcasting the
+            # centroid matrix a second time
+            centroids = ivf_centroids(
                 corpus.where(F.col(vec_col).isNotNull()),
                 n_centroids=n_clusters,
                 id_col=id_col,
@@ -108,6 +113,16 @@ def semantic_dedup_decisions(
             )
             assigned = None
     else:
+        # a user-persisted centroids table that reads as empty (or all-NULL
+        # cvec) would make assign_centroids return an EMPTY frame and the
+        # semi-join silently delete every scorable row — fail loudly instead
+        # (the similarity_join "no non-null vectors" precedent)
+        if not centroids.where(F.col("cvec").isNotNull()).limit(1).count():
+            raise ValueError(
+                "semantic_dedup: the supplied centroids frame has no non-null "
+                "cvec rows; decisions would silently drop the whole corpus. "
+                "Pass a populated centroids table or omit it for auto-KMeans."
+            )
         assigned = None
 
     if assigned is None:
@@ -120,7 +135,10 @@ def semantic_dedup_decisions(
             carry_vec=True,
         )
 
-    tile_entries = _TILE_ENTRIES  # bind at build time so tests can shrink it
+    # bind at build time so tests can shrink them (the kernel runs on
+    # executors; module state there is a fresh import)
+    tile_entries = _TILE_ENTRIES
+    block_rows = _BLOCK_ROWS
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -159,7 +177,7 @@ def semantic_dedup_decisions(
         # decisions to pure row-by-row greedy (dup_of = FIRST argmax over
         # kept-so-far in id order; the strict `>` merges keep that rule
         # across tiles and across the prior/within-block split).
-        block = 1024
+        block = block_rows
         tile = max(1, tile_entries // block)
         kept_global: list[int] = []
         for lo in range(0, n, block):
