@@ -405,3 +405,63 @@ def test_bloom_build_content_kind(tmp_path, capsys, spark, sf_dir):
         main(["curate", "--documents", docs_path, "--out", str(tmp_path / "z"),
               "--bench-bloom", bloom_dir])
     bf.release()
+
+
+def test_fit_quality_then_curate_model_gate(tmp_path, capsys, spark):
+    # label good/spam docs, train via the CLI, then curate with the model
+    good = [
+        (i, f"informative unique prose number {i} with varied real words "
+            f"covering topic {i} in depth and detail", "en", 1)
+        for i in range(8)
+    ]
+    spam = [
+        (100 + i, "buy now buy now buy now buy now buy now buy now spam", "en", 0)
+        for i in range(8)
+    ]
+    labeled_path = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(
+        good + spam, "doc_id long, text string, lang string, label int"
+    ).write.parquet(labeled_path)
+    model_path = str(tmp_path / "model.npz")
+    rc = main([
+        "fit-quality",
+        "--labeled", labeled_path,
+        "--out", model_path,
+        "--n-features", "1024",
+        "--iters", "120",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "train-accuracy 16/16" in out
+
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in good + spam],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_path)
+    out_dir = str(tmp_path / "shards")
+    rc = main([
+        "curate",
+        "--documents", docs_path,
+        "--out", out_dir,
+        "--min-quality", "0.0",
+        "--near-dup-threshold", "0.99",
+        "--quality-model", model_path,
+        "--max-tokens", "256",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "after_model_quality" in out
+    kept = spark.read.parquet(out_dir)
+    ids = {r["doc_id"] for r in kept.select("doc_id").distinct().collect()}
+    assert ids <= {r[0] for r in good}  # every spam doc gated out
+    # the spam docs near-dup to one survivor, which the model then drops
+    assert len(ids) >= 7
+
+
+def test_curate_semantic_flag_validation(tmp_path, capsys):
+    rc = main([
+        "curate", "--documents", "x", "--out", "y",
+        "--semantic-dedup-threshold", "1.5",
+    ])
+    assert rc == 2
+    assert "semantic-dedup-threshold" in capsys.readouterr().out

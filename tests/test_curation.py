@@ -160,3 +160,92 @@ def test_curate_span_strip_validates_at_start(spark):
     docs = spark.createDataFrame([(0, "x", "en")], "doc_id long, text string, lang string")
     with pytest.raises(ValueError, match="strip_span_ngram"):
         curate(docs, CurationConfig(strip_span_ngram=1))
+
+
+def test_curate_semantic_dedup_stage(spark):
+    # two paraphrases share an embedding direction (MinHash can't see it —
+    # different tokens), a third doc is orthogonal; the semantic stage
+    # drops the larger-id paraphrase
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en",
+         [1.0, 0.0, 0.0]),
+        (1, "completely different words but identical meaning vector here ok",
+         "en", [0.9999, 0.0001, 0.0]),
+        (2, "an unrelated document about other topics entirely written here",
+         "en", [0.0, 1.0, 0.0]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, embedding array<double>"
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        semantic_dedup_threshold=0.99, semantic_n_clusters=1,
+        chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    ids = {r["doc_id"] for r in res.chunks.collect()}
+    res.unpersist()
+    assert res.funnel["after_semantic_dedup"] == 2
+    assert ids == {0, 2}
+
+
+def test_curate_semantic_dedup_validates_at_start(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="no 'embedding' column"):
+        curate(docs, CurationConfig(semantic_dedup_threshold=0.9))
+    with pytest.raises(ValueError, match="semantic_dedup_threshold"):
+        curate(docs, CurationConfig(semantic_dedup_threshold=1.5))
+    with pytest.raises(ValueError, match="semantic_n_clusters"):
+        docs2 = docs.withColumn("embedding", F.array(F.lit(1.0)))
+        curate(
+            docs2,
+            CurationConfig(semantic_dedup_threshold=0.9, semantic_n_clusters=-1),
+        )
+
+
+def test_curate_model_quality_stage(spark, tmp_path):
+    import numpy as np
+
+    from vectrekker_spark.operators.qualityscore import feature_index, save_model
+
+    # weights that push docs containing "spammy" below 0.5 and others above
+    n = 1 << 10
+    w = np.zeros(n)
+    w[feature_index("spammy", n)] = -8.0
+    w[feature_index("useful", n)] = +8.0
+    path = str(tmp_path / "model.npz")
+    save_model(path, w, 1.0)
+
+    rows = [
+        (0, "useful prose with real content and several informative words here",
+         "en"),
+        (1, "spammy spammy spammy spammy spammy spammy spammy spammy spammy ok",
+         "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        quality_model_path=path, min_model_quality=0.5, chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    ids = {r["doc_id"] for r in res.chunks.collect()}
+    res.unpersist()
+    assert res.funnel["after_model_quality"] == 1
+    assert ids == {0}
+
+
+def test_curate_model_quality_validates_at_start(spark, tmp_path):
+    import numpy as np
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en")], "doc_id long, text string, lang string"
+    )
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, other=np.zeros(4))
+    with pytest.raises(ValueError, match="weights/bias"):
+        curate(docs, CurationConfig(quality_model_path=bad))

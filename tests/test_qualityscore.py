@@ -155,3 +155,18 @@ def test_out_col_needing_quotes(spark):
     scored = score_linear(df, np.zeros(8), out_col="quality score")
     row = scored.collect()[0]
     assert row["quality score"] == 0.5
+
+
+def test_model_save_load_roundtrip(tmp_path):
+    from vectrekker_spark.operators.qualityscore import load_model, save_model
+
+    w = np.linspace(-1, 1, 32)
+    path = str(tmp_path / "m.npz")
+    save_model(path, w, 0.25)
+    w2, b2 = load_model(path)
+    assert np.array_equal(w, w2) and b2 == 0.25
+    with pytest.raises(ValueError, match="1-D"):
+        save_model(str(tmp_path / "bad.npz"), np.zeros((2, 2)), 0.0)
+    np.savez(str(tmp_path / "nf.npz"), weights=np.array([np.inf]), bias=np.float64(0))
+    with pytest.raises(ValueError, match="non-finite"):
+        load_model(str(tmp_path / "nf.npz"))

@@ -327,6 +327,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if args.decontam_max_shared < 0:
         print("error: --decontam-max-shared must be >= 0")
         return 2
+    if args.semantic_dedup_threshold and not (
+        0.0 < args.semantic_dedup_threshold <= 1.0
+    ):
+        print("error: --semantic-dedup-threshold must be in (0, 1] (0 = off)")
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
     cfg = AssemblyConfig(
@@ -342,6 +347,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
             bench_bloom_path=args.bench_bloom or "",
             decontaminate_shingle_k=args.decontam_shingle_k,
             decontaminate_max_shared=args.decontam_max_shared,
+            semantic_dedup_threshold=args.semantic_dedup_threshold,
+            semantic_vec_col=args.semantic_vec_col,
+            semantic_n_clusters=args.semantic_n_clusters,
+            quality_model_path=args.quality_model or "",
+            min_model_quality=args.min_model_quality,
         ),
         max_tokens=args.max_tokens,
         shuffle_seed=args.seed,
@@ -356,6 +366,55 @@ def cmd_curate(args: argparse.Namespace) -> int:
     print(
         f"{'manifest':>18s}  {totals['files']} shard(s), "
         f"{totals['rows']} rows, {totals['bytes']} bytes"
+    )
+    return 0
+
+
+def cmd_fit_quality(args: argparse.Namespace) -> int:
+    """Train the hashed-BoW linear quality classifier on a labeled parquet
+    and save (weights, bias) for curate --quality-model
+    (operators/qualityscore)."""
+    if args.n_features < 1:
+        print("error: --n-features must be >= 1")
+        return 2
+    if args.iters < 1:
+        print("error: --iters must be >= 1")
+        return 2
+    from vectrekker_spark.operators.qualityscore import (
+        fit_linear_quality,
+        save_model,
+        score_linear,
+    )
+
+    spark = _spark()
+    labeled = spark.read.parquet(args.labeled)
+    w, b = fit_linear_quality(
+        labeled,
+        label_col=args.label_col,
+        text_col=args.text_col,
+        n_features=args.n_features,
+        max_rows=args.max_rows,
+        iters=args.iters,
+        lr=args.lr,
+    )
+    save_model(args.out, w, b)
+    # training-set accuracy at 0.5 — a sanity readout, not a validation
+    # metric (the sample is the training data)
+    from pyspark.sql import functions as F
+
+    scored = score_linear(labeled, w, bias=b, text_col=args.text_col).where(
+        F.col(args.text_col).isNotNull() & F.col(args.label_col).isNotNull()
+    )
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(
+            (F.col("quality_score") >= 0.5) == (F.col(args.label_col) == 1)
+        ).alias("ok"),
+    ).first()
+    print(
+        f"saved {args.out}: {args.n_features} features, bias={b:.4f}, "
+        f"train-accuracy {row['ok']}/{row['n']} "
+        f"({row['ok'] / max(row['n'], 1):.3f})"
     )
     return 0
 
@@ -610,7 +669,48 @@ def build_parser() -> argparse.ArgumentParser:
         "--decontam-max-shared", type=int, default=0,
         help="drop docs with more than this many bloom-hit shingles",
     )
+    cu.add_argument(
+        "--semantic-dedup-threshold", type=float, default=0.0,
+        help="drop embedding-space near-dups at/above this cosine "
+        "(SemDeDup; 0 = off; needs --semantic-vec-col on the input)",
+    )
+    cu.add_argument(
+        "--semantic-vec-col", default="embedding",
+        help="document-embedding column for --semantic-dedup-threshold",
+    )
+    cu.add_argument(
+        "--semantic-n-clusters", type=int, default=0,
+        help="SemDeDup cluster count (0 = auto sqrt(N))",
+    )
+    cu.add_argument(
+        "--quality-model",
+        help="saved fit-quality model (.npz): score survivors with the "
+        "learned hashed-BoW classifier and keep >= --min-model-quality",
+    )
+    cu.add_argument("--min-model-quality", type=float, default=0.5)
     cu.set_defaults(fn=cmd_curate)
+
+    fq = sub.add_parser(
+        "fit-quality",
+        help="train the hashed-BoW linear quality classifier on a labeled "
+        "parquet (bounded driver-side fit) and save it for curate "
+        "--quality-model",
+    )
+    fq.add_argument(
+        "--labeled", required=True,
+        help="parquet with a text column and a 0/1 label column",
+    )
+    fq.add_argument("--out", required=True, help="output model path (.npz)")
+    fq.add_argument("--text-col", default="text")
+    fq.add_argument("--label-col", default="label")
+    fq.add_argument("--n-features", type=int, default=1 << 18)
+    fq.add_argument("--iters", type=int, default=300)
+    fq.add_argument("--lr", type=float, default=0.5)
+    fq.add_argument(
+        "--max-rows", type=int, default=200_000,
+        help="labeled-sample cap (the fit is driver-side by design)",
+    )
+    fq.set_defaults(fn=cmd_fit_quality)
 
     bb = sub.add_parser(
         "bloom-build",

@@ -1,7 +1,9 @@
 """End-to-end corpus curation — the composed training-data pipeline:
 
-    exact dedup → near-dup removal (MinHash-LSH) → quality filter →
-    language filter → chunk → embed
+    exact dedup → near-dup removal (MinHash-LSH) → [semantic dedup] →
+    [span-level dedup] → quality filter → language filter →
+    [learned quality model] → [BM25 relevance] → [benchmark
+    decontamination] → chunk → embed        ([...] = opt-in stages)
 
 Each stage is one of the engine's tested operators; this module only wires
 them and keeps per-stage counts, so a 100 TB curation run is a sequence of
@@ -51,6 +53,19 @@ class CurationConfig:
     bench_bloom_path: str = ""
     decontaminate_shingle_k: int = 3
     decontaminate_max_shared: int = 0
+    # 0.0 → off; else drop embedding-space near-duplicates at/above this
+    # round-6 cosine via the cluster-bounded SemDeDup pass
+    # (operators/semdedup) — requires ``semantic_vec_col`` on the input
+    # docs (document-level embeddings from a prior embed run; the funnel's
+    # own embed stage is chunk-level and runs far later)
+    semantic_dedup_threshold: float = 0.0
+    semantic_vec_col: str = "embedding"
+    semantic_n_clusters: int = 0  # 0 → auto (√N rule)
+    # '' → off; else a saved hashed-BoW quality model
+    # (operators/qualityscore.save_model .npz) applied as a zero-shuffle
+    # scored filter after the heuristic quality/lang gates
+    quality_model_path: str = ""
+    min_model_quality: float = 0.5
 
 
 @dataclass
@@ -89,6 +104,31 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             f"CurationConfig.strip_span_ngram must be 0 (off) or >= 2, "
             f"got {cfg.strip_span_ngram}"
         )
+    if cfg.semantic_dedup_threshold:
+        # run-START validation: a missing embedding column or nonsense
+        # threshold must fail before any dedup stage executes
+        if not 0.0 < cfg.semantic_dedup_threshold <= 1.0:
+            raise ValueError(
+                f"CurationConfig.semantic_dedup_threshold must be in (0, 1] "
+                f"(0.0 disables), got {cfg.semantic_dedup_threshold}"
+            )
+        if cfg.semantic_vec_col not in docs.columns:
+            raise ValueError(
+                f"CurationConfig.semantic_dedup_threshold is set but the "
+                f"input has no {cfg.semantic_vec_col!r} column — semantic "
+                f"dedup needs document-level embeddings on the docs frame"
+            )
+        if cfg.semantic_n_clusters < 0:
+            raise ValueError(
+                f"CurationConfig.semantic_n_clusters must be >= 0 (0 = "
+                f"auto), got {cfg.semantic_n_clusters}"
+            )
+    quality_model = None
+    if cfg.quality_model_path:
+        # load (and validate) at run START — same contract as the bloom
+        from vectrekker_spark.operators.qualityscore import load_model
+
+        quality_model = load_model(cfg.quality_model_path)
     bench_bloom = None
     if cfg.bench_bloom_path:
         # load (and thereby validate) the benchmark filter at run START —
@@ -139,7 +179,25 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     docs = _drop_near_dups(docs, cfg).cache()
     caches.append(docs)
 
-    # 2b. optional span-level dedup: strip corpus-redundant token spans in
+    # 2b. optional semantic dedup: drop embedding-space near-duplicates the
+    # token-level MinHash pass can't see (paraphrases, translations of the
+    # same content). Cluster-bounded SemDeDup — broadcast-centroid narrow
+    # assignment, one cid shuffle, per-cell greedy min-id prune. Cached:
+    # every later stage re-reads the survivors.
+    if cfg.semantic_dedup_threshold:
+        from vectrekker_spark.operators.semdedup import semantic_dedup
+
+        docs = semantic_dedup(
+            docs,
+            threshold=cfg.semantic_dedup_threshold,
+            n_clusters=cfg.semantic_n_clusters or None,
+            id_col=cfg.id_col,
+            vec_col=cfg.semantic_vec_col,
+        ).cache()
+        caches.append(docs)
+        funnel["after_semantic_dedup"] = docs.count()
+
+    # 2c. optional span-level dedup: strip corpus-redundant token spans in
     # place (doc count unchanged — the funnel records how many documents
     # were touched). Cached: later stages consume the stripped text
     # repeatedly, and the spans' gram cache joins the funnel's lifecycle.
@@ -188,6 +246,24 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     funnel["after_quality"] = row["nq"]
     funnel["after_lang"] = row["nql"]
     docs = docs.filter(q_ok & lang_ok)
+
+    # 4a. optional learned quality gate: the hashed-BoW linear model scores
+    # the heuristic survivors as one zero-shuffle Arrow map (weights
+    # broadcast) — after the cheap JVM gates so the Python stage sees the
+    # smallest set, before the join-heavy BM25 relevance stage. Cached:
+    # the Python scoring map must not re-execute per downstream action.
+    if quality_model is not None:
+        from vectrekker_spark.operators.qualityscore import quality_filter
+
+        docs = quality_filter(
+            docs,
+            quality_model[0],
+            bias=quality_model[1],
+            min_score=cfg.min_model_quality,
+            text_col=cfg.text_col,
+        ).cache()
+        caches.append(docs)
+        funnel["after_model_quality"] = docs.count()
 
     # 4b. optional query-relevance gate: keep documents whose Okapi BM25
     # score against the topic terms clears the threshold (query-targeted

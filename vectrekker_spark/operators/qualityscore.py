@@ -139,6 +139,36 @@ def quality_filter(
     )
 
 
+def save_model(path: str, weights: np.ndarray, bias: float) -> None:
+    """Persist (weights, bias) as a single .npz — the curation funnel's
+    quality_model_path format. Provenance (n_features) rides the weight
+    vector's own length; the feature-index math is versionless by design
+    (md5-prefix mod n, operators/bloom.py's stability argument)."""
+    w = np.asarray(weights, dtype=np.float64)
+    if w.ndim != 1 or len(w) == 0:
+        raise ValueError("save_model: weights must be a non-empty 1-D vector")
+    np.savez(path, weights=w, bias=np.float64(bias))
+
+
+def load_model(path: str) -> tuple[np.ndarray, float]:
+    """Load a save_model .npz; validates shape/finiteness so a corrupt or
+    wrong-format file fails at load (run-START) rather than inside an
+    executor batch."""
+    with np.load(path) as z:
+        if "weights" not in z or "bias" not in z:
+            raise ValueError(
+                f"load_model: {path!r} lacks weights/bias arrays — not a "
+                "save_model file"
+            )
+        w = np.asarray(z["weights"], dtype=np.float64)
+        b = float(z["bias"])
+    if w.ndim != 1 or len(w) == 0:
+        raise ValueError(f"load_model: {path!r} weights are not a 1-D vector")
+    if not (np.isfinite(w).all() and np.isfinite(b)):
+        raise ValueError(f"load_model: {path!r} contains non-finite values")
+    return w, b
+
+
 def fit_linear_quality(
     df: DataFrame,
     label_col: str = "label",
