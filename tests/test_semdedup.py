@@ -245,3 +245,141 @@ def test_empty_and_all_null_corpus(spark):
     dec = semantic_dedup_decisions(nulls).collect()
     assert sorted(r["vec_id"] for r in dec) == [1, 2]
     assert all(r["keep"] for r in dec)
+
+
+# ---- semantic_dedup_against (incremental) ----
+
+
+def _fixed_cents(spark, rows, k=3):
+    """Deterministic stride centroids over the given rows (fixed quantizer
+    for incremental tests)."""
+    from vectrekker_spark.operators.ann import ivf_centroids
+
+    return ivf_centroids(_mk(spark, rows), n_centroids=k, method="stride")
+
+
+def test_against_equals_oneshot_on_append_only_ids(spark):
+    from vectrekker_spark.operators.semdedup import semantic_dedup_against
+
+    rows = _planted_rows(seed=7, n_base=26)
+    cents = _fixed_cents(spark, rows).cache()
+    split = 18  # history = ids < split, batch = ids >= split
+    history = [r for r in rows if r[0] < split]
+    batch = [r for r in rows if r[0] >= split]
+
+    oneshot = {
+        r["vec_id"]: (r["keep"], r["dup_of"], r["score"])
+        for r in semantic_dedup_decisions(
+            _mk(spark, rows, 4), threshold=0.9, centroids=cents
+        ).collect()
+    }
+    hist_dec = semantic_dedup_decisions(
+        _mk(spark, history, 3), threshold=0.9, centroids=cents
+    )
+    kept_hist = _mk(spark, history, 3).join(
+        hist_dec.where("keep").select("vec_id"), "vec_id", "left_semi"
+    )
+    got = {
+        r["vec_id"]: (r["keep"], r["dup_of"], r["score"])
+        for r in semantic_dedup_against(
+            _mk(spark, batch, 3), kept_hist, cents, threshold=0.9
+        ).collect()
+    }
+    assert set(got) == {r[0] for r in batch}
+    for rid in got:
+        assert got[rid] == oneshot[rid], rid
+    cents.unpersist()
+
+
+def test_against_multi_batch_accumulation(spark):
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.semdedup import semantic_dedup_against
+
+    rows = _planted_rows(seed=13, n_base=30)
+    cents = _fixed_cents(spark, rows, k=2).cache()
+    oneshot_kept = {
+        r["vec_id"]
+        for r in semantic_dedup_decisions(
+            _mk(spark, rows), threshold=0.9, centroids=cents
+        ).collect()
+        if r["keep"]
+    }
+    kept = _mk(spark, [])  # empty history
+    for lo, hi in ((0, 12), (12, 25), (25, 40)):
+        batch = [r for r in rows if lo <= r[0] < hi]
+        dec = semantic_dedup_against(
+            _mk(spark, batch, 2), kept, cents, threshold=0.9
+        )
+        survivors = _mk(spark, batch, 2).join(
+            dec.where("keep").select("vec_id"), "vec_id", "left_semi"
+        )
+        kept = kept.unionByName(survivors)
+    assert {r["vec_id"] for r in kept.collect()} == oneshot_kept
+    cents.unpersist()
+
+
+def test_against_dup_of_names_history(spark):
+    from vectrekker_spark.operators.semdedup import semantic_dedup_against
+
+    hist = [(1, _unit([1.0, 0.0])), (2, _unit([0.0, 1.0]))]
+    batch = [
+        (10, _unit([1.0, 1e-5])),   # dup of history 1
+        (11, _unit([0.7, 0.7])),    # novel (threshold-wise)
+        (12, _unit([0.7001, 0.7])), # dup of newly-kept 11, not history
+        (13, None),                 # null vec: kept, cid NULL
+    ]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, cvec array<double>"
+    )
+    dec = {r["vec_id"]: r for r in semantic_dedup_against(
+        _mk(spark, batch), _mk(spark, hist), cents, threshold=0.99
+    ).collect()}
+    assert set(dec) == {10, 11, 12, 13}
+    assert not dec[10]["keep"] and dec[10]["dup_of"] == 1
+    assert dec[11]["keep"]
+    assert not dec[12]["keep"] and dec[12]["dup_of"] == 11
+    assert dec[13]["keep"] and dec[13]["cid"] is None
+
+
+def test_against_kept_assigned_fast_path(spark):
+    from vectrekker_spark.operators.semdedup import semantic_dedup_against
+    from vectrekker_spark.operators.ann import assign_centroids
+
+    rows = _planted_rows(seed=5, n_base=20)
+    cents = _fixed_cents(spark, rows).cache()
+    history = [r for r in rows if r[0] < 14]
+    batch = [r for r in rows if r[0] >= 14]
+    ka = assign_centroids(
+        _mk(spark, history), cents, carry_vec=True
+    )
+    via_assigned = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in semantic_dedup_against(
+            _mk(spark, batch), _mk(spark, []), cents,
+            threshold=0.9, kept_assigned=ka,
+        ).collect()
+    }
+    via_frame = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in semantic_dedup_against(
+            _mk(spark, batch), _mk(spark, history), cents, threshold=0.9
+        ).collect()
+    }
+    assert via_assigned == via_frame
+    cents.unpersist()
+
+
+def test_against_guards(spark):
+    from vectrekker_spark.operators.semdedup import semantic_dedup_against
+
+    rows = [(1, _unit([1.0, 0.0]))]
+    empty_c = spark.createDataFrame([], "cid long, cvec array<double>")
+    with pytest.raises(ValueError, match="no non-null cvec"):
+        semantic_dedup_against(_mk(spark, rows), _mk(spark, []), empty_c)
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "cid long, cvec array<double>")
+    hist = [(i, _unit([1.0, float(i)])) for i in range(8)]
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup_against(
+            _mk(spark, rows), _mk(spark, hist), cents, max_cluster_rows=5
+        ).collect()

@@ -347,6 +347,24 @@ class Engine:
 
         return semantic_dedup_decisions(df, threshold=threshold, **kw)
 
+    def semantic_dedup_against(
+        self,
+        new: DataFrame,
+        kept: DataFrame,
+        centroids: DataFrame,
+        threshold: float = 0.95,
+        **kw,
+    ) -> DataFrame:
+        """Incremental semantic dedup: per-NEW-row (id, cid, keep, dup_of,
+        score) against a kept history under a FIXED quantizer
+        (operators/semdedup.semantic_dedup_against). Append-only ids keep
+        accumulated batches exactly equal to a one-shot run."""
+        from vectrekker_spark.operators.semdedup import semantic_dedup_against
+
+        return semantic_dedup_against(
+            new, kept, centroids, threshold=threshold, **kw
+        )
+
     def fit_quality(self, labeled: DataFrame, **kw):
         """(weights, bias) from a BOUNDED labeled sample — driver-side
         hashed-BoW logistic fit (operators/qualityscore.fit_linear_quality;

@@ -55,6 +55,84 @@ _TILE_ENTRIES = 16_000_000
 _BLOCK_ROWS = 1024
 
 
+def _unit_rows(vec_series) -> "np.ndarray":
+    """Row matrix of unit vectors (zero rows pass through) — round-6 cosine
+    between inputs == round(dot of unit rows, 6), knn/functions.vector's
+    contract."""
+    V = np.asarray(list(vec_series), dtype=np.float64)
+    nrm = np.linalg.norm(V, axis=1)
+    nrm[nrm == 0] = 1.0
+    return V / nrm[:, None]
+
+
+def _blocked_greedy(
+    ids: "np.ndarray",
+    U: "np.ndarray",
+    forced: "np.ndarray | None",
+    threshold: float,
+    tile_entries: int,
+    block_rows: int,
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Greedy min-id-first prune over unit rows, blocked for BLAS.
+
+    Rows are scanned in index order (callers pre-sort by id) and scored
+    against the already-kept set one BLOCK at a time (one GEMM, row-tiled
+    over the kept set); only the within-block dependency runs sequentially.
+    Decisions are identical to pure row-by-row greedy: dup_of = FIRST
+    argmax over kept-so-far in scan order (the strict `>` merges keep that
+    rule across tiles and across the prior/within-block split).
+
+    ``forced`` (bool mask or None): rows kept UNCONDITIONALLY — they enter
+    the kept set at their scan position without being scored. This is the
+    incremental shape (semantic_dedup_against): history rows are already
+    kept by a prior run and only gate the new rows.
+
+    Returns (keep, dup_of, score) aligned to ``ids``; kept rows carry
+    dup_of=ids-dtype zero and score=NaN (callers null them out).
+    """
+    n = len(ids)
+    keep = np.ones(n, dtype=bool)
+    dup_of = np.zeros(n, dtype=ids.dtype)
+    score = np.full(n, np.nan)
+    tile = max(1, tile_entries // max(block_rows, 1))
+    kept_global: list[int] = []
+    for lo in range(0, n, block_rows):
+        hi = min(lo + block_rows, n)
+        m = hi - lo
+        best_s = np.full(m, -2.0)
+        best_j = np.full(m, -1, dtype=np.int64)
+        if kept_global:
+            K = np.asarray(kept_global)
+            for klo in range(0, len(K), tile):
+                sub = K[klo : klo + tile]
+                S = np.round(U[lo:hi] @ U[sub].T, 6)  # m × |sub|
+                j = np.argmax(S, axis=1)
+                s = S[np.arange(m), j]
+                better = s > best_s
+                best_s[better] = s[better]
+                best_j[better] = sub[j[better]]
+        blk_kept: list[int] = []
+        for r in range(m):
+            i = lo + r
+            if forced is not None and forced[i]:
+                blk_kept.append(i)
+                continue
+            bs, bj = float(best_s[r]), int(best_j[r])
+            if blk_kept:
+                s = np.round(U[np.asarray(blk_kept)] @ U[i], 6)
+                j = int(np.argmax(s))
+                if s[j] > bs:
+                    bs, bj = float(s[j]), blk_kept[j]
+            if bs >= threshold:
+                keep[i] = False
+                dup_of[i] = ids[bj]
+                score[i] = bs
+            else:
+                blk_kept.append(i)
+        kept_global.extend(blk_kept)
+    return keep, dup_of, score
+
+
 def semantic_dedup_decisions(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -164,53 +242,10 @@ def semantic_dedup_decisions(
             )
         pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
         ids = pdf[id_col].to_numpy()
-        V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-        nrm = np.linalg.norm(V, axis=1)
-        nrm[nrm == 0] = 1.0
-        U = V / nrm[:, None]  # round-6 cosine == round(dot of unit rows, 6)
-        keep = np.ones(n, dtype=bool)
-        dup_of = np.zeros(n, dtype=ids.dtype)
-        score = np.full(n, np.nan)
-        # Blocked greedy: rows are scored against the already-kept set one
-        # BLOCK at a time (one GEMM, row-tiled over the kept set), then only
-        # the within-block dependency runs sequentially — identical
-        # decisions to pure row-by-row greedy (dup_of = FIRST argmax over
-        # kept-so-far in id order; the strict `>` merges keep that rule
-        # across tiles and across the prior/within-block split).
-        block = block_rows
-        tile = max(1, tile_entries // block)
-        kept_global: list[int] = []
-        for lo in range(0, n, block):
-            hi = min(lo + block, n)
-            m = hi - lo
-            best_s = np.full(m, -2.0)
-            best_j = np.full(m, -1, dtype=np.int64)
-            if kept_global:
-                K = np.asarray(kept_global)
-                for klo in range(0, len(K), tile):
-                    sub = K[klo : klo + tile]
-                    S = np.round(U[lo:hi] @ U[sub].T, 6)  # m × |sub|
-                    j = np.argmax(S, axis=1)
-                    s = S[np.arange(m), j]
-                    better = s > best_s
-                    best_s[better] = s[better]
-                    best_j[better] = sub[j[better]]
-            blk_kept: list[int] = []
-            for r in range(m):
-                i = lo + r
-                bs, bj = float(best_s[r]), int(best_j[r])
-                if blk_kept:
-                    s = np.round(U[np.asarray(blk_kept)] @ U[i], 6)
-                    j = int(np.argmax(s))
-                    if s[j] > bs:
-                        bs, bj = float(s[j]), blk_kept[j]
-                if bs >= threshold:
-                    keep[i] = False
-                    dup_of[i] = ids[bj]
-                    score[i] = bs
-                else:
-                    blk_kept.append(i)
-            kept_global.extend(blk_kept)
+        U = _unit_rows(pdf[vec_col])
+        keep, dup_of, score = _blocked_greedy(
+            ids, U, None, threshold, tile_entries, block_rows
+        )
         out = pd.DataFrame(
             {
                 id_col: ids,
@@ -265,3 +300,133 @@ def semantic_dedup(
     )
     kept = decisions.where(F.col("keep")).select(id_col)
     return corpus.join(kept, on=id_col, how="left_semi")
+
+
+def semantic_dedup_against(
+    new: DataFrame,
+    kept: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
+    kept_assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental semantic dedup: keep/drop decisions for NEW vectors
+    against a KEPT history — the "dedup today's batch against 100 TB of
+    curated corpus" shape (minhash_dedup_against / exact_dedup_against's
+    embedding-space sibling).
+
+    Returns (id, cid, keep, dup_of, score) for the NEW rows only; dup_of
+    may name a history id or an earlier-kept id from this batch (in-batch
+    self-dedup rides the same kernel pass for free). History rows are
+    already kept by construction and are never re-decided.
+
+    ``centroids`` is REQUIRED, not optional: a fixed quantizer is what
+    makes incremental decisions stable — re-fitting per batch would move
+    cell boundaries and re-litigate history. Fit once (ivf_centroids, or a
+    persisted IVF index's centroids table) and reuse it for every batch.
+
+    Equivalence contract (tested): with fixed centroids and append-only
+    ids (every new id > every kept id), running batches through this
+    function accumulates EXACTLY the kept-set of a one-shot
+    semantic_dedup_decisions over the concatenated corpus — min-id greedy
+    scans history first either way. Ids shared between ``new`` and
+    ``kept`` violate the contract (a new row reusing a kept id in the same
+    cell would be dropped as a "duplicate" of the history row).
+
+    Scale shape: both sides assign NARROWLY against the broadcast
+    centroids; history is then semi-join-pruned to only the cells this
+    batch touches (a cid-partitioned persisted kept-table turns that into
+    partition pruning), so per-batch cost is O(|batch| + |history in
+    touched cells|), never a history scan per batch. Pass
+    ``kept_assigned`` ((id, cid, vec) — e.g. the accumulated output of
+    prior runs) to skip re-assigning history entirely.
+    """
+    spark = new.sparkSession
+    types = dict(new.dtypes)
+    id_t = types[id_col]
+    out_schema = f"{id_col} {id_t}, cid long, keep boolean, dup_of {id_t}, score double"
+    if not centroids.where(F.col("cvec").isNotNull()).limit(1).count():
+        raise ValueError(
+            "semantic_dedup_against: the centroids frame has no non-null "
+            "cvec rows; every batch row would be silently dropped or kept "
+            "unchecked. Fit centroids once (ivf_centroids) and reuse them."
+        )
+    a_new = assign_centroids(
+        new, centroids, assign_k=1, id_col=id_col, vec_col=vec_col, carry_vec=True
+    )
+    if kept_assigned is None:
+        a_kept = assign_centroids(
+            kept, centroids, assign_k=1, id_col=id_col, vec_col=vec_col,
+            carry_vec=True,
+        )
+    else:
+        a_kept = kept_assigned.select(id_col, "cid", vec_col)
+    # prune history to the batch's cells: the cid set of a batch is small,
+    # so this is a broadcast semi-join (partition pruning on a
+    # cid-partitioned kept table) — history cells the batch never touches
+    # are never read past their cid column
+    batch_cids = a_new.select("cid").distinct()
+    a_kept = a_kept.join(F.broadcast(batch_cids), "cid", "left_semi")
+    unioned = a_new.withColumn("_pre_kept", F.lit(False)).unionByName(
+        a_kept.withColumn("_pre_kept", F.lit(True))
+    )
+
+    tile_entries = _TILE_ENTRIES
+    block_rows = _BLOCK_ROWS
+
+    def prune_against(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                "cid": pd.Series([], dtype="int64"),
+                "keep": pd.Series([], dtype="bool"),
+                "dup_of": pd.Series([], dtype=pdf[id_col].dtype),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if n == 0 or not (~pdf["_pre_kept"]).any():
+            return empty
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup_against: cell cid={int(pdf['cid'].iloc[0])} "
+                f"holds {n} rows (batch + touched history) > "
+                f"max_cluster_rows={max_cluster_rows}. Refit with more "
+                "centroids (√N rule) or raise the cap deliberately."
+            )
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        forced = pdf["_pre_kept"].to_numpy()
+        U = _unit_rows(pdf[vec_col])
+        keep, dup_of, score = _blocked_greedy(
+            ids, U, forced, threshold, tile_entries, block_rows
+        )
+        new_mask = ~forced
+        out = pd.DataFrame(
+            {
+                id_col: ids[new_mask],
+                "cid": pdf["cid"].to_numpy()[new_mask],
+                "keep": keep[new_mask],
+                "dup_of": dup_of[new_mask],
+                "score": score[new_mask],
+            }
+        )
+        out["dup_of"] = out["dup_of"].astype(object).where(~out["keep"], None)
+        out["score"] = out["score"].astype(object).where(~out["keep"], None)
+        return out
+
+    decisions = unioned.groupBy("cid").applyInPandas(
+        prune_against, schema=out_schema
+    )
+    # NULL-vector batch rows are kept verbatim with cid NULL (they cannot
+    # score against anything — the exact-dedup null-text rule)
+    nulls = new.where(F.col(vec_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("long").alias("cid"),
+        F.lit(True).alias("keep"),
+        F.lit(None).cast(id_t).alias("dup_of"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return decisions.unionByName(nulls)
