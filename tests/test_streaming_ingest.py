@@ -333,3 +333,125 @@ def test_streaming_exact_dedup_against_history(spark, tmp_path):
         stream2, corpus, str(tmp_path / "ckpt_x2")
     ).awaitTermination()
     assert len(corpus_rows()) == 6  # no duplicates added
+
+
+def test_streaming_semantic_dedup_against_history(spark, tmp_path):
+    import numpy as np
+
+    from vectrekker_spark.streaming.jobs import foreach_batch_semantic_dedup
+
+    def unit(v):
+        a = np.asarray(v, dtype=np.float64)
+        return (a / np.linalg.norm(a)).tolist()
+
+    e1 = unit([1.0, 0.0, 0.0])
+    e1_near = unit([1.0, 1e-5, 0.0])
+    e2 = unit([0.0, 1.0, 0.0])
+    e3 = unit([0.0, 0.0, 1.0])
+    e3_near = unit([1e-5, 0.0, 1.0])
+
+    src = tmp_path / "vec_incoming"
+    src.mkdir()
+    corpus = str(tmp_path / "vec_corpus")
+    schema = "vec_id long, embedding array<double>"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run(ckpt="vec_ckpt"):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        foreach_batch_semantic_dedup(
+            stream, corpus, str(tmp_path / ckpt), threshold=0.99, n_clusters=2
+        ).awaitTermination()
+
+    def kept_ids():
+        return sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(f"{corpus}/kept").collect()
+        )
+
+    # batch 1: in-batch near-dup (2 ~ 1) dropped, null vector survives;
+    # the quantizer is fitted and saved on this batch
+    write_batch("b1", [(1, e1), (2, e1_near), (3, e2), (4, None)])
+    run()
+    assert kept_ids() == [1, 3, 4]
+    cents = spark.read.parquet(f"{corpus}/centroids")
+    assert cents.count() == 2
+
+    # batch 2: 5 duplicates HISTORY vector 1; 6 is novel; null survives
+    write_batch("b2", [(5, e1_near), (6, e3), (7, None)])
+    run()
+    assert kept_ids() == [1, 3, 4, 6, 7]
+    # the quantizer did NOT re-fit (fixed for the stream's lifetime)
+    assert sorted(
+        (r["cid"], tuple(r["cvec"])) for r in cents.collect()
+    ) == sorted(
+        (r["cid"], tuple(r["cvec"]))
+        for r in spark.read.parquet(f"{corpus}/centroids").collect()
+    )
+
+    # same checkpoint, no new files: nothing reprocessed
+    run()
+    assert kept_ids() == [1, 3, 4, 6, 7]
+
+    # batch 3 dups a batch-2 survivor
+    write_batch("b3", [(8, e3_near), (9, unit([1.0, 1.0, 1.0]))])
+    run()
+    assert kept_ids() == [1, 3, 4, 6, 7, 9]
+
+    # at-least-once redelivery: batch 3 via a fresh checkpoint — scorable
+    # rows meet their appended twins (equal-id ties scan history first)
+    # and drop; nothing duplicates
+    stream2 = spark.readStream.schema(schema).parquet(str(src / "b3"))
+    foreach_batch_semantic_dedup(
+        stream2, corpus, str(tmp_path / "vec_ckpt2"),
+        threshold=0.99, n_clusters=2,
+    ).awaitTermination()
+    assert kept_ids() == [1, 3, 4, 6, 7, 9]
+
+    # accumulated kept set == one-shot semantic_dedup over everything
+    from vectrekker_spark.operators.semdedup import semantic_dedup
+
+    everything = spark.read.parquet(str(src / "*"))
+    oneshot = semantic_dedup(
+        everything, threshold=0.99,
+        centroids=spark.read.parquet(f"{corpus}/centroids"),
+    )
+    assert sorted(r["vec_id"] for r in oneshot.collect()) == [1, 3, 4, 6, 7, 9]
+
+
+def test_streaming_semantic_dedup_all_null_first_batch(spark, tmp_path):
+    from vectrekker_spark.streaming.jobs import foreach_batch_semantic_dedup
+
+    src = tmp_path / "vn_incoming"
+    src.mkdir()
+    corpus = str(tmp_path / "vn_corpus")
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame([(1, None), (2, None)], schema).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    foreach_batch_semantic_dedup(
+        stream, corpus, str(tmp_path / "vn_ckpt")
+    ).awaitTermination()
+    import os
+
+    # null rows kept verbatim; the quantizer waits for scorable data
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{corpus}/kept").collect()
+    ) == [1, 2]
+    assert not os.path.exists(f"{corpus}/centroids")
+
+    spark.createDataFrame(
+        [(3, [1.0, 0.0]), (4, [0.0, 1.0])], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    stream2 = spark.readStream.schema(schema).parquet(str(src / "*"))
+    foreach_batch_semantic_dedup(
+        stream2, corpus, str(tmp_path / "vn_ckpt")
+    ).awaitTermination()
+    assert os.path.exists(f"{corpus}/centroids")
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{corpus}/kept").collect()
+    ) == [1, 2, 3, 4]

@@ -175,7 +175,19 @@ def ivf_centroids(
     """Just the (cid, cvec) centroids of ivf_build, no assignment pass —
     for consumers that run their own assignment (operators/semdedup.py) and
     would otherwise pay ivf_build's eager assign_centroids collect +
-    broadcast twice. Semantics identical to ivf_build's centroid arm."""
+    broadcast twice. Semantics identical to ivf_build's centroid arm.
+
+    ``n_centroids=1`` skips the fit entirely (MLlib KMeans requires k > 1,
+    and with a single cell every vector co-assigns regardless of the
+    centroid's value): the min-id row's vector stands in, deterministic
+    across partition layouts."""
+    if n_centroids == 1 and method == "kmeans":
+        one = (
+            corpus.orderBy(F.col(id_col))
+            .select(F.lit(0).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))
+            .limit(1)
+        )
+        return one
     if method == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector

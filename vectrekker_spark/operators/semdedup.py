@@ -304,7 +304,7 @@ def semantic_dedup(
 
 def semantic_dedup_against(
     new: DataFrame,
-    kept: DataFrame,
+    kept: DataFrame | None,
     centroids: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -331,9 +331,10 @@ def semantic_dedup_against(
     ids (every new id > every kept id), running batches through this
     function accumulates EXACTLY the kept-set of a one-shot
     semantic_dedup_decisions over the concatenated corpus — min-id greedy
-    scans history first either way. Ids shared between ``new`` and
-    ``kept`` violate the contract (a new row reusing a kept id in the same
-    cell would be dropped as a "duplicate" of the history row).
+    scans history first either way. A new row REUSING a kept id in the
+    same cell is defined to drop against the history copy (equal-id ties
+    scan history first), which is exactly what makes an at-least-once
+    redelivered micro-batch idempotent in the streaming ingestion path.
 
     Scale shape: both sides assign NARROWLY against the broadcast
     centroids; history is then semi-join-pruned to only the cells this
@@ -357,6 +358,11 @@ def semantic_dedup_against(
         new, centroids, assign_k=1, id_col=id_col, vec_col=vec_col, carry_vec=True
     )
     if kept_assigned is None:
+        if kept is None:
+            raise ValueError(
+                "semantic_dedup_against: pass kept (raw history vectors) or "
+                "kept_assigned (pre-assigned (id, cid, vec) history)"
+            )
         a_kept = assign_centroids(
             kept, centroids, assign_k=1, id_col=id_col, vec_col=vec_col,
             carry_vec=True,
@@ -396,7 +402,13 @@ def semantic_dedup_against(
                 f"max_cluster_rows={max_cluster_rows}. Refit with more "
                 "centroids (√N rule) or raise the cap deliberately."
             )
-        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        # equal-id ties scan the FORCED (history) copy first: a redelivered
+        # micro-batch row meets its own previously-appended twin at score
+        # 1.0 and drops — at-least-once delivery becomes effectively
+        # idempotent for scorable rows (the ST8 exact-dedup contract)
+        pdf = pdf.sort_values(
+            [id_col, "_pre_kept"], ascending=[True, False], kind="stable"
+        ).reset_index(drop=True)
         ids = pdf[id_col].to_numpy()
         forced = pdf["_pre_kept"].to_numpy()
         U = _unit_rows(pdf[vec_col])

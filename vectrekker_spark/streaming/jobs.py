@@ -435,6 +435,120 @@ def compact_near_dedup_corpus(
     return out
 
 
+def foreach_batch_semantic_dedup(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+    max_cluster_rows: int = 100_000,
+):
+    """Streaming ingestion with SEMANTIC dedup against all history — the
+    embedding-space sibling of foreach_batch_exact_dedup (ST8) built on
+    operators/semdedup.semantic_dedup_against. Each micro-batch is
+    self-deduped AND checked against the accumulated kept corpus in one
+    kernel pass; survivors append to ``{corpus_path}/kept`` partitioned by
+    cid, so the next batch's history semi-join prunes to only the cells it
+    touches (partition pruning — per-batch cost never scans history).
+
+    The quantizer is FIXED for the stream's lifetime: fitted once on the
+    first scorable micro-batch (``n_clusters`` or the √N rule) and saved
+    to ``{corpus_path}/centroids`` BEFORE any kept rows are written — a
+    crash between the two leaves a reusable quantizer and no corpus, so
+    redelivery reproduces identical decisions. Re-fitting per batch would
+    move cell boundaries and re-litigate history; to re-quantize, rebuild
+    the corpus offline with semantic_dedup and restart the stream.
+
+    Delivery is at-least-once per micro-batch, effectively idempotent for
+    scorable rows: a redelivered row meets its previously-appended twin
+    (same id, same cell — equal-id ties scan history first) at cosine 1.0
+    and drops. NULL-vector rows always survive (the engine-wide
+    null-content rule) and therefore re-append on redelivery; reclaim
+    with an id-distinct compact, the ST7/ST8 contract. Returns the
+    started query.
+
+    Ids must be append-only and unique across batches (the
+    semantic_dedup_against contract) — with that, the accumulated kept
+    table equals a one-shot semantic_dedup over everything ingested.
+    """
+    import os
+
+    from vectrekker_spark.operators.ann import ivf_centroids
+    from vectrekker_spark.operators.semdedup import semantic_dedup_against
+
+    cent_path = os.path.join(corpus_path, "centroids")
+    kept_path = os.path.join(corpus_path, "kept")
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            scorable = batch.where(F.col(vec_col).isNotNull())
+            if os.path.exists(cent_path):
+                cents = spark.read.parquet(cent_path)
+            else:
+                if scorable.isEmpty():
+                    # nothing to fit against or score; null-vector rows
+                    # append verbatim (kept, cid NULL) and the quantizer
+                    # waits for the first scorable batch
+                    batch.withColumn("cid", F.lit(None).cast("long")).write.mode(
+                        "append"
+                    ).partitionBy("cid").parquet(kept_path)
+                    return
+                k = n_clusters or max(1, int(scorable.count() ** 0.5))
+                cents = ivf_centroids(
+                    scorable, n_centroids=k, id_col=id_col, vec_col=vec_col,
+                    method="kmeans",
+                )
+                # quantizer FIRST: a crash after this write, before any
+                # kept append, redelivers into the same fixed cells
+                cents.write.mode("overwrite").parquet(cent_path)
+                cents = spark.read.parquet(cent_path)
+            hist = None
+            if os.path.exists(kept_path):
+                # cast: partition-column type inference can narrow the
+                # directory-encoded cid to int; the kernel contract is long
+                hist = spark.read.parquet(kept_path).where(
+                    F.col("cid").isNotNull()
+                ).select(
+                    id_col, F.col("cid").cast("long").alias("cid"), vec_col
+                )
+            else:
+                id_t = dict(batch.dtypes)[id_col]
+                vec_t = dict(batch.dtypes)[vec_col]
+                hist = spark.createDataFrame(
+                    [], f"`{id_col}` {id_t}, cid long, `{vec_col}` {vec_t}"
+                )
+            dec = semantic_dedup_against(
+                batch, None, cents,
+                threshold=threshold, id_col=id_col, vec_col=vec_col,
+                max_cluster_rows=max_cluster_rows, kept_assigned=hist,
+            ).persist()
+            try:
+                survivors = batch.join(
+                    dec.where(F.col("keep")).select(id_col, "cid"),
+                    id_col, "inner",
+                )
+                survivors.write.mode("append").partitionBy("cid").parquet(
+                    kept_path
+                )
+            finally:
+                dec.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_exact_dedup(
     stream: DataFrame,
     corpus_path: str,
