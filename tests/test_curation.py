@@ -249,3 +249,27 @@ def test_curate_model_quality_validates_at_start(spark, tmp_path):
     np.savez(bad, other=np.zeros(4))
     with pytest.raises(ValueError, match="weights/bias"):
         curate(docs, CurationConfig(quality_model_path=bad))
+
+
+def test_curate_model_gate_collision_and_threshold_validate_at_start(
+    spark, tmp_path
+):
+    import numpy as np
+    import pytest
+
+    from vectrekker_spark.operators.qualityscore import save_model
+
+    path = str(tmp_path / "m.npz")
+    save_model(path, np.zeros(16), 0.0)
+    docs = spark.createDataFrame(
+        [(0, "x", "en", 0.9)],
+        "doc_id long, text string, lang string, quality_score double",
+    )
+    with pytest.raises(ValueError, match="quality_score"):
+        curate(docs, CurationConfig(quality_model_path=path))
+    plain = docs.drop("quality_score")
+    with pytest.raises(ValueError, match="min_model_quality"):
+        curate(
+            plain,
+            CurationConfig(quality_model_path=path, min_model_quality=1.5),
+        )

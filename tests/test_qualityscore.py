@@ -170,3 +170,17 @@ def test_model_save_load_roundtrip(tmp_path):
     np.savez(str(tmp_path / "nf.npz"), weights=np.array([np.inf]), bias=np.float64(0))
     with pytest.raises(ValueError, match="non-finite"):
         load_model(str(tmp_path / "nf.npz"))
+
+
+def test_save_model_honors_exact_path(tmp_path):
+    from vectrekker_spark.operators.qualityscore import load_model, save_model
+
+    # np.savez on a PATH appends .npz; save_model must not (round-trip
+    # through the same string the caller passed)
+    path = str(tmp_path / "model_no_ext")
+    save_model(path, np.ones(4), 0.5)
+    import os
+
+    assert os.path.exists(path) and not os.path.exists(path + ".npz")
+    w, b = load_model(path)
+    assert list(w) == [1.0] * 4 and b == 0.5

@@ -383,3 +383,25 @@ def test_against_guards(spark):
         semantic_dedup_against(
             _mk(spark, rows), _mk(spark, hist), cents, max_cluster_rows=5
         ).collect()
+
+
+def test_against_assignment_cached_and_exposed(spark):
+    from vectrekker_spark.operators.semdedup import semantic_dedup_against
+
+    rows = [(1, _unit([1.0, 0.0])), (2, _unit([0.0, 1.0]))]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, cvec array<double>"
+    )
+    dec = semantic_dedup_against(_mk(spark, rows), _mk(spark, []), cents)
+    cache = getattr(dec, "_cached_assign", None)
+    assert cache is not None and cache.is_cached
+    dec.collect()
+    cache.unpersist()
+
+
+def test_ivf_centroids_k1_skips_null_vectors(spark):
+    from vectrekker_spark.operators.ann import ivf_centroids
+
+    df = _mk(spark, [(1, None), (2, _unit([1.0, 2.0]))])
+    rows = ivf_centroids(df, n_centroids=1, method="kmeans").collect()
+    assert len(rows) == 1 and rows[0]["cvec"] is not None

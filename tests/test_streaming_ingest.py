@@ -455,3 +455,51 @@ def test_streaming_semantic_dedup_all_null_first_batch(spark, tmp_path):
     assert sorted(
         r["vec_id"] for r in spark.read.parquet(f"{corpus}/kept").collect()
     ) == [1, 2, 3, 4]
+
+
+def test_streaming_semantic_dedup_torn_quantizer_heals(spark, tmp_path):
+    import os
+    import shutil
+
+    from vectrekker_spark.streaming.jobs import foreach_batch_semantic_dedup
+
+    src = tmp_path / "tq_incoming"
+    src.mkdir()
+    corpus = str(tmp_path / "tq_corpus")
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    # simulate a crash mid-save: the centroids dir exists but holds no
+    # committed parquet (the exact state a killed overwrite leaves)
+    os.makedirs(f"{corpus}/centroids/_temporary", exist_ok=True)
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    foreach_batch_semantic_dedup(
+        stream, corpus, str(tmp_path / "tq_ckpt"), n_clusters=2
+    ).awaitTermination()
+    # the fit re-ran (healed) and ingestion proceeded
+    assert spark.read.parquet(f"{corpus}/centroids").count() == 2
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{corpus}/kept").collect()
+    ) == [1, 2]
+    shutil.rmtree(corpus)
+
+
+def test_streaming_semantic_dedup_expected_total_sizing(spark, tmp_path):
+    from vectrekker_spark.streaming.jobs import foreach_batch_semantic_dedup
+
+    src = tmp_path / "et_incoming"
+    src.mkdir()
+    corpus = str(tmp_path / "et_corpus")
+    schema = "vec_id long, embedding array<double>"
+    rows = [(i, [float(i), 1.0, float(i % 3)]) for i in range(10)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    # expected_total=64 → √ = 8 cells, not √10 ≈ 3 — sized for the
+    # eventual corpus, capped at the batch's scorable rows
+    foreach_batch_semantic_dedup(
+        stream, corpus, str(tmp_path / "et_ckpt"), expected_total=64
+    ).awaitTermination()
+    assert spark.read.parquet(f"{corpus}/centroids").count() == 8

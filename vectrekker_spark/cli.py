@@ -332,6 +332,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     ):
         print("error: --semantic-dedup-threshold must be in (0, 1] (0 = off)")
         return 2
+    if not 0.0 <= args.min_model_quality <= 1.0:
+        print("error: --min-model-quality must be in [0, 1] (scores are sigmoids)")
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
     cfg = AssemblyConfig(

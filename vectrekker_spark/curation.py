@@ -125,10 +125,23 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             )
     quality_model = None
     if cfg.quality_model_path:
-        # load (and validate) at run START — same contract as the bloom
+        # load (and validate) at run START — same contract as the bloom;
+        # the score-column collision and a never-passable threshold must
+        # also fail here, not after the dedup stages already ran
         from vectrekker_spark.operators.qualityscore import load_model
 
         quality_model = load_model(cfg.quality_model_path)
+        if "quality_score" in docs.columns:
+            raise ValueError(
+                "CurationConfig.quality_model_path is set but the input "
+                "already has a 'quality_score' column — the learned gate "
+                "would collide mid-funnel; drop or rename it first"
+            )
+        if not 0.0 <= cfg.min_model_quality <= 1.0:
+            raise ValueError(
+                f"CurationConfig.min_model_quality must be in [0, 1] "
+                f"(scores are sigmoids), got {cfg.min_model_quality}"
+            )
     bench_bloom = None
     if cfg.bench_bloom_path:
         # load (and thereby validate) the benchmark filter at run START —

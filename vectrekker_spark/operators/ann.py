@@ -183,7 +183,8 @@ def ivf_centroids(
     across partition layouts."""
     if n_centroids == 1 and method == "kmeans":
         one = (
-            corpus.orderBy(F.col(id_col))
+            corpus.where(F.col(vec_col).isNotNull())
+            .orderBy(F.col(id_col))
             .select(F.lit(0).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))
             .limit(1)
         )

@@ -147,7 +147,11 @@ def save_model(path: str, weights: np.ndarray, bias: float) -> None:
     w = np.asarray(weights, dtype=np.float64)
     if w.ndim != 1 or len(w) == 0:
         raise ValueError("save_model: weights must be a non-empty 1-D vector")
-    np.savez(path, weights=w, bias=np.float64(bias))
+    # write through a file handle: np.savez on a PATH silently appends
+    # '.npz' when absent, and load_model/np.load would then miss the file
+    # the caller asked for
+    with open(path, "wb") as f:
+        np.savez(f, weights=w, bias=np.float64(bias))
 
 
 def load_model(path: str) -> tuple[np.ndarray, float]:

@@ -344,7 +344,6 @@ def semantic_dedup_against(
     ``kept_assigned`` ((id, cid, vec) — e.g. the accumulated output of
     prior runs) to skip re-assigning history entirely.
     """
-    spark = new.sparkSession
     types = dict(new.dtypes)
     id_t = types[id_col]
     out_schema = f"{id_col} {id_t}, cid long, keep boolean, dup_of {id_t}, score double"
@@ -354,9 +353,15 @@ def semantic_dedup_against(
             "cvec rows; every batch row would be silently dropped or kept "
             "unchecked. Fit centroids once (ivf_centroids) and reuse them."
         )
+    # persisted: the batch assignment (a Python BLAS map) feeds BOTH the
+    # batch_cids broadcast semi-join and the unioned kernel input — Spark
+    # does not reuse the common subplan across those two consumers, so an
+    # uncached a_new would run the assignment twice per call. Exposed on
+    # the result as `_cached_assign` (the dedup `_cached_probe` idiom) so
+    # per-batch callers can unpersist once materialized.
     a_new = assign_centroids(
         new, centroids, assign_k=1, id_col=id_col, vec_col=vec_col, carry_vec=True
-    )
+    ).persist()
     if kept_assigned is None:
         if kept is None:
             raise ValueError(
@@ -441,4 +446,6 @@ def semantic_dedup_against(
         F.lit(None).cast(id_t).alias("dup_of"),
         F.lit(None).cast("double").alias("score"),
     )
-    return decisions.unionByName(nulls)
+    result = decisions.unionByName(nulls)
+    result._cached_assign = a_new
+    return result

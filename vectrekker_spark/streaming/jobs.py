@@ -444,6 +444,7 @@ def foreach_batch_semantic_dedup(
     threshold: float = 0.95,
     n_clusters: int | None = None,
     max_cluster_rows: int = 100_000,
+    expected_total: int = 1_000_000,
 ):
     """Streaming ingestion with SEMANTIC dedup against all history — the
     embedding-space sibling of foreach_batch_exact_dedup (ST8) built on
@@ -454,12 +455,23 @@ def foreach_batch_semantic_dedup(
     touches (partition pruning — per-batch cost never scans history).
 
     The quantizer is FIXED for the stream's lifetime: fitted once on the
-    first scorable micro-batch (``n_clusters`` or the √N rule) and saved
-    to ``{corpus_path}/centroids`` BEFORE any kept rows are written — a
-    crash between the two leaves a reusable quantizer and no corpus, so
-    redelivery reproduces identical decisions. Re-fitting per batch would
-    move cell boundaries and re-litigate history; to re-quantize, rebuild
-    the corpus offline with semantic_dedup and restart the stream.
+    first scorable micro-batch and saved to ``{corpus_path}/centroids``
+    BEFORE any kept rows are written — a crash between the two leaves a
+    reusable quantizer and no corpus, so redelivery reproduces identical
+    decisions; a crash DURING the save leaves a torn directory that reads
+    as absent and the fit re-runs (heals — ST8's torn-bloom contract; no
+    kept rows can exist under a torn quantizer given the write order).
+    Cell count is the √N rule over ``expected_total`` — the EVENTUAL
+    corpus size, ST8's sizing idiom — capped at the first batch's
+    scorable rows (KMeans needs k ≤ n). Size it honestly: cells are fixed
+    at stream start, so √first-batch would guarantee max_cluster_rows
+    kernel failures once history outgrows the batch-sized cell layout.
+    ``n_clusters`` overrides. For full control, pre-fit offline
+    (ivf_centroids on a representative sample) and write the result to
+    ``{corpus_path}/centroids`` before starting the stream. Re-fitting
+    per batch would move cell boundaries and re-litigate history; to
+    re-quantize, rebuild the corpus offline with semantic_dedup and
+    restart the stream.
 
     Delivery is at-least-once per micro-batch, effectively idempotent for
     scorable rows: a redelivered row meets its previously-appended twin
@@ -488,9 +500,18 @@ def foreach_batch_semantic_dedup(
         batch = batch_df.persist()
         try:
             scorable = batch.where(F.col(vec_col).isNotNull())
+            cents = None
             if os.path.exists(cent_path):
-                cents = spark.read.parquet(cent_path)
-            else:
+                try:
+                    cents = spark.read.parquet(cent_path)
+                    cents.limit(1).collect()  # force schema + a committed file
+                except Exception:
+                    # torn save (crash mid-write of the first quantizer):
+                    # treat as absent and refit below. Safe: the write
+                    # order guarantees no kept rows were decided under the
+                    # torn quantizer.
+                    cents = None
+            if cents is None:
                 if scorable.isEmpty():
                     # nothing to fit against or score; null-vector rows
                     # append verbatim (kept, cid NULL) and the quantizer
@@ -499,7 +520,11 @@ def foreach_batch_semantic_dedup(
                         "append"
                     ).partitionBy("cid").parquet(kept_path)
                     return
-                k = n_clusters or max(1, int(scorable.count() ** 0.5))
+                # √(eventual corpus), capped by what this batch can fit
+                k = n_clusters or max(
+                    1,
+                    min(int(expected_total ** 0.5), scorable.count()),
+                )
                 cents = ivf_centroids(
                     scorable, n_centroids=k, id_col=id_col, vec_col=vec_col,
                     method="kmeans",
@@ -528,6 +553,7 @@ def foreach_batch_semantic_dedup(
                 threshold=threshold, id_col=id_col, vec_col=vec_col,
                 max_cluster_rows=max_cluster_rows, kept_assigned=hist,
             ).persist()
+            assign_cache = getattr(dec, "_cached_assign", None)
             try:
                 survivors = batch.join(
                     dec.where(F.col("keep")).select(id_col, "cid"),
@@ -538,6 +564,8 @@ def foreach_batch_semantic_dedup(
                 )
             finally:
                 dec.unpersist()
+                if assign_cache is not None:
+                    assign_cache.unpersist()
         finally:
             batch.unpersist()
 
