@@ -503,3 +503,45 @@ def test_streaming_semantic_dedup_expected_total_sizing(spark, tmp_path):
         stream, corpus, str(tmp_path / "et_ckpt"), expected_total=64
     ).awaitTermination()
     assert spark.read.parquet(f"{corpus}/centroids").count() == 8
+
+
+def test_compact_semantic_corpus(spark, tmp_path):
+    from vectrekker_spark.streaming.jobs import (
+        compact_semantic_corpus,
+        foreach_batch_semantic_dedup,
+    )
+
+    src = tmp_path / "cs_incoming"
+    src.mkdir()
+    corpus = str(tmp_path / "cs_corpus")
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        foreach_batch_semantic_dedup(
+            stream, corpus, str(tmp_path / ckpt), n_clusters=2
+        ).awaitTermination()
+
+    run("cs_ckpt1")
+    # redeliver via a fresh checkpoint: scorable rows drop in-kernel,
+    # the null-vector row re-appends
+    run("cs_ckpt2")
+    kept = spark.read.parquet(f"{corpus}/kept")
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 2, 3, 3]
+
+    out = compact_semantic_corpus(spark, corpus)
+    assert out == {"kept_removed": 1}
+    after = spark.read.parquet(f"{corpus}/kept")
+    assert sorted(r["vec_id"] for r in after.collect()) == [1, 2, 3]
+    # the null row still reads back in the NULL-cid partition
+    assert after.where("vec_id = 3").collect()[0]["cid"] is None
+    # idempotent
+    assert compact_semantic_corpus(spark, corpus) == {"kept_removed": 0}
+    # no-op on a corpus with no null partition
+    import shutil
+
+    shutil.rmtree(f"{corpus}/kept/cid=__HIVE_DEFAULT_PARTITION__")
+    assert compact_semantic_corpus(spark, corpus) == {"kept_removed": 0}

@@ -577,6 +577,38 @@ def foreach_batch_semantic_dedup(
     )
 
 
+def compact_semantic_corpus(
+    spark: SparkSession, corpus_path: str, id_col: str = "vec_id"
+) -> dict[str, int]:
+    """Reclaim foreach_batch_semantic_dedup's at-least-once redelivery
+    duplicates. Only NULL-vector rows can duplicate (a redelivered
+    SCORABLE row meets its previously-appended twin in-kernel and drops),
+    and those all live in the kept table's NULL-cid partition — so only
+    that one partition directory is rewritten (stage-then-swap); the
+    cid-partitioned scorable data is never touched. Returns the
+    removed-row count. Single-writer contract, like ivf_compact: don't
+    run concurrently with an ingesting stream."""
+    import os
+
+    from vectrekker_spark.pipeline import _atomic_replace
+
+    null_dir = os.path.join(
+        corpus_path, "kept", "cid=__HIVE_DEFAULT_PARTITION__"
+    )
+    if not os.path.exists(null_dir):
+        return {"kept_removed": 0}
+    df = spark.read.parquet(null_dir).persist()
+    try:
+        before = df.count()
+        clean = df.dropDuplicates([id_col])
+        removed = before - clean.count()
+        if removed:
+            _atomic_replace(clean, null_dir)
+        return {"kept_removed": removed}
+    finally:
+        df.unpersist()
+
+
 def foreach_batch_exact_dedup(
     stream: DataFrame,
     corpus_path: str,
