@@ -465,3 +465,42 @@ def test_curate_semantic_flag_validation(tmp_path, capsys):
     ])
     assert rc == 2
     assert "semantic-dedup-threshold" in capsys.readouterr().out
+
+
+def test_fit_ngram_lm_then_curate_gate(tmp_path, capsys, spark):
+    ref_path = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the log"),
+         (2, "the cat ran to the dog")],
+        "doc_id long, text string",
+    ).write.parquet(ref_path)
+    lm_dir = str(tmp_path / "lm")
+    rc = main(["fit-ngram-lm", "--reference", ref_path, "--out", lm_dir])
+    out = capsys.readouterr().out
+    assert rc == 0 and "unigrams" in out and "reference tokens" in out
+
+    docs_path = str(tmp_path / "pdocs.parquet")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat", "en"),
+         (1, "zz qq ww ee rr tt yy uu ii oo", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_path)
+    out_dir = str(tmp_path / "pshards")
+    rc = main([
+        "curate", "--documents", docs_path, "--out", out_dir,
+        "--min-quality", "0.0", "--near-dup-threshold", "0.99",
+        "--ngram-lm", lm_dir, "--max-perplexity", "15",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "after_perplexity" in out
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out_dir).select("doc_id").distinct().collect()
+    }
+    assert ids == {0}
+
+    rc = main([
+        "curate", "--documents", docs_path, "--out", out_dir,
+        "--max-perplexity", "-1",
+    ])
+    assert rc == 2 and "max-perplexity" in capsys.readouterr().out

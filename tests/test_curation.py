@@ -273,3 +273,45 @@ def test_curate_model_gate_collision_and_threshold_validate_at_start(
             plain,
             CurationConfig(quality_model_path=path, min_model_quality=1.5),
         )
+
+
+def test_curate_perplexity_stage(spark, tmp_path):
+    from vectrekker_spark.operators.ngramlm import (
+        fit_ngram_lm,
+        lm_save,
+        perplexity_py,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the log")],
+        "doc_id long, text string",
+    )
+    lm = fit_ngram_lm(ref)
+    path = str(tmp_path / "lm")
+    lm_save(lm, path)
+
+    good = "the cat sat on the mat"
+    bad = "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"
+    docs = spark.createDataFrame(
+        [(0, good, "en"), (1, bad, "en")], "doc_id long, text string, lang string"
+    )
+    cut = perplexity_py(good, lm) + 1.0
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        ngram_lm_path=path, max_perplexity=cut, chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    ids = {r["doc_id"] for r in res.chunks.collect()}
+    res.unpersist()
+    assert res.funnel["after_perplexity"] == 1
+    assert ids == {0}
+
+
+def test_curate_perplexity_validates_at_start(spark, tmp_path):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="torn|not an lm_save"):
+        curate(docs, CurationConfig(ngram_lm_path=str(tmp_path / "nope")))

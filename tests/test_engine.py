@@ -210,3 +210,16 @@ def test_engine_semdedup_and_quality_sugar(spark, sf_dir):
     ).count()
     kept_q = eng.quality_filter(docs, np.zeros(16), min_score=0.4)
     assert kept_q.count() == docs.where(F.col("text").isNotNull()).count()
+
+
+def test_engine_ngram_lm_sugar(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, sf_dir)
+    docs = eng.table("documents").limit(50)
+    lm = eng.fit_ngram_lm(docs, vocab_size=256, max_bigrams=512)
+    scored = eng.score_perplexity(docs, lm)
+    nonnull = docs.where(F.col("text").isNotNull()).count()
+    assert scored.where(F.col("perplexity").isNotNull()).count() == nonnull
+    kept = eng.perplexity_filter(docs, lm, max_ppl=1e12)
+    assert kept.count() == nonnull

@@ -335,6 +335,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if not 0.0 <= args.min_model_quality <= 1.0:
         print("error: --min-model-quality must be in [0, 1] (scores are sigmoids)")
         return 2
+    if args.max_perplexity <= 0:
+        print("error: --max-perplexity must be > 0")
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
     cfg = AssemblyConfig(
@@ -355,6 +358,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
             semantic_n_clusters=args.semantic_n_clusters,
             quality_model_path=args.quality_model or "",
             min_model_quality=args.min_model_quality,
+            ngram_lm_path=args.ngram_lm or "",
+            max_perplexity=args.max_perplexity,
         ),
         max_tokens=args.max_tokens,
         shuffle_seed=args.seed,
@@ -418,6 +423,33 @@ def cmd_fit_quality(args: argparse.Namespace) -> int:
         f"saved {args.out}: {args.n_features} features, bias={b:.4f}, "
         f"train-accuracy {row['ok']}/{row['n']} "
         f"({row['ok'] / max(row['n'], 1):.3f})"
+    )
+    return 0
+
+
+def cmd_fit_ngram_lm(args: argparse.Namespace) -> int:
+    """Fit the bounded bigram LM on a reference parquet and save it for
+    curate --ngram-lm (operators/ngramlm)."""
+    if args.vocab_size < 1:
+        print("error: --vocab-size must be >= 1")
+        return 2
+    if args.max_bigrams < 0:
+        print("error: --max-bigrams must be >= 0")
+        return 2
+    from vectrekker_spark.operators.ngramlm import fit_ngram_lm, lm_save
+
+    spark = _spark()
+    ref = spark.read.parquet(args.reference)
+    lm = fit_ngram_lm(
+        ref,
+        text_col=args.text_col,
+        vocab_size=args.vocab_size,
+        max_bigrams=args.max_bigrams,
+    )
+    lm_save(lm, args.out)
+    print(
+        f"saved {args.out}: {len(lm.unigram_logp)} unigrams, "
+        f"{len(lm.cond_logp)} bigrams, {lm.total_tokens} reference tokens"
     )
     return 0
 
@@ -691,7 +723,25 @@ def build_parser() -> argparse.ArgumentParser:
         "learned hashed-BoW classifier and keep >= --min-model-quality",
     )
     cu.add_argument("--min-model-quality", type=float, default=0.5)
+    cu.add_argument(
+        "--ngram-lm",
+        help="saved fit-ngram-lm model dir: keep docs whose stupid-backoff "
+        "perplexity is <= --max-perplexity (the CCNet rule)",
+    )
+    cu.add_argument("--max-perplexity", type=float, default=10_000.0)
     cu.set_defaults(fn=cmd_curate)
+
+    fl = sub.add_parser(
+        "fit-ngram-lm",
+        help="fit the bounded bigram LM (stupid backoff) on a reference "
+        "parquet and save it for curate --ngram-lm",
+    )
+    fl.add_argument("--reference", required=True, help="reference documents parquet")
+    fl.add_argument("--out", required=True, help="output model directory")
+    fl.add_argument("--text-col", default="text")
+    fl.add_argument("--vocab-size", type=int, default=65_536)
+    fl.add_argument("--max-bigrams", type=int, default=500_000)
+    fl.set_defaults(fn=cmd_fit_ngram_lm)
 
     fq = sub.add_parser(
         "fit-quality",

@@ -2,8 +2,8 @@
 
     exact dedup → near-dup removal (MinHash-LSH) → [semantic dedup] →
     [span-level dedup] → quality filter → language filter →
-    [learned quality model] → [BM25 relevance] → [benchmark
-    decontamination] → chunk → embed        ([...] = opt-in stages)
+    [learned quality model] → [LM perplexity] → [BM25 relevance] →
+    [benchmark decontamination] → chunk → embed   ([...] = opt-in stages)
 
 Each stage is one of the engine's tested operators; this module only wires
 them and keeps per-stage counts, so a 100 TB curation run is a sequence of
@@ -66,6 +66,11 @@ class CurationConfig:
     # scored filter after the heuristic quality/lang gates
     quality_model_path: str = ""
     min_model_quality: float = 0.5
+    # '' → off; else a saved n-gram LM directory (operators/ngramlm
+    # .lm_save): keep docs whose stupid-backoff perplexity is at/below
+    # ``max_perplexity`` (the CCNet keep rule) — zero-shuffle Arrow map
+    ngram_lm_path: str = ""
+    max_perplexity: float = 10_000.0
 
 
 @dataclass
@@ -142,6 +147,24 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 f"CurationConfig.min_model_quality must be in [0, 1] "
                 f"(scores are sigmoids), got {cfg.min_model_quality}"
             )
+    ngram_lm = None
+    if cfg.ngram_lm_path:
+        # load (and validate) at run START — torn saves raise in lm_load
+        from vectrekker_spark.operators.ngramlm import lm_load
+
+        if cfg.max_perplexity <= 0:
+            raise ValueError(
+                f"CurationConfig.max_perplexity must be > 0, got "
+                f"{cfg.max_perplexity} — a non-positive cutoff drops "
+                f"every document (perplexities are >= ~1)"
+            )
+        if "perplexity" in docs.columns:
+            raise ValueError(
+                "CurationConfig.ngram_lm_path is set but the input already "
+                "has a 'perplexity' column — the LM gate would collide "
+                "mid-funnel; drop or rename it first"
+            )
+        ngram_lm = lm_load(docs.sparkSession, cfg.ngram_lm_path)
     bench_bloom = None
     if cfg.bench_bloom_path:
         # load (and thereby validate) the benchmark filter at run START —
@@ -277,6 +300,18 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         ).cache()
         caches.append(docs)
         funnel["after_model_quality"] = docs.count()
+
+    # 4a'. optional n-gram LM perplexity gate (CCNet rule: keep docs the
+    # reference LM finds likely). Zero-shuffle Arrow map like 4a; cached
+    # for the same reason.
+    if ngram_lm is not None:
+        from vectrekker_spark.operators.ngramlm import perplexity_filter
+
+        docs = perplexity_filter(
+            docs, ngram_lm, max_ppl=cfg.max_perplexity, text_col=cfg.text_col
+        ).cache()
+        caches.append(docs)
+        funnel["after_perplexity"] = docs.count()
 
     # 4b. optional query-relevance gate: keep documents whose Okapi BM25
     # score against the topic terms clears the threshold (query-targeted

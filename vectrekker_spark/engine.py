@@ -389,3 +389,24 @@ class Engine:
         from vectrekker_spark.operators.qualityscore import quality_filter
 
         return quality_filter(df, weights, bias=bias, min_score=min_score, **kw)
+
+    def fit_ngram_lm(self, ref: DataFrame, **kw):
+        """Bounded bigram LM with stupid backoff from a reference corpus
+        (operators/ngramlm.fit_ngram_lm) — two capped count aggregations."""
+        from vectrekker_spark.operators.ngramlm import fit_ngram_lm
+
+        return fit_ngram_lm(ref, **kw)
+
+    def score_perplexity(self, df: DataFrame, lm, **kw) -> DataFrame:
+        """All columns + ``perplexity`` under the LM — one zero-shuffle
+        Arrow map (operators/ngramlm.score_perplexity)."""
+        from vectrekker_spark.operators.ngramlm import score_perplexity
+
+        return score_perplexity(df, lm, **kw)
+
+    def perplexity_filter(self, df: DataFrame, lm, max_ppl: float, **kw) -> DataFrame:
+        """Rows at/below max_ppl (the CCNet keep rule); NULL/token-less
+        rows drop (operators/ngramlm.perplexity_filter)."""
+        from vectrekker_spark.operators.ngramlm import perplexity_filter
+
+        return perplexity_filter(df, lm, max_ppl, **kw)
