@@ -61,8 +61,10 @@ class NgramLM:
       (counts / total tokens, full-corpus total — the cap drops rare
       tokens from the TABLE, not from the denominator).
     - ``cond_logp``: (w1, w2) → log2 (count(w1 w2) / count(w1)).
-    - ``oov_logp``: log2 of the backed-off probability for a token outside
-      the vocab: 0.4 / total_tokens (one pseudo-occurrence).
+    - ``oov_logp``: log2 (1 / total_tokens) — one pseudo-occurrence for a
+      token outside the vocab. The 0.4 stupid-backoff factor is NOT folded
+      in here: logp_next applies it to every backed-off transition, while
+      logp_first scores an OOV first token by this value alone.
     """
 
     unigram_logp: dict
@@ -97,48 +99,61 @@ def fit_ngram_lm(
     if vocab_size < 1 or max_bigrams < 0:
         raise ValueError("fit_ngram_lm: vocab_size >= 1 and max_bigrams >= 0")
     words = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    toks = ref.where(F.col(text_col).isNotNull()).select(words.alias("w"))
-    uni = toks.select(F.explode("w").alias("t")).groupBy("t").count()
-    agg = uni.agg(
-        F.sum("count").alias("total"), F.count(F.lit(1)).alias("distinct")
-    ).first()
-    total = int(agg["total"] or 0)
-    if total == 0:
-        raise ValueError("fit_ngram_lm: reference corpus has no tokens")
-    top_uni = uni.orderBy(F.col("count").desc(), F.col("t").asc()).limit(
-        vocab_size
-    ).collect()
-    counts = {r["t"]: int(r["count"]) for r in top_uni}
-    unigram_logp = {t: math.log2(c / total) for t, c in counts.items()}
+    # persisted: the tokenized corpus feeds the unigram AND bigram passes,
+    # and the grouped unigram table feeds the total agg AND the top-K
+    # collect — uncached, the dominant tokenize/explode/aggregate work
+    # would run twice (unigrams) plus a third corpus tokenize (bigrams)
+    toks = ref.where(F.col(text_col).isNotNull()).select(words.alias("w")).persist()
+    uni = toks.select(F.explode("w").alias("t")).groupBy("t").count().persist()
+    try:
+        total = int(uni.agg(F.sum("count")).first()[0] or 0)
+        if total == 0:
+            raise ValueError("fit_ngram_lm: reference corpus has no tokens")
+        top_uni = uni.orderBy(F.col("count").desc(), F.col("t").asc()).limit(
+            vocab_size
+        ).collect()
+        counts = {r["t"]: int(r["count"]) for r in top_uni}
+        unigram_logp = {t: math.log2(c / total) for t, c in counts.items()}
 
-    cond_logp: dict = {}
-    if max_bigrams:
-        # adjacent pairs per row via array functions: slice+zip, no
-        # positional self-join — the pair stream shuffles only as the
-        # (w1, w2) partial-aggregated counts
-        pairs = toks.where(F.size("w") >= 2).select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice("w", 1, F.size("w") - 1).alias("w1"),
-                    F.slice("w", 2, F.size("w") - 1).alias("w2"),
+        cond_logp: dict = {}
+        if max_bigrams:
+            # adjacent pairs per row via array functions: slice+zip, no
+            # positional self-join — the pair stream shuffles only as the
+            # (w1, w2) partial-aggregated counts
+            pairs = toks.where(F.size("w") >= 2).select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                        F.slice("w", 2, F.size("w") - 1).alias("w2"),
+                    )
+                ).alias("p")
+            ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            # conditionals need count(w1), so only vocab-headed bigrams may
+            # enter the capped table — pruned BEFORE the limit via a
+            # broadcast semi-join on the collected vocab (never a
+            # 65k-literal isin expression: giant literal lists blow up the
+            # expression tree, the F.lit(list) lesson), so out-of-vocab
+            # heads can't waste capped slots
+            vocab_df = ref.sparkSession.createDataFrame(
+                [(t,) for t in counts], "w1 string"
+            )
+            top_bi = (
+                pairs.groupBy("w1", "w2")
+                .count()
+                .join(F.broadcast(vocab_df), "w1", "left_semi")
+                .orderBy(
+                    F.col("count").desc(), F.col("w1").asc(), F.col("w2").asc()
                 )
-            ).alias("p")
-        ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        top_bi = (
-            pairs.groupBy("w1", "w2")
-            .count()
-            .orderBy(F.col("count").desc(), F.col("w1").asc(), F.col("w2").asc())
-            .limit(max_bigrams)
-            .collect()
-        )
-        # conditionals need count(w1), so only vocab-headed bigrams enter
-        # the table — filtered HERE, not as a 65k-literal isin expression
-        # in the plan (the F.lit(list) lesson: giant literal lists blow up
-        # expression trees). A non-vocab head just wastes a capped slot.
-        for r in top_bi:
-            c1 = counts.get(r["w1"])
-            if c1:
-                cond_logp[(r["w1"], r["w2"])] = math.log2(int(r["count"]) / c1)
+                .limit(max_bigrams)
+                .collect()
+            )
+            for r in top_bi:
+                cond_logp[(r["w1"], r["w2"])] = math.log2(
+                    int(r["count"]) / counts[r["w1"]]
+                )
+    finally:
+        uni.unpersist()
+        toks.unpersist()
     return NgramLM(
         unigram_logp=unigram_logp,
         cond_logp=cond_logp,
