@@ -115,3 +115,60 @@ def test_seeded_shuffle_permutation(docs):
     assert again == shuf
     other = [r["doc_id"] for r in seeded_shuffle(docs, seed="e2").collect()]
     assert other != shuf and sorted(other) == base
+
+
+def test_mixture_rates_for_token_budget(spark):
+    from vectrekker_spark.operators.sampling import (
+        mixture_rates_for_token_budget,
+        stratified_hash_sample,
+    )
+
+    # wiki: 10 docs x 10 tokens = 100; crawl: 100 docs x 10 tokens = 1000
+    rows = [(i, "w " * 9 + "w", "wiki") for i in range(10)]
+    rows += [(100 + i, "c " * 9 + "c", "crawl") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # 50/50 of 200 tokens: wiki wants 100 (its whole supply → rate 1.0),
+    # crawl wants 100 of 1000 → rate 0.1
+    rates = mixture_rates_for_token_budget(
+        df, {"wiki": 0.5, "crawl": 0.5}, token_budget=200
+    )
+    assert rates == {"wiki": 1.0, "crawl": 0.1}
+
+    # redistribution: 80/20 of 500 → wiki wants 400 but has 100 (capped);
+    # the 300-token shortfall refills crawl: (100 + 300)/1000 = 0.4
+    rates = mixture_rates_for_token_budget(
+        df, {"wiki": 0.8, "crawl": 0.2}, token_budget=500
+    )
+    assert rates == {"wiki": 1.0, "crawl": 0.4}
+
+    # total supply short of the budget: everything rate-1
+    rates = mixture_rates_for_token_budget(
+        df, {"wiki": 0.5, "crawl": 0.5}, token_budget=10_000
+    )
+    assert rates == {"wiki": 1.0, "crawl": 1.0}
+
+    # the rates feed the stratified sampler; realized tokens approximate
+    # the target (Bernoulli — exactness is not the contract)
+    rates = mixture_rates_for_token_budget(
+        df, {"wiki": 0.5, "crawl": 0.5}, token_budget=200
+    )
+    sampled = stratified_hash_sample(df, rates)
+    got = sampled.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert by["wiki"] == 10            # rate 1.0 is exact
+    assert 4 <= by.get("crawl", 0) <= 20  # ~10 of 100 docs
+
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_rates_for_token_budget(df, {"wiki": 0.5}, 100)
+    with pytest.raises(ValueError, match="token_budget"):
+        mixture_rates_for_token_budget(df, {"wiki": 1.0}, -1)
+    # a stratum named in shares but absent from the data: rate 0, budget
+    # redistributed to the present strata
+    rates = mixture_rates_for_token_budget(
+        df, {"wiki": 0.5, "books": 0.5}, token_budget=200
+    )
+    assert rates["books"] == 0.0 and rates["wiki"] == 1.0

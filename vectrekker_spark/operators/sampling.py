@@ -75,6 +75,84 @@ def stratified_hash_sample(
     return df.filter(sample_bucket(id_col, seed) < threshold)
 
 
+def mixture_rates_for_token_budget(
+    df: DataFrame,
+    shares: dict[str, float],
+    token_budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Per-stratum sampling RATES that realize a target token MIXTURE —
+    the budgeting step real mixtures are specified in (LLaMA/Pile-style
+    recipes say "X% of tokens from wiki", not "X% of documents"):
+    feed the result straight to stratified_hash_sample.
+
+    ``shares`` are target token fractions per stratum (must sum to ~1);
+    ``token_budget`` is the total token count wanted. One aggregation
+    measures per-stratum token supply (JVM token_count, map-side partial
+    agg — a single job regardless of corpus size); the rate math runs on
+    the driver over the (tiny) stratum table.
+
+    When a stratum's supply can't cover its target (rate would exceed 1.0)
+    the shortfall is REDISTRIBUTED over the uncapped strata in proportion
+    to their shares — deterministic water-filling, so the budget is met
+    whenever total supply allows instead of silently under-delivering.
+    Strata present in the data but absent from ``shares`` contribute
+    nothing (rate 0 via stratified_hash_sample's default_rate).
+
+    Expected (not exact) realization: hash sampling is Bernoulli per doc,
+    so realized token counts concentrate around the target with relative
+    error ~1/√docs-per-stratum — at training-corpus scale the deviation
+    is noise, and determinism/stability under corpus growth (the property
+    every sampler here guarantees) is worth more than exactness.
+    """
+    from vectrekker_spark.functions.text import token_count
+
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if not shares:
+        raise ValueError("shares must name at least one stratum")
+    for k, v in shares.items():
+        if v < 0:
+            raise ValueError(f"share for {k!r} must be >= 0, got {v}")
+    tot_share = sum(shares.values())
+    if not 0.999 <= tot_share <= 1.001:
+        raise ValueError(
+            f"shares must sum to 1 (got {tot_share:.4f}) — normalize first "
+            "so the budget split is explicit, not implicit"
+        )
+    supply_rows = (
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("supply"))
+        .collect()
+    )
+    supply = {r[strata_col]: int(r["supply"] or 0) for r in supply_rows}
+    # deterministic water-filling over the strata named in shares
+    rates = {k: 0.0 for k in shares}
+    remaining = {k: v for k, v in shares.items() if v > 0}
+    budget = float(token_budget)
+    while remaining and budget > 0:
+        denom = sum(remaining.values())
+        capped = {}
+        for k in sorted(remaining):
+            want = budget * remaining[k] / denom
+            have = supply.get(k, 0)
+            if have <= want:
+                rates[k] = 1.0 if have else 0.0
+                capped[k] = have
+        if not capped:
+            for k in remaining:
+                rates[k] = (budget * remaining[k] / denom) / supply[k]
+            break
+        # capped strata give everything; their shortfall re-splits among
+        # the rest on the next pass
+        budget -= sum(capped.values())
+        for k in capped:
+            del remaining[k]
+    return rates
+
+
 def seeded_shuffle(
     df: DataFrame, seed: str = "s0", id_col: str = "doc_id"
 ) -> DataFrame:
