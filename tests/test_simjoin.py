@@ -254,6 +254,27 @@ def test_bucketed_tiled_kernel_matches_untiled(planted, monkeypatch):
     assert sorted(map(tuple, tiled.collect())) == d
 
 
+def test_blas_tiled_kernel_matches_untiled(planted, monkeypatch):
+    # Regression for the round-8 NameError: the blas score kernel tiles its
+    # matmul under _SCORE_TILE_ENTRIES, which MUST exist at module level and
+    # be bound at build time so this shrink takes effect. Shrunk to 1-2 rows
+    # per tile the result must equal the default (few-tile) run — tiling is a
+    # pure memory-shaping change, scores stay bit-identical.
+    import vectrekker_spark.operators.knn as knn_mod
+
+    kwargs = dict(
+        threshold=0.95,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    )
+    default = similarity_join_blas(planted, planted, **kwargs)
+    d = sorted(map(tuple, default.collect()))
+    assert len(d) >= 15  # planted pairs present — not comparing empty sets
+    monkeypatch.setattr(knn_mod, "_SCORE_TILE_ENTRIES", 256)  # tile = 1 row
+    tiled = similarity_join_blas(planted, planted, **kwargs)
+    assert sorted(map(tuple, tiled.collect())) == d
+
+
 def test_similarity_join_release_unpersists(planted):
     from vectrekker_spark.operators.knn import release, similarity_join
 

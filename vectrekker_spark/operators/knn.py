@@ -35,6 +35,13 @@ _METRICS = {"cosine": cosine_sim, "dot": dot, "l2": l2_dist}
 # bucket near max_bucket_rows never allocates an n×n matrix at once.
 _TILE_ENTRIES = 16 << 20
 
+# Score-matrix tile budget for similarity_join_blas's kernel: ~16 MB of
+# float64 score entries per tile (2M entries × 8 B). Smaller than the
+# bucketed kernel's budget on purpose — 32 concurrent Python workers each
+# allocating 300 MB untiled transients was measured to cost 28 s/task in
+# page-fault churn at sf1 (see the kernel comment below).
+_SCORE_TILE_ENTRIES = 2 << 20
+
 
 def _score(metric: str, a, b):
     if metric not in _METRICS:
@@ -239,6 +246,7 @@ def similarity_join_blas(
     R = np.asarray([r[1] for r in rows], dtype=np.float64)
     rnorm = np.sqrt((R * R).sum(axis=1))
     bc = left.sparkSession.sparkContext.broadcast((rid, R, rnorm))
+    score_tile_entries = _SCORE_TILE_ENTRIES  # bind at build time so tests can shrink it
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rid_, R_, rnorm_ = bc.value
@@ -251,7 +259,7 @@ def similarity_join_blas(
         # concurrent procs, utime 0.5 s) on each worker's first execution —
         # 31.6 s cold → 5.4 s tiled, warm 1.2 s, identical output (the
         # in-place divide + round keep the exact round-6 contract).
-        tile = max(1, _SCORE_TILE_ENTRIES // max(len(rid_), 1))
+        tile = max(1, score_tile_entries // max(len(rid_), 1))
         for pdf in batches:
             pdf = pdf[pdf.iloc[:, 1].notna()]  # match the bucketed route
             if pdf.empty:
