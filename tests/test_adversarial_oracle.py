@@ -167,9 +167,13 @@ def test_d24_bm25_adversarial(spark, tmp_path):
 
 def test_q07_semi_anti_adversarial(spark, tmp_path):
     # NULL join keys on both probe sides: NULL never matches in EXISTS or
-    # NOT EXISTS — both engines must agree on which rows survive.
+    # NOT EXISTS — both engines must agree on which rows survive. The
+    # merged set-op arms flip that rule: EXCEPT/INTERSECT group NULLs as
+    # EQUAL (set-op null-safe semantics), so the NULL o_custkey must
+    # SURVIVE the except arm in both engines.
     _write(tmp_path, "customer", pd.DataFrame(
-        {"c_custkey": [1, 2, 3], "c_name": ["a", "b", "c"]}))
+        {"c_custkey": [1, 2, 3], "c_name": ["a", "b", "c"],
+         "c_acctbal": [6000.0, 100.0, 100.0]}))
     _write(tmp_path, "orders", pd.DataFrame(
         {"o_orderkey": [1, 2, 3],
          "o_custkey": pd.array([1, None, 9], dtype="Int64")}))
@@ -179,8 +183,9 @@ def test_q07_semi_anti_adversarial(spark, tmp_path):
         {"l_orderkey": [1, 1, 2],
          "l_partkey": pd.array([7, None, 99], dtype="Int64")}))
     # semi: only customer 1; anti: parts 8 and 9 (NULL l_partkey matches no
-    # part; 99 references nothing)
-    assert _parity(spark, tmp_path, "q07_semi_anti_join") == 3
+    # part; 99 references nothing); except: {1, NULL, 9} minus rich {1} =
+    # {NULL, 9}; intersect: {1}
+    assert _parity(spark, tmp_path, "q07_semi_anti_join") == 6
 
 
 _NASTY_WS_DOCS = pd.DataFrame(

@@ -131,6 +131,31 @@ def test_auto_route_picks_bucketed_over_cap(planted):
     assert out.count() >= 15
 
 
+def test_auto_route_over_cap_matches_blas_end_to_end(planted):
+    # The q28-family guard END-TO-END: when the corpus exceeds
+    # max_exact_rows, the router's bucketed result must equal the exact
+    # BLAS pair set on this fixture — ids AND rounded scores. Valid as set
+    # EQUALITY because the planted partners are ≥0.99 cosine (per-pair LSH
+    # miss prob ~7e-7 at the defaults; see the bucketed-vs-bruteforce test's
+    # recall note). This pins the router decision + both kernels in one
+    # path, not just the two endpoints separately.
+    from vectrekker_spark.operators.knn import similarity_join_self_auto
+
+    routed = similarity_join_self_auto(
+        planted, 0.95, "vec_id", "embedding",
+        max_exact_rows=planted.count() - 1,  # corpus is larger than the cap
+    )
+    exact = similarity_join_blas(
+        planted, planted, 0.95,
+        left_id="vec_id", left_vec="embedding",
+        right_id="vec_id", right_vec="embedding",
+    )
+    r = {(x["l_id"], x["r_id"], x["score"]) for x in routed.collect()}
+    e = {(x["l_id"], x["r_id"], x["score"]) for x in exact.collect()}
+    assert len(e) >= 15
+    assert r == e
+
+
 def test_generic_simjoin_byte_budget_auto_routes(planted):
     # the expression router's broadcast guard is byte-aware too: a true
     # self-join past the BYTE budget (row cap untouched) auto-routes to the

@@ -194,6 +194,11 @@ def q07_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     # while keeping both join types driver-checked. The anti half is the
     # reference's incremental-delta shape (D1): rows with no match in the
     # other side (vectrekker/main.py:143-147 ≙ scan ANTI JOIN state).
+    # Round 9 absorbed q14_set_ops as two more tagged arms (EXCEPT/INTERSECT
+    # over ordering-customer keys, entity_name NULL) — the d06→d12 merge
+    # precedent: all four arms are set-membership predicates over the same
+    # two fact/dim pairs, so the union keeps every operator driver-checked
+    # in one registry row and frees a slot for d26_semantic_dedup.
     # Serial fixture plan (the q12/q13 pattern): on one-file local tables
     # both arms are single-partition BroadcastHashJoin probes (the probe
     # sides are pruned to their key columns — ~5 MB even for lineitem at
@@ -225,7 +230,27 @@ def q07_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_partkey").alias("entity_key"),
         F.col("p_name").alias("entity_name"),
     )
-    out = semi.unionByName(anti)
+    # q14's arms: native EXCEPT/INTERSECT set-op operators (distinct set
+    # semantics, unlike the row-preserving joins above); no entity name
+    # exists for a bare key set, so the column is NULL on these arms.
+    # Serial gate: set ops plan as distinct-aggregates + joins, and a
+    # SinglePartition child satisfies every required distribution — so
+    # coalesce(1) inputs keep the one-file fixture plan exchange-free
+    # (plan-pinned); at scale the gate is off and Catalyst partitions.
+    ordered_keys = o.select(F.col("o_custkey").alias("entity_key"))
+    rich = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("entity_key")
+    )
+    if serial:
+        ordered_keys, rich = ordered_keys.coalesce(1), rich.coalesce(1)
+    no_name = F.lit(None).cast("string").alias("entity_name")
+    ex = ordered_keys.subtract(rich).select(
+        F.lit("except").alias("side"), "entity_key", no_name
+    )
+    inter = ordered_keys.intersect(rich).select(
+        F.lit("intersect").alias("side"), "entity_key", no_name
+    )
+    out = semi.unionByName(anti).unionByName(ex).unionByName(inter)
     if serial:
         return out.coalesce(1).sortWithinPartitions("side", "entity_key")
     return ordered(out, "side", "entity_key")
@@ -239,6 +264,16 @@ UNION ALL
 SELECT 'anti' AS side, p_partkey AS entity_key, p_name AS entity_name
 FROM part p
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+UNION ALL
+SELECT 'except' AS side, entity_key, NULL AS entity_name FROM (
+  SELECT o_custkey AS entity_key FROM orders
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+UNION ALL
+SELECT 'intersect' AS side, entity_key, NULL AS entity_name FROM (
+  SELECT o_custkey AS entity_key FROM orders
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 ORDER BY side, entity_key
 """
 
@@ -475,29 +510,6 @@ ORDER BY event_id
 """
 
 
-def q14_set_ops(spark: SparkSession, sf: str) -> DataFrame:
-    c, o = tb(spark, sf, "customer"), tb(spark, sf, "orders")
-    ordered = o.select(F.col("o_custkey").alias("custkey"))
-    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
-    ex = ordered.subtract(rich).select(F.lit("except").alias("tag"), "custkey")
-    inter = ordered.intersect(rich).select(F.lit("intersect").alias("tag"), "custkey")
-    return ex.unionAll(inter).orderBy("tag", "custkey")
-
-
-Q14_SQL = """
-SELECT 'except' AS tag, custkey FROM (
-  SELECT o_custkey AS custkey FROM orders
-  EXCEPT
-  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
-UNION ALL
-SELECT 'intersect' AS tag, custkey FROM (
-  SELECT o_custkey AS custkey FROM orders
-  INTERSECT
-  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
-ORDER BY tag, custkey
-"""
-
-
 def q15_dedup_by_key(spark: SparkSession, sf: str) -> DataFrame:
     e = tb(spark, sf, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -720,14 +732,13 @@ SPECS = [
     QuerySpec("q06_outer_joins", q06_outer_joins, Q06_SQL, ("relational",),
               "left + right outer join (tagged union, null handling)"),
     QuerySpec("q07_semi_anti_join", q07_semi_anti_join, Q07_SQL, ("relational",),
-              "left semi (EXISTS) + left anti (NOT EXISTS) joins, tagged union"),
+              "semi/anti joins + EXCEPT/INTERSECT set ops (q14 merged), tagged union"),
     QuerySpec("q09_range_join", q09_range_join, Q09_SQL, ("relational",), "bounded range/theta join"),
     QuerySpec("q10_count_distinct", q10_count_distinct, Q10_SQL, ("relational",), "count distinct"),
     QuerySpec("q11_grouping_sets", q11_grouping_sets, Q11_SQL, ("relational",),
               "rollup + cube grouping sets (tagged union)"),
     QuerySpec("q12_rank_window", q12_rank_window, Q12_SQL, ("relational",), "row_number top-3 per group"),
     QuerySpec("q13_lag_frame", q13_lag_frame, Q13_SQL, ("relational",), "lag + running-sum frame"),
-    QuerySpec("q14_set_ops", q14_set_ops, Q14_SQL, ("relational",), "EXCEPT/INTERSECT/UNION ALL"),
     QuerySpec("q15_dedup_by_key", q15_dedup_by_key, Q15_SQL, ("relational",), "first-row-per-key dedup"),
     QuerySpec("q16_string_fns", q16_string_fns, Q16_SQL, ("relational",), "string function surface"),
     QuerySpec("q17_date_math", q17_date_math, Q17_SQL, ("relational",), "date + math functions"),

@@ -338,6 +338,131 @@ ORDER BY l_id, r_id
 """
 
 
+def d26_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C15 semantic dedup (SemDeDup) decisions frame, driver-oracle-checked.
+
+    Runs the REAL product path — assign_centroids' broadcast narrow
+    assignment + the per-cell applyInPandas greedy min-id prune
+    (operators/semdedup.py) — under a FIXED, SQL-expressible quantizer so
+    the DuckDB oracle can replicate the cells exactly: 8 centroids, one per
+    sign pattern of the first 3 embedding dims (±1 in dims 0-2, zero
+    elsewhere; argmax round-6 cosine over equal-norm centroids ≡ the sign
+    of each component, with assign's min-cid tie rule mirrored by the
+    oracle's ROW_NUMBER ordering). The greedy keep/drop recursion is SQL
+    too: only ids involved in a ≥threshold within-cell pair need scanning,
+    so the oracle runs a per-cell recursive CTE over that (small) node set
+    with a kept-id list accumulator — every other row is trivially kept.
+    Threshold 0.40 matches q28's (fixture max pairwise cosine ≈ 0.51).
+    """
+    from vectrekker_spark.operators.semdedup import semantic_dedup_decisions
+
+    em = tbp(spark, sf, "embeddings")
+    dim = int(em.select(F.size("embedding")).first()[0])
+    cents = []
+    for k in range(8):
+        v = [0.0] * dim
+        for j in range(3):
+            v[j] = 1.0 if (k >> j) & 1 else -1.0
+        cents.append((k, v))
+    centroids = spark.createDataFrame(cents, "cid long, cvec array<double>")
+    dec = semantic_dedup_decisions(
+        em, threshold=0.40, centroids=centroids,
+        id_col="vec_id", vec_col="embedding",
+    )
+    return ordered(dec, "vec_id")
+
+
+# The oracle mirrors the kernel stage by stage. MATERIALIZED is load-bearing
+# on the CTEs referenced inside the recursive term: DuckDB inlines plain CTEs,
+# so each recursion step would otherwise recompute pairs/preds/onodes from
+# scratch (measured 20 s → 0.6 s at sf0.1). Greedy rule: scan node ids
+# ascending per cell; drop iff an already-KEPT earlier node scores ≥
+# threshold; dup_of = the kept id with (score DESC, id ASC) — exactly
+# _blocked_greedy's first-argmax-in-scan-order. Scores are round-6 dots of
+# pre-normalized vectors, the kernel's normalize-first arithmetic.
+D26_SQL = f"""
+WITH RECURSIVE
+cells AS MATERIALIZED (
+  SELECT vec_id, cid,
+         list_transform(embedding, x -> x::DOUBLE / nrm) AS u
+  FROM (
+    SELECT vec_id, embedding, cand_cid AS cid, nrm,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cand_cid ASC) AS rnk
+    FROM (
+      SELECT e.vec_id, e.embedding, k.cand_cid,
+             sqrt({normsq_sql('e.embedding')}) AS nrm,
+             ROUND((
+               (CASE WHEN (k.cand_cid & 1) = 1 THEN e.embedding[1]::DOUBLE ELSE -(e.embedding[1]::DOUBLE) END)
+             + (CASE WHEN (k.cand_cid & 2) = 2 THEN e.embedding[2]::DOUBLE ELSE -(e.embedding[2]::DOUBLE) END)
+             + (CASE WHEN (k.cand_cid & 4) = 4 THEN e.embedding[3]::DOUBLE ELSE -(e.embedding[3]::DOUBLE) END)
+             ) / (sqrt({normsq_sql('e.embedding')}) * sqrt(3.0)), 6) AS s
+      FROM embeddings e CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS cand_cid) k
+      WHERE e.embedding IS NOT NULL
+    )
+  ) WHERE rnk = 1
+),
+pairs AS MATERIALIZED (
+  SELECT cid, l_id, r_id, score FROM (
+    SELECT a.cid, a.vec_id AS l_id, b.vec_id AS r_id,
+           ROUND(list_aggregate(list_transform(generate_series(1, len(a.u)),
+                 i -> a.u[i] * b.u[i]), 'sum'), 6) AS score
+    FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  ) WHERE score >= 0.40
+),
+preds AS MATERIALIZED (
+  SELECT cid, r_id, list(l_id ORDER BY l_id) AS ls FROM pairs GROUP BY cid, r_id),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT cid, vec_id FROM (
+    SELECT cid, l_id AS vec_id FROM pairs
+    UNION ALL SELECT cid, r_id AS vec_id FROM pairs)),
+onodes AS MATERIALIZED (
+  SELECT cid, vec_id, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+  FROM nodes),
+greedy AS (
+  SELECT cid, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+  FROM (SELECT DISTINCT cid FROM nodes)
+  UNION ALL
+  SELECT g.cid, o.rn,
+         CASE WHEN pr.ls IS NOT NULL AND len(list_intersect(g.kept, pr.ls)) > 0
+              THEN g.kept ELSE list_append(g.kept, o.vec_id) END
+  FROM greedy g
+  JOIN onodes o ON o.cid = g.cid AND o.rn = g.rn + 1
+  LEFT JOIN preds pr ON pr.cid = o.cid AND pr.r_id = o.vec_id
+),
+final_kept AS (
+  SELECT cid, kept FROM (
+    SELECT cid, kept, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY rn DESC) AS rk
+    FROM greedy
+  ) WHERE rk = 1
+),
+kept_nodes AS MATERIALIZED (SELECT cid, UNNEST(kept) AS vec_id FROM final_kept),
+dropped AS (
+  SELECT n.cid, n.vec_id FROM nodes n
+  LEFT JOIN kept_nodes k ON k.cid = n.cid AND k.vec_id = n.vec_id
+  WHERE k.vec_id IS NULL
+),
+dups AS (
+  SELECT cid, vec_id, dup_of, score FROM (
+    SELECT d.cid, d.vec_id, p.l_id AS dup_of, p.score,
+           ROW_NUMBER() OVER (PARTITION BY d.cid, d.vec_id
+                              ORDER BY p.score DESC, p.l_id ASC) AS rk
+    FROM dropped d
+    JOIN pairs p ON p.cid = d.cid AND p.r_id = d.vec_id
+    JOIN kept_nodes k ON k.cid = p.cid AND k.vec_id = p.l_id
+  ) WHERE rk = 1
+)
+SELECT c.vec_id AS vec_id, c.cid AS cid,
+       (du.vec_id IS NULL) AS keep,
+       du.dup_of AS dup_of, du.score AS score
+FROM cells c LEFT JOIN dups du ON du.cid = c.cid AND du.vec_id = c.vec_id
+UNION ALL
+SELECT vec_id, NULL::BIGINT AS cid, TRUE AS keep,
+       NULL::BIGINT AS dup_of, NULL::DOUBLE AS score
+FROM embeddings WHERE embedding IS NULL
+ORDER BY vec_id
+"""
+
+
 SPECS = [
     QuerySpec("q20_hash_embed_udf", q20_hash_embed_udf, Q20_SQL, ("vector", "udf"),
               "Arrow pandas_udf hashing embedder vs pure-SQL oracle"),
@@ -349,4 +474,7 @@ SPECS = [
               "batch 5-NN join for 20 query vectors"),
     QuerySpec("q28_sim_dedup", q28_sim_dedup, Q28_SQL, ("vector", "dedup"),
               "embedding-cosine near-dup pairs over threshold"),
+    QuerySpec("d26_semantic_dedup", d26_semantic_dedup, D26_SQL,
+              ("vector", "dedup", "curation"),
+              "SemDeDup keep/drop decisions under a fixed sign-pattern quantizer"),
 ]
