@@ -41,8 +41,9 @@ from vectrekker_spark.session import get_spark  # noqa: E402
 # the FULL registry runs distributed — every registered query, not a sample
 QUERIES = sorted(all_specs())
 # value-oracle skipped where the DuckDB formulation is quadratic-ish at this
-# scale (q28's SQL is an all-pairs cross join; d03-style baselines likewise)
-NO_ORACLE = {"q28_sim_dedup"}
+# scale (q28's SQL is an all-pairs cross join; d26's is all WITHIN-CELL
+# pairs — ~n²/8 at a fixed 8-cell quantizer; d03-style baselines likewise)
+NO_ORACLE = {"q28_sim_dedup", "d26_semantic_dedup"}
 # row counts pinned by the dimensional structure (independent of the factor)
 EXACT_ROWS = {
     "q03_agg": 6,
