@@ -260,6 +260,18 @@ def test_q07_serial_plan_has_zero_exchanges(spark, sf_dir):
     assert shuffle_count(df) == 0, formatted_plan(df)
 
 
+def test_d26_serial_plan_has_zero_exchanges(spark, sf_dir):
+    # single-partition input satisfies the cid groupBy's required
+    # distribution and the final sort runs in-task — on one-file fixtures
+    # the whole decisions pipeline (assign mapInPandas → applyInPandas →
+    # sort) is one exchange-free task chain; the distributed plan (one cid
+    # shuffle) is untouched at scale.
+    from vectrekker_spark.queries.vector import d26_semantic_dedup
+
+    df = d26_semantic_dedup(spark, sf_dir)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+
+
 def test_tpch_fact_table_never_broadcast(spark, sf_dir):
     # lineitem is the fact: it must be the stream side of every join. A
     # BroadcastExchange over it is a plan that only works while the fact

@@ -1,7 +1,9 @@
 """Semantic dedup (operators/semdedup.py, SURVEY C15).
 
-Verification strategy (no driver-oracle row — the greedy prune is
-sequentially dependent, not SQL-expressible; same class as C9/C11/C12):
+Verification strategy (since r9 ALSO driver-oracle-checked as
+d26_semantic_dedup — a fixed sign-pattern quantizer makes the greedy
+recursion SQL-expressible as a per-cell recursive CTE; these tests keep the
+general path covered):
 - brute-force Python oracle equivalence on the single-cluster path,
 - greedy invariants on clustered runs (kept pairs below threshold within a
   cell, every dropped row names a kept same-cell dup_of at/above it),
@@ -179,6 +181,41 @@ def test_precomputed_centroids_respected(spark):
     assert dec[11]["dup_of"] == 10 and dec[21]["dup_of"] == 20
     assert {dec[10]["cid"], dec[11]["cid"]} == {0}
     assert {dec[20]["cid"], dec[21]["cid"]} == {1}
+
+
+def test_driver_side_centroid_rows_match_dataframe_form(spark):
+    # the (cid, vector) list fast path (no validation/probe/collect jobs)
+    # must produce decisions IDENTICAL to the DataFrame centroids form —
+    # same scoring arithmetic, same tie rules (ann.assign_from_rows)
+    rows = _planted_rows(seed=7, n_base=30)  # dim-8 vectors
+    cent_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    cents_df = spark.createDataFrame(cent_rows, "cid long, cvec array<double>")
+    via_df = sorted(map(tuple, semantic_dedup_decisions(
+        _mk(spark, rows, 3), threshold=0.9, centroids=cents_df
+    ).collect()))
+    via_rows = sorted(map(tuple, semantic_dedup_decisions(
+        _mk(spark, rows, 3), threshold=0.9, centroids=cent_rows
+    ).collect()))
+    assert via_rows == via_df
+    # unsorted + null-vector rows: sorted and skipped exactly like the
+    # DataFrame form's collect
+    shuffled = [cent_rows[2], (3, None), cent_rows[0], cent_rows[1]]
+    via_shuffled = sorted(map(tuple, semantic_dedup_decisions(
+        _mk(spark, rows, 3), threshold=0.9, centroids=shuffled
+    ).collect()))
+    assert via_shuffled == via_df
+
+
+def test_driver_side_centroid_rows_guards(spark):
+    rows = [(1, _unit([1.0, 0.0])), (2, _unit([0.0, 1.0]))]
+    with pytest.raises(ValueError, match="no non-null"):
+        semantic_dedup_decisions(_mk(spark, rows), centroids=[])
+    with pytest.raises(ValueError, match="no non-null"):
+        semantic_dedup_decisions(_mk(spark, rows), centroids=[(0, None)])
 
 
 def test_cell_cap_guard(spark):

@@ -89,7 +89,37 @@ def assign_centroids(
             "quantizer — reduce n_centroids (√N rule) or raise the caps "
             "deliberately."
         )
-    rows.sort(key=lambda r: r[0])  # cid ascending → stable-sort tie-break
+    return assign_from_rows(
+        corpus, rows, assign_k=assign_k,
+        id_col=id_col, vec_col=vec_col, carry_vec=carry_vec,
+    )
+
+
+def assign_from_rows(
+    corpus: DataFrame,
+    rows,
+    assign_k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_vec: bool = False,
+) -> DataFrame:
+    """assign_centroids' kernel with DRIVER-SIDE centroid rows: ``rows`` is
+    a sequence of (cid, vector) already in memory. Same scoring/tie contract
+    (round-6 cosine, cid-ascending tie-break); no probe or collect jobs —
+    callers that constructed the quantizer themselves (a fixed sign-pattern
+    grid, a loaded .npz, a prior collect) skip two scheduler round-trips per
+    call. assign_centroids funnels through here after its guarded collect,
+    so the two entry points cannot drift."""
+    import numpy as np
+    import pandas as pd
+
+    types = dict(corpus.dtypes)
+    out_schema = f"{id_col} {types[id_col]}, cid long" + (
+        f", {vec_col} {types[vec_col]}" if carry_vec else ""
+    )
+    rows = sorted(rows, key=lambda r: r[0])  # cid ascending → stable tie-break
+    if not rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     cids = np.asarray([r[0] for r in rows], dtype=np.int64)
     C = np.asarray([r[1] for r in rows], dtype=np.float64)
     cnorm = np.sqrt((C * C).sum(axis=1))

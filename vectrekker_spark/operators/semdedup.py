@@ -39,14 +39,18 @@ surface at all; north-star training-pipeline addition (SURVEY.md §2.2 C15).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vectrekker_spark.operators.ann import assign_centroids, ivf_centroids
+from vectrekker_spark.operators.ann import (
+    assign_centroids,
+    assign_from_rows,
+    ivf_centroids,
+)
 
 # row-tile budget for the per-cell scoring matmul (entries of float64) and
 # the greedy block width; module-level so tests can shrink them to force
@@ -137,7 +141,7 @@ def semantic_dedup_decisions(
     corpus: DataFrame,
     threshold: float = 0.95,
     n_clusters: int | None = None,
-    centroids: DataFrame | None = None,
+    centroids: "DataFrame | Sequence[tuple[int, Sequence[float]]] | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_rows: int = 100_000,
@@ -151,7 +155,11 @@ def semantic_dedup_decisions(
       against anything — the exact-dedup null-text rule).
 
     ``centroids`` (cid, cvec) may be precomputed/persisted (e.g. from
-    ivf_build or an ivf_save'd index's centroids table) — reusing a
+    ivf_build or an ivf_save'd index's centroids table), or a plain
+    DRIVER-SIDE sequence of (cid, vector) tuples — a quantizer that is
+    small by construction (√N centroids) and already in memory skips the
+    validation/probe/collect scheduler round-trips of the DataFrame form
+    (ann.assign_from_rows; same scoring and tie contract). Reusing a
     quantizer keeps decisions stable across incremental runs, and is the
     only way to make the result a pure function of the (id, vec) set:
     given fixed centroids, decisions are partition-layout-invariant
@@ -190,7 +198,7 @@ def semantic_dedup_decisions(
                 method="kmeans",
             )
             assigned = None
-    else:
+    elif isinstance(centroids, DataFrame):
         # a user-persisted centroids table that reads as empty (or all-NULL
         # cvec) would make assign_centroids return an EMPTY frame and the
         # semi-join silently delete every scorable row — fail loudly instead
@@ -202,6 +210,19 @@ def semantic_dedup_decisions(
                 "Pass a populated centroids table or omit it for auto-KMeans."
             )
         assigned = None
+    else:
+        # driver-side (cid, vector) rows: same empty/all-null guard, no job
+        rows = [r for r in centroids if r[1] is not None]
+        if not rows:
+            raise ValueError(
+                "semantic_dedup: the supplied centroid rows have no non-null "
+                "vectors; decisions would silently drop the whole corpus. "
+                "Pass populated centroids or omit them for auto-KMeans."
+            )
+        assigned = assign_from_rows(
+            corpus, rows, assign_k=1,
+            id_col=id_col, vec_col=vec_col, carry_vec=True,
+        )
 
     if assigned is None:
         assigned = assign_centroids(
