@@ -81,8 +81,10 @@ def main() -> int:
     report["t_fit_quality_sec"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    # n-gram LM on a disjoint ~10% reference slice (CCNet fits on the
-    # "clean" reference, scores the crawl)
+    # n-gram LM on an independent ~10% hash sample (different seed →
+    # independent of, not disjoint from, the quality-fit sample; it also
+    # overlaps the corpus it later scores — acceptable for a THROUGHPUT
+    # benchmark, but a real CCNet setup fits on a held-out clean reference)
     ref = hash_sample(docs, 0.1, id_col="doc_id", seed="lmref")
     lm = fit_ngram_lm(ref, text_col="text")
     lmpath = os.path.join(work, "ngram_lm")

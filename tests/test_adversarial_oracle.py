@@ -188,6 +188,40 @@ def test_q07_semi_anti_adversarial(spark, tmp_path):
     assert _parity(spark, tmp_path, "q07_semi_anti_join") == 6
 
 
+def test_d26_semantic_dedup_adversarial(spark, tmp_path):
+    # NULL embedding in row 0 (must not poison the dim probe — size(NULL)
+    # is -1 under legacy sizeOfNull), a planted near-dup pair, a negative
+    # -sign-pattern vector, and a vector with a zero first component (the
+    # quantizer tie case: round-6-equal scores → min cid, both engines).
+    _write(tmp_path, "embeddings", pd.DataFrame({
+        "vec_id": [0, 1, 2, 3, 4],
+        "embedding": pd.Series([
+            None,
+            [1.0, 0.5, 0.25, 0.1],
+            [1.0, 0.5, 0.2500001, 0.1],   # near-dup of 1, same cell
+            [-1.0, -0.5, -0.25, 0.1],     # opposite sign cell
+            [0.0, 0.5, 0.25, 0.1],        # e0 == 0 → tie → lower cid
+        ], dtype=object),
+    }))
+    assert _parity(spark, tmp_path, "d26_semantic_dedup") == 5
+
+
+def test_d26_all_null_embeddings_adversarial(spark, tmp_path):
+    # no quantizable vectors at all: every row is the trivially-kept
+    # NULL-cid arm in BOTH engines (the Spark side short-circuits without
+    # building centroids; the oracle's cells CTE is empty). pandas cannot
+    # infer list<double> from all-None, so the schema is explicit.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {"vec_id": pa.array([7, 8], pa.int64()),
+         "embedding": pa.array([None, None], pa.list_(pa.float64()))}
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    assert _parity(spark, tmp_path, "d26_semantic_dedup") == 2
+
+
 _NASTY_WS_DOCS = pd.DataFrame(
     {
         "doc_id": range(8),

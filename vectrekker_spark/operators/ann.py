@@ -58,9 +58,6 @@ def assign_centroids(
     either way, so carrying the column is free until the consumer's own
     shuffle moves it.
     """
-    import numpy as np
-    import pandas as pd
-
     probe = (
         centroids.select("cid", "cvec").where(F.col("cvec").isNotNull()).limit(1)
     ).collect()

@@ -10,6 +10,7 @@ top-k cosine search (the query the Pinecone index exists for,
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -338,7 +339,7 @@ ORDER BY l_id, r_id
 """
 
 
-_EMB_DIM_CACHE: dict[str, int] = {}
+_EMB_DIM_CACHE: dict[tuple[str, float], int] = {}
 
 
 def d26_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -356,6 +357,14 @@ def d26_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     so the oracle runs a per-cell recursive CTE over that (small) node set
     with a kept-id list accumulator — every other row is trivially kept.
     Threshold 0.40 matches q28's (fixture max pairwise cosine ≈ 0.51).
+
+    The FIXED 8-cell grid is the oracle-mirroring choice, sized for the
+    driver fixtures (≤ sf3 derived data keeps cells ≪ the operator's
+    max_cluster_rows guard). It deliberately does NOT scale cells with the
+    corpus — a corpus-size-dependent quantizer would change the oracle's
+    cid arithmetic. Production semantic dedup uses the √N auto-KMeans path
+    (operators/semdedup, C15), whose cell sizes stay bounded by
+    construction; past the guard this query raises with that pointer.
     """
     from vectrekker_spark.operators.semdedup import semantic_dedup_decisions
     from vectrekker_spark.queries.util import small_local, tb1
@@ -363,11 +372,40 @@ def d26_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     serial = small_local(sf, "embeddings")
     em = tb1(spark, sf, "embeddings") if serial else tbp(spark, sf, "embeddings")
     # memoized dim probe: a table's vector dimension is a property of the
-    # dataset, not the run — repeated bench samples skip the probe job
-    dim = _EMB_DIM_CACHE.get(sf)
+    # dataset, not the run — repeated bench samples skip the probe job.
+    # Keyed on the file's mtime too, so a fixture regenerated in-process
+    # at the same path with a different dim re-probes instead of building
+    # wrong-length centroids.
+    try:
+        key = (sf, os.path.getmtime(os.path.join(sf, "embeddings.parquet")))
+    except OSError:
+        key = None
+    dim = _EMB_DIM_CACHE.get(key) if key is not None else None
     if dim is None:
-        dim = int(em.select(F.size("embedding")).first()[0])
-        _EMB_DIM_CACHE[sf] = dim
+        # NULL embeddings must not poison the probe (size(NULL) = -1 under
+        # the engine's legacy sizeOfNull config); an all-NULL/empty table
+        # has no quantizable vectors — every row is the kernel's trivially
+        # kept NULL-cid arm, same as the oracle's UNION branch
+        probe = (
+            em.where(F.col("embedding").isNotNull())
+            .select(F.size("embedding"))
+            .first()
+        )
+        if probe is None:
+            id_t = dict(em.dtypes)["vec_id"]
+            empty_dec = em.select(
+                "vec_id",
+                F.lit(None).cast("long").alias("cid"),
+                F.lit(True).alias("keep"),
+                F.lit(None).cast(id_t).alias("dup_of"),
+                F.lit(None).cast("double").alias("score"),
+            )
+            if serial:
+                return empty_dec.coalesce(1).sortWithinPartitions("vec_id")
+            return ordered(empty_dec, "vec_id")
+        dim = int(probe[0])
+        if key is not None:
+            _EMB_DIM_CACHE[key] = dim
     cents = []
     for k in range(8):
         v = [0.0] * dim
