@@ -280,6 +280,31 @@ def test_curate_query_flag_validation(tmp_path, capsys, spark, sf_dir):
         ["curate", "--documents", docs, "--out", out, "--strip-span-ngram", "1"]
     )
     assert rc == 2 and "strip-span-ngram" in capsys.readouterr().out
+    # negative per-stratum cap: rejected before the session spins up
+    rc = main(
+        ["curate", "--documents", docs, "--out", out,
+         "--max-docs-per-stratum", "-1"]
+    )
+    assert rc == 2 and "max-docs-per-stratum" in capsys.readouterr().out
+
+
+def test_curate_stratum_cap_flag(tmp_path, capsys, spark, sf_dir):
+    # end-to-end through the CLI: documents.parquet has a `source` column;
+    # cap 5 per source must bound the funnel's after_stratum_cap line
+    out = str(tmp_path / "shards")
+    rc = main([
+        "curate", "--documents", f"{sf_dir}/documents.parquet", "--out", out,
+        "--min-quality", "0.0", "--max-docs-per-stratum", "5",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    line = next(l for l in text.splitlines() if "after_stratum_cap" in l)
+    n = int(line.split()[-1])
+    import duckdb
+    n_sources = duckdb.connect().execute(
+        f"SELECT count(DISTINCT source) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert 0 < n <= 5 * n_sources
 
 
 def test_stats_with_ivf_summary(tmp_path, capsys, spark):

@@ -315,3 +315,42 @@ def test_curate_perplexity_validates_at_start(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="torn|not an lm_save"):
         curate(docs, CurationConfig(ngram_lm_path=str(tmp_path / "nope")))
+
+
+def test_curate_stratum_cap_stage(spark):
+    # distinct texts so no dedup stage interferes; 4 docs on source "hot",
+    # 2 on "cold"; cap 2 → 2+2 survivors, and the kept set is the stable
+    # hash-order selection (deterministic across runs)
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the old mill",
+        "a completely different sentence about the weather in the valley",
+        "yet another unique document describing mountains and deep rivers",
+        "the fourth document talks about oceans and ships sailing at dawn",
+        "cold source first text with some reasonable english words here",
+        "cold source second text also with plain everyday english words",
+    ]
+    rows = [(i, texts[i], "en", "hot" if i < 4 else "cold") for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    cfg = CurationConfig(min_quality=0.0, max_docs_per_stratum=2, embed=False)
+    res = curate(docs, cfg)
+    assert res.funnel["after_stratum_cap"] == 4
+    kept = {r["doc_id"] for r in res.chunks.select("doc_id").distinct().collect()}
+    assert len(kept & {0, 1, 2, 3}) == 2 and len(kept & {4, 5}) == 2
+    res2 = curate(docs, cfg)
+    kept2 = {r["doc_id"] for r in res2.chunks.select("doc_id").distinct().collect()}
+    assert kept2 == kept  # stable hash order, not rand()
+    res.unpersist(); res2.unpersist()
+
+
+def test_curate_stratum_cap_validates_at_start(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, GOOD_EN, "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="no 'source' column"):
+        curate(docs, CurationConfig(max_docs_per_stratum=3))
+    with pytest.raises(ValueError, match="must be >= 0"):
+        curate(docs, CurationConfig(max_docs_per_stratum=-1))

@@ -129,6 +129,15 @@ def test_engine_assembly_sugar(spark, sf_dir):
     # incremental near-dedup facade
     hits = eng.near_dedup_against(docs.limit(20), docs.limit(20), threshold=0.99)
     assert hits.count() >= 20  # every doc near-dups itself in the corpus copy
+    # per-stratum quota facades: capped per source, deterministic
+    capped = eng.cap_per_stratum_random(docs, 3, strata_col="source")
+    per = capped.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    best = eng.cap_per_stratum(
+        docs, 2, strata_col="source",
+        order_cols=[F.length("text").desc(), "doc_id"],
+    )
+    assert best.groupBy("source").count().agg(F.max("count")).first()[0] <= 2
 
 
 def test_engine_quantized_ann_facade(spark, sf_dir, tmp_path):

@@ -1,0 +1,134 @@
+"""Per-stratum quota capping (operators/quota.py, SURVEY C18).
+
+Verification: brute-force pandas oracle parity on random data, NULL-stratum
+grouping, determinism/partition invariance, the WindowGroupLimit(Partial)
+pre-prune pinned in the physical plan (the operator's whole scale story),
+and the stable-random variant's growth-stability contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.quota import (
+    cap_per_stratum,
+    cap_per_stratum_random,
+)
+
+
+def _mk(spark, n=200, seed=3, parts=None):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "source": rng.choice(["a.com", "b.org", "c.net", None], size=n,
+                                 p=[0.55, 0.25, 0.15, 0.05]),
+            "quality": np.round(rng.random(n), 6),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    return (df.repartition(parts) if parts else df), pdf
+
+
+def _oracle_cap(pdf, cap):
+    """Brute-force: per stratum (NULL its own group), top-cap by
+    (quality desc, doc_id asc)."""
+    out = []
+    for _, g in pdf.groupby("source", dropna=False):
+        g = g.sort_values(["quality", "doc_id"], ascending=[False, True])
+        out.append(g.head(cap))
+    return sorted(pd.concat(out)["doc_id"].tolist())
+
+
+def test_matches_bruteforce_oracle(spark):
+    df, pdf = _mk(spark, parts=7)
+    got = cap_per_stratum(
+        df, 10, strata_col="source",
+        order_cols=[F.col("quality").desc(), "doc_id"],
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == _oracle_cap(pdf, 10)
+    # columns pass through unchanged, no helper leak
+    assert got.columns == df.columns
+
+
+def test_cap_larger_than_group_keeps_all(spark):
+    df, pdf = _mk(spark, n=30)
+    got = cap_per_stratum(
+        df, 1000, order_cols=[F.col("quality").desc(), "doc_id"]
+    )
+    assert got.count() == len(pdf)
+
+
+def test_partition_invariance(spark):
+    df1, _ = _mk(spark, parts=2)
+    df2, _ = _mk(spark, parts=13)
+    order = [F.col("quality").desc(), "doc_id"]
+    a = sorted(r["doc_id"] for r in cap_per_stratum(df1, 5, order_cols=order).collect())
+    b = sorted(r["doc_id"] for r in cap_per_stratum(df2, 5, order_cols=order).collect())
+    assert a == b
+
+
+def test_null_stratum_is_its_own_capped_group(spark):
+    df, pdf = _mk(spark, n=300, seed=9)
+    got = cap_per_stratum(
+        df, 3, order_cols=[F.col("quality").desc(), "doc_id"]
+    ).collect()
+    null_kept = [r["doc_id"] for r in got if r["source"] is None]
+    n_null = int(pdf["source"].isna().sum())
+    assert len(null_kept) == min(3, n_null) and n_null > 3  # fixture has >3
+
+
+def test_guards(spark):
+    df, _ = _mk(spark, n=10)
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        cap_per_stratum(df, 0, order_cols=["doc_id"])
+    with pytest.raises(ValueError, match="order_cols is required"):
+        cap_per_stratum(df, 5)
+    with pytest.raises(ValueError, match="__rn"):
+        cap_per_stratum(df.withColumn("__rn", F.lit(1)), 5, order_cols=["doc_id"])
+
+
+def test_window_group_limit_partial_below_exchange(spark):
+    # THE scale property: every map task pre-prunes to its local top-cap
+    # per stratum BEFORE the shuffle (WindowGroupLimit in Partial mode
+    # below the Exchange), so a hot stratum ships cap×P rows, not its
+    # whole data. If a Spark upgrade drops this optimization the operator
+    # silently becomes a full-stratum shuffle — fail here instead.
+    df, _ = _mk(spark, parts=8)
+    got = cap_per_stratum(
+        df, 4, order_cols=[F.col("quality").desc(), "doc_id"]
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exchange = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert partial, plan
+    assert exchange, plan
+    # tree prints root-first: the Partial limit must sit BELOW the
+    # exchange (greater line index = deeper in the tree)
+    assert max(partial) > min(exchange), plan
+
+
+def test_random_variant_deterministic_and_growth_stable(spark):
+    df, pdf = _mk(spark, n=300, seed=5, parts=6)
+    a = sorted(r["doc_id"] for r in
+               cap_per_stratum_random(df, 7, seed="s1").collect())
+    b = sorted(r["doc_id"] for r in
+               cap_per_stratum_random(df.repartition(3), 7, seed="s1").collect())
+    assert a == b  # deterministic + partition-invariant
+    c = sorted(r["doc_id"] for r in
+               cap_per_stratum_random(df, 7, seed="s2").collect())
+    assert a != c  # the seed actually matters
+    # growth stability: adding rows can only REPLACE hash-order winners —
+    # the kept set over a subset is a superset-restricted selection: every
+    # doc kept over the FULL frame that belongs to the subset and still
+    # has fewer than cap better-hashed peers in-stratum remains kept.
+    # Concretely: kept(full) ∩ subset ⊆ kept(subset).
+    sub = df.filter(F.col("doc_id") < 150)
+    kept_sub = {r["doc_id"] for r in cap_per_stratum_random(sub, 7, seed="s1").collect()}
+    kept_full_in_sub = {d for d in a if d < 150}
+    assert kept_full_in_sub <= kept_sub

@@ -338,6 +338,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if args.max_perplexity <= 0:
         print("error: --max-perplexity must be > 0")
         return 2
+    if args.max_docs_per_stratum < 0:
+        print("error: --max-docs-per-stratum must be >= 0 (0 disables)")
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
     cfg = AssemblyConfig(
@@ -360,6 +363,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
             min_model_quality=args.min_model_quality,
             ngram_lm_path=args.ngram_lm or "",
             max_perplexity=args.max_perplexity,
+            max_docs_per_stratum=args.max_docs_per_stratum,
+            stratum_col=args.stratum_col,
         ),
         max_tokens=args.max_tokens,
         shuffle_seed=args.seed,
@@ -729,6 +734,15 @@ def build_parser() -> argparse.ArgumentParser:
         "perplexity is <= --max-perplexity (the CCNet rule)",
     )
     cu.add_argument("--max-perplexity", type=float, default=10_000.0)
+    cu.add_argument(
+        "--max-docs-per-stratum", type=int, default=0,
+        help="keep at most this many docs per --stratum-col value, stable "
+        "hash(id) order (the RefinedWeb/FineWeb domain cap; 0 = off)",
+    )
+    cu.add_argument(
+        "--stratum-col", default="source",
+        help="stratum column for --max-docs-per-stratum",
+    )
     cu.set_defaults(fn=cmd_curate)
 
     fl = sub.add_parser(

@@ -71,6 +71,12 @@ class CurationConfig:
     # ``max_perplexity`` (the CCNet keep rule) — zero-shuffle Arrow map
     ngram_lm_path: str = ""
     max_perplexity: float = 10_000.0
+    # 0 → off; else keep at most this many docs per ``stratum_col`` value
+    # (the RefinedWeb/FineWeb per-domain cap, operators/quota), chosen in
+    # stable hash(id) order — deterministic and growth-stable. Runs LAST
+    # among the doc-level gates so the quota binds what actually ships.
+    max_docs_per_stratum: int = 0
+    stratum_col: str = "source"
 
 
 @dataclass
@@ -127,6 +133,20 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             raise ValueError(
                 f"CurationConfig.semantic_n_clusters must be >= 0 (0 = "
                 f"auto), got {cfg.semantic_n_clusters}"
+            )
+    if cfg.max_docs_per_stratum:
+        # run-START validation: a missing stratum column or negative cap
+        # must fail before any dedup stage executes
+        if cfg.max_docs_per_stratum < 0:
+            raise ValueError(
+                f"CurationConfig.max_docs_per_stratum must be >= 0 (0 "
+                f"disables), got {cfg.max_docs_per_stratum}"
+            )
+        if cfg.stratum_col not in docs.columns:
+            raise ValueError(
+                f"CurationConfig.max_docs_per_stratum is set but the input "
+                f"has no {cfg.stratum_col!r} column — the per-stratum cap "
+                f"needs a stratum (domain/source) column on the docs frame"
             )
     quality_model = None
     if cfg.quality_model_path:
@@ -347,6 +367,20 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         ).cache()
         caches.append(docs)
         funnel["after_decontaminate"] = docs.count()
+
+    # 4d. optional per-stratum quota: at most N docs per domain/source,
+    # stable hash(id) order (operators/quota — WindowGroupLimit pre-prunes
+    # map-side, so a hot domain ships cap×P rows, never its whole data).
+    # Last doc-level gate on purpose: the cap binds the exported set.
+    if cfg.max_docs_per_stratum:
+        from vectrekker_spark.operators.quota import cap_per_stratum_random
+
+        docs = cap_per_stratum_random(
+            docs, cfg.max_docs_per_stratum,
+            strata_col=cfg.stratum_col, id_col=cfg.id_col,
+        ).cache()
+        caches.append(docs)
+        funnel["after_stratum_cap"] = docs.count()
 
     # 5. chunk — cached so the funnel count and the caller's consumption
     # execute the (mapInPandas) chunk stage exactly once

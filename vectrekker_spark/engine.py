@@ -249,6 +249,21 @@ class Engine:
 
         return stratified_hash_sample(df, rates, **kw)
 
+    def cap_per_stratum(self, df: DataFrame, cap: int, **kw) -> DataFrame:
+        """Keep at most ``cap`` rows per stratum under a caller-supplied
+        total order (operators/quota — the RefinedWeb/FineWeb domain cap;
+        pass order_cols=[...] ending in a unique tie-break)."""
+        from vectrekker_spark.operators.quota import cap_per_stratum
+
+        return cap_per_stratum(df, cap, **kw)
+
+    def cap_per_stratum_random(self, df: DataFrame, cap: int, **kw) -> DataFrame:
+        """Stable hash-order per-stratum quota: deterministic, partition-
+        invariant, growth-stable (operators/quota.cap_per_stratum_random)."""
+        from vectrekker_spark.operators.quota import cap_per_stratum_random
+
+        return cap_per_stratum_random(df, cap, **kw)
+
     def shuffle_order(self, df: DataFrame, seed: str = "s0", **kw) -> DataFrame:
         """Deterministic global training-order shuffle
         (operators/sampling.seeded_shuffle)."""

@@ -1,0 +1,87 @@
+"""Per-stratum quota capping — the RefinedWeb/FineWeb "domain cap" stage.
+
+Web-scale corpora are dominated by a handful of hot domains (or sources,
+languages, shards); capping each stratum to at most N documents — the best
+N by a quality signal, or a stable random N — is a standard curation stage
+between filtering and mixture weighting. (RefinedWeb caps per-domain URL
+counts; FineWeb applies per-dump dedup caps; the Pile caps per-source
+mixture epochs. Reference scope note: vectrekker/main.py has no curation
+surface at all — north-star training-pipeline addition, SURVEY.md §2.2.)
+
+Scale shape — declarative on purpose: the obvious formulation
+(row_number over a per-stratum window, filter rn <= cap) is exactly what
+Catalyst optimizes best. Spark inserts a WindowGroupLimit(Partial) BELOW
+the exchange: every map task pre-prunes to its local top-cap per stratum
+before anything shuffles, so the exchange carries at most cap rows per
+(stratum, input partition) — a hot domain with 10⁹ rows ships cap×P rows,
+not 10⁹. The final per-stratum task then ranks a bounded survivor set.
+test_quota pins the Partial push-down in the physical plan; if a Spark
+upgrade ever dropped it, the test fails rather than the cluster.
+
+Determinism: ``order_cols`` must be a TOTAL order (pass a unique
+tie-break column last — the q12/q22 registry rule); ties at the cap
+boundary would otherwise make the kept set partition-dependent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectrekker_spark.operators.sampling import sample_bucket
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    order_cols: Sequence[Column | str] = (),
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum: the first ``cap`` under
+    ``order_cols`` (e.g. ``[F.col("quality").desc(), "doc_id"]`` keeps the
+    highest-quality docs, doc_id breaking ties). NULL strata form one
+    group of their own (window partitioning semantics — the "unknown
+    domain" bucket is capped like any other).
+
+    Columns pass through unchanged; no helper column leaks into the
+    result. ``order_cols`` is required and must end in a unique tie-break
+    for a deterministic, partition-invariant kept set.
+    """
+    if cap < 1:
+        raise ValueError(f"cap_per_stratum: cap must be >= 1, got {cap}")
+    if not order_cols:
+        raise ValueError(
+            "cap_per_stratum: order_cols is required (end it with a unique "
+            "tie-break column, or the kept set at the cap boundary depends "
+            "on partition layout); for a stable random cap use "
+            "cap_per_stratum_random"
+        )
+    if "__rn" in df.columns:
+        raise ValueError("cap_per_stratum: input already has a __rn column")
+    w = Window.partitionBy(strata_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def cap_per_stratum_random(
+    df: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "quota0",
+) -> DataFrame:
+    """Stable "random" quota: keep ``cap`` rows per stratum chosen by
+    hash(seed, id) order — deterministic, partition-invariant, and stable
+    under corpus growth in the hash-sample sense (a kept doc stays kept
+    until enough better-hashed newcomers arrive in its stratum). The same
+    WindowGroupLimit pre-prune applies: the hash order is just an
+    order_cols choice."""
+    return cap_per_stratum(
+        df, cap, strata_col=strata_col,
+        order_cols=[sample_bucket(id_col, seed), F.col(id_col)],
+    )
