@@ -132,3 +132,46 @@ def test_random_variant_deterministic_and_growth_stable(spark):
     kept_sub = {r["doc_id"] for r in cap_per_stratum_random(sub, 7, seed="s1").collect()}
     kept_full_in_sub = {d for d in a if d < 150}
     assert kept_full_in_sub <= kept_sub
+
+
+def test_admit_per_stratum_against_ledger(spark):
+    from vectrekker_spark.operators.quota import admit_per_stratum, merge_counts
+
+    batch = spark.createDataFrame(
+        [(1, "hot"), (2, "hot"), (3, "hot"), (10, "cold"), (20, None)],
+        "doc_id long, source string",
+    )
+    # fresh quotas: cap 2 → 2 hot, 1 cold, 1 null admitted
+    a1 = admit_per_stratum(batch, None, 2)
+    per = {r["source"]: r["count"] for r in a1.groupBy("source").count().collect()}
+    assert per == {"hot": 2, "cold": 1, None: 1}
+    counts = merge_counts(None, a1)
+    led = {r["stratum"]: r["used"] for r in counts.collect()}
+    assert led == {"hot": 2, "cold": 1, None: 1}
+    # partially-used ledger: hot is FULL, cold has 1 slot, null has 1
+    batch2 = spark.createDataFrame(
+        [(4, "hot"), (11, "cold"), (12, "cold"), (21, None)],
+        "doc_id long, source string",
+    )
+    a2 = admit_per_stratum(batch2, counts, 2)
+    per2 = {r["source"]: r["count"] for r in a2.groupBy("source").count().collect()}
+    assert per2 == {"cold": 1, None: 1}  # hot rejected, cold capped at 1
+    led2 = {r["stratum"]: r["used"] for r in merge_counts(counts, a2).collect()}
+    assert led2 == {"hot": 2, "cold": 2, None: 2}
+    # determinism: same batch, same ledger → same admitted ids
+    ids_a = sorted(r["doc_id"] for r in a2.collect())
+    ids_b = sorted(
+        r["doc_id"]
+        for r in admit_per_stratum(batch2.repartition(5), counts, 2).collect()
+    )
+    assert ids_a == ids_b
+
+
+def test_admit_guards(spark):
+    from vectrekker_spark.operators.quota import admit_per_stratum
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        admit_per_stratum(df, None, 0)
+    with pytest.raises(ValueError, match="__rn"):
+        admit_per_stratum(df.withColumn("__rn", F.lit(1)), None, 2)

@@ -545,3 +545,141 @@ def test_compact_semantic_corpus(spark, tmp_path):
 
     shutil.rmtree(f"{corpus}/kept/cid=__HIVE_DEFAULT_PARTITION__")
     assert compact_semantic_corpus(spark, corpus) == {"kept_removed": 0}
+
+
+def test_streaming_quota_lifecycle(spark, tmp_path):
+    """ST10: per-stratum quota ingestion — admit-until-full per source,
+    ledger versioning, bloom-guarded redelivery idempotence, torn-bloom
+    heal, compact reconciliation."""
+    import os
+
+    from vectrekker_spark.operators.bloom import bloom_load
+    from vectrekker_spark.streaming.jobs import (
+        compact_quota_corpus,
+        foreach_batch_quota,
+    )
+
+    src = tmp_path / "incoming_q"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus_q")
+    ckpt = str(tmp_path / "ckpt_q")
+    SCHEMA = "doc_id long, source string, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run(ck=ckpt, glob="*"):
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src / glob))
+        foreach_batch_quota(
+            stream, corpus, ck, cap=2, strata_col="source", id_col="doc_id"
+        ).awaitTermination()
+
+    def docs():
+        return sorted(
+            (r["doc_id"], r["source"])
+            for r in spark.read.parquet(f"{corpus}/docs").collect()
+        )
+
+    def per_source():
+        out = {}
+        for d, s in docs():
+            out[s] = out.get(s, 0) + 1
+        return out
+
+    # batch 1: 3 hot docs compete for cap 2; cold and NULL buckets admit
+    write_batch("b1", [
+        (1, "hot", "t1"), (2, "hot", "t2"), (3, "hot", "t3"),
+        (10, "cold", "t10"), (20, None, "t20"),
+    ])
+    run()
+    assert per_source() == {"hot": 2, "cold": 1, None: 1}
+    first_docs = docs()
+
+    # batch 2: hot is FULL (both rejected), cold fills, NULL fills
+    write_batch("b2", [
+        (4, "hot", "t4"), (11, "cold", "t11"), (21, None, "t21"),
+    ])
+    run()
+    assert per_source() == {"hot": 2, "cold": 2, None: 2}
+    # the batch-1 admissions were not disturbed
+    assert set(first_docs) <= set(docs())
+
+    # batch 3: every bucket full → nothing admitted, no ledger churn crash
+    write_batch("b3", [(5, "hot", "t5"), (12, "cold", "t12"), (22, None, "t22")])
+    run()
+    assert per_source() == {"hot": 2, "cold": 2, None: 2}
+
+    # same checkpoint, no new files: nothing reprocessed
+    run()
+    n_before = len(docs())
+    assert n_before == 6
+
+    # at-least-once redelivery: b2 again via a FRESH checkpoint — its rows
+    # are already in docs (bloom maybe → verified present) → no dups, no
+    # double admission
+    run(ck=str(tmp_path / "ckpt_q2"), glob="b2")
+    assert docs() == sorted(docs()) and len(docs()) == 6
+
+    # torn bloom: the batch still admits correctly via the verified
+    # fallback and the bloom heals; a new source gets its own quota
+    os.remove(f"{corpus}/bloom/meta.json")
+    write_batch("b4", [(30, "warm", "t30")])
+    run()
+    assert per_source() == {"hot": 2, "cold": 2, None: 2, "warm": 1}
+    assert bloom_load(f"{corpus}/bloom").bits_set() > 0
+
+    # crash-debris reconciliation: plant a duplicate docs row AND an
+    # overcharged ledger, then compact — docs deduped, ledger re-counted,
+    # and the reclaimed quota admits again
+    dup = spark.createDataFrame([(30, "warm", "t30")], SCHEMA)
+    dup.write.mode("append").parquet(f"{corpus}/docs")
+    rep = compact_quota_corpus(spark, corpus, strata_col="source", id_col="doc_id")
+    assert rep["docs_removed"] == 1
+    assert per_source()["warm"] == 1
+    write_batch("b5", [(31, "warm", "t31")])
+    run()
+    assert per_source()["warm"] == 2  # slot still free post-compact
+
+
+def test_streaming_quota_torn_ledger_heals_from_docs(spark, tmp_path):
+    """A counts version without _SUCCESS is invisible; with NO committed
+    ledger at all the job recounts the docs table — quotas never
+    overshoot even when every ledger write was torn."""
+    import os
+    import shutil
+
+    from vectrekker_spark.streaming.jobs import foreach_batch_quota
+
+    src = tmp_path / "incoming_t"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus_t")
+    SCHEMA = "doc_id long, source string, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run(ck):
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src / "*"))
+        foreach_batch_quota(
+            stream, corpus, str(tmp_path / ck), cap=2,
+            strata_col="source", id_col="doc_id",
+        ).awaitTermination()
+
+    write_batch("b1", [(1, "hot", "a"), (2, "hot", "b")])
+    run("c1")
+    # tear EVERY ledger version (simulate crash before any commit marker)
+    for name in os.listdir(corpus):
+        if name.startswith("counts_v"):
+            marker = os.path.join(corpus, name, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+    write_batch("b2", [(3, "hot", "c"), (4, "hot", "d")])
+    run("c2")
+    n_hot = (
+        spark.read.parquet(f"{corpus}/docs").filter("source = 'hot'").count()
+    )
+    assert n_hot == 2  # recounted from docs: quota NOT overshot

@@ -68,6 +68,86 @@ def cap_per_stratum(
     )
 
 
+def admit_per_stratum(
+    batch: DataFrame,
+    counts: DataFrame | None,
+    cap: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "quota0",
+) -> DataFrame:
+    """The INCREMENTAL quota shape: admit ``batch`` rows into per-stratum
+    quotas that are already partially used. ``counts`` is the tiny
+    (stratum, used) ledger from prior admissions (None/empty → all quotas
+    fresh); a stratum with used ≥ cap admits nothing more.
+
+    Within the batch, rows compete in stable hash(seed, id) order (the
+    cap_per_stratum_random order), so a REDELIVERED batch admits the same
+    rows — the determinism the streaming ingestion's at-least-once
+    contract builds on. NULL strata match the ledger's NULL row
+    (null-safe join); the ledger side is broadcast (one row per stratum,
+    small by construction — it is the QUOTA table, not the data).
+
+    Returns the admitted rows with the batch's original columns.
+    """
+    if cap < 1:
+        raise ValueError(f"admit_per_stratum: cap must be >= 1, got {cap}")
+    for tmp in ("__rn", "__used"):
+        if tmp in batch.columns:
+            raise ValueError(f"admit_per_stratum: input already has {tmp}")
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(id_col, seed), F.col(id_col)
+    )
+    ranked = batch.withColumn("__rn", F.row_number().over(w))
+    if counts is None:
+        joined = ranked.withColumn("__used", F.lit(0))
+    else:
+        used = counts.select(
+            F.col("stratum").alias("__stratum"), F.col("used").alias("__used")
+        )
+        joined = ranked.join(
+            F.broadcast(used),
+            ranked[strata_col].eqNullSafe(F.col("__stratum")),
+            "left",
+        ).drop("__stratum")
+    return (
+        joined.filter(
+            F.col("__rn") + F.coalesce(F.col("__used"), F.lit(0)) <= cap
+        )
+        .drop("__rn", "__used")
+    )
+
+
+def merge_counts(
+    counts: DataFrame | None,
+    admitted: DataFrame,
+    strata_col: str = "source",
+) -> DataFrame:
+    """New (stratum, used) ledger after an admission: old counts plus the
+    admitted batch's per-stratum counts (full outer on the stratum,
+    null-safe so the NULL bucket accumulates like any other)."""
+    delta = (
+        admitted.groupBy(F.col(strata_col).alias("stratum"))
+        .count()
+        .withColumnRenamed("count", "d")
+    )
+    if counts is None:
+        return delta.select(
+            "stratum", F.col("d").cast("long").alias("used")
+        )
+    return (
+        counts.select("stratum", "used")
+        .join(delta, counts["stratum"].eqNullSafe(delta["stratum"]), "full_outer")
+        .select(
+            F.coalesce(counts["stratum"], delta["stratum"]).alias("stratum"),
+            (
+                F.coalesce(F.col("used"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            ).cast("long").alias("used"),
+        )
+    )
+
+
 def cap_per_stratum_random(
     df: DataFrame,
     cap: int,

@@ -718,3 +718,230 @@ def foreach_batch_exact_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _read_quota_counts(spark: SparkSession, corpus_path: str):
+    """(counts DataFrame or None, highest valid version int). Versioned
+    ledger dirs ``counts_v{K}``; a version is committed iff Spark's
+    _SUCCESS marker exists (written last by the parquet committer), so a
+    torn write is invisible and the previous version stays live — the
+    CURRENT-v{K} highest-wins idiom with the committer's own marker."""
+    import os
+    import re
+
+    best, best_v = None, -1
+    if os.path.isdir(corpus_path):
+        for name in os.listdir(corpus_path):
+            m = re.fullmatch(r"counts_v(\d+)", name)
+            if not m:
+                continue
+            d = os.path.join(corpus_path, name)
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                continue  # torn write: never read, wait for the next save
+            v = int(m.group(1))
+            if v > best_v:
+                best, best_v = d, v
+    if best is None:
+        return None, -1
+    return spark.read.parquet(best), best_v
+
+
+def foreach_batch_quota(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    cap: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "quota0",
+    fpp: float = 1e-3,
+    expected_total: int = 1_000_000,
+):
+    """ST10: streaming ingestion under a per-stratum quota (the C18 domain
+    cap, continuous form): each micro-batch admits rows per stratum only
+    until the stratum's running quota is full — a crawl feed capped at N
+    docs per domain, forever, without re-scanning history.
+
+    Per batch: (1) in-batch id-dedup, (2) redelivery guard — an
+    admitted-ID bloom flags maybe-seen rows, verified against
+    ``{corpus_path}/docs`` scanned NARROW under a broadcast semi-filter
+    (the ST8 idiom: history is read, never shuffled; definite-new rows
+    skip verification entirely), (3) ``operators/quota.admit_per_stratum``
+    against the tiny (stratum, used) ledger — in-batch competition in
+    stable hash(seed, id) order, so a redelivered batch admits the SAME
+    rows, (4) state writes in safety order.
+
+    Write order and crash windows — quota can only UNDERSHOOT, never
+    overshoot, and docs can only gain reclaimable duplicates:
+    ledger first (``counts_v{K+1}``, committed by the parquet _SUCCESS
+    marker — a torn write is invisible and the previous version stays
+    live), bloom second, docs append last. A crash between them leaves
+    the ledger overcharged (bounded by one batch; the safe direction for
+    a contamination-style cap) and/or the bloom a superset of docs — a
+    redelivered row is then either dropped (in docs) or re-admitted with
+    a second charge (not in docs), never silently over-quota. Reconcile
+    ledger drift and id-duplicates with ``compact_quota_corpus``. A torn
+    or missing bloom degrades to the plain verified anti-join for that
+    batch and is REBUILT from docs + admissions (the ST8 heal). Returns
+    the started query.
+    """
+    import os
+
+    from vectrekker_spark.operators.bloom import (
+        bloom_add,
+        bloom_build,
+        bloom_load,
+        bloom_save,
+        might_contain,
+    )
+    from vectrekker_spark.operators.quota import admit_per_stratum, merge_counts
+
+    docs_path = os.path.join(corpus_path, "docs")
+    bloom_path = os.path.join(corpus_path, "bloom")
+    id_str = lambda df: F.col(id_col).cast("string")  # noqa: E731
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([id_col]).persist()
+        try:
+            have_docs = os.path.exists(docs_path)
+            bloom = None
+            fresh = batch
+            if have_docs:
+                try:
+                    bloom = bloom_load(bloom_path)
+                except ValueError:
+                    bloom = None  # torn save: verified plain join, heal below
+                docs_ids = spark.read.parquet(docs_path).select(id_col)
+                if bloom is not None:
+                    flagged = might_contain(
+                        batch, id_str(batch), bloom, out_col="__maybe"
+                    )
+                    maybe_ids = flagged.filter(F.col("__maybe")).select(id_col)
+                    # history scanned narrow under the broadcast maybe-set;
+                    # definite-new rows never touch it
+                    hits = docs_ids.join(F.broadcast(maybe_ids), id_col, "left_semi")
+                    fresh = (
+                        flagged.join(F.broadcast(hits), id_col, "left_anti")
+                        .drop("__maybe")
+                    )
+                else:
+                    fresh = batch.join(docs_ids, id_col, "left_anti")
+            counts, version = _read_quota_counts(spark, corpus_path)
+            if counts is None and have_docs:
+                # no committed ledger (first write torn, or pre-ledger
+                # corpus): heal by recounting the docs table once
+                docs_df = spark.read.parquet(docs_path)
+                counts = (
+                    docs_df.groupBy(F.col(strata_col).alias("stratum"))
+                    .count()
+                    .select("stratum", F.col("count").cast("long").alias("used"))
+                )
+            admitted = admit_per_stratum(
+                fresh, counts, cap,
+                strata_col=strata_col, id_col=id_col, seed=seed,
+            ).persist()
+            try:
+                if admitted.isEmpty():
+                    return
+                # 1. ledger (quota can only undershoot after a crash)
+                new_counts = merge_counts(counts, admitted, strata_col=strata_col)
+                counts_dir = os.path.join(corpus_path, f"counts_v{version + 1}")
+                new_counts.coalesce(1).write.mode("overwrite").parquet(counts_dir)
+                # prune all but the previous committed version (grace copy)
+                import re
+                import shutil
+
+                for name in os.listdir(corpus_path):
+                    m = re.fullmatch(r"counts_v(\d+)", name)
+                    if m and int(m.group(1)) < version:
+                        shutil.rmtree(
+                            os.path.join(corpus_path, name), ignore_errors=True
+                        )
+                # 2. bloom (superset-of-docs invariant, the ST8 order)
+                if bloom is None:
+                    seed_ids = admitted.select(id_str(admitted).alias("__id"))
+                    if have_docs:
+                        seed_ids = (
+                            spark.read.parquet(docs_path)
+                            .select(id_str(None).alias("__id"))
+                            .unionByName(seed_ids)
+                        )
+                    bloom = bloom_build(
+                        seed_ids, "__id", fpp=fpp, expected=expected_total
+                    )
+                else:
+                    bloom = bloom_add(bloom, admitted, id_str(admitted))
+                bloom_save(bloom, bloom_path)
+                # 3. data last
+                admitted.write.mode("append").parquet(docs_path)
+            finally:
+                admitted.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_quota_corpus(
+    spark: SparkSession,
+    corpus_path: str,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Reconcile foreach_batch_quota's crash debris: drop id-duplicate
+    docs rows (at-least-once redelivery in the bloom-torn window) and
+    rewrite the ledger to the TRUE per-stratum counts (healing any
+    overcharge from a counts-written/docs-crashed window — quota capacity
+    comes back). Stage-then-swap on the docs table; the new ledger commits
+    as the next counts version. Single-writer contract like every compact
+    here: don't run concurrently with an ingesting stream."""
+    import os
+
+    from vectrekker_spark.pipeline import _atomic_replace
+
+    docs_path = os.path.join(corpus_path, "docs")
+    if not os.path.exists(docs_path):
+        return {"docs_removed": 0, "ledger_delta": 0}
+    df = spark.read.parquet(docs_path).persist()
+    clean = None
+    try:
+        before = df.count()
+        clean = df.dropDuplicates([id_col]).persist()
+        removed = before - clean.count()
+        if removed:
+            _atomic_replace(clean, docs_path)
+            # out-of-band directory swap: drop the session's cached file
+            # listing for the path, or a same-session reader (the
+            # ingesting stream's next batch) can see the OLD file set
+            spark.catalog.refreshByPath(docs_path)
+        # count from the in-memory deduped frame, NOT a re-read of the
+        # just-swapped path — the re-read raced the FileStatusCache and
+        # recounted the pre-compact listing (found by the lifecycle test:
+        # the ledger kept the duplicate's charge and the freed quota slot
+        # never came back)
+        true_counts = (
+            clean.groupBy(F.col(strata_col).alias("stratum"))
+            .count()
+            .select("stratum", F.col("count").cast("long").alias("used"))
+        )
+        old, version = _read_quota_counts(spark, corpus_path)
+        drift = 0
+        if old is not None:
+            drift = int(
+                old.agg(F.sum("used")).first()[0] or 0
+            ) - int(true_counts.agg(F.sum("used")).first()[0] or 0)
+        counts_dir = os.path.join(corpus_path, f"counts_v{version + 1}")
+        true_counts.coalesce(1).write.mode("overwrite").parquet(counts_dir)
+        return {"docs_removed": removed, "ledger_delta": drift}
+    finally:
+        if clean is not None:
+            clean.unpersist()
+        df.unpersist()
