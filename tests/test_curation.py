@@ -354,3 +354,16 @@ def test_curate_stratum_cap_validates_at_start(spark):
         curate(docs, CurationConfig(max_docs_per_stratum=3))
     with pytest.raises(ValueError, match="must be >= 0"):
         curate(docs, CurationConfig(max_docs_per_stratum=-1))
+
+
+def test_curate_stage_seconds_align_with_funnel(spark):
+    rows = [(0, GOOD_EN, "en"), (1, NEAR, "en"), (2, GOOD_DE, "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    res = curate(docs, CurationConfig(embed=False))
+    # every funnel key has a timing, every timing has a funnel key
+    assert set(res.stage_seconds) == set(res.funnel)
+    assert all(v >= 0.0 for v in res.stage_seconds.values())
+    # the shared one-pass agg bills its job to after_near_dedup
+    assert res.stage_seconds["after_quality"] == 0.0
+    assert res.stage_seconds["after_lang"] == 0.0
+    res.unpersist()

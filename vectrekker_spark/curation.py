@@ -88,6 +88,15 @@ class CurationResult:
     # otherwise pinned for the session — a real leak for repeated
     # curate/assemble calls in one long-lived driver)
     caches: tuple[DataFrame, ...] = ()
+    # wall seconds attributed to each funnel key: the time between that
+    # stage's materializing count and the previous one. Because every
+    # stage is cached before its count, the delta approximates the
+    # stage's own cost — but Spark is lazy, so work a later consumer
+    # re-derives past an evicted cache is NOT captured here. Profiling
+    # aid, not an accounting guarantee. The one-pass quality/lang
+    # aggregation bills its whole job to after_near_dedup (the three
+    # counts are one job by design); after_quality/after_lang show 0.0.
+    stage_seconds: dict[str, float] = field(default_factory=dict)
 
     def unpersist(self) -> None:
         for df in self.caches:
@@ -219,16 +228,31 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 f"probes disjoint hashes and the gate would be a silent "
                 f"no-op"
             )
+    import time as _time
+
     docs = docs.cache()  # read once: every stage + count consumes it
     caches = [docs]
-    funnel: dict[str, int] = {"input": docs.count()}
+    funnel: dict[str, int] = {}
+    stage_seconds: dict[str, float] = {}
+    _t_last = [_time.monotonic()]
+
+    def _record(name: str, n: int) -> None:
+        # each funnel count materializes its stage's cached chain; the
+        # wall delta between consecutive counts ≈ that stage's cost (see
+        # CurationResult.stage_seconds for the laziness caveat)
+        now = _time.monotonic()
+        stage_seconds[name] = round(now - _t_last[0], 3)
+        _t_last[0] = now
+        funnel[name] = n
+
+    _record("input", docs.count())
 
     # 1. exact dedup: keep min-id per content hash
     keepers = exact_dedup_map(docs, text_col=cfg.text_col, id_col=cfg.id_col).select(
         F.col("keep_id").alias(cfg.id_col)
     )
     docs = docs.join(keepers, cfg.id_col, "left_semi")
-    funnel["after_exact_dedup"] = docs.count()
+    _record("after_exact_dedup", docs.count())
 
     # 2. near-dup removal (cache: the LSH pipeline consumes docs repeatedly,
     # and every later stage re-reads the survivors)
@@ -251,7 +275,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             vec_col=cfg.semantic_vec_col,
         ).cache()
         caches.append(docs)
-        funnel["after_semantic_dedup"] = docs.count()
+        _record("after_semantic_dedup", docs.count())
 
     # 2c. optional span-level dedup: strip corpus-redundant token spans in
     # place (doc count unchanged — the funnel records how many documents
@@ -276,8 +300,8 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         # instead of reading the tiny cached span table
         spans = spans.persist()
         caches.append(spans)
-        funnel["span_stripped_docs"] = (
-            spans.select(cfg.id_col).distinct().count()
+        _record(
+            "span_stripped_docs", spans.select(cfg.id_col).distinct().count()
         )
         docs = strip_duplicate_spans(
             docs, id_col=cfg.id_col, text_col=cfg.text_col,
@@ -298,9 +322,11 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         F.count_if(q_ok).alias("nq"),
         F.count_if(q_ok & lang_ok).alias("nql"),
     ).first()
-    funnel["after_near_dedup"] = row["n"]
+    _record("after_near_dedup", row["n"])  # bills the one-pass agg job
     funnel["after_quality"] = row["nq"]
+    stage_seconds["after_quality"] = 0.0
     funnel["after_lang"] = row["nql"]
+    stage_seconds["after_lang"] = 0.0
     docs = docs.filter(q_ok & lang_ok)
 
     # 4a. optional learned quality gate: the hashed-BoW linear model scores
@@ -319,7 +345,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             text_col=cfg.text_col,
         ).cache()
         caches.append(docs)
-        funnel["after_model_quality"] = docs.count()
+        _record("after_model_quality", docs.count())
 
     # 4a'. optional n-gram LM perplexity gate (CCNet rule: keep docs the
     # reference LM finds likely). Zero-shuffle Arrow map like 4a; cached
@@ -331,7 +357,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             docs, ngram_lm, max_ppl=cfg.max_perplexity, text_col=cfg.text_col
         ).cache()
         caches.append(docs)
-        funnel["after_perplexity"] = docs.count()
+        _record("after_perplexity", docs.count())
 
     # 4b. optional query-relevance gate: keep documents whose Okapi BM25
     # score against the topic terms clears the threshold (query-targeted
@@ -350,7 +376,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         keep = rel.filter(F.col("score") > cfg.min_relevance).select(cfg.id_col)
         docs = docs.join(keep, cfg.id_col, "left_semi").cache()
         caches.append(docs)
-        funnel["after_relevance"] = docs.count()
+        _record("after_relevance", docs.count())
 
     # 4c. optional benchmark decontamination against the pre-built bloom:
     # a narrow map over the (already filtered, smallest) survivor set —
@@ -366,7 +392,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             max_shared=cfg.decontaminate_max_shared,
         ).cache()
         caches.append(docs)
-        funnel["after_decontaminate"] = docs.count()
+        _record("after_decontaminate", docs.count())
 
     # 4d. optional per-stratum quota: at most N docs per domain/source,
     # stable hash(id) order (operators/quota — WindowGroupLimit pre-prunes
@@ -380,7 +406,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             strata_col=cfg.stratum_col, id_col=cfg.id_col,
         ).cache()
         caches.append(docs)
-        funnel["after_stratum_cap"] = docs.count()
+        _record("after_stratum_cap", docs.count())
 
     # 5. chunk — cached so the funnel count and the caller's consumption
     # execute the (mapInPandas) chunk stage exactly once
@@ -389,7 +415,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         size=cfg.chunk_size, overlap=cfg.chunk_overlap,
     ).cache()
     caches.append(chunks)
-    funnel["chunks"] = chunks.count()
+    _record("chunks", chunks.count())
 
     # 6. embed (Arrow-batched hashing embedder; swap for a real model UDF).
     # Applied on top of the cached chunks, so a downstream action runs the
@@ -400,7 +426,10 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         embed = F.pandas_udf(lambda s: hash_embed_batch(s), "array<double>")
         chunks = chunks.withColumn("embedding", embed(F.col("chunk_text")))
 
-    return CurationResult(chunks=chunks, funnel=funnel, caches=tuple(caches))
+    return CurationResult(
+        chunks=chunks, funnel=funnel, caches=tuple(caches),
+        stage_seconds=stage_seconds,
+    )
 
 
 @dataclass
