@@ -6,7 +6,7 @@ Exercises the full product path a pretraining-data team would run —
   → curate() with every opt-in stage enabled (exact dedup, MinHash
     near-dedup, SemDeDup semantic dedup, span-level substring strip,
     heuristic + learned quality gates, LM perplexity gate, benchmark
-    decontamination)
+    decontamination, per-stratum domain cap)
   → greedy sequence packing → seeded shuffle → sharded parquet export
 and prints one JSON line with wall times + the funnel's survivor counts.
 
@@ -126,6 +126,12 @@ def main() -> int:
             bench_bloom_path=bpath,
             decontaminate_shingle_k=3,
             decontaminate_max_shared=40,
+            # FineWeb-style domain cap on the final survivors: the sf1
+            # corpus has 20 sources and ~21 survivors each at this point,
+            # so 15 actually binds (423 → 300 measured) instead of waving
+            # everything through
+            max_docs_per_stratum=15,
+            stratum_col="source",
         ),
         max_tokens=2048,
         shuffle_seed="epoch0",

@@ -3,7 +3,8 @@
     exact dedup → near-dup removal (MinHash-LSH) → [semantic dedup] →
     [span-level dedup] → quality filter → language filter →
     [learned quality model] → [LM perplexity] → [BM25 relevance] →
-    [benchmark decontamination] → chunk → embed   ([...] = opt-in stages)
+    [benchmark decontamination] → [per-stratum cap] → chunk → embed
+    ([...] = opt-in stages)
 
 Each stage is one of the engine's tested operators; this module only wires
 them and keeps per-stage counts, so a 100 TB curation run is a sequence of
