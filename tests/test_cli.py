@@ -299,7 +299,10 @@ def test_curate_stratum_cap_flag(tmp_path, capsys, spark, sf_dir):
     assert rc == 0
     text = capsys.readouterr().out
     line = next(l for l in text.splitlines() if "after_stratum_cap" in l)
-    n = int(line.split()[-1])
+    # line shape: "  after_stratum_cap  <count>  (<t>s)" — the timing
+    # suffix is part of the surface now, assert it too
+    n = int(line.split()[1])
+    assert line.rstrip().endswith("s)")
     import duckdb
     n_sources = duckdb.connect().execute(
         f"SELECT count(DISTINCT source) FROM '{sf_dir}/documents.parquet'"

@@ -367,3 +367,31 @@ def test_curate_stage_seconds_align_with_funnel(spark):
     assert res.stage_seconds["after_quality"] == 0.0
     assert res.stage_seconds["after_lang"] == 0.0
     res.unpersist()
+
+
+def test_curate_stratum_cap_rn_collision_validates_at_start(spark):
+    import pytest
+    from pyspark.sql import functions as F2
+
+    docs = spark.createDataFrame(
+        [(0, GOOD_EN, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("__rn", F2.lit(1))
+    with pytest.raises(ValueError, match="__rn"):
+        curate(docs, CurationConfig(max_docs_per_stratum=3))
+
+
+def test_assemble_surfaces_stage_seconds(spark, tmp_path):
+    from vectrekker_spark.curation import AssemblyConfig, assemble_training_set
+
+    docs = spark.createDataFrame(
+        [(0, GOOD_EN, "en"), (1, GOOD_DE, "de")],
+        "doc_id long, text string, lang string",
+    )
+    funnel = assemble_training_set(
+        docs, str(tmp_path / "sh"),
+        AssemblyConfig(curation=CurationConfig(min_quality=0.0, embed=False)),
+    )
+    ts = funnel["_stage_seconds"]
+    assert set(ts) <= set(funnel)  # timings key into the stage counts
+    assert all(isinstance(v, float) for v in ts.values())

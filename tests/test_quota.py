@@ -175,3 +175,18 @@ def test_admit_guards(spark):
         admit_per_stratum(df, None, 0)
     with pytest.raises(ValueError, match="__rn"):
         admit_per_stratum(df.withColumn("__rn", F.lit(1)), None, 2)
+
+
+def test_null_ids_dropped_everywhere(spark):
+    from vectrekker_spark.operators.quota import admit_per_stratum
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "a"), (None, "b")],
+        "doc_id long, source string",
+    )
+    # random cap: NULL ids never admitted (no hash order, no redelivery
+    # identity), and the result is deterministic across layouts
+    got = cap_per_stratum_random(df, 5, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+    got2 = admit_per_stratum(df.repartition(3), None, 5)
+    assert sorted(r["doc_id"] for r in got2.collect()) == [1, 2]

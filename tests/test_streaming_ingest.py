@@ -683,3 +683,77 @@ def test_streaming_quota_torn_ledger_heals_from_docs(spark, tmp_path):
         spark.read.parquet(f"{corpus}/docs").filter("source = 'hot'").count()
     )
     assert n_hot == 2  # recounted from docs: quota NOT overshot
+
+
+def test_streaming_quota_heal_commits_even_with_no_admissions(spark, tmp_path):
+    """A torn ledger on a quota-FULL stream (the steady state) must be
+    re-committed by the first healing batch even though it admits
+    nothing — otherwise every later batch recounts the full docs
+    history, breaking the heals-by-ONE-recount contract."""
+    import os
+
+    from vectrekker_spark.streaming.jobs import foreach_batch_quota
+
+    src = tmp_path / "incoming_h"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus_h")
+    SCHEMA = "doc_id long, source string, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run(ck):
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src / "*"))
+        foreach_batch_quota(
+            stream, corpus, str(tmp_path / ck), cap=1,
+            strata_col="source", id_col="doc_id",
+        ).awaitTermination()
+
+    def committed_versions():
+        return sorted(
+            name for name in os.listdir(corpus)
+            if name.startswith("counts_v")
+            and os.path.exists(os.path.join(corpus, name, "_SUCCESS"))
+        )
+
+    write_batch("b1", [(1, "hot", "a")])
+    run("c1")
+    # tear every committed ledger version AND the bloom
+    for name in committed_versions():
+        os.remove(os.path.join(corpus, name, "_SUCCESS"))
+    os.remove(f"{corpus}/bloom/meta.json")
+    # quota-full batch: admits nothing, but must COMMIT the healed state
+    write_batch("b2", [(2, "hot", "b")])
+    run("c2")
+    assert committed_versions(), "healed ledger was not committed"
+    from vectrekker_spark.operators.bloom import bloom_load
+
+    assert bloom_load(f"{corpus}/bloom").bits_set() > 0  # bloom healed too
+    # and the healed ledger is CORRECT: hot stays at 1 admitted doc
+    assert spark.read.parquet(f"{corpus}/docs").count() == 1
+
+
+def test_streaming_quota_survives_dataless_docs_dir(spark, tmp_path):
+    """A crash during the very first docs append leaves {corpus}/docs
+    holding only _temporary — the next batch must treat it as absent
+    instead of wedging on an uninferable-schema read."""
+    import os
+
+    from vectrekker_spark.streaming.jobs import foreach_batch_quota
+
+    src = tmp_path / "incoming_w"
+    src.mkdir()
+    corpus = tmp_path / "corpus_w"
+    (corpus / "docs" / "_temporary").mkdir(parents=True)
+    SCHEMA = "doc_id long, source string, text string"
+    spark.createDataFrame(
+        [(1, "hot", "a")], SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src / "*"))
+    foreach_batch_quota(
+        stream, str(corpus), str(tmp_path / "ck"), cap=2,
+        strata_col="source", id_col="doc_id",
+    ).awaitTermination()
+    assert spark.read.parquet(str(corpus / "docs")).count() == 1

@@ -371,8 +371,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
         rows_per_shard=args.rows_per_shard,
     )
     funnel = assemble_training_set(docs, args.out, cfg)
+    stage_seconds = funnel.pop("_stage_seconds", {})
     for stage, n in funnel.items():
-        print(f"{stage:>18s}  {n}")
+        t = stage_seconds.get(stage)
+        suffix = f"  ({t:.3f}s)" if t is not None else ""
+        print(f"{stage:>18s}  {n}{suffix}")
     from vectrekker_spark.sources.sinks import write_manifest
 
     totals = write_manifest(spark, args.out)

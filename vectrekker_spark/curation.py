@@ -158,6 +158,14 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 f"has no {cfg.stratum_col!r} column — the per-stratum cap "
                 f"needs a stratum (domain/source) column on the docs frame"
             )
+        if "__rn" in docs.columns:
+            # the cap operator reserves this helper column; failing at the
+            # LAST funnel gate would waste every dedup stage that ran first
+            raise ValueError(
+                "CurationConfig.max_docs_per_stratum is set but the input "
+                "already has a '__rn' column — the cap's ranking helper "
+                "would collide at the final gate; drop or rename it first"
+            )
     quality_model = None
     if cfg.quality_model_path:
         # load (and validate) at run START — same contract as the bloom;
@@ -486,6 +494,10 @@ def assemble_training_set(
     funnel["sequences"] = (
         spark.read.parquet(out_path).select("seq_id").distinct().count()
     )
+    # per-stage wall times ride along under a reserved key so the CLI and
+    # benchmarks can surface them without a signature change; consumers
+    # iterating stage counts should skip keys starting with "_"
+    funnel["_stage_seconds"] = dict(res.stage_seconds)
     # the funnel's caches have served their purpose once shards are on disk
     res.unpersist()
     return funnel

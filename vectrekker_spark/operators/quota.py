@@ -95,6 +95,12 @@ def admit_per_stratum(
     for tmp in ("__rn", "__used"):
         if tmp in batch.columns:
             raise ValueError(f"admit_per_stratum: input already has {tmp}")
+    # NULL ids are dropped (the sampling.py rule): they have no hash order
+    # (several NULL-id rows would tie and the admitted set would turn
+    # partition-dependent) and no identity for the streaming redelivery
+    # guard to recognize — admitting them would double-charge quotas on
+    # every at-least-once redelivery
+    batch = batch.where(F.col(id_col).isNotNull())
     w = Window.partitionBy(strata_col).orderBy(
         sample_bucket(id_col, seed), F.col(id_col)
     )
@@ -160,8 +166,10 @@ def cap_per_stratum_random(
     under corpus growth in the hash-sample sense (a kept doc stays kept
     until enough better-hashed newcomers arrive in its stratum). The same
     WindowGroupLimit pre-prune applies: the hash order is just an
-    order_cols choice."""
+    order_cols choice. NULL ids are dropped (the sampling.py rule — they
+    have no hash order, and several of them would tie into a
+    partition-dependent kept set)."""
     return cap_per_stratum(
-        df, cap, strata_col=strata_col,
+        df.where(F.col(id_col).isNotNull()), cap, strata_col=strata_col,
         order_cols=[sample_bucket(id_col, seed), F.col(id_col)],
     )

@@ -720,6 +720,20 @@ def foreach_batch_exact_dedup(
     )
 
 
+def _parquet_has_data(path: str) -> bool:
+    """True iff ``path`` is a parquet dir with at least one committed data
+    file. Bare existence is not enough: a crash during the FIRST append
+    leaves only _temporary/, and a later schema-inferring read of that
+    data-less dir raises — the reader must treat it as absent."""
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    return any(
+        not name.startswith(("_", ".")) for name in os.listdir(path)
+    )
+
+
 def _read_quota_counts(spark: SparkSession, corpus_path: str):
     """(counts DataFrame or None, highest valid version int). Versioned
     ledger dirs ``counts_v{K}``; a version is committed iff Spark's
@@ -798,7 +812,22 @@ def foreach_batch_quota(
 
     docs_path = os.path.join(corpus_path, "docs")
     bloom_path = os.path.join(corpus_path, "bloom")
-    id_str = lambda df: F.col(id_col).cast("string")  # noqa: E731
+    # one reusable expression; column resolution binds at use site
+    id_as_str = F.col(id_col).cast("string")
+
+    def save_counts(counts_df: DataFrame, version: int) -> None:
+        import re
+        import shutil
+
+        counts_dir = os.path.join(corpus_path, f"counts_v{version + 1}")
+        counts_df.coalesce(1).write.mode("overwrite").parquet(counts_dir)
+        # prune all but the previous committed version (grace copy)
+        for name in os.listdir(corpus_path):
+            m = re.fullmatch(r"counts_v(\d+)", name)
+            if m and int(m.group(1)) < version:
+                shutil.rmtree(
+                    os.path.join(corpus_path, name), ignore_errors=True
+                )
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -806,7 +835,10 @@ def foreach_batch_quota(
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([id_col]).persist()
         try:
-            have_docs = os.path.exists(docs_path)
+            # a crash during the very FIRST docs append leaves a dir with
+            # only _temporary — existence alone would send the next batch
+            # into an uninferable-schema read and wedge the stream
+            have_docs = _parquet_has_data(docs_path)
             bloom = None
             fresh = batch
             if have_docs:
@@ -817,7 +849,7 @@ def foreach_batch_quota(
                 docs_ids = spark.read.parquet(docs_path).select(id_col)
                 if bloom is not None:
                     flagged = might_contain(
-                        batch, id_str(batch), bloom, out_col="__maybe"
+                        batch, id_as_str, bloom, out_col="__maybe"
                     )
                     maybe_ids = flagged.filter(F.col("__maybe")).select(id_col)
                     # history scanned narrow under the broadcast maybe-set;
@@ -830,6 +862,7 @@ def foreach_batch_quota(
                 else:
                     fresh = batch.join(docs_ids, id_col, "left_anti")
             counts, version = _read_quota_counts(spark, corpus_path)
+            healed_ledger = False
             if counts is None and have_docs:
                 # no committed ledger (first write torn, or pre-ledger
                 # corpus): heal by recounting the docs table once
@@ -839,41 +872,47 @@ def foreach_batch_quota(
                     .count()
                     .select("stratum", F.col("count").cast("long").alias("used"))
                 )
+                healed_ledger = True
             admitted = admit_per_stratum(
                 fresh, counts, cap,
                 strata_col=strata_col, id_col=id_col, seed=seed,
             ).persist()
             try:
                 if admitted.isEmpty():
+                    # nothing to admit, but COMMIT any healing this batch
+                    # performed — otherwise a torn ledger/bloom on a
+                    # quota-full stream would be re-derived from the FULL
+                    # docs history on every subsequent batch, breaking the
+                    # "heals by ONE recount" contract
+                    if healed_ledger:
+                        save_counts(counts, version)
+                    if bloom is None and have_docs:
+                        bloom_save(
+                            bloom_build(
+                                spark.read.parquet(docs_path)
+                                .select(id_as_str.alias("__id")),
+                                "__id", fpp=fpp, expected=expected_total,
+                            ),
+                            bloom_path,
+                        )
                     return
                 # 1. ledger (quota can only undershoot after a crash)
                 new_counts = merge_counts(counts, admitted, strata_col=strata_col)
-                counts_dir = os.path.join(corpus_path, f"counts_v{version + 1}")
-                new_counts.coalesce(1).write.mode("overwrite").parquet(counts_dir)
-                # prune all but the previous committed version (grace copy)
-                import re
-                import shutil
-
-                for name in os.listdir(corpus_path):
-                    m = re.fullmatch(r"counts_v(\d+)", name)
-                    if m and int(m.group(1)) < version:
-                        shutil.rmtree(
-                            os.path.join(corpus_path, name), ignore_errors=True
-                        )
+                save_counts(new_counts, version)
                 # 2. bloom (superset-of-docs invariant, the ST8 order)
                 if bloom is None:
-                    seed_ids = admitted.select(id_str(admitted).alias("__id"))
+                    seed_ids = admitted.select(id_as_str.alias("__id"))
                     if have_docs:
                         seed_ids = (
                             spark.read.parquet(docs_path)
-                            .select(id_str(None).alias("__id"))
+                            .select(id_as_str.alias("__id"))
                             .unionByName(seed_ids)
                         )
                     bloom = bloom_build(
                         seed_ids, "__id", fpp=fpp, expected=expected_total
                     )
                 else:
-                    bloom = bloom_add(bloom, admitted, id_str(admitted))
+                    bloom = bloom_add(bloom, admitted, id_as_str)
                 bloom_save(bloom, bloom_path)
                 # 3. data last
                 admitted.write.mode("append").parquet(docs_path)
@@ -908,7 +947,7 @@ def compact_quota_corpus(
     from vectrekker_spark.pipeline import _atomic_replace
 
     docs_path = os.path.join(corpus_path, "docs")
-    if not os.path.exists(docs_path):
+    if not _parquet_has_data(docs_path):
         return {"docs_removed": 0, "ledger_delta": 0}
     df = spark.read.parquet(docs_path).persist()
     clean = None
@@ -916,30 +955,38 @@ def compact_quota_corpus(
         before = df.count()
         clean = df.dropDuplicates([id_col]).persist()
         removed = before - clean.count()
+        # EVERYTHING that reads lineage rooted at the old docs files runs
+        # BEFORE the swap: after _atomic_replace deletes them, a cache
+        # eviction/executor loss would recompute `clean` against a deleted
+        # listing (FileNotFound) and leave the compact half-applied with
+        # the overcharged ledger it exists to heal. The true ledger is one
+        # tiny row per stratum — collect it now, write it from memory.
+        # (Also NOT a re-read of the swapped path: that raced the
+        # FileStatusCache into the pre-compact listing — found by the
+        # lifecycle test when the freed quota slot never came back.)
+        true_agg = (
+            clean.groupBy(F.col(strata_col).alias("stratum"))
+            .count()
+            .select("stratum", F.col("count").cast("long").alias("used"))
+        )
+        ledger_schema = true_agg.schema  # keeps the stratum column's type
+        true_rows = true_agg.collect()
+        old, version = _read_quota_counts(spark, corpus_path)
+        drift = 0
+        if old is not None:
+            drift = int(old.agg(F.sum("used")).first()[0] or 0) - sum(
+                int(r["used"]) for r in true_rows
+            )
         if removed:
             _atomic_replace(clean, docs_path)
             # out-of-band directory swap: drop the session's cached file
             # listing for the path, or a same-session reader (the
             # ingesting stream's next batch) can see the OLD file set
             spark.catalog.refreshByPath(docs_path)
-        # count from the in-memory deduped frame, NOT a re-read of the
-        # just-swapped path — the re-read raced the FileStatusCache and
-        # recounted the pre-compact listing (found by the lifecycle test:
-        # the ledger kept the duplicate's charge and the freed quota slot
-        # never came back)
-        true_counts = (
-            clean.groupBy(F.col(strata_col).alias("stratum"))
-            .count()
-            .select("stratum", F.col("count").cast("long").alias("used"))
-        )
-        old, version = _read_quota_counts(spark, corpus_path)
-        drift = 0
-        if old is not None:
-            drift = int(
-                old.agg(F.sum("used")).first()[0] or 0
-            ) - int(true_counts.agg(F.sum("used")).first()[0] or 0)
         counts_dir = os.path.join(corpus_path, f"counts_v{version + 1}")
-        true_counts.coalesce(1).write.mode("overwrite").parquet(counts_dir)
+        spark.createDataFrame(
+            true_rows, ledger_schema
+        ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
         return {"docs_removed": removed, "ledger_delta": drift}
     finally:
         if clean is not None:
