@@ -96,6 +96,12 @@ class _MergeBuilder:
         result = parts[0]
         for p in parts[1:]:
             result = result.unionByName(p)
+        # real Delta preserves the TABLE's column order across merges; the
+        # USING-key joins above relocate the key to the front, and writing
+        # that reordered schema made later reads of the mixed-footer dir
+        # (rewritten files + later appends) column-order-NONDETERMINISTIC —
+        # the long-standing "spurious test_delta_merge_branch failure"
+        result = result.select(*tgt.columns)
         rows = result.collect()  # materialize before overwriting the source dir
         spark.createDataFrame(rows, result.schema).coalesce(1).write.mode(
             "overwrite"

@@ -375,8 +375,9 @@ def test_bloom_build_and_curate_decontaminate(tmp_path, capsys, spark, sf_dir):
     assert rc == 0
     assert "after_decontaminate" in out
     # the 3 benchmark docs (at least) were dropped by the gate
+    # (line shape since r9: "<stage>  <count>  (<t>s)" — timing optional)
     lines = {l.split()[0]: int(l.split()[1]) for l in out.splitlines()
-             if len(l.split()) == 2 and l.split()[1].isdigit()}
+             if len(l.split()) >= 2 and l.split()[1].isdigit()}
     assert lines["after_decontaminate"] < lines["after_lang"]
 
 
