@@ -1,0 +1,214 @@
+"""Baseline JPEG micro-codec tests (r9 verdict #1): the dominant web image
+format gets a REAL pixel decode with no media library. The verification
+discipline mirrors test_imagecodec.py's PNG pattern: the inverse DCT is
+checked against an independent naive cosine-sum of the spec formula (T.81
+A.3.3), and the encoder (forward DCT + quantize + Huffman) is a separate
+implementation the decoder must invert, not a shared code path."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vectrekker_spark.functions import jpegcodec as jc
+from vectrekker_spark.functions.imagecodec import (
+    decode_image_array,
+    sniff_image_meta,
+)
+
+
+def _rng(seed=7):
+    return np.random.RandomState(seed)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            yy * 255 // max(h - 1, 1),
+            xx * 255 // max(w - 1, 1),
+            (yy + xx) * 255 // max(h + w - 2, 1),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def _naive_idct(block: np.ndarray) -> np.ndarray:
+    """T.81 A.3.3 inverse DCT as the literal double cosine sum —
+    independent of the decoder's matrix form."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu
+                        * cv
+                        * block[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            out[y, x] = s / 4.0
+    return out
+
+
+def test_idct_matches_spec_cosine_sum():
+    block = _rng(3).randint(-512, 512, size=(8, 8)).astype(np.float64)
+    t = jc._DCT_T
+    fast = t.T @ block @ t
+    assert np.allclose(fast, _naive_idct(block), atol=1e-9)
+
+
+def test_fdct_idct_identity():
+    t = jc._DCT_T
+    p = _rng(4).randint(0, 256, size=(8, 8)).astype(np.float64) - 128
+    assert np.allclose(t.T @ (t @ p @ t.T) @ t, p, atol=1e-9)
+
+
+def test_zigzag_is_a_permutation_with_spec_prefix():
+    assert sorted(jc.ZIGZAG.tolist()) == list(range(64))
+    # first diagonal sweeps of Figure A.6
+    assert jc.ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+
+def test_flat_color_roundtrips_exactly():
+    arr = np.zeros((16, 24, 3), dtype=np.uint8)
+    arr[:, :] = [200, 60, 30]
+    out = jc.decode_jpeg(jc.encode_jpeg(arr, quality=95))
+    assert out.shape == arr.shape
+    assert int(np.abs(out.astype(int) - arr.astype(int)).max()) <= 1
+
+
+@pytest.mark.parametrize("sub,tol", [("4:4:4", 4), ("4:2:0", 8)])
+def test_gradient_roundtrip_within_quantization_error(sub, tol):
+    arr = _gradient(37, 53)  # odd dims exercise pad + crop on both axes
+    out = jc.decode_jpeg(jc.encode_jpeg(arr, quality=95, subsampling=sub))
+    assert out.shape == arr.shape
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.max() <= tol
+    assert err.mean() <= 1.5
+
+
+def test_grayscale_roundtrip():
+    yy, xx = np.mgrid[0:21, 0:17]
+    g = (yy * 255 // 20 // 2 + xx * 255 // 16 // 2).astype(np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(g, quality=95))
+    assert out.shape == (21, 17, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 6
+
+
+def test_noise_roundtrip_bounded():
+    # worst case for a DCT codec: white noise — still must be a sane image
+    noise = _rng(42).randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(noise, quality=90))
+    assert np.abs(out.astype(int) - noise.astype(int)).mean() < 20
+
+
+def test_restart_markers_emitted_and_decoded_identically():
+    arr = _gradient(33, 49)
+    plain = jc.encode_jpeg(arr, quality=90)
+    with_rst = jc.encode_jpeg(arr, quality=90, restart_interval=2)
+    assert any(
+        bytes([0xFF, 0xD0 + i]) in with_rst for i in range(8)
+    ), "DRI encode must emit RSTn markers"
+    assert np.array_equal(jc.decode_jpeg(with_rst), jc.decode_jpeg(plain))
+
+
+def test_decoded_dims_match_sniff():
+    arr = _gradient(19, 31)
+    enc = jc.encode_jpeg(arr, quality=85, subsampling="4:2:0")
+    meta = sniff_image_meta(enc)
+    assert meta == {"format": "jpeg", "width": 31, "height": 19}
+    assert jc.decode_jpeg(enc).shape == (19, 31, 3)
+
+
+def test_decode_image_array_routes_jpeg():
+    arr = _gradient(16, 16)
+    out = decode_image_array(jc.encode_jpeg(arr, quality=95))
+    assert out is not None and out.shape == (16, 16, 3)
+
+
+def _patch_sof_marker(enc: bytes, new_marker: int) -> bytes:
+    i = enc.index(b"\xff\xc0")
+    return enc[:i] + bytes([0xFF, new_marker]) + enc[i + 2 :]
+
+
+def test_progressive_classifies_to_sniff_path():
+    enc = jc.encode_jpeg(_gradient(16, 16), quality=90)
+    prog = _patch_sof_marker(enc, 0xC2)
+    with pytest.raises(ValueError, match="progressive"):
+        jc.decode_jpeg(prog)
+    assert decode_image_array(prog) is None  # classify, don't crash
+    # the header-sniff inventory path still reads dimensions
+    assert sniff_image_meta(prog) == {"format": "jpeg", "width": 16, "height": 16}
+
+
+def test_arithmetic_coding_rejected():
+    enc = jc.encode_jpeg(_gradient(16, 16), quality=90)
+    with pytest.raises(ValueError, match="unsupported JPEG coding"):
+        jc.decode_jpeg(_patch_sof_marker(enc, 0xC9))
+
+
+def test_truncated_and_corrupt_classify_not_crash():
+    enc = jc.encode_jpeg(_gradient(24, 24), quality=90)
+    # truncate inside the entropy-coded data
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(enc[: len(enc) - len(enc) // 3])
+    # flip bytes mid-entropy-stream: must raise ValueError or still produce
+    # an image (a bit flip can decode to valid garbage) — never crash
+    corrupt = bytearray(enc)
+    sos = enc.index(b"\xff\xda")
+    for off in range(sos + 20, min(sos + 40, len(corrupt) - 2)):
+        corrupt[off] ^= 0x5A
+    try:
+        jc.decode_jpeg(bytes(corrupt))
+    except ValueError:
+        pass
+    assert decode_image_array(b"\xff\xd8" + b"\x00" * 50) is None
+    assert decode_image_array(enc[:10]) is None
+
+
+def test_bomb_bound_rejected_before_allocation():
+    enc = jc.encode_jpeg(_gradient(8, 8), quality=90)
+    i = enc.index(b"\xff\xc0")
+    # SOF payload: len(2) precision(1) height(2) width(2) — claim 30000x30000
+    huge = bytearray(enc)
+    struct.pack_into(">HH", huge, i + 5, 30000, 30000)
+    with pytest.raises(ValueError, match="micro-decoder bound"):
+        jc.decode_jpeg(bytes(huge))
+
+
+def test_entropy_exhaustion_is_value_error():
+    enc = jc.encode_jpeg(_gradient(24, 24), quality=90)
+    sos = enc.index(b"\xff\xda")
+    # keep the headers, drop most of the scan, keep the EOI
+    cut = enc[: sos + 14] + enc[-2:]
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(cut)
+
+
+def test_fuzz_decode_never_raises_unexpected():
+    rng = _rng(11)
+    for n in (0, 1, 2, 16, 200):
+        b = bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist())
+        assert decode_image_array(b) is None or True  # no unexpected raise
+        decode_image_array(b"\xff\xd8" + b)
+
+
+def test_extract_features_decodes_jpeg(spark):
+    from vectrekker_spark.operators.multimodal import extract_features
+
+    payloads = [
+        (1, jc.encode_jpeg(_gradient(16, 16), quality=90)),
+        (2, b"not an image"),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    rows = {r.media_id: r for r in extract_features(df).collect()}
+    assert rows[1].decoded is True
+    assert abs(sum(rows[1].features) - 1.0) < 1e-9
+    assert rows[2].decoded is False

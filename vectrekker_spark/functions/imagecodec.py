@@ -11,9 +11,11 @@ decode→pixels→features pipeline end-to-end in any environment.
 
 Scope (deliberately a micro-decoder, not a PIL replacement): 8-bit,
 non-interlaced PNG in grayscale / gray+alpha / RGB / RGBA, and binary PPM
-(P6, maxval 255). Anything else raises ValueError and callers fall back to
-the byte-histogram stand-in. Real pipelines on a cluster with PIL installed
-never reach this code — `decode_image` prefers the library.
+(P6, maxval 255); baseline sequential JPEG lives in the sibling
+functions/jpegcodec.py and is routed through decode_image_array. Anything
+else raises ValueError and callers fall back to the byte-histogram
+stand-in. Real pipelines on a cluster with PIL installed never reach this
+code — `decode_image` prefers the library.
 """
 
 from __future__ import annotations
@@ -228,8 +230,9 @@ def decode_ppm(content: bytes) -> np.ndarray:
 
 
 def decode_image_array(content: bytes) -> np.ndarray | None:
-    """(H, W, C) uint8 pixels for payloads the micro-decoders understand;
-    None for anything else (caller falls back to byte-level features).
+    """(H, W, C) uint8 pixels for payloads the micro-decoders understand
+    (PNG/PPM here, baseline JPEG via functions/jpegcodec.py); None for
+    anything else (caller falls back to byte-level features).
     zlib.error (corrupt IDAT) and struct.error (truncated header) are
     classification outcomes here, same as ValueError — a malformed payload
     in a 100 TB corpus must fall back, never crash the batch."""
@@ -238,6 +241,10 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
             return decode_png(content)
         if is_ppm(content):
             return decode_ppm(content)
+        from vectrekker_spark.functions import jpegcodec  # noqa: PLC0415
+
+        if jpegcodec.is_jpeg(content):
+            return jpegcodec.decode_jpeg(content)
     except (ValueError, zlib.error, struct.error):
         return None
     return None
@@ -248,7 +255,7 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
 # of the public container specs, so a 100 TB mixed-media corpus can be
 # inventoried (format mix, resolution distribution, aspect-ratio filters)
 # at header cost instead of decode cost, including formats the
-# micro-decoders above deliberately don't decode (JPEG, GIF, BMP).
+# micro-decoders deliberately don't decode (GIF, BMP, progressive JPEG).
 
 # JPEG start-of-frame markers carrying dimensions (ITU T.81 §B.2.2):
 # every SOFn except DHT (C4), JPG (C8), DAC (CC).

@@ -1,0 +1,727 @@
+"""Pure-numpy baseline JPEG micro-codec for the multimodal path.
+
+JPEG is the dominant format in any web-scraped image corpus, but this
+container ships no media library (PIL/ffmpeg absent), so until now JPEG
+payloads were sniff-only (dimensions via the SOF marker walk in
+imagecodec.py) and `extract_features` fell back to byte histograms exactly
+where a 100 TB multimodal pipeline needs pixel features most. This module
+implements the baseline sequential DCT process from the PUBLIC spec alone
+(ITU-T T.81: marker/segment layout §B, Huffman entropy coding §F.2,
+dequantization + 8x8 inverse DCT §A.3.3, restart intervals §B.2.4.4) plus
+the JFIF YCbCr<->RGB transform, using only stdlib struct + numpy.
+
+Scope (deliberately a micro-decoder, not a libjpeg replacement):
+- DECODE: baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit,
+  grayscale or 3-component YCbCr, one interleaved scan, any sampling
+  factors where hmax/h and vmax/v divide evenly (covers 4:4:4, 4:2:2,
+  4:2:0, 4:1:1), DRI/RSTn restart intervals. Progressive (SOF2),
+  arithmetic coding, 12-bit, CMYK, and multi-scan files raise ValueError
+  and callers fall back to the header-sniff path.
+- ENCODE (`encode_jpeg`): the test-fixture counterpart — Annex K quant +
+  Huffman tables, IJG quality scaling, 4:4:4 or 4:2:0, optional restart
+  intervals — so round-trip tests need no media library, mirroring
+  imagecodec.encode_png. The forward DCT/quantizer is an independent
+  implementation of the inverse path (and the IDCT is additionally checked
+  against a naive cosine-sum in tests), the same two-implementations
+  discipline the PNG decoder used.
+
+Bomb-bound discipline matches the PNG decoder: the decoded size is checked
+against imagecodec.MAX_DECODED_BYTES straight off the SOF header, BEFORE
+any allocation or entropy decode, and the per-segment parse never trusts a
+length field beyond the payload. Malformed input raises ValueError (a
+classification outcome for decode_image_array), never MemoryError.
+
+The serial Python Huffman loop makes this suitable for corpus-filtering
+feature extraction on typical web images, not for decoding billboard-size
+assets — a real cluster with PIL installed never reaches this code
+(operators/multimodal.decode_image prefers the library).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from vectrekker_spark.functions.imagecodec import MAX_DECODED_BYTES
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K — the public example tables every mainstream
+# encoder ships). The DECODER never assumes these: it is fully table-driven
+# from the file's own DQT/DHT segments; only encode_jpeg writes them.
+
+# zigzag index -> natural (raster) index (T.81 Figure A.6)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K Tables K.1/K.2 in natural order
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K Huffman specs: (bits[1..16] counts, symbol values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T: forward F = T @ P @ T.T, inverse
+    P = T.T @ F @ T (T.81 A.3.3 with the c(u) normalization folded in)."""
+    x = np.arange(8, dtype=np.float64)
+    t = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    t[0, :] *= 1 / np.sqrt(2)
+    return t
+
+
+_DCT_T = _dct_matrix()
+
+
+def _build_decode_table(bits: list[int], values: list[int]) -> dict:
+    """Canonical Huffman (T.81 C.2): {(code_length, code): symbol}."""
+    if len(values) != sum(bits):
+        raise ValueError("JPEG Huffman table count mismatch")
+    table, code, vi = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], values: list[int]) -> dict:
+    """{symbol: (code, code_length)} from the same canonical assignment."""
+    table, code, vi = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[vi]] = (code, length)
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def is_jpeg(content: bytes) -> bool:
+    return len(content) >= 2 and content[0] == 0xFF and content[1] == 0xD8
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over one entropy-coded segment (stuffing
+    already removed)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy-coded data exhausted mid-block")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _read_huff(r: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Sign-extend an s-bit magnitude (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _parse_segments(content: bytes):
+    """Walk the marker stream up to SOS. Returns (qt, huff, frame,
+    restart_interval, scan_comps, entropy_offset)."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = content[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        data = content[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT — may hold several tables (B.2.4.1)
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 15
+                p += 1
+                if pq not in (0, 1) or tq > 3:
+                    raise ValueError("bad JPEG DQT header")
+                count = 64 * (2 if pq else 1)
+                if p + count > len(data):
+                    raise ValueError("truncated JPEG DQT")
+                raw = (
+                    np.frombuffer(data[p : p + 128], dtype=">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(data[p : p + 64], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                )
+                # stored zigzag; keep zigzag order (decode multiplies pre-scatter)
+                qt[tq] = raw
+                p += count
+        elif marker == 0xC4:  # DHT — may hold several tables (B.2.4.2)
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 15
+                p += 1
+                if tc > 1 or th > 3 or p + 16 > len(data):
+                    raise ValueError("bad JPEG DHT header")
+                bits = list(data[p : p + 16])
+                p += 16
+                nv = sum(bits)
+                if p + nv > len(data):
+                    raise ValueError("truncated JPEG DHT")
+                huff[(tc, th)] = _build_decode_table(bits, list(data[p : p + nv]))
+                p += nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+            if len(data) < 6:
+                raise ValueError("truncated JPEG SOF")
+            precision, h, w, nc = data[0], struct.unpack(">H", data[1:3])[0], struct.unpack(">H", data[3:5])[0], data[5]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision} (only 8)")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            if w == 0 or h == 0:
+                raise ValueError("JPEG with zero width or height")
+            if h * w * nc > MAX_DECODED_BYTES:
+                raise ValueError(
+                    f"JPEG decoded size {h}x{w}x{nc} exceeds the "
+                    f"{MAX_DECODED_BYTES >> 20} MB micro-decoder bound"
+                )
+            comps = []
+            for c in range(nc):
+                off = 6 + 3 * c
+                if off + 3 > len(data):
+                    raise ValueError("truncated JPEG SOF components")
+                cid, samp, tq = data[off], data[off + 1], data[off + 2]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            if nc == 1:
+                # single-component scan geometry ignores sampling (A.2.2)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            for _, hs, vs, _ in comps:
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("bad JPEG sampling factor")
+            if sum(hs * vs for _, hs, vs, _ in comps) > 10:
+                raise ValueError("JPEG blocks per MCU exceed the spec bound of 10")
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported (baseline only)")
+        elif marker in (
+            0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+        ):
+            raise ValueError("unsupported JPEG coding process (baseline only)")
+        elif marker == 0xDD:  # DRI
+            if len(data) < 2:
+                raise ValueError("truncated JPEG DRI")
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            if ns != len(frame["comps"]):
+                raise ValueError(
+                    "multi-scan (non-interleaved) baseline JPEG unsupported"
+                )
+            scan_comps = []
+            by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in frame["comps"]}
+            for s in range(ns):
+                cid, tables = data[1 + 2 * s], data[2 + 2 * s]
+                if cid not in by_id:
+                    raise ValueError("JPEG scan references unknown component")
+                hs, vs, tq = by_id[cid]
+                scan_comps.append((cid, hs, vs, tq, tables >> 4, tables & 15))
+            return qt, huff, frame, restart_interval, scan_comps, i + 2 + seg_len
+        # APPn / COM / anything else: skip
+        i += 2 + seg_len
+    raise ValueError("JPEG missing SOS")
+
+
+def _entropy_segments(content: bytes, start: int) -> list[bytes]:
+    """Entropy-coded bytes from `start` to the next real marker, 0xFF00
+    stuffing removed, split at RSTn boundaries (B.1.1.5)."""
+    segs, cur = [], bytearray()
+    i, n = start, len(content)
+    while i < n:
+        b = content[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = content[i + 1]
+        if m == 0x00:  # stuffed literal 0xFF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        else:  # EOI or next segment marker
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to an (H, W, C) uint8 array
+    (C=1 grayscale, C=3 RGB via the JFIF YCbCr transform)."""
+    if not is_jpeg(content):
+        raise ValueError("not a JPEG: bad SOI")
+    qt, huff, frame, restart_interval, scan_comps, pos = _parse_segments(content)
+    h, w = frame["h"], frame["w"]
+    hmax = max(hs for _, hs, _, _, _, _ in scan_comps)
+    vmax = max(vs for _, _, vs, _, _, _ in scan_comps)
+    for _, hs, vs, _, _, _ in scan_comps:
+        if hmax % hs or vmax % vs:
+            raise ValueError("JPEG sampling factors must divide the maxima")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    comps = []
+    for cid, hs, vs, tq, dc_id, ac_id in scan_comps:
+        if tq not in qt:
+            raise ValueError(f"JPEG scan uses undefined quant table {tq}")
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG scan uses undefined Huffman table")
+        comps.append(
+            {
+                "cid": cid,
+                "hs": hs,
+                "vs": vs,
+                "qt": qt[tq].astype(np.float64),  # zigzag order
+                "dc": huff[(0, dc_id)],
+                "ac": huff[(1, ac_id)],
+                # per-block natural-order coefficients
+                "coef": np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.float64),
+                "pred": 0,
+            }
+        )
+
+    segments = _entropy_segments(content, pos)
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    zz = ZIGZAG
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG missing expected restart marker")
+                reader = _BitReader(segments[seg_i])
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        blk = np.zeros(64, dtype=np.float64)
+                        s = _read_huff(reader, c["dc"])
+                        if s > 11:
+                            raise ValueError("bad JPEG DC category")
+                        diff = _extend(reader.read(s), s) if s else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"] * c["qt"][0]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(reader, c["ac"])
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            blk[zz[k]] = (
+                                _extend(reader.read(size), size) * c["qt"][k]
+                            )
+                            k += 1
+                        c["coef"][my * c["vs"] + by, mx * c["hs"] + bx] = blk
+            mcu += 1
+
+    planes = []
+    t = _DCT_T
+    for c in comps:
+        rows, cols = c["coef"].shape[:2]
+        blocks = c["coef"].reshape(rows, cols, 8, 8)
+        # batched 2-D IDCT: P = T.T @ F @ T
+        spatial = np.einsum("ij,rcjk,kl->rcil", t.T, blocks, t) + 128.0
+        plane = (
+            spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        )
+        # crop to this component's own resolution, then upsample to full
+        ch = -(-h * c["vs"] // vmax)
+        cw = -(-w * c["hs"] // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1
+        )[:h, :w]
+        planes.append(plane)
+
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        out = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture builder)
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF00 byte stuffing (B.1.1.5)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (natural order)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("JPEG quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_QT_LUMA, _QT_CHROMA):
+        q = (base * scale + 50) // 100
+        out.append(np.clip(q, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _category(v: int) -> int:
+    """Magnitude category (bit length of |v|), 0 for 0."""
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter, zz_coef: np.ndarray, pred: int, dc_tbl: dict, ac_tbl: dict
+) -> int:
+    """Huffman-encode one block's zigzag-order quantized coefficients.
+    Returns the new DC predictor."""
+    dc = int(zz_coef[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, length = dc_tbl[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz_coef)[0])) if np.any(zz_coef[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz_coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tbl[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tbl[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, length = ac_tbl[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _plane_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Pad a component plane to 8x8 blocks (edge replicate), forward-DCT
+    every block, quantize against the natural-order table, return zigzag
+    coefficients of shape (rows, cols, 64)."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).astype(
+            np.float64
+        )
+        - 128.0
+    )
+    t = _DCT_T
+    freq = np.einsum("ij,rcjk,kl->rcil", t, blocks, t.T)
+    q = np.round(freq / qtable.reshape(8, 8)).astype(np.int64)
+    # ZIGZAG maps zigzag index -> natural index, so fancy-indexing a
+    # natural-order flat block with it YIELDS the zigzag-order vector
+    return q.reshape(ph // 8, pw // 8, 64)[:, :, ZIGZAG]
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> list[np.ndarray]:
+    r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+    return [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG writer — the test-fixture counterpart of
+    decode_jpeg (Annex K tables, IJG quality scaling, 4:4:4 or 4:2:0,
+    optional DRI/RSTn restarts)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("JPEG requires nonzero dimensions")
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 channels")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+
+    qt_luma, qt_chroma = _quality_tables(quality)
+    dc_l, ac_l = _build_encode_table(*_DC_LUMA), _build_encode_table(*_AC_LUMA)
+    dc_c, ac_c = _build_encode_table(*_DC_CHROMA), _build_encode_table(*_AC_CHROMA)
+
+    if nc == 1:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        if subsampling == "4:2:0":
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    comp_blocks = []
+    for ci, (plane, (hs, vs)) in enumerate(zip(planes, samps)):
+        qtable = qt_luma if ci == 0 else qt_chroma
+        zzb = _plane_blocks(plane, qtable)
+        # pad the block grid so every MCU indexes valid blocks
+        need_r, need_c = mcuy * vs, mcux * hs
+        pr, pc = need_r - zzb.shape[0], need_c - zzb.shape[1]
+        if pr or pc:
+            zzb = np.pad(zzb, ((0, pr), (0, pc), (0, 0)), mode="edge")
+        comp_blocks.append(zzb)
+
+    bw = _BitWriter()
+    entropy_parts: list[bytes] = []
+    preds = [0] * len(planes)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                entropy_parts.append(bytes(bw.out))
+                entropy_parts.append(
+                    bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                )
+                bw = _BitWriter()
+                preds = [0] * len(planes)
+            for ci, (hs, vs) in enumerate(samps):
+                dc_t, ac_t = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for by in range(vs):
+                    for bx in range(hs):
+                        preds[ci] = _encode_block(
+                            bw,
+                            comp_blocks[ci][my * vs + by, mx * hs + bx],
+                            preds[ci],
+                            dc_t,
+                            ac_t,
+                        )
+            mcu += 1
+    bw.flush()
+    entropy_parts.append(bytes(bw.out))
+    entropy = b"".join(entropy_parts)
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    dqt = bytes([0x00]) + bytes(qt_luma[ZIGZAG].astype(np.uint8))
+    if nc == 3:
+        dqt += bytes([0x01]) + bytes(qt_chroma[ZIGZAG].astype(np.uint8))
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (hs, vs) in enumerate(samps):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1])
+    dht += bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1])
+    if nc == 3:
+        dht += bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1])
+        dht += bytes([0x11]) + bytes(_AC_CHROMA[0]) + bytes(_AC_CHROMA[1])
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"  # Ss/Se/AhAl for sequential DCT
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
