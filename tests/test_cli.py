@@ -286,6 +286,14 @@ def test_curate_query_flag_validation(tmp_path, capsys, spark, sf_dir):
          "--max-docs-per-stratum", "-1"]
     )
     assert rc == 2 and "max-docs-per-stratum" in capsys.readouterr().out
+    # a --stratum-col naming a missing column: rc 2 with a message (the
+    # same failure mode as its sibling flag), not a raw ValueError
+    # traceback from deep inside curate() (ADVICE r9)
+    rc = main(
+        ["curate", "--documents", docs, "--out", out,
+         "--max-docs-per-stratum", "5", "--stratum-col", "nope"]
+    )
+    assert rc == 2 and "'nope' is not a column" in capsys.readouterr().out
 
 
 def test_curate_stratum_cap_flag(tmp_path, capsys, spark, sf_dir):

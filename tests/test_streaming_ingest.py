@@ -4,6 +4,7 @@ reference's actual use-case) + streaming session windows (ST3)."""
 from __future__ import annotations
 
 import pyarrow.parquet as pq
+import pytest
 
 from tests.helpers import rows_of
 from vectrekker_spark.queries.pipeline import d08_session_window
@@ -757,3 +758,88 @@ def test_streaming_quota_survives_dataless_docs_dir(spark, tmp_path):
         strata_col="source", id_col="doc_id",
     ).awaitTermination()
     assert spark.read.parquet(str(corpus / "docs")).count() == 1
+
+
+def test_streaming_quota_compact_guard_and_ledger_prune(spark, tmp_path):
+    """VERDICT r9 #6 + ADVICE r9: the quota compact's single-writer
+    contract is a create-exclusive marker, not a docstring — a concurrent
+    compact fails loudly at the claim, an ingesting batch that arrives
+    mid-compact fails its micro-batch instead of racing the swap, and
+    repeated compacts prune superseded counts_v{K} dirs (an idle corpus
+    no longer accumulates ledger versions indefinitely)."""
+    import os
+    import re
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from vectrekker_spark.streaming.jobs import (
+        _claim_quota_compact,
+        compact_quota_corpus,
+        foreach_batch_quota,
+    )
+
+    src = tmp_path / "incoming_g"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus_g")
+    SCHEMA = "doc_id long, source string, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run(ck):
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src / "*"))
+        foreach_batch_quota(
+            stream, corpus, str(tmp_path / ck), cap=5,
+            strata_col="source", id_col="doc_id",
+        ).awaitTermination()
+
+    write_batch("b1", [(1, "hot", "a"), (2, "hot", "b")])
+    run("ck1")
+
+    def ledger_versions():
+        return sorted(
+            int(m.group(1))
+            for name in os.listdir(corpus)
+            if (m := re.fullmatch(r"counts_v(\d+)", name))
+        )
+
+    # repeated compacts on an idle corpus: versions advance but superseded
+    # dirs are pruned to current + one grace copy
+    for _ in range(3):
+        # plant a dup each round so the compact actually rewrites
+        spark.createDataFrame([(1, "hot", "a")], SCHEMA).write.mode(
+            "append"
+        ).parquet(f"{corpus}/docs")
+        spark.catalog.refreshByPath(f"{corpus}/docs")
+        rep = compact_quota_corpus(
+            spark, corpus, strata_col="source", id_col="doc_id"
+        )
+        assert rep["docs_removed"] == 1
+    assert len(ledger_versions()) <= 2, ledger_versions()
+
+    # concurrent compact: the second claim fails loudly, releases nothing
+    marker = _claim_quota_compact(corpus)
+    try:
+        with pytest.raises(RuntimeError, match="compact already in progress"):
+            compact_quota_corpus(
+                spark, corpus, strata_col="source", id_col="doc_id"
+            )
+        assert os.path.exists(marker)  # the loser must not release the claim
+
+        # an ingesting batch mid-compact fails its micro-batch loudly...
+        write_batch("b2", [(3, "hot", "c")])
+        with pytest.raises(StreamingQueryException, match="compact in progress"):
+            run("ck2")
+    finally:
+        os.remove(marker)
+    # ...and the corpus was not corrupted: docs unchanged, ledger intact
+    assert spark.read.parquet(f"{corpus}/docs").count() == 2
+
+    # after release, ingestion resumes on a fresh checkpoint
+    run("ck3")
+    assert spark.read.parquet(f"{corpus}/docs").count() == 3
+    # compact releases its own claim on success
+    compact_quota_corpus(spark, corpus, strata_col="source", id_col="doc_id")
+    assert not os.path.exists(marker)

@@ -343,6 +343,16 @@ def cmd_curate(args: argparse.Namespace) -> int:
         return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
+    if args.max_docs_per_stratum and args.stratum_col not in docs.columns:
+        # sibling flags of the same feature fail with rc 2 and a message,
+        # not a raw ValueError traceback from deep inside curate(); checked
+        # after the parquet read (the columns come from the file) but
+        # before any assembly stage runs
+        print(
+            f"error: --stratum-col {args.stratum_col!r} is not a column of "
+            f"{args.documents} (has: {', '.join(docs.columns)})"
+        )
+        return 2
     cfg = AssemblyConfig(
         curation=CurationConfig(
             min_quality=args.min_quality,

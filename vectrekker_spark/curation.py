@@ -76,6 +76,9 @@ class CurationConfig:
     # (the RefinedWeb/FineWeb per-domain cap, operators/quota), chosen in
     # stable hash(id) order — deterministic and growth-stable. Runs LAST
     # among the doc-level gates so the quota binds what actually ships.
+    # NOTE: rows with a NULL doc id are dropped by this stage (a NULL id
+    # has no stable hash order), so ``after_stratum_cap`` can shrink
+    # beyond the cap effect on corpora with NULL ids.
     max_docs_per_stratum: int = 0
     stratum_col: str = "source"
 

@@ -339,7 +339,8 @@ ORDER BY l_id, r_id
 """
 
 
-_EMB_DIM_CACHE: dict[tuple[str, float], int] = {}
+_EMB_DIM_CACHE: dict[tuple[str, int, int], int] = {}
+_EMB_DIM_CACHE_MAX = 64  # FIFO-bounded like catalog._TABLE_CACHE
 
 
 def d26_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -373,11 +374,13 @@ def d26_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     em = tb1(spark, sf, "embeddings") if serial else tbp(spark, sf, "embeddings")
     # memoized dim probe: a table's vector dimension is a property of the
     # dataset, not the run — repeated bench samples skip the probe job.
-    # Keyed on the file's mtime too, so a fixture regenerated in-process
-    # at the same path with a different dim re-probes instead of building
-    # wrong-length centroids.
+    # Keyed on (st_mtime_ns, st_size) like catalog._TABLE_CACHE: float
+    # mtime alone misses a fixture regenerated in-process within mtime
+    # resolution (or with mtime preserved), which would serve a stale dim
+    # and build wrong-length centroids.
     try:
-        key = (sf, os.path.getmtime(os.path.join(sf, "embeddings.parquet")))
+        st = os.stat(os.path.join(sf, "embeddings.parquet"))
+        key = (sf, st.st_mtime_ns, st.st_size)
     except OSError:
         key = None
     dim = _EMB_DIM_CACHE.get(key) if key is not None else None
@@ -405,6 +408,8 @@ def d26_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
             return ordered(empty_dec, "vec_id")
         dim = int(probe[0])
         if key is not None:
+            if len(_EMB_DIM_CACHE) >= _EMB_DIM_CACHE_MAX:
+                _EMB_DIM_CACHE.pop(next(iter(_EMB_DIM_CACHE)))
             _EMB_DIM_CACHE[key] = dim
     cents = []
     for k in range(8):

@@ -760,6 +760,53 @@ def _read_quota_counts(spark: SparkSession, corpus_path: str):
     return spark.read.parquet(best), best_v
 
 
+def _prune_quota_ledger(corpus_path: str, version: int) -> None:
+    """Keep the just-written current ledger (version+1) plus the previous
+    committed version as the grace copy; remove everything older. Shared
+    by the stream's save_counts and compact_quota_corpus — without the
+    compact-side call, repeated compacts on an idle corpus accumulated
+    superseded counts_v{K} dirs indefinitely."""
+    import os
+    import re
+    import shutil
+
+    for name in os.listdir(corpus_path):
+        m = re.fullmatch(r"counts_v(\d+)", name)
+        if m and int(m.group(1)) < version:
+            shutil.rmtree(os.path.join(corpus_path, name), ignore_errors=True)
+
+
+_QUOTA_COMPACT_MARKER = "_COMPACT_IN_PROGRESS"
+
+
+def _quota_compact_marker_path(corpus_path: str) -> str:
+    import os
+
+    return os.path.join(corpus_path, _QUOTA_COMPACT_MARKER)
+
+
+def _claim_quota_compact(corpus_path: str) -> str:
+    """Create-exclusive marker claiming the quota corpus for a compact.
+    A second concurrent compact fails loudly here instead of both racing
+    the docs swap + ledger rewrite. The marker names its owner so a
+    crashed compact's stale claim is diagnosable (delete the file to
+    release)."""
+    import os
+
+    marker = _quota_compact_marker_path(corpus_path)
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"quota compact already in progress for {corpus_path!r} "
+            f"(marker {marker}); if the previous compact crashed, delete "
+            "the marker file to release the claim"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(f"pid={os.getpid()}\n")
+    return marker
+
+
 def foreach_batch_quota(
     stream: DataFrame,
     corpus_path: str,
@@ -816,22 +863,22 @@ def foreach_batch_quota(
     id_as_str = F.col(id_col).cast("string")
 
     def save_counts(counts_df: DataFrame, version: int) -> None:
-        import re
-        import shutil
-
         counts_dir = os.path.join(corpus_path, f"counts_v{version + 1}")
         counts_df.coalesce(1).write.mode("overwrite").parquet(counts_dir)
-        # prune all but the previous committed version (grace copy)
-        for name in os.listdir(corpus_path):
-            m = re.fullmatch(r"counts_v(\d+)", name)
-            if m and int(m.group(1)) < version:
-                shutil.rmtree(
-                    os.path.join(corpus_path, name), ignore_errors=True
-                )
+        _prune_quota_ledger(corpus_path, version)
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if os.path.exists(_quota_compact_marker_path(corpus_path)):
+            # fail the batch loudly rather than race a running compact's
+            # docs swap + ledger rewrite (single-writer contract, now
+            # enforced instead of docstring-only); the checkpoint retries
+            # the batch after the compact releases its claim
+            raise RuntimeError(
+                f"compact in progress for {corpus_path!r} — refusing to "
+                "ingest concurrently (see _COMPACT_IN_PROGRESS marker)"
+            )
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([id_col]).persist()
         try:
@@ -940,8 +987,15 @@ def compact_quota_corpus(
     rewrite the ledger to the TRUE per-stratum counts (healing any
     overcharge from a counts-written/docs-crashed window — quota capacity
     comes back). Stage-then-swap on the docs table; the new ledger commits
-    as the next counts version. Single-writer contract like every compact
-    here: don't run concurrently with an ingesting stream."""
+    as the next counts version.
+
+    Single-writer contract, ENFORCED: a create-exclusive
+    ``_COMPACT_IN_PROGRESS`` marker claims the corpus for the compact's
+    duration — a second concurrent compact fails loudly at the claim, and
+    an ingesting ``foreach_batch_quota`` batch that arrives mid-compact
+    fails its micro-batch (the checkpoint retries it after release)
+    instead of racing the swap. A compact that crashes leaves a stale
+    claim; the error message names the marker file to delete."""
     import os
 
     from vectrekker_spark.pipeline import _atomic_replace
@@ -949,6 +1003,7 @@ def compact_quota_corpus(
     docs_path = os.path.join(corpus_path, "docs")
     if not _parquet_has_data(docs_path):
         return {"docs_removed": 0, "ledger_delta": 0}
+    marker = _claim_quota_compact(corpus_path)
     df = spark.read.parquet(docs_path).persist()
     clean = None
     try:
@@ -987,8 +1042,13 @@ def compact_quota_corpus(
         spark.createDataFrame(
             true_rows, ledger_schema
         ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
+        _prune_quota_ledger(corpus_path, version)
         return {"docs_removed": removed, "ledger_delta": drift}
     finally:
         if clean is not None:
             clean.unpersist()
         df.unpersist()
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass  # externally released; don't mask the real error
