@@ -41,9 +41,13 @@ from vectrekker_spark.session import get_spark  # noqa: E402
 # the FULL registry runs distributed — every registered query, not a sample
 QUERIES = sorted(all_specs())
 # value-oracle skipped where the DuckDB formulation is quadratic-ish at this
-# scale (q28's SQL is an all-pairs cross join; d26's is all WITHIN-CELL
-# pairs — ~n²/8 at a fixed 8-cell quantizer; d03-style baselines likewise)
-NO_ORACLE = {"q28_sim_dedup", "d26_semantic_dedup"}
+# scale (q28's SQL is an all-pairs cross join; d03-style baselines likewise)
+NO_ORACLE = {"q28_sim_dedup"}
+# d26's oracle is all WITHIN-CELL pairs — ~n²/8 at the fixed 8-cell
+# quantizer. Measured (r10): 61 s at 20k embeddings (sf1) — tractable;
+# sf3's 60k rows would be ~9x that, so the gate is the measured row count,
+# not the query name.
+D26_ORACLE_MAX_ROWS = 25_000
 # row counts pinned by the dimensional structure (independent of the factor)
 EXACT_ROWS = {
     "q03_agg": 6,
@@ -163,7 +167,17 @@ def main() -> int:
         if not rows:
             ok, msgs = False, msgs + ["empty result"]
         # 4. value oracle on the same data
-        if con is not None and s.oracle is not None and name not in NO_ORACLE:
+        skip_oracle = name in NO_ORACLE
+        if name == "d26_semantic_dedup" and con is not None and not skip_oracle:
+            n_emb = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+            if n_emb > D26_ORACLE_MAX_ROWS:
+                skip_oracle = True
+                print(
+                    f"{name}: oracle skipped — {n_emb} embeddings exceed the "
+                    f"{D26_ORACLE_MAX_ROWS}-row bound for the within-cell-"
+                    "quadratic recursive-CTE oracle (61 s at 20k, ~n² growth)"
+                )
+        if con is not None and s.oracle is not None and not skip_oracle:
             t1 = time.time()
             res = con.execute(s.oracle)
             orows = sorted(tuple(canon(v) for v in r) for r in res.fetchall())

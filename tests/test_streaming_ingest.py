@@ -773,7 +773,7 @@ def test_streaming_quota_compact_guard_and_ledger_prune(spark, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from vectrekker_spark.streaming.jobs import (
-        _claim_quota_compact,
+        _claim_compact,
         compact_quota_corpus,
         foreach_batch_quota,
     )
@@ -820,7 +820,7 @@ def test_streaming_quota_compact_guard_and_ledger_prune(spark, tmp_path):
     assert len(ledger_versions()) <= 2, ledger_versions()
 
     # concurrent compact: the second claim fails loudly, releases nothing
-    marker = _claim_quota_compact(corpus)
+    marker = _claim_compact(corpus)
     try:
         with pytest.raises(RuntimeError, match="compact already in progress"):
             compact_quota_corpus(
@@ -843,3 +843,46 @@ def test_streaming_quota_compact_guard_and_ledger_prune(spark, tmp_path):
     # compact releases its own claim on success
     compact_quota_corpus(spark, corpus, strata_col="source", id_col="doc_id")
     assert not os.path.exists(marker)
+
+
+def test_compact_guard_shared_across_corpora(spark, tmp_path):
+    """The create-exclusive compact claim is one protocol for all three
+    streaming corpora: near-dedup and semantic compacts refuse a planted
+    claim exactly like the quota compact (which the lifecycle test above
+    exercises end-to-end), and every ingest job shares the same
+    batch-start refusal helper."""
+    import os
+
+    from vectrekker_spark.streaming.jobs import (
+        _claim_compact,
+        _refuse_if_compacting,
+        compact_near_dedup_corpus,
+        compact_semantic_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus_shared")
+    os.makedirs(corpus)
+    # semantic's early return (no NULL-cid partition) must NOT require the
+    # claim — an idle corpus stays claim-free
+    assert compact_semantic_corpus(spark, corpus) == {"kept_removed": 0}
+
+    null_dir = os.path.join(corpus, "kept", "cid=__HIVE_DEFAULT_PARTITION__")
+    spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.parquet(null_dir)
+
+    marker = _claim_compact(corpus)
+    try:
+        with pytest.raises(RuntimeError, match="compact already in progress"):
+            compact_semantic_corpus(spark, corpus)
+        with pytest.raises(RuntimeError, match="compact already in progress"):
+            compact_near_dedup_corpus(spark, corpus)
+        with pytest.raises(RuntimeError, match="compact in progress"):
+            _refuse_if_compacting(corpus)
+        assert os.path.exists(marker)  # losers never release the claim
+    finally:
+        os.remove(marker)
+    # after release: the semantic compact runs (and releases its own claim)
+    assert compact_semantic_corpus(spark, corpus) == {"kept_removed": 0}
+    assert not os.path.exists(marker)
+    _refuse_if_compacting(corpus)  # no marker → no-op

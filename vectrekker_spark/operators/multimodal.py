@@ -4,7 +4,8 @@ Arrow-batched `mapInPandas`.
 
 The media libraries (PIL/torchaudio/ffmpeg) are NOT in this container, but
 image decode is REAL anyway for the formats the pure-numpy micro-decoders
-cover (8-bit non-interlaced PNG, binary PPM — functions/imagecodec.py):
+cover (8-bit non-interlaced PNG + binary PPM in functions/imagecodec.py,
+baseline sequential JPEG in functions/jpegcodec.py):
 `decode_image` prefers PIL when importable, falls back to the
 micro-decoder (returning an (H, W, C) uint8 array), and raises
 NotImplementedError only for formats neither covers. `extract_features`
@@ -39,10 +40,11 @@ FEATURE_SCHEMA = "media_id long, n_bytes long, decoded boolean, features array<d
 
 def decode_image(content: bytes):
     """Decode an image payload. Prefers PIL (returns a PIL.Image); without
-    it, falls back to the pure-numpy PNG/PPM micro-decoders in
-    functions/imagecodec.py (returns an (H, W, C) uint8 ndarray) so a real
-    decode still runs end-to-end in library-less environments. Payloads in
-    a format the micro-decoders don't cover raise NotImplementedError."""
+    it, falls back to the pure-numpy micro-decoders (PNG/PPM in
+    functions/imagecodec.py, baseline JPEG in functions/jpegcodec.py;
+    returns an (H, W, C) uint8 ndarray) so a real decode still runs
+    end-to-end in library-less environments. Payloads in a format the
+    micro-decoders don't cover raise NotImplementedError."""
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError:
@@ -54,9 +56,10 @@ def decode_image(content: bytes):
         if arr is not None:
             return arr
         raise NotImplementedError(
-            "image decode without PIL covers only 8-bit non-interlaced PNG "
-            "and binary PPM (functions/imagecodec.py); this payload is "
-            "neither — install PIL or use byte_histogram_features"
+            "image decode without PIL covers 8-bit non-interlaced PNG, "
+            "binary PPM (functions/imagecodec.py) and baseline sequential "
+            "JPEG (functions/jpegcodec.py); this payload is none of those "
+            "— install PIL or use byte_histogram_features"
         )
     import io
 
@@ -65,8 +68,8 @@ def decode_image(content: bytes):
 
 def image_pixel_features(content: bytes, n_bins: int = 16) -> list[float] | None:
     """REAL decoded-pixel features: L1-normalized luminance histogram over
-    the decoded image (PNG/PPM via the numpy micro-decoder — no media
-    library needed). None when the payload isn't decodable; callers fall
+    the decoded image (PNG/PPM/baseline-JPEG via the numpy micro-decoders
+    — no media library needed). None when the payload isn't decodable; callers fall
     back to the byte-level stand-in. Same shape/normalization as
     byte_histogram_features, so the two interchange downstream."""
     from vectrekker_spark.functions.imagecodec import decode_image_array
@@ -108,8 +111,9 @@ def extract_features(
     amortized, nothing is collected to the driver, and partitioning is
     preserved — the pattern a real decoder would drop into.
 
-    Per payload: a REAL pixel decode (PNG/PPM via the numpy micro-decoder,
-    no media library required) produces a luminance histogram and
+    Per payload: a REAL pixel decode (PNG/PPM/baseline-JPEG via the numpy
+    micro-decoders, no media library required) produces a luminance
+    histogram and
     ``decoded=true``; undecodable payloads fall back to the byte-histogram
     stand-in with ``decoded=false``, so mixed corpora never crash the batch
     (the reference's quarantine philosophy, vectrekker/main.py:175-178,

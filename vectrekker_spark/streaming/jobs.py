@@ -337,6 +337,7 @@ def foreach_batch_near_dedup(
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _refuse_if_compacting(corpus_path)
         spark = batch_df.sparkSession
         batch = batch_df.persist()
         # sign the batch ONCE: the persisted band table feeds the in-batch
@@ -410,29 +411,38 @@ def compact_near_dedup_corpus(
     rows are byte-identical payloads — any survivor is THE row) and
     repeated (id, band, band_hash) rows from the band index, rewriting
     both tables with the stage-then-swap used everywhere else. Returns
-    removed-row counts. Single-writer contract, like ivf_compact: don't
-    run concurrently with an ingesting stream."""
+    removed-row counts. Single-writer contract, ENFORCED via the shared
+    create-exclusive _COMPACT_IN_PROGRESS marker: a concurrent compact
+    fails loudly at the claim and an ingesting micro-batch arriving
+    mid-compact fails (the checkpoint retries after release) instead of
+    racing the swap."""
+    import contextlib
     import os
 
     from vectrekker_spark.pipeline import _atomic_replace
 
+    marker = _claim_compact(corpus_path)
     out: dict[str, int] = {}
-    for name, dedup in (
-        ("docs", lambda df: df.dropDuplicates([id_col])),
-        ("bands", lambda df: df.distinct()),
-    ):
-        path = os.path.join(corpus_path, name)
-        df = spark.read.parquet(path).persist()
-        try:
-            before = df.count()
-            clean = dedup(df)
-            removed = before - clean.count()
-            if removed:
-                _atomic_replace(clean, path)
-            out[f"{name}_removed"] = removed
-        finally:
-            df.unpersist()
-    return out
+    try:
+        for name, dedup in (
+            ("docs", lambda df: df.dropDuplicates([id_col])),
+            ("bands", lambda df: df.distinct()),
+        ):
+            path = os.path.join(corpus_path, name)
+            df = spark.read.parquet(path).persist()
+            try:
+                before = df.count()
+                clean = dedup(df)
+                removed = before - clean.count()
+                if removed:
+                    _atomic_replace(clean, path)
+                out[f"{name}_removed"] = removed
+            finally:
+                df.unpersist()
+        return out
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(marker)
 
 
 def foreach_batch_semantic_dedup(
@@ -496,6 +506,7 @@ def foreach_batch_semantic_dedup(
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _refuse_if_compacting(corpus_path)
         spark = batch_df.sparkSession
         batch = batch_df.persist()
         try:
@@ -586,8 +597,10 @@ def compact_semantic_corpus(
     and those all live in the kept table's NULL-cid partition — so only
     that one partition directory is rewritten (stage-then-swap); the
     cid-partitioned scorable data is never touched. Returns the
-    removed-row count. Single-writer contract, like ivf_compact: don't
-    run concurrently with an ingesting stream."""
+    removed-row count. Single-writer contract, ENFORCED via the shared
+    create-exclusive _COMPACT_IN_PROGRESS marker (see
+    compact_quota_corpus for the protocol)."""
+    import contextlib
     import os
 
     from vectrekker_spark.pipeline import _atomic_replace
@@ -597,6 +610,7 @@ def compact_semantic_corpus(
     )
     if not os.path.exists(null_dir):
         return {"kept_removed": 0}
+    marker = _claim_compact(corpus_path)
     df = spark.read.parquet(null_dir).persist()
     try:
         before = df.count()
@@ -607,6 +621,8 @@ def compact_semantic_corpus(
         return {"kept_removed": removed}
     finally:
         df.unpersist()
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(marker)
 
 
 def foreach_batch_exact_dedup(
@@ -662,6 +678,7 @@ def foreach_batch_exact_dedup(
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _refuse_if_compacting(corpus_path)
         spark = batch_df.sparkSession
         batch = batch_df.persist()
         try:
@@ -776,35 +793,50 @@ def _prune_quota_ledger(corpus_path: str, version: int) -> None:
             shutil.rmtree(os.path.join(corpus_path, name), ignore_errors=True)
 
 
-_QUOTA_COMPACT_MARKER = "_COMPACT_IN_PROGRESS"
+_COMPACT_MARKER = "_COMPACT_IN_PROGRESS"
 
 
-def _quota_compact_marker_path(corpus_path: str) -> str:
+def _compact_marker_path(corpus_path: str) -> str:
     import os
 
-    return os.path.join(corpus_path, _QUOTA_COMPACT_MARKER)
+    return os.path.join(corpus_path, _COMPACT_MARKER)
 
 
-def _claim_quota_compact(corpus_path: str) -> str:
-    """Create-exclusive marker claiming the quota corpus for a compact.
-    A second concurrent compact fails loudly here instead of both racing
-    the docs swap + ledger rewrite. The marker names its owner so a
-    crashed compact's stale claim is diagnosable (delete the file to
-    release)."""
+def _claim_compact(corpus_path: str) -> str:
+    """Create-exclusive marker claiming a streaming corpus for a compact
+    (shared by the near-dedup/semantic/quota compacts). A second
+    concurrent compact fails loudly here instead of both racing the
+    stage-then-swap, and the ingest jobs' do_batch refuses to run while
+    the marker exists. The marker names its owner so a crashed compact's
+    stale claim is diagnosable (delete the file to release)."""
     import os
 
-    marker = _quota_compact_marker_path(corpus_path)
+    marker = _compact_marker_path(corpus_path)
     try:
         fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         raise RuntimeError(
-            f"quota compact already in progress for {corpus_path!r} "
+            f"compact already in progress for {corpus_path!r} "
             f"(marker {marker}); if the previous compact crashed, delete "
             "the marker file to release the claim"
         ) from None
     with os.fdopen(fd, "w") as f:
         f.write(f"pid={os.getpid()}\n")
     return marker
+
+
+def _refuse_if_compacting(corpus_path: str) -> None:
+    """Batch-start guard for the streaming ingest jobs: fail the
+    micro-batch loudly rather than race a running compact's
+    stage-then-swap (single-writer contract, enforced); the checkpoint
+    retries the batch after the compact releases its claim."""
+    import os
+
+    if os.path.exists(_compact_marker_path(corpus_path)):
+        raise RuntimeError(
+            f"compact in progress for {corpus_path!r} — refusing to "
+            "ingest concurrently (see _COMPACT_IN_PROGRESS marker)"
+        )
 
 
 def foreach_batch_quota(
@@ -870,15 +902,7 @@ def foreach_batch_quota(
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if os.path.exists(_quota_compact_marker_path(corpus_path)):
-            # fail the batch loudly rather than race a running compact's
-            # docs swap + ledger rewrite (single-writer contract, now
-            # enforced instead of docstring-only); the checkpoint retries
-            # the batch after the compact releases its claim
-            raise RuntimeError(
-                f"compact in progress for {corpus_path!r} — refusing to "
-                "ingest concurrently (see _COMPACT_IN_PROGRESS marker)"
-            )
+        _refuse_if_compacting(corpus_path)
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([id_col]).persist()
         try:
@@ -1003,7 +1027,7 @@ def compact_quota_corpus(
     docs_path = os.path.join(corpus_path, "docs")
     if not _parquet_has_data(docs_path):
         return {"docs_removed": 0, "ledger_delta": 0}
-    marker = _claim_quota_compact(corpus_path)
+    marker = _claim_compact(corpus_path)
     df = spark.read.parquet(docs_path).persist()
     clean = None
     try:
