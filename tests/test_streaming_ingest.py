@@ -886,3 +886,136 @@ def test_compact_guard_shared_across_corpora(spark, tmp_path):
     assert compact_semantic_corpus(spark, corpus) == {"kept_removed": 0}
     assert not os.path.exists(marker)
     _refuse_if_compacting(corpus)  # no marker → no-op
+
+
+def test_streaming_funnel_composition_equals_batch(spark, tmp_path):
+    """CI pin for scripts/streaming_funnel.py's claim at fixture scale:
+    ST8 -> ST9 -> ST10 over an ascending-id two-batch feed (with one
+    redelivery) produces exactly the batch funnel's kept-set
+    cap_per_stratum_random(semantic_dedup(exact-dedup keepers)). The
+    fixture plants exact duplicates ACROSS batches, a semantic near-dup
+    pair, and a stratum over quota, so every stage binds."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.ann import ivf_centroids
+    from vectrekker_spark.operators.dedup import exact_dedup_map
+    from vectrekker_spark.operators.quota import cap_per_stratum_random
+    from vectrekker_spark.operators.semdedup import semantic_dedup
+    from vectrekker_spark.streaming.jobs import (
+        foreach_batch_exact_dedup,
+        foreach_batch_quota,
+        foreach_batch_semantic_dedup,
+    )
+
+    # embeddings: e0/e1 near-dup pair (cos ~0.999), others well separated
+    def vec(x, y):
+        return [float(x), float(y), 1.0, 0.0]
+
+    rows = []
+    for i in range(24):
+        src = "hot" if i % 2 == 0 else "cold"
+        if i in (6, 7, 13):  # exact-duplicate text group; 13 lands in batch 2
+            text, emb = "texto zero", vec(10, 0.1)
+        elif i == 1:  # semantic near-dup of doc 0 (distinct text)
+            text, emb = "texto uno", vec(10, 0.2)
+        else:
+            text, emb = f"texto {i}", vec(i * 3 % 17, -i * 5 % 13)
+        rows.append((i, src, text, emb))
+    schema = "doc_id long, source string, text string, embedding array<double>"
+    feed = spark.createDataFrame(rows, schema)
+
+    in1 = tmp_path / "in1"
+    in1.mkdir()
+    corpus1 = str(tmp_path / "c1")
+    for lo, hi, name in ((0, 12, "b0"), (12, 24, "b1")):
+        feed.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(str(tmp_path / "feed" / name))
+        shutil.copytree(tmp_path / "feed" / name, in1 / name)
+        s = spark.readStream.schema(schema).parquet(str(in1 / "*"))
+        foreach_batch_exact_dedup(
+            s, corpus1, str(tmp_path / "ck1"), text_col="text",
+            id_col="doc_id", expected_total=100,
+        ).awaitTermination()
+    # redeliver b0 through a fresh checkpoint: nothing may change
+    re1 = tmp_path / "re1"
+    re1.mkdir()
+    shutil.copytree(tmp_path / "feed" / "b0", re1 / "b0")
+    s = spark.readStream.schema(schema).parquet(str(re1 / "*"))
+    foreach_batch_exact_dedup(
+        s, corpus1, str(tmp_path / "ck1re"), text_col="text",
+        id_col="doc_id", expected_total=100,
+    ).awaitTermination()
+
+    stage1 = spark.read.parquet(f"{corpus1}/docs")
+    keepers = feed.join(
+        exact_dedup_map(feed).select(F.col("keep_id").alias("doc_id")),
+        "doc_id", "left_semi",
+    )
+    assert sorted(r.doc_id for r in stage1.collect()) == sorted(
+        r.doc_id for r in keepers.collect()
+    )
+    # the 3-doc duplicate group {6, 7, 13} keeps only min id 6 — and 13
+    # proves the CROSS-BATCH dedup (it arrives in batch 2, its twin in 1)
+    assert stage1.count() == 22
+    s1_ids = {r.doc_id for r in stage1.collect()}
+    assert 6 in s1_ids and 7 not in s1_ids and 13 not in s1_ids
+
+    # stage 2: quantizer pre-fitted once on stage-1 survivors, shared
+    corpus2 = str(tmp_path / "c2")
+    os.makedirs(corpus2)
+    cents = ivf_centroids(
+        stage1, n_centroids=4, id_col="doc_id", vec_col="embedding",
+        method="kmeans",
+    )
+    cents.write.parquet(f"{corpus2}/centroids")
+    cents = spark.read.parquet(f"{corpus2}/centroids")
+    in2 = tmp_path / "in2"
+    in2.mkdir()
+    for lo, hi, name in ((0, 12, "b0"), (12, 24, "b1")):
+        stage1.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(str(tmp_path / "feed2" / name))
+        shutil.copytree(tmp_path / "feed2" / name, in2 / name)
+        s = spark.readStream.schema(stage1.schema).parquet(str(in2 / "*"))
+        foreach_batch_semantic_dedup(
+            s, corpus2, str(tmp_path / "ck2"), id_col="doc_id",
+            vec_col="embedding", threshold=0.99,
+        ).awaitTermination()
+
+    stage2 = spark.read.parquet(f"{corpus2}/kept")
+    batch_sem = semantic_dedup(
+        keepers, threshold=0.99, centroids=cents,
+        id_col="doc_id", vec_col="embedding",
+    )
+    s2_ids = sorted(r.doc_id for r in stage2.collect())
+    assert s2_ids == sorted(r.doc_id for r in batch_sem.collect())
+    # the planted near-dup pair is doc 1 (10,0.2,..) vs doc 6 (10,0.1,..),
+    # cos ~0.99995 ≥ 0.99: greedy keeps min id 1, drops 6
+    assert 1 in s2_ids and 6 not in s2_ids
+
+    # stage 3: one batch, fresh ledger -> admit == cap_per_stratum_random
+    corpus3 = str(tmp_path / "c3")
+    in3 = tmp_path / "in3"
+    in3.mkdir()
+    feed3 = stage2.select("doc_id", "source", "text")
+    feed3.coalesce(1).write.parquet(str(in3 / "all"))
+    schema3 = "doc_id long, source string, text string"
+    for ck in ("ck3", "ck3re"):  # second pass = whole-batch redelivery
+        s = spark.readStream.schema(schema3).parquet(str(in3 / "*"))
+        foreach_batch_quota(
+            s, corpus3, str(tmp_path / ck), cap=5,
+            strata_col="source", id_col="doc_id",
+        ).awaitTermination()
+
+    stage3 = spark.read.parquet(f"{corpus3}/docs")
+    batch_final = cap_per_stratum_random(
+        batch_sem, 5, strata_col="source", id_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in stage3.collect()) == sorted(
+        r.doc_id for r in batch_final.collect()
+    )
+    assert stage3.groupBy("source").count().where("count > 5").count() == 0
