@@ -58,9 +58,39 @@ def ids_of(df, col="doc_id"):
     return sorted(r[0] for r in df.select(col).collect())
 
 
+def _split_by_id(df, n_batches: int, out_dir: str) -> list[str]:
+    """Write ``df`` as ``n_batches`` single-file parquet dirs covering
+    ascending doc_id ranges (boundaries from exact quantiles). The
+    ascending order is a PRECONDITION of the streaming≡batch equivalence
+    (first-arrival ≡ min-id) — both call sites must split identically."""
+    bounds = df.approxQuantile(
+        "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
+    )
+    lo = None
+    files = []
+    for i in range(n_batches):
+        hi = bounds[i] if i < len(bounds) else None
+        part = df
+        if lo is not None:
+            part = part.where(F.col("doc_id") > lo)
+        if hi is not None:
+            part = part.where(F.col("doc_id") <= hi)
+        p = os.path.join(out_dir, f"b{i:02d}")
+        part.coalesce(1).write.parquet(p)
+        files.append(p)
+        lo = hi
+    return files
+
+
 def main() -> int:
     data = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    if n_batches < 3:
+        # the torn-bloom heal fires on pass i==2 and the redelivery steps
+        # re-feed batch files [1] and [2]; fewer batches would silently
+        # skip the heal or crash late after minutes of Spark work
+        print("error: n_batches must be >= 3", file=sys.stderr)
+        return 2
     work = tempfile.mkdtemp(prefix="stream_funnel_")
 
     from vectrekker_spark.operators.ann import ivf_centroids
@@ -87,24 +117,7 @@ def main() -> int:
         report["input_docs"] = feed.count()
 
         # ---- split the feed into ascending-doc_id batch files --------
-        bounds = feed.approxQuantile(
-            "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
-        )
-        feed_dir = os.path.join(work, "feed")
-        os.makedirs(feed_dir)
-        lo = None
-        batch_files = []
-        for i in range(n_batches):
-            hi = bounds[i] if i < len(bounds) else None
-            part = feed
-            if lo is not None:
-                part = part.where(F.col("doc_id") > lo)
-            if hi is not None:
-                part = part.where(F.col("doc_id") <= hi)
-            p = os.path.join(feed_dir, f"b{i:02d}")
-            part.coalesce(1).write.parquet(p)
-            batch_files.append(p)
-            lo = hi
+        batch_files = _split_by_id(feed, n_batches, os.path.join(work, "feed"))
 
         schema = feed.schema
         stream_in = os.path.join(work, "in1")
@@ -172,22 +185,7 @@ def main() -> int:
         # re-split stage-1 output into ascending-id batch files
         in2 = os.path.join(work, "in2")
         os.makedirs(in2)
-        b2 = stage1.approxQuantile(
-            "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
-        )
-        lo = None
-        files2 = []
-        for i in range(n_batches):
-            hi = b2[i] if i < len(b2) else None
-            part = stage1
-            if lo is not None:
-                part = part.where(F.col("doc_id") > lo)
-            if hi is not None:
-                part = part.where(F.col("doc_id") <= hi)
-            p = os.path.join(work, "feed2", f"b{i:02d}")
-            part.coalesce(1).write.parquet(p)
-            files2.append(p)
-            lo = hi
+        files2 = _split_by_id(stage1, n_batches, os.path.join(work, "feed2"))
 
         t0 = time.time()
         ck2 = os.path.join(work, "ck2")

@@ -200,6 +200,58 @@ def test_fuzz_decode_never_raises_unexpected():
         decode_image_array(b"\xff\xd8" + b)
 
 
+def test_truncated_sos_classifies_not_index_error():
+    """r10 review finding: an SOS whose payload is shorter than its
+    component list escaped as IndexError past decode_image_array's
+    classification catch — one corrupt JPEG would have crashed a whole
+    extract_features micro-batch."""
+    enc = jc.encode_jpeg(_gradient(16, 16), quality=90)
+    sos = enc.index(b"\xff\xda")
+    # rewrite the SOS length to 2 (empty payload) keeping the bytes after
+    broken = enc[: sos + 2] + b"\x00\x02" + enc[sos + 4 :]
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(broken)
+    assert decode_image_array(broken) is None
+
+
+def test_structured_fuzz_every_truncation_and_byte_flip():
+    """Every truncation point and every single-byte flip of a real
+    restart-interval 4:2:0 fixture must either decode or raise ValueError
+    — no IndexError/KeyError/struct.error may escape the classification
+    contract (the sweep that verified the SOS fix)."""
+    enc = jc.encode_jpeg(
+        _gradient(24, 24), quality=90, subsampling="4:2:0", restart_interval=2
+    )
+    for n in range(0, len(enc), 7):  # stride keeps the test fast
+        try:
+            jc.decode_jpeg(enc[:n])
+        except ValueError:
+            pass
+    for i in range(0, len(enc), 7):
+        m = bytearray(enc)
+        m[i] ^= 0xFF
+        try:
+            jc.decode_jpeg(bytes(m))
+        except ValueError:
+            pass
+
+
+def test_jpeg_bound_is_working_set_aware():
+    """The JPEG output bound is MAX_DECODED_BYTES/8: the float32 decode
+    pipeline holds ~12-16 bytes of working memory per output byte, so the
+    PNG-sized bound would let a bound-passing JPEG OOM an executor."""
+    from vectrekker_spark.functions.imagecodec import MAX_DECODED_BYTES
+
+    assert jc.MAX_JPEG_PIXEL_BYTES * 8 == MAX_DECODED_BYTES
+    enc = jc.encode_jpeg(_gradient(8, 8), quality=90)
+    i = enc.index(b"\xff\xc0")
+    huge = bytearray(enc)
+    # grayscale would pass the PNG bound (64 MB) but not the JPEG one
+    struct.pack_into(">HH", huge, i + 5, 4000, 4000)  # 16 MB, 3ch = 48 MB
+    with pytest.raises(ValueError, match="micro-decoder bound"):
+        jc.decode_jpeg(bytes(huge))
+
+
 def test_extract_features_decodes_jpeg(spark):
     from vectrekker_spark.operators.multimodal import extract_features
 

@@ -919,7 +919,9 @@ def test_streaming_funnel_composition_equals_batch(spark, tmp_path):
         src = "hot" if i % 2 == 0 else "cold"
         if i in (6, 7, 13):  # exact-duplicate text group; 13 lands in batch 2
             text, emb = "texto zero", vec(10, 0.1)
-        elif i == 1:  # semantic near-dup of doc 0 (distinct text)
+        elif i == 1:  # semantic near-dup of the doc-6/7/13 group's
+            # vec(10, 0.1) — distinct text, cos ~0.99995; doc 0's own
+            # embedding is vec(0, 0) = [0,0,1,0], nowhere near this
             text, emb = "texto uno", vec(10, 0.2)
         else:
             text, emb = f"texto {i}", vec(i * 3 % 17, -i * 5 % 13)

@@ -26,10 +26,14 @@ Scope (deliberately a micro-decoder, not a libjpeg replacement):
   discipline the PNG decoder used.
 
 Bomb-bound discipline matches the PNG decoder: the decoded size is checked
-against imagecodec.MAX_DECODED_BYTES straight off the SOF header, BEFORE
-any allocation or entropy decode, and the per-segment parse never trusts a
-length field beyond the payload. Malformed input raises ValueError (a
-classification outcome for decode_image_array), never MemoryError.
+straight off the SOF header, BEFORE any allocation or entropy decode, and
+the per-segment parse never trusts a length field beyond the payload —
+but the JPEG bound is MAX_JPEG_PIXEL_BYTES (MAX_DECODED_BYTES/8) because
+this pipeline's float32 working set is ~12-16 bytes per output byte where
+PNG's is ~2 (see the constant's comment). Malformed input raises
+ValueError (a classification outcome for decode_image_array), never
+MemoryError — fuzz-verified over every truncation point and single-byte
+flip of a real fixture.
 
 The serial Python Huffman loop makes this suitable for corpus-filtering
 feature extraction on typical web images, not for decoding billboard-size
@@ -44,6 +48,16 @@ import struct
 import numpy as np
 
 from vectrekker_spark.functions.imagecodec import MAX_DECODED_BYTES
+
+# The JPEG decode pipeline holds ~3 float32 copies of the image per
+# component (dequantized coefficient blocks, the IDCT result, the
+# assembled plane) plus the einsum temporary — roughly 12-16 bytes of
+# working memory per OUTPUT byte, unlike the PNG decoder whose working
+# set is ~2x its output. The SOF-header bound therefore caps the OUTPUT
+# at MAX_DECODED_BYTES/8 (8 MiB of pixels ≈ 128 MiB peak working set) so
+# a bound-passing JPEG can never OOM an executor the way a bound-passing
+# PNG cannot (review finding r10).
+MAX_JPEG_PIXEL_BYTES = MAX_DECODED_BYTES >> 3
 
 # ---------------------------------------------------------------------------
 # Tables (ITU-T T.81 Annex K — the public example tables every mainstream
@@ -303,10 +317,11 @@ def _parse_segments(content: bytes):
                 raise ValueError(f"unsupported JPEG component count {nc}")
             if w == 0 or h == 0:
                 raise ValueError("JPEG with zero width or height")
-            if h * w * nc > MAX_DECODED_BYTES:
+            if h * w * nc > MAX_JPEG_PIXEL_BYTES:
                 raise ValueError(
                     f"JPEG decoded size {h}x{w}x{nc} exceeds the "
-                    f"{MAX_DECODED_BYTES >> 20} MB micro-decoder bound"
+                    f"{MAX_JPEG_PIXEL_BYTES >> 20} MB micro-decoder bound "
+                    "(sized for the float32 working-set multiplier)"
                 )
             comps = []
             for c in range(nc):
@@ -337,11 +352,18 @@ def _parse_segments(content: bytes):
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not data:
+                raise ValueError("truncated JPEG SOS")
             ns = data[0]
             if ns != len(frame["comps"]):
                 raise ValueError(
                     "multi-scan (non-interleaved) baseline JPEG unsupported"
                 )
+            # payload: ns(1) + 2 per component + Ss/Se/AhAl(3) (B.2.3) —
+            # an unchecked short payload was an IndexError that escaped
+            # decode_image_array's classification catch (review finding)
+            if len(data) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS component list")
             scan_comps = []
             by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in frame["comps"]}
             for s in range(ns):
@@ -411,11 +433,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 "cid": cid,
                 "hs": hs,
                 "vs": vs,
-                "qt": qt[tq].astype(np.float64),  # zigzag order
+                "qt": qt[tq].astype(np.float32),  # zigzag order
                 "dc": huff[(0, dc_id)],
                 "ac": huff[(1, ac_id)],
-                # per-block natural-order coefficients
-                "coef": np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.float64),
+                # per-block natural-order coefficients (float32: the
+                # decode working set is ~3 copies of the image per
+                # component — see MAX_JPEG_PIXEL_BYTES)
+                "coef": np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.float32),
                 "pred": 0,
             }
         )
@@ -437,7 +461,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in comps:
                 for by in range(c["vs"]):
                     for bx in range(c["hs"]):
-                        blk = np.zeros(64, dtype=np.float64)
+                        blk = np.zeros(64, dtype=np.float32)
                         s = _read_huff(reader, c["dc"])
                         if s > 11:
                             raise ValueError("bad JPEG DC category")
@@ -464,12 +488,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             mcu += 1
 
     planes = []
-    t = _DCT_T
+    t = _DCT_T.astype(np.float32)
     for c in comps:
         rows, cols = c["coef"].shape[:2]
         blocks = c["coef"].reshape(rows, cols, 8, 8)
         # batched 2-D IDCT: P = T.T @ F @ T
-        spatial = np.einsum("ij,rcjk,kl->rcil", t.T, blocks, t) + 128.0
+        spatial = np.einsum(
+            "ij,rcjk,kl->rcil", t.T, blocks, t, dtype=np.float32
+        ) + np.float32(128.0)
         plane = (
             spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
         )

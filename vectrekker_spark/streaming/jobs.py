@@ -611,8 +611,9 @@ def compact_semantic_corpus(
     if not os.path.exists(null_dir):
         return {"kept_removed": 0}
     marker = _claim_compact(corpus_path)
-    df = spark.read.parquet(null_dir).persist()
+    df = None
     try:
+        df = spark.read.parquet(null_dir).persist()
         before = df.count()
         clean = df.dropDuplicates([id_col])
         removed = before - clean.count()
@@ -620,7 +621,8 @@ def compact_semantic_corpus(
             _atomic_replace(clean, null_dir)
         return {"kept_removed": removed}
     finally:
-        df.unpersist()
+        if df is not None:
+            df.unpersist()
         with contextlib.suppress(FileNotFoundError):
             os.remove(marker)
 
@@ -955,6 +957,7 @@ def foreach_batch_quota(
                     # quota-full stream would be re-derived from the FULL
                     # docs history on every subsequent batch, breaking the
                     # "heals by ONE recount" contract
+                    _refuse_if_compacting(corpus_path)  # re-check at write
                     if healed_ledger:
                         save_counts(counts, version)
                     if bloom is None and have_docs:
@@ -967,6 +970,12 @@ def foreach_batch_quota(
                             bloom_path,
                         )
                     return
+                # re-check the claim at the write boundary: a compact
+                # that started AFTER this batch's entry check would
+                # otherwise interleave its swap with the writes below
+                # (narrows the race window; see the docstring for the
+                # residual operator-side contract)
+                _refuse_if_compacting(corpus_path)
                 # 1. ledger (quota can only undershoot after a crash)
                 new_counts = merge_counts(counts, admitted, strata_col=strata_col)
                 save_counts(new_counts, version)
@@ -1013,13 +1022,19 @@ def compact_quota_corpus(
     comes back). Stage-then-swap on the docs table; the new ledger commits
     as the next counts version.
 
-    Single-writer contract, ENFORCED: a create-exclusive
-    ``_COMPACT_IN_PROGRESS`` marker claims the corpus for the compact's
-    duration — a second concurrent compact fails loudly at the claim, and
-    an ingesting ``foreach_batch_quota`` batch that arrives mid-compact
-    fails its micro-batch (the checkpoint retries it after release)
-    instead of racing the swap. A compact that crashes leaves a stale
-    claim; the error message names the marker file to delete."""
+    Single-writer contract, enforced via a create-exclusive
+    ``_COMPACT_IN_PROGRESS`` marker claiming the corpus for the compact's
+    duration: a second concurrent compact fails loudly at the claim, and
+    an ingesting ``foreach_batch_quota`` batch checks the marker at batch
+    START and again at its WRITE boundary, failing the micro-batch (the
+    checkpoint retries it after release) instead of racing the swap.
+    Enforcement direction: the marker blocks ingest during a compact and
+    compact during a compact; it cannot see a batch that is mid-flight
+    BETWEEN its two checks when the compact claims — that window is
+    narrow (the checks bracket the batch's compute) but not zero, so
+    "don't start a compact under a live ingest stream" remains the
+    operator-side contract. A compact that crashes leaves a stale claim;
+    the error message names the marker file to delete."""
     import os
 
     from vectrekker_spark.pipeline import _atomic_replace
@@ -1028,9 +1043,13 @@ def compact_quota_corpus(
     if not _parquet_has_data(docs_path):
         return {"docs_removed": 0, "ledger_delta": 0}
     marker = _claim_compact(corpus_path)
-    df = spark.read.parquet(docs_path).persist()
+    df = None
     clean = None
     try:
+        # the read runs INSIDE the claimed region: a failure here (racing
+        # writer swapped the dir, corrupt footer) must release the marker
+        # in the finally, not leave a stale claim wedging the corpus
+        df = spark.read.parquet(docs_path).persist()
         before = df.count()
         clean = df.dropDuplicates([id_col]).persist()
         removed = before - clean.count()
@@ -1071,7 +1090,8 @@ def compact_quota_corpus(
     finally:
         if clean is not None:
             clean.unpersist()
-        df.unpersist()
+        if df is not None:
+            df.unpersist()
         try:
             os.remove(marker)
         except FileNotFoundError:
