@@ -84,7 +84,7 @@ def test_flat_color_roundtrips_exactly():
     assert int(np.abs(out.astype(int) - arr.astype(int)).max()) <= 1
 
 
-@pytest.mark.parametrize("sub,tol", [("4:4:4", 4), ("4:2:0", 8)])
+@pytest.mark.parametrize("sub,tol", [("4:4:4", 4), ("4:2:2", 6), ("4:2:0", 8)])
 def test_gradient_roundtrip_within_quantization_error(sub, tol):
     arr = _gradient(37, 53)  # odd dims exercise pad + crop on both axes
     out = jc.decode_jpeg(jc.encode_jpeg(arr, quality=95, subsampling=sub))

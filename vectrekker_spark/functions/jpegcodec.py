@@ -18,8 +18,8 @@ Scope (deliberately a micro-decoder, not a libjpeg replacement):
   arithmetic coding, 12-bit, CMYK, and multi-scan files raise ValueError
   and callers fall back to the header-sniff path.
 - ENCODE (`encode_jpeg`): the test-fixture counterpart — Annex K quant +
-  Huffman tables, IJG quality scaling, 4:4:4 or 4:2:0, optional restart
-  intervals — so round-trip tests need no media library, mirroring
+  Huffman tables, IJG quality scaling, 4:4:4 / 4:2:2 / 4:2:0, optional
+  restart intervals — so round-trip tests need no media library, mirroring
   imagecodec.encode_png. The forward DCT/quantizer is an independent
   implementation of the inverse path (and the IDCT is additionally checked
   against a naive cosine-sum in tests), the same two-implementations
@@ -176,18 +176,46 @@ def _dct_matrix() -> np.ndarray:
 _DCT_T = _dct_matrix()
 
 
-def _build_decode_table(bits: list[int], values: list[int]) -> dict:
-    """Canonical Huffman (T.81 C.2): {(code_length, code): symbol}."""
+# Memo for built decode tables: every JPEG from the same encoder family
+# ships identical DHT segments (usually the Annex K tables), and building
+# the 65536-entry lookup costs ~1 ms — a constant that dominated small-
+# image decodes. Keyed by the exact (bits, values) spec; FIFO-bounded.
+_DECODE_TABLE_MEMO: dict = {}
+_DECODE_TABLE_MEMO_MAX = 64
+
+
+def _build_decode_table(bits: list[int], values: list[int]):
+    """Canonical Huffman (T.81 C.2) as a flat 16-bit lookup: two 65536
+    lists (symbol, code_length) indexed by the NEXT 16 bits of the
+    stream — every code is a prefix of a 16-bit window, so decode is one
+    table probe instead of a bit-at-a-time dict walk. length 0 marks an
+    invalid code."""
     if len(values) != sum(bits):
         raise ValueError("JPEG Huffman table count mismatch")
-    table, code, vi = {}, 0, 0
+    memo_key = (tuple(bits), tuple(values))
+    hit = _DECODE_TABLE_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(65536, dtype=np.uint8)
+    ln = np.zeros(65536, dtype=np.uint8)
+    code, vi = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[vi]
+            if code >= (1 << length):
+                raise ValueError("JPEG Huffman table overfull")
+            lo = code << (16 - length)
+            sym[lo : lo + (1 << (16 - length))] = values[vi]
+            ln[lo : lo + (1 << (16 - length))] = length
             code += 1
             vi += 1
         code <<= 1
-    return table
+    # plain lists: Python list indexing is ~3x a numpy scalar index in
+    # the per-symbol hot loop
+    out = (sym.tolist(), ln.tolist())
+    if len(_DECODE_TABLE_MEMO) >= _DECODE_TABLE_MEMO_MAX:
+        _DECODE_TABLE_MEMO.pop(next(iter(_DECODE_TABLE_MEMO)))
+    _DECODE_TABLE_MEMO[memo_key] = out
+    return out
 
 
 def _build_encode_table(bits: list[int], values: list[int]) -> dict:
@@ -234,15 +262,33 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming; virtual 1-padding past the end
+        of data (consuming into the padding still raises in skip())."""
+        while self.nbits < 16 and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        pad = 16 - self.nbits
+        return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
 
-def _read_huff(r: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.read(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+    def skip(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("JPEG entropy-coded data exhausted mid-block")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+
+def _read_huff(r: _BitReader, table) -> int:
+    sym, ln = table
+    idx = r.peek16()
+    length = ln[idx]
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    r.skip(int(length))
+    return int(sym[idx])
 
 
 def _extend(v: int, s: int) -> int:
@@ -447,8 +493,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     segments = _entropy_segments(content, pos)
     seg_i = 0
     reader = _BitReader(segments[0])
-    zz = ZIGZAG
     mcu = 0
+    # the entropy loop is pure-Python ints: coefficients accumulate into
+    # (block-offset, zigzag-index, value) lists and ONE vectorized
+    # scatter + dequant per component runs after the scan — per-
+    # coefficient numpy scalar writes were the decode's hottest line
+    for c in comps:
+        c["offs"], c["ks"], c["vals"] = [], [], []
+        c["blkcols"] = mcux * c["hs"]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -459,18 +511,27 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 for c in comps:
                     c["pred"] = 0
             for c in comps:
+                dc_t, ac_t = c["dc"], c["ac"]
+                offs, ks, vals = c["offs"], c["ks"], c["vals"]
+                pred = c["pred"]
                 for by in range(c["vs"]):
                     for bx in range(c["hs"]):
-                        blk = np.zeros(64, dtype=np.float32)
-                        s = _read_huff(reader, c["dc"])
+                        base = (
+                            (my * c["vs"] + by) * c["blkcols"]
+                            + mx * c["hs"]
+                            + bx
+                        ) * 64
+                        s = _read_huff(reader, dc_t)
                         if s > 11:
                             raise ValueError("bad JPEG DC category")
-                        diff = _extend(reader.read(s), s) if s else 0
-                        c["pred"] += diff
-                        blk[0] = c["pred"] * c["qt"][0]
+                        if s:
+                            pred += _extend(reader.read(s), s)
+                        offs.append(base)
+                        ks.append(0)
+                        vals.append(pred)
                         k = 1
                         while k < 64:
-                            rs = _read_huff(reader, c["ac"])
+                            rs = _read_huff(reader, ac_t)
                             r, size = rs >> 4, rs & 15
                             if size == 0:
                                 if r == 15:  # ZRL: 16 zeros
@@ -480,12 +541,22 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                             k += r
                             if k > 63:
                                 raise ValueError("JPEG AC index overrun")
-                            blk[zz[k]] = (
-                                _extend(reader.read(size), size) * c["qt"][k]
-                            )
+                            offs.append(base)
+                            ks.append(k)
+                            vals.append(_extend(reader.read(size), size))
                             k += 1
-                        c["coef"][my * c["vs"] + by, mx * c["hs"] + bx] = blk
+                c["pred"] = pred
             mcu += 1
+
+    for c in comps:
+        # one scatter + dequant per component: position = block*64 +
+        # natural index; value = raw * qt[zigzag index]
+        if c["offs"]:
+            ks_arr = np.array(c["ks"], dtype=np.int64)
+            flat = c["coef"].reshape(-1)
+            flat[np.array(c["offs"], dtype=np.int64) + ZIGZAG[ks_arr]] = (
+                np.array(c["vals"], dtype=np.float32) * c["qt"][ks_arr]
+            )
 
     planes = []
     t = _DCT_T.astype(np.float32)
@@ -643,7 +714,7 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Minimal baseline JPEG writer — the test-fixture counterpart of
-    decode_jpeg (Annex K tables, IJG quality scaling, 4:4:4 or 4:2:0,
+    decode_jpeg (Annex K tables, IJG quality scaling, 4:4:4/4:2:2/4:2:0,
     optional DRI/RSTn restarts)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
@@ -653,8 +724,8 @@ def encode_jpeg(
         raise ValueError("JPEG requires nonzero dimensions")
     if nc not in (1, 3):
         raise ValueError("encode_jpeg supports 1 or 3 channels")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
 
     qt_luma, qt_chroma = _quality_tables(quality)
     dc_l, ac_l = _build_encode_table(*_DC_LUMA), _build_encode_table(*_AC_LUMA)
@@ -672,6 +743,13 @@ def encode_jpeg(
             cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             samps = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "4:2:2":  # horizontal-only chroma decimation
+            pw = -(-w // 2) * 2
+            cb = np.pad(cb, ((0, 0), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, 0), (0, pw - w)), mode="edge")
+            cb = cb.reshape(h, pw // 2, 2).mean(axis=2)
+            cr = cr.reshape(h, pw // 2, 2).mean(axis=2)
+            samps = [(2, 1), (1, 1), (1, 1)]
         else:
             samps = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
