@@ -275,3 +275,77 @@ def test_audio_meta_operator(spark):
 
     with pytest.raises(ValueError, match="aud_rate"):
         audio_meta(df.withColumn("aud_rate", FF.lit(1)))
+
+
+def test_resize_real_pixels_without_pil(spark):
+    """r10: payloads the micro-decoders understand get a REAL resize even
+    without PIL — decode → area-average box filter → PNG re-encode —
+    with the strided stand-in only for undecodable bytes in the same
+    batch (classify, don't abort)."""
+    import importlib.util
+
+    import numpy as np
+    import pytest
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("PIL present: library path active; micro path not used")
+
+    from vectrekker_spark.functions.imagecodec import (
+        decode_png,
+        encode_png,
+        sniff_image_meta,
+    )
+    from vectrekker_spark.functions.jpegcodec import encode_jpeg
+    from vectrekker_spark.operators.multimodal import (
+        downsample_area,
+        micro_resize,
+        resize_images,
+        strided_downsample,
+    )
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    rgb = np.stack(
+        [yy * 255 // 36, xx * 255 // 52, (yy + xx) * 255 // 88], axis=2
+    ).astype(np.uint8)
+    payloads = [
+        (1, encode_png(rgb)),
+        (2, encode_jpeg(rgb, quality=95)),
+        (3, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    out = {r.media_id: bytes(r.content) for r in resize_images(df, factor=4).collect()}
+
+    # decodable payloads: real pixels, PNG output, ceil(37/4) x ceil(53/4)
+    for mid in (1, 2):
+        meta = sniff_image_meta(out[mid])
+        assert meta == {"format": "png", "width": 14, "height": 10}
+    # the PNG input's resize is exactly the box filter of its pixels
+    assert np.array_equal(decode_png(out[1]), downsample_area(rgb, 4))
+    # JPEG input: lossy decode first, so compare against its own micro path
+    assert out[2] == micro_resize(payloads[1][1], 4)
+    # undecodable bytes fall back to the stand-in
+    assert out[3] == strided_downsample(payloads[2][1], 4)
+
+
+def test_downsample_area_properties():
+    import numpy as np
+    import pytest
+
+    from vectrekker_spark.operators.multimodal import downsample_area
+
+    # constant image stays constant at any factor (box filter is exact)
+    flat = np.full((9, 7, 3), 123, dtype=np.uint8)
+    for f in (1, 2, 3, 4):
+        small = downsample_area(flat, f)
+        assert small.shape == (-(-9 // f), -(-7 // f), 3)
+        assert (small == 123).all()
+    # factor 1 is the identity
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, (8, 8, 2), dtype=np.uint8)
+    assert downsample_area(arr, 1) is arr
+    # mean correctness on a hand-checkable block
+    a = np.zeros((2, 2, 1), dtype=np.uint8)
+    a[0, 0, 0], a[0, 1, 0], a[1, 0, 0], a[1, 1, 0] = 10, 20, 30, 40
+    assert downsample_area(a, 2)[0, 0, 0] == 25
+    with pytest.raises(ValueError, match="factor"):
+        downsample_area(a, 0)

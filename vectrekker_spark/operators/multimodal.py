@@ -143,17 +143,62 @@ def extract_features(
 def strided_downsample(content: bytes, factor: int = 4) -> bytes:
     """Deterministic 'resize' stand-in: keep every ``factor``-th byte. Swaps
     cleanly for a PIL `Image.resize` when the lib exists; the Spark-side
-    contract (binary→smaller binary, same mapInPandas shape) is identical."""
+    contract (binary→smaller binary, same mapInPandas shape) is identical.
+    Since r10 this is only the LAST fallback — payloads the micro-decoders
+    understand get a REAL pixel resize via ``micro_resize``."""
     return bytes(content[::factor]) if content else b""
+
+
+def downsample_area(arr: "np.ndarray", factor: int) -> "np.ndarray":
+    """Area-average (box-filter) downsample by an integer factor: the
+    correct decimation filter for corpus thumbnails (plain striding
+    aliases). Edge-replicates to a factor multiple, so the output is
+    (ceil(H/f), ceil(W/f), C) uint8."""
+    if factor < 1:
+        raise ValueError(f"downsample_area: factor must be >= 1, got {factor}")
+    if factor == 1:
+        return arr
+    h, w, c = arr.shape
+    ph, pw = -(-h // factor) * factor, -(-w // factor) * factor
+    a = np.pad(
+        arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+    ).astype(np.float64)
+    out = a.reshape(ph // factor, factor, pw // factor, factor, c).mean(
+        axis=(1, 3)
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def micro_resize(content: bytes, factor: int = 4) -> bytes | None:
+    """REAL no-PIL resize for payloads the micro-decoders understand
+    (PNG/PPM/baseline JPEG): decode → area-average downsample → re-encode
+    as PNG (the lossless, always-writable output format of the micro
+    codecs). None when the payload isn't decodable — callers fall back to
+    the byte-level stand-in, the extract_features classification idiom."""
+    from vectrekker_spark.functions.imagecodec import (  # noqa: PLC0415
+        decode_image_array,
+        encode_png,
+    )
+
+    arr = decode_image_array(content)
+    if arr is None:
+        return None
+    return encode_png(downsample_area(arr, factor))
 
 
 def resize_images(
     df: DataFrame, factor: int = 4,
     content_col: str = "content", id_col: str = "media_id",
 ) -> DataFrame:
-    """mapInPandas resize: real `PIL.Image.resize` when PIL is importable,
-    else the deterministic strided-downsample stand-in (same schema/batch
-    shape, so swapping in the real decoder changes no plumbing).
+    """mapInPandas resize: real `PIL.Image.resize` when PIL is importable;
+    without PIL, a REAL pixel resize anyway for formats the micro-decoders
+    cover (decode → area-average → PNG re-encode, ``micro_resize``), and
+    the deterministic strided-downsample stand-in only for payloads
+    nothing can decode (same schema/batch shape throughout, so swapping
+    decoders changes no plumbing). Note the output format differs by
+    branch: PIL preserves the source format, the micro path always writes
+    PNG, and its dims are ceil(h/f) (edge-padded box filter) vs PIL's
+    floor.
 
     PIL availability is probed INSIDE the UDF, i.e. on the executor that
     runs each batch — a driver-side probe would pick the wrong branch on
@@ -177,7 +222,8 @@ def resize_images(
                 return out.getvalue()
         except ImportError:
             def do(b):
-                return strided_downsample(b, factor)
+                out = micro_resize(b, factor)
+                return out if out is not None else strided_downsample(b, factor)
 
         for pdf in batches:
             yield pd.DataFrame(
