@@ -183,3 +183,115 @@ def test_sniff_wav_rejects_out_of_int32_rate_and_uses_byte_rate():
            + b"data" + struct.pack("<I", 3200) + b"\x00" * 3200)
     m = sniff_wav_meta(wav)
     assert m["duration_sec"] == pytest.approx(3200 / 16000)
+
+
+def test_spectral_features_pure_sine_and_noise(spark):
+    """r10 spectral features: a bin-exact sine concentrates the spectrum
+    (centroid = rolloff = its normalized frequency, flatness ~0) while
+    white noise spreads it (flatness high, centroid near mid-band) — the
+    analytic checks that make these features trustworthy discriminators."""
+    import numpy as np
+
+    from vectrekker_spark.operators.multimodal import spectral_window_features
+
+    sr, window = 16000, 1024
+    k = 64  # bin-exact: f = k*sr/window = 1000 Hz
+    t = np.arange(window * 4)
+    sine = (0.5 * np.sin(2 * np.pi * k * t / window) * 32767).astype("<i2")
+    rng = np.random.RandomState(9)
+    noise = (rng.uniform(-0.9, 0.9, window * 4) * 32767).astype("<i2")
+    silence = np.zeros(window * 2, dtype="<i2")
+
+    df = spark.createDataFrame(
+        [
+            (1, make_wav(sine[:, None], rate=sr)),
+            (2, noise.tobytes()),  # raw PCM16: rate unknown
+            (3, make_wav(silence[:, None], rate=sr)),
+        ],
+        "media_id long, content binary",
+    )
+    rows = spectral_window_features(df, window=window).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+
+    want_f = k / window  # 0.0625 cycles/sample
+    for r in by_id[1]:
+        assert r.sample_rate == sr  # WAV rate surfaced -> Hz = 0.0625*16000
+        # int16 quantization of the sine leaks ~1e-5 of the energy into
+        # other bins; the centroid moves by that much, no more
+        assert abs(r.centroid - want_f) < 1e-4
+        assert abs(r.rolloff - want_f) < 1e-6
+        assert r.flatness < 1e-4
+    assert len(by_id[1]) == 4
+
+    for r in by_id[2]:
+        assert r.sample_rate is None  # raw PCM16: normalized only
+        assert 0.15 < r.centroid < 0.35  # white noise: mid-band
+        assert r.flatness > 0.3
+        assert r.rolloff > 0.3
+
+    for r in by_id[3]:  # silence: documented sentinel values
+        assert (r.centroid, r.rolloff, r.flatness) == (0.0, 0.0, 1.0)
+
+
+def test_spectral_features_match_naive_dft():
+    """The operator's kernel math vs an independent naive DFT (literal
+    correlation sums, no np.fft) on one window — the two-implementations
+    discipline."""
+    import numpy as np
+
+    window = 64
+    rng = np.random.RandomState(4)
+    samples = rng.uniform(-1, 1, window)
+
+    # naive DFT magnitudes for k = 0..window//2
+    mags = []
+    for k in range(window // 2 + 1):
+        re = sum(
+            samples[n] * np.cos(-2 * np.pi * k * n / window) for n in range(window)
+        )
+        im = sum(
+            samples[n] * np.sin(-2 * np.pi * k * n / window) for n in range(window)
+        )
+        mags.append(np.hypot(re, im))
+    mags = np.array(mags)
+    freqs = np.arange(window // 2 + 1) / window
+    want_centroid = (mags * freqs).sum() / mags.sum()
+    cum = np.cumsum(mags)
+    want_rolloff = freqs[int(np.argmax(cum >= 0.85 * mags.sum()))]
+    power = mags * mags + 1e-30
+    want_flat = np.exp(np.log(power).mean()) / power.mean()
+
+    # the kernel path (same math the operator vectorizes)
+    m = np.abs(np.fft.rfft(samples))
+    got_centroid = (m * np.fft.rfftfreq(window)).sum() / m.sum()
+    got_rolloff = np.fft.rfftfreq(window)[
+        int(np.argmax(np.cumsum(m) >= 0.85 * m.sum()))
+    ]
+    p2 = m * m + 1e-30
+    got_flat = np.exp(np.log(p2).mean()) / p2.mean()
+
+    assert abs(got_centroid - want_centroid) < 1e-9
+    assert abs(got_rolloff - want_rolloff) < 1e-12
+    assert abs(got_flat - want_flat) < 1e-9
+
+
+def test_spectral_unsupported_wav_skipped(spark):
+    """A WAV container in an encoding the parser doesn't cover must emit
+    NO spectral rows — never be reinterpreted as raw PCM16 (the
+    pcm_window_features contract applied to the spectral twin)."""
+    import struct
+
+    from vectrekker_spark.operators.multimodal import spectral_window_features
+
+    # float32 WAV (format tag 3): is_wav true, parse_wav raises
+    body = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    data = b"\x00" * 4096
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([(1, wav)], "media_id long, content binary")
+    assert spectral_window_features(df, window=512).count() == 0
