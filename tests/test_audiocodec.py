@@ -295,3 +295,25 @@ def test_spectral_unsupported_wav_skipped(spark):
     )
     df = spark.createDataFrame([(1, wav)], "media_id long, content binary")
     assert spectral_window_features(df, window=512).count() == 0
+
+
+def test_spectral_out_of_int32_rate_skipped(spark):
+    """r10 review finding: a WAV whose fmt rate exceeds int32 passes
+    parse_wav (uint32 field) but would crash the Int32 sample_rate
+    column — the operator must classify it as unsupported (no rows),
+    not fail the batch (the sniff_wav_meta lesson applied here)."""
+    import numpy as np
+
+    from vectrekker_spark.operators.multimodal import spectral_window_features
+
+    data = np.zeros(2048, dtype="<i2").tobytes()
+    # hand-built: make_wav's byte_rate arithmetic itself overflows uint32
+    # at this rate, which is exactly why the operator must guard the value
+    fmt = struct.pack("<HHIIHH", 1, 1, 0xF0000000, 0xFFFFFFFF, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([(1, wav)], "media_id long, content binary")
+    assert spectral_window_features(df, window=512).count() == 0

@@ -161,3 +161,46 @@ def test_video_meta_operator(spark):
     assert rows[2].vid_format is None and rows[3].vid_format is None
     with pytest.raises(ValueError, match="rename"):
         video_meta(df.withColumn("vid_fps", df.media_id))
+
+
+def test_non_8bit_colorspaces_rejected_not_misparsed():
+    """r10 review finding: prefix-matching colorspaces accepted C420p10/
+    C444alpha and misparsed wide samples / extra planes as 8-bit pixels —
+    fabricated features. Exact-set matching classifies them instead."""
+    for cs in ("420p10", "422p10", "444p10", "444alpha", "420p12"):
+        hdr = f"YUV4MPEG2 W4 H4 F25:1 C{cs}\n".encode() + b"FRAME\n" + b"\x00" * 64
+        with pytest.raises(ValueError, match="unsupported y4m colorspace"):
+            vc.parse_y4m_header(hdr)
+        assert vc.sniff_video_meta(hdr) is None
+
+
+def test_midstream_desync_classifies_whole_payload(spark):
+    """r10 review finding: a Y4M with valid leading frames then a
+    corrupted FRAME marker must NOT emit decoded=true rows for the early
+    frames AND byte-fallback rows for the same payload — one payload,
+    one classification."""
+    from vectrekker_spark.operators.multimodal import video_frame_features
+
+    enc = bytearray(vc.encode_y4m(_frames(4), colorspace="444"))
+    # corrupt the THIRD frame marker (frames 0-1 decode fine up to there)
+    i = enc.index(b"FRAME", enc.index(b"FRAME", enc.index(b"FRAME") + 5) + 5)
+    enc[i : i + 5] = b"FRAMX"
+    df = spark.createDataFrame(
+        [(1, bytes(enc))], "media_id long, content binary"
+    )
+    rows = video_frame_features(df, every_n=1).collect()
+    assert rows, "fallback rows expected"
+    assert not any(r.decoded for r in rows), "no decoded rows may survive"
+    frame_nos = [r.frame_no for r in rows]
+    assert len(frame_nos) == len(set(frame_nos)), "no duplicate keys"
+
+
+def test_y4m_bound_is_working_set_aware():
+    from vectrekker_spark.functions.imagecodec import MAX_DECODED_BYTES
+
+    assert vc.MAX_Y4M_FRAME_BYTES * 8 == MAX_DECODED_BYTES
+    # W5592 H4000 C444 passed the old MAX_DECODED_BYTES bound but needs
+    # ~1 GiB of decode intermediates; the working-set bound refuses it
+    hdr = b"YUV4MPEG2 W5592 H4000 F25:1 C444\n"
+    with pytest.raises(ValueError, match="micro-parser bound"):
+        vc.parse_y4m_header(hdr)

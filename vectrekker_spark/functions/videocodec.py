@@ -44,28 +44,44 @@ _MAX_HEADER_LINE = 4096
 # crafted stream of millions of zero-data frames can't spin the sniffer
 _MAX_FRAMES = 1_000_000
 
+# The frame decode holds ~4 float32 copies of the image (Y, upsampled
+# Cb/Cr, the RGB stack) ≈ 16 bytes of working memory per output byte —
+# the jpegcodec.MAX_JPEG_PIXEL_BYTES lesson applied here: bound the
+# OUTPUT at MAX_DECODED_BYTES/8 so a bound-passing header can't OOM an
+# executor through the intermediates (review finding r10).
+MAX_Y4M_FRAME_BYTES = MAX_DECODED_BYTES >> 3
+
 
 def is_y4m(content: bytes) -> bool:
     return bool(content) and content[: len(Y4M_MAGIC)] == Y4M_MAGIC
+
+
+# the EXACT 8-bit 3-plane (or mono) colorspaces this parser understands.
+# Never prefix-match: C420p10/C444p10/C444alpha etc. are wider samples or
+# extra planes — prefix acceptance would misparse their bytes as 8-bit
+# pixels and fabricate features (review finding r10), the exact
+# "never reinterpret" failure the audio parser's contract forbids.
+_COLORSPACES_420 = {"420", "420jpeg", "420mpeg2", "420paldv"}
+_COLORSPACES = _COLORSPACES_420 | {"422", "444", "mono"}
 
 
 def _chroma_geometry(colorspace: str, w: int, h: int) -> tuple[int, int]:
     """(chroma_w, chroma_h) per colorspace; (0, 0) for mono. Subsampled
     dimensions require even source dimensions (the spec's constraint —
     an odd-width 420 stream has no well-defined chroma plane)."""
-    if colorspace.startswith("420"):
+    if colorspace not in _COLORSPACES:
+        raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+    if colorspace in _COLORSPACES_420:
         if w % 2 or h % 2:
             raise ValueError("4:2:0 y4m requires even width and height")
         return w // 2, h // 2
-    if colorspace.startswith("422"):
+    if colorspace == "422":
         if w % 2:
             raise ValueError("4:2:2 y4m requires even width")
         return w // 2, h
-    if colorspace.startswith("444"):
+    if colorspace == "444":
         return w, h
-    if colorspace == "mono":
-        return 0, 0
-    raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+    return 0, 0  # mono
 
 
 def parse_y4m_header(content: bytes) -> tuple[dict, int]:
@@ -111,10 +127,11 @@ def parse_y4m_header(content: bytes) -> tuple[dict, int]:
     w, h = params["width"], params["height"]
     if not w or not h or w < 0 or h < 0:
         raise ValueError("y4m header missing or invalid W/H")
-    if h * w * 3 > MAX_DECODED_BYTES:
+    if h * w * 3 > MAX_Y4M_FRAME_BYTES:
         raise ValueError(
             f"y4m frame size {h}x{w} exceeds the "
-            f"{MAX_DECODED_BYTES >> 20} MB micro-parser bound"
+            f"{MAX_Y4M_FRAME_BYTES >> 20} MB micro-parser bound "
+            "(sized for the float32 working-set multiplier)"
         )
     # validates the colorspace and the even-dimension constraints early
     _chroma_geometry(params["colorspace"], w, h)
@@ -158,42 +175,51 @@ def y4m_frame_count(content: bytes) -> int:
     return sum(1 for _ in iter_y4m_frames(content))
 
 
-def decode_y4m_frame(content: bytes, frame_no: int) -> np.ndarray:
-    """Decode frame ``frame_no`` to an (H, W, 3) uint8 RGB array
-    ((H, W, 1) for Cmono). Chroma upsamples by sample replication;
-    RGB via the full-range JFIF matrix (see the module docstring's
-    video-range caveat)."""
-    params, _ = parse_y4m_header(content)
+def decode_y4m_frame_at(content: bytes, params: dict, data_off: int) -> np.ndarray:
+    """Decode ONE frame whose planar data starts at ``data_off`` (an
+    offset produced by iter_y4m_frames under the same ``params``) — O(1),
+    no re-walk: the per-frame path for samplers iterating many frames of
+    one stream. float32 intermediates (see MAX_Y4M_FRAME_BYTES)."""
     w, h = params["width"], params["height"]
     cw, ch = _chroma_geometry(params["colorspace"], w, h)
-    off = None
-    for i, data_off in iter_y4m_frames(content):
-        if i == frame_no:
-            off = data_off
-            break
-    if off is None:
-        raise ValueError(f"y4m frame {frame_no} out of range")
-    y = np.frombuffer(content, dtype=np.uint8, count=w * h, offset=off)
-    y = y.reshape(h, w).astype(np.float64)
+    if data_off + w * h + 2 * cw * ch > len(content):
+        raise ValueError("y4m frame data out of bounds")
+    y = np.frombuffer(content, dtype=np.uint8, count=w * h, offset=data_off)
+    y = y.reshape(h, w).astype(np.float32)
     if cw == 0:
-        return np.clip(np.round(y), 0, 255).astype(np.uint8)[:, :, None]
+        return y.astype(np.uint8)[:, :, None]
     cb = np.frombuffer(
-        content, dtype=np.uint8, count=cw * ch, offset=off + w * h
-    ).reshape(ch, cw).astype(np.float64)
+        content, dtype=np.uint8, count=cw * ch, offset=data_off + w * h
+    ).reshape(ch, cw).astype(np.float32)
     cr = np.frombuffer(
-        content, dtype=np.uint8, count=cw * ch, offset=off + w * h + cw * ch
-    ).reshape(ch, cw).astype(np.float64)
-    cb = np.repeat(np.repeat(cb, h // ch, axis=0), w // cw, axis=1) - 128.0
-    cr = np.repeat(np.repeat(cr, h // ch, axis=0), w // cw, axis=1) - 128.0
+        content, dtype=np.uint8, count=cw * ch, offset=data_off + w * h + cw * ch
+    ).reshape(ch, cw).astype(np.float32)
+    cb = np.repeat(np.repeat(cb, h // ch, axis=0), w // cw, axis=1) - np.float32(128.0)
+    cr = np.repeat(np.repeat(cr, h // ch, axis=0), w // cw, axis=1) - np.float32(128.0)
     rgb = np.stack(
         [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
+            y + np.float32(1.402) * cr,
+            y - np.float32(0.344136) * cb - np.float32(0.714136) * cr,
+            y + np.float32(1.772) * cb,
         ],
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_y4m_frame(content: bytes, frame_no: int) -> np.ndarray:
+    """Decode frame ``frame_no`` to an (H, W, 3) uint8 RGB array
+    ((H, W, 1) for Cmono). Chroma upsamples by sample replication;
+    RGB via the full-range JFIF matrix (see the module docstring's
+    video-range caveat). This convenience form walks the frame markers
+    from the top — samplers decoding MANY frames of one stream should
+    iterate iter_y4m_frames and call decode_y4m_frame_at per offset
+    (O(1) per frame instead of O(frame_no))."""
+    params, _ = parse_y4m_header(content)
+    for i, data_off in iter_y4m_frames(content):
+        if i == frame_no:
+            return decode_y4m_frame_at(content, params, data_off)
+    raise ValueError(f"y4m frame {frame_no} out of range")
 
 
 def sniff_video_meta(content: bytes) -> dict | None:

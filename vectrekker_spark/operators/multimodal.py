@@ -68,18 +68,12 @@ def decode_image(content: bytes):
     return Image.open(io.BytesIO(content))
 
 
-def image_pixel_features(content: bytes, n_bins: int = 16) -> list[float] | None:
-    """REAL decoded-pixel features: L1-normalized luminance histogram over
-    the decoded image (PNG/PPM/baseline-JPEG via the numpy micro-decoders
-    — no media library needed). None when the payload isn't decodable; callers fall
-    back to the byte-level stand-in. Same shape/normalization as
-    byte_histogram_features, so the two interchange downstream."""
-    from vectrekker_spark.functions.imagecodec import decode_image_array
-
-    arr = decode_image_array(content)
-    if arr is None:
-        return None
-    # ITU-R 601 luma for color; alpha (channels 2/4) never weighs in
+def _lum_hist(arr: "np.ndarray", n_bins: int) -> list[float] | None:
+    """L1-normalized luminance histogram of an (H, W, C) uint8 array —
+    the ONE pixel-feature kernel (image and video features share it; two
+    copies of the binning/luma math would silently diverge). ITU-R 601
+    luma for color; alpha (channels 2/4) never weighs in. None for an
+    empty pixel set (zero-dimension guard)."""
     if arr.shape[2] >= 3:
         lum = (
             0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
@@ -90,7 +84,22 @@ def image_pixel_features(content: bytes, n_bins: int = 16) -> list[float] | None
         np.minimum(lum.astype(np.int64) * n_bins // 256, n_bins - 1).ravel(),
         minlength=n_bins,
     ).astype(np.float64)
-    return (hist / hist.sum()).tolist()
+    tot = hist.sum()
+    return (hist / tot).tolist() if tot > 0 else None
+
+
+def image_pixel_features(content: bytes, n_bins: int = 16) -> list[float] | None:
+    """REAL decoded-pixel features: L1-normalized luminance histogram over
+    the decoded image (PNG/PPM/baseline-JPEG via the numpy micro-decoders
+    — no media library needed). None when the payload isn't decodable;
+    callers fall back to the byte-level stand-in. Same shape/normalization
+    as byte_histogram_features, so the two interchange downstream."""
+    from vectrekker_spark.functions.imagecodec import decode_image_array
+
+    arr = decode_image_array(content)
+    if arr is None:
+        return None
+    return _lum_hist(arr, n_bins)
 
 
 def byte_histogram_features(content: bytes, n_bins: int = 16) -> list[float]:
@@ -341,6 +350,12 @@ def spectral_window_features(
                         rate, _ch, pcm = parse_wav(content)
                     except (ValueError, struct.error):
                         continue  # unsupported WAV encoding: classify, skip
+                    if rate > 0x7FFFFFFF:
+                        # fmt rate is a uint32 field; an out-of-int32 value
+                        # would crash the Int32 sample_rate column (the
+                        # sniff_wav_meta / imagecodec _checked lesson) —
+                        # classify the payload as unsupported instead
+                        continue
                     samples = (pcm.astype(np.float64) / 32768.0).mean(axis=1)
                 else:
                     samples = np.frombuffer(
@@ -414,42 +429,42 @@ def video_frame_features(
         def rows_for(mid, b):
             b = b or b""
             if vc.is_y4m(b):
+                # decoded rows BUFFER until the whole walk succeeds: a
+                # marker desync mid-stream must not leave decoded=true
+                # rows for early frames AND then re-emit the same payload
+                # through the byte fallback (duplicate, conflicting
+                # frame_no keys — review finding r10). One payload gets
+                # exactly one classification.
                 try:
-                    for i, _off in vc.iter_y4m_frames(b):
+                    params, _ = vc.parse_y4m_header(b)
+                    decoded = []
+                    for i, off in vc.iter_y4m_frames(b):
                         if i % every_n:
                             continue
-                        arr = vc.decode_y4m_frame(b, i)
-                        if arr.shape[2] >= 3:
-                            lum = (
-                                0.299 * arr[:, :, 0]
-                                + 0.587 * arr[:, :, 1]
-                                + 0.114 * arr[:, :, 2]
-                            )
-                        else:
-                            lum = arr[:, :, 0].astype(np.float64)
-                        hist = np.bincount(
-                            np.minimum(
-                                lum.astype(np.int64) * n_bins // 256, n_bins - 1
-                            ).ravel(),
-                            minlength=n_bins,
-                        ).astype(np.float64)
-                        tot = hist.sum()
-                        if tot > 0:
-                            yield (mid, i, True, (hist / tot).tolist())
-                    return
+                        # O(1) decode at the walk's own offset — re-walking
+                        # via decode_y4m_frame(b, i) was O(frames²)
+                        feats = _lum_hist(
+                            vc.decode_y4m_frame_at(b, params, off), n_bins
+                        )
+                        if feats is not None:
+                            decoded.append((mid, i, True, feats))
+                    return decoded
                 except ValueError:
-                    pass  # malformed mid-stream: classify via the fallback
+                    pass  # malformed: classify the WHOLE payload below
             # byte-window fallback: every_n-th 1024-byte window
-            for i in range(0, len(b) // 1024, every_n):
-                win = b[i * 1024 : (i + 1) * 1024]
-                yield (mid, i, False, byte_histogram_features(win, n_bins))
+            return [
+                (mid, i, False, byte_histogram_features(
+                    b[i * 1024 : (i + 1) * 1024], n_bins
+                ))
+                for i in range(0, len(b) // 1024, every_n)
+            ]
 
         for pdf in batches:
             out = [
                 r
                 for mid, b in zip(pdf[id_col], pdf[content_col])
                 for r in rows_for(mid, b)
-            ]
+            ]  # rows_for returns a fully-materialized classification
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_no", "decoded", "features"]
             )
