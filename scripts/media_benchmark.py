@@ -1,0 +1,195 @@
+"""Multimodal operator throughput at corpus scale (r10).
+
+Generates a synthetic mixed-media corpus DISTRIBUTED (each executor
+encodes its own payloads from seed ids via the repo's own fixture
+writers — PNG, baseline JPEG, PCM16 WAV, Y4M), lands it as parquet, then
+times every multimodal operator over it end-to-end through Spark:
+
+    extract_features      real image decode -> luminance histograms
+    resize_images         real decode -> box filter -> PNG re-encode
+    image/audio/video_meta  header-cost inventory sniffing
+    pcm_window_features   time-domain audio features
+    spectral_window_features  rfft features
+    video_frame_features  real Y4M frame sampling
+
+This is the evidence that the multimodal surface is MEASURED, not just
+unit-tested: payload generation is excluded from timings (corpus written
+first, operators read it back), each timing is min-of-2 on a warm
+session, and the printed JSON records rows/sec plus decode fractions.
+
+Usage: python scripts/media_benchmark.py [n_per_kind]  (default 2000)
+Record the numbers in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vectrekker_spark.session import get_spark  # noqa: E402
+
+IMG = 128  # image side; typical web-thumbnail scale
+WAV_SAMPLES = 32_000  # 2 s at 16 kHz
+Y4M_FRAMES = 10
+Y4M_SIDE = 64
+
+
+def _gen(batches):
+    import numpy as np
+    import pandas as pd
+
+    from vectrekker_spark.functions.imagecodec import encode_png
+    from vectrekker_spark.functions.jpegcodec import encode_jpeg
+    from vectrekker_spark.functions.videocodec import encode_y4m
+
+    def wav_bytes(seed: int) -> bytes:
+        import struct
+
+        t = np.arange(WAV_SAMPLES)
+        f = 100 + (seed % 50) * 37
+        pcm = (0.4 * np.sin(2 * np.pi * f * t / 16000) * 32767).astype("<i2")
+        data = pcm.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def image(seed: int):
+        yy, xx = np.mgrid[0:IMG, 0:IMG]
+        return np.stack(
+            [
+                (yy * 3 + seed * 7) % 256,
+                (xx * 5 + seed * 13) % 256,
+                ((yy + xx) * 2 + seed) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+
+    def y4m_bytes(seed: int) -> bytes:
+        yy, xx = np.mgrid[0:Y4M_SIDE, 0:Y4M_SIDE]
+        frames = [
+            np.stack(
+                [
+                    (yy * 4 + seed + t * 9) % 256,
+                    (xx * 4 + t * 3) % 256,
+                    ((yy + xx) * 2 + seed + t) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            for t in range(Y4M_FRAMES)
+        ]
+        return encode_y4m(frames, fps=(25, 1), colorspace="420jpeg")
+
+    kinds = {
+        0: ("png", lambda s: encode_png(image(s))),
+        1: ("jpeg", lambda s: encode_jpeg(image(s), quality=85, subsampling="4:2:0")),
+        2: ("wav", wav_bytes),
+        3: ("y4m", y4m_bytes),
+    }
+    for pdf in batches:
+        rows = []
+        for mid in pdf["id"]:
+            kind, enc = kinds[int(mid) % 4]
+            rows.append((int(mid), kind, enc(int(mid))))
+        yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+
+def main() -> int:
+    n_per_kind = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    total = n_per_kind * 4
+    work = tempfile.mkdtemp(prefix="media_bench_")
+    spark = get_spark(app_name="media-benchmark")
+
+    from vectrekker_spark.operators.multimodal import (
+        audio_meta,
+        extract_features,
+        image_meta,
+        pcm_window_features,
+        resize_images,
+        spectral_window_features,
+        video_frame_features,
+        video_meta,
+    )
+
+    report: dict = {"n_per_kind": n_per_kind, "total_payloads": total}
+    try:
+        t0 = time.time()
+        corpus_path = os.path.join(work, "media")
+        spark.range(total).repartition(32).mapInPandas(
+            _gen, schema="media_id long, kind string, content binary"
+        ).write.parquet(corpus_path)
+        report["t_generate_sec"] = round(time.time() - t0, 2)
+        media = spark.read.parquet(corpus_path)
+        report["corpus_mb"] = round(
+            sum(
+                os.path.getsize(os.path.join(corpus_path, f))
+                for f in os.listdir(corpus_path)
+                if f.endswith(".parquet")
+            )
+            / 2**20,
+            1,
+        )
+        images = media.where(F.col("kind").isin("png", "jpeg"))
+        wavs = media.where(F.col("kind") == "wav")
+        vids = media.where(F.col("kind") == "y4m")
+
+        def timed(name, build, rows_base):
+            build().count()  # warm
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                n = build().count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            report[f"t_{name}_sec"] = round(best, 2)
+            report[f"{name}_rows"] = n
+            report[f"{name}_per_sec"] = round(rows_base / best, 1)
+
+        timed("extract_features", lambda: extract_features(images), 2 * n_per_kind)
+        dec = extract_features(images).agg(
+            F.avg(F.col("decoded").cast("double"))
+        ).first()[0]
+        report["decoded_fraction"] = round(float(dec), 4)  # expect 1.0
+
+        timed("resize", lambda: resize_images(images, factor=4), 2 * n_per_kind)
+        timed("image_meta", lambda: image_meta(media), total)
+        timed("audio_meta", lambda: audio_meta(media), total)
+        timed("video_meta", lambda: video_meta(media), total)
+        timed(
+            "pcm_features",
+            lambda: pcm_window_features(wavs, window=1024),
+            n_per_kind,
+        )
+        timed(
+            "spectral_features",
+            lambda: spectral_window_features(wavs, window=1024),
+            n_per_kind,
+        )
+        timed(
+            "video_frames",
+            lambda: video_frame_features(vids, every_n=2),
+            n_per_kind,
+        )
+        vdec = video_frame_features(vids, every_n=2).agg(
+            F.avg(F.col("decoded").cast("double"))
+        ).first()[0]
+        report["video_decoded_fraction"] = round(float(vdec), 4)
+
+        print(json.dumps(report))
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -180,6 +180,43 @@ class Engine:
 
         return audio_meta(df, **kw)
 
+    def video_meta(self, df: DataFrame, **kw) -> DataFrame:
+        """Header-cost Y4M inventory columns — dims/fps/frames/duration
+        (operators/multimodal.video_meta)."""
+        from vectrekker_spark.operators.multimodal import video_meta
+
+        return video_meta(df, **kw)
+
+    def media_features(self, df: DataFrame, **kw) -> DataFrame:
+        """Real-decode image features over binary payloads, byte-level
+        fallback (operators/multimodal.extract_features)."""
+        from vectrekker_spark.operators.multimodal import extract_features
+
+        return extract_features(df, **kw)
+
+    def video_frame_features(self, df: DataFrame, **kw) -> DataFrame:
+        """Real Y4M frame sampling + per-frame luminance features
+        (operators/multimodal.video_frame_features)."""
+        from vectrekker_spark.operators.multimodal import video_frame_features
+
+        return video_frame_features(df, **kw)
+
+    def audio_features(self, df: DataFrame, **kw) -> DataFrame:
+        """Per-window RMS/ZCR over WAV or raw-PCM16 payloads
+        (operators/multimodal.pcm_window_features)."""
+        from vectrekker_spark.operators.multimodal import pcm_window_features
+
+        return pcm_window_features(df, **kw)
+
+    def spectral_features(self, df: DataFrame, **kw) -> DataFrame:
+        """Per-window spectral centroid/rolloff/flatness
+        (operators/multimodal.spectral_window_features)."""
+        from vectrekker_spark.operators.multimodal import (
+            spectral_window_features,
+        )
+
+        return spectral_window_features(df, **kw)
+
     def benchmark_bloom(self, bench: DataFrame, **kw):
         """Compress a benchmark set's shingles into a broadcastable
         BloomFilter (operators/decontaminate.benchmark_bloom); persist it
