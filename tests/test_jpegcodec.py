@@ -264,3 +264,20 @@ def test_extract_features_decodes_jpeg(spark):
     assert rows[1].decoded is True
     assert abs(sum(rows[1].features) - 1.0) < 1e-9
     assert rows[2].decoded is False
+
+
+def test_roundtrip_property_random_images():
+    """Hypothesis-style round-trip bound over random geometry/content at
+    q95 4:4:4: decoded pixels stay within a small bound of the input for
+    smooth content, and noise stays within JPEG's expected error budget."""
+    rng = _rng(21)
+    for _ in range(8):
+        h = int(rng.randint(1, 40))
+        w = int(rng.randint(1, 40))
+        smooth = rng.randint(0, 4, (h, w, 3)).astype(np.uint8) + rng.randint(0, 200)
+        out = jc.decode_jpeg(jc.encode_jpeg(smooth, quality=95))
+        assert out.shape == smooth.shape
+        assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 8
+        noisy = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        out = jc.decode_jpeg(jc.encode_jpeg(noisy, quality=95))
+        assert np.abs(out.astype(int) - noisy.astype(int)).mean() < 16
