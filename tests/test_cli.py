@@ -294,6 +294,17 @@ def test_curate_query_flag_validation(tmp_path, capsys, spark, sf_dir):
          "--max-docs-per-stratum", "5", "--stratum-col", "nope"]
     )
     assert rc == 2 and "'nope' is not a column" in capsys.readouterr().out
+    # boilerplate knobs: negative min-words / out-of-range alpha -> rc 2
+    rc = main(
+        ["curate", "--documents", docs, "--out", out,
+         "--strip-boilerplate-min-words", "-1"]
+    )
+    assert rc == 2 and "strip-boilerplate-min-words" in capsys.readouterr().out
+    rc = main(
+        ["curate", "--documents", docs, "--out", out,
+         "--strip-boilerplate-min-words", "3", "--boilerplate-min-alpha", "1.5"]
+    )
+    assert rc == 2 and "boilerplate-min-alpha" in capsys.readouterr().out
 
 
 def test_curate_stratum_cap_flag(tmp_path, capsys, spark, sf_dir):

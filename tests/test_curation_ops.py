@@ -226,3 +226,111 @@ def test_bm25_zero_hit_docs_fail_strict_gate(spark):
     kept = {r["doc_id"] for r in res.chunks.select("doc_id").distinct().collect()}
     res.unpersist()
     assert kept == {0}
+
+
+def test_keep_content_lines_duckdb_parity(spark):
+    """C19 boilerplate strip: the Spark HOF expression and its DuckDB
+    mirror (list_filter + regexp_matches) must agree byte-for-byte on
+    adversarial fixtures — nav chrome, symbol bars, number runs, empty
+    lines, NULL/empty docs, all-boilerplate docs."""
+    import duckdb
+
+    from vectrekker_spark.functions.text import (
+        boilerplate_fraction,
+        keep_content_lines,
+    )
+
+    rows = [
+        (1, "Home\nAbout Us\nThis is a real paragraph with enough words "
+            "to keep.\n» Log in\nAnother good sentence follows here, with "
+            "content.\n12345 67890\n\nCopyright 2024"),
+        (2, None),
+        (3, ""),
+        (4, "only-nav\nmenu"),
+        (5, "word word word\n!!! ??? ***\nABC def GHI jkl"),
+        (6, "   \n\t\nthe spaced out content line stays here\n|||"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned, r.bp)
+        for r in df.select(
+            "doc_id",
+            keep_content_lines("text").alias("cleaned"),
+            boilerplate_fraction("text").alias("bp"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    for d, t in rows:
+        con.execute("INSERT INTO t VALUES (?, ?)", [d, t])
+    keep = (
+        "list_filter(string_split(text, chr(10)), l -> "
+        "len(list_filter(string_split_regex(trim(l), ' +'), "
+        "w -> regexp_matches(w, '[A-Za-z]'))) >= 3 "
+        "AND length(regexp_replace(l, '[^A-Za-z]', '', 'g')) * 1.0 "
+        "/ greatest(length(l), 1) >= 0.5)"
+    )
+    want = {
+        d: (c, bp)
+        for d, c, bp in con.execute(
+            f"""
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE coalesce(list_aggregate({keep}, 'string_agg',
+                                                     chr(10)), '') END,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE round(1.0 - len({keep}) * 1.0 /
+                             greatest(len(string_split(text, chr(10))), 1), 6)
+                   END
+            FROM t
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # semantic spot checks, independent of the mirrored SQL
+    assert "Home" not in got[1][0] and "real paragraph" in got[1][0]
+    assert got[2] == (None, None)
+    assert got[4][0] == "" and got[4][1] == 1.0
+    assert got[5][0] == "word word word\nABC def GHI jkl"
+
+
+def test_curate_boilerplate_stage(spark):
+    """The opt-in stage runs FIRST (cleaned text feeds exact dedup: two
+    docs identical after stripping collapse), drops now-empty docs,
+    passes NULL text through, and records after_boilerplate."""
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Home\nthe shared content body of this fine document", "en", "a"),
+            (2, "Log in\nthe shared content body of this fine document", "en", "a"),
+            (3, "Menu\nNav\n»", "en", "a"),  # strips to '' -> dropped
+            (4, None, "en", "a"),  # NULL passes the stage
+            (5, "an entirely different content body for document five", "en", "a"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=1.01, chunk_size=64,
+        chunk_overlap=8, embed=False, strip_boilerplate_min_words=3,
+    )
+    res = curate(docs, cfg)
+    try:
+        assert res.funnel["input"] == 5
+        assert res.funnel["after_boilerplate"] == 4  # doc 3 gone
+        # docs 1 and 2 are byte-identical after the strip -> exact dedup
+        # collapses them (min id 1 survives)
+        assert res.funnel["after_exact_dedup"] == 3
+    finally:
+        res.unpersist()
+
+    with pytest.raises(ValueError, match="strip_boilerplate_min_words"):
+        curate(docs, CurationConfig(strip_boilerplate_min_words=-1))
+    with pytest.raises(ValueError, match="boilerplate_min_alpha"):
+        curate(
+            docs,
+            CurationConfig(
+                strip_boilerplate_min_words=3, boilerplate_min_alpha=1.5
+            ),
+        )

@@ -341,6 +341,14 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if args.max_docs_per_stratum < 0:
         print("error: --max-docs-per-stratum must be >= 0 (0 disables)")
         return 2
+    if args.strip_boilerplate_min_words < 0:
+        print("error: --strip-boilerplate-min-words must be >= 0 (0 disables)")
+        return 2
+    if args.strip_boilerplate_min_words and not (
+        0.0 <= args.boilerplate_min_alpha <= 1.0
+    ):
+        print("error: --boilerplate-min-alpha must be in [0, 1]")
+        return 2
     spark = _spark()
     docs = spark.read.parquet(args.documents)
     if args.max_docs_per_stratum and args.stratum_col not in docs.columns:
@@ -373,6 +381,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
             min_model_quality=args.min_model_quality,
             ngram_lm_path=args.ngram_lm or "",
             max_perplexity=args.max_perplexity,
+            strip_boilerplate_min_words=args.strip_boilerplate_min_words,
+            boilerplate_min_alpha=args.boilerplate_min_alpha,
             max_docs_per_stratum=args.max_docs_per_stratum,
             stratum_col=args.stratum_col,
         ),
@@ -747,6 +757,17 @@ def build_parser() -> argparse.ArgumentParser:
         "perplexity is <= --max-perplexity (the CCNet rule)",
     )
     cu.add_argument("--max-perplexity", type=float, default=10_000.0)
+    cu.add_argument(
+        "--strip-boilerplate-min-words", type=int, default=0,
+        help="strip nav/menu/separator LINES before any other stage: keep "
+        "lines with >= N letter-bearing words and enough alpha characters "
+        "(0 = off)",
+    )
+    cu.add_argument(
+        "--boilerplate-min-alpha", type=float, default=0.5,
+        help="minimum alphabetic-character ratio a kept line needs "
+        "(with --strip-boilerplate-min-words)",
+    )
     cu.add_argument(
         "--max-docs-per-stratum", type=int, default=0,
         help="keep at most this many docs per --stratum-col value, stable "

@@ -72,6 +72,14 @@ class CurationConfig:
     # ``max_perplexity`` (the CCNet keep rule) — zero-shuffle Arrow map
     ngram_lm_path: str = ""
     max_perplexity: float = 10_000.0
+    # 0 → off; else strip boilerplate LINES (nav/menu/separator chrome)
+    # before any other stage: keep lines with >= this many letter-bearing
+    # words AND alpha ratio >= boilerplate_min_alpha
+    # (functions/text.keep_content_lines, the jusText-shaped heuristic).
+    # Runs FIRST — dedup/quality gates then see the cleaned text, the
+    # order real pipelines use. Docs whose text strips to '' are dropped.
+    strip_boilerplate_min_words: int = 0
+    boilerplate_min_alpha: float = 0.5
     # 0 → off; else keep at most this many docs per ``stratum_col`` value
     # (the RefinedWeb/FineWeb per-domain cap, operators/quota), chosen in
     # stable hash(id) order — deterministic and growth-stable. Runs LAST
@@ -122,6 +130,19 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     """Run the funnel; returns chunked (and optionally embedded) rows plus
     per-stage survivor counts."""
     cfg = cfg or CurationConfig()
+    if cfg.strip_boilerplate_min_words < 0:
+        # run-START validation contract, like every sibling knob
+        raise ValueError(
+            f"CurationConfig.strip_boilerplate_min_words must be >= 0 (0 "
+            f"disables), got {cfg.strip_boilerplate_min_words}"
+        )
+    if cfg.strip_boilerplate_min_words and not (
+        0.0 <= cfg.boilerplate_min_alpha <= 1.0
+    ):
+        raise ValueError(
+            f"CurationConfig.boilerplate_min_alpha must be in [0, 1], "
+            f"got {cfg.boilerplate_min_alpha}"
+        )
     if cfg.strip_span_ngram and cfg.strip_span_ngram < 2:
         # fail before any stage executes (run-START validation contract)
         raise ValueError(
@@ -258,6 +279,26 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         funnel[name] = n
 
     _record("input", docs.count())
+
+    # 0. line-level boilerplate strip (opt-in): normalize text BEFORE any
+    # dedup/gate so content hashes, shingles and scores see the cleaned
+    # document, not its nav chrome. Narrow JVM-side map; docs whose text
+    # strips to '' drop here (NULL text passes through — the null rule).
+    if cfg.strip_boilerplate_min_words:
+        from vectrekker_spark.functions.text import keep_content_lines
+
+        docs = docs.withColumn(
+            cfg.text_col,
+            keep_content_lines(
+                cfg.text_col,
+                min_words=cfg.strip_boilerplate_min_words,
+                min_alpha=cfg.boilerplate_min_alpha,
+            ),
+        ).where(
+            F.col(cfg.text_col).isNull() | (F.length(cfg.text_col) > 0)
+        ).cache()
+        caches.append(docs)
+        _record("after_boilerplate", docs.count())
 
     # 1. exact dedup: keep min-id per content hash
     keepers = exact_dedup_map(docs, text_col=cfg.text_col, id_col=cfg.id_col).select(

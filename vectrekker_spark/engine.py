@@ -367,6 +367,20 @@ class Engine:
 
         release(result)
 
+    def strip_boilerplate(
+        self, df: DataFrame, min_words: int = 3,
+        min_alpha: float = 0.5, text_col: str = "text",
+    ) -> DataFrame:
+        """Strip nav/menu/separator lines from the text column (C19,
+        functions/text.keep_content_lines); rows whose text strips to ''
+        are kept here — use curate() for the dropping funnel stage."""
+        from vectrekker_spark.functions.text import keep_content_lines
+
+        return df.withColumn(
+            text_col,
+            keep_content_lines(text_col, min_words=min_words, min_alpha=min_alpha),
+        )
+
     def redact_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Replace emails/phones in `text_col` with placeholder tags
         (functions/text.redact_pii), in place of the original column."""

@@ -174,6 +174,73 @@ def dup_line_fraction(text: Column | str) -> Column:
     )
 
 
+def _is_content_line(line: Column, min_words: int, min_alpha: float) -> Column:
+    """Keep rule for one line: at least ``min_words`` words CONTAINING A
+    LETTER (symbol-only tokens like '»' or '|' never count — nav bars are
+    full of them) and an alphabetic-character ratio of at least
+    ``min_alpha`` (rules out separator/number/punctuation lines)."""
+    words = F.filter(
+        F.split(F.trim(line), " +"), lambda w: w.rlike("[A-Za-z]")
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(line, "[^A-Za-z]", "")).cast("double")
+        / F.greatest(F.length(line), F.lit(1))
+    )
+    return (F.size(words) >= min_words) & (alpha_ratio >= min_alpha)
+
+
+def keep_content_lines(
+    text: Column | str, min_words: int = 3, min_alpha: float = 0.5
+) -> Column:
+    """Line-level boilerplate strip (the jusText/trafilatura-shaped
+    heuristic, C19): drop navigation/menu/separator lines — short
+    link-texts ("Home", "Log in"), symbol bars, number runs — and keep
+    content lines, rejoined with '\\n'. Pure Catalyst higher-order
+    functions (filter lambda over split lines): a narrow JVM-side map
+    that survives 100 TB, and expressible verbatim in DuckDB
+    (list_filter + regexp_matches) for bit-exact oracle parity.
+
+    NULL text stays NULL (the engine-wide null rule); a document whose
+    every line is boilerplate becomes '' — callers decide whether empty
+    docs drop (curate() drops them, recorded in the funnel)."""
+    t = _c(text)
+    return F.when(
+        t.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.array_join(
+            F.filter(
+                F.split(t, "\n"),
+                lambda line: _is_content_line(line, min_words, min_alpha),
+            ),
+            "\n",
+        )
+    )
+
+
+def boilerplate_fraction(
+    text: Column | str, min_words: int = 3, min_alpha: float = 0.5
+) -> Column:
+    """Fraction of lines the keep_content_lines rule would DROP — the
+    doc-level gate companion (a page that is 90% nav chrome is itself a
+    low-quality doc even after stripping). NULL for NULL text."""
+    t = _c(text)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines, lambda line: _is_content_line(line, min_words, min_alpha)
+    )
+    # explicit NULL guard: size(NULL) is -1 under the engine's legacy
+    # sizeOfNull conf, which would "compute" a fraction of 2.0 for NULL
+    # text instead of NULL (the d26/size lesson)
+    return F.when(t.isNull(), F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.lit(1.0) - F.size(kept).cast("double") / F.greatest(
+                F.size(lines), F.lit(1)
+            ),
+            6,
+        )
+    )
+
+
 # PII scrubbing (north-star curation surface): regex redaction of the two
 # highest-frequency PII shapes in web corpora. Patterns are deliberately kept
 # to the syntax subset where Java regex (Spark) and RE2 (DuckDB) agree —
