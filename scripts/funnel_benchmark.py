@@ -112,6 +112,11 @@ def main() -> int:
     cfg = AssemblyConfig(
         curation=CurationConfig(
             embed=False,
+            # line-level boilerplate strip runs FIRST (C19, r10): the
+            # synthetic corpus is prose without nav chrome, so the stage
+            # mostly passes everything — what this proves is the
+            # COMPOSITION (cleaned text feeds every downstream hash/gate)
+            strip_boilerplate_min_words=3,
             min_quality=0.5,
             near_dup_threshold=0.7,
             semantic_dedup_threshold=0.95,
