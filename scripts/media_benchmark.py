@@ -162,9 +162,25 @@ def main() -> int:
         report["decoded_fraction"] = round(float(dec), 4)  # expect 1.0
 
         timed("resize", lambda: resize_images(images, factor=4), 2 * n_per_kind)
-        timed("image_meta", lambda: image_meta(media), total)
-        timed("audio_meta", lambda: audio_meta(media), total)
-        timed("video_meta", lambda: video_meta(media), total)
+        # count() alone would let Catalyst PRUNE the deterministic sniff
+        # UDF entirely (empirically confirmed: a raising UDF still counts
+        # fine) — filter on a sniffed column so every row's sniff actually
+        # executes, and the timing measures real work (r10 review finding)
+        timed(
+            "image_meta",
+            lambda: image_meta(media).where(F.col("img_format").isNotNull()),
+            total,
+        )
+        timed(
+            "audio_meta",
+            lambda: audio_meta(media).where(F.col("aud_rate").isNotNull()),
+            total,
+        )
+        timed(
+            "video_meta",
+            lambda: video_meta(media).where(F.col("vid_format").isNotNull()),
+            total,
+        )
         timed(
             "pcm_features",
             lambda: pcm_window_features(wavs, window=1024),

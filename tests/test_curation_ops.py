@@ -249,6 +249,11 @@ def test_keep_content_lines_duckdb_parity(spark):
         (4, "only-nav\nmenu"),
         (5, "word word word\n!!! ??? ***\nABC def GHI jkl"),
         (6, "   \n\t\nthe spaced out content line stays here\n|||"),
+        # non-Latin scripts are CONTENT (r10 review finding: an ASCII
+        # letter class stripped every Cyrillic/CJK doc to '')
+        (7, "Это хорошая статья о науке\n»\nMenu"),
+        # tab-separated words are words (the engine-wide \\s+ rule)
+        (8, "foo\tbar\tbaz all tab separated content"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -266,9 +271,9 @@ def test_keep_content_lines_duckdb_parity(spark):
         con.execute("INSERT INTO t VALUES (?, ?)", [d, t])
     keep = (
         "list_filter(string_split(text, chr(10)), l -> "
-        "len(list_filter(string_split_regex(trim(l), ' +'), "
-        "w -> regexp_matches(w, '[A-Za-z]'))) >= 3 "
-        "AND length(regexp_replace(l, '[^A-Za-z]', '', 'g')) * 1.0 "
+        "len(list_filter(string_split_regex(trim(l), '\\s+'), "
+        "w -> regexp_matches(w, '\\p{L}'))) >= 3 "
+        "AND length(regexp_replace(l, '[^\\p{L}]', '', 'g')) * 1.0 "
         "/ greatest(length(l), 1) >= 0.5)"
     )
     want = {
@@ -293,6 +298,8 @@ def test_keep_content_lines_duckdb_parity(spark):
     assert got[2] == (None, None)
     assert got[4][0] == "" and got[4][1] == 1.0
     assert got[5][0] == "word word word\nABC def GHI jkl"
+    assert got[7][0] == "Это хорошая статья о науке"  # Unicode letters count
+    assert got[8][0].startswith("foo\tbar")  # tabs separate words
 
 
 def test_curate_boilerplate_stage(spark):

@@ -376,6 +376,19 @@ class Engine:
         are kept here — use curate() for the dropping funnel stage."""
         from vectrekker_spark.functions.text import keep_content_lines
 
+        # the same run-START validation curate()/the CLI enforce: an
+        # out-of-range alpha silently blanks EVERY document and a
+        # negative min_words keeps the nav chrome the caller asked to
+        # strip (r10 review finding — the facade was the one unguarded
+        # entry point)
+        if min_words < 0:
+            raise ValueError(
+                f"strip_boilerplate: min_words must be >= 0, got {min_words}"
+            )
+        if not 0.0 <= min_alpha <= 1.0:
+            raise ValueError(
+                f"strip_boilerplate: min_alpha must be in [0, 1], got {min_alpha}"
+            )
         return df.withColumn(
             text_col,
             keep_content_lines(text_col, min_words=min_words, min_alpha=min_alpha),

@@ -177,13 +177,20 @@ def dup_line_fraction(text: Column | str) -> Column:
 def _is_content_line(line: Column, min_words: int, min_alpha: float) -> Column:
     """Keep rule for one line: at least ``min_words`` words CONTAINING A
     LETTER (symbol-only tokens like '»' or '|' never count — nav bars are
-    full of them) and an alphabetic-character ratio of at least
-    ``min_alpha`` (rules out separator/number/punctuation lines)."""
+    full of them) and a letter-character ratio of at least ``min_alpha``
+    (rules out separator/number/punctuation lines).
+
+    "Letter" is the UNICODE class \p{L} (Java and RE2 agree on it), not
+    ASCII [A-Za-z] — an ASCII rule silently classifies every non-Latin-
+    script document as 100% boilerplate (r10 review finding). Words split
+    on \s+, the engine-wide tokens() rule; NBSP-separated words still
+    read as one token — the same documented limitation tokens() carries
+    (Java/RE2 \s is ASCII whitespace)."""
     words = F.filter(
-        F.split(F.trim(line), " +"), lambda w: w.rlike("[A-Za-z]")
+        F.split(F.trim(line), r"\s+"), lambda w: w.rlike(r"\p{L}")
     )
     alpha_ratio = (
-        F.length(F.regexp_replace(line, "[^A-Za-z]", "")).cast("double")
+        F.length(F.regexp_replace(line, r"[^\p{L}]", "")).cast("double")
         / F.greatest(F.length(line), F.lit(1))
     )
     return (F.size(words) >= min_words) & (alpha_ratio >= min_alpha)
