@@ -1021,3 +1021,78 @@ def test_streaming_funnel_composition_equals_batch(spark, tmp_path):
         r.doc_id for r in batch_final.collect()
     )
     assert stage3.groupBy("source").count().where("count > 5").count() == 0
+
+
+def test_exact_dedup_compact_reclaims_null_text_redelivery(spark, tmp_path):
+    """r10: compact_exact_corpus makes ST8's documented id-distinct
+    compact real. A redelivered NULL-text row re-appends (no content key
+    to match on — the documented window); the compact reclaims it, the
+    bloom stays a valid superset, and a held claim refuses the compact."""
+    import os
+
+    from vectrekker_spark.streaming.jobs import (
+        _claim_compact,
+        compact_exact_corpus,
+        foreach_batch_exact_dedup,
+    )
+
+    src = tmp_path / "in_ec"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus_ec")
+    SCHEMA = "doc_id long, text string"
+
+    def run(name, rows, ck, in_dir=src):
+        # NOTE: each batch gets a FRESH file name — overwriting an
+        # existing batch dir in place creates new part files the
+        # checkpoint log has never seen, and a later run with the old
+        # checkpoint legitimately re-delivers those rows (a fixture
+        # artifact this test tripped over, not a product behavior)
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+        stream = spark.readStream.schema(SCHEMA).parquet(str(in_dir / "*"))
+        foreach_batch_exact_dedup(
+            stream, corpus, str(tmp_path / ck), text_col="text",
+            id_col="doc_id", expected_total=100,
+        ).awaitTermination()
+
+    b1 = [(1, "alpha content"), (2, None), (3, "beta content")]
+    run("b1", b1, "ck1")
+    assert spark.read.parquet(f"{corpus}/docs").count() == 3
+
+    # redeliver b1 via a fresh checkpoint AND a separate feed dir:
+    # content rows drop against their twins; the NULL-text row re-appends
+    # (documented at-least-once window)
+    re_dir = tmp_path / "in_ec_re"
+    re_dir.mkdir()
+    run("b1", b1, "ck1re", in_dir=re_dir)
+    docs = spark.read.parquet(f"{corpus}/docs")
+    assert docs.count() == 4
+    assert docs.where("doc_id = 2").count() == 2
+
+    # a held claim refuses the compact loudly
+    marker = _claim_compact(corpus)
+    try:
+        with pytest.raises(RuntimeError, match="compact already in progress"):
+            compact_exact_corpus(spark, corpus, id_col="doc_id")
+    finally:
+        os.remove(marker)
+
+    rep = compact_exact_corpus(spark, corpus, id_col="doc_id")
+    assert rep == {"docs_removed": 1}
+    assert not os.path.exists(marker)  # claim released
+    clean = spark.read.parquet(f"{corpus}/docs")
+    assert clean.count() == 3 and clean.where("doc_id = 2").count() == 1
+
+    # the untouched bloom stays a valid superset: a NEW batch with one
+    # old and one new content still admits exactly the new row
+    run("b2", [(4, "alpha content"), (5, "gamma content")], "ck1")
+    final = spark.read.parquet(f"{corpus}/docs")
+    assert final.count() == 4
+    assert final.where("doc_id = 5").count() == 1
+    assert final.where("doc_id = 4").count() == 0  # duplicate content dropped
+
+    # idempotent: a second compact on a clean corpus removes nothing
+    assert compact_exact_corpus(spark, corpus, id_col="doc_id") == {
+        "docs_removed": 0
+    }

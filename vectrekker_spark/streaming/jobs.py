@@ -445,6 +445,46 @@ def compact_near_dedup_corpus(
             os.remove(marker)
 
 
+def compact_exact_corpus(
+    spark: SparkSession, corpus_path: str, id_col: str = "doc_id"
+) -> dict[str, int]:
+    """Reclaim foreach_batch_exact_dedup's at-least-once redelivery
+    duplicates: the docstring's "id-distinct compact" made real (r10 —
+    the contract previously pointed at a compact that didn't exist for
+    ST8 corpora; compact_near_dedup_corpus rewrites a bands table these
+    corpora don't have). Only NULL-text rows can duplicate (a redelivered
+    content-bearing row matches its history twin in the verified join and
+    drops), so this is one id-distinct stage-then-swap over docs. The
+    content bloom is left untouched: a bloom that is a SUPERSET of docs
+    stays correct by the ST8 invariant (false positives cost verification
+    work, never correctness). Same enforced single-writer claim as the
+    sibling compacts."""
+    import contextlib
+    import os
+
+    from vectrekker_spark.pipeline import _atomic_replace
+
+    docs_path = os.path.join(corpus_path, "docs")
+    if not _parquet_has_data(docs_path):
+        return {"docs_removed": 0}
+    marker = _claim_compact(corpus_path)
+    df = None
+    try:
+        df = spark.read.parquet(docs_path).persist()
+        before = df.count()
+        clean = df.dropDuplicates([id_col])
+        removed = before - clean.count()
+        if removed:
+            _atomic_replace(clean, docs_path)
+            spark.catalog.refreshByPath(docs_path)
+        return {"docs_removed": removed}
+    finally:
+        if df is not None:
+            df.unpersist()
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(marker)
+
+
 def foreach_batch_semantic_dedup(
     stream: DataFrame,
     corpus_path: str,
@@ -661,9 +701,9 @@ def foreach_batch_exact_dedup(
     verification join drops exactly those already in docs. NULL-text rows
     always survive (NULL is not duplicate content, the engine-wide rule) —
     which also means a REDELIVERED null-text row re-appends (it has no
-    content key to match on); reclaim those with an id-distinct compact,
-    the same effective-idempotence contract as the ST7 docs table.
-    Returns the started query.
+    content key to match on); reclaim those with ``compact_exact_corpus``
+    (the id-distinct compact), the same effective-idempotence contract
+    as the ST7 docs table. Returns the started query.
     """
     import os
 
