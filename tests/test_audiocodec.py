@@ -258,18 +258,22 @@ def test_spectral_features_match_naive_dft():
     mags = np.array(mags)
     freqs = np.arange(window // 2 + 1) / window
     want_centroid = (mags * freqs).sum() / mags.sum()
-    cum = np.cumsum(mags)
-    want_rolloff = freqs[int(np.argmax(cum >= 0.85 * mags.sum()))]
-    power = mags * mags + 1e-30
+    # rolloff over ENERGY (squared magnitude) — the advice-r10 fix; the
+    # naive side mirrors the documented definition independently
+    naive_energy = mags * mags
+    cum = np.cumsum(naive_energy)
+    want_rolloff = freqs[int(np.argmax(cum >= 0.85 * naive_energy.sum()))]
+    power = naive_energy + 1e-30
     want_flat = np.exp(np.log(power).mean()) / power.mean()
 
     # the kernel path (same math the operator vectorizes)
     m = np.abs(np.fft.rfft(samples))
     got_centroid = (m * np.fft.rfftfreq(window)).sum() / m.sum()
+    e2 = m * m
     got_rolloff = np.fft.rfftfreq(window)[
-        int(np.argmax(np.cumsum(m) >= 0.85 * m.sum()))
+        int(np.argmax(np.cumsum(e2) >= 0.85 * e2.sum()))
     ]
-    p2 = m * m + 1e-30
+    p2 = e2 + 1e-30
     got_flat = np.exp(np.log(p2).mean()) / p2.mean()
 
     assert abs(got_centroid - want_centroid) < 1e-9
@@ -317,3 +321,27 @@ def test_spectral_out_of_int32_rate_skipped(spark):
     )
     df = spark.createDataFrame([(1, wav)], "media_id long, content binary")
     assert spectral_window_features(df, window=512).count() == 0
+
+
+def test_spectral_rolloff_is_energy_not_magnitude(spark):
+    """Advice r10 regression: a strong tone at k=10 plus a weak tone at
+    k=100 (amplitude ratio 0.3) puts 91.7% of the ENERGY but only 76.9%
+    of the MAGNITUDE in the strong bin — the documented energy rolloff
+    lands on the strong tone, a magnitude cumsum would land on the weak
+    one. Pins the definition the docstring states."""
+    import numpy as np
+
+    from vectrekker_spark.operators.multimodal import spectral_window_features
+
+    window = 1024
+    t = np.arange(window)
+    two_tone = 0.6 * np.sin(2 * np.pi * 10 * t / window) + 0.18 * np.sin(
+        2 * np.pi * 100 * t / window
+    )
+    pcm = (two_tone * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, pcm.tobytes())], "media_id long, content binary"
+    )
+    (row,) = spectral_window_features(df, window=window).collect()
+    assert abs(row.rolloff - 10 / window) < 1e-6  # energy: strong bin
+    assert abs(row.rolloff - 100 / window) > 0.05  # not the magnitude answer

@@ -281,3 +281,20 @@ def test_roundtrip_property_random_images():
         noisy = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
         out = jc.decode_jpeg(jc.encode_jpeg(noisy, quality=95))
         assert np.abs(out.astype(int) - noisy.astype(int)).mean() < 16
+
+
+def test_chunked_coefficient_flush_equals_single_scatter(monkeypatch):
+    """Advice r10: the entropy stage must bound its Python-object
+    accumulators. Shrinking _FLUSH_COEFFS forces many mid-scan flushes;
+    the decode must be bit-identical to the single-flush path because
+    each coefficient position is written at most once per scan."""
+    grad_enc = jc.encode_jpeg(
+        _gradient(48, 56), quality=85, subsampling="4:2:0", restart_interval=3
+    )
+    noisy = _rng(11).randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    noisy_enc = jc.encode_jpeg(noisy, quality=95)  # dense AC coefficients
+    grad_base = jc.decode_jpeg(grad_enc)
+    noisy_base = jc.decode_jpeg(noisy_enc)
+    monkeypatch.setattr(jc, "_FLUSH_COEFFS", 7)  # flush nearly every MCU
+    assert np.array_equal(grad_base, jc.decode_jpeg(grad_enc))
+    assert np.array_equal(noisy_base, jc.decode_jpeg(noisy_enc))

@@ -1096,3 +1096,98 @@ def test_exact_dedup_compact_reclaims_null_text_redelivery(spark, tmp_path):
     assert compact_exact_corpus(spark, corpus, id_col="doc_id") == {
         "docs_removed": 0
     }
+
+
+def test_write_boundary_compact_recheck_all_ingest_jobs(spark, tmp_path, monkeypatch):
+    """Advice r10: near-dedup/semantic/exact ingest must re-check the
+    compact claim at their WRITE boundary, not only at batch entry — a
+    compact claiming mid-batch must fail the micro-batch before any
+    append races the stage-then-swap. The wrapper lets the ENTRY check
+    pass, then plants the marker, so only a write-boundary re-check can
+    refuse; the corpus must stay unwritten."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from vectrekker_spark.streaming import jobs
+
+    real_refuse = jobs._refuse_if_compacting
+
+    def make_planting_refuse(corpus):
+        state = {"calls": 0}
+
+        def planted(path):
+            real_refuse(path)
+            state["calls"] += 1
+            if state["calls"] == 1:  # entry check passed: now claim
+                jobs._claim_compact(corpus)
+
+        return planted
+
+    SCHEMA = "doc_id long, text string"
+    VSCHEMA = "vec_id long, embedding array<double>"
+    cases = [
+        (
+            "near",
+            SCHEMA,
+            [(1, "alpha beta gamma delta")],
+            lambda stream, corpus, ck: jobs.foreach_batch_near_dedup(
+                stream, corpus, ck
+            ),
+        ),
+        (
+            "exact",
+            SCHEMA,
+            [(1, "alpha beta gamma delta")],
+            lambda stream, corpus, ck: jobs.foreach_batch_exact_dedup(
+                stream, corpus, ck
+            ),
+        ),
+        (
+            "sem",
+            VSCHEMA,
+            [(1, [1.0, 0.0])],
+            lambda stream, corpus, ck: jobs.foreach_batch_semantic_dedup(
+                stream, corpus, ck, id_col="vec_id", vec_col="embedding"
+            ),
+        ),
+        (
+            # semantic's null-vector early-return append is a second,
+            # separate write site — it must re-check too
+            "semnull",
+            VSCHEMA,
+            [(1, None)],
+            lambda stream, corpus, ck: jobs.foreach_batch_semantic_dedup(
+                stream, corpus, ck, id_col="vec_id", vec_col="embedding"
+            ),
+        ),
+    ]
+    for name, schema, rows, start in cases:
+        src = tmp_path / f"in_{name}"
+        src.mkdir()
+        corpus = str(tmp_path / f"corpus_{name}")
+        os.makedirs(corpus)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+        monkeypatch.setattr(
+            jobs, "_refuse_if_compacting", make_planting_refuse(corpus)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        with pytest.raises(StreamingQueryException, match="compact in progress"):
+            start(stream, corpus, str(tmp_path / f"ck_{name}")).awaitTermination()
+        # nothing was appended under the claim
+        for sub in ("docs", "kept"):
+            d = os.path.join(corpus, sub)
+            assert not jobs._parquet_has_data(d), (name, sub)
+        # after release + restore, the retried batch lands
+        os.remove(os.path.join(corpus, jobs._COMPACT_MARKER))
+        monkeypatch.setattr(jobs, "_refuse_if_compacting", real_refuse)
+        start(
+            stream, corpus, str(tmp_path / f"ck2_{name}")
+        ).awaitTermination()
+        wrote = any(
+            jobs._parquet_has_data(os.path.join(corpus, sub))
+            for sub in ("docs", "kept")
+        )
+        assert wrote, name

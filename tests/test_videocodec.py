@@ -204,3 +204,21 @@ def test_y4m_bound_is_working_set_aware():
     hdr = b"YUV4MPEG2 W5592 H4000 F25:1 C444\n"
     with pytest.raises(ValueError, match="micro-parser bound"):
         vc.parse_y4m_header(hdr)
+
+
+def test_frame_walk_bound_raises_not_silently_clips(monkeypatch):
+    """Advice r10: hitting _MAX_FRAMES must raise like the parser's other
+    bounds — a silently clipped n_frames is indistinguishable from a
+    complete inventory value. sniff_video_meta classifies it to None;
+    a stream AT the bound still sniffs completely."""
+    import vectrekker_spark.functions.videocodec as vc
+
+    frames = [np.zeros((2, 2, 3), dtype=np.uint8)] * 4
+    enc = vc.encode_y4m(frames)
+    monkeypatch.setattr(vc, "_MAX_FRAMES", 3)
+    with pytest.raises(ValueError, match="frame-count walk bound"):
+        list(vc.iter_y4m_frames(enc))
+    assert vc.sniff_video_meta(enc) is None  # classified, not clipped
+    monkeypatch.setattr(vc, "_MAX_FRAMES", 4)
+    m = vc.sniff_video_meta(enc)
+    assert m is not None and m["n_frames"] == 4

@@ -30,7 +30,11 @@ straight off the SOF header, BEFORE any allocation or entropy decode, and
 the per-segment parse never trusts a length field beyond the payload —
 but the JPEG bound is MAX_JPEG_PIXEL_BYTES (MAX_DECODED_BYTES/8) because
 this pipeline's float32 working set is ~12-16 bytes per output byte where
-PNG's is ~2 (see the constant's comment). Malformed input raises
+PNG's is ~2 (see the constant's comment); the entropy stage's Python-object
+coefficient accumulators are chunk-flushed at _FLUSH_COEFFS so a crafted
+all-nonzero scan cannot grow them past ~20 MB/component (advice finding
+r10 — they previously held every coefficient to end-of-scan, ~5x the
+documented bound on a dense bound-passing file). Malformed input raises
 ValueError (a classification outcome for decode_image_array), never
 MemoryError — fuzz-verified over every truncation point and single-byte
 flip of a real fixture.
@@ -453,6 +457,27 @@ def _entropy_segments(content: bytes, start: int) -> list[bytes]:
     return segs
 
 
+# Coefficient-accumulator flush threshold: bounds the per-component
+# Python-object working set of the entropy loop (~36 bytes/coefficient
+# across the three lists) to ~20 MB regardless of how dense a crafted
+# scan is. Tests shrink it to force multi-flush paths.
+_FLUSH_COEFFS = 512 * 1024
+
+
+def _flush_coeffs(c: dict) -> None:
+    """Scatter + dequant a component's accumulated (block-offset,
+    zigzag-index, raw-value) lists into its coefficient buffer and clear
+    them. Each position is written at most once per scan, so flushing in
+    chunks is exactly equivalent to one end-of-scan scatter."""
+    if c["offs"]:
+        ks_arr = np.array(c["ks"], dtype=np.int64)
+        flat = c["coef"].reshape(-1)
+        flat[np.array(c["offs"], dtype=np.int64) + ZIGZAG[ks_arr]] = (
+            np.array(c["vals"], dtype=np.float32) * c["qt"][ks_arr]
+        )
+    c["offs"], c["ks"], c["vals"] = [], [], []
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG to an (H, W, C) uint8 array
     (C=1 grayscale, C=3 RGB via the JFIF YCbCr transform)."""
@@ -495,9 +520,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     reader = _BitReader(segments[0])
     mcu = 0
     # the entropy loop is pure-Python ints: coefficients accumulate into
-    # (block-offset, zigzag-index, value) lists and ONE vectorized
-    # scatter + dequant per component runs after the scan — per-
-    # coefficient numpy scalar writes were the decode's hottest line
+    # (block-offset, zigzag-index, value) lists and a vectorized
+    # scatter + dequant flushes them into the numpy coefficient buffer —
+    # per-coefficient numpy scalar writes were the decode's hottest line.
+    # The flush runs whenever a component's accumulator crosses
+    # _FLUSH_COEFFS (each position is written at most once, so chunked
+    # flushing ≡ one end-of-scan scatter), which caps the Python-object
+    # working set at ~20 MB/component for ANY input density — a crafted
+    # all-nonzero JPEG at the pixel cap would otherwise hold ~8.4M boxed
+    # ints per list, ~5x the documented memory bound (advice finding r10)
     for c in comps:
         c["offs"], c["ks"], c["vals"] = [], [], []
         c["blkcols"] = mcux * c["hs"]
@@ -513,6 +544,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in comps:
                 dc_t, ac_t = c["dc"], c["ac"]
                 offs, ks, vals = c["offs"], c["ks"], c["vals"]
+                if len(offs) >= _FLUSH_COEFFS:
+                    _flush_coeffs(c)
+                    offs, ks, vals = c["offs"], c["ks"], c["vals"]
                 pred = c["pred"]
                 for by in range(c["vs"]):
                     for bx in range(c["hs"]):
@@ -549,14 +583,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             mcu += 1
 
     for c in comps:
-        # one scatter + dequant per component: position = block*64 +
-        # natural index; value = raw * qt[zigzag index]
-        if c["offs"]:
-            ks_arr = np.array(c["ks"], dtype=np.int64)
-            flat = c["coef"].reshape(-1)
-            flat[np.array(c["offs"], dtype=np.int64) + ZIGZAG[ks_arr]] = (
-                np.array(c["vals"], dtype=np.float32) * c["qt"][ks_arr]
-            )
+        _flush_coeffs(c)
 
     planes = []
     t = _DCT_T.astype(np.float32)

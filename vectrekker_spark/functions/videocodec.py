@@ -152,12 +152,19 @@ def iter_y4m_frames(content: bytes):
     only the FRAME marker lines — O(n_frames) header probes, no pixel
     reads. Raises ValueError on a malformed marker; a final frame whose
     data is truncated is NOT yielded (classify-don't-crash: trailing
-    garbage ends the stream)."""
+    garbage ends the stream). A stream with more frames than the
+    _MAX_FRAMES walk bound raises like the parser's other bounds —
+    silently stopping would report a truncated n_frames/duration as if it
+    were complete (advice finding r10)."""
     params, pos = parse_y4m_header(content)
     fsize = _frame_bytes(params)
     n = len(content)
     i = 0
-    while pos < n and i < _MAX_FRAMES:
+    while pos < n:
+        if i >= _MAX_FRAMES:
+            raise ValueError(
+                "y4m stream exceeds the frame-count walk bound"
+            )
         if content[pos : pos + 5] != b"FRAME":
             raise ValueError("y4m frame marker desync")
         nl = content.find(b"\n", pos, pos + _MAX_HEADER_LINE)

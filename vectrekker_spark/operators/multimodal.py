@@ -369,15 +369,23 @@ def spectral_window_features(
                 total = mag.sum(axis=1)
                 silent = total == 0
                 safe_total = np.where(silent, 1.0, total)
+                # centroid: magnitude-weighted mean frequency (the
+                # librosa/standard convention)
                 cent = (mag * freqs).sum(axis=1) / safe_total
-                # rolloff: smallest normalized freq holding 85% of energy
-                cum = np.cumsum(mag, axis=1)
-                roll_idx = np.argmax(cum >= 0.85 * safe_total[:, None], axis=1)
+                # rolloff: smallest normalized freq holding 85% of ENERGY
+                # (squared magnitude — advice finding r10: the magnitude
+                # cumsum this previously used is a different statistic
+                # from the documented energy rolloff)
+                energy = mag * mag
+                etotal = energy.sum(axis=1)
+                safe_etotal = np.where(silent, 1.0, etotal)
+                cum = np.cumsum(energy, axis=1)
+                roll_idx = np.argmax(cum >= 0.85 * safe_etotal[:, None], axis=1)
                 roll = freqs[roll_idx]
                 # flatness: geometric/arithmetic mean of the power
                 # spectrum; the epsilon keeps log finite on exact-zero
                 # bins without moving non-silent values measurably
-                power = mag * mag + 1e-30
+                power = energy + 1e-30
                 flat = np.exp(np.log(power).mean(axis=1)) / power.mean(axis=1)
                 cent = np.where(silent, 0.0, cent)
                 roll = np.where(silent, 0.0, roll)

@@ -383,6 +383,11 @@ def foreach_batch_near_dedup(
             # against its own write)
             fresh = fresh.persist()
             try:
+                # re-check the claim at the write boundary (the quota-job
+                # idiom): a compact that claimed AFTER this batch's entry
+                # check would otherwise race its stage-then-swap against
+                # the whole compute duration of the appends below
+                _refuse_if_compacting(corpus_path)
                 fresh.write.mode("append").parquet(docs_path)
                 # survivor bands = the batch bands filtered to survivors —
                 # no third signature pass
@@ -411,11 +416,15 @@ def compact_near_dedup_corpus(
     rows are byte-identical payloads — any survivor is THE row) and
     repeated (id, band, band_hash) rows from the band index, rewriting
     both tables with the stage-then-swap used everywhere else. Returns
-    removed-row counts. Single-writer contract, ENFORCED via the shared
+    removed-row counts. Single-writer contract via the shared
     create-exclusive _COMPACT_IN_PROGRESS marker: a concurrent compact
-    fails loudly at the claim and an ingesting micro-batch arriving
-    mid-compact fails (the checkpoint retries after release) instead of
-    racing the swap."""
+    fails loudly at the claim, and an ingesting micro-batch checks the
+    marker at batch START and again at its WRITE boundary, failing (the
+    checkpoint retries after release) instead of racing the swap. As with
+    compact_quota_corpus, the marker cannot see a batch mid-flight
+    BETWEEN its two checks when the compact claims — that window is
+    narrow but not zero, so "don't start a compact under a live ingest
+    stream" remains the operator-side contract."""
     import contextlib
     import os
 
@@ -567,6 +576,7 @@ def foreach_batch_semantic_dedup(
                     # nothing to fit against or score; null-vector rows
                     # append verbatim (kept, cid NULL) and the quantizer
                     # waits for the first scorable batch
+                    _refuse_if_compacting(corpus_path)  # re-check at write
                     batch.withColumn("cid", F.lit(None).cast("long")).write.mode(
                         "append"
                     ).partitionBy("cid").parquet(kept_path)
@@ -610,6 +620,9 @@ def foreach_batch_semantic_dedup(
                     dec.where(F.col("keep")).select(id_col, "cid"),
                     id_col, "inner",
                 )
+                # re-check the claim at the write boundary (quota idiom):
+                # a compact claiming mid-batch must not race the append
+                _refuse_if_compacting(corpus_path)
                 survivors.write.mode("append").partitionBy("cid").parquet(
                     kept_path
                 )
@@ -637,9 +650,11 @@ def compact_semantic_corpus(
     and those all live in the kept table's NULL-cid partition — so only
     that one partition directory is rewritten (stage-then-swap); the
     cid-partitioned scorable data is never touched. Returns the
-    removed-row count. Single-writer contract, ENFORCED via the shared
-    create-exclusive _COMPACT_IN_PROGRESS marker (see
-    compact_quota_corpus for the protocol)."""
+    removed-row count. Single-writer contract via the shared
+    create-exclusive _COMPACT_IN_PROGRESS marker; ingest batches check it
+    at batch start and at their write boundary (see compact_quota_corpus
+    for the protocol and the residual mid-flight window, which remains
+    the operator-side "no compact under a live stream" contract)."""
     import contextlib
     import os
 
@@ -761,6 +776,9 @@ def foreach_batch_exact_dedup(
                     )
                 else:
                     bloom = bloom_add(bloom, fresh, text_col)
+                # re-check the claim at the write boundary (quota idiom):
+                # a compact claiming mid-batch must not race the writes
+                _refuse_if_compacting(corpus_path)
                 # bloom FIRST, docs second (the superset invariant above)
                 bloom_save(bloom, bloom_path)
                 fresh.write.mode("append").parquet(docs_path)
