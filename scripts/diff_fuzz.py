@@ -1,0 +1,820 @@
+"""Seeded differential-testing harness: random relational plans, Spark vs
+DuckDB (VERDICT r10 #1 — the correctness frontier past the fixed 50-query
+registry).
+
+The fixed registry and the hand-written property tests pin the operators the
+builder THOUGHT to test; this harness explores the combinatorial plan space
+they don't reach: join type (inner/left/right/full/exists/not-exists) ×
+NULL-boundary predicates (base tables have no NULLs, so the generator
+MANUFACTURES them — NULLIF-injected keys, filtered-subquery outer joins whose
+unmatched side goes NULL, lag/lead frame edges) × aggregate / window /
+rollup-cube shapes × set ops × LIMIT.
+
+Every generated query follows the SURVEY §2.3 canonicalization rules so a
+hash-match is meaningful in BOTH engines from one SQL string:
+
+- doubles never enter an order-dependent aggregate raw: SUM/MIN/MAX over a
+  double column always goes through CAST(col AS DECIMAL(18,6)) (the testdata
+  doubles are exact at 6 decimals, so the input cast is lossless — and input
+  casts are the safe direction, per the verify-skill gotcha about computed
+  doubles);
+- AVG and division are never generated (Spark's decimal-scale arithmetic vs
+  DuckDB's double division differ past the comparison tolerance);
+- ORDER BY is positional over ALL output columns with explicit NULLS FIRST
+  (the two engines default NULL order differently), so LIMIT is always cut
+  on a total order — boundary ties are byte-identical rows, multiset-safe;
+- window ORDER BY keys append every source table's full unique key, so
+  lag/lead/frames are deterministic under any join type (each output row of
+  any join is identified by the tuple of its sides' keys, NULLs included).
+
+Usage:
+    PYTHONPATH=/root/repo python scripts/diff_fuzz.py [--sf DIR] [--n 250]
+        [--seed 11] [--keep-going]
+
+Exit 0 iff every generated plan matches (rows + columns + values). On a
+mismatch or a one-engine error, the harness MINIMIZES the query (drop
+set-op branch / WHERE / HAVING / LIMIT / trailing joins / select columns,
+unwrap filtered subqueries — each reduction kept only while the disagreement
+persists) and writes the minimized repro + metadata to
+.fuzz_failures/seed{S}_q{K}.sql for promotion into a committed regression.
+
+The CI pin (tests/test_diff_fuzz.py) runs a fixed seed at fixture scale so
+the generator itself can't drift silently.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --------------------------------------------------------------------------
+# Schema metadata (matches TESTDATA.md). text/props are deliberately out:
+# long free text adds compare bulk without plan-space value, and JSON/regex
+# functions are dialect-divergent (they have dedicated oracle rows).
+
+TABLES = {
+    "customer": dict(
+        keys=["c_custkey"],
+        ints=["c_custkey", "c_nationkey"],
+        decs=["c_acctbal"],
+        strs=["c_name", "c_mktsegment"],
+        tss=[],
+    ),
+    "orders": dict(
+        keys=["o_orderkey"],
+        ints=["o_orderkey", "o_custkey"],
+        decs=["o_totalprice"],
+        strs=["o_orderstatus", "o_orderpriority"],
+        tss=["o_orderdate"],
+    ),
+    "lineitem": dict(
+        # NOT TPC-H's (orderkey, linenumber): the synthetic testdata
+        # duplicates that pair — probe_stats VERIFIES every key set and
+        # window shapes refuse tables whose declared key doesn't hold
+        keys=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        ints=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        decs=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        strs=["l_returnflag", "l_linestatus"],
+        tss=["l_shipdate"],
+    ),
+    "nation": dict(
+        keys=["n_nationkey"],
+        ints=["n_nationkey", "n_regionkey"],
+        decs=[],
+        strs=["n_name"],
+        tss=[],
+    ),
+    "region": dict(
+        keys=["r_regionkey"], ints=["r_regionkey"], decs=[], strs=["r_name"], tss=[]
+    ),
+    "supplier": dict(
+        keys=["s_suppkey"],
+        ints=["s_suppkey", "s_nationkey"],
+        decs=["s_acctbal"],
+        strs=["s_name"],
+        tss=[],
+    ),
+    "part": dict(
+        keys=["p_partkey"],
+        ints=["p_partkey", "p_size"],
+        decs=["p_retailprice"],
+        strs=["p_name", "p_brand", "p_type"],
+        tss=[],
+    ),
+    "events": dict(
+        keys=["event_id"],
+        ints=["event_id", "user_id"],
+        decs=["value"],
+        strs=["event_type"],
+        tss=["ts"],
+    ),
+    "documents": dict(
+        keys=["doc_id"],
+        ints=["doc_id", "n_chars"],
+        decs=[],
+        strs=["lang", "source"],
+        tss=[],
+    ),
+}
+
+# FK-ish edges (child_col = parent_col); the generator walks this graph
+EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+JOIN_TYPES = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+SET_OPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
+
+
+def probe_stats(con) -> dict:
+    """Per-column value ranges / samples so predicate constants are
+    plausible at any SF (a fuzz predicate that matches nothing tests
+    little)."""
+    stats: dict = {}
+    for t, meta in TABLES.items():
+        s: dict = {"int": {}, "dec": {}, "str": {}, "ts": {}}
+        # verify the declared unique key against THIS dataset — window
+        # determinism (and therefore hash-match) depends on it; a table
+        # whose key doesn't hold is excluded from window sources
+        kexpr = "(" + ", ".join(meta["keys"]) + ")"
+        n, nd = con.execute(
+            f"SELECT count(*), count(DISTINCT {kexpr}) FROM {t}"
+        ).fetchone()
+        s["unique_ok"] = n == nd
+        for c in meta["ints"]:
+            lo, hi = con.execute(f"SELECT min({c}), max({c}) FROM {t}").fetchone()
+            s["int"][c] = (int(lo), int(hi))
+        for c in meta["decs"]:
+            lo, hi = con.execute(f"SELECT min({c}), max({c}) FROM {t}").fetchone()
+            s["dec"][c] = (float(lo), float(hi))
+        for c in meta["strs"]:
+            vals = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT DISTINCT {c} FROM {t} ORDER BY 1 LIMIT 8"
+                ).fetchall()
+            ]
+            s["str"][c] = vals
+        for c in meta["tss"]:
+            lo, hi = con.execute(
+                f"SELECT year(min({c})), year(max({c})) FROM {t}"
+            ).fetchone()
+            s["ts"][c] = (int(lo), int(hi))
+        stats[t] = s
+    return stats
+
+
+def _lit_str(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+class Gen:
+    """One seeded query generator. Every random draw goes through
+    self.rng so a seed fully determines the query stream."""
+
+    def __init__(self, rng: random.Random, stats: dict):
+        self.rng = rng
+        self.stats = stats
+
+    # ---------------- source (FROM clause) ----------------
+
+    def source(self) -> dict:
+        rng = self.rng
+        n_tables = rng.choice([1, 1, 2, 2, 2, 3])
+        parts = []  # (alias, table, subfilter-or-None)
+        joins = []  # (join type, new alias, new col, old alias, old col)
+        t0 = rng.choice(list(TABLES))
+        parts.append(["t0", t0, None])
+        used = {t0: "t0"}
+        for i in range(1, n_tables):
+            cand = [
+                e
+                for e in EDGES
+                if (e[0] in used) != (e[2] in used)  # connects exactly one new
+            ]
+            if not cand:
+                break
+            c_t, c_c, p_t, p_c = rng.choice(cand)
+            if c_t in used:
+                new_t, new_c, old_a, old_c = p_t, p_c, used[c_t], c_c
+            else:
+                new_t, new_c, old_a, old_c = c_t, c_c, used[p_t], p_c
+            alias = f"t{i}"
+            parts.append([alias, new_t, None])
+            used[new_t] = alias
+            joins.append([rng.choice(JOIN_TYPES), alias, new_c, old_a, old_c])
+        # filtered subqueries manufacture unmatched rows → outer-join NULLs
+        for p in parts:
+            if self.rng.random() < 0.35:
+                p[2] = self.predicate(p[1], None)
+        return {"parts": parts, "joins": joins}
+
+    def _aliased_cols(self, src: dict, kind: str) -> list[tuple[str, str]]:
+        out = []
+        for alias, table, _ in src["parts"]:
+            for c in TABLES[table][kind]:
+                out.append((f"{alias}.{c}", table))
+        return out
+
+    # ---------------- scalar expressions ----------------
+
+    def int_expr(self, src: dict) -> str:
+        rng = self.rng
+        cols = self._aliased_cols(src, "ints")
+        strs = self._aliased_cols(src, "strs")
+        tss = self._aliased_cols(src, "tss")
+        roll = rng.random()
+        if roll < 0.35 or (not strs and not tss and roll < 0.6):
+            c, _ = rng.choice(cols)
+            return rng.choice(
+                [c, f"{c} % {rng.randint(2, 12)}", f"abs({c} - {rng.randint(1, 40)})"]
+            )
+        if roll < 0.5:
+            c, _ = rng.choice(cols)
+            k = rng.randint(3, 9)
+            return f"NULLIF({c} % {k}, {rng.randint(0, k - 1)})"  # NULL injector
+        if roll < 0.7 and strs:
+            c, _ = rng.choice(strs)
+            return f"length({c})"
+        if tss and roll < 0.85:
+            c, _ = rng.choice(tss)
+            return rng.choice([f"year({c})", f"month({c})"])
+        c, _ = rng.choice(cols)
+        p = self.predicate_simple_int(c)
+        return f"CASE WHEN {p} THEN 1 ELSE 0 END"
+
+    def dec_expr(self, src: dict) -> str | None:
+        cols = self._aliased_cols(src, "decs")
+        if not cols:
+            return None
+        c, _ = self.rng.choice(cols)
+        base = f"CAST({c} AS DECIMAL(18,6))"
+        if self.rng.random() < 0.3:
+            return f"{base} * {self.rng.randint(2, 5)}"
+        return base
+
+    def str_expr(self, src: dict) -> str | None:
+        cols = self._aliased_cols(src, "strs")
+        if not cols:
+            return None
+        c, _ = self.rng.choice(cols)
+        return self.rng.choice(
+            [
+                c,
+                f"lower({c})",
+                f"upper({c})",
+                f"substr({c}, 1, {self.rng.randint(1, 6)})",
+                f"NULLIF(substr({c}, 1, 1), {self._str_first_char(c)})",
+                f"{c} || '_x'",
+            ]
+        )
+
+    def _str_first_char(self, aliased: str) -> str:
+        # a first-char constant that actually occurs, so NULLIF really nulls
+        col = aliased.split(".")[1]
+        for t, s in self.stats.items():
+            if col in s["str"] and s["str"][col]:
+                v = self.rng.choice(s["str"][col])
+                if v:
+                    return _lit_str(v[0])
+        return "'A'"
+
+    # ---------------- predicates ----------------
+
+    def predicate_simple_int(self, aliased: str) -> str:
+        col = aliased.split(".")[-1]
+        rng = self.rng
+        lo, hi = 0, 100
+        for t, s in self.stats.items():
+            if col in s["int"]:
+                lo, hi = s["int"][col]
+                break
+        a = rng.randint(lo, max(lo, hi))
+        b = rng.randint(a, max(a, hi))
+        return rng.choice(
+            [
+                f"{aliased} < {b}",
+                f"{aliased} >= {a}",
+                f"{aliased} BETWEEN {a} AND {b}",
+                f"{aliased} % {rng.randint(2, 7)} = {rng.randint(0, 1)}",
+                f"{aliased} <> {a}",
+            ]
+        )
+
+    def predicate(self, table: str, alias: str | None) -> str:
+        """One predicate over a single table's raw columns (for subquery
+        filters) — alias=None renders bare column names."""
+        rng = self.rng
+        meta = TABLES[table]
+        s = self.stats[table]
+
+        def q(c):
+            return f"{alias}.{c}" if alias else c
+
+        choices = []
+        for c in meta["ints"]:
+            choices.append(lambda c=c: self.predicate_simple_int(q(c)))
+        for c in meta["strs"]:
+            vals = s["str"][c]
+            if vals:
+                choices.append(
+                    lambda c=c, vals=vals: rng.choice(
+                        [
+                            f"{q(c)} IN ({', '.join(_lit_str(v) for v in rng.sample(vals, min(len(vals), rng.randint(1, 3))))})",
+                            f"{q(c)} LIKE {_lit_str('%' + _alnum(rng.choice(vals), rng) + '%')}",
+                            f"{q(c)} >= {_lit_str(rng.choice(vals))}",
+                        ]
+                    )
+                )
+        for c in meta["decs"]:
+            lo, hi = s["dec"][c]
+            choices.append(
+                lambda c=c, lo=lo, hi=hi: f"{q(c)} {rng.choice(['<', '>=', '<='])} {round(rng.uniform(lo, hi), 3)}"
+            )
+        for c in meta["tss"]:
+            lo, hi = s["ts"][c]
+            choices.append(
+                lambda c=c, lo=lo, hi=hi: f"year({q(c)}) {rng.choice(['=', '<=', '>'])} {rng.randint(lo, hi)}"
+            )
+        p = rng.choice(choices)()
+        if rng.random() < 0.2:
+            p2 = rng.choice(choices)()
+            p = f"({p} {rng.choice(['AND', 'OR'])} {p2})"
+        if rng.random() < 0.1:
+            p = f"NOT ({p})"
+        return p
+
+    def where(self, src: dict, nullable_ints: list[str]) -> str | None:
+        rng = self.rng
+        preds = []
+        n = rng.choice([0, 1, 1, 1, 2])
+        for _ in range(n):
+            roll = rng.random()
+            if roll < 0.25 and nullable_ints:
+                c = rng.choice(nullable_ints)
+                preds.append(f"{c} IS {rng.choice(['NULL', 'NOT NULL'])}")
+            else:
+                alias, table, _ = rng.choice(src["parts"])
+                preds.append(self.predicate(table, alias))
+        if rng.random() < 0.25:
+            preds.append(self.exists_pred(src))
+        if not preds:
+            return None
+        return f" {self.rng.choice(['AND', 'AND', 'OR'])} ".join(preds)
+
+    def exists_pred(self, src: dict) -> str:
+        """Correlated [NOT] EXISTS — the semi/anti-join plan space."""
+        rng = self.rng
+        # find an edge touching a source table
+        cand = []
+        for alias, table, _ in src["parts"]:
+            for c_t, c_c, p_t, p_c in EDGES:
+                if c_t == table:
+                    cand.append((alias, c_c, p_t, p_c))
+                if p_t == table:
+                    cand.append((alias, p_c, c_t, c_c))
+        if not cand:
+            alias, table, _ = src["parts"][0]
+            return self.predicate(table, alias)
+        alias, my_c, other_t, other_c = rng.choice(cand)
+        extra = ""
+        if rng.random() < 0.5:
+            extra = f" AND {self.predicate(other_t, 'x')}"
+        neg = "NOT " if rng.random() < 0.4 else ""
+        return (
+            f"{neg}EXISTS (SELECT 1 FROM {other_t} x "
+            f"WHERE x.{other_c} = {alias}.{my_c}{extra})"
+        )
+
+    # ---------------- aggregates / windows ----------------
+
+    def agg_exprs(self, src: dict) -> list[str]:
+        rng = self.rng
+        out = ["COUNT(*)"]
+        for _ in range(rng.randint(1, 3)):
+            roll = rng.random()
+            d = self.dec_expr(src)
+            if roll < 0.3 and d:
+                out.append(f"SUM({d})")
+            elif roll < 0.45:
+                out.append(f"SUM({self.int_expr(src)})")
+            elif roll < 0.6:
+                e = self.str_expr(src) or self.int_expr(src)
+                out.append(f"COUNT(DISTINCT {e})")
+            elif roll < 0.75:
+                out.append(f"MIN({self.int_expr(src)})")
+            elif roll < 0.9 and d:
+                out.append(f"MAX({d})")
+            else:
+                e = self.str_expr(src) or self.int_expr(src)
+                out.append(f"MAX({e})")
+        return out
+
+    def group_keys(self, src: dict, n: int) -> list[str]:
+        out = []
+        for _ in range(n):
+            roll = self.rng.random()
+            if roll < 0.45:
+                e = self.str_expr(src)
+                out.append(e if e else self.int_expr(src))
+            else:
+                out.append(self.int_expr(src))
+        return out
+
+    def window_keys(self, src: dict) -> str:
+        """Deterministic total window order: every source table's full
+        unique key, NULLS FIRST (unique per output row under ANY join —
+        each row is identified by the tuple of its sides' keys)."""
+        keys = []
+        for alias, table, _ in src["parts"]:
+            for k in TABLES[table]["keys"]:
+                keys.append(f"{alias}.{k} ASC NULLS FIRST")
+        return ", ".join(keys)
+
+
+def _alnum(s: str, rng: random.Random) -> str:
+    core = "".join(ch for ch in s if ch.isalnum())
+    if not core:
+        return "x"
+    i = rng.randint(0, max(0, len(core) - 3))
+    return core[i : i + rng.randint(1, 3)]
+
+
+# --------------------------------------------------------------------------
+# Query spec construction + rendering
+
+
+def build_query(rng: random.Random, stats: dict) -> dict:
+    g = Gen(rng, stats)
+    src = g.source()
+    shape = rng.choice(["project", "project", "agg", "agg", "rollup", "window"])
+    if shape == "window" and not all(
+        stats[table]["unique_ok"] for _, table, _ in src["parts"]
+    ):
+        shape = "project"  # no verified total window order available
+    q: dict = {"src": src, "shape": shape, "limit": rng.choice([100, 500, 2000])}
+
+    nullable_ints = []
+    # columns that can be NULL post-join: any column of a table on the
+    # non-preserved side of an outer join (approximate: any joined table
+    # when an outer join exists anywhere — safe for IS NULL predicates)
+    if any(j[0] != "JOIN" for j in src["joins"]):
+        for alias, table, _ in src["parts"][1:]:
+            for c in TABLES[table]["ints"][:2]:
+                nullable_ints.append(f"{alias}.{c}")
+
+    q["where"] = g.where(src, nullable_ints)
+
+    if shape == "project":
+        n = rng.randint(2, 5)
+        exprs = []
+        for _ in range(n):
+            roll = rng.random()
+            e = None
+            if roll < 0.4:
+                e = g.int_expr(src)
+            elif roll < 0.65:
+                e = g.str_expr(src)
+            elif roll < 0.85:
+                e = g.dec_expr(src)
+            if e is None:
+                e = g.int_expr(src)
+            exprs.append(e)
+        if rng.random() < 0.3:
+            exprs.append(f"COALESCE({g.int_expr(src)}, -1)")
+        q["select"] = exprs
+    elif shape == "agg":
+        keys = g.group_keys(src, rng.choice([0, 1, 1, 2]))
+        aggs = g.agg_exprs(src)
+        q["group"] = keys
+        q["select"] = keys + aggs
+        q["having"] = (
+            f"COUNT(*) {rng.choice(['>', '>='])} {rng.randint(1, 4)}"
+            if (keys and rng.random() < 0.4)
+            else None
+        )
+    elif shape == "rollup":
+        keys = g.group_keys(src, 2)
+        aggs = g.agg_exprs(src)[:2]
+        op = rng.choice(["ROLLUP", "CUBE"])
+        q["rollup_op"] = op
+        q["group"] = keys
+        # GROUPING() disambiguates a NULL group value from a subtotal row
+        q["select"] = keys + [f"GROUPING({k})" for k in keys] + aggs
+    else:  # window
+        part = g.int_expr(src)
+        okeys = g.window_keys(src)
+        wins = [f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {okeys})"]
+        if rng.random() < 0.6:
+            e = g.int_expr(src)
+            wins.append(
+                f"LAG({e}, 1) OVER (PARTITION BY {part} ORDER BY {okeys})"
+            )
+        d = g.dec_expr(src)
+        if d and rng.random() < 0.5:
+            wins.append(
+                f"SUM({d}) OVER (PARTITION BY {part} ORDER BY {okeys} "
+                f"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+            )
+        base = [g.int_expr(src), g.str_expr(src) or g.int_expr(src)]
+        q["select"] = base + wins
+
+    # set-op branch: same shape, mutated constants (compatible schema by
+    # construction — identical select list, different WHERE)
+    if shape in ("project", "agg") and rng.random() < 0.25:
+        g2 = Gen(rng, stats)
+        q["setop"] = {
+            "op": rng.choice(SET_OPS),
+            "where": g2.where(src, nullable_ints),
+        }
+    return q
+
+
+def render(q: dict, *, branch_where: str | None = "__USE_MAIN__") -> str:
+    src = q["src"]
+    from_parts = []
+    for alias, table, filt in src["parts"]:
+        if filt:
+            from_parts.append((alias, f"(SELECT * FROM {table} WHERE {filt})"))
+        else:
+            from_parts.append((alias, table))
+    sql_from = f"{from_parts[0][1]} {from_parts[0][0]}"
+    by_alias = dict(from_parts)
+    for jt, alias, col, o_alias, o_col in src["joins"]:
+        sql_from += (
+            f" {jt} {by_alias[alias]} {alias}"
+            f" ON {alias}.{col} = {o_alias}.{o_col}"
+        )
+
+    select = ", ".join(f"{e} AS c{i}" for i, e in enumerate(q["select"]))
+    where = q["where"] if branch_where == "__USE_MAIN__" else branch_where
+    sql = f"SELECT {select} FROM {sql_from}"
+    if where:
+        sql += f" WHERE {where}"
+    if q["shape"] in ("agg", "rollup") and q.get("group"):
+        if q["shape"] == "rollup":
+            sql += f" GROUP BY {q['rollup_op']}({', '.join(q['group'])})"
+        else:
+            sql += f" GROUP BY {', '.join(q['group'])}"
+        if q.get("having"):
+            sql += f" HAVING {q['having']}"
+    return sql
+
+
+def render_full(q: dict) -> str:
+    body = render(q)
+    if q.get("setop"):
+        b2 = render(q, branch_where=q["setop"]["where"])
+        body = f"({body}) {q['setop']['op']} ({b2})"
+    n_cols = len(q["select"])
+    order = ", ".join(f"{i + 1} ASC NULLS FIRST" for i in range(n_cols))
+    return f"SELECT * FROM ({body}) final ORDER BY {order} LIMIT {q['limit']}"
+
+
+# --------------------------------------------------------------------------
+# Execution + compare (the smoke_oracle canonicalization)
+
+
+def canon(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _row_key(row: tuple) -> tuple:
+    """None-safe total order for multiset compare: NULLs sort first within
+    a column without ever being compared to a value (column types are
+    homogeneous, so the non-None fallthrough comparison is well-typed)."""
+    return tuple((v is not None, v) for v in row)
+
+
+def run_both(spark, con, sql: str):
+    """(status, spark_rows, duck_rows, err). status in OK/MISMATCH/
+    SPARK_ERR/DUCK_ERR."""
+    try:
+        sdf = spark.sql(sql)
+        srows = sorted(
+            (tuple(canon(v) for v in r) for r in sdf.collect()), key=_row_key
+        )
+    except Exception as e:  # noqa: BLE001
+        return "SPARK_ERR", None, None, f"{type(e).__name__}: {str(e)[:300]}"
+    try:
+        orows = sorted(
+            (tuple(canon(v) for v in r) for r in con.execute(sql).fetchall()),
+            key=_row_key,
+        )
+    except Exception as e:  # noqa: BLE001
+        return "DUCK_ERR", srows, None, f"{type(e).__name__}: {str(e)[:300]}"
+    if srows != orows:
+        return "MISMATCH", srows, orows, None
+    return "OK", srows, orows, None
+
+
+def expected_empty_grouping_row(q: dict):
+    """KNOWN ENGINE DIVERGENCE (found by this harness, round 11): over an
+    EMPTY input, Spark's grouping-sets implementation returns no rows at
+    all, while DuckDB (and ANSI/Postgres — the `()` grouping set is a
+    global aggregate) returns exactly one grand-total row: group keys
+    NULL, GROUPING()=1, COUNT=0, SUM/MIN/MAX=NULL. The divergence is
+    pinned by tests/test_diff_fuzz.py so a Spark upgrade that changes it
+    gets noticed; here we compute the one row DuckDB would emit so the
+    comparator can classify the case instead of failing.
+
+    Returns the expected DuckDB-only row for rollup/cube specs, else None.
+    """
+    if q["shape"] != "rollup":
+        return None
+    keys = q["group"]
+    n_aggs = len(q["select"]) - 2 * len(keys)
+    aggs = q["select"][-n_aggs:]
+    row = [None] * len(keys) + [1] * len(keys)
+    for a in aggs:
+        row.append(0 if a.upper().startswith("COUNT") else None)
+    return tuple(row)
+
+
+def _first_diff(a, b):
+    for x, y in zip(a, b):
+        if x != y:
+            return x, y
+    return (a[len(b)] if len(a) > len(b) else None), (
+        b[len(a)] if len(b) > len(a) else None
+    )
+
+
+# --------------------------------------------------------------------------
+# Minimizer: structural reductions, each kept only while the disagreement
+# persists. Operates on the spec so every reduction stays well-formed.
+
+
+def _refs(q: dict, alias: str) -> bool:
+    import json
+
+    blob = json.dumps(
+        [q["select"], q.get("group"), q.get("having"), q["where"],
+         q.get("setop", {}).get("where") if q.get("setop") else None]
+    )
+    return f"{alias}." in blob
+
+
+def minimize(q: dict, spark, con, status0: str) -> dict:
+    import copy
+
+    def still_fails(cand: dict) -> bool:
+        st, *_ = run_both(spark, con, render_full(cand))
+        return st == status0
+
+    cur = q
+    changed = True
+    while changed:
+        changed = False
+        cands: list[dict] = []
+        if cur.get("setop"):
+            c = copy.deepcopy(cur)
+            del c["setop"]
+            cands.append(c)
+            c2 = copy.deepcopy(cur)
+            c2["where"] = cur["setop"]["where"]
+            del c2["setop"]
+            cands.append(c2)
+        if cur.get("where"):
+            c = copy.deepcopy(cur)
+            c["where"] = None
+            cands.append(c)
+        if cur.get("having"):
+            c = copy.deepcopy(cur)
+            c["having"] = None
+            cands.append(c)
+        # unwrap filtered subqueries
+        for i, p in enumerate(cur["src"]["parts"]):
+            if p[2]:
+                c = copy.deepcopy(cur)
+                c["src"]["parts"][i][2] = None
+                cands.append(c)
+        # drop the trailing join if nothing references its alias
+        if cur["src"]["joins"]:
+            alias = cur["src"]["joins"][-1][1]
+            if not _refs(cur, alias):
+                c = copy.deepcopy(cur)
+                c["src"]["joins"] = c["src"]["joins"][:-1]
+                c["src"]["parts"] = [
+                    p for p in c["src"]["parts"] if p[0] != alias
+                ]
+                cands.append(c)
+        # shrink the select list (keep ≥1 column)
+        if len(cur["select"]) > 1:
+            for i in range(len(cur["select"])):
+                c = copy.deepcopy(cur)
+                del c["select"][i]
+                cands.append(c)
+        for cand in cands:
+            if still_fails(cand):
+                cur = cand
+                changed = True
+                break
+    return cur
+
+
+# --------------------------------------------------------------------------
+
+
+def fuzz(spark, con, *, n: int, seed: int, keep_going: bool, out_dir: str):
+    stats = probe_stats(con)
+    rng = random.Random(seed)
+    failures = []
+    known_div = 0
+    for k in range(n):
+        q = build_query(rng, stats)
+        sql = render_full(q)
+        status, srows, orows, err = run_both(spark, con, sql)
+        if status == "MISMATCH":
+            exp = expected_empty_grouping_row(q)
+            if exp is not None and srows == [] and orows == [exp]:
+                known_div += 1
+                print(
+                    f"  [{k + 1}/{n}] KNOWN_DIVERGENCE "
+                    "(empty-input grouping sets — see tests/test_diff_fuzz.py)"
+                )
+                continue
+        if status == "OK":
+            if (k + 1) % 25 == 0:
+                print(f"  [{k + 1}/{n}] OK (last: {len(srows)} rows)")
+            continue
+        print(f"  [{k + 1}/{n}] {status} {err or ''}")
+        mq = minimize(q, spark, con, status)
+        msql = render_full(mq)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"seed{seed}_q{k}.sql")
+        with open(path, "w") as f:
+            f.write(f"-- status: {status}\n-- seed={seed} query_index={k}\n")
+            if err:
+                f.write(f"-- error: {err}\n")
+            f.write(f"-- original:\n-- {sql}\n\n{msql}\n")
+        print(f"    minimized repro -> {path}\n    {msql}")
+        if status == "MISMATCH":
+            st2, s2, o2, _ = run_both(spark, con, msql)
+            if st2 == "MISMATCH":
+                d = _first_diff(s2, o2)
+                print(f"    first diff: spark={d[0]} duck={d[1]}")
+        failures.append((k, status, path))
+        if not keep_going:
+            break
+    if known_div:
+        print(f"  known divergences classified (not failures): {known_div}")
+    return failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--n", type=int, default=250)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--keep-going", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from vectrekker_spark.catalog import register_views
+    from vectrekker_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    register_views(spark, args.sf)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    print(f"diff_fuzz: n={args.n} seed={args.seed} sf={args.sf}")
+    failures = fuzz(
+        spark,
+        con,
+        n=args.n,
+        seed=args.seed,
+        keep_going=args.keep_going,
+        out_dir=os.path.join(os.path.dirname(os.path.dirname(__file__)), ".fuzz_failures"),
+    )
+    if failures:
+        print(f"\n{len(failures)} FAILURES")
+        return 1
+    print("\nALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
