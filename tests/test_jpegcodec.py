@@ -138,10 +138,15 @@ def _patch_sof_marker(enc: bytes, new_marker: int) -> bytes:
     return enc[:i] + bytes([0xFF, new_marker]) + enc[i + 2 :]
 
 
-def test_progressive_classifies_to_sniff_path():
+def test_sequential_stream_mislabeled_progressive_classifies():
+    """A SEQUENTIAL entropy stream under a patched SOF2 marker is
+    malformed progressive data (its SOS claims a full-band DC scan): the
+    progressive walker must reject it as a classification outcome, and
+    the header-sniff path must still read dimensions — the pre-r11
+    behavior for all progressive payloads, now only for broken ones."""
     enc = jc.encode_jpeg(_gradient(16, 16), quality=90)
     prog = _patch_sof_marker(enc, 0xC2)
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError):
         jc.decode_jpeg(prog)
     assert decode_image_array(prog) is None  # classify, don't crash
     # the header-sniff inventory path still reads dimensions
@@ -298,3 +303,106 @@ def test_chunked_coefficient_flush_equals_single_scatter(monkeypatch):
     monkeypatch.setattr(jc, "_FLUSH_COEFFS", 7)  # flush nearly every MCU
     assert np.array_equal(grad_base, jc.decode_jpeg(grad_enc))
     assert np.array_equal(noisy_base, jc.decode_jpeg(noisy_enc))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — r11
+
+
+def test_progressive_decode_bit_identical_to_baseline():
+    """THE progressive cross-check: encode_jpeg and encode_progressive_jpeg
+    write the SAME quantized coefficients, differing only in entropy
+    organization — so decoding both must give bit-identical pixels. Runs
+    the full parameter grid: subsampling x successive-approximation depth
+    x restart intervals x odd dims x grayscale/color x smooth/noise."""
+    rng = _rng(17)
+    grad = _gradient(37, 53)
+    noise = rng.randint(0, 256, (24, 31, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (40, 72)).astype(np.uint8)
+    cases = [
+        (grad, dict()),
+        (grad, dict(dc_al=2, ac_al=2)),
+        (grad, dict(subsampling="4:2:0")),
+        (grad, dict(subsampling="4:2:2", restart_interval=3)),
+        (grad, dict(split=0)),
+        (grad, dict(split=62)),
+        (noise, dict(quality=95)),
+        (noise, dict(subsampling="4:2:0", restart_interval=2)),
+        (gray, dict(dc_al=1, ac_al=1)),
+        (np.array([[7]], dtype=np.uint8), dict()),
+    ]
+    for img, kw in cases:
+        q = kw.pop("quality", 85)
+        sub = kw.get("subsampling", "4:4:4")
+        base = jc.decode_jpeg(jc.encode_jpeg(img, quality=q, subsampling=sub))
+        prog = jc.decode_jpeg(
+            jc.encode_progressive_jpeg(img, quality=q, **kw)
+        )
+        assert np.array_equal(base, prog), kw
+
+
+def test_progressive_is_sof2_and_multi_scan():
+    enc = jc.encode_progressive_jpeg(_gradient(16, 16), quality=90)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    frame, _qt, scans = jc._walk_progressive(enc)
+    assert len(scans) >= 5  # DC first + AC bands + refinements + DC refine
+    assert any(s["ah"] > 0 for s in scans)  # successive approximation real
+    assert any(s["ss"] > 0 and s["ah"] == 0 for s in scans)  # spectral sel
+
+
+def test_progressive_routes_through_decode_image_array():
+    enc = jc.encode_progressive_jpeg(_gradient(19, 23), quality=90)
+    arr = decode_image_array(enc)
+    assert arr is not None and arr.shape == (19, 23, 3)
+    assert sniff_image_meta(enc) == {"format": "jpeg", "width": 23, "height": 19}
+
+
+def test_progressive_structured_fuzz_truncation_and_byte_flip():
+    """The baseline fuzz discipline applied to the progressive path: every
+    truncation point and single-byte flip either decodes or raises
+    ValueError — nothing else escapes the classification contract."""
+    enc = jc.encode_progressive_jpeg(
+        _gradient(24, 24), quality=90, subsampling="4:2:0", restart_interval=2
+    )
+    for n in range(0, len(enc), 7):
+        try:
+            jc.decode_jpeg(enc[:n])
+        except ValueError:
+            pass
+    for i in range(0, len(enc), 7):
+        m = bytearray(enc)
+        m[i] ^= 0xFF
+        try:
+            jc.decode_jpeg(bytes(m))
+        except ValueError:
+            pass
+
+
+def test_progressive_bomb_bound_and_scan_cap():
+    enc = jc.encode_progressive_jpeg(_gradient(8, 8), quality=90)
+    i = enc.index(b"\xff\xc2")
+    huge = bytearray(enc)
+    struct.pack_into(">HH", huge, i + 5, 30000, 30000)
+    with pytest.raises(ValueError, match="micro-decoder bound"):
+        jc.decode_jpeg(bytes(huge))
+    # scan-count bound: replicate one scan's DHT+SOS+entropy past the cap
+    frame_end = enc.index(b"\xff\xc4")  # first DHT (scans start here)
+    eoi = enc.rindex(b"\xff\xd9")
+    scans_blob = enc[frame_end:eoi]
+    bomb = enc[:frame_end] + scans_blob * 40 + enc[eoi:]
+    with pytest.raises(ValueError, match="scan count"):
+        jc.decode_jpeg(bomb)
+
+
+def test_progressive_extract_features_decodes(spark):
+    from vectrekker_spark.operators.multimodal import extract_features
+
+    payloads = [
+        (1, jc.encode_progressive_jpeg(_gradient(16, 16), quality=90)),
+        (2, jc.encode_jpeg(_gradient(16, 16), quality=90)),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    rows = {r.media_id: r for r in extract_features(df).collect()}
+    assert rows[1].decoded is True
+    # identical pixels -> identical features as the baseline encode
+    assert rows[1].features == rows[2].features

@@ -231,8 +231,8 @@ def decode_ppm(content: bytes) -> np.ndarray:
 
 def decode_image_array(content: bytes) -> np.ndarray | None:
     """(H, W, C) uint8 pixels for payloads the micro-decoders understand
-    (PNG/PPM here, baseline JPEG via functions/jpegcodec.py); None for
-    anything else (caller falls back to byte-level features).
+    (PNG/PPM here, baseline + progressive JPEG via functions/jpegcodec.py);
+    None for anything else (caller falls back to byte-level features).
     zlib.error (corrupt IDAT) and struct.error (truncated header) are
     classification outcomes here, same as ValueError — a malformed payload
     in a 100 TB corpus must fall back, never crash the batch."""
@@ -255,7 +255,7 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
 # of the public container specs, so a 100 TB mixed-media corpus can be
 # inventoried (format mix, resolution distribution, aspect-ratio filters)
 # at header cost instead of decode cost, including formats the
-# micro-decoders deliberately don't decode (GIF, BMP, progressive JPEG).
+# micro-decoders deliberately don't decode (GIF, BMP).
 
 # JPEG start-of-frame markers carrying dimensions (ITU T.81 §B.2.2):
 # every SOFn except DHT (C4), JPG (C8), DAC (CC).

@@ -11,19 +11,24 @@ dequantization + 8x8 inverse DCT §A.3.3, restart intervals §B.2.4.4) plus
 the JFIF YCbCr<->RGB transform, using only stdlib struct + numpy.
 
 Scope (deliberately a micro-decoder, not a libjpeg replacement):
-- DECODE: baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit,
-  grayscale or 3-component YCbCr, one interleaved scan, any sampling
-  factors where hmax/h and vmax/v divide evenly (covers 4:4:4, 4:2:2,
-  4:2:0, 4:1:1), DRI/RSTn restart intervals. Progressive (SOF2),
-  arithmetic coding, 12-bit, CMYK, and multi-scan files raise ValueError
-  and callers fall back to the header-sniff path.
-- ENCODE (`encode_jpeg`): the test-fixture counterpart — Annex K quant +
-  Huffman tables, IJG quality scaling, 4:4:4 / 4:2:2 / 4:2:0, optional
-  restart intervals — so round-trip tests need no media library, mirroring
-  imagecodec.encode_png. The forward DCT/quantizer is an independent
-  implementation of the inverse path (and the IDCT is additionally checked
-  against a naive cosine-sum in tests), the same two-implementations
-  discipline the PNG decoder used.
+- DECODE: baseline + extended-sequential Huffman (SOF0/SOF1) AND
+  progressive Huffman (SOF2, §G.2: spectral selection + successive
+  approximation — r11, closing the ~10%-of-web-JPEGs gap), 8-bit,
+  grayscale or 3-component YCbCr, any sampling factors where hmax/h and
+  vmax/v divide evenly (covers 4:4:4, 4:2:2, 4:2:0, 4:1:1), DRI/RSTn
+  restart intervals. Arithmetic coding, 12-bit, CMYK, hierarchical, and
+  multi-scan SEQUENTIAL files raise ValueError and callers fall back to
+  the header-sniff path.
+- ENCODE (`encode_jpeg`, `encode_progressive_jpeg`): the test-fixture
+  counterparts — Annex K quant + Huffman tables (fixed-length per-scan
+  tables for progressive), IJG quality scaling, 4:4:4 / 4:2:2 / 4:2:0,
+  optional restart intervals — so round-trip tests need no media library,
+  mirroring imagecodec.encode_png. The forward DCT/quantizer is an
+  independent implementation of the inverse path (and the IDCT is
+  additionally checked against a naive cosine-sum in tests), the same
+  two-implementations discipline the PNG decoder used. The decisive
+  progressive check: both encoders write the SAME quantized coefficients,
+  so their decodes must be BIT-IDENTICAL (pinned in tests).
 
 Bomb-bound discipline matches the PNG decoder: the decoded size is checked
 straight off the SOF header, BEFORE any allocation or entropy decode, and
@@ -300,6 +305,80 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _parse_dqt(data: bytes, qt: dict) -> None:
+    p = 0
+    while p < len(data):
+        pq, tq = data[p] >> 4, data[p] & 15
+        p += 1
+        if pq not in (0, 1) or tq > 3:
+            raise ValueError("bad JPEG DQT header")
+        count = 64 * (2 if pq else 1)
+        if p + count > len(data):
+            raise ValueError("truncated JPEG DQT")
+        raw = (
+            np.frombuffer(data[p : p + 128], dtype=">u2").astype(np.int64)
+            if pq
+            else np.frombuffer(data[p : p + 64], dtype=np.uint8).astype(np.int64)
+        )
+        # stored zigzag; keep zigzag order (decode multiplies pre-scatter)
+        qt[tq] = raw
+        p += count
+
+
+def _parse_dht(data: bytes, huff: dict) -> None:
+    p = 0
+    while p < len(data):
+        tc, th = data[p] >> 4, data[p] & 15
+        p += 1
+        if tc > 1 or th > 3 or p + 16 > len(data):
+            raise ValueError("bad JPEG DHT header")
+        bits = list(data[p : p + 16])
+        p += 16
+        nv = sum(bits)
+        if p + nv > len(data):
+            raise ValueError("truncated JPEG DHT")
+        huff[(tc, th)] = _build_decode_table(bits, list(data[p : p + nv]))
+        p += nv
+
+
+def _parse_sof_payload(data: bytes) -> dict:
+    """Common SOF0/1/2 frame-header parse with the bomb bound."""
+    if len(data) < 6:
+        raise ValueError("truncated JPEG SOF")
+    precision = data[0]
+    h = struct.unpack(">H", data[1:3])[0]
+    w = struct.unpack(">H", data[3:5])[0]
+    nc = data[5]
+    if precision != 8:
+        raise ValueError(f"unsupported JPEG precision {precision} (only 8)")
+    if nc not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {nc}")
+    if w == 0 or h == 0:
+        raise ValueError("JPEG with zero width or height")
+    if h * w * nc > MAX_JPEG_PIXEL_BYTES:
+        raise ValueError(
+            f"JPEG decoded size {h}x{w}x{nc} exceeds the "
+            f"{MAX_JPEG_PIXEL_BYTES >> 20} MB micro-decoder bound "
+            "(sized for the float32 working-set multiplier)"
+        )
+    comps = []
+    for c in range(nc):
+        off = 6 + 3 * c
+        if off + 3 > len(data):
+            raise ValueError("truncated JPEG SOF components")
+        cid, samp, tq = data[off], data[off + 1], data[off + 2]
+        comps.append((cid, samp >> 4, samp & 15, tq))
+    if nc == 1:
+        # single-component scan geometry ignores sampling (A.2.2)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    for _, hs, vs, _ in comps:
+        if not (1 <= hs <= 4 and 1 <= vs <= 4):
+            raise ValueError("bad JPEG sampling factor")
+    if sum(hs * vs for _, hs, vs, _ in comps) > 10:
+        raise ValueError("JPEG blocks per MCU exceed the spec bound of 10")
+    return {"h": h, "w": w, "comps": comps}
+
+
 def _parse_segments(content: bytes):
     """Walk the marker stream up to SOS. Returns (qt, huff, frame,
     restart_interval, scan_comps, entropy_offset)."""
@@ -324,73 +403,15 @@ def _parse_segments(content: bytes):
             raise ValueError("truncated JPEG segment")
         data = content[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT — may hold several tables (B.2.4.1)
-            p = 0
-            while p < len(data):
-                pq, tq = data[p] >> 4, data[p] & 15
-                p += 1
-                if pq not in (0, 1) or tq > 3:
-                    raise ValueError("bad JPEG DQT header")
-                count = 64 * (2 if pq else 1)
-                if p + count > len(data):
-                    raise ValueError("truncated JPEG DQT")
-                raw = (
-                    np.frombuffer(data[p : p + 128], dtype=">u2").astype(np.int64)
-                    if pq
-                    else np.frombuffer(data[p : p + 64], dtype=np.uint8).astype(
-                        np.int64
-                    )
-                )
-                # stored zigzag; keep zigzag order (decode multiplies pre-scatter)
-                qt[tq] = raw
-                p += count
+            _parse_dqt(data, qt)
         elif marker == 0xC4:  # DHT — may hold several tables (B.2.4.2)
-            p = 0
-            while p < len(data):
-                tc, th = data[p] >> 4, data[p] & 15
-                p += 1
-                if tc > 1 or th > 3 or p + 16 > len(data):
-                    raise ValueError("bad JPEG DHT header")
-                bits = list(data[p : p + 16])
-                p += 16
-                nv = sum(bits)
-                if p + nv > len(data):
-                    raise ValueError("truncated JPEG DHT")
-                huff[(tc, th)] = _build_decode_table(bits, list(data[p : p + nv]))
-                p += nv
+            _parse_dht(data, huff)
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential Huffman
-            if len(data) < 6:
-                raise ValueError("truncated JPEG SOF")
-            precision, h, w, nc = data[0], struct.unpack(">H", data[1:3])[0], struct.unpack(">H", data[3:5])[0], data[5]
-            if precision != 8:
-                raise ValueError(f"unsupported JPEG precision {precision} (only 8)")
-            if nc not in (1, 3):
-                raise ValueError(f"unsupported JPEG component count {nc}")
-            if w == 0 or h == 0:
-                raise ValueError("JPEG with zero width or height")
-            if h * w * nc > MAX_JPEG_PIXEL_BYTES:
-                raise ValueError(
-                    f"JPEG decoded size {h}x{w}x{nc} exceeds the "
-                    f"{MAX_JPEG_PIXEL_BYTES >> 20} MB micro-decoder bound "
-                    "(sized for the float32 working-set multiplier)"
-                )
-            comps = []
-            for c in range(nc):
-                off = 6 + 3 * c
-                if off + 3 > len(data):
-                    raise ValueError("truncated JPEG SOF components")
-                cid, samp, tq = data[off], data[off + 1], data[off + 2]
-                comps.append((cid, samp >> 4, samp & 15, tq))
-            if nc == 1:
-                # single-component scan geometry ignores sampling (A.2.2)
-                comps = [(comps[0][0], 1, 1, comps[0][3])]
-            for _, hs, vs, _ in comps:
-                if not (1 <= hs <= 4 and 1 <= vs <= 4):
-                    raise ValueError("bad JPEG sampling factor")
-            if sum(hs * vs for _, hs, vs, _ in comps) > 10:
-                raise ValueError("JPEG blocks per MCU exceed the spec bound of 10")
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = _parse_sof_payload(data)
         elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported (baseline only)")
+            # handled by the dedicated multi-scan walker; decode_jpeg
+            # dispatches on the SOF marker before reaching this parser
+            raise ValueError("progressive JPEG reached the sequential parser")
         elif marker in (
             0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
         ):
@@ -431,6 +452,13 @@ def _parse_segments(content: bytes):
 def _entropy_segments(content: bytes, start: int) -> list[bytes]:
     """Entropy-coded bytes from `start` to the next real marker, 0xFF00
     stuffing removed, split at RSTn boundaries (B.1.1.5)."""
+    segs, _end = _entropy_segments_end(content, start)
+    return segs
+
+
+def _entropy_segments_end(content: bytes, start: int) -> tuple[list[bytes], int]:
+    """(segments, index of the terminating marker's 0xFF) — the multi-scan
+    progressive walker needs to resume the marker walk after each scan."""
     segs, cur = [], bytearray()
     i, n = start, len(content)
     while i < n:
@@ -440,6 +468,7 @@ def _entropy_segments(content: bytes, start: int) -> list[bytes]:
             i += 1
             continue
         if i + 1 >= n:
+            i = n
             break
         m = content[i + 1]
         if m == 0x00:  # stuffed literal 0xFF
@@ -454,7 +483,7 @@ def _entropy_segments(content: bytes, start: int) -> list[bytes]:
         else:  # EOI or next segment marker
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 # Coefficient-accumulator flush threshold: bounds the per-component
@@ -478,11 +507,40 @@ def _flush_coeffs(c: dict) -> None:
     c["offs"], c["ks"], c["vals"] = [], [], []
 
 
+def _sof_marker(content: bytes) -> int | None:
+    """First SOFn marker byte via a bounded marker walk (cheap dispatch
+    between the sequential fast path and the progressive decoder)."""
+    i, n = 2, len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            return None
+        m = content[i + 1]
+        if m == 0xFF:
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD9:
+            i += 2
+            continue
+        if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return m
+        if m == 0xDA:  # SOS before any SOF: malformed, let the parser say so
+            return None
+        (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+        if seg_len < 2:
+            return None
+        i += 2 + seg_len
+    return None
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to an (H, W, C) uint8 array
-    (C=1 grayscale, C=3 RGB via the JFIF YCbCr transform)."""
+    """Decode a baseline/extended-sequential OR progressive (SOF2) JPEG to
+    an (H, W, C) uint8 array (C=1 grayscale, C=3 RGB via the JFIF YCbCr
+    transform)."""
     if not is_jpeg(content):
         raise ValueError("not a JPEG: bad SOI")
+    if _sof_marker(content) == 0xC2:
+        return _decode_progressive(content)
     qt, huff, frame, restart_interval, scan_comps, pos = _parse_segments(content)
     h, w = frame["h"], frame["w"]
     hmax = max(hs for _, hs, _, _, _, _ in scan_comps)
@@ -585,6 +643,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     for c in comps:
         _flush_coeffs(c)
 
+    return _reconstruct(comps, h, w, hmax, vmax)
+
+
+def _reconstruct(comps: list[dict], h: int, w: int, hmax: int, vmax: int) -> np.ndarray:
+    """Shared decode tail (sequential + progressive): batched IDCT over
+    each component's natural-order dequantized coefficients, crop,
+    replicate-upsample, YCbCr->RGB."""
     planes = []
     t = _DCT_T.astype(np.float32)
     for c in comps:
@@ -619,6 +684,339 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             axis=2,
         )
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (ITU-T T.81 §G.2: spectral selection + successive
+# approximation, Huffman). The scan-state algorithms (EOBRUN, AC refinement
+# correction bits) follow the spec's flow charts (G.1.2.2/G.1.2.3) in their
+# conventional realization; the encoder below is an independent forward
+# implementation, and the decisive cross-check is bit-identity with the
+# SEQUENTIAL decode of the same quantized coefficients (progressive vs
+# baseline differ only in entropy organization, so pixels must match
+# exactly — pinned in tests).
+
+_MAX_SCANS = 64  # hostile-input bound: a real encoder emits ~10 scans
+
+
+def _walk_progressive(content: bytes):
+    """Full marker walk of a SOF2 file. DQT/DHT/DRI state evolves between
+    scans, so each scan snapshot resolves its own tables and restart
+    interval at ITS SOS. Returns (frame, qt, scans)."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    ri = 0
+    scans: list[dict] = []
+    i, n = 2, len(content)
+    while i + 2 <= n:
+        if content[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = content[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        if i + 4 > n:
+            raise ValueError("truncated JPEG segment")
+        (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        data = content[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            _parse_dqt(data, qt)
+        elif marker == 0xC4:
+            _parse_dht(data, huff)
+        elif marker == 0xC2:
+            if frame is not None:
+                raise ValueError("multiple JPEG frames")
+            frame = _parse_sof_payload(data)
+        elif marker in (
+            0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+        ):
+            raise ValueError("non-progressive SOF in the progressive walker")
+        elif marker == 0xDD:
+            if len(data) < 2:
+                raise ValueError("truncated JPEG DRI")
+            (ri,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if not data:
+                raise ValueError("truncated JPEG SOS")
+            ns = data[0]
+            if ns < 1 or len(data) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS component list")
+            frame_idx = {c[0]: k for k, c in enumerate(frame["comps"])}
+            ss = data[1 + 2 * ns]
+            se = data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not (ss <= se <= 63) or al > 13 or ah > 13:
+                raise ValueError("bad progressive scan header")
+            if ss == 0 and se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            if ss > 0 and ns != 1:
+                raise ValueError("interleaved progressive AC scan (B.2.3)")
+            members = []
+            for s in range(ns):
+                cid, tables = data[1 + 2 * s], data[2 + 2 * s]
+                if cid not in frame_idx:
+                    raise ValueError("JPEG scan references unknown component")
+                td, ta = tables >> 4, tables & 15
+                # snapshot the tables in force at THIS scan's SOS
+                dc_tbl = ac_tbl = None
+                if ss == 0 and ah == 0:
+                    if (0, td) not in huff:
+                        raise ValueError("JPEG scan uses undefined Huffman table")
+                    dc_tbl = huff[(0, td)]
+                elif ss > 0:
+                    if (1, ta) not in huff:
+                        raise ValueError("JPEG scan uses undefined Huffman table")
+                    ac_tbl = huff[(1, ta)]
+                members.append((frame_idx[cid], dc_tbl, ac_tbl))
+            segs, end = _entropy_segments_end(content, i + 2 + seg_len)
+            scans.append(
+                dict(members=members, ss=ss, se=se, ah=ah, al=al, ri=ri, segs=segs)
+            )
+            if len(scans) > _MAX_SCANS:
+                raise ValueError("JPEG scan count exceeds the decoder bound")
+            i = end
+            continue
+        i += 2 + seg_len
+    if frame is None:
+        raise ValueError("JPEG missing SOF")
+    if not scans:
+        raise ValueError("JPEG missing SOS")
+    return frame, qt, scans
+
+
+def _refine_band(blk, k: int, se: int, reader: _BitReader, p1: int, m1: int) -> None:
+    """AC successive-approximation correction pass over blk[k..se]
+    (G.1.2.3): every nonzero-history coefficient reads one bit; a 1 bit
+    whose magnitude bit is not already set moves the value away from
+    zero by 1 << Al."""
+    while k <= se:
+        v = int(blk[k])
+        if v != 0 and reader.read(1) and (v & p1) == 0:
+            blk[k] = v + (p1 if v >= 0 else m1)
+        k += 1
+
+
+def _process_scan(scan: dict, comps: list[dict], mcux: int, mcuy: int) -> None:
+    """Apply one progressive scan to the per-component zigzag-order
+    coefficient state."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    segs, ri = scan["segs"], scan["ri"]
+    seg_i = 0
+    reader = _BitReader(segs[0])
+
+    def restart_if_due(unit: int):
+        nonlocal seg_i, reader, eobrun
+        if ri and unit and unit % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing expected restart marker")
+            reader = _BitReader(segs[seg_i])
+            for p in preds:
+                preds[p] = 0
+            eobrun = 0
+
+    preds = {ci: 0 for ci, *_ in scan["members"]}
+    eobrun = 0
+
+    if ss == 0:
+        # DC scan: interleaved MCU order (or the component's own block
+        # raster when single-component)
+        members = scan["members"]
+        if len(members) == 1:  # non-interleaved: the component's own grid
+            ci, dc_tbl, _ = members[0]
+            c = comps[ci]
+            unit = 0
+            for row in range(c["nbh"]):
+                for col in range(c["nbw"]):
+                    restart_if_due(unit)
+                    blk = c["zz"][row * c["bcols"] + col]
+                    if ah == 0:
+                        s = _read_huff(reader, dc_tbl)
+                        if s > 11:
+                            raise ValueError("bad JPEG DC category")
+                        if s:
+                            preds[ci] += _extend(reader.read(s), s)
+                        blk[0] = preds[ci] << al
+                    elif reader.read(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+                    unit += 1
+        else:
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    restart_if_due(mcu)
+                    for ci, dc_tbl, _ in members:
+                        c = comps[ci]
+                        for by in range(c["vs"]):
+                            for bx in range(c["hs"]):
+                                flat = (
+                                    (my * c["vs"] + by) * c["bcols"]
+                                    + mx * c["hs"]
+                                    + bx
+                                )
+                                blk = c["zz"][flat]
+                                if ah == 0:
+                                    s = _read_huff(reader, dc_tbl)
+                                    if s > 11:
+                                        raise ValueError("bad JPEG DC category")
+                                    if s:
+                                        preds[ci] += _extend(reader.read(s), s)
+                                    blk[0] = preds[ci] << al
+                                elif reader.read(1):
+                                    blk[0] = int(blk[0]) | (1 << al)
+                    mcu += 1
+        return
+
+    # AC scan: always one component, block raster over its own grid
+    ci, _, ac_tbl = scan["members"][0]
+    c = comps[ci]
+    p1, m1 = 1 << al, -(1 << al)
+    unit = 0
+    for row in range(c["nbh"]):
+        for col in range(c["nbw"]):
+            restart_if_due(unit)
+            unit += 1
+            blk = c["zz"][row * c["bcols"] + col]
+            if ah == 0:
+                # first AC scan for this band (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_huff(reader, ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overrun")
+                        blk[k] = _extend(reader.read(s), s) << al
+                        k += 1
+                continue
+            # AC refinement (G.1.2.3)
+            if eobrun:
+                _refine_band(blk, ss, se, reader, p1, m1)
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _read_huff(reader, ac_tbl)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "progressive AC refinement size must be 1"
+                        )
+                    newval = p1 if reader.read(1) else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # advance past r zero-HISTORY slots, correcting nonzero
+                # ones for free (they cost a bit each, not a run slot)
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if reader.read(1) and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("JPEG AC refinement overrun")
+                    blk[k] = newval
+                k += 1
+            if eobrun:
+                # the block that STARTS an EOB run still refines the rest
+                # of its own band, and counts as the run's first member
+                _refine_band(blk, k, se, reader, p1, m1)
+                eobrun -= 1
+
+
+def _decode_progressive(content: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) Huffman JPEG. Coefficients accumulate
+    across scans in zigzag order; dequantization and the shared
+    IDCT/upsample/color tail run once at the end."""
+    frame, qt, scans = _walk_progressive(content)
+    h, w = frame["h"], frame["w"]
+    hmax = max(hs for _, hs, _, _ in frame["comps"])
+    vmax = max(vs for _, _, vs, _ in frame["comps"])
+    for _, hs, vs, _ in frame["comps"]:
+        if hmax % hs or vmax % vs:
+            raise ValueError("JPEG sampling factors must divide the maxima")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    comps = []
+    for cid, hs, vs, tq in frame["comps"]:
+        if tq not in qt:
+            raise ValueError(f"JPEG scan uses undefined quant table {tq}")
+        brows, bcols = mcuy * vs, mcux * hs
+        ch = -(-h * vs // vmax)  # component pixel dims
+        cw = -(-w * hs // hmax)
+        comps.append(
+            {
+                "cid": cid,
+                "hs": hs,
+                "vs": vs,
+                "qt": qt[tq],
+                # int32 zigzag-order coefficient state, flat block index
+                "zz": np.zeros((brows * bcols, 64), dtype=np.int32),
+                "brows": brows,
+                "bcols": bcols,
+                # the component's OWN block grid (non-interleaved scans
+                # cover exactly these blocks, A.2.2)
+                "nbh": -(-ch // 8),
+                "nbw": -(-cw // 8),
+            }
+        )
+
+    seen_dc = set()
+    for scan in scans:
+        if scan["ss"] == 0:
+            for ci, *_ in scan["members"]:
+                seen_dc.add(ci)
+        _process_scan(scan, comps, mcux, mcuy)
+    if len(seen_dc) != len(comps):
+        raise ValueError("progressive JPEG missing a DC scan")
+
+    out_comps = []
+    for c in comps:
+        qtzz = c["qt"].astype(np.float32)
+        nat = np.zeros((c["zz"].shape[0], 64), dtype=np.float32)
+        # one vectorized dequant + zigzag->natural scatter per component
+        nat[:, ZIGZAG] = c["zz"].astype(np.float32) * qtzz[None, :]
+        out_comps.append(
+            {
+                "coef": nat.reshape(c["brows"], c["bcols"], 64),
+                "hs": c["hs"],
+                "vs": c["vs"],
+            }
+        )
+    return _reconstruct(out_comps, h, w, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -734,15 +1132,10 @@ def _rgb_to_ycbcr(arr: np.ndarray) -> list[np.ndarray]:
     ]
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Minimal baseline JPEG writer — the test-fixture counterpart of
-    decode_jpeg (Annex K tables, IJG quality scaling, 4:4:4/4:2:2/4:2:0,
-    optional DRI/RSTn restarts)."""
+def _prep_components(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half (baseline + progressive): color convert,
+    subsample, forward-DCT + quantize, pad block grids to the MCU grid.
+    Returns (comp_blocks, samps, qt_luma, qt_chroma, h, w, nc, mcux, mcuy)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -755,8 +1148,6 @@ def encode_jpeg(
         raise ValueError("subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
 
     qt_luma, qt_chroma = _quality_tables(quality)
-    dc_l, ac_l = _build_encode_table(*_DC_LUMA), _build_encode_table(*_AC_LUMA)
-    dc_c, ac_c = _build_encode_table(*_DC_CHROMA), _build_encode_table(*_AC_CHROMA)
 
     if nc == 1:
         planes = [arr[:, :, 0].astype(np.float64)]
@@ -796,10 +1187,48 @@ def encode_jpeg(
         if pr or pc:
             zzb = np.pad(zzb, ((0, pr), (0, pc), (0, 0)), mode="edge")
         comp_blocks.append(zzb)
+    return comp_blocks, samps, qt_luma, qt_chroma, h, w, nc, mcux, mcuy
+
+
+def _jpeg_headers(
+    qt_luma, qt_chroma, samps, h: int, w: int, nc: int, sof_marker: int
+) -> bytearray:
+    """SOI + APP0 + DQT + SOF — shared between the two encoders."""
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    dqt = bytes([0x00]) + bytes(qt_luma[ZIGZAG].astype(np.uint8))
+    if nc == 3:
+        dqt += bytes([0x01]) + bytes(qt_chroma[ZIGZAG].astype(np.uint8))
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (hs, vs) in enumerate(samps):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(sof_marker, sof)
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG writer — the test-fixture counterpart of
+    decode_jpeg (Annex K tables, IJG quality scaling, 4:4:4/4:2:2/4:2:0,
+    optional DRI/RSTn restarts)."""
+    comp_blocks, samps, qt_luma, qt_chroma, h, w, nc, mcux, mcuy = (
+        _prep_components(arr, quality, subsampling)
+    )
+    dc_l, ac_l = _build_encode_table(*_DC_LUMA), _build_encode_table(*_AC_LUMA)
+    dc_c, ac_c = _build_encode_table(*_DC_CHROMA), _build_encode_table(*_AC_CHROMA)
 
     bw = _BitWriter()
     entropy_parts: list[bytes] = []
-    preds = [0] * len(planes)
+    preds = [0] * nc
     mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -810,7 +1239,7 @@ def encode_jpeg(
                     bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
                 )
                 bw = _BitWriter()
-                preds = [0] * len(planes)
+                preds = [0] * nc
             for ci, (hs, vs) in enumerate(samps):
                 dc_t, ac_t = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
                 for by in range(vs):
@@ -830,16 +1259,7 @@ def encode_jpeg(
     def seg(marker: int, data: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    dqt = bytes([0x00]) + bytes(qt_luma[ZIGZAG].astype(np.uint8))
-    if nc == 3:
-        dqt += bytes([0x01]) + bytes(qt_chroma[ZIGZAG].astype(np.uint8))
-    out += seg(0xDB, dqt)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci, (hs, vs) in enumerate(samps):
-        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out = _jpeg_headers(qt_luma, qt_chroma, samps, h, w, nc, 0xC0)
     dht = bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1])
     dht += bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1])
     if nc == 3:
@@ -854,5 +1274,348 @@ def encode_jpeg(
     sos += b"\x00\x3f\x00"  # Ss/Se/AhAl for sequential DCT
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture builder for the SOF2 decoder)
+
+
+def _fixed_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """Equal-length canonical Huffman spec covering exactly `symbols`:
+    n codes of length L = ceil(log2(n+1)) (the +1 keeps the all-ones code
+    unused, the T.81 convention). Deliberately non-optimal — the decoder
+    is fully table-driven from DHT, and fixture size doesn't matter; what
+    matters is that this is an INDEPENDENT forward implementation, not a
+    copy of the decode tables."""
+    vals = sorted(set(symbols))
+    if not vals:
+        return [0] * 16, []
+    n = len(vals)
+    length = max(1, (n + 1 - 1).bit_length())  # smallest L with n < 2**L
+    if n >= (1 << length):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+class _SymCollector:
+    """Pass-1 sink: records which Huffman symbols a scan emits (bit
+    payloads are ignored — only the symbol alphabet matters)."""
+
+    def __init__(self):
+        self.symbols: set[int] = set()
+
+    def symbol(self, s: int) -> None:
+        self.symbols.add(s)
+
+    def bits(self, value: int, nbits: int) -> None:
+        pass
+
+    def restart(self, idx: int) -> None:
+        pass
+
+
+class _ScanWriter:
+    """Pass-2 sink: real entropy output through a Huffman encode table,
+    with RSTn emission between restart intervals."""
+
+    def __init__(self, table: dict):
+        self.table = table
+        self.bw = _BitWriter()
+        self.parts: list[bytes] = []
+
+    def symbol(self, s: int) -> None:
+        code, length = self.table[s]
+        self.bw.write(code, length)
+
+    def bits(self, value: int, nbits: int) -> None:
+        if nbits:
+            self.bw.write(value, nbits)
+
+    def restart(self, idx: int) -> None:
+        self.bw.flush()
+        self.parts.append(bytes(self.bw.out))
+        self.parts.append(bytes([0xFF, 0xD0 + idx % 8]))
+        self.bw = _BitWriter()
+
+    def finish(self) -> bytes:
+        self.bw.flush()
+        self.parts.append(bytes(self.bw.out))
+        return b"".join(self.parts)
+
+
+def _scan_blocks(comp_blocks, samps, members, mcux, mcuy, h, w, hmax, vmax):
+    """Yield (restart_boundary_mcu_index_or_None, [(ci, zz_block), ...])
+    per MCU in the scan's block order — interleaved MCU clusters for
+    multi-component scans, the component's own raster otherwise."""
+    if len(members) == 1:
+        ci = members[0]
+        hs, vs = samps[ci]
+        nbh = -(- (-(-h * vs // vmax)) // 8)
+        nbw = -(- (-(-w * hs // hmax)) // 8)
+        for row in range(nbh):
+            for col in range(nbw):
+                yield [(ci, comp_blocks[ci][row, col])]
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                cluster = []
+                for ci in members:
+                    hs, vs = samps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            cluster.append(
+                                (ci, comp_blocks[ci][my * vs + by, mx * hs + bx])
+                            )
+                yield cluster
+
+
+def _encode_dc_scan(sink, blocks_iter, al: int, ah: int, ri: int):
+    """DC scan: first pass encodes (dc >> Al) diffs (arithmetic shift —
+    the DC point transform, G.1.2.1); refinement emits bit Al of each DC
+    value raw."""
+    preds: dict[int, int] = {}
+    mcu = 0
+    rst = 0
+    for cluster in blocks_iter:
+        if ri and mcu and mcu % ri == 0:
+            sink.restart(rst)
+            rst += 1
+            preds = {}
+        for ci, zz in cluster:
+            dc = int(zz[0])
+            if ah == 0:
+                v = dc >> al
+                diff = v - preds.get(ci, 0)
+                preds[ci] = v
+                s = _category(diff)
+                sink.symbol(s)
+                if s:
+                    sink.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            else:
+                sink.bits((dc >> al) & 1, 1)
+        mcu += 1
+
+
+def _encode_ac_first_scan(sink, blocks_iter, ss: int, se: int, al: int, ri: int):
+    """First AC scan for a band: run-length + EOB-run coding of the
+    point-transformed coefficients (G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.symbol(r << 4)
+            if r:
+                sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    mcu = 0
+    rst = 0
+    for cluster in blocks_iter:
+        if ri and mcu and mcu % ri == 0:
+            flush_eob()
+            sink.restart(rst)
+            rst += 1
+        mcu += 1
+        ((_ci, zz),) = cluster
+        band = [int(v) for v in zz[ss : se + 1]]
+        tvals = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+        last_nz = -1
+        for idx, t in enumerate(tvals):
+            if t:
+                last_nz = idx
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for idx in range(last_nz + 1):
+            t = tvals[idx]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                sink.symbol(0xF0)  # ZRL
+                run -= 16
+            s = _category(t)
+            sink.symbol((run << 4) | s)
+            sink.bits(t if t >= 0 else t + (1 << s) - 1, s)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_ac_refine_scan(sink, blocks_iter, ss: int, se: int, al: int, ri: int):
+    """AC refinement scan: newly-significant coefficients get (run, 1)
+    symbols + a sign bit; previously-significant ones contribute buffered
+    correction bits (G.1.2.3). TWO buffers, matching the decoder's read
+    order exactly: `run_bits` belong to the pending cross-block EOB run
+    and are emitted right after the EOBn symbol (the decoder reads them
+    while refining the run's blocks); `cur` holds the CURRENT block's
+    bits since the last symbol and trails the next in-block symbol (the
+    decoder reads them in its advance-past-r-zeros loop). Conflating the
+    two desyncs the very first multi-block refine scan — found by the
+    round-trip bit-identity test, kept as the regression it caught."""
+    eobrun = 0
+    run_bits: list[int] = []  # owned by the pending EOB run
+    cur: list[int] = []  # current block, since the last emitted symbol
+
+    def flush_eob():
+        nonlocal eobrun, run_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.symbol(r << 4)
+            if r:
+                sink.bits(eobrun - (1 << r), r)
+            for b in run_bits:
+                sink.bits(b, 1)
+            run_bits = []
+            eobrun = 0
+
+    def emit_cur():
+        nonlocal cur
+        for b in cur:
+            sink.bits(b, 1)
+        cur = []
+
+    mcu = 0
+    rst = 0
+    for cluster in blocks_iter:
+        if ri and mcu and mcu % ri == 0:
+            flush_eob()
+            sink.restart(rst)
+            rst += 1
+        mcu += 1
+        ((_ci, zz),) = cluster
+        band = [int(v) for v in zz[ss : se + 1]]
+        absv = [abs(v) >> al for v in band]
+        eob = -1  # index (in band coords) of the LAST newly-significant
+        for idx, t in enumerate(absv):
+            if t == 1:
+                eob = idx
+        r = 0
+        for idx in range(len(band)):
+            t = absv[idx]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eob:
+                flush_eob()
+                sink.symbol(0xF0)  # ZRL
+                r -= 16
+                emit_cur()
+            if t > 1:
+                # previously significant: one buffered correction bit
+                cur.append(t & 1)
+                continue
+            # newly significant (|v| >> Al == 1)
+            flush_eob()
+            sink.symbol((r << 4) | 1)
+            sink.bits(1 if band[idx] >= 0 else 0, 1)
+            emit_cur()
+            r = 0
+        if r > 0 or cur:
+            # block ends inside an EOB run: its leftover correction bits
+            # now belong to the run
+            eobrun += 1
+            run_bits.extend(cur)
+            cur = []
+            if eobrun == 0x7FFF or len(run_bits) > 900:
+                flush_eob()
+    flush_eob()
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    split: int = 5,
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """Progressive (SOF2) JPEG writer — the test-fixture counterpart of
+    the progressive decoder, an independent forward implementation of
+    T.81 §G.1.2 over the SAME quantized coefficients encode_jpeg writes
+    (so the two encodes must decode bit-identically).
+
+    Scan script (the conventional shape): interleaved DC first at Al=dc_al;
+    per-component AC first scans for bands [1..split] and [split+1..63] at
+    Al=ac_al; the matching AC refinement scans down to Al=0; a final DC
+    refinement. Each scan carries its own DHT (equal-length codes over
+    exactly the symbols it emits — redefinition between scans is legal and
+    keeps the table builder trivial and independent)."""
+    comp_blocks, samps, qt_luma, qt_chroma, h, w, nc, mcux, mcuy = (
+        _prep_components(arr, quality, subsampling)
+    )
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    if not 0 <= split <= 62:
+        raise ValueError("split must be in [0, 62]")
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+    out = _jpeg_headers(qt_luma, qt_chroma, samps, h, w, nc, 0xC2)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    # scan script: (members, ss, se, ah, al, kind)
+    script: list[tuple[list[int], int, int, int, int, str]] = [
+        (list(range(nc)), 0, 0, 0, dc_al, "dc"),
+    ]
+    bands = [(1, split), (split + 1, 63)] if split else [(1, 63)]
+    for ci in range(nc):
+        for bss, bse in bands:
+            script.append(([ci], bss, bse, 0, ac_al, "ac_first"))
+    for a in range(ac_al, 0, -1):
+        for ci in range(nc):
+            for bss, bse in bands:
+                script.append(([ci], bss, bse, a, a - 1, "ac_refine"))
+    for a in range(dc_al, 0, -1):
+        script.append((list(range(nc)), 0, 0, a, a - 1, "dc"))
+
+    for members, ss, se, ah, al, kind in script:
+        def run(sink):
+            it = _scan_blocks(
+                comp_blocks, samps, members, mcux, mcuy, h, w, hmax, vmax
+            )
+            if kind == "dc":
+                _encode_dc_scan(sink, it, al, ah, restart_interval)
+            elif kind == "ac_first":
+                _encode_ac_first_scan(sink, it, ss, se, al, restart_interval)
+            else:
+                _encode_ac_refine_scan(sink, it, ss, se, al, restart_interval)
+
+        needs_table = not (kind == "dc" and ah > 0)
+        table_class = 0 if kind == "dc" else 1
+        if needs_table:
+            collector = _SymCollector()
+            run(collector)
+            bits, vals = _fixed_table(sorted(collector.symbols))
+            out += seg(
+                0xC4, bytes([(table_class << 4) | 0]) + bytes(bits) + bytes(vals)
+            )
+            writer = _ScanWriter(_build_encode_table(bits, vals))
+        else:
+            writer = _ScanWriter({})
+        sos = bytes([len(members)])
+        for ci in members:
+            sos += bytes([ci + 1, 0x00])  # td=0 / ta=0 (redefined per scan)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        run(writer)
+        out += writer.finish()
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)
