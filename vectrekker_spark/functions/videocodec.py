@@ -19,9 +19,11 @@ Interlaced streams decode as stored (no deinterlacing). The YCbCr→RGB
 transform is the same full-range JFIF matrix the JPEG decoder uses —
 video-range (16-235) streams will show slightly compressed contrast,
 which is below corpus-feature granularity (documented, not hidden).
-Compressed containers (mp4/webm/mkv) are out of scope: a real pipeline
-decodes those with ffmpeg upstream; this parser makes the
-codec-test-suite / raw-dump corpus case work end-to-end.
+Compressed containers are out of DECODE scope (a real pipeline decodes
+those with ffmpeg upstream; this parser makes the codec-test-suite /
+raw-dump corpus case work end-to-end) — but MP4/ISO-BMFF files DO get a
+header-cost inventory row via functions/mp4codec.sniff_mp4_meta (r11),
+unified with this parser's output in operators/multimodal.video_meta.
 
 Bomb-bound discipline matches the image codecs: per-frame decoded size is
 checked against the header BEFORE allocation; malformed input raises

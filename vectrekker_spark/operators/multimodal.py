@@ -482,23 +482,42 @@ def video_frame_features(
 
 VIDEO_META_SCHEMA = (
     "format string, width int, height int, fps double, colorspace string, "
-    "n_frames int, duration_sec double"
+    "n_frames int, duration_sec double, codec string, n_tracks int, "
+    "brand string"
 )
 
 
-def video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Attach Y4M stream parameters (functions/videocodec
-    .sniff_video_meta) as vid_format / vid_width / vid_height / vid_fps /
-    vid_colorspace / vid_frames / vid_duration — header + frame-marker
-    walk only, pixel data untouched (frame data is seeked over at its
-    declared fixed size). Non-Y4M, corrupt, and NULL payloads yield
-    NULLs, the image_meta/audio_meta inventory contract."""
+def _sniff_any_video(content: bytes) -> dict | None:
+    """Unified video sniff: Y4M (full stream parameters — it's raw, so
+    fps/frame count are knowable at header cost) else MP4/ISO-BMFF
+    (r11: brand, duration, dims, track count, sample-entry fourcc; fps
+    and frame count need sample tables and stay NULL — documented, not
+    fabricated)."""
+    from vectrekker_spark.functions.mp4codec import sniff_mp4_meta
     from vectrekker_spark.functions.videocodec import sniff_video_meta
 
+    m = sniff_video_meta(content)
+    if m is not None:
+        # Y4M is uncompressed planar data: one "track", no codec branding
+        return {**m, "codec": "rawvideo", "n_tracks": 1, "brand": None}
+    return sniff_mp4_meta(content)
+
+
+def video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach video container parameters as vid_format / vid_width /
+    vid_height / vid_fps / vid_colorspace / vid_frames / vid_duration /
+    vid_codec / vid_tracks / vid_brand — header walks only, pixel data
+    untouched. Y4M streams report everything (functions/videocodec
+    .sniff_video_meta: frame data is seeked over at its declared fixed
+    size); MP4/ISO-BMFF files report brand/duration/dims/track-count/
+    codec-fourcc from the box headers (functions/mp4codec.sniff_mp4_meta)
+    with fps/frames NULL (they live in sample tables this sniff never
+    reads). Unrecognized, corrupt, and NULL payloads yield NULLs, the
+    image_meta/audio_meta inventory contract."""
     return _attach_meta(
         df,
         content_col,
-        sniff_video_meta,
+        _sniff_any_video,
         VIDEO_META_SCHEMA,
         {
             "format": None,
@@ -508,6 +527,9 @@ def video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             "colorspace": None,
             "n_frames": "Int32",
             "duration_sec": "Float64",
+            "codec": None,
+            "n_tracks": "Int32",
+            "brand": None,
         },
         {
             "vid_format": "format",
@@ -517,6 +539,9 @@ def video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             "vid_colorspace": "colorspace",
             "vid_frames": "n_frames",
             "vid_duration": "duration_sec",
+            "vid_codec": "codec",
+            "vid_tracks": "n_tracks",
+            "vid_brand": "brand",
         },
         "__vid_meta",
         "video_meta",
