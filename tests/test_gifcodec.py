@@ -1,0 +1,139 @@
+"""GIF micro-codec tests (VERDICT r10 #8): the fixture encoder is a real,
+independent LZW compressor, so round-trips check the decoder against the
+spec's stream format, not against itself. GIF is palette-indexed and LZW
+is lossless, so round-trips are EXACT (unlike JPEG's quantization bound)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vectrekker_spark.functions import gifcodec as gc
+from vectrekker_spark.functions.imagecodec import (
+    decode_image_array,
+    sniff_image_meta,
+)
+
+
+def _rng(seed=7):
+    return np.random.RandomState(seed)
+
+
+def _palette(n):
+    rng = _rng(1)
+    return rng.randint(0, 256, (n, 3)).astype(np.uint8)
+
+
+def test_lossless_roundtrip_exact():
+    rng = _rng(3)
+    for n_colors in (2, 4, 16, 256):
+        pal = _palette(n_colors)
+        idx = rng.randint(0, n_colors, (23, 31)).astype(np.uint8)
+        out = gc.decode_gif(gc.encode_gif(idx, pal))
+        assert out.shape == (23, 31, 3)
+        assert np.array_equal(out, pal[idx])
+
+
+def test_interlaced_roundtrip_exact():
+    rng = _rng(9)
+    pal = _palette(16)
+    # heights crossing every interlace pass boundary
+    for h in (1, 2, 3, 4, 7, 8, 9, 29):
+        idx = rng.randint(0, 16, (h, 13)).astype(np.uint8)
+        plain = gc.encode_gif(idx, pal, interlace=False)
+        inter = gc.encode_gif(idx, pal, interlace=True)
+        assert np.array_equal(gc.decode_gif(plain), pal[idx])
+        assert np.array_equal(gc.decode_gif(inter), pal[idx]), h
+
+
+def test_dictionary_growth_and_clear_reset():
+    """A long low-entropy stream forces LZW code width past 9 bits; a
+    very long one overflows 4096 entries and forces the encoder's CLEAR
+    reset path — the decode must stay exact through both."""
+    rng = _rng(5)
+    pal = _palette(4)
+    idx = (rng.randint(0, 4, (200, 300)) ** 2 % 4).astype(np.uint8)
+    assert np.array_equal(gc.decode_gif(gc.encode_gif(idx, pal)), pal[idx])
+
+
+def test_extensions_skipped_and_87a():
+    pal = _palette(4)
+    idx = _rng(2).randint(0, 4, (5, 7)).astype(np.uint8)
+    enc = gc.encode_gif(idx, pal)
+    # inject a GCE extension between the color table and the descriptor
+    desc_at = enc.index(b"\x2c")
+    gce = b"\x21\xf9\x04\x01\x0a\x00\x02\x00"
+    patched = enc[:desc_at] + gce + enc[desc_at:]
+    assert np.array_equal(gc.decode_gif(patched), pal[idx])
+    # GIF87a magic decodes identically
+    assert np.array_equal(
+        gc.decode_gif(b"GIF87a" + patched[6:]), pal[idx]
+    )
+
+
+def test_bomb_bound_before_allocation():
+    pal = _palette(4)
+    enc = bytearray(gc.encode_gif(_rng(2).randint(0, 4, (4, 4)).astype(np.uint8), pal))
+    desc_at = bytes(enc).index(b"\x2c")
+    struct.pack_into("<HH", enc, desc_at + 5, 30000, 30000)
+    with pytest.raises(ValueError, match="micro-decoder bound"):
+        gc.decode_gif(bytes(enc))
+
+
+def test_hostile_inputs_classify_never_crash():
+    pal = _palette(8)
+    enc = gc.encode_gif(_rng(4).randint(0, 8, (12, 18)).astype(np.uint8), pal)
+    for cut in range(0, len(enc), 3):
+        try:
+            gc.decode_gif(enc[:cut])
+        except ValueError:
+            pass
+    for i in range(0, len(enc), 3):
+        m = bytearray(enc)
+        m[i] ^= 0xFF
+        try:
+            gc.decode_gif(bytes(m))
+        except ValueError:
+            pass
+    with pytest.raises(ValueError):
+        gc.decode_gif(b"GIF89a" + b"\x00" * 20)  # no color table, no image
+    # out-of-palette index is a classification, not an IndexError
+    small_pal_enc = gc.encode_gif(
+        np.full((3, 3), 3, np.uint8), _palette(4)
+    )
+    # shrink the declared color-table size bits to 1 (2 colors)
+    m = bytearray(small_pal_enc)
+    m[10] = (m[10] & 0xF8) | 0x00
+    # rebuild: with fewer table bytes consumed the stream misparses —
+    # any ValueError is fine, a crash is not
+    try:
+        gc.decode_gif(bytes(m))
+    except ValueError:
+        pass
+
+
+def test_decode_image_array_routes_gif_and_sniff_agrees():
+    pal = _palette(16)
+    idx = _rng(6).randint(0, 16, (19, 27)).astype(np.uint8)
+    enc = gc.encode_gif(idx, pal)
+    assert sniff_image_meta(enc) == {"format": "gif", "width": 27, "height": 19}
+    arr = decode_image_array(enc)
+    assert arr is not None and arr.shape == (19, 27, 3)
+    assert np.array_equal(arr, pal[idx])
+
+
+def test_extract_features_decodes_gif(spark):
+    from vectrekker_spark.operators.multimodal import extract_features
+
+    pal = _palette(8)
+    idx = _rng(8).randint(0, 8, (16, 16)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, gc.encode_gif(idx, pal)), (2, b"not an image")],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in extract_features(df).collect()}
+    assert rows[1].decoded is True
+    assert abs(sum(rows[1].features) - 1.0) < 1e-9
+    assert rows[2].decoded is False

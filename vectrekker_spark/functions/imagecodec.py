@@ -231,20 +231,23 @@ def decode_ppm(content: bytes) -> np.ndarray:
 
 def decode_image_array(content: bytes) -> np.ndarray | None:
     """(H, W, C) uint8 pixels for payloads the micro-decoders understand
-    (PNG/PPM here, baseline + progressive JPEG via functions/jpegcodec.py);
-    None for anything else (caller falls back to byte-level features).
-    zlib.error (corrupt IDAT) and struct.error (truncated header) are
-    classification outcomes here, same as ValueError — a malformed payload
-    in a 100 TB corpus must fall back, never crash the batch."""
+    (PNG/PPM here, baseline + progressive JPEG via functions/jpegcodec.py,
+    GIF via functions/gifcodec.py); None for anything else (caller falls
+    back to byte-level features). zlib.error (corrupt IDAT) and
+    struct.error (truncated header) are classification outcomes here, same
+    as ValueError — a malformed payload in a 100 TB corpus must fall back,
+    never crash the batch."""
     try:
         if is_png(content):
             return decode_png(content)
         if is_ppm(content):
             return decode_ppm(content)
-        from vectrekker_spark.functions import jpegcodec  # noqa: PLC0415
+        from vectrekker_spark.functions import gifcodec, jpegcodec  # noqa: PLC0415
 
         if jpegcodec.is_jpeg(content):
             return jpegcodec.decode_jpeg(content)
+        if gifcodec.is_gif(content):
+            return gifcodec.decode_gif(content)
     except (ValueError, zlib.error, struct.error):
         return None
     return None
