@@ -82,6 +82,93 @@ GROUP BY train_id ORDER BY train_id
 """
 
 
+def d27_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """C13 as a driver-oracle row (VERDICT r10 #6 — it was pytest-verified
+    but invisible to CORRECTNESS_r*.json; slot freed by merging
+    d16_map_fns into d12_bpe_tokens): the ZERO-SHUFFLE bloom
+    decontamination path. A benchmark bloom is built over the bench
+    slice's distinct word-3-gram shingles with FIXED geometry
+    (m_bits=2^16, k=4 — explicit so sizing runs no count job and the
+    oracle can reconstruct the identical bitmap), then every train doc's
+    shingle array is probed in one narrow Arrow map (no join, no explode
+    shuffle — array_hit_counts). Output: per-doc maybe-hit count + the
+    keep decision at max_shared=2. Everything is md5-prefix integer math,
+    so the DuckDB oracle matches bit-exactly — including the false
+    positives, which are a deterministic property of the hash family, not
+    noise. Contrast with d19_decontaminate, the EXACT join form of the
+    same gate."""
+    from vectrekker_spark.operators.bloom import array_hit_counts, bloom_build
+
+    d = tbp(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    # direct bloom_build, not benchmark_bloom: that wrapper's `k` is the
+    # SHINGLE k (3, the default we want), and the bloom's own hash count
+    # must ALSO be pinned (k=4) or sizing auto-picks one the oracle can't
+    # know — the two k's collide in the wrapper's signature
+    sh = bench.select(F.explode(T.word_shingles("text")).alias("__sh")).distinct()
+    bf = bloom_build(sh, "__sh", m_bits=1 << 16, k=4)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    hits = array_hit_counts(
+        train.select("doc_id", T.word_shingles("text").alias("__sh")),
+        "__sh",
+        bf,
+        out_col="n_hits",
+    )
+    return ordered(
+        hits.select(
+            "doc_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") <= 2).alias("kept"),
+        ),
+        "doc_id",
+    )
+
+
+# the bitmap build + probe in ANSI SQL: same md5-prefix double-hash family
+# as operators/bloom.py (proven bit-for-bit in tests/test_bloom.py), same
+# word-3-gram shingles as D19 plus word_shingles' short-text rule (fewer
+# than 3 tokens -> the single all-token join; NULL text -> [''])
+_SHINGLES_FULL = (
+    f"CASE WHEN len({LTOKS}) >= 3 THEN {{inner}} "
+    f"ELSE [coalesce(array_to_string({LTOKS}, ' '), '')] END"
+).format(
+    inner=(
+        f"list_distinct(list_transform(generate_series(0, len({LTOKS}) - 3), "
+        f"i -> array_to_string(({LTOKS})[i+1:i+3], ' ')))"
+    )
+)
+D27_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_FULL} AS shingles FROM documents),
+bench_sh AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0),
+bench_pos AS (
+  SELECT DISTINCT (('0x'||substr(md5(s),1,8))::BIGINT
+          + r.i * (('0x'||substr(md5(s),9,8))::BIGINT | 1)) % 65536 AS pos
+  FROM bench_sh CROSS JOIN range(4) r(i)),
+words AS (
+  SELECT pos // 64 AS word_idx,
+         bit_or(CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)
+                ELSE (1::BIGINT << (pos % 64)::INT) END) AS bits
+  FROM bench_pos GROUP BY 1),
+train AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 20 <> 0),
+probe AS (
+  SELECT doc_id, s,
+         (('0x'||substr(md5(s),1,8))::BIGINT
+          + r.i * (('0x'||substr(md5(s),9,8))::BIGINT | 1)) % 65536 AS pos
+  FROM train CROSS JOIN range(4) r(i)),
+checked AS (
+  SELECT doc_id, s,
+         min(CASE WHEN w.bits IS NULL THEN 0
+                  ELSE (w.bits >> (p.pos % 64)::INT) & 1 END) AS hit
+  FROM probe p LEFT JOIN words w ON w.word_idx = p.pos // 64
+  GROUP BY doc_id, s)
+SELECT doc_id, SUM(hit)::BIGINT AS n_hits, SUM(hit) <= 2 AS kept
+FROM checked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def d20_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     # Top-100 corpus terms by sqrt-damped TF-IDF (operators/tfidf.py explains
     # why sqrt idf and not ln: cross-engine IEEE determinism). tb1, not tbp:
@@ -283,6 +370,10 @@ SPECS = [
     QuerySpec("d19_decontaminate", d19_decontaminate, D19_SQL,
               ("curation", "dedup"),
               "benchmark decontamination via word-3-gram shingle overlap"),
+    QuerySpec("d27_bloom_decontam", d27_bloom_decontam, D27_SQL,
+              ("curation", "dedup"),
+              "C13 zero-shuffle bloom decontamination, bit-exact bitmap "
+              "oracle (d16 merged into d12 to free the slot)"),
     QuerySpec("d20_tfidf", d20_tfidf, D20_SQL, ("curation",),
               "top-100 corpus terms by sqrt-damped TF-IDF"),
     QuerySpec("d21_pii_redact", d21_pii_redact, D21_SQL, ("curation",),

@@ -697,31 +697,11 @@ ORDER BY shape, key
 """
 
 
-def d16_map_fns(spark: SparkSession, sf: str) -> DataFrame:
-    # map construction + lookup + keys (Spark-side; the oracle computes the
-    # same values without the map detour — documented dialect pair)
-    d = tb(spark, sf, "documents")
-    m = F.create_map(
-        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
-    )
-    return d.select(
-        "doc_id",
-        F.element_at(m, "lang").alias("lang_val"),
-        F.element_at(m, "source").alias("source_val"),
-        F.concat_ws(",", F.map_keys(m)).alias("keys"),
-        F.size(F.map_values(m)).cast("long").alias("n_vals"),
-    ).transform(lambda d: ordered(d, "doc_id"))
-
-
-D16_SQL = """
-SELECT doc_id, lang AS lang_val, source AS source_val,
-       'lang,source' AS keys, 2::BIGINT AS n_vals
-FROM documents ORDER BY doc_id
-"""
-
+# d16_map_fns merged into d12_bpe_tokens (r11, queries/text.py) — the map
+# construct/lookup/keys columns ride d12's single documents scan verbatim;
+# its registry slot went to d27_bloom_decontam (the C13 driver row).
 
 SPECS = [
-    QuerySpec("d16_map_fns", d16_map_fns, D16_SQL, ("relational",), "map construct/lookup/keys"),
     QuerySpec("q02_filter", q02_filter, Q02_SQL, ("relational",),
               "pushdown filter + projection + computed col (tagged merge)"),
     QuerySpec("d22_asof_join", d22_asof_join, D22_SQL, ("relational", "timeseries"),

@@ -320,12 +320,20 @@ def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     # md5, whitespace-normalized fingerprint — the multimodal metadata
     # surface) ride the same scan as the token counts. Semantics retained
     # column-for-column; the decode side lives in operators/multimodal.py.
+    # r11: former d16_map_fns merged here the same way (its slot went to
+    # d27_bloom_decontam) — the map-function surface (create_map,
+    # element_at lookups, map_keys/map_values) is another single-scan
+    # per-doc projection over documents, so its columns ride this scan
+    # verbatim; semantics retained column-for-column.
     from vectrekker_spark.functions.tokenize import bpe_like_token_count
     from vectrekker_spark.queries.util import small_local
 
     # plain tb either way: at real scale the scan splits naturally, and when
     # the table is one small local file the serial plan below wants the
     # unsplit scan anyway (tbp reduces to tb in the non-small case too)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
     counts = tb(spark, sf, "documents").select(
         "doc_id",
         bpe_like_token_count("text").cast("long").alias("n_bpe_tokens"),
@@ -333,6 +341,10 @@ def d12_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_md5"),
         T.fingerprint("text").alias("norm_fingerprint"),
+        F.element_at(m, "lang").alias("lang_val"),
+        F.element_at(m, "source").alias("source_val"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys"),
+        F.size(F.map_values(m)).cast("long").alias("n_vals"),
     )
     if small_local(sf, "documents"):
         # Serial plan for a tiny local table (what an adaptive engine picks):
@@ -354,7 +366,9 @@ SELECT doc_id,
        len({TOKS}) AS n_ws_tokens,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5,
-       md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS norm_fingerprint
+       md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS norm_fingerprint,
+       lang AS lang_val, source AS source_val,
+       'lang,source' AS keys, 2::BIGINT AS n_vals
 FROM documents ORDER BY doc_id
 """
 
