@@ -406,3 +406,31 @@ def test_progressive_extract_features_decodes(spark):
     assert rows[1].decoded is True
     # identical pixels -> identical features as the baseline encode
     assert rows[1].features == rows[2].features
+
+
+def test_progressive_dc_accumulator_overflow_classifies():
+    """Review r11: a crafted SOF2 DC scan that keeps emitting max-category
+    positive diffs drives the DC predictor past the int32 coefficient
+    store. That must be a ValueError (classification), never an
+    OverflowError escaping decode_image_array (numpy>=2) or silent int32
+    wraparound into garbage pixels (numpy 1.x)."""
+    # hand-assemble: SOF2 grayscale 8x4096 (512 blocks), one DC scan at
+    # Al=13 whose every diff is +2047 (category 11, magnitude bits all 1)
+    def seg(marker, data):
+        return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([16] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 4096, 1) + bytes([1, 0x11, 0]))
+    # DC table: category 11 gets the single 1-bit code '0'
+    out += seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([11]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 13]))  # Ss=0 Se=0 Ah=0 Al=13
+    bw = jc._BitWriter()
+    for _ in range(512):
+        bw.write(0, 1)  # the category-11 huffman code
+        bw.write(0x7FF, 11)  # diff = +2047
+    bw.flush()
+    out += bytes(bw.out) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="DC accumulator"):
+        jc.decode_jpeg(bytes(out))
+    assert decode_image_array(bytes(out)) is None  # classified, not crashed

@@ -134,3 +134,29 @@ def test_video_meta_operator_unifies_y4m_and_mp4(spark):
     assert rows[2].vid_fps is None and rows[2].vid_frames is None
     assert rows[3].vid_format is None
     assert rows[4].vid_format is None
+
+
+def test_budget_exhaustion_classifies_not_truncates():
+    """Review r11: hitting _MAX_BOXES mid-moov must classify the payload
+    to None — a partial n_tracks (or a missed video trak's dims) reported
+    as a complete row is the Y4M silent-truncation defect again."""
+    import struct as _s
+
+    from vectrekker_spark.functions.mp4codec import _MAX_BOXES
+
+    filler = (_s.pack(">I", 8) + b"free") * (_MAX_BOXES + 10)
+    body = build_mp4(tracks=[dict(handler="vide", width=640, height=360,
+                                  codec="avc1")])
+    # rebuild: ftyp + moov(mvhd + filler + trak) so the trak sits PAST the
+    # budget — a silent-truncation bug would report n_tracks=0 "complete"
+    ftyp_end = 16
+    moov_at = body.index(b"moov") - 4
+    moov_len = _s.unpack(">I", body[moov_at : moov_at + 4])[0]
+    moov_payload = body[moov_at + 8 : moov_at + moov_len]
+    mvhd_len = _s.unpack(">I", moov_payload[:4])[0]
+    new_payload = moov_payload[:mvhd_len] + filler + moov_payload[mvhd_len:]
+    bomb = (
+        body[:ftyp_end]
+        + _s.pack(">I", 8 + len(new_payload)) + b"moov" + new_payload
+    )
+    assert sniff_mp4_meta(bomb) is None

@@ -258,7 +258,7 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
 # of the public container specs, so a 100 TB mixed-media corpus can be
 # inventoried (format mix, resolution distribution, aspect-ratio filters)
 # at header cost instead of decode cost, including formats the
-# micro-decoders deliberately don't decode (GIF, BMP).
+# micro-decoders deliberately don't decode (BMP).
 
 # JPEG start-of-frame markers carrying dimensions (ITU T.81 §B.2.2):
 # every SOFn except DHT (C4), JPG (C8), DAC (CC).

@@ -795,6 +795,21 @@ def _walk_progressive(content: bytes):
     return frame, qt, scans
 
 
+# A legitimate 8-bit file's point-transformed DC is |dc<<Al| <= 2047<<13
+# (~16.7M); anything past this generous bound is a crafted diff run that
+# would overflow the int32 coefficient store (numpy>=2 raises OverflowError
+# — a crash escaping the ValueError-only classification contract; numpy 1.x
+# silently wraps into garbage pixels). Review finding r11.
+_MAX_DC_MAGNITUDE = 1 << 26
+
+
+def _dc_checked(pred: int, al: int) -> int:
+    v = pred << al
+    if not -_MAX_DC_MAGNITUDE <= v <= _MAX_DC_MAGNITUDE:
+        raise ValueError("JPEG DC accumulator out of range")
+    return v
+
+
 def _refine_band(blk, k: int, se: int, reader: _BitReader, p1: int, m1: int) -> None:
     """AC successive-approximation correction pass over blk[k..se]
     (G.1.2.3): every nonzero-history coefficient reads one bit; a 1 bit
@@ -809,7 +824,17 @@ def _refine_band(blk, k: int, se: int, reader: _BitReader, p1: int, m1: int) -> 
 
 def _process_scan(scan: dict, comps: list[dict], mcux: int, mcuy: int) -> None:
     """Apply one progressive scan to the per-component zigzag-order
-    coefficient state."""
+    coefficient state.
+
+    Deliberately per-coefficient numpy scalar access, unlike the
+    sequential decoder's list-accumulate + vectorized scatter: refinement
+    scans READ the running coefficient state to drive control flow
+    (correction bits exist only at nonzero-history positions), so the
+    state must be randomly readable mid-scan. The measured end-to-end premium
+    over the sequential path is 1.4-1.7x (SCALE.md r11) — acceptable for
+    the corpus-filter fallback; batching the write-once first scans
+    through the _FLUSH_COEFFS idiom is the known lever if that ever
+    stops being true."""
     ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
     segs, ri = scan["segs"], scan["ri"]
     seg_i = 0
@@ -847,7 +872,7 @@ def _process_scan(scan: dict, comps: list[dict], mcux: int, mcuy: int) -> None:
                             raise ValueError("bad JPEG DC category")
                         if s:
                             preds[ci] += _extend(reader.read(s), s)
-                        blk[0] = preds[ci] << al
+                        blk[0] = _dc_checked(preds[ci], al)
                     elif reader.read(1):
                         blk[0] = int(blk[0]) | (1 << al)
                     unit += 1
@@ -872,7 +897,7 @@ def _process_scan(scan: dict, comps: list[dict], mcux: int, mcuy: int) -> None:
                                         raise ValueError("bad JPEG DC category")
                                     if s:
                                         preds[ci] += _extend(reader.read(s), s)
-                                    blk[0] = preds[ci] << al
+                                    blk[0] = _dc_checked(preds[ci], al)
                                 elif reader.read(1):
                                     blk[0] = int(blk[0]) | (1 << al)
                     mcu += 1

@@ -19,9 +19,12 @@ out of scope for a header sniff; those fields stay NULL for mp4 rows
 
 Hostility discipline (the sniff_image_meta / sniff_wav_meta contract):
 `sniff_mp4_meta` NEVER raises on arbitrary bytes — box sizes are never
-trusted beyond the payload, recursion depth and total visited boxes are
-capped, and every extracted integer is int32-bounded before it can reach
-a typed kernel column (the pd.array("Int32") lesson).
+trusted beyond the payload, the total visited-box count is capped (and
+hitting the cap classifies the payload to None rather than reporting a
+TRUNCATED inventory as complete — the Y4M _MAX_FRAMES lesson; nesting is
+bounded by the hand-coded four-level walk), and every extracted integer
+is int32-bounded before it can reach a typed kernel column (the
+pd.array("Int32") lesson).
 
 `build_mp4` is the test-fixture counterpart: a minimal box writer (the
 encode_png / encode_jpeg / encode_y4m idiom) so round-trip tests need no
@@ -32,9 +35,15 @@ from __future__ import annotations
 
 import struct
 
-_MAX_DEPTH = 8
-_MAX_BOXES = 10_000
+_MAX_BOXES = 10_000  # nesting is bounded by the hand-coded 4-level walk
 _INT32_MAX = 0x7FFFFFFF
+
+
+class _BudgetExceeded(Exception):
+    """The box-count bound was hit mid-walk. Raised (not silently
+    returned) so a truncated inventory can never masquerade as a complete
+    one — the same defect class the Y4M _MAX_FRAMES fix closed (r10
+    advice); sniff_mp4_meta classifies it to None."""
 
 # containers whose payload is a plain sequence of child boxes
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
@@ -53,7 +62,7 @@ def _iter_boxes(content: bytes, start: int, end: int, budget: list[int]):
     i = start
     while i + 8 <= end:
         if budget[0] <= 0:
-            return
+            raise _BudgetExceeded
         budget[0] -= 1
         (size,) = struct.unpack(">I", content[i : i + 4])
         typ = content[i + 4 : i + 8]
