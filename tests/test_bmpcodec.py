@@ -1,0 +1,91 @@
+"""BMP micro-codec tests: the fixture encoder is an independent forward
+implementation of the row/padding/direction rules, and BMP is lossless so
+round-trips are EXACT."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vectrekker_spark.functions import bmpcodec as bc
+from vectrekker_spark.functions.imagecodec import (
+    decode_image_array,
+    sniff_image_meta,
+)
+
+
+def _rng(seed=7):
+    return np.random.RandomState(seed)
+
+
+def test_24bit_roundtrip_exact_both_directions():
+    rng = _rng(3)
+    # odd widths exercise the 4-byte row padding (w*3 % 4 != 0)
+    for w in (1, 2, 3, 5, 17, 32):
+        img = rng.randint(0, 256, (11, w, 3)).astype(np.uint8)
+        for td in (False, True):
+            out = bc.decode_bmp(bc.encode_bmp(img, top_down=td))
+            assert np.array_equal(out, img), (w, td)
+
+
+def test_8bit_palette_roundtrip_exact():
+    rng = _rng(5)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (13, 9)).astype(np.uint8)
+    out = bc.decode_bmp(bc.encode_bmp(idx, palette=pal))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_unsupported_variants_classify():
+    img = _rng(2).randint(0, 256, (4, 4, 3)).astype(np.uint8)
+    enc = bytearray(bc.encode_bmp(img))
+    rle = bytearray(enc)
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        bc.decode_bmp(bytes(rle))
+    b16 = bytearray(enc)
+    struct.pack_into("<H", b16, 28, 16)
+    with pytest.raises(ValueError, match="bit depth"):
+        bc.decode_bmp(bytes(b16))
+    huge = bytearray(enc)
+    struct.pack_into("<ii", huge, 18, 30000, 30000)
+    with pytest.raises(ValueError, match="micro-decoder bound"):
+        bc.decode_bmp(bytes(huge))
+
+
+def test_hostile_inputs_classify_never_crash():
+    enc = bc.encode_bmp(_rng(4).randint(0, 256, (9, 7, 3)).astype(np.uint8))
+    for cut in range(0, len(enc), 3):
+        try:
+            bc.decode_bmp(enc[:cut])
+        except ValueError:
+            pass
+    for i in range(0, len(enc), 3):
+        m = bytearray(enc)
+        m[i] ^= 0xFF
+        try:
+            bc.decode_bmp(bytes(m))
+        except ValueError:
+            pass
+
+
+def test_routes_through_decode_image_array_and_sniff_agrees():
+    img = _rng(6).randint(0, 256, (19, 27, 3)).astype(np.uint8)
+    enc = bc.encode_bmp(img)
+    assert sniff_image_meta(enc) == {"format": "bmp", "width": 27, "height": 19}
+    arr = decode_image_array(enc)
+    assert arr is not None and np.array_equal(arr, img)
+
+
+def test_extract_features_decodes_bmp(spark):
+    from vectrekker_spark.operators.multimodal import extract_features
+
+    img = _rng(8).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bc.encode_bmp(img))], "media_id long, content binary"
+    )
+    (row,) = extract_features(df).collect()
+    assert row.decoded is True
+    assert abs(sum(row.features) - 1.0) < 1e-9

@@ -232,8 +232,8 @@ def decode_ppm(content: bytes) -> np.ndarray:
 def decode_image_array(content: bytes) -> np.ndarray | None:
     """(H, W, C) uint8 pixels for payloads the micro-decoders understand
     (PNG/PPM here, baseline + progressive JPEG via functions/jpegcodec.py,
-    GIF via functions/gifcodec.py); None for anything else (caller falls
-    back to byte-level features). zlib.error (corrupt IDAT) and
+    GIF via functions/gifcodec.py, uncompressed BMP via bmpcodec.py);
+    None for anything else (caller falls back to byte-level features). zlib.error (corrupt IDAT) and
     struct.error (truncated header) are classification outcomes here, same
     as ValueError — a malformed payload in a 100 TB corpus must fall back,
     never crash the batch."""
@@ -242,12 +242,18 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
             return decode_png(content)
         if is_ppm(content):
             return decode_ppm(content)
-        from vectrekker_spark.functions import gifcodec, jpegcodec  # noqa: PLC0415
+        from vectrekker_spark.functions import (  # noqa: PLC0415
+            bmpcodec,
+            gifcodec,
+            jpegcodec,
+        )
 
         if jpegcodec.is_jpeg(content):
             return jpegcodec.decode_jpeg(content)
         if gifcodec.is_gif(content):
             return gifcodec.decode_gif(content)
+        if bmpcodec.is_bmp(content):
+            return bmpcodec.decode_bmp(content)
     except (ValueError, zlib.error, struct.error):
         return None
     return None
@@ -257,8 +263,8 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
 # Header sniffing — format + dimensions WITHOUT decoding. Pure struct reads
 # of the public container specs, so a 100 TB mixed-media corpus can be
 # inventoried (format mix, resolution distribution, aspect-ratio filters)
-# at header cost instead of decode cost, including formats the
-# micro-decoders deliberately don't decode (BMP).
+# at header cost instead of decode cost — and as the cheap first look
+# even for the formats the micro-decoders CAN now pixel-decode.
 
 # JPEG start-of-frame markers carrying dimensions (ITU T.81 §B.2.2):
 # every SOFn except DHT (C4), JPG (C8), DAC (CC).
