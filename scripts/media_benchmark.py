@@ -46,8 +46,14 @@ def _gen(batches):
     import numpy as np
     import pandas as pd
 
+    from vectrekker_spark.functions.bmpcodec import encode_bmp
+    from vectrekker_spark.functions.gifcodec import encode_gif
     from vectrekker_spark.functions.imagecodec import encode_png
-    from vectrekker_spark.functions.jpegcodec import encode_jpeg
+    from vectrekker_spark.functions.jpegcodec import (
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+    from vectrekker_spark.functions.mp4codec import build_mp4
     from vectrekker_spark.functions.videocodec import encode_y4m
 
     def wav_bytes(seed: int) -> bytes:
@@ -90,23 +96,38 @@ def _gen(batches):
         ]
         return encode_y4m(frames, fps=(25, 1), colorspace="420jpeg")
 
+    def gif_bytes(seed: int) -> bytes:
+        rng = np.random.RandomState(seed % 1000)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        return encode_gif(
+            (image(seed)[:, :, 0] % 16).astype(np.uint8), pal
+        )
+
     kinds = {
         0: ("png", lambda s: encode_png(image(s))),
         1: ("jpeg", lambda s: encode_jpeg(image(s), quality=85, subsampling="4:2:0")),
         2: ("wav", wav_bytes),
         3: ("y4m", y4m_bytes),
+        # r11 additions: the new real-decode formats ride the same corpus
+        4: ("pjpeg", lambda s: encode_progressive_jpeg(
+            image(s), quality=85, subsampling="4:2:0")),
+        5: ("gif", gif_bytes),
+        6: ("bmp", lambda s: encode_bmp(image(s))),
+        7: ("mp4", lambda s: build_mp4(
+            brand="isom", timescale=600, duration=600 * (1 + s % 30),
+            tracks=[dict(handler="vide", width=640, height=360, codec="avc1")])),
     }
     for pdf in batches:
         rows = []
         for mid in pdf["id"]:
-            kind, enc = kinds[int(mid) % 4]
+            kind, enc = kinds[int(mid) % len(kinds)]
             rows.append((int(mid), kind, enc(int(mid))))
         yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
 
 def main() -> int:
     n_per_kind = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    total = n_per_kind * 4
+    total = n_per_kind * 8  # r11: pjpeg/gif/bmp/mp4 joined the corpus
     work = tempfile.mkdtemp(prefix="media_bench_")
     spark = get_spark(app_name="media-benchmark")
 
@@ -139,7 +160,9 @@ def main() -> int:
             / 2**20,
             1,
         )
-        images = media.where(F.col("kind").isin("png", "jpeg"))
+        images = media.where(
+            F.col("kind").isin("png", "jpeg", "pjpeg", "gif", "bmp")
+        )
         wavs = media.where(F.col("kind") == "wav")
         vids = media.where(F.col("kind") == "y4m")
 
@@ -155,13 +178,17 @@ def main() -> int:
             report[f"{name}_rows"] = n
             report[f"{name}_per_sec"] = round(rows_base / best, 1)
 
-        timed("extract_features", lambda: extract_features(images), 2 * n_per_kind)
+        timed("extract_features", lambda: extract_features(images), 5 * n_per_kind)
         dec = extract_features(images).agg(
             F.avg(F.col("decoded").cast("double"))
         ).first()[0]
         report["decoded_fraction"] = round(float(dec), 4)  # expect 1.0
+        # per-kind decode rates for the r11 formats (one shared pass each)
+        for k in ("pjpeg", "gif", "bmp"):
+            one = media.where(F.col("kind") == k)
+            timed(f"extract_{k}", lambda one=one: extract_features(one), n_per_kind)
 
-        timed("resize", lambda: resize_images(images, factor=4), 2 * n_per_kind)
+        timed("resize", lambda: resize_images(images, factor=4), 5 * n_per_kind)
         # count() alone would let Catalyst PRUNE the deterministic sniff
         # UDF entirely (empirically confirmed: a raising UDF still counts
         # fine) — filter on a sniffed column so every row's sniff actually
