@@ -370,6 +370,8 @@ class Gen:
                 preds.append(self.predicate(table, alias))
         if rng.random() < 0.25:
             preds.append(self.exists_pred(src))
+        elif rng.random() < 0.15:
+            preds.append(self.in_subquery_pred(src))
         if not preds:
             return None
         return f" {self.rng.choice(['AND', 'AND', 'OR'])} ".join(preds)
@@ -396,6 +398,29 @@ class Gen:
         return (
             f"{neg}EXISTS (SELECT 1 FROM {other_t} x "
             f"WHERE x.{other_c} = {alias}.{my_c}{extra})"
+        )
+
+    def in_subquery_pred(self, src: dict) -> str:
+        """[NOT] IN (SELECT fk FROM other WHERE pred) — the uncorrelated
+        subquery-semijoin plan space. The inner side filters on a plain
+        predicate so the list is a real subset; NULLs can't poison NOT IN
+        because the key columns are non-null base keys."""
+        rng = self.rng
+        cand = []
+        for alias, table, _ in src["parts"]:
+            for c_t, c_c, p_t, p_c in EDGES:
+                if c_t == table:
+                    cand.append((alias, c_c, p_t, p_c))
+                if p_t == table:
+                    cand.append((alias, p_c, c_t, c_c))
+        if not cand:
+            alias, table, _ = src["parts"][0]
+            return self.predicate(table, alias)
+        alias, my_c, other_t, other_c = rng.choice(cand)
+        neg = "NOT " if rng.random() < 0.3 else ""
+        return (
+            f"{alias}.{my_c} {neg}IN (SELECT {other_c} FROM {other_t} "
+            f"WHERE {self.predicate(other_t, None)})"
         )
 
     # ---------------- aggregates / windows ----------------
@@ -524,9 +549,39 @@ def build_query(rng: random.Random, stats: dict) -> dict:
             )
         d = g.dec_expr(src)
         if d and rng.random() < 0.5:
+            frame = rng.choice(
+                [
+                    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING",
+                ]
+            )
             wins.append(
-                f"SUM({d}) OVER (PARTITION BY {part} ORDER BY {okeys} "
-                f"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+                f"SUM({d}) OVER (PARTITION BY {part} ORDER BY {okeys} {frame})"
+            )
+        roll = rng.random()
+        if roll < 0.3:
+            wins.append(
+                f"NTILE({rng.randint(2, 5)}) OVER "
+                f"(PARTITION BY {part} ORDER BY {okeys})"
+            )
+        elif roll < 0.55:
+            e = g.int_expr(src)
+            which = rng.choice(["FIRST_VALUE", "LAST_VALUE"])
+            # LAST_VALUE needs the full-partition frame or it is just
+            # the current row — both engines agree, but the full frame
+            # is the interesting case
+            wins.append(
+                f"{which}({e}) OVER (PARTITION BY {part} ORDER BY {okeys} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            )
+        elif roll < 0.75:
+            # RANK over a possibly-TIED key: deterministic as a VALUE
+            # (ties share ranks) even though row order within ties isn't
+            e = g.int_expr(src)
+            wins.append(
+                f"{rng.choice(['RANK', 'DENSE_RANK'])}() OVER "
+                f"(PARTITION BY {part} ORDER BY {e} ASC NULLS FIRST, {okeys})"
             )
         base = [g.int_expr(src), g.str_expr(src) or g.int_expr(src)]
         q["select"] = base + wins
