@@ -376,10 +376,10 @@ class Gen:
             return None
         return f" {self.rng.choice(['AND', 'AND', 'OR'])} ".join(preds)
 
-    def exists_pred(self, src: dict) -> str:
-        """Correlated [NOT] EXISTS — the semi/anti-join plan space."""
-        rng = self.rng
-        # find an edge touching a source table
+    def _edge_candidates(self, src: dict) -> list[tuple[str, str, str, str]]:
+        """(alias, local col, other table, other col) for every join-graph
+        edge touching a source table — shared by the EXISTS and IN
+        subquery generators."""
         cand = []
         for alias, table, _ in src["parts"]:
             for c_t, c_c, p_t, p_c in EDGES:
@@ -387,6 +387,12 @@ class Gen:
                     cand.append((alias, c_c, p_t, p_c))
                 if p_t == table:
                     cand.append((alias, p_c, c_t, c_c))
+        return cand
+
+    def exists_pred(self, src: dict) -> str:
+        """Correlated [NOT] EXISTS — the semi/anti-join plan space."""
+        rng = self.rng
+        cand = self._edge_candidates(src)
         if not cand:
             alias, table, _ = src["parts"][0]
             return self.predicate(table, alias)
@@ -406,13 +412,7 @@ class Gen:
         predicate so the list is a real subset; NULLs can't poison NOT IN
         because the key columns are non-null base keys."""
         rng = self.rng
-        cand = []
-        for alias, table, _ in src["parts"]:
-            for c_t, c_c, p_t, p_c in EDGES:
-                if c_t == table:
-                    cand.append((alias, c_c, p_t, p_c))
-                if p_t == table:
-                    cand.append((alias, p_c, c_t, c_c))
+        cand = self._edge_candidates(src)
         if not cand:
             alias, table, _ = src["parts"][0]
             return self.predicate(table, alias)
@@ -577,11 +577,13 @@ def build_query(rng: random.Random, stats: dict) -> dict:
             )
         elif roll < 0.75:
             # RANK over a possibly-TIED key: deterministic as a VALUE
-            # (ties share ranks) even though row order within ties isn't
+            # (ties share ranks) even though row order within ties isn't —
+            # NO unique-key tiebreak here, or ties never occur and this
+            # degenerates to ROW_NUMBER (review finding r11)
             e = g.int_expr(src)
             wins.append(
                 f"{rng.choice(['RANK', 'DENSE_RANK'])}() OVER "
-                f"(PARTITION BY {part} ORDER BY {e} ASC NULLS FIRST, {okeys})"
+                f"(PARTITION BY {part} ORDER BY {e} ASC NULLS FIRST)"
             )
         base = [g.int_expr(src), g.str_expr(src) or g.int_expr(src)]
         q["select"] = base + wins

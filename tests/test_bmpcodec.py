@@ -89,3 +89,22 @@ def test_extract_features_decodes_bmp(spark):
     (row,) = extract_features(df).collect()
     assert row.decoded is True
     assert abs(sum(row.features) - 1.0) < 1e-9
+
+
+def test_data_offset_into_headers_classifies():
+    """Review r11: a pixel-data offset pointing back into the headers or
+    palette must be a ValueError, not a decode of header bytes presented
+    as pixels."""
+    img = _rng(9).randint(0, 256, (4, 4, 3)).astype(np.uint8)
+    for bad in (0, 2, 14, 53):
+        enc = bytearray(bc.encode_bmp(img))
+        struct.pack_into("<I", enc, 10, bad)
+        with pytest.raises(ValueError, match="offset out of range"):
+            bc.decode_bmp(bytes(enc))
+    # paletted: offset landing inside the color table is also rejected
+    pal = _rng(1).randint(0, 256, (16, 3)).astype(np.uint8)
+    enc = bytearray(bc.encode_bmp(
+        _rng(2).randint(0, 16, (4, 4)).astype(np.uint8), palette=pal))
+    struct.pack_into("<I", enc, 10, 14 + 40 + 4)  # inside the palette
+    with pytest.raises(ValueError, match="offset out of range"):
+        bc.decode_bmp(bytes(enc))

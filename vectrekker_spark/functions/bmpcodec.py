@@ -8,9 +8,10 @@ height is negative.
 
 Scope (micro-decoder):
 - DECODE: uncompressed BI_RGB at 8 bpp (palette), 24 bpp (BGR) and
-  32 bpp (BGRX — the X/alpha byte is ignored, features want pixels),
-  bottom-up and top-down. RLE compression, 1/4/16 bpp, and V4/V5 alpha
-  semantics raise ValueError and the caller falls back to the header
+  32 bpp (BGRX — the fourth byte is ignored, INCLUDING any V4/V5 alpha
+  a header larger than 40 bytes might define: features want pixels, the
+  GIF-transparency rule), bottom-up and top-down. RLE compression and
+  1/4/16 bpp raise ValueError and the caller falls back to the header
   sniff (they are a rounding error of real corpora; RLE BMPs are nearly
   extinct on the web).
 - ENCODE (`encode_bmp`): the fixture counterpart — 24-bit BGR or 8-bit
@@ -79,8 +80,13 @@ def decode_bmp(content: bytes) -> np.ndarray:
 
     stride = ((w * bpp // 8) + 3) & ~3  # rows pad to 4 bytes
     need = stride * h
-    if data_off > len(content) or data_off + need > len(content):
-        raise ValueError("truncated BMP pixel data")
+    # lower bound too: an offset pointing back INTO the headers/palette
+    # would decode header bytes as pixels and present garbage as
+    # decoded=true (review finding r11 — 'never trust declared offsets'
+    # must hold in both directions)
+    min_off = 14 + hdr_size + (4 * len(palette) if palette is not None else 0)
+    if data_off < min_off or data_off + need > len(content):
+        raise ValueError("BMP pixel-data offset out of range")
     rows = np.frombuffer(content, np.uint8, need, data_off).reshape(h, stride)
     if not top_down:
         rows = rows[::-1]
