@@ -5,6 +5,8 @@ checked against the spec, not against itself."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -224,3 +226,45 @@ def test_ppm_low_maxval_rescales():
     assert out[0, 1].tolist() == [0, 0, 0]
     mid = b"P6\n1 1\n100\n" + bytes([50, 50, 50])
     assert decode_ppm(mid)[0, 0].tolist() == [128, 128, 128]  # round(50*2.55)
+
+
+def _webp(fourcc: bytes, payload: bytes) -> bytes:
+    chunk = fourcc + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_sniff_webp_all_three_flavors():
+    """WebP dims from the spec-built container (RFC 9649): lossy VP8
+    (sync + 14-bit u16 dims), lossless VP8L (packed 14-bit fields),
+    extended VP8X (24-bit canvas minus one)."""
+    from vectrekker_spark.functions.imagecodec import sniff_image_meta
+
+    vp8 = _webp(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240) + b"\x00" * 8,
+    )
+    assert sniff_image_meta(vp8) == {"format": "webp", "width": 320, "height": 240}
+
+    bits = (639 & 0x3FFF) | ((479 & 0x3FFF) << 14)
+    vp8l = _webp(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 6)
+    assert sniff_image_meta(vp8l) == {"format": "webp", "width": 640, "height": 480}
+
+    vp8x = _webp(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little") + b"\x00",
+    )
+    assert sniff_image_meta(vp8x) == {
+        "format": "webp", "width": 1920, "height": 1080,
+    }
+
+    # hostile: bad sync / bad signature / truncation never raise
+    bad = bytearray(vp8)
+    bad[23] = 0x00
+    assert sniff_image_meta(bytes(bad)) is None
+    for cut in range(0, len(vp8)):
+        sniff_image_meta(vp8[:cut])
+    # a WebP payload is NOT pixel-decodable (no VP8 codec here): it must
+    # classify to the byte-feature fallback, never crash
+    assert decode_image_array(vp8) is None

@@ -351,6 +351,31 @@ def sniff_image_meta(content: bytes) -> dict | None:
         if b[:2] == b"P6":
             (w, h), _ = _ppm_header(b, 2, limit=4096)
             return _checked("ppm", w, h)
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+            # r11: WebP is a major share of any modern web scrape; the
+            # three container flavors carry dims differently (RFC 9649)
+            fourcc = b[12:16]
+            if fourcc == b"VP8 ":
+                # lossy: 3-byte frame tag, 3-byte sync 9D 01 2A, then
+                # 14-bit width/height in little-endian u16s
+                if b[23:26] != b"\x9d\x01\x2a":
+                    return None
+                w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+                h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+                return _checked("webp", w, h)
+            if fourcc == b"VP8L":
+                if b[20] != 0x2F:  # lossless signature byte
+                    return None
+                bits = struct.unpack("<I", b[21:25])[0]
+                return _checked(
+                    "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+                )
+            if fourcc == b"VP8X":
+                # extended: 24-bit little-endian canvas dims minus one
+                w = int.from_bytes(b[24:27], "little") + 1
+                h = int.from_bytes(b[27:30], "little") + 1
+                return _checked("webp", w, h)
+            return None
         m = _sniff_jpeg(b)
         return _checked("jpeg", m["width"], m["height"]) if m else None
     except Exception:
