@@ -345,3 +345,108 @@ def test_spectral_rolloff_is_energy_not_magnitude(spark):
     (row,) = spectral_window_features(df, window=window).collect()
     assert abs(row.rolloff - 10 / window) < 1e-6  # energy: strong bin
     assert abs(row.rolloff - 100 / window) > 0.05  # not the magnitude answer
+
+
+# --- MP3 / FLAC sniffing (r11) ----------------------------------------------
+
+
+def _mp3_frame_header(version=3, br_idx=9, sr_idx=0, mono=False) -> bytes:
+    b1 = 0xFF
+    b2 = 0xE0 | (version << 3) | (1 << 1)  # Layer III
+    b3 = (br_idx << 4) | (sr_idx << 2)
+    b4 = 0xC0 if mono else 0x00
+    return bytes([b1, b2, b3, b4])
+
+
+def test_sniff_mp3_cbr_estimate_and_id3_skip():
+    from vectrekker_spark.functions.audiocodec import sniff_audio_meta
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo; 16000 audio bytes
+    frame = _mp3_frame_header(br_idx=9, sr_idx=0)
+    body = frame + b"\x00" * 16000
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    for payload in (body, id3 + body):
+        m = sniff_audio_meta(payload)
+        assert m is not None and m["format"] == "mp3"
+        assert m["sample_rate"] == 44100 and m["n_channels"] == 2
+        # CBR estimate: bytes*8 / 128000
+        assert m["duration_sec"] == pytest.approx(
+            len(body) * 8 / 128000, rel=1e-3
+        )
+
+
+def test_sniff_mp3_xing_exact_duration_and_mono_v2():
+    from vectrekker_spark.functions.audiocodec import sniff_audio_meta
+
+    # MPEG2 mono: side info 9 bytes; Xing frame count -> exact duration
+    frame = _mp3_frame_header(version=2, br_idx=5, sr_idx=1, mono=True)
+    xing = b"\x00" * 9 + b"Xing" + struct.pack(">II", 1, 1000)
+    m = sniff_audio_meta(frame + xing + b"\x00" * 4000)
+    assert m is not None and m["format"] == "mp3"
+    assert m["sample_rate"] == 24000 and m["n_channels"] == 1
+    assert m["duration_sec"] == pytest.approx(1000 * 576 / 24000)
+
+
+def test_sniff_mp3_rejects_non_layer3_and_free_format():
+    from vectrekker_spark.functions.audiocodec import sniff_mp3_meta
+
+    assert sniff_mp3_meta(bytes([0xFF, 0xE0 | (3 << 3) | (3 << 1), 0x90, 0])) is None  # Layer I
+    assert sniff_mp3_meta(bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1), 0x00, 0])) is None  # free format
+    assert sniff_mp3_meta(b"") is None
+
+
+def _flac_bytes(rate=44100, n_ch=2, bits=16, total=441000) -> bytes:
+    packed = (rate << 44) | ((n_ch - 1) << 41) | ((bits - 1) << 36) | total
+    si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si + b"\xff" * 64
+
+
+def test_sniff_flac_streaminfo():
+    from vectrekker_spark.functions.audiocodec import sniff_audio_meta
+
+    m = sniff_audio_meta(_flac_bytes())
+    assert m is not None and m["format"] == "flac"
+    assert m["sample_rate"] == 44100 and m["n_channels"] == 2
+    assert m["bits"] == 16
+    assert m["duration_sec"] == pytest.approx(10.0)
+    # unknown total samples -> duration NULL, never fabricated
+    assert sniff_audio_meta(_flac_bytes(total=0))["duration_sec"] is None
+
+
+def test_sniff_audio_never_raises_fuzz():
+    import random
+
+    from vectrekker_spark.functions.audiocodec import sniff_audio_meta
+
+    rng = random.Random(3)
+    for _ in range(300):
+        sniff_audio_meta(bytes(rng.randrange(256) for _ in range(rng.randrange(64))))
+    for base in (_flac_bytes(), _mp3_frame_header() + b"\x00" * 100):
+        for cut in range(len(base)):
+            sniff_audio_meta(base[:cut])
+        for i in range(len(base)):
+            m = bytearray(base)
+            m[i] ^= 0xFF
+            sniff_audio_meta(bytes(m))
+
+
+def test_audio_meta_operator_unifies_formats(spark):
+    import numpy as np
+
+    from vectrekker_spark.operators.multimodal import audio_meta
+
+    wav = make_wav(np.zeros((1600, 1), dtype=np.int16), rate=16000)
+    mp3 = _mp3_frame_header() + b"\x00" * 8000
+    flac = _flac_bytes(rate=48000, n_ch=1, bits=24, total=96000)
+    df = spark.createDataFrame(
+        [(1, wav), (2, mp3), (3, flac), (4, b"noise"), (5, None)],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in audio_meta(df).collect()}
+    assert rows[1].aud_format == "wav" and rows[1].aud_rate == 16000
+    assert rows[1].aud_format_tag == 1
+    assert rows[2].aud_format == "mp3" and rows[2].aud_rate == 44100
+    assert rows[2].aud_bits is None  # lossy: no fixed width, never faked
+    assert rows[3].aud_format == "flac" and rows[3].aud_bits == 24
+    assert rows[3].aud_duration == pytest.approx(2.0)
+    assert rows[4].aud_format is None and rows[5].aud_format is None

@@ -153,3 +153,135 @@ def sniff_wav_meta(content: bytes) -> dict | None:
         }
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# MP3 / FLAC header sniffing (r11): real web audio is MPEG and FLAC, not
+# WAV — the inventory path gets both at header cost, same never-raise
+# contract. No sample decode (that's codec work a real cluster does with
+# ffmpeg upstream); this is the mp4codec argument applied to audio.
+
+# MPEG-1/2/2.5 Layer III tables (ISO 11172-3 / 13818-3)
+_MP3_BITRATES_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+_MP3_SYNC_SCAN = 4096  # a real file's first frame sits at/near the front
+
+
+def _id3v2_size(b: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 if none). Syncsafe size."""
+    if b[:3] != b"ID3" or len(b) < 10:
+        return 0
+    s = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+    return 10 + s
+
+
+def sniff_mp3_meta(content: bytes) -> dict | None:
+    """MPEG Layer III stream parameters from the first frame header
+    (after any ID3v2 tag): channels, sample rate, duration — EXACT when a
+    Xing/Info VBR header carries the frame count, else the CBR estimate
+    from the first frame's bitrate (documented approximation). Layer I/II
+    and reserved fields return None (not mp3). Never raises."""
+    try:
+        b = content or b""
+        start = _id3v2_size(b)
+        if start >= len(b) or start > 1 << 28:
+            return None
+        # bounded scan for the frame sync
+        end = min(len(b) - 3, start + _MP3_SYNC_SCAN)
+        pos = -1
+        for i in range(start, end):
+            if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+                pos = i
+                break
+        if pos < 0:
+            return None
+        b1, b2, b3 = b[pos + 1], b[pos + 2], b[pos + 3]
+        version = (b1 >> 3) & 3  # 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+        layer = (b1 >> 1) & 3  # 1 = Layer III
+        if version == 1 or layer != 1:
+            return None
+        br_idx = (b2 >> 4) & 15
+        sr_idx = (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None  # free-format / reserved: can't size
+        rate = _MP3_RATES[version][sr_idx]
+        kbps = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx]
+        mono = ((b3 >> 6) & 3) == 3
+        n_ch = 1 if mono else 2
+        spf = 1152 if version == 3 else 576  # samples per Layer III frame
+        audio_bytes = len(b) - pos
+
+        # Xing/Info (VBR) header: side-info offset depends on version/mode
+        side = (17 if mono else 32) if version == 3 else (9 if mono else 17)
+        xoff = pos + 4 + side
+        duration = None
+        if b[xoff : xoff + 4] in (b"Xing", b"Info") and len(b) >= xoff + 12:
+            flags = struct.unpack(">I", b[xoff + 4 : xoff + 8])[0]
+            if flags & 1:
+                frames = struct.unpack(">I", b[xoff + 8 : xoff + 12])[0]
+                if 0 < frames <= 0x7FFFFFFF:
+                    duration = frames * spf / rate
+        if duration is None:
+            duration = audio_bytes * 8 / (kbps * 1000)
+        if not 0 <= duration <= 1e9:
+            return None
+        return {
+            "format": "mp3",
+            "format_tag": None,
+            "n_channels": n_ch,
+            "sample_rate": rate,
+            "bits": None,  # lossy: no fixed sample width
+            "data_bytes": audio_bytes,
+            "duration_sec": round(duration, 6),
+        }
+    except Exception:
+        return None
+
+
+def sniff_flac_meta(content: bytes) -> dict | None:
+    """FLAC STREAMINFO parameters ('fLaC' magic + the mandatory first
+    metadata block): rate/channels/bits/total-samples → exact duration.
+    Never raises."""
+    try:
+        b = content or b""
+        if b[:4] != b"fLaC" or len(b) < 4 + 4 + 34:
+            return None
+        # first metadata block header: 1 byte (last<<7 | type), 3 bytes len
+        btype = b[4] & 0x7F
+        blen = int.from_bytes(b[5:8], "big")
+        if btype != 0 or blen < 34:  # STREAMINFO is mandatory and first
+            return None
+        si = b[8 : 8 + 34]
+        packed = int.from_bytes(si[10:18], "big")
+        rate = (packed >> 44) & 0xFFFFF
+        n_ch = ((packed >> 41) & 0x7) + 1
+        bits = ((packed >> 36) & 0x1F) + 1
+        total = packed & 0xFFFFFFFFF  # 36 bits
+        if rate == 0 or rate > 0x7FFFFFFF:
+            return None
+        duration = round(total / rate, 6) if total else None
+        return {
+            "format": "flac",
+            "format_tag": None,
+            "n_channels": n_ch,
+            "sample_rate": rate,
+            "bits": bits,
+            "data_bytes": max(0, len(b) - 8 - blen),
+            "duration_sec": duration,
+        }
+    except Exception:
+        return None
+
+
+def sniff_audio_meta(content: bytes) -> dict | None:
+    """Unified audio inventory row: WAV (chunk walk, format column
+    'wav'), MP3, or FLAC; None for anything else. The operator-facing
+    composition, mirroring video_meta's y4m+mp4 unification."""
+    m = sniff_wav_meta(content)
+    if m is not None:
+        return {**m, "format": "wav"}
+    m = sniff_flac_meta(content)
+    if m is not None:
+        return m
+    return sniff_mp3_meta(content)

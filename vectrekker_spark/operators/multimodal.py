@@ -637,26 +637,30 @@ def image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 AUDIO_META_SCHEMA = (
-    "format_tag int, n_channels int, sample_rate int, bits int, "
-    "data_bytes long, duration_sec double"
+    "format string, format_tag int, n_channels int, sample_rate int, "
+    "bits int, data_bytes long, duration_sec double"
 )
 
 
 def audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Attach WAV header parameters (functions/audiocodec.sniff_wav_meta)
-    as aud_format_tag / aud_channels / aud_rate / aud_bits / aud_bytes /
-    aud_duration — header-read cost, sample data untouched. Non-WAV,
-    corrupt, and NULL payloads yield NULLs; non-PCM and non-16-bit WAVs
-    are REPORTED (the tag/bits columns say what they are) rather than
-    errored, so a corpus inventory sees them."""
-    from vectrekker_spark.functions.audiocodec import sniff_wav_meta
+    """Attach audio container parameters as aud_format / aud_format_tag /
+    aud_channels / aud_rate / aud_bits / aud_bytes / aud_duration —
+    header-read cost, sample data untouched. WAV (chunk walk), MP3
+    (first MPEG Layer III frame after any ID3v2; duration exact via
+    Xing/Info frame count, else the CBR estimate) and FLAC (STREAMINFO,
+    exact duration) — r11, the mp4codec realism argument applied to
+    audio. Unrecognized, corrupt, and NULL payloads yield NULLs; non-PCM
+    and non-16-bit WAVs are REPORTED (the tag/bits columns say what they
+    are) rather than errored, so a corpus inventory sees them."""
+    from vectrekker_spark.functions.audiocodec import sniff_audio_meta
 
     return _attach_meta(
         df,
         content_col,
-        sniff_wav_meta,
+        sniff_audio_meta,
         AUDIO_META_SCHEMA,
         {
+            "format": None,
             "format_tag": "Int32",
             "n_channels": "Int32",
             "sample_rate": "Int32",
@@ -665,6 +669,7 @@ def audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             "duration_sec": "Float64",
         },
         {
+            "aud_format": "format",
             "aud_format_tag": "format_tag",
             "aud_channels": "n_channels",
             "aud_rate": "sample_rate",
