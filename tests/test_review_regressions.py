@@ -145,3 +145,10 @@ def test_winnowing_tiny_docs_match_oracle(spark, tmp_path):
     )
     orows = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
     assert srows == orows
+
+    # the full-set LIBRARY form must also hold oracle parity on tiny docs
+    from vectrekker_spark.queries.text import D13_FULL_SQL, winnow_fingerprints
+
+    frows = sorted(tuple(r) for r in winnow_fingerprints(spark, str(d)).collect())
+    forows = sorted(tuple(r) for r in con.execute(D13_FULL_SQL).fetchall())
+    assert frows == forows and len(frows) >= len(srows)

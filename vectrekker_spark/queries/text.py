@@ -373,46 +373,58 @@ FROM documents ORDER BY doc_id
 """
 
 
-def d13_winnowing(spark: SparkSession, sf: str) -> DataFrame:
-    # Winnowing fingerprints (rolling-hash k-gram window minima — the MOSS
-    # document-fingerprinting scheme): 5-gram hashes, window 4, keep each
-    # window's min, distinct per doc.
-    # Winnowing is a per-doc CPU kernel (positional 5-gram polynomial hash →
-    # sliding-window-of-4 minima → distinct), so it runs as a vectorized
-    # Arrow kernel: codepoints via utf-32 view, int64 polynomial, stacked
-    # minima — no per-char expression work, no 10M-row explode+shuffle.
+def _winnow_doc_mins(text):
+    """Unique winnowing fingerprints for one document (int64 ndarray).
+
+    5-gram positional polynomial hash over lowercased codepoints →
+    sliding-window-of-4 minima → distinct. Returns None for docs too short
+    to have a k-gram (mirrors the SQL oracle's NULL-hash filter).
+    """
+    import numpy as np
+
+    if not text:  # null/empty docs have no k-grams
+        return None
+    t = text.lower()
+    c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(c) < 5:
+        return None
+    h = (
+        c[:-4] * 923521
+        + c[1:-3] * 29791
+        + c[2:-2] * 961
+        + c[3:-1] * 31
+        + c[4:]
+    )
+    if len(h) < 4:
+        # fewer hashes than the window: one truncated window — mirrors the
+        # SQL's greatest(len(hs)-3, 1) lower bound
+        mins = h.min(keepdims=True)
+    else:
+        mins = np.minimum.reduce([h[:-3], h[1:-2], h[2:-1], h[3:]])
+    return np.unique(mins)
+
+
+def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    # Full winnowing fingerprint set (rolling-hash k-gram window minima — the
+    # MOSS document-fingerprinting scheme): 5-gram hashes, window 4, keep each
+    # window's min, distinct per doc. This is the LIBRARY form: it returns one
+    # row per (doc, fingerprint) — ~690 fingerprints/doc — for downstream
+    # joins (plagiarism pairs, containment). Winnowing is a per-doc CPU kernel
+    # (positional polynomial hash → sliding minima → distinct), so it runs as
+    # a vectorized Arrow kernel: codepoints via utf-32 view, int64 polynomial,
+    # stacked minima — no per-char expression work, no 10M-row explode+shuffle.
     # Integer math → bit-identical to the SQL oracle. (A pure window-function
     # formulation — explode + lead + frame-min — also matches the oracle but
     # is ~4× slower; see git history.)
-    import numpy as np
     import pandas as pd
 
     def winnow(batches):
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if not text:  # null/empty docs have no k-grams
+                u = _winnow_doc_mins(text)
+                if u is None:
                     continue
-                t = text.lower()
-                c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
-                    np.int64
-                )
-                if len(c) < 5:
-                    continue
-                h = (
-                    c[:-4] * 923521
-                    + c[1:-3] * 29791
-                    + c[2:-2] * 961
-                    + c[3:-1] * 31
-                    + c[4:]
-                )
-                if len(h) < 4:
-                    # fewer hashes than the window: one truncated window —
-                    # mirrors the SQL's greatest(len(hs)-3, 1) lower bound
-                    mins = np.array([h.min()])
-                else:
-                    mins = np.minimum.reduce([h[:-3], h[1:-2], h[2:-1], h[3:]])
-                u = np.unique(mins)
                 ids.extend([doc_id] * len(u))
                 fps.extend(u.tolist())
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
@@ -421,6 +433,50 @@ def d13_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(d.mapInPandas(winnow, schema="doc_id long, fingerprint long"),
         "doc_id", "fingerprint"
     )
+
+
+def d13_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    # REGISTERED (driver-bounded) winnowing shape: one row per doc with the
+    # fingerprint-set summary — count, order-independent bit_xor checksum,
+    # min, max — instead of the full (doc, fingerprint) set. The full set is
+    # winnow_fingerprints() above; at sf10 it is 34.4M rows whose driver
+    # materialization (225 s) dwarfs the 5.4 s compute (SCALE.md), so the
+    # registry row must not ship it. The per-doc aggregate folds INTO the
+    # Arrow kernel (each doc is handled whole within its batch), so the plan
+    # stays a zero-shuffle narrow map; the xor/min/max/count quadruple pins
+    # the exact fingerprint multiset-as-set per doc against the SQL oracle.
+    import pandas as pd
+
+    def winnow_summary(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, xors, mins, maxs = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                u = _winnow_doc_mins(text)
+                if u is None:
+                    continue
+                ids.append(doc_id)
+                ns.append(len(u))
+                xors.append(np.bitwise_xor.reduce(u))
+                mins.append(u[0])   # np.unique returns sorted
+                maxs.append(u[-1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_fps": pd.array(ns, dtype="int64"),
+                    "fp_xor": pd.array(xors, dtype="int64"),
+                    "fp_min": pd.array(mins, dtype="int64"),
+                    "fp_max": pd.array(maxs, dtype="int64"),
+                }
+            )
+
+    d = tbp(spark, sf, "documents").select("doc_id", "text")
+    out = d.mapInPandas(
+        winnow_summary,
+        schema="doc_id long, n_fps long, fp_xor long, fp_min long, fp_max long",
+    )
+    return ordered(out, "doc_id")
 
 
 D13_SQL = """
@@ -440,6 +496,20 @@ m AS (
          list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
                                       i -> list_min(hs[i:i+3]))) AS fps
   FROM h)
+SELECT doc_id,
+       count(*)::BIGINT AS n_fps,
+       bit_xor(fingerprint) AS fp_xor,
+       min(fingerprint) AS fp_min,
+       max(fingerprint) AS fp_max
+FROM (SELECT doc_id, unnest(fps) AS fingerprint FROM m)
+WHERE fingerprint IS NOT NULL
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# Full-set oracle for the winnow_fingerprints LIBRARY op (one row per
+# (doc, fingerprint)) — used by tests, not registered (driver-unbounded).
+D13_FULL_SQL = D13_SQL[: D13_SQL.index("SELECT doc_id,\n       count(*)")] + """
 SELECT doc_id, fingerprint
 FROM (SELECT doc_id, unnest(fps) AS fingerprint FROM m)
 WHERE fingerprint IS NOT NULL
@@ -592,7 +662,8 @@ SPECS = [
               "BPE-ish token counts + content fingerprint metadata "
               "(absorbed d06_fingerprint_meta)"),
     QuerySpec("d13_winnowing", d13_winnowing, D13_SQL, ("text", "dedup"),
-              "winnowing rolling-hash fingerprints (MOSS scheme)"),
+              "winnowing fingerprint summary per doc (MOSS scheme; "
+              "full set = winnow_fingerprints)"),
     QuerySpec("d14_reshape", d14_reshape, D14_SQL, ("relational",),
               "pivot long→wide then unpivot back (round-trip reshape)"),
     QuerySpec("d11_group_percentiles", d11_group_percentiles, D11_SQL, ("text", "udf"),
