@@ -358,12 +358,30 @@ def _mp3_frame_header(version=3, br_idx=9, sr_idx=0, mono=False) -> bytes:
     return bytes([b1, b2, b3, b4])
 
 
+def _mp3_stream(n_frames, version=3, br_idx=9, sr_idx=0, mono=False,
+                first_payload=b"") -> bytes:
+    """Valid CBR stream: n_frames consecutive headers at exact frame-length
+    strides (the second-header validation the sniffer now enforces)."""
+    from vectrekker_spark.functions.audiocodec import (
+        _MP3_BITRATES_V1,
+        _MP3_BITRATES_V2,
+        _MP3_RATES,
+    )
+
+    rate = _MP3_RATES[version][sr_idx]
+    kbps = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx]
+    flen = (144 if version == 3 else 72) * kbps * 1000 // rate
+    hdr = _mp3_frame_header(version, br_idx, sr_idx, mono)
+    first = (hdr + first_payload).ljust(flen, b"\x00")
+    assert len(first) == flen, "first_payload overflows one frame"
+    return first + (hdr.ljust(flen, b"\x00")) * (n_frames - 1)
+
+
 def test_sniff_mp3_cbr_estimate_and_id3_skip():
     from vectrekker_spark.functions.audiocodec import sniff_audio_meta
 
-    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo; 16000 audio bytes
-    frame = _mp3_frame_header(br_idx=9, sr_idx=0)
-    body = frame + b"\x00" * 16000
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo; ~16 KB of real frames
+    body = _mp3_stream(39, br_idx=9, sr_idx=0)  # 39 × 417-byte frames
     id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
     for payload in (body, id3 + body):
         m = sniff_audio_meta(payload)
@@ -379,12 +397,43 @@ def test_sniff_mp3_xing_exact_duration_and_mono_v2():
     from vectrekker_spark.functions.audiocodec import sniff_audio_meta
 
     # MPEG2 mono: side info 9 bytes; Xing frame count -> exact duration
-    frame = _mp3_frame_header(version=2, br_idx=5, sr_idx=1, mono=True)
     xing = b"\x00" * 9 + b"Xing" + struct.pack(">II", 1, 1000)
-    m = sniff_audio_meta(frame + xing + b"\x00" * 4000)
+    m = sniff_audio_meta(
+        _mp3_stream(30, version=2, br_idx=5, sr_idx=1, mono=True,
+                    first_payload=xing)
+    )
     assert m is not None and m["format"] == "mp3"
     assert m["sample_rate"] == 24000 and m["n_channels"] == 1
     assert m["duration_sec"] == pytest.approx(1000 * 576 / 24000)
+
+
+def test_sniff_mp3_single_frame_file_accepted():
+    from vectrekker_spark.functions.audiocodec import sniff_mp3_meta
+
+    # one full frame, optionally followed by an ID3v1 trailer: accepted
+    one = _mp3_stream(1, br_idx=9, sr_idx=0)
+    id3v1 = b"TAG" + b"\x00" * 125
+    for payload in (one, one + id3v1):
+        m = sniff_mp3_meta(payload)
+        assert m is not None and m["sample_rate"] == 44100
+
+
+def test_sniff_mp3_rejects_sync_without_second_frame():
+    from vectrekker_spark.functions.audiocodec import sniff_mp3_meta
+
+    # a valid header followed by 16 KB of zeros is NOT an mp3 stream: no
+    # second frame header at the computed stride (ADVICE r11 — ~10% of
+    # random blobs carried a bare 11-bit sync and were misclassified)
+    hdr = _mp3_frame_header(br_idx=9, sr_idx=0)
+    assert sniff_mp3_meta(hdr + b"\x00" * 16000) is None
+
+    import random
+
+    rng = random.Random(7)
+    hits = sum(
+        sniff_mp3_meta(rng.randbytes(8192)) is not None for _ in range(200)
+    )
+    assert hits == 0
 
 
 def test_sniff_mp3_rejects_non_layer3_and_free_format():
@@ -411,6 +460,34 @@ def test_sniff_flac_streaminfo():
     assert m["duration_sec"] == pytest.approx(10.0)
     # unknown total samples -> duration NULL, never fabricated
     assert sniff_audio_meta(_flac_bytes(total=0))["duration_sec"] is None
+    assert m["data_bytes"] == 64  # audio frames start right after STREAMINFO
+
+
+def test_sniff_flac_data_bytes_walks_metadata_chain():
+    from vectrekker_spark.functions.audiocodec import sniff_flac_meta
+
+    # STREAMINFO (not last) + 1000-byte PADDING block (cover-art stand-in,
+    # is-last set) + 64 audio bytes: data_bytes must exclude the padding
+    # (old formula counted all later metadata as audio — ADVICE r11)
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 441000
+    si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    payload = (
+        b"fLaC"
+        + bytes([0x00]) + (34).to_bytes(3, "big") + si          # STREAMINFO
+        + bytes([0x80 | 1]) + (1000).to_bytes(3, "big") + b"\x00" * 1000
+        + b"\xff" * 64
+    )
+    m = sniff_flac_meta(payload)
+    assert m is not None and m["data_bytes"] == 64
+
+    # truncated chain (last block's length overruns the payload): None,
+    # never a fabricated byte count
+    truncated = (
+        b"fLaC" + bytes([0x00]) + (34).to_bytes(3, "big") + si
+        + bytes([0x80 | 1]) + (1000).to_bytes(3, "big") + b"\x00" * 10
+    )
+    m = sniff_flac_meta(truncated)
+    assert m is not None and m["data_bytes"] is None
 
 
 def test_sniff_audio_never_raises_fuzz():
@@ -436,7 +513,7 @@ def test_audio_meta_operator_unifies_formats(spark):
     from vectrekker_spark.operators.multimodal import audio_meta
 
     wav = make_wav(np.zeros((1600, 1), dtype=np.int16), rate=16000)
-    mp3 = _mp3_frame_header() + b"\x00" * 8000
+    mp3 = _mp3_stream(20)  # 20 consecutive 417-byte CBR frames
     flac = _flac_bytes(rate=48000, n_ch=1, bits=24, total=96000)
     df = spark.createDataFrame(
         [(1, wav), (2, mp3), (3, flac), (4, b"noise"), (5, None)],

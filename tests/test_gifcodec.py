@@ -73,6 +73,27 @@ def test_extensions_skipped_and_87a():
     )
 
 
+def test_offset_or_subcanvas_frame_classifies_to_sniff():
+    # first frame smaller than the canvas, or placed at an offset: decode
+    # must refuse (classify) rather than return frame-dim pixels that
+    # disagree with the sniff's canvas dims (ADVICE r11)
+    from vectrekker_spark.functions.imagecodec import sniff_image_meta
+
+    pal = _palette(4)
+    enc = bytearray(gc.encode_gif(_rng(3).randint(0, 4, (6, 6)).astype(np.uint8), pal))
+    struct.pack_into("<HH", enc, 6, 10, 8)  # canvas 10x8, frame stays 6x6
+    with pytest.raises(ValueError, match="logical-screen canvas"):
+        gc.decode_gif(bytes(enc))
+    m = sniff_image_meta(bytes(enc))
+    assert m is not None and (m["width"], m["height"]) == (10, 8)
+
+    enc2 = bytearray(gc.encode_gif(_rng(3).randint(0, 4, (6, 6)).astype(np.uint8), pal))
+    desc_at = bytes(enc2).index(b"\x2c")
+    struct.pack_into("<HH", enc2, desc_at + 1, 2, 1)  # left=2, top=1 offset
+    with pytest.raises(ValueError, match="logical-screen canvas"):
+        gc.decode_gif(bytes(enc2))
+
+
 def test_bomb_bound_before_allocation():
     pal = _palette(4)
     enc = bytearray(gc.encode_gif(_rng(2).randint(0, 4, (4, 4)).astype(np.uint8), pal))

@@ -80,11 +80,38 @@ def test_hostile_values_bounded():
                                            height=0x9000, codec="avc1")]))
     m = sniff_mp4_meta(bytes(enc))
     assert m["width"] is None or m["width"] <= 0x7FFFFFFF
-    # a box claiming to be larger than the payload terminates the walk
+    # a box claiming to be larger than the payload classifies to None:
+    # a walk silently stopped at corruption must not present a partial
+    # inventory row as complete (ADVICE r11)
     enc = bytearray(build_mp4())
     struct.pack_into(">I", enc, enc.index(b"moov") - 4, 1 << 30)
-    m = sniff_mp4_meta(bytes(enc))
-    assert m is not None  # still classifies (brand survives)
+    assert sniff_mp4_meta(bytes(enc)) is None
+
+
+def test_corrupt_mid_moov_is_none_not_partial():
+    # two video tracks; corrupt the SECOND trak's size field. The old walk
+    # stopped silently -> a row with n_tracks=1 masquerading as complete;
+    # the contract now classifies the payload to None (ADVICE r11).
+    enc = build_mp4(tracks=[
+        dict(handler="vide", width=640, height=360, codec="avc1"),
+        dict(handler="vide", width=320, height=180, codec="hev1"),
+    ])
+    assert sniff_mp4_meta(enc)["n_tracks"] == 2
+    second = enc.index(b"trak", enc.index(b"trak") + 4)
+    bad = bytearray(enc)
+    struct.pack_into(">I", bad, second - 4, 1 << 30)  # overruns moov bound
+    assert sniff_mp4_meta(bytes(bad)) is None
+    struct.pack_into(">I", bad, second - 4, 3)  # < header size
+    assert sniff_mp4_meta(bytes(bad)) is None
+
+
+def test_prefix_read_of_streaming_layout_still_classifies():
+    # header-only reads of real files (ftyp+moov up front, huge mdat
+    # truncated) must still produce a complete row: _find stops at moov
+    # before the oversized trailing mdat is ever visited
+    enc = build_mp4() + struct.pack(">I", 1 << 30) + b"mdat" + b"\x00" * 64
+    m = sniff_mp4_meta(enc)
+    assert m is not None and m["n_tracks"] == 1 and m["width"] == 640
 
 
 def test_never_raises_and_walk_is_bounded():

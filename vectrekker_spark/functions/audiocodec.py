@@ -176,38 +176,74 @@ def _id3v2_size(b: bytes) -> int:
     return 10 + s
 
 
+def _mp3_frame_params(b: bytes, pos: int):
+    """Parse and validate one Layer III frame header at pos. Returns
+    (version, rate, kbps, mono, frame_len) or None if the 4 bytes at pos
+    are not a valid MPEG-1/2/2.5 Layer III header."""
+    if pos + 4 > len(b):
+        return None
+    if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2, b3 = b[pos + 1], b[pos + 2], b[pos + 3]
+    version = (b1 >> 3) & 3  # 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+    layer = (b1 >> 1) & 3  # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (b2 >> 4) & 15
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / reserved: can't size
+    rate = _MP3_RATES[version][sr_idx]
+    kbps = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx]
+    mono = ((b3 >> 6) & 3) == 3
+    padding = (b2 >> 1) & 1
+    # Layer III frame length: spf/8 * bitrate / rate + padding
+    # (144·kbps·1000/rate for MPEG1, 72 for MPEG2/2.5 — ISO 11172-3 §2.4.3.1)
+    coef = 144 if version == 3 else 72
+    frame_len = coef * kbps * 1000 // rate + padding
+    if frame_len < 24:  # degenerate (e.g. 8 kbps @ 24 kHz is 24 bytes)
+        return None
+    return version, rate, kbps, mono, frame_len
+
+
 def sniff_mp3_meta(content: bytes) -> dict | None:
     """MPEG Layer III stream parameters from the first frame header
     (after any ID3v2 tag): channels, sample rate, duration — EXACT when a
     Xing/Info VBR header carries the frame count, else the CBR estimate
     from the first frame's bitrate (documented approximation). Layer I/II
-    and reserved fields return None (not mp3). Never raises."""
+    and reserved fields return None (not mp3). Never raises.
+
+    A candidate sync is accepted only if a SECOND valid frame header with
+    the same version/sample-rate sits exactly at pos + frame_length (or the
+    payload ends within one frame + ID3v1-tag slack) — an 11-bit sync alone
+    misclassified ~10% of random blobs as mp3 (ADVICE r11)."""
     try:
         b = content or b""
         start = _id3v2_size(b)
         if start >= len(b) or start > 1 << 28:
             return None
-        # bounded scan for the frame sync
+        # bounded scan for the frame sync; each candidate must be confirmed
+        # by a consecutive second header before it is accepted
         end = min(len(b) - 3, start + _MP3_SYNC_SCAN)
-        pos = -1
+        pos, params = -1, None
         for i in range(start, end):
-            if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
-                pos = i
+            p = _mp3_frame_params(b, i)
+            if p is None:
+                continue
+            version_i, rate_i, _, _, flen_i = p
+            nxt = i + flen_i
+            p2 = _mp3_frame_params(b, nxt)
+            ok = p2 is not None and p2[0] == version_i and p2[1] == rate_i
+            if not ok:
+                # single-frame payload: everything after the header must fit
+                # in this one frame, plus slack for a 128-byte ID3v1 trailer
+                ok = len(b) - i <= flen_i + 132
+            if ok:
+                pos, params = i, p
                 break
         if pos < 0:
             return None
-        b1, b2, b3 = b[pos + 1], b[pos + 2], b[pos + 3]
-        version = (b1 >> 3) & 3  # 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
-        layer = (b1 >> 1) & 3  # 1 = Layer III
-        if version == 1 or layer != 1:
-            return None
-        br_idx = (b2 >> 4) & 15
-        sr_idx = (b2 >> 2) & 3
-        if br_idx in (0, 15) or sr_idx == 3:
-            return None  # free-format / reserved: can't size
-        rate = _MP3_RATES[version][sr_idx]
-        kbps = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx]
-        mono = ((b3 >> 6) & 3) == 3
+        version, rate, kbps, mono, _ = params
         n_ch = 1 if mono else 2
         spf = 1152 if version == 3 else 576  # samples per Layer III frame
         audio_bytes = len(b) - pos
@@ -261,13 +297,30 @@ def sniff_flac_meta(content: bytes) -> dict | None:
         if rate == 0 or rate > 0x7FFFFFFF:
             return None
         duration = round(total / rate, 6) if total else None
+        # Walk the full metadata block chain (is-last flag + 3-byte lengths)
+        # to the first audio frame — len(b)-8-blen counted VORBIS_COMMENT/
+        # PADDING/PICTURE blocks (cover art is often 100s of KB) as audio
+        # payload (ADVICE r11). Truncated chains report None, not a guess.
+        data_bytes = None
+        off = 4
+        for _ in range(1024):  # bounded: a real file has a handful of blocks
+            if off + 4 > len(b):
+                break  # chain runs off the payload: truncated file
+            last = bool(b[off] & 0x80)
+            bl = int.from_bytes(b[off + 1 : off + 4], "big")
+            off += 4 + bl
+            if off > len(b):
+                break
+            if last:
+                data_bytes = len(b) - off
+                break
         return {
             "format": "flac",
             "format_tag": None,
             "n_channels": n_ch,
             "sample_rate": rate,
             "bits": bits,
-            "data_bytes": max(0, len(b) - 8 - blen),
+            "data_bytes": data_bytes,
             "duration_sec": duration,
         }
     except Exception:

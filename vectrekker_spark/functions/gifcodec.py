@@ -161,7 +161,7 @@ def decode_gif(content: bytes) -> np.ndarray:
             raise ValueError("unknown GIF block")
         if i + 10 > n:
             raise ValueError("truncated GIF image descriptor")
-        _left, _top, w, h, iflags = struct.unpack("<HHHHB", content[i + 1 : i + 10])
+        left, top, w, h, iflags = struct.unpack("<HHHHB", content[i + 1 : i + 10])
         i += 10
         if w == 0 or h == 0:
             raise ValueError("GIF with zero frame dimensions")
@@ -169,6 +169,15 @@ def decode_gif(content: bytes) -> np.ndarray:
             raise ValueError(
                 f"GIF decoded size {h}x{w} exceeds the "
                 f"{MAX_GIF_PIXEL_BYTES >> 20} MB micro-decoder bound"
+            )
+        if (left, top, w, h) != (0, 0, _sw, _sh):
+            # an offset or sub-canvas first frame needs background/placement
+            # compositing this micro-decoder doesn't do; decoding it at frame
+            # dims would silently disagree with sniff_image_meta's canvas
+            # dims for the same payload (ADVICE r11) — classify to the sniff
+            # fallback instead of returning mis-dimensioned pixels
+            raise ValueError(
+                "GIF first frame does not cover the logical-screen canvas"
             )
         palette = gct
         if iflags & 0x80:  # local color table

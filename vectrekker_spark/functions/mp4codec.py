@@ -45,6 +45,17 @@ class _BudgetExceeded(Exception):
     one — the same defect class the Y4M _MAX_FRAMES fix closed (r10
     advice); sniff_mp4_meta classifies it to None."""
 
+
+class _MalformedBox(Exception):
+    """A box size field is malformed (< header size, or overruns the
+    enclosing bound) mid-walk. Raised for the same reason as
+    _BudgetExceeded: a silently-terminated walk over a corrupt moov used
+    to yield a PARTIAL row (undercounted n_tracks, missing dims) presented
+    as a complete inventory row (ADVICE r11). sniff_mp4_meta classifies it
+    to None. Note prefix reads of real files still work: moov precedes
+    mdat in streaming layouts and _find stops at its target, so an
+    oversized trailing mdat is never reached."""
+
 # containers whose payload is a plain sequence of child boxes
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
@@ -58,7 +69,9 @@ def is_mp4(content: bytes) -> bool:
 def _iter_boxes(content: bytes, start: int, end: int, budget: list[int]):
     """Yield (type, payload_start, payload_end) for the box sequence in
     content[start:end]. A size field is never trusted past `end`; a
-    malformed size terminates the walk (classify, don't crash)."""
+    malformed size RAISES _MalformedBox (a silent stop let corrupt moovs
+    masquerade as complete inventories — ADVICE r11). A trailing partial
+    header (< 8 bytes left) is a normal end-of-sequence, not malformed."""
     i = start
     while i + 8 <= end:
         if budget[0] <= 0:
@@ -69,13 +82,13 @@ def _iter_boxes(content: bytes, start: int, end: int, budget: list[int]):
         hdr = 8
         if size == 1:
             if i + 16 > end:
-                return
+                raise _MalformedBox
             (size,) = struct.unpack(">Q", content[i + 8 : i + 16])
             hdr = 16
         elif size == 0:
             size = end - i
         if size < hdr or i + size > end:
-            return
+            raise _MalformedBox
         yield typ, i + hdr, i + size
         i += size
 
