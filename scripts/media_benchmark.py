@@ -115,7 +115,9 @@ def _gen(batches):
         6: ("bmp", lambda s: encode_bmp(image(s))),
         7: ("mp4", lambda s: build_mp4(
             brand="isom", timescale=600, duration=600 * (1 + s % 30),
-            tracks=[dict(handler="vide", width=640, height=360, codec="avc1")])),
+            tracks=[dict(handler="vide", width=640, height=360, codec="avc1",
+                         media_timescale=30000,  # r12: stts → exact fps/frames
+                         stts=[(30 * (1 + s % 30), 1001)])])),
     }
     for pdf in batches:
         rows = []

@@ -88,6 +88,73 @@ def test_hostile_values_bounded():
     assert sniff_mp4_meta(bytes(enc)) is None
 
 
+def test_stts_sample_table_exact_fps_and_frames():
+    # 300 frames at 1001/30000 s each (NTSC 29.97): stts + mdhd → exact
+    enc = build_mp4(tracks=[dict(
+        handler="vide", width=1280, height=720, codec="avc1",
+        media_timescale=30000, stts=[(300, 1001)],
+    )])
+    m = sniff_mp4_meta(enc)
+    assert m["n_frames"] == 300
+    assert m["fps"] == pytest.approx(30000 / 1001, abs=1e-6)
+
+    # variable frame durations: fps is the exact average over total ticks
+    enc = build_mp4(tracks=[dict(
+        handler="vide", width=640, height=360, codec="av01",
+        media_timescale=1000, stts=[(100, 40), (50, 20)],  # 4.0s + 1.0s
+    )])
+    m = sniff_mp4_meta(enc)
+    assert m["n_frames"] == 150
+    assert m["fps"] == pytest.approx(150 / 5.0)
+
+    # empty stts: zero samples → NULLs, not a zero-division crash
+    enc = build_mp4(tracks=[dict(
+        handler="vide", width=64, height=64, codec="avc1",
+        media_timescale=1000, stts=[],
+    )])
+    m = sniff_mp4_meta(enc)
+    assert m["n_frames"] is None and m["fps"] is None
+
+
+def test_stsz_fallback_and_no_mdhd_no_fps():
+    # stsz-only track: n_frames from the sample count, fps stays NULL
+    enc = build_mp4(tracks=[dict(
+        handler="vide", width=320, height=240, codec="vp09", stsz_count=48,
+    )])
+    m = sniff_mp4_meta(enc)
+    assert m["n_frames"] == 48 and m["fps"] is None
+
+
+def test_truncated_sample_table_is_none_not_partial():
+    # stts claiming more entries than its box holds: the whole payload
+    # classifies to None (partial sample counts must not masquerade as
+    # complete — the _iter_boxes rule applied to leaf tables)
+    enc = bytearray(build_mp4(tracks=[dict(
+        handler="vide", width=64, height=64, codec="avc1",
+        media_timescale=1000, stts=[(10, 40)],
+    )]))
+    at = bytes(enc).index(b"stts") + 8  # entry_count field
+    struct.pack_into(">I", enc, at, 1000)
+    assert sniff_mp4_meta(bytes(enc)) is None
+    # hostile giant-but-consistent count is budget-classified, not O(claim)
+    struct.pack_into(">I", enc, at, 0xFFFFFFFF)
+    assert sniff_mp4_meta(bytes(enc)) is None
+
+
+def test_sample_table_fuzz_never_raises():
+    enc = build_mp4(tracks=[dict(
+        handler="vide", width=64, height=64, codec="avc1",
+        media_timescale=30000, stts=[(24, 1001), (6, 2002)], stsz_count=30,
+    )])
+    assert sniff_mp4_meta(enc)["n_frames"] == 30  # stts wins over stsz
+    for cut in range(0, len(enc)):
+        sniff_mp4_meta(enc[:cut])
+    for i in range(len(enc)):
+        m = bytearray(enc)
+        m[i] ^= 0xFF
+        sniff_mp4_meta(bytes(m))
+
+
 def test_corrupt_mid_moov_is_none_not_partial():
     # two video tracks; corrupt the SECOND trak's size field. The old walk
     # stopped silently -> a row with n_tracks=1 masquerading as complete;

@@ -11,11 +11,12 @@ work. It extracts exactly what a corpus inventory needs at header cost:
 - mvhd duration/timescale → duration_sec,
 - track count (trak boxes under moov),
 - the first VIDEO track's tkhd dimensions (16.16 fixed point) and its
-  stsd sample-entry fourcc (avc1/hev1/vp09/av01/…).
-
-Frame rate and frame count need the sample tables (stts) — deliberately
-out of scope for a header sniff; those fields stay NULL for mp4 rows
-(documented, not fabricated).
+  stsd sample-entry fourcc (avc1/hev1/vp09/av01/…),
+- the first video track's stts (time-to-sample) run-length table against
+  the mdhd media timescale → EXACT n_frames and fps (r12; stsz supplies
+  n_frames when stts is absent). Tracks without sample tables report
+  NULL, never an estimate; a sample table whose claimed entry count
+  overruns its box raises (classify, not partial counts).
 
 Hostility discipline (the sniff_image_meta / sniff_wav_meta contract):
 `sniff_mp4_meta` NEVER raises on arbitrary bytes — box sizes are never
@@ -127,6 +128,56 @@ def _parse_mvhd(content: bytes, s: int, e: int):
     return timescale, duration
 
 
+def _parse_mdhd(content: bytes, s: int, e: int):
+    """Media-header (timescale, duration) or (None, None). Same v0/v1
+    layout as mvhd (ISO 14496-12 §8.4.2)."""
+    return _parse_mvhd(content, s, e)
+
+
+# sample-table entry-count cap: a real movie has thousands of stts runs at
+# most; a claimed count is ALSO validated against the box's actual payload
+# size before any array read, so this cap only bounds hostile-but-consistent
+# giant tables.
+_MAX_TABLE_ENTRIES = 1 << 20
+
+
+def _parse_stts(content: bytes, s: int, e: int):
+    """(n_samples, total_ticks) from a time-to-sample box. A claimed
+    entry_count that overruns the box payload raises _MalformedBox (a
+    partial sample count must not masquerade as a complete one — the
+    _iter_boxes rule applied to leaf tables)."""
+    if e - s < 8:
+        raise _MalformedBox
+    (n_entries,) = struct.unpack(">I", content[s + 4 : s + 8])
+    if n_entries > _MAX_TABLE_ENTRIES:
+        raise _BudgetExceeded
+    if 8 + n_entries * 8 > e - s:
+        raise _MalformedBox
+    if n_entries == 0:
+        return 0, 0
+    import numpy as np
+
+    pairs = np.frombuffer(content, ">u4", 2 * n_entries, s + 8).reshape(-1, 2)
+    counts = pairs[:, 0].astype(object)  # Python ints: no u32 overflow
+    deltas = pairs[:, 1].astype(object)
+    return int((counts).sum()), int((counts * deltas).sum())
+
+
+def _parse_stsz(content: bytes, s: int, e: int):
+    """sample_count from a sample-size box (n_frames fallback when stts is
+    absent). Validates the variable-size table's claimed length against the
+    payload like _parse_stts."""
+    if e - s < 12:
+        raise _MalformedBox
+    sample_size, n_samples = struct.unpack(">II", content[s + 4 : s + 12])
+    if sample_size == 0:
+        if n_samples > _MAX_TABLE_ENTRIES:
+            raise _BudgetExceeded
+        if 12 + n_samples * 4 > e - s:
+            raise _MalformedBox
+    return n_samples
+
+
 def _parse_tkhd(content: bytes, s: int, e: int):
     """(width, height) from the trailing 16.16 fixed-point fields."""
     if e - s < 4:
@@ -141,8 +192,13 @@ def _parse_tkhd(content: bytes, s: int, e: int):
 
 
 def _parse_track(content: bytes, s: int, e: int, budget: list[int]):
-    """(handler_type, width, height, codec_fourcc) for one trak box."""
+    """(handler_type, width, height, codec_fourcc, n_frames, fps) for one
+    trak box. n_frames/fps come from the stts (time-to-sample) run-length
+    table against the mdhd media timescale — exact, not estimated; stsz
+    supplies n_frames when stts is absent. Tracks without sample tables
+    report (None, None), never a guess."""
     handler = width = height = codec = None
+    n_frames = fps = None
     tkhd = _find(content, s, e, b"tkhd", budget)
     if tkhd:
         width, height = _parse_tkhd(content, *tkhd)
@@ -151,6 +207,10 @@ def _parse_track(content: bytes, s: int, e: int, budget: list[int]):
         hdlr = _find(content, *mdia, b"hdlr", budget)
         if hdlr and hdlr[1] - hdlr[0] >= 12:
             handler = content[hdlr[0] + 8 : hdlr[0] + 12]
+        media_timescale = None
+        mdhd = _find(content, *mdia, b"mdhd", budget)
+        if mdhd:
+            media_timescale, _ = _parse_mdhd(content, *mdhd)
         minf = _find(content, *mdia, b"minf", budget)
         if minf:
             stbl = _find(content, *minf, b"stbl", budget)
@@ -165,7 +225,24 @@ def _parse_track(content: bytes, s: int, e: int, budget: list[int]):
                             codec = None
                     except UnicodeDecodeError:
                         codec = None
-    return handler, width, height, codec
+                stts = _find(content, *stbl, b"stts", budget)
+                if stts:
+                    n, ticks = _parse_stts(content, *stts)
+                    n_frames = _checked(n)
+                    if (
+                        n_frames
+                        and ticks > 0
+                        and media_timescale
+                        and 0 < media_timescale <= _INT32_MAX
+                    ):
+                        f = n * media_timescale / ticks
+                        # bound hostile ratios; real video is 1..1000 fps
+                        fps = round(f, 6) if 0 < f <= 10_000 else None
+                else:
+                    stsz = _find(content, *stbl, b"stsz", budget)
+                    if stsz:
+                        n_frames = _checked(_parse_stsz(content, *stsz))
+    return handler, width, height, codec, n_frames, fps
 
 
 def sniff_mp4_meta(content: bytes) -> dict | None:
@@ -173,9 +250,9 @@ def sniff_mp4_meta(content: bytes) -> dict | None:
     malformed payloads. Never raises on arbitrary bytes (fuzz-tested).
 
     Keys match the video_meta operator's unified schema: format, width,
-    height, fps (always None — needs sample tables), colorspace (always
-    None — codec-internal), n_frames (None), duration_sec, codec,
-    n_tracks, brand."""
+    height, fps (exact from stts+mdhd, None without sample tables),
+    colorspace (always None — codec-internal), n_frames (stts sum, or
+    stsz count), duration_sec, codec, n_tracks, brand."""
     try:
         if not is_mp4(content):
             return None
@@ -193,7 +270,7 @@ def sniff_mp4_meta(content: bytes) -> dict | None:
         moov = _find(content, 0, n, b"moov", budget)
         duration_sec = None
         n_tracks = 0
-        width = height = codec = None
+        width = height = codec = n_frames = fps = None
         if moov:
             mvhd = _find(content, *moov, b"mvhd", budget)
             if mvhd:
@@ -206,7 +283,7 @@ def sniff_mp4_meta(content: bytes) -> dict | None:
                 if t != b"trak":
                     continue
                 n_tracks += 1
-                handler, w, h, c = _parse_track(content, s, e, budget)
+                handler, w, h, c, nf, f = _parse_track(content, s, e, budget)
                 # first VIDEO track wins; tracks without an hdlr fall back
                 # to "has dimensions"
                 is_video = handler == b"vide" or (
@@ -214,13 +291,14 @@ def sniff_mp4_meta(content: bytes) -> dict | None:
                 )
                 if is_video and width is None:
                     width, height, codec = w, h, c
+                    n_frames, fps = nf, f
         return {
             "format": "mp4",
             "width": width,
             "height": height,
-            "fps": None,
+            "fps": fps,
             "colorspace": None,
-            "n_frames": None,
+            "n_frames": n_frames,
             "duration_sec": duration_sec,
             "codec": codec,
             "n_tracks": n_tracks if 0 <= n_tracks <= _INT32_MAX else None,
@@ -284,9 +362,29 @@ def build_mp4(
         )
         entry = _box(t.get("codec", "avc1").encode("ascii")[:4].ljust(4), b"\x00" * 8)
         stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
-        stbl = _box(b"stbl", stsd)
+        stbl_payload = stsd
+        # optional sample tables: stts = [(sample_count, sample_delta)…];
+        # stsz_count = constant-size sample count (the no-stts fallback)
+        mdhd_boxes = b""
+        if "stts" in t or "stsz_count" in t:
+            mts = t.get("media_timescale", 30000)
+            mdhd_boxes = _box(
+                b"mdhd", bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, mts, 0)
+            )
+        if "stts" in t:
+            entries = t["stts"]
+            stts = b"\x00" * 4 + struct.pack(">I", len(entries))
+            for cnt, delta in entries:
+                stts += struct.pack(">II", cnt, delta)
+            stbl_payload += _box(b"stts", stts)
+        if "stsz_count" in t:
+            stbl_payload += _box(
+                b"stsz", b"\x00" * 4 + struct.pack(">II", 0, t["stsz_count"])
+                + b"\x00" * (4 * t["stsz_count"])
+            )
+        stbl = _box(b"stbl", stbl_payload)
         minf = _box(b"minf", stbl)
-        mdia = _box(b"mdia", hdlr + minf)
+        mdia = _box(b"mdia", hdlr + mdhd_boxes + minf)
         trak_boxes += _box(b"trak", tkhd + mdia)
 
     moov_payload = _box(b"mvhd", mvhd) + trak_boxes
