@@ -131,17 +131,25 @@ def benchmark_bloom(
     Pass ``expected_shingles`` to skip the sizing count job; save/merge via
     operators.bloom for reuse across pipeline runs.
 
-    The exploded stream is deduplicated CROSS-corpus before sizing:
-    word_shingles dedups only within a doc, and sizing on the raw stream
-    would count every cross-doc repetition (5-50× for common trigrams),
-    over-sizing the bitmap by the same factor and mis-reporting n_items.
-    The distinct is a shuffle of the benchmark side only — the bounded
-    side by the operator's premise. The filter records its shingle_k and
-    text_col in ``attrs`` so decontaminate_bloom can refuse a mismatched
-    probe instead of silently finding no overlaps."""
+    The exploded stream is deduplicated CROSS-corpus ONLY when the builder
+    must run a sizing count: word_shingles dedups only within a doc, and
+    sizing on the raw stream would count every cross-doc repetition
+    (5-50× for common trigrams), over-sizing the bitmap by the same factor
+    and mis-reporting n_items. That distinct is a shuffle of the benchmark
+    side only — the bounded side by the operator's premise. With
+    ``expected_shingles`` or explicit m_bits+k there is no count job, and
+    bit_or insertion is idempotent, so the distinct is skipped (r12: it
+    dominated the fixed-geometry build at small scale). The filter records
+    its shingle_k and text_col in ``attrs`` so decontaminate_bloom can
+    refuse a mismatched probe instead of silently finding no overlaps."""
     from vectrekker_spark.operators.bloom import bloom_build
 
-    sh = bench.select(F.explode(word_shingles(text_col, k)).alias("__sh")).distinct()
+    sh = bench.select(F.explode(word_shingles(text_col, k)).alias("__sh"))
+    needs_sizing_count = expected_shingles is None and not (
+        bloom_kw.get("m_bits") is not None and bloom_kw.get("k") is not None
+    )
+    if needs_sizing_count:
+        sh = sh.distinct()
     bf = bloom_build(sh, "__sh", expected=expected_shingles, fpp=fpp, **bloom_kw)
     bf.attrs.update({"kind": "shingles", "shingle_k": k, "text_col": text_col})
     return bf

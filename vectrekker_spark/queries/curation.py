@@ -105,7 +105,11 @@ def d27_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
     # SHINGLE k (3, the default we want), and the bloom's own hash count
     # must ALSO be pinned (k=4) or sizing auto-picks one the oracle can't
     # know — the two k's collide in the wrapper's signature
-    sh = bench.select(F.explode(T.word_shingles("text")).alias("__sh")).distinct()
+    # no .distinct() on the shingle stream: insertion is idempotent (bit_or)
+    # and FIXED geometry means no sizing count — the distinct was a full
+    # shuffle of the shingle set that only dedup'd what the bitmap dedups
+    # for free (r12: the build dominated d27's toy-scale ratio, VERDICT #4)
+    sh = bench.select(F.explode(T.word_shingles("text")).alias("__sh"))
     bf = bloom_build(sh, "__sh", m_bits=1 << 16, k=4)
     train = d.filter(F.col("doc_id") % 20 != 0)
     hits = array_hit_counts(
