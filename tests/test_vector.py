@@ -76,3 +76,42 @@ def test_topk_dim_mismatch_raises(spark, sf_dir):
     em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with _pytest.raises(ValueError, match="dim"):
         topk_nn(em, [1.0, 2.0], k=3)
+
+
+def test_q28_exact_cap_registry_policy(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #8: past Q28_EXACT_CAP the registered q28 runs the SAME
+    exact kernel over the deterministic vec_id < cap slice; at/below the
+    cap it is the full exact join. Equivalence is exactness on the slice:
+    the capped result must equal the full run's result restricted to
+    l_id/r_id < cap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vectrekker_spark.queries import vector as V
+
+    rng = np.random.default_rng(11)
+    n, dim = 60, 8
+    vecs = rng.standard_normal((n, dim))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "doc_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    d = tmp_path / "sfP"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+
+    full = {(r.l_id, r.r_id): r.score
+            for r in V.q28_sim_dedup(spark, str(d)).collect()}
+
+    monkeypatch.setattr(V, "Q28_EXACT_CAP", 40)
+    capped = {(r.l_id, r.r_id): r.score
+              for r in V.q28_sim_dedup(spark, str(d)).collect()}
+    expected = {k: v for k, v in full.items() if k[0] < 40 and k[1] < 40}
+    assert capped == expected and len(capped) < len(full)
+
+    # at/below the cap: untouched full exact join
+    monkeypatch.setattr(V, "Q28_EXACT_CAP", n)
+    assert {(r.l_id, r.r_id): r.score
+            for r in V.q28_sim_dedup(spark, str(d)).collect()} == full
