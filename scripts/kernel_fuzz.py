@@ -1,0 +1,677 @@
+"""Seeded differential fuzzing of the TEXT / VECTOR kernels (VERDICT r11
+#5 — diff_fuzz covers the relational plan space; this harness fuzzes the
+hand-built curation kernels against parameterized DuckDB mirrors).
+
+Each trial draws a kernel family + parameters (chunk size/overlap, shingle
+k, winnowing k/window, bloom geometry, split salt/weights, vector dim /
+threshold / top-k) and optionally a NULL/EMPTY-text injection pattern
+(the base documents table has no NULL text, so the generator MANUFACTURES
+them via `CASE WHEN doc_id % p = 0 THEN NULL ...` applied identically in
+both engines), then runs the Spark kernel (the real DataFrame/Arrow code
+path — NOT spark.sql) and the DuckDB mirror SQL, and compares the full
+sorted row multisets under diff_fuzz's canonicalization.
+
+Vector families run over a per-seed synthetic embeddings fixture (drawn
+dim and row count) written to a temp dir and registered in both engines.
+
+On a failure, a parameter/scope minimizer shrinks the doc-id bound by
+bisection and steps parameters toward defaults while the disagreement
+persists, then writes the repro (family, params, SQL) to
+.fuzz_failures/kernel_seed{S}_q{K}.txt.
+
+Usage:
+    PYTHONPATH=/root/repo python scripts/kernel_fuzz.py [--sf DIR]
+        [--n 125] [--seed 7] [--keep-going]
+
+The CI pin (tests/test_kernel_fuzz.py) runs a fixed seed at fixture scale
+so the generator can't drift silently.
+
+First session's findings (fixed in-product before this landed):
+- char_shingles(NULL text) returned [NULL] (one junk NULL shingle per
+  null doc) where word_shingles returns [''] — functions/text.py now
+  coalesces, rule documented.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import random
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.diff_fuzz import canon, _row_key  # noqa: E402
+
+# --------------------------------------------------------------------------
+# SQL fragment builders (DuckDB dialect), parameterized mirrors of the
+# Spark kernels' documented semantics.
+
+TOKS = "string_split_regex(trim({t}), '\\s+')"
+
+
+def _null_inject_sql(p: int | None, e: int | None) -> str:
+    """The manufactured NULL/empty pattern as a SQL expression over
+    (doc_id, text) — identical arithmetic on both engines."""
+    expr = "text"
+    if e:
+        expr = f"CASE WHEN doc_id % {e} = 1 THEN '' ELSE {expr} END"
+    if p:
+        expr = f"CASE WHEN doc_id % {p} = 0 THEN NULL ELSE {expr} END"
+    return expr
+
+
+def word_shingles_sql(texpr: str, k: int) -> str:
+    toks = TOKS.format(t=texpr)
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(generate_series(0, len({toks}) - {k}), "
+        f"i -> array_to_string(({toks})[i+1:i+{k}], ' '))) "
+        f"ELSE [coalesce(array_to_string({toks}, ' '), '')] END"
+    )
+
+
+def char_shingles_sql(texpr: str, k: int) -> str:
+    t = f"lower(coalesce({texpr}, ''))"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length({t}) - {k - 1}, 1)), "
+        f"i -> substr({t}, i, {k})))"
+    )
+
+
+def winnow_sql(texpr: str, k: int, window: int, bound: str) -> str:
+    t = f"lower({texpr})"
+    poly = " + ".join(
+        f"cs[i+{i}]*{31 ** (k - 1 - i)}" if k - 1 - i > 0 else f"cs[i+{i}]"
+        for i in range(k)
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length({t})),
+                        i -> ascii(substr({t}, i, 1))::BIGINT) AS cs
+  FROM documents WHERE {bound}),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(cs) - {k - 1}, 1)),
+                        i -> {poly}) AS hs
+  FROM c),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hs) - {window - 1}, 1)),
+           i -> list_min(hs[i:i+{window - 1}]))) AS fps
+  FROM h)
+SELECT doc_id, fingerprint
+FROM (SELECT doc_id, unnest(fps) AS fingerprint FROM m)
+WHERE fingerprint IS NOT NULL
+ORDER BY doc_id, fingerprint
+"""
+
+
+# --------------------------------------------------------------------------
+# Kernel families. Each: draw(rng) -> params; spark(spark, sfd, params) ->
+# DataFrame; sql(params) -> DuckDB SQL string. `bound`/`inject` params are
+# added by the driver.
+
+
+def _docs(spark, sfd, params):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sfd}/documents.parquet").select("doc_id", "text")
+    if params["bound"] is not None:
+        d = d.filter(F.col("doc_id") < params["bound"])
+    e, p = params.get("empty_mod"), params.get("null_mod")
+    t = F.col("text")
+    if e:
+        t = F.when(F.col("doc_id") % e == 1, F.lit("")).otherwise(t)
+    if p:
+        t = F.when(F.col("doc_id") % p == 0, F.lit(None)).otherwise(t)
+    return d.select("doc_id", t.alias("text"))
+
+
+def _bound_sql(params) -> str:
+    b = params["bound"]
+    return "TRUE" if b is None else f"doc_id < {b}"
+
+
+def _texpr(params) -> str:
+    return _null_inject_sql(params.get("null_mod"), params.get("empty_mod"))
+
+
+class Chunk:
+    name = "chunk"
+
+    @staticmethod
+    def draw(rng):
+        size = rng.randint(2, 300)
+        return {"size": size, "overlap": rng.randint(0, min(size - 1, 80))}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from vectrekker_spark.operators.chunk import chunk_text
+
+        return chunk_text(
+            _docs(spark, sfd, params), size=params["size"],
+            overlap=params["overlap"],
+        )
+
+    @staticmethod
+    def sql(params):
+        size, ov = params["size"], params["overlap"]
+        step = size - ov
+        t = _texpr(params)
+        return f"""
+WITH c AS (SELECT doc_id, {t} AS text FROM documents WHERE {_bound_sql(params)})
+SELECT doc_id, u.chunk_id, u.chunk_text FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, (greatest(length(text) - {ov}, 1) - 1) // {step}),
+           i -> struct_pack(chunk_id := i::INT,
+                            chunk_text := substr(text, 1 + i*{step}, {size})))) AS u
+  FROM c WHERE text IS NOT NULL AND length(text) > 0)
+"""
+
+
+class WordShingles:
+    name = "word_shingles"
+
+    @staticmethod
+    def draw(rng):
+        return {"k": rng.randint(1, 6)}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.functions.text import word_shingles
+
+        return _docs(spark, sfd, params).select(
+            "doc_id", F.explode(word_shingles("text", params["k"])).alias("shingle")
+        )
+
+    @staticmethod
+    def sql(params):
+        return (
+            f"SELECT doc_id, unnest({word_shingles_sql(_texpr(params), params['k'])})"
+            f" AS shingle FROM documents WHERE {_bound_sql(params)}"
+        )
+
+
+class CharShingles:
+    name = "char_shingles"
+
+    @staticmethod
+    def draw(rng):
+        return {"k": rng.randint(2, 8)}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.functions.text import char_shingles
+
+        return _docs(spark, sfd, params).select(
+            "doc_id", F.explode(char_shingles("text", params["k"])).alias("shingle")
+        )
+
+    @staticmethod
+    def sql(params):
+        return (
+            f"SELECT doc_id, unnest({char_shingles_sql(_texpr(params), params['k'])})"
+            f" AS shingle FROM documents WHERE {_bound_sql(params)}"
+        )
+
+
+class Minhash:
+    name = "minhash"
+
+    @staticmethod
+    def draw(rng):
+        return {"k": rng.randint(1, 5)}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from vectrekker_spark.operators.dedup import minhash_signatures
+
+        return minhash_signatures(
+            _docs(spark, sfd, params), shingle_words=params["k"]
+        )
+
+    @staticmethod
+    def sql(params):
+        from vectrekker_spark.operators.dedup import MINHASH_P, MINHASH_PERMS
+
+        perm_values = ", ".join(
+            f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS)
+        )
+        t = _texpr(params)
+        sh = word_shingles_sql(t, params["k"])
+        return f"""
+WITH perms(perm, a, b) AS (VALUES {perm_values}),
+sh AS (
+  SELECT doc_id,
+         list_transform({sh},
+                        s -> (('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+  FROM documents WHERE {_bound_sql(params)} AND {t} IS NOT NULL)
+SELECT sh.doc_id AS doc_id, perms.perm AS perm,
+       list_min(list_transform(sh.hs, x -> (perms.a * x + perms.b) % {MINHASH_P}))
+         AS minhash
+FROM sh CROSS JOIN perms
+"""
+
+
+class Winnow:
+    name = "winnow"
+
+    @staticmethod
+    def draw(rng):
+        return {"k": rng.randint(2, 8), "window": rng.randint(1, 8)}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from vectrekker_spark.queries.text import winnow_fingerprints
+
+        # winnow_fingerprints reads documents itself; the doc bound and
+        # injection ride a temp view? No — it takes sf dir. Re-implement the
+        # scoped scan with the same kernel for fuzz flexibility.
+        import pandas as pd
+
+        from vectrekker_spark.queries.text import _winnow_doc_mins
+
+        k, w = params["k"], params["window"]
+
+        def winnow(batches):
+            for pdf in batches:
+                ids, fps = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    u = _winnow_doc_mins(text, k, w)
+                    if u is None:
+                        continue
+                    ids.extend([doc_id] * len(u))
+                    fps.extend(u.tolist())
+                yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+        d = _docs(spark, sfd, params)
+        return d.mapInPandas(winnow, schema="doc_id long, fingerprint long")
+
+    @staticmethod
+    def sql(params):
+        # NOTE the ASCII caveat: the SQL mirror hashes ascii() codepoints;
+        # the testdata text is ASCII so the mirrors agree. (The Spark kernel
+        # uses real codepoints — a non-ASCII corpus would need unicode() in
+        # the mirror.)
+        return winnow_sql(
+            _texpr(params), params["k"], params["window"], _bound_sql(params)
+        )
+
+
+class Bloom:
+    name = "bloom"
+
+    @staticmethod
+    def draw(rng):
+        return {
+            "m_bits": rng.choice([1 << 12, 1 << 14, 1 << 16]),
+            "k": rng.randint(1, 6),
+            "mod": rng.choice([5, 10, 20]),
+            "max_shared": rng.randint(0, 4),
+        }
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.functions.text import word_shingles
+        from vectrekker_spark.operators.bloom import array_hit_counts, bloom_build
+
+        d = _docs(spark, sfd, params)
+        mod = params["mod"]
+        bench = d.filter(F.col("doc_id") % mod == 0)
+        sh = bench.select(F.explode(word_shingles("text")).alias("__sh"))
+        bf = bloom_build(sh, "__sh", m_bits=params["m_bits"], k=params["k"])
+        train = d.filter(F.col("doc_id") % mod != 0)
+        hits = array_hit_counts(
+            train.select("doc_id", word_shingles("text").alias("__sh")),
+            "__sh", bf, out_col="n_hits",
+        )
+        return hits.select(
+            "doc_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") <= params["max_shared"]).alias("kept"),
+        )
+
+    @staticmethod
+    def sql(params):
+        m, k, mod = params["m_bits"], params["k"], params["mod"]
+        ms = params["max_shared"]
+        sh = word_shingles_sql(_texpr(params), 3)
+        return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS shingles FROM documents WHERE {_bound_sql(params)}),
+bench_sh AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % {mod} = 0),
+bench_pos AS (
+  SELECT DISTINCT (('0x'||substr(md5(s),1,8))::BIGINT
+          + r.i * (('0x'||substr(md5(s),9,8))::BIGINT | 1)) % {m} AS pos
+  FROM bench_sh CROSS JOIN range({k}) r(i)),
+words AS (
+  SELECT pos // 64 AS word_idx,
+         bit_or(CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)
+                ELSE (1::BIGINT << (pos % 64)::INT) END) AS bits
+  FROM bench_pos GROUP BY 1),
+train AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % {mod} <> 0),
+probe AS (
+  SELECT doc_id, s,
+         (('0x'||substr(md5(s),1,8))::BIGINT
+          + r.i * (('0x'||substr(md5(s),9,8))::BIGINT | 1)) % {m} AS pos
+  FROM train CROSS JOIN range({k}) r(i)),
+checked AS (
+  SELECT doc_id, s,
+         min(CASE WHEN w.bits IS NULL THEN 0
+                  ELSE (w.bits >> (p.pos % 64)::INT) & 1 END) AS hit
+  FROM probe p LEFT JOIN words w ON w.word_idx = p.pos // 64
+  GROUP BY doc_id, s)
+SELECT doc_id, SUM(hit)::BIGINT AS n_hits, SUM(hit) <= {ms} AS kept
+FROM checked GROUP BY doc_id
+"""
+
+
+class Split:
+    name = "hash_split"
+
+    @staticmethod
+    def draw(rng):
+        salt = rng.choice(["v1", "v2", "abc", "2024-q3", "s'alt"])
+        w = sorted(rng.sample(range(1, 20), 2))
+        weights = {
+            "train": w[0] / 20, "val": (w[1] - w[0]) / 20, "test": 1 - w[1] / 20,
+        }
+        return {"salt": salt, "weights": weights}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.operators.split import hash_split
+
+        d = _docs(spark, sfd, params).select("doc_id")
+        return hash_split(d, "doc_id", weights=params["weights"],
+                          salt=params["salt"]).select("doc_id", "split")
+
+    @staticmethod
+    def sql(params):
+        from vectrekker_spark.operators.split import split_case_sql
+
+        case = split_case_sql("doc_id", weights=params["weights"],
+                              salt=params["salt"])
+        return (
+            f"SELECT doc_id, {case} AS split FROM documents "
+            f"WHERE {_bound_sql(params)}"
+        )
+
+
+# --- vector families (synthetic per-seed fixture) --------------------------
+
+
+class VecMetrics:
+    name = "vec_metrics"
+    uses_embeddings = True
+
+    @staticmethod
+    def draw(rng):
+        return {"dim": rng.randint(2, 96)}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.functions.vector import cosine_sim, dot, l2_dist
+
+        e = spark.read.parquet(f"{sfd}/embeddings.parquet")
+        a = e.alias("a")
+        b = e.alias("b")
+        j = a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        return j.select(
+            F.col("a.vec_id").alias("l_id"),
+            F.round(cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
+            F.round(dot(F.col("a.embedding"), F.col("b.embedding")), 6).alias("dp"),
+            F.round(l2_dist(F.col("a.embedding"), F.col("b.embedding")), 6).alias("l2"),
+        )
+
+    @staticmethod
+    def sql(params):
+        from vectrekker_spark.queries.util import cosine_sql, dot_sql, l2_sql
+
+        return f"""
+SELECT a.vec_id AS l_id,
+       ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos,
+       ROUND({dot_sql('a.embedding', 'b.embedding')}, 6) AS dp,
+       ROUND({l2_sql('a.embedding', 'b.embedding')}, 6) AS l2
+FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+"""
+
+
+class ThresholdJoin:
+    name = "threshold_join"
+    uses_embeddings = True
+
+    @staticmethod
+    def draw(rng):
+        return {"dim": rng.randint(2, 64), "thr": round(rng.uniform(-0.2, 0.9), 2)}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from vectrekker_spark.operators.knn import similarity_join_blas
+
+        e = spark.read.parquet(f"{sfd}/embeddings.parquet")
+        return similarity_join_blas(
+            e, e, threshold=params["thr"],
+            left_id="vec_id", left_vec="embedding",
+            right_id="vec_id", right_vec="embedding",
+        )
+
+    @staticmethod
+    def sql(params):
+        from vectrekker_spark.queries.util import cosine_sql
+
+        c = cosine_sql("e1.embedding", "e2.embedding")
+        return f"""
+SELECT e1.vec_id AS l_id, e2.vec_id AS r_id, ROUND({c}, 6) AS score
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE ROUND({c}, 6) >= {params['thr']}
+"""
+
+
+class TopK:
+    name = "topk_nn"
+    uses_embeddings = True
+
+    @staticmethod
+    def draw(rng):
+        return {
+            "dim": rng.randint(2, 64),
+            "topk": rng.randint(1, 25),
+            "metric": rng.choice(["cosine", "dot", "l2"]),
+            "qseed": rng.randint(0, 10**6),
+        }
+
+    @staticmethod
+    def _query_vec(params):
+        import numpy as np
+
+        q = np.random.default_rng(params["qseed"]).standard_normal(params["dim"])
+        return [round(float(x), 6) for x in q]
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from vectrekker_spark.operators.knn import topk_nn
+
+        e = spark.read.parquet(f"{sfd}/embeddings.parquet")
+        return topk_nn(e, TopK._query_vec(params), k=params["topk"],
+                       metric=params["metric"])
+
+    @staticmethod
+    def sql(params):
+        from vectrekker_spark.queries.util import cosine_sql, dot_sql, l2_sql
+
+        qlit = "[" + ", ".join(f"{x}::DOUBLE" for x in TopK._query_vec(params)) + "]"
+        fn = {"cosine": cosine_sql, "dot": dot_sql, "l2": l2_sql}[params["metric"]]
+        asc = "ASC" if params["metric"] == "l2" else "DESC"
+        return f"""
+WITH q AS (SELECT {qlit} AS qv),
+scored AS (
+  SELECT vec_id, ROUND({fn('embedding', 'qv')}, 6) AS score
+  FROM embeddings CROSS JOIN q)
+SELECT vec_id, score FROM scored
+ORDER BY score {asc}, vec_id ASC LIMIT {params['topk']}
+"""
+
+
+TEXT_FAMILIES = [Chunk, WordShingles, CharShingles, Minhash, Winnow, Bloom, Split]
+VEC_FAMILIES = [VecMetrics, ThresholdJoin, TopK]
+FAMILIES = TEXT_FAMILIES + VEC_FAMILIES
+
+
+# --------------------------------------------------------------------------
+# Driver
+
+
+def _write_embeddings(dirpath: str, rng: random.Random, dim: int, n: int):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    g = np.random.default_rng(rng.randint(0, 10**9))
+    vecs = np.round(g.standard_normal((n, dim)), 6)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "doc_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    pq.write_table(tbl, os.path.join(dirpath, "embeddings.parquet"))
+
+
+def run_trial(spark, con, fam, params, sfd):
+    sql = fam.sql(params)
+    try:
+        sdf = fam.spark(spark, sfd, params)
+        srows = sorted(
+            (tuple(canon(v) for v in r) for r in sdf.collect()), key=_row_key
+        )
+    except Exception as e:  # noqa: BLE001
+        return "SPARK_ERR", None, None, f"{type(e).__name__}: {str(e)[:300]}"
+    try:
+        orows = sorted(
+            (tuple(canon(v) for v in r) for r in con.execute(sql).fetchall()),
+            key=_row_key,
+        )
+    except Exception as e:  # noqa: BLE001
+        return "DUCK_ERR", srows, None, f"{type(e).__name__}: {str(e)[:300]}"
+    if srows != orows:
+        return "MISMATCH", srows, orows, None
+    return "OK", srows, orows, None
+
+
+def minimize(spark, con, fam, params, sfd, status0):
+    """Shrink the doc bound by bisection while the disagreement persists
+    (text families only — vector fixtures are already tiny)."""
+    if getattr(fam, "uses_embeddings", False):
+        return params
+    best = dict(params)
+    lo, hi = 1, best["bound"] or 500
+    while lo < hi:
+        mid = (lo + hi) // 2
+        cand = {**best, "bound": mid}
+        st, *_ = run_trial(spark, con, fam, cand, sfd)
+        if st == status0:
+            hi = mid
+            best = cand
+        else:
+            lo = mid + 1
+    return best
+
+
+def fuzz(spark, con, sfd, n, seed, keep_going, out_dir):
+    rng = random.Random(seed)
+    failures = []
+    vec_dir = None
+    vec_key = None
+    for i in range(n):
+        fam = rng.choice(FAMILIES)
+        params = fam.draw(rng)
+        if getattr(fam, "uses_embeddings", False):
+            key = (params["dim"],)
+            if vec_key != key:
+                vec_dir = tempfile.mkdtemp(prefix="kfuzz_emb_")
+                _write_embeddings(vec_dir, rng, params["dim"], rng.randint(40, 150))
+                con.execute(
+                    "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{vec_dir}/embeddings.parquet')"
+                )
+                vec_key = key
+            trial_sfd = vec_dir
+            params["bound"] = None
+        else:
+            params["bound"] = None
+            params["null_mod"] = rng.choice([None, None, 7, 13])
+            params["empty_mod"] = rng.choice([None, None, 5, 11])
+            trial_sfd = sfd
+        st, srows, orows, err = run_trial(spark, con, fam, params, trial_sfd)
+        tag = f"{fam.name} {params}"
+        if st == "OK":
+            print(f"[{i+1}/{n}] OK {tag} rows={len(srows)}")
+            continue
+        print(f"[{i+1}/{n}] {st} {tag} err={err}")
+        small = minimize(spark, con, fam, params, trial_sfd, st)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"kernel_seed{seed}_q{i}.txt")
+        with open(path, "w") as f:
+            f.write(f"family: {fam.name}\nstatus: {st}\nparams: {small}\n"
+                    f"err: {err}\n\nsql:\n{fam.sql(small)}\n")
+        failures.append((fam.name, small, st))
+        if not keep_going:
+            break
+    return failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--n", type=int, default=125)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--keep-going", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from vectrekker_spark.session import get_spark
+
+    spark = get_spark(cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{args.sf}/documents.parquet')"
+    )
+
+    print(f"kernel_fuzz: n={args.n} seed={args.seed} sf={args.sf}")
+    failures = fuzz(
+        spark, con, args.sf, n=args.n, seed=args.seed,
+        keep_going=args.keep_going,
+        out_dir=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".fuzz_failures",
+        ),
+    )
+    if failures:
+        print(f"\n{len(failures)} FAILURES")
+        return 1
+    print("\nALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

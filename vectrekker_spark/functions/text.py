@@ -108,8 +108,12 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:
-    """Distinct character k-grams of the lowercased text (for Jaccard/MinHash)."""
-    t = F.lower(_c(text))
+    """Distinct character k-grams of the lowercased text (for Jaccard/MinHash).
+
+    NULL text behaves like '' → [''] — the word_shingles rule. Before r12
+    NULL text produced [NULL] (substring over NULL), i.e. one junk NULL
+    shingle per null doc; found by the kernel differential fuzzer."""
+    t = F.lower(F.coalesce(_c(text), F.lit("")))
     n = F.length(t)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.array_distinct(

@@ -36,8 +36,11 @@ def split_bucket(id_col: Column | str, salt: str = "v1", n: int = N_BUCKETS) -> 
 
 
 def split_bucket_sql(id_expr: str, salt: str = "v1", n: int = N_BUCKETS) -> str:
-    """DuckDB fragment computing the identical bucket."""
-    return f"((('0x' || substr(md5('{salt}:' || {id_expr}), 1, 8))::BIGINT) % {n})"
+    """DuckDB fragment computing the identical bucket. The salt is a
+    VALUE, not SQL — escape quotes so e.g. "q3'24" renders a valid (and
+    identical) literal (r12 kernel-fuzz finding)."""
+    s = salt.replace("'", "''")
+    return f"((('0x' || substr(md5('{s}:' || {id_expr}), 1, 8))::BIGINT) % {n})"
 
 
 def _boundaries(weights: dict[str, float], n: int) -> list[tuple[str, int]]:

@@ -380,12 +380,15 @@ FROM documents ORDER BY doc_id
 """
 
 
-def _winnow_doc_mins(text):
+def _winnow_doc_mins(text, k: int = 5, window: int = 4):
     """Unique winnowing fingerprints for one document (int64 ndarray).
 
-    5-gram positional polynomial hash over lowercased codepoints →
-    sliding-window-of-4 minima → distinct. Returns None for docs too short
-    to have a k-gram (mirrors the SQL oracle's NULL-hash filter).
+    k-gram positional polynomial (base-31) hash over lowercased codepoints
+    → sliding-window-of-`window` minima → distinct. Returns None for docs
+    too short to have a k-gram (mirrors the SQL oracle's NULL-hash filter).
+    Base-31 powers stay well inside int64 for k ≤ 8 even at the top
+    codepoint (0x10FFFF · 31⁷ · 8 ≈ 2.4e17), so Spark/NumPy int64 and
+    DuckDB BIGINT agree exactly — no wraparound on either side.
     """
     import numpy as np
 
@@ -393,25 +396,24 @@ def _winnow_doc_mins(text):
         return None
     t = text.lower()
     c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    if len(c) < 5:
+    if len(c) < k:
         return None
-    h = (
-        c[:-4] * 923521
-        + c[1:-3] * 29791
-        + c[2:-2] * 961
-        + c[3:-1] * 31
-        + c[4:]
+    h = c[k - 1 :] if k == 1 else sum(
+        c[i : len(c) - (k - 1 - i)] * (31 ** (k - 1 - i)) for i in range(k)
     )
-    if len(h) < 4:
+    if len(h) < window:
         # fewer hashes than the window: one truncated window — mirrors the
-        # SQL's greatest(len(hs)-3, 1) lower bound
+        # SQL's greatest(len(hs)-(w-1), 1) lower bound
         mins = h.min(keepdims=True)
     else:
-        mins = np.minimum.reduce([h[:-3], h[1:-2], h[2:-1], h[3:]])
+        mins = np.minimum.reduce([h[i : len(h) - (window - 1 - i)]
+                                  for i in range(window)])
     return np.unique(mins)
 
 
-def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+def winnow_fingerprints(
+    spark: SparkSession, sf: str, k: int = 5, window: int = 4
+) -> DataFrame:
     # Full winnowing fingerprint set (rolling-hash k-gram window minima — the
     # MOSS document-fingerprinting scheme): 5-gram hashes, window 4, keep each
     # window's min, distinct per doc. This is the LIBRARY form: it returns one
@@ -425,11 +427,14 @@ def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     # is ~4× slower; see git history.)
     import pandas as pd
 
+    if k < 1 or window < 1:
+        raise ValueError("winnowing requires k >= 1 and window >= 1")
+
     def winnow(batches):
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                u = _winnow_doc_mins(text)
+                u = _winnow_doc_mins(text, k, window)
                 if u is None:
                     continue
                 ids.extend([doc_id] * len(u))
