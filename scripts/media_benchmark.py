@@ -53,6 +53,7 @@ def _gen(batches):
         encode_jpeg,
         encode_progressive_jpeg,
     )
+    from vectrekker_spark.functions.flaccodec import encode_flac
     from vectrekker_spark.functions.mp4codec import build_mp4
     from vectrekker_spark.functions.videocodec import encode_y4m
 
@@ -118,6 +119,11 @@ def _gen(batches):
             tracks=[dict(handler="vide", width=640, height=360, codec="avc1",
                          media_timescale=30000,  # r12: stts → exact fps/frames
                          stts=[(30 * (1 + s % 30), 1001)])])),
+        8: ("flac", lambda s: encode_flac(  # r12: real compressed audio
+            (0.4 * np.sin(2 * np.pi * (100 + (s % 50) * 37)
+                          * np.arange(WAV_SAMPLES) / 16000) * 32767)
+            .astype(np.int64),
+            rate=16000, strategy="fixed2", block_size=4096)),
     }
     for pdf in batches:
         rows = []
@@ -129,7 +135,7 @@ def _gen(batches):
 
 def main() -> int:
     n_per_kind = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    total = n_per_kind * 8  # r11: pjpeg/gif/bmp/mp4 joined the corpus
+    total = n_per_kind * 9  # r12: flac joined the corpus
     work = tempfile.mkdtemp(prefix="media_bench_")
     spark = get_spark(app_name="media-benchmark")
 
@@ -165,7 +171,7 @@ def main() -> int:
         images = media.where(
             F.col("kind").isin("png", "jpeg", "pjpeg", "gif", "bmp")
         )
-        wavs = media.where(F.col("kind") == "wav")
+        wavs = media.where(F.col("kind").isin("wav", "flac"))  # r12
         vids = media.where(F.col("kind") == "y4m")
 
         def timed(name, build, rows_base):
@@ -213,11 +219,18 @@ def main() -> int:
         timed(
             "pcm_features",
             lambda: pcm_window_features(wavs, window=1024),
-            n_per_kind,
+            2 * n_per_kind,
         )
         timed(
             "spectral_features",
             lambda: spectral_window_features(wavs, window=1024),
+            2 * n_per_kind,
+        )
+        # FLAC decode throughput alone (rice/LPC per-sample Python cost)
+        flacs = media.where(F.col("kind") == "flac")
+        timed(
+            "pcm_features_flac",
+            lambda: pcm_window_features(flacs, window=1024),
             n_per_kind,
         )
         timed(

@@ -272,6 +272,7 @@ def pcm_window_features(
     historical contract). Worker-side classification per payload, so mixed
     corpora never crash the batch."""
     from vectrekker_spark.functions.audiocodec import is_wav, wav_mono_f64
+    from vectrekker_spark.functions.flaccodec import flac_pcm16, is_flac
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -285,6 +286,15 @@ def pcm_window_features(
                     samples = wav_mono_f64(content)
                     if samples is None:
                         continue  # unsupported WAV encoding: classify, skip
+                elif is_flac(content):
+                    # r12: real FLAC sample decode (functions/flaccodec) —
+                    # same downmix + scale as the WAV path, so features on
+                    # a FLAC transcode equal features on the WAV original
+                    try:
+                        _rate, pcm = flac_pcm16(content)
+                    except ValueError:
+                        continue  # malformed FLAC: classify, skip
+                    samples = (pcm.astype(np.float64) / 32768.0).mean(axis=1)
                 else:
                     samples = np.frombuffer(
                         content[: (len(content) // 2) * 2], dtype="<i2"
@@ -334,6 +344,7 @@ def spectral_window_features(
     encodings SKIPPED (never reinterpreted), signatureless payloads taken
     as raw little-endian PCM16. One Arrow-batched mapInPandas pass."""
     from vectrekker_spark.functions.audiocodec import is_wav, parse_wav
+    from vectrekker_spark.functions.flaccodec import flac_pcm16, is_flac
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct  # noqa: PLC0415 — parse_wav's failure surface
@@ -356,6 +367,15 @@ def spectral_window_features(
                         # sniff_wav_meta / imagecodec _checked lesson) —
                         # classify the payload as unsupported instead
                         continue
+                    samples = (pcm.astype(np.float64) / 32768.0).mean(axis=1)
+                elif is_flac(content):
+                    try:
+                        rate, pcm = flac_pcm16(content)
+                    except ValueError:
+                        continue  # malformed FLAC: classify, skip
+                    if rate > 0x7FFFFFFF:
+                        continue  # STREAMINFO rate is 20 bits, but keep the
+                        # same Int32-bound discipline as the WAV arm
                     samples = (pcm.astype(np.float64) / 32768.0).mean(axis=1)
                 else:
                     samples = np.frombuffer(
