@@ -182,3 +182,33 @@ def test_feature_parity_wav_vs_flac_transcode(spark, op_name):
         wav = out[out.media_id == 2 * i].drop(columns=["media_id"]).reset_index(drop=True)
         flac = out[out.media_id == 2 * i + 1].drop(columns=["media_id"]).reset_index(drop=True)
         assert len(wav) == 8 and wav.equals(flac), f"fixture {i} diverged"
+
+
+def test_lpc_short_block_fallback_keeps_wasted_bits():
+    # r12 review finding: the LPC→verbatim fallback for a 1-sample trailing
+    # block recursed on the ALREADY-SHIFTED samples without the wasted
+    # flag, silently emitting right-shifted PCM that passed every check
+    x = (_sine(257) & ~15)  # block_size=256 -> 1-sample trailing block
+    enc = fc.encode_flac(x, strategy="lpc", wasted=4, block_size=256)
+    assert np.array_equal(fc.decode_flac(enc)[3][:, 0], x)
+
+
+def test_partition_order_clamped_for_short_trailing_frame():
+    # r12 review finding: a trailing frame short enough that the first
+    # Rice partition can't hold the predictor order emitted a corrupt
+    # (negative-length-partition) stream the decoder then rejected
+    x = _sine(1028)  # 1024-frame + 4-sample trailing frame
+    enc = fc.encode_flac(x, strategy="fixed2", partition_order=2,
+                         block_size=1024)
+    assert np.array_equal(fc.decode_flac(enc)[3][:, 0], x)
+
+
+def test_stereo_wasted_bits_forwarded_or_refused():
+    x = np.stack([_sine() & ~7, (_sine() * 0.5).astype(np.int64) & ~7], axis=1)
+    # left/right/side all keep the low-zero bits: forwarded, round-trips
+    for mode in ("left_side", "right_side"):
+        enc = fc.encode_flac(x, channel_mode=mode, wasted=3)
+        assert np.array_equal(fc.decode_flac(enc)[3], x)
+    # mid loses a zero bit in (l+r)>>1: refused, never silently dropped
+    with pytest.raises(ValueError, match="mid_side"):
+        fc.encode_flac(x, channel_mode="mid_side", wasted=3)

@@ -368,7 +368,6 @@ def decode_flac(content: bytes):
         raise ValueError(f"unsupported FLAC bit depth {bits}")
     if total and total * n_ch > MAX_DECODED_SAMPLES:
         raise ValueError("FLAC total samples exceed the decode budget")
-    chans: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n_ch)]
     parts: list[list[np.ndarray]] = [[] for _ in range(n_ch)]
     decoded = 0
     r = _BitReader(content, off)
@@ -474,6 +473,11 @@ def _encode_residual(w: _BitWriter, res: np.ndarray, block_size: int,
     idx = 0
     for p in range(1 << partition_order):
         n = block_size // (1 << partition_order) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError(
+                "first Rice partition shorter than the predictor order — "
+                "caller must fit the partition order (_fit_partition_order)"
+            )
         part = res[idx : idx + n]
         idx += n
         u = (np.abs(part.astype(object)) * 2 - (part < 0)).astype(object)
@@ -497,6 +501,7 @@ def _encode_residual(w: _BitWriter, res: np.ndarray, block_size: int,
 def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int, strategy: str,
                      partition_order: int, method: int, wasted: int = 0):
     block_size = len(x)
+    x_orig = x
     if wasted:
         if np.any(x & ((1 << wasted) - 1)):
             raise ValueError("wasted-bit encode requires low bits zero")
@@ -525,6 +530,7 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int, strategy: str,
     if strategy.startswith("fixed"):
         order = int(strategy[5:]) if len(strategy) > 5 else 2
         order = min(order, block_size)
+        po = _fit_partition_order(partition_order, block_size, order)
         w.write(0, 1)
         w.write(8 + order, 6)
         _write_wasted(w, wasted)
@@ -534,14 +540,17 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int, strategy: str,
         res = x[order:].astype(np.int64).copy()
         for j, c in enumerate(coefs):
             res -= c * x[order - 1 - j : block_size - 1 - j].astype(np.int64)
-        _encode_residual(w, res, block_size, order, partition_order, method)
+        _encode_residual(w, res, block_size, order, po, method)
         return
     if strategy == "lpc":
         order = min(2, block_size)
         if order < 2:
-            # too short for the fixed-coefficient LPC: verbatim fallback
-            return _encode_subframe(w, x, bps, "verbatim",
-                                    partition_order, method)
+            # too short for the fixed-coefficient LPC: verbatim fallback.
+            # Recurse on the UNSHIFTED samples with the wasted flag intact
+            # — recursing on the shifted x without it silently emitted
+            # right-shifted PCM (r12 review finding).
+            return _encode_subframe(w, x_orig, bps, "verbatim",
+                                    partition_order, method, wasted)
         # deterministic quantized coefficients approximating a gentle
         # 2nd-order predictor: (1.5, -0.5) at shift 1 -> (3, -1) >> 1
         coefs, shift, prec = [3, -1], 1, 4
@@ -560,9 +569,23 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int, strategy: str,
             acc = sum(c * int(xi[i - 1 - j]) for j, c in enumerate(coefs))
             res.append(int(xi[i]) - (acc >> shift))
         _encode_residual(w, np.array(res, dtype=np.int64), block_size,
-                         order, partition_order, method)
+                         order, _fit_partition_order(partition_order,
+                                                     block_size, order),
+                         method)
         return
     raise ValueError(f"unknown subframe strategy {strategy!r}")
+
+
+def _fit_partition_order(po: int, block_size: int, order: int) -> int:
+    """Largest usable partition order ≤ po: it must divide block_size AND
+    leave the first partition at least `order` samples — a po that passed
+    the divisibility check alone let a short trailing frame emit a
+    NEGATIVE-length first partition (undecodable stream, r12 review
+    finding)."""
+    while po and (block_size % (1 << po) != 0
+                  or block_size // (1 << po) < order):
+        po -= 1
+    return po
 
 
 def _write_wasted(w: _BitWriter, wasted: int):
@@ -604,14 +627,12 @@ def encode_flac(
     packed = (
         (rate << 44) | ((n_ch - 1) << 41) | ((bits - 1) << 36) | (n & 0xFFFFFFFFF)
     )
-    mn = min(block_size, 16) if n else 16
     si = (
         struct.pack(">HH", max(16, min(block_size, n or block_size)), block_size)
         + b"\x00" * 6
         + packed.to_bytes(8, "big")
         + b"\x00" * 16
     )
-    _ = mn
     out += bytes([0x80]) + (34).to_bytes(3, "big") + si
 
     eff_strategy = strategy
@@ -651,13 +672,29 @@ def encode_flac(
             left = blk[:, 0]
             right = blk[:, 1]
             side = left - right
+            # wasted bits forward to left/right/side (low-zero bits of both
+            # inputs survive a subtraction) but NOT to mid: (l+r)>>1 keeps
+            # only wasted-1 zero bits — raise rather than silently ignore
+            # the flag (r12 review finding: the fixture API claimed decoder
+            # coverage it never exercised)
             if channel_mode == "left_side":
-                _encode_subframe(w2, left, bits, eff_strategy, po, rice_method)
-                _encode_subframe(w2, side, bits + 1, eff_strategy, po, rice_method)
+                _encode_subframe(w2, left, bits, eff_strategy, po,
+                                 rice_method, wasted)
+                _encode_subframe(w2, side, bits + 1, eff_strategy, po,
+                                 rice_method, wasted)
             elif channel_mode == "right_side":
-                _encode_subframe(w2, side, bits + 1, eff_strategy, po, rice_method)
-                _encode_subframe(w2, right, bits, eff_strategy, po, rice_method)
+                _encode_subframe(w2, side, bits + 1, eff_strategy, po,
+                                 rice_method, wasted)
+                _encode_subframe(w2, right, bits, eff_strategy, po,
+                                 rice_method, wasted)
             else:  # mid_side
+                if wasted:
+                    raise ValueError(
+                        "wasted-bit emission is not supported with mid_side "
+                        "(the mid channel keeps only wasted-1 zero bits); "
+                        "use left_side/right_side to exercise the side-"
+                        "channel wasted-bits decode path"
+                    )
                 mid = (left + right) >> 1
                 _encode_subframe(w2, mid, bits, eff_strategy, po, rice_method)
                 _encode_subframe(w2, side, bits + 1, eff_strategy, po, rice_method)

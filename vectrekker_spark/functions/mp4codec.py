@@ -53,9 +53,13 @@ class _MalformedBox(Exception):
     _BudgetExceeded: a silently-terminated walk over a corrupt moov used
     to yield a PARTIAL row (undercounted n_tracks, missing dims) presented
     as a complete inventory row (ADVICE r11). sniff_mp4_meta classifies it
-    to None. Note prefix reads of real files still work: moov precedes
-    mdat in streaming layouts and _find stops at its target, so an
-    oversized trailing mdat is never reached."""
+    to None. Prefix-read behavior is layout-dependent and DELIBERATE:
+    faststart files (moov before mdat — the web-serving layout) still
+    classify from a header-only read because _find stops at moov before
+    the oversized trailing mdat; a truncated NON-faststart payload (mdat
+    first) now classifies to None where it used to yield a brand-only
+    partial row — the no-partial-rows discipline outranks recall on
+    truncated non-faststart reads."""
 
 # containers whose payload is a plain sequence of child boxes
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}

@@ -12,10 +12,12 @@ NotImplementedError only for formats neither covers. `extract_features`
 decodes per payload (luminance-histogram features, decoded=true) with
 `byte_histogram_features` as the byte-level fallback for everything else
 (decoded=false) — mixed corpora classify rather than abort. PCM audio
-features are likewise real (numpy over the raw samples), and video frame
-sampling is real for Y4M streams (functions/videocodec) — only
-COMPRESSED audio/video containers (mp3/mp4/webm) stay out of scope; a
-real pipeline transcodes those with ffmpeg upstream.
+features are likewise real (numpy over the raw samples), FLAC is decoded
+for real since r12 (functions/flaccodec — fixed/LPC prediction,
+partitioned Rice, CRC-verified), and video frame sampling is real for
+Y4M streams (functions/videocodec) — only lossy-compressed audio/video
+(mp3/mp4/webm) stays out of scope; a real pipeline transcodes those with
+ffmpeg upstream.
 """
 
 from __future__ import annotations
@@ -510,9 +512,10 @@ VIDEO_META_SCHEMA = (
 def _sniff_any_video(content: bytes) -> dict | None:
     """Unified video sniff: Y4M (full stream parameters — it's raw, so
     fps/frame count are knowable at header cost) else MP4/ISO-BMFF
-    (r11: brand, duration, dims, track count, sample-entry fourcc; fps
-    and frame count need sample tables and stay NULL — documented, not
-    fabricated)."""
+    (r11: brand, duration, dims, track count, sample-entry fourcc;
+    r12: EXACT fps/frame count from the stts/stsz sample tables against
+    the mdhd media timescale — tracks without sample tables report NULL,
+    never an estimate)."""
     from vectrekker_spark.functions.mp4codec import sniff_mp4_meta
     from vectrekker_spark.functions.videocodec import sniff_video_meta
 
@@ -531,8 +534,10 @@ def video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     .sniff_video_meta: frame data is seeked over at its declared fixed
     size); MP4/ISO-BMFF files report brand/duration/dims/track-count/
     codec-fourcc from the box headers (functions/mp4codec.sniff_mp4_meta)
-    with fps/frames NULL (they live in sample tables this sniff never
-    reads). Unrecognized, corrupt, and NULL payloads yield NULLs, the
+    plus, since r12, EXACT vid_fps/vid_frames from the first video
+    track's stts/stsz sample tables (NULL for tracks without them —
+    NULL-ness no longer distinguishes mp4 from y4m rows; use vid_format).
+    Unrecognized, corrupt, and NULL payloads yield NULLs, the
     image_meta/audio_meta inventory contract."""
     return _attach_meta(
         df,

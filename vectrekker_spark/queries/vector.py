@@ -358,11 +358,17 @@ def q28_sim_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The oracle carries the SAME vec_id < Q28_EXACT_CAP bound as the Spark
+# side (the d03 precedent: cap in BOTH places), so the spec pair stays
+# equivalent at ANY corpus size — at every oracle scale (n ≤ 20k) the
+# predicate is a no-op. NOTE: the Spark side slices only when the probe
+# EXCEEDS the cap, which is exactly when this predicate starts binding.
 Q28_SQL = f"""
 SELECT e1.vec_id AS l_id, e2.vec_id AS r_id,
        ROUND({cosine_sql('e1.embedding', 'e2.embedding')}, 6) AS score
 FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
 WHERE ROUND({cosine_sql('e1.embedding', 'e2.embedding')}, 6) >= 0.40
+  AND e1.vec_id < {Q28_EXACT_CAP} AND e2.vec_id < {Q28_EXACT_CAP}
 ORDER BY l_id, r_id
 """
 
