@@ -55,6 +55,7 @@ def _gen(batches):
     )
     from vectrekker_spark.functions.flaccodec import encode_flac
     from vectrekker_spark.functions.mp4codec import build_mp4
+    from vectrekker_spark.functions.webpcodec import encode_webp
     from vectrekker_spark.functions.videocodec import encode_y4m
 
     def wav_bytes(seed: int) -> bytes:
@@ -124,6 +125,8 @@ def _gen(batches):
                           * np.arange(WAV_SAMPLES) / 16000) * 32767)
             .astype(np.int64),
             rate=16000, strategy="fixed2", block_size=4096)),
+        9: ("webp", lambda s: encode_webp(  # r12: lossless VP8L decode
+            image(s), subtract_green=True, cache_bits=6, use_lz77=True)),
     }
     for pdf in batches:
         rows = []
@@ -135,7 +138,7 @@ def _gen(batches):
 
 def main() -> int:
     n_per_kind = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    total = n_per_kind * 9  # r12: flac joined the corpus
+    total = n_per_kind * 10  # r12: flac + lossless webp joined
     work = tempfile.mkdtemp(prefix="media_bench_")
     spark = get_spark(app_name="media-benchmark")
 
@@ -169,7 +172,7 @@ def main() -> int:
             1,
         )
         images = media.where(
-            F.col("kind").isin("png", "jpeg", "pjpeg", "gif", "bmp")
+            F.col("kind").isin("png", "jpeg", "pjpeg", "gif", "bmp", "webp")
         )
         wavs = media.where(F.col("kind").isin("wav", "flac"))  # r12
         vids = media.where(F.col("kind") == "y4m")
@@ -186,17 +189,17 @@ def main() -> int:
             report[f"{name}_rows"] = n
             report[f"{name}_per_sec"] = round(rows_base / best, 1)
 
-        timed("extract_features", lambda: extract_features(images), 5 * n_per_kind)
+        timed("extract_features", lambda: extract_features(images), 6 * n_per_kind)
         dec = extract_features(images).agg(
             F.avg(F.col("decoded").cast("double"))
         ).first()[0]
         report["decoded_fraction"] = round(float(dec), 4)  # expect 1.0
         # per-kind decode rates for the r11 formats (one shared pass each)
-        for k in ("pjpeg", "gif", "bmp"):
+        for k in ("pjpeg", "gif", "bmp", "webp"):
             one = media.where(F.col("kind") == k)
             timed(f"extract_{k}", lambda one=one: extract_features(one), n_per_kind)
 
-        timed("resize", lambda: resize_images(images, factor=4), 5 * n_per_kind)
+        timed("resize", lambda: resize_images(images, factor=4), 6 * n_per_kind)
         # count() alone would let Catalyst PRUNE the deterministic sniff
         # UDF entirely (empirically confirmed: a raising UDF still counts
         # fine) — filter on a sniffed column so every row's sniff actually

@@ -232,11 +232,13 @@ def decode_ppm(content: bytes) -> np.ndarray:
 def decode_image_array(content: bytes) -> np.ndarray | None:
     """(H, W, C) uint8 pixels for payloads the micro-decoders understand
     (PNG/PPM here, baseline + progressive JPEG via functions/jpegcodec.py,
-    GIF via functions/gifcodec.py, uncompressed BMP via bmpcodec.py);
-    None for anything else (caller falls back to byte-level features). zlib.error (corrupt IDAT) and
-    struct.error (truncated header) are classification outcomes here, same
-    as ValueError — a malformed payload in a 100 TB corpus must fall back,
-    never crash the batch."""
+    GIF via functions/gifcodec.py, uncompressed BMP via bmpcodec.py,
+    lossless WebP via webpcodec.py); None for anything else — incl. lossy
+    WebP, which stays sniff-only — (caller falls back to byte-level
+    features). zlib.error (corrupt IDAT) and struct.error (truncated
+    header) are classification outcomes here, same as ValueError — a
+    malformed payload in a 100 TB corpus must fall back, never crash the
+    batch."""
     try:
         if is_png(content):
             return decode_png(content)
@@ -246,6 +248,7 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
             bmpcodec,
             gifcodec,
             jpegcodec,
+            webpcodec,
         )
 
         if jpegcodec.is_jpeg(content):
@@ -254,6 +257,8 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
             return gifcodec.decode_gif(content)
         if bmpcodec.is_bmp(content):
             return bmpcodec.decode_bmp(content)
+        if webpcodec.is_webp(content):
+            return webpcodec.decode_webp(content)
     except (ValueError, zlib.error, struct.error):
         return None
     return None
