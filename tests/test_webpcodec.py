@@ -238,3 +238,136 @@ def test_seeded_option_grid_roundtrips():
         out = wc.decode_webp(enc)
         assert out.shape == arr.shape, (trial, opts)
         assert np.array_equal(out, arr), (trial, opts)
+
+
+def test_encoder_option_validation_and_distance_cap():
+    # review r12: out-of-range options must raise at encode time, not
+    # emit a stream that misparses far from the mistake
+    arr = _img(6, 8, 3, seed=19)
+    with pytest.raises(ValueError, match="meta_bits"):
+        wc.encode_webp(arr, meta_bits=10)
+    with pytest.raises(ValueError, match="cache_bits"):
+        wc.encode_webp(arr, cache_bits=12)
+    # a caller-supplied distance beyond the 40-code alphabet's max value
+    # (1048456 = 1048576 - 120) is skipped by the matcher, not emitted
+    big = np.zeros((1200, 1000, 3), np.uint8)
+    big[0] = big[1050] = (7, 99, 201)
+    enc = wc.encode_webp(big[:, :64], use_lz77=True, lz77_dists=(1_050_000,))
+    assert np.array_equal(wc.decode_webp(enc), big[:, :64])
+
+
+def _libwebp():
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("webp")
+    if not name:
+        pytest.skip("libwebp not installed (container-dependent golden)")
+    lib = ctypes.CDLL(name)
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _libwebp_decode_rgba(lib, data: bytes) -> np.ndarray:
+    import ctypes
+
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ptr = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    assert ptr, "libwebp refused the stream"
+    try:
+        n = w.value * h.value * 4
+        out = np.frombuffer(
+            ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8 * n)).contents, np.uint8
+        ).reshape(h.value, w.value, 4).copy()
+    finally:
+        lib.WebPFree(ctypes.cast(ptr, ctypes.c_void_p))
+    return out
+
+
+def test_libwebp_golden_parity_both_directions():
+    """The golden anchor self round-trips cannot provide: bit-exact
+    agreement with the reference implementation, both directions —
+    (a) our decoder on libwebp-encoded streams (pins the reconstructed
+    distance map, bit conventions, transforms, prefix machinery against
+    reality, not against our own encoder), (b) libwebp's decoder on our
+    fixture streams. Skipped where libwebp is absent (the protobuf-skip
+    idiom); green on this container's libwebp 7.1.5."""
+    import ctypes
+
+    lib = _libwebp()
+    rng = _rng(21)
+    # (a) libwebp encodes → our decode must equal libwebp's own decode.
+    # Alpha stays >= 1: libwebp's default exact=0 rewrites RGB under
+    # fully transparent pixels, a cleanup choice, not a codec behavior.
+    for trial in range(12):
+        h = int(rng.randint(1, 64))
+        w = int(rng.randint(1, 64))
+        kind = trial % 4
+        if kind == 0:
+            arr = rng.randint(0, 256, (h, w, 4))
+        elif kind == 1:
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack(
+                [(yy * 7) % 256, (xx * 3) % 256, (yy + xx) % 256,
+                 np.full((h, w), 255)], axis=2)
+        elif kind == 2:
+            arr = rng.randint(0, 3, (h, w, 4)) * 90
+        else:
+            tile = rng.randint(0, 256, (max(1, h // 4), max(1, w // 4), 4))
+            arr = np.tile(tile, (5, 5, 1))[:h, :w]
+        arr = arr.astype(np.uint8)
+        arr[:, :, 3] = np.maximum(arr[:, :, 3], 1)
+        rgba = np.ascontiguousarray(arr)
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        size = lib.WebPEncodeLosslessRGBA(
+            rgba.tobytes(), w, h, w * 4, ctypes.byref(out_ptr)
+        )
+        assert size > 0
+        try:
+            stream = ctypes.string_at(out_ptr, size)
+        finally:
+            lib.WebPFree(ctypes.cast(out_ptr, ctypes.c_void_p))
+        theirs = _libwebp_decode_rgba(lib, stream)
+        ours = wc.decode_webp(stream)
+        if ours.shape[2] == 3:  # alpha hint unset: constant 255
+            ours = np.concatenate(
+                [ours, np.full((h, w, 1), 255, np.uint8)], axis=2
+            )
+        assert np.array_equal(ours, theirs), (trial, kind)
+
+    # (b) our fixture encoder → libwebp must decode it bit-exactly
+    for trial, opts in enumerate([
+        {},
+        {"subtract_green": True, "cache_bits": 5},
+        {"predictor": (3, "mixed"), "use_lz77": True},
+        {"color_transform": (2, (17, -23, 61)), "meta_bits": 3},
+        {"palette": True},
+        {"subtract_green": True, "predictor": (2, 11), "cache_bits": 2,
+         "use_lz77": True, "meta_bits": 4},
+    ]):
+        h, w = 21, 17
+        if opts.get("palette"):
+            colors = rng.randint(0, 256, (7, 4)).astype(np.uint8)
+            colors[:, 3] = 255
+            arr = colors[rng.randint(0, 7, (h, w))]
+        else:
+            arr = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+        enc = wc.encode_webp(arr, **opts)
+        theirs = _libwebp_decode_rgba(lib, enc)
+        assert np.array_equal(theirs, arr), (trial, opts)

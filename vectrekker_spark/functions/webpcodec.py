@@ -427,58 +427,20 @@ def _clamp_half(avg: int, tl: int) -> int:
 
 
 def _inv_predictor(pix: list[int], w: int, h: int, bits: int, timg: list[int]) -> None:
-    """In-place inverse predictor transform (spec §4.2.1). Edge rules:
-    (0,0) predicts black, row 0 predicts L, column 0 predicts T; TR for
-    the last column is the leftmost pixel of the current row (the
-    contiguous-array rule the spec canonicalizes)."""
+    """In-place inverse predictor transform (spec §4.2.1): pixel =
+    residual + _predict(reconstructed neighbors) mod 256 per channel.
+    ``_predict`` (shared with the encoder's forward residual pass — the
+    mode table is one spec table, not a dual-implementation seam) reads
+    only positions < pos, which at this point hold reconstructed pixels."""
     tw = _sub(w, bits)
     pos = 0
     for y in range(h):
         trow = (y >> bits) * tw
         for x in range(w):
-            if pos == 0:
-                pred = 0xFF000000
-            elif y == 0:
-                pred = pix[pos - 1]
-            elif x == 0:
-                pred = pix[pos - w]
-            else:
-                mode = (timg[trow + (x >> bits)] >> 8) & 0xFF
-                if mode > 13:
-                    raise ValueError("VP8L predictor mode out of range")
-                lpx = pix[pos - 1]
-                t = pix[pos - w]
-                if mode == 0:
-                    pred = 0xFF000000
-                elif mode == 1:
-                    pred = lpx
-                elif mode == 2:
-                    pred = t
-                elif mode == 3:
-                    pred = pix[pos - w + 1]
-                elif mode == 4:
-                    pred = pix[pos - w - 1]
-                elif mode == 5:
-                    pred = _avg2(_avg2(lpx, pix[pos - w + 1]), t)
-                elif mode == 6:
-                    pred = _avg2(lpx, pix[pos - w - 1])
-                elif mode == 7:
-                    pred = _avg2(lpx, t)
-                elif mode == 8:
-                    pred = _avg2(pix[pos - w - 1], t)
-                elif mode == 9:
-                    pred = _avg2(t, pix[pos - w + 1])
-                elif mode == 10:
-                    pred = _avg2(
-                        _avg2(lpx, pix[pos - w - 1]), _avg2(t, pix[pos - w + 1])
-                    )
-                elif mode == 11:
-                    pred = _select(lpx, t, pix[pos - w - 1])
-                elif mode == 12:
-                    pred = _clamp_full(lpx, t, pix[pos - w - 1])
-                else:
-                    pred = _clamp_half(_avg2(lpx, t), pix[pos - w - 1])
-            pix[pos] = _add_px(pix[pos], pred)
+            mode = (timg[trow + (x >> bits)] >> 8) & 0xFF
+            if mode > 13:
+                raise ValueError("VP8L predictor mode out of range")
+            pix[pos] = _add_px(pix[pos], _predict(pix, pos, w, mode))
             pos += 1
 
 
@@ -653,6 +615,10 @@ class _BitWriter:
         self.n = 0
 
     def write(self, v: int, nbits: int) -> None:
+        if v >> nbits:
+            # a value that overflows its field would bleed into the next
+            # one and produce a stream that misparses far from the bug
+            raise ValueError(f"bit field overflow: {v} in {nbits} bits")
         self.acc |= v << self.n
         self.n += nbits
         while self.n >= 8:
@@ -857,7 +823,10 @@ def _tokenize(
             best_len = 0
             best_dist = 0
             for dist in (1, w, *lz77_dists):
-                if dist == 0 or dist > pos:
+                # dist + 120 must stay within the 40-code distance
+                # alphabet (max value 1048576) or the stream can't be
+                # expressed
+                if dist == 0 or dist > pos or dist > 1048456:
                     continue
                 ln = 0
                 while (
@@ -1124,6 +1093,10 @@ def encode_webp(
         raise ValueError("VP8L dimensions cap at 16384")
     if palette and (subtract_green or predictor or color_transform):
         raise ValueError("palette excludes the other pixel transforms")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be in [0, 11]")
+    if meta_bits is not None and not 2 <= meta_bits <= 9:
+        raise ValueError("meta_bits must be in [2, 9]")
     a = (
         arr[:, :, 3].astype(np.uint32)
         if ch == 4
