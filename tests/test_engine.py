@@ -271,3 +271,10 @@ def test_engine_multimodal_sugar(spark, sf_dir):
     spect = eng.spectral_features(media.where("media_id = 3"), window=1024)
     assert audio.count() == 4 and spect.count() == 4  # 4096 samples / 1024
     assert all(r.sample_rate is None for r in spect.collect())  # raw PCM16
+
+    # r12 facades: perceptual image hash + near-dedup (png/jpeg of the
+    # SAME pixels hash within a few bits -> the jpeg copy is dropped)
+    hashes = {r.media_id: r.dhash for r in eng.image_dhash(media).collect()}
+    assert hashes[1] is not None and hashes[3] is None
+    kept = sorted(r.media_id for r in eng.image_near_dedup(media).collect())
+    assert kept == [1, 3, 4]

@@ -1,0 +1,184 @@
+"""Perceptual image near-dup tests (operators/imagedup, r12): dHash over
+the micro-decoders + pigeonhole-banded Hamming join. Oracles: a numpy
+brute-force O(n²) pair scan (recall is EXACT by pigeonhole, so the banded
+pipeline must match it bit-for-bit) and a DuckDB mirror of the band/
+popcount SQL semantics on negative BIGINT hashes."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions import webpcodec as wc
+from vectrekker_spark.functions.bmpcodec import encode_bmp
+from vectrekker_spark.functions.imagecodec import encode_png
+from vectrekker_spark.functions.jpegcodec import encode_jpeg
+from vectrekker_spark.operators.imagedup import (
+    dhash_bits,
+    dhash_dedup_pairs,
+    image_dhash,
+    image_near_dedup,
+)
+
+
+def _rng(seed=7):
+    return np.random.RandomState(seed)
+
+
+def _gradient_img(seed, h=40, w=48):
+    rng = _rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    a, b, c = rng.randint(1, 7, 3)
+    base = (a * yy + b * xx + c * ((yy * xx) // 16)) % 256
+    return np.stack([base, (base * 2) % 256, 255 - base], axis=2).astype(np.uint8)
+
+
+def test_dhash_invariant_across_lossless_formats_and_brightness():
+    img = _gradient_img(3)
+    h_png = dhash_bits(img)
+    # lossless containers carry the same pixels → identical hash
+    from vectrekker_spark.functions.imagecodec import decode_image_array
+
+    for enc in (encode_png(img), encode_bmp(img), wc.encode_webp(img)):
+        assert dhash_bits(decode_image_array(enc)) == h_png
+    # uniform brightness shift preserves every gradient sign → identical
+    brighter = np.clip(img.astype(np.int32) + 25, 0, 255).astype(np.uint8)
+    assert dhash_bits(brighter) == h_png
+    # JPEG recompression moves only a few bits
+    jpeg = decode_image_array(encode_jpeg(img, quality=85))
+    d = bin((dhash_bits(jpeg) ^ h_png) & ((1 << 64) - 1)).count("1")
+    assert d <= 6, d
+    # a different image is far away
+    other = _gradient_img(11)
+    d2 = bin((dhash_bits(other) ^ h_png) & ((1 << 64) - 1)).count("1")
+    assert d2 > 10, d2
+
+
+def _brute_pairs(hashes, max_hamming):
+    out = set()
+    items = [(i, h) for i, h in hashes if h is not None]
+    for a in range(len(items)):
+        for b in range(a + 1, len(items)):
+            (i, hi), (j, hj) = items[a], items[b]
+            d = bin((hi ^ hj) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                out.add((min(i, j), max(i, j), d))
+    return out
+
+
+def _random_hashes(rng, n, planted=8):
+    """Random signed-64 hashes with planted near pairs (few-bit flips)."""
+    hashes = []
+    for i in range(n):
+        if i >= 2 and i < 2 + planted:
+            base = hashes[rng.randint(0, i - 1)][1]
+            flips = rng.choice(64, size=rng.randint(0, 7), replace=False)
+            # flip in the UNSIGNED domain: xor-ing bit 63 of a signed
+            # Python int escapes the int64 range (infinite two's
+            # complement)
+            v = (base if base is not None else 0) & ((1 << 64) - 1)
+            for f in flips:
+                v ^= 1 << int(f)
+        elif rng.rand() < 0.05:
+            hashes.append((i, None))
+            continue
+        else:
+            v = int(rng.randint(0, 2**32)) << 32 | int(rng.randint(0, 2**32))
+        v = v - (1 << 64) if v >= (1 << 63) else v
+        hashes.append((i, v))
+    return hashes
+
+
+def test_banded_pairs_match_brute_force_exactly(spark):
+    rng = _rng(13)
+    for trial, mh in [(0, 4), (1, 6), (2, 10), (3, 0)]:
+        hashes = _random_hashes(rng, 60)
+        df = spark.createDataFrame(hashes, "media_id long, dhash long")
+        got = {
+            (r.l_id, r.r_id, r.hamming)
+            for r in dhash_dedup_pairs(df, max_hamming=mh).collect()
+        }
+        assert got == _brute_pairs(hashes, mh), (trial, mh)
+
+
+def test_duckdb_mirror_band_and_popcount_semantics(spark):
+    """The band-extraction (arithmetic shift + mask) and popcount verify
+    must be engine-portable: the same SQL in DuckDB over the same hashes
+    (incl. negative ones — bit 63 set) yields the same pair set."""
+    rng = _rng(29)
+    hashes = [(i, h) for i, h in _random_hashes(rng, 50) if h is not None]
+    mh, bands = 6, 8
+    width, mask = 64 // bands, (1 << (64 // bands)) - 1
+    df = spark.createDataFrame(hashes, "media_id long, dhash long")
+    got = sorted(
+        (r.l_id, r.r_id, r.hamming)
+        for r in dhash_dedup_pairs(df, max_hamming=mh, bands=bands).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE h (media_id BIGINT, dhash BIGINT)"
+    )
+    con.executemany("INSERT INTO h VALUES (?, ?)", hashes)
+    bands_sql = " UNION ALL ".join(
+        f"SELECT media_id, dhash, {b} AS band_idx, "
+        f"(dhash >> {b * width}) & {mask} AS band_val FROM h"
+        for b in range(bands)
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH banded AS ({bands_sql}),
+            cand AS (
+              SELECT DISTINCT l.media_id AS l_id, r.media_id AS r_id,
+                     l.dhash AS lh, r.dhash AS rh
+              FROM banded l JOIN banded r
+                ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+               AND l.media_id < r.media_id
+            )
+            SELECT l_id, r_id, bit_count(xor(lh, rh)) AS hamming
+            FROM cand WHERE bit_count(xor(lh, rh)) <= {mh}
+            ORDER BY l_id, r_id
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_image_near_dedup_end_to_end(spark):
+    img = _gradient_img(5)
+    near = np.clip(img.astype(np.int32) + 30, 0, 255).astype(np.uint8)  # same hash
+    other = _gradient_img(17)
+    rows = [
+        (1, encode_png(img)),
+        (2, wc.encode_webp(near)),       # near-dup of 1 across formats
+        (3, encode_png(other)),          # distinct
+        (4, b"not an image at all"),     # undecodable → survives
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert hashes[4] is None and hashes[1] is not None
+    kept = sorted(r.media_id for r in image_near_dedup(df, max_hamming=6).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_banded_join_plan_has_no_cartesian(spark):
+    rng = _rng(31)
+    df = spark.createDataFrame(
+        [(i, h) for i, h in _random_hashes(rng, 40)], "media_id long, dhash long"
+    )
+    plan = dhash_dedup_pairs(df, max_hamming=6)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bands_validation():
+    import pyspark.sql.utils  # noqa: F401
+
+    with pytest.raises(ValueError, match="bands"):
+        from vectrekker_spark.operators.imagedup import _band_exprs
+
+        _band_exprs("dhash", 3)

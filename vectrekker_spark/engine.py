@@ -217,6 +217,21 @@ class Engine:
 
         return spectral_window_features(df, **kw)
 
+    def image_dhash(self, df: DataFrame, **kw) -> DataFrame:
+        """64-bit perceptual difference hash per image, NULL for
+        undecodable payloads (operators/imagedup.image_dhash)."""
+        from vectrekker_spark.operators.imagedup import image_dhash
+
+        return image_dhash(df, **kw)
+
+    def image_near_dedup(self, df: DataFrame, **kw) -> DataFrame:
+        """Drop perceptual near-duplicate images via dHash + the
+        pigeonhole-banded Hamming join
+        (operators/imagedup.image_near_dedup)."""
+        from vectrekker_spark.operators.imagedup import image_near_dedup
+
+        return image_near_dedup(df, **kw)
+
     def benchmark_bloom(self, bench: DataFrame, **kw):
         """Compress a benchmark set's shingles into a broadcastable
         BloomFilter (operators/decontaminate.benchmark_bloom); persist it

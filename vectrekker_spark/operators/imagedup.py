@@ -1,0 +1,214 @@
+"""Perceptual image near-duplicate detection: dHash (difference hash)
+over the micro-decoders + a pigeonhole-banded Hamming join — the
+multimodal × dedup crossover a training-data pipeline needs (the
+image-side sibling of the text MinHash-LSH pipeline in operators/dedup
+and the embedding-space SemDeDup in operators/semdedup).
+
+Design (all from public technique descriptions — dHash is the classic
+difference-hash: resample to a (H, W+1) grayscale grid, threshold each
+horizontal gradient into one bit):
+
+- ``image_dhash``: one zero-shuffle Arrow map — decode (PNG/PPM/JPEG/
+  GIF/BMP/lossless-WebP via functions/imagecodec.decode_image_array),
+  ITU-R 601 luma, area-average resample to a 9x8 grid, 64 gradient bits
+  packed into one BIGINT. Undecodable payloads yield NULL (the
+  classification contract — a corrupt image in a 100 TB corpus must not
+  crash the batch, and NULL content is never "duplicate content").
+  dHash is invariant to uniform brightness/contrast shifts (gradient
+  SIGNS survive monotone point ops) and to lossless re-encoding across
+  container formats; JPEG re-compression moves only a few bits.
+
+- ``dhash_dedup_pairs``: candidate pairs by EXACT match on any of B
+  hash bands, verified by popcount — the pigeonhole guarantee: two
+  hashes within Hamming distance d < B agree exactly on at least one of
+  B disjoint bands, so recall is EXACT (not probabilistic) for
+  ``max_hamming`` ≤ bands-1. Defaults: bands = max_hamming + 1.
+
+Scale shape: the hash pass is a narrow map (no shuffle); the band join
+shuffles (band_idx, band_value) keys — 8-byte hashes, never pixels —
+exactly the banded self-join shape of minhash_dedup_pairs (no all-pairs,
+plan-asserted in tests). A pathological corpus where one band value is
+shared by k images still costs k² only within that bucket (the LSH
+caveat shared with the text pipeline; AQE skew-split applies).
+
+Band extraction and the popcount verify use ARITHMETIC shift + mask in
+both engines (sign-extension bits are masked away), so the DuckDB
+mirror in tests/test_imagedup.py is bit-exact on negative hashes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DHASH_GRID = (8, 9)  # (rows, cols): 8 x (9-1) horizontal gradients = 64 bits
+
+
+def _area_resample_gray(gray, oh: int, ow: int):
+    """Area-average resample of a 2-D float array to exactly (oh, ow):
+    each output cell averages its integer-boundary input box (boxes from
+    the i*h//oh grid); images smaller than the grid replicate pixels
+    (every box is forced non-empty). Deterministic and shared by the
+    operator and its test oracle — the filter choice IS the hash spec."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = [min(i * h // oh, h - 1) for i in range(oh)] + [h]
+    xs = [min(j * w // ow, w - 1) for j in range(ow)] + [w]
+    out = np.empty((oh, ow), dtype=np.float64)
+    for i in range(oh):
+        y1 = max(ys[i + 1], ys[i] + 1)
+        band = gray[ys[i] : y1]
+        for j in range(ow):
+            x1 = max(xs[j + 1], xs[j] + 1)
+            out[i, j] = band[:, xs[j] : x1].mean()
+    return out
+
+
+def dhash_bits(arr) -> int:
+    """64-bit dHash of an (H, W, C) uint8 pixel array. Bit k (row-major
+    over the 8x8 gradient grid, bit 0 = MSB-side … kept LSB-first here:
+    bit (i*8+j)) is 1 iff cell (i, j) is strictly brighter than its right
+    neighbor (i, j+1). Returned as a SIGNED 64-bit value (bit 63 set →
+    negative), the BIGINT the join operators consume."""
+    import numpy as np
+
+    if arr.shape[2] >= 3:
+        lum = (
+            0.299 * arr[:, :, 0].astype(np.float64)
+            + 0.587 * arr[:, :, 1]
+            + 0.114 * arr[:, :, 2]
+        )
+    else:
+        lum = arr[:, :, 0].astype(np.float64)
+    g = _area_resample_gray(lum, DHASH_GRID[0], DHASH_GRID[1])
+    bits = (g[:, :-1] > g[:, 1:]).ravel()
+    v = 0
+    for k in np.nonzero(bits)[0]:
+        v |= 1 << int(k)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+IMAGE_DHASH_SCHEMA = "media_id long, dhash long"
+
+
+def image_dhash(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, dhash) per image — one zero-shuffle Arrow map over the binary
+    column; undecodable payloads yield NULL dhash (classify, never crash;
+    NULL rows are excluded from pairing, the NULL-content rule)."""
+
+    def gen(batches) -> Iterator:
+        import pandas as pd
+
+        from vectrekker_spark.functions.imagecodec import decode_image_array
+
+        for pdf in batches:
+            hashes = []
+            for content in pdf[content_col]:
+                arr = decode_image_array(bytes(content) if content is not None else b"")
+                hashes.append(dhash_bits(arr) if arr is not None else None)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return df.mapInPandas(gen, schema=IMAGE_DHASH_SCHEMA)
+
+
+def _band_exprs(hash_col: str, bands: int) -> list:
+    """The B disjoint band values of a 64-bit hash, via arithmetic shift
+    + mask (identical on signed semantics in Spark and DuckDB — the
+    mirror contract). 64 must divide evenly: bands ∈ {1,2,4,8,16,32,64}."""
+    if bands < 1 or 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    col = F.col(hash_col)
+    if width == 64:  # one band = the whole hash (a 64-bit mask overflows lit)
+        return [col.alias("band_0")]
+    mask = (1 << width) - 1
+    return [
+        F.shiftright(col, b * width).bitwiseAND(F.lit(mask)).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+
+
+def dhash_dedup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    bands: int | None = None,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(l_id, r_id, hamming) for all pairs within ``max_hamming`` bits,
+    l_id < r_id. Candidates from exact equality on any of B bands
+    (pigeonhole-EXACT recall for max_hamming ≤ B-1), verified by
+    popcount on the full hash — the minhash_dedup_pairs shape: band
+    buckets shuffle 8-byte keys, never an all-pairs product."""
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    if bands - 1 < max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming} (needs bands > max_hamming)"
+        )
+    hs = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col), *_band_exprs(hash_col, bands)
+    )
+    banded = hs.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val")
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, hash_col, "band.band_idx", "band.band_val")
+    left = banded.select(
+        F.col(id_col).alias("l_id"),
+        F.col(hash_col).alias("l_hash"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("r_id"),
+        F.col(hash_col).alias("r_hash"),
+        "band_idx",
+        "band_val",
+    )
+    cands = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id", "l_hash", "r_hash")
+        .distinct()
+    )
+    return cands.select(
+        "l_id",
+        "r_id",
+        F.bit_count(
+            F.col("l_hash").bitwiseXOR(F.col("r_hash"))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def image_near_dedup(
+    df: DataFrame,
+    max_hamming: int = 6,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """``df`` with perceptual near-duplicate images dropped — every
+    verified pair's larger id loses (the ST7/curation min-id policy);
+    NULL-hash (undecodable) rows always survive, the NULL-content rule."""
+    hashes = image_dhash(df, content_col=content_col, id_col=id_col)
+    losers = (
+        dhash_dedup_pairs(hashes, max_hamming=max_hamming, id_col="media_id")
+        .select(F.col("r_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
