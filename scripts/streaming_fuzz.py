@@ -200,7 +200,7 @@ def trial_exact(spark, rng, work):
     k = int(rng.randint(2, 6))
     rows = _gen_docs(rng, n)
     schema = "doc_id long, source string, text string"
-    paths = _write_batches(spark, rows and _split(rng, rows, k), schema,
+    paths = _write_batches(spark, _split(rng, rows, k), schema,
                            os.path.join(work, "feed"))
     corpus = os.path.join(work, "corpus")
     plan = _draw_plan(rng, k)
@@ -306,7 +306,7 @@ def trial_semantic(spark, rng, work):
     corpus = os.path.join(work, "corpus")
     os.makedirs(corpus)
     feed = spark.createDataFrame(rows, schema)
-    n_cells = max(1, int(rng.randint(1, 5)))
+    n_cells = int(rng.randint(1, 5))
     cents = ivf_centroids(
         feed.where(F.col("embedding").isNotNull()),
         n_centroids=n_cells, id_col="vec_id", vec_col="embedding",
@@ -348,7 +348,7 @@ def trial_quota(spark, rng, work):
     n = int(rng.randint(40, 101))
     k = int(rng.randint(2, 6))
     cap = int(rng.randint(2, 8))
-    rows = [(i, s, t) for i, s, t in _gen_docs(rng, n)]
+    rows = _gen_docs(rng, n)
     schema = "doc_id long, source string, text string"
     batches = _split(rng, rows, k)
     paths = _write_batches(spark, batches, schema, os.path.join(work, "feed"))
@@ -413,10 +413,16 @@ FAMILIES = {
 def fuzz(spark, n=4, seed=7, families=None, out_dir=None, keep_going=True):
     """Run ``n`` seeded trials per family; returns failure strings."""
     failures = []
+    fam_offset = {f: i for i, f in enumerate(FAMILIES)}
     for fam in families or FAMILIES:
         fn = FAMILIES[fam]
         for t in range(n):
-            rng = np.random.RandomState(seed * 1000 + t * 17 + hash(fam) % 97)
+            # deterministic per-(seed, family, trial) stream — Python's
+            # hash() is randomized per process and would make the
+            # fixed-seed CI pin silently test a different corpus per run
+            rng = np.random.RandomState(
+                seed * 1000 + t * 17 + fam_offset[fam] * 97
+            )
             work = tempfile.mkdtemp(prefix=f"sfuzz_{fam}_")
             try:
                 fails = fn(spark, rng, work)

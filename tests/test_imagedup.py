@@ -176,9 +176,24 @@ def test_banded_join_plan_has_no_cartesian(spark):
 
 
 def test_bands_validation():
-    import pyspark.sql.utils  # noqa: F401
+    from vectrekker_spark.operators.imagedup import _band_exprs
 
     with pytest.raises(ValueError, match="bands"):
-        from vectrekker_spark.operators.imagedup import _band_exprs
-
         _band_exprs("dhash", 3)
+
+
+def test_max_hamming_validation(spark):
+    df = spark.createDataFrame([(1, 5)], "media_id long, dhash long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        dhash_dedup_pairs(df, max_hamming=64)
+
+
+def test_image_dhash_keeps_caller_id_name_and_type(spark):
+    img = _gradient_img(7)
+    df = spark.createDataFrame(
+        [("a", encode_png(img))], "img_key string, content binary"
+    )
+    out = image_dhash(df, id_col="img_key")
+    assert out.columns == ["img_key", "dhash"]
+    row = out.collect()[0]
+    assert row.img_key == "a" and row.dhash is not None

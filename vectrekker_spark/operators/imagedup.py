@@ -91,15 +91,16 @@ def dhash_bits(arr) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-IMAGE_DHASH_SCHEMA = "media_id long, dhash long"
-
-
 def image_dhash(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id"
 ) -> DataFrame:
     """(id, dhash) per image — one zero-shuffle Arrow map over the binary
     column; undecodable payloads yield NULL dhash (classify, never crash;
-    NULL rows are excluded from pairing, the NULL-content rule)."""
+    NULL rows are excluded from pairing, the NULL-content rule). The id
+    column keeps its caller-given name AND type (review r12: a
+    hard-coded 'media_id long' schema silently renamed the column and
+    rejected string ids)."""
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches) -> Iterator:
         import pandas as pd
@@ -112,10 +113,10 @@ def image_dhash(
                 arr = decode_image_array(bytes(content) if content is not None else b"")
                 hashes.append(dhash_bits(arr) if arr is not None else None)
             yield pd.DataFrame(
-                {"media_id": pdf[id_col], "dhash": pd.array(hashes, dtype="Int64")}
+                {id_col: pdf[id_col], "dhash": pd.array(hashes, dtype="Int64")}
             )
 
-    return df.mapInPandas(gen, schema=IMAGE_DHASH_SCHEMA)
+    return df.mapInPandas(gen, schema=f"{id_col} {id_type}, dhash long")
 
 
 def _band_exprs(hash_col: str, bands: int) -> list:
@@ -147,6 +148,10 @@ def dhash_dedup_pairs(
     (pigeonhole-EXACT recall for max_hamming ≤ B-1), verified by
     popcount on the full hash — the minhash_dedup_pairs shape: band
     buckets shuffle 8-byte keys, never an all-pairs product."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63] for 64-bit hashes, got {max_hamming}"
+        )
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
     if bands - 1 < max_hamming:
@@ -207,7 +212,7 @@ def image_near_dedup(
     NULL-hash (undecodable) rows always survive, the NULL-content rule."""
     hashes = image_dhash(df, content_col=content_col, id_col=id_col)
     losers = (
-        dhash_dedup_pairs(hashes, max_hamming=max_hamming, id_col="media_id")
+        dhash_dedup_pairs(hashes, max_hamming=max_hamming, id_col=id_col)
         .select(F.col("r_id").alias(id_col))
         .distinct()
     )
