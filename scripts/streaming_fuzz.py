@@ -27,6 +27,10 @@ Families:
   oracle exists (admission is per-batch in stable hash order), so the
   checks are the INVARIANTS: per-stratum count == min(cap, supply), ids
   distinct after compact, admitted ⊆ feed, compact reports zero drift.
+- image (foreach_batch_image_dedup, the ST7 image twin): oracle =
+  per-batch accumulation with dhash_dedup_pairs + dhash_dup_against —
+  planted brightness-shift near-dups (identical dHash), exact pixel dups
+  across formats, noisy variants, and undecodable blobs.
 
 Corpus generation plants the adversarial content on purpose: exact
 duplicate texts, near-duplicate texts (one appended token), NULL texts,
@@ -402,11 +406,106 @@ def trial_quota(spark, rng, work):
     return fails
 
 
+def _gen_images(rng, n):
+    """(media_id, content) rows: gradient images with planted brightness
+    near-dups (same dHash), exact pixel dups re-encoded across formats,
+    noisy variants, and undecodable blobs."""
+    from vectrekker_spark.functions import webpcodec as wc
+    from vectrekker_spark.functions.bmpcodec import encode_bmp
+    from vectrekker_spark.functions.imagecodec import encode_png
+
+    encoders = [encode_png, encode_bmp, lambda a: wc.encode_webp(a)]
+    rows = []
+    imgs = []
+    for i in range(n):
+        r = rng.rand()
+        if r < 0.08:
+            rows.append((i, bytes(rng.bytes(40))))  # undecodable
+            continue
+        if r < 0.30 and imgs:
+            arr = imgs[int(rng.randint(0, len(imgs)))]  # exact pixel dup
+        elif r < 0.50 and imgs:
+            base = imgs[int(rng.randint(0, len(imgs)))].astype(np.int32)
+            arr = np.clip(base + int(rng.randint(5, 40)), 0, 255).astype(np.uint8)
+        else:
+            yy, xx = np.mgrid[0:24, 0:24]
+            ca, cb = int(rng.randint(1, 9)), int(rng.randint(1, 9))
+            arr = np.stack(
+                [(ca * yy + cb * xx) % 256,
+                 (ca * xx + int(rng.randint(0, 256))) % 256,
+                 (yy * xx // 4 + cb) % 256], axis=2
+            ).astype(np.uint8)
+        imgs.append(arr)
+        enc = encoders[int(rng.randint(0, len(encoders)))]
+        rows.append((i, enc(arr)))
+    return rows
+
+
+def trial_image(spark, rng, work):
+    from vectrekker_spark.operators.imagedup import (
+        dhash_band_index,
+        dhash_dedup_pairs,
+        dhash_dup_against,
+        image_dhash,
+    )
+    from vectrekker_spark.streaming.jobs import (
+        compact_near_dedup_corpus,
+        foreach_batch_image_dedup,
+    )
+
+    n = int(rng.randint(20, 51))
+    k = int(rng.randint(2, 5))
+    mh = int(rng.choice([0, 2, 6]))
+    rows = _gen_images(rng, n)
+    schema = "media_id long, content binary"
+    batches = _split(rng, rows, k)
+    paths = _write_batches(spark, batches, schema, os.path.join(work, "feed"))
+    corpus = os.path.join(work, "corpus")
+    plan = _draw_plan(rng, k)
+    plan["torn_at"] = None  # the band index has no heal contract
+    drv = _Driver(
+        spark, work, schema,
+        lambda s, ck: foreach_batch_image_dedup(
+            s, corpus, ck, max_hamming=mh, id_col="media_id"
+        ),
+    )
+    drv.play(paths, plan)
+    compact_near_dedup_corpus(spark, corpus, id_col="media_id")
+
+    # batch-side accumulation oracle with no streaming machinery
+    hist = None
+    for rows_b in batches:
+        b = spark.createDataFrame(rows_b, schema)
+        hashes = image_dhash(b)
+        losers = (
+            dhash_dedup_pairs(hashes, max_hamming=mh)
+            .select(F.col("r_id").alias("media_id"))
+            .distinct()
+        )
+        fresh = hashes.join(losers, "media_id", "left_anti")
+        if hist is not None:
+            dup = dhash_dup_against(
+                fresh, dhash_band_index(hist), max_hamming=mh
+            )
+            fresh = fresh.join(
+                dup.select(F.col("new_id").alias("media_id")).distinct(),
+                "media_id", "left_anti",
+            )
+        hist = fresh if hist is None else hist.unionByName(fresh)
+        hist = hist.localCheckpoint()
+    want = _ids(hist, "media_id")
+    got = _ids(spark.read.parquet(f"{corpus}/docs"), "media_id")
+    if got != want:
+        return [f"image: streamed {got} != batch accumulation {want} plan={plan}"]
+    return []
+
+
 FAMILIES = {
     "exact": trial_exact,
     "near": trial_near,
     "semantic": trial_semantic,
     "quota": trial_quota,
+    "image": trial_image,
 }
 
 

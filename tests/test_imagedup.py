@@ -197,3 +197,106 @@ def test_image_dhash_keeps_caller_id_name_and_type(spark):
     assert out.columns == ["img_key", "dhash"]
     row = out.collect()[0]
     assert row.img_key == "a" and row.dhash is not None
+
+
+def test_dhash_dup_against_matches_brute_force(spark):
+    from vectrekker_spark.operators.imagedup import (
+        dhash_band_index,
+        dhash_dup_against,
+    )
+
+    rng = _rng(37)
+    corpus = [(i, h) for i, h in _random_hashes(rng, 40) if h is not None]
+    new = _random_hashes(rng, 20)
+    # plant guaranteed cross-corpus near-dups
+    new += [(100, corpus[0][1]), (101, corpus[3][1] ^ 0b111)]
+    mh = 6
+    cdf = spark.createDataFrame(corpus, "media_id long, dhash long")
+    ndf = spark.createDataFrame(new, "media_id long, dhash long")
+    got = {
+        (r.new_id, r.dup_id, r.hamming)
+        for r in dhash_dup_against(
+            ndf, dhash_band_index(cdf), max_hamming=mh
+        ).collect()
+    }
+    want = set()
+    for ni, nh in new:
+        if nh is None:
+            continue
+        for ci, ch in corpus:
+            d = bin((nh ^ ch) & ((1 << 64) - 1)).count("1")
+            if d <= mh:
+                want.add((ni, ci, d))
+    assert got == want and any(x[0] == 100 for x in got)
+
+
+def test_streaming_image_dedup_lifecycle(spark, tmp_path):
+    """ST7's image twin end-to-end: in-batch perceptual dedup, the
+    persisted band index as the history check, NULL-hash survival,
+    at-least-once redelivery idempotence, and the shape-generic compact."""
+    from vectrekker_spark.streaming.jobs import (
+        compact_near_dedup_corpus,
+        foreach_batch_image_dedup,
+    )
+
+    a, b, c = _gradient_img(2), _gradient_img(21), _gradient_img(22)
+    a_bright = np.clip(a.astype(np.int32) + 20, 0, 255).astype(np.uint8)
+    src = tmp_path / "src"
+    corpus = str(tmp_path / "corpus")
+    schema = "media_id long, content binary"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run(ck="ck", only=None):
+        stream = spark.readStream.schema(schema).parquet(
+            str(src / (only or "*"))
+        )
+        foreach_batch_image_dedup(
+            stream, corpus, str(tmp_path / ck), max_hamming=6
+        ).awaitTermination()
+
+    def kept_ids():
+        import pyspark.sql.functions as F
+
+        return sorted(
+            r.media_id
+            for r in spark.read.parquet(f"{corpus}/docs").collect()
+        )
+
+    # batch 1: id 2 is a brightness near-dup of 1 (same dHash) -> in-batch
+    # dedup keeps 1; id 3 undecodable -> survives with no band rows
+    write_batch("b1", [(1, encode_png(a)), (2, wc.encode_webp(a_bright)),
+                       (3, b"junk bytes")])
+    run()
+    assert kept_ids() == [1, 3]
+
+    # batch 2: id 4 near-dups HISTORY image 1 (jpeg recompression, <= 6
+    # bits) -> dropped via the persisted band index; id 5 novel
+    write_batch("b2", [(4, encode_jpeg(a, quality=85)), (5, encode_png(b))])
+    run()
+    assert kept_ids() == [1, 3, 5]
+
+    # same checkpoint, nothing new: no reprocessing
+    run()
+    assert kept_ids() == [1, 3, 5]
+
+    # redelivery of batch 2 via a FRESH checkpoint: scorable row 5 meets
+    # its appended twin at hamming 0 and drops; 4 still duplicates 1
+    run(ck="ck_re", only="b2")
+    assert kept_ids() == [1, 3, 5]
+
+    # batch 3 novel + an exact pixel dup of history image b
+    write_batch("b3", [(6, encode_png(c)), (7, encode_bmp(b))])
+    run()
+    assert kept_ids() == [1, 3, 5, 6]
+
+    # redeliver b1: the undecodable id 3 re-appends (no content key) —
+    # the documented window the compact reclaims
+    run(ck="ck_re2", only="b1")
+    assert kept_ids() == [1, 3, 3, 5, 6]
+    rep = compact_near_dedup_corpus(spark, corpus, id_col="media_id")
+    assert rep["docs_removed"] == 1
+    assert kept_ids() == [1, 3, 5, 6]

@@ -136,6 +136,86 @@ def _band_exprs(hash_col: str, bands: int) -> list:
     ]
 
 
+def dhash_band_index(
+    hashes: DataFrame,
+    bands: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(id, hash, band_idx, band_val) — the persistable banded form of a
+    hash table (the image-side sibling of dedup.band_hashes): an
+    ingestion pipeline writes this once per batch so history is never
+    re-banded. NULL hashes are excluded (the NULL-content rule)."""
+    hs = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col), *_band_exprs(hash_col, bands)
+    )
+    return hs.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val")
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, hash_col, "band.band_idx", "band.band_val")
+
+
+def dhash_dup_against(
+    new_hashes: DataFrame,
+    corpus_bands: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(new_id, dup_id, hamming): which NEW images perceptually duplicate
+    an EXISTING corpus image — the incremental shape (dedup today's image
+    batch against history without re-pairing history). ``corpus_bands``
+    is a dhash_band_index() table, typically persisted by the ingest
+    pipeline; ``bands`` must match the value it was built with (and
+    exceed ``max_hamming`` for the pigeonhole recall guarantee). The
+    batch side is small, so the band join broadcasts it and STREAMS the
+    corpus index — history never shuffles."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63] for 64-bit hashes, got {max_hamming}"
+        )
+    if bands - 1 < max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming} (needs bands > max_hamming)"
+        )
+    nb = dhash_band_index(
+        new_hashes, bands=bands, id_col=id_col, hash_col=hash_col
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.col(hash_col).alias("new_hash"),
+        "band_idx",
+        "band_val",
+    )
+    cb = corpus_bands.select(
+        F.col(id_col).alias("dup_id"),
+        F.col(hash_col).alias("dup_hash"),
+        "band_idx",
+        "band_val",
+    )
+    cands = (
+        nb.join(cb, ["band_idx", "band_val"])
+        .select("new_id", "dup_id", "new_hash", "dup_hash")
+        .distinct()
+    )
+    return cands.select(
+        "new_id",
+        "dup_id",
+        F.bit_count(
+            F.col("new_hash").bitwiseXOR(F.col("dup_hash"))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def dhash_dedup_pairs(
     hashes: DataFrame,
     max_hamming: int = 6,
@@ -159,21 +239,7 @@ def dhash_dedup_pairs(
             f"bands={bands} cannot guarantee recall at max_hamming="
             f"{max_hamming} (needs bands > max_hamming)"
         )
-    hs = hashes.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col), F.col(hash_col), *_band_exprs(hash_col, bands)
-    )
-    banded = hs.select(
-        id_col,
-        hash_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val")
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select(id_col, hash_col, "band.band_idx", "band.band_val")
+    banded = dhash_band_index(hashes, bands=bands, id_col=id_col, hash_col=hash_col)
     left = banded.select(
         F.col(id_col).alias("l_id"),
         F.col(hash_col).alias("l_hash"),

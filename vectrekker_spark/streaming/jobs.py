@@ -408,6 +408,100 @@ def foreach_batch_near_dedup(
     )
 
 
+def foreach_batch_image_dedup(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    max_hamming: int = 6,
+    bands: int = 8,
+    content_col: str = "content",
+    id_col: str = "media_id",
+):
+    """Streaming ingestion with PERCEPTUAL image dedup against all
+    history — ST7's image-side twin (operators/imagedup composed with
+    ST5): each micro-batch is (1) dHashed ONCE (one Arrow decode pass),
+    (2) near-deduped within itself (every verified pair's larger id
+    loses, the ST7 policy), (3) checked against the corpus via the
+    PERSISTED band index at ``{corpus_path}/bands`` — history is never
+    re-decoded or re-banded — and (4) the survivors are appended to
+    ``{corpus_path}/docs`` with their band rows appended to the index.
+
+    NULL-hash (undecodable) payloads always survive and carry no band
+    rows (the NULL-content rule), so a REDELIVERED undecodable row
+    re-appends; scorable redelivered rows meet their appended twin at
+    hamming 0 and drop. Reclaim id-duplicates with
+    ``compact_near_dedup_corpus`` — its docs-id-distinct +
+    bands-distinct rewrite is table-shape-generic and applies verbatim
+    to this corpus layout. Scale shape per batch: the batch's hash/band
+    tables are small, so both joins broadcast the batch side and stream
+    the corpus-sized band index; pixels never shuffle (only 8-byte
+    hashes move). Returns the started query.
+    """
+    import os
+
+    from vectrekker_spark.operators.imagedup import (
+        dhash_band_index,
+        dhash_dedup_pairs,
+        dhash_dup_against,
+        image_dhash,
+    )
+
+    docs_path = os.path.join(corpus_path, "docs")
+    bands_path = os.path.join(corpus_path, "bands")
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _refuse_if_compacting(corpus_path)
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        # hash the batch ONCE: the persisted hash table feeds the
+        # self-dedup, the history check, and the survivor index append
+        hashes = image_dhash(batch, content_col=content_col, id_col=id_col).persist()
+        try:
+            pairs = dhash_dedup_pairs(
+                hashes, max_hamming=max_hamming, bands=bands, id_col=id_col
+            )
+            losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
+            fresh_ids = hashes.select(id_col, "dhash").join(
+                losers, id_col, "left_anti"
+            )
+            if os.path.exists(bands_path):
+                dup = dhash_dup_against(
+                    fresh_ids,
+                    spark.read.parquet(bands_path),
+                    max_hamming=max_hamming,
+                    bands=bands,
+                    id_col=id_col,
+                )
+                fresh_ids = fresh_ids.join(
+                    dup.select(F.col("new_id").alias(id_col)).distinct(),
+                    id_col,
+                    "left_anti",
+                )
+            fresh_ids = fresh_ids.persist()
+            try:
+                _refuse_if_compacting(corpus_path)
+                batch.join(
+                    fresh_ids.select(id_col), id_col, "left_semi"
+                ).write.mode("append").parquet(docs_path)
+                dhash_band_index(
+                    fresh_ids, bands=bands, id_col=id_col
+                ).write.mode("append").parquet(bands_path)
+            finally:
+                fresh_ids.unpersist()
+        finally:
+            hashes.unpersist()
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_near_dedup_corpus(
     spark: SparkSession, corpus_path: str, id_col: str = "doc_id"
 ) -> dict[str, int]:
