@@ -414,7 +414,7 @@ def _gen_images(rng, n):
     from vectrekker_spark.functions.bmpcodec import encode_bmp
     from vectrekker_spark.functions.imagecodec import encode_png
 
-    encoders = [encode_png, encode_bmp, lambda a: wc.encode_webp(a)]
+    encoders = [encode_png, encode_bmp, wc.encode_webp]
     rows = []
     imgs = []
     for i in range(n):

@@ -259,8 +259,6 @@ def test_streaming_image_dedup_lifecycle(spark, tmp_path):
         ).awaitTermination()
 
     def kept_ids():
-        import pyspark.sql.functions as F
-
         return sorted(
             r.media_id
             for r in spark.read.parquet(f"{corpus}/docs").collect()
@@ -300,3 +298,51 @@ def test_streaming_image_dedup_lifecycle(spark, tmp_path):
     rep = compact_near_dedup_corpus(spark, corpus, id_col="media_id")
     assert rep["docs_removed"] == 1
     assert kept_ids() == [1, 3, 5, 6]
+
+
+def test_streaming_image_dedup_guards(spark, tmp_path):
+    """Review r12 regressions: (a) builder validation fails at CALL time,
+    not inside the first micro-batch; (b) a torn FIRST bands append
+    (_temporary only) reads as absent instead of wedging redelivery on
+    schema inference; (c) a restart with a different band count is
+    refused (the persisted band_vals bake the width in)."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from vectrekker_spark.streaming.jobs import foreach_batch_image_dedup
+
+    src = tmp_path / "src"
+    corpus = str(tmp_path / "corpus")
+    schema = "media_id long, content binary"
+    spark.createDataFrame(
+        [(1, encode_png(_gradient_img(2)))], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    def start(ck, **kw):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return foreach_batch_image_dedup(
+            stream, corpus, str(tmp_path / ck), **kw
+        )
+
+    # (a) misconfiguration surfaces before any query starts
+    with pytest.raises(ValueError, match="bands"):
+        start("ck_bad", max_hamming=10, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        start("ck_bad2", max_hamming=2, bands=12)
+
+    # (b) torn first bands append: only _temporary inside
+    import os
+
+    os.makedirs(f"{corpus}/bands/_temporary")
+    start("ck1", max_hamming=6).awaitTermination()
+    assert [r.media_id for r in spark.read.parquet(f"{corpus}/docs").collect()] == [1]
+
+    # (c) a restart with different bands is refused loudly
+    spark.createDataFrame(
+        [(2, encode_png(_gradient_img(9)))], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    with pytest.raises(StreamingQueryException, match="bands="):
+        start("ck2", max_hamming=6, bands=16).awaitTermination()
+    # and the original geometry still works
+    start("ck3", max_hamming=6, bands=8).awaitTermination()
+    kept = sorted(r.media_id for r in spark.read.parquet(f"{corpus}/docs").collect())
+    assert kept == [1, 2]

@@ -136,6 +136,24 @@ def _band_exprs(hash_col: str, bands: int) -> list:
     ]
 
 
+def _validate_banding(max_hamming: int, bands: int) -> None:
+    """The shared banding contract: 64-dividing band count, hamming
+    bound in range, and the pigeonhole recall guarantee bands > hamming.
+    Called by the pair/against operators AND the streaming job builder
+    (fail at call time, not inside the first micro-batch)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63] for 64-bit hashes, got {max_hamming}"
+        )
+    if bands < 1 or 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if bands - 1 < max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming} (needs bands > max_hamming)"
+        )
+
+
 def dhash_band_index(
     hashes: DataFrame,
     bands: int = 8,
@@ -177,17 +195,10 @@ def dhash_dup_against(
     is a dhash_band_index() table, typically persisted by the ingest
     pipeline; ``bands`` must match the value it was built with (and
     exceed ``max_hamming`` for the pigeonhole recall guarantee). The
-    batch side is small, so the band join broadcasts it and STREAMS the
-    corpus index — history never shuffles."""
-    if not 0 <= max_hamming <= 63:
-        raise ValueError(
-            f"max_hamming must be in [0, 63] for 64-bit hashes, got {max_hamming}"
-        )
-    if bands - 1 < max_hamming:
-        raise ValueError(
-            f"bands={bands} cannot guarantee recall at max_hamming="
-            f"{max_hamming} (needs bands > max_hamming)"
-        )
+    batch side is small, so the band join BROADCASTS it (hinted — the
+    docstring's "history never shuffles" must be the plan, not a hope)
+    and streams the corpus index."""
+    _validate_banding(max_hamming, bands)
     nb = dhash_band_index(
         new_hashes, bands=bands, id_col=id_col, hash_col=hash_col
     ).select(
@@ -203,7 +214,8 @@ def dhash_dup_against(
         "band_val",
     )
     cands = (
-        nb.join(cb, ["band_idx", "band_val"])
+        F.broadcast(nb)
+        .join(cb, ["band_idx", "band_val"])
         .select("new_id", "dup_id", "new_hash", "dup_hash")
         .distinct()
     )
@@ -234,11 +246,7 @@ def dhash_dedup_pairs(
         )
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
-    if bands - 1 < max_hamming:
-        raise ValueError(
-            f"bands={bands} cannot guarantee recall at max_hamming="
-            f"{max_hamming} (needs bands > max_hamming)"
-        )
+    _validate_banding(max_hamming, bands)
     banded = dhash_band_index(hashes, bands=bands, id_col=id_col, hash_col=hash_col)
     left = banded.select(
         F.col(id_col).alias("l_id"),

@@ -361,7 +361,9 @@ def foreach_batch_near_dedup(
             losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
             fresh = batch.join(losers, id_col, "left_anti")
             # 2. against history, via the persisted band index
-            if os.path.exists(bands_path):
+            # (_parquet_has_data: a torn FIRST bands append must read as
+            # absent or redelivery wedges on schema inference — r12)
+            if _parquet_has_data(bands_path):
                 dup = minhash_dedup_against(
                     fresh,
                     spark.read.parquet(docs_path),
@@ -437,22 +439,49 @@ def foreach_batch_image_dedup(
     the corpus-sized band index; pixels never shuffle (only 8-byte
     hashes move). Returns the started query.
     """
+    import json
     import os
 
     from vectrekker_spark.operators.imagedup import (
+        _validate_banding,
         dhash_band_index,
         dhash_dedup_pairs,
         dhash_dup_against,
         image_dhash,
     )
 
+    # fail at call time, not inside the first micro-batch's query thread
+    _validate_banding(max_hamming, bands)
+
     docs_path = os.path.join(corpus_path, "docs")
     bands_path = os.path.join(corpus_path, "bands")
+    meta_path = os.path.join(corpus_path, "bands_meta.json")
+
+    def _check_or_pin_bands() -> None:
+        # the band WIDTH is baked into every persisted band_val: an index
+        # built at bands=8 silently stops matching history if a restarted
+        # stream banded at 16 — pin the geometry in a meta file (written
+        # BEFORE the first bands append; a torn write re-pins identically
+        # on redelivery) and refuse mismatched restarts
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                saved = json.load(f)["bands"]
+            if saved != bands:
+                raise ValueError(
+                    f"band index at {bands_path} was built with bands="
+                    f"{saved}; restarting with bands={bands} would stop "
+                    "matching history — pass the original value"
+                )
+        else:
+            os.makedirs(corpus_path, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump({"bands": bands}, f)
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         _refuse_if_compacting(corpus_path)
+        _check_or_pin_bands()
         spark = batch_df.sparkSession
         batch = batch_df.persist()
         # hash the batch ONCE: the persisted hash table feeds the
@@ -466,7 +495,11 @@ def foreach_batch_image_dedup(
             fresh_ids = hashes.select(id_col, "dhash").join(
                 losers, id_col, "left_anti"
             )
-            if os.path.exists(bands_path):
+            # _parquet_has_data, not os.path.exists: a crash during the
+            # FIRST bands append leaves only _temporary/ and the reader
+            # must treat it as absent, or redelivery wedges on schema
+            # inference forever (the quota-job lesson)
+            if _parquet_has_data(bands_path):
                 dup = dhash_dup_against(
                     fresh_ids,
                     spark.read.parquet(bands_path),
@@ -539,6 +572,9 @@ def compact_near_dedup_corpus(
                 removed = before - clean.count()
                 if removed:
                     _atomic_replace(clean, path)
+                    # same-session readers hold a cached file listing of
+                    # the swapped directory (the compact_quota lesson)
+                    spark.catalog.refreshByPath(path)
                 out[f"{name}_removed"] = removed
             finally:
                 df.unpersist()
