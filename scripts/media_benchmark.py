@@ -200,6 +200,22 @@ def main() -> int:
             timed(f"extract_{k}", lambda one=one: extract_features(one), n_per_kind)
 
         timed("resize", lambda: resize_images(images, factor=4), 6 * n_per_kind)
+        # r12: perceptual dedup — the hash pass over every image kind,
+        # then the banded pair join over the PERSISTED hashes (so the
+        # pair timing measures the join, not a re-decode)
+        from vectrekker_spark.operators.imagedup import (
+            dhash_dedup_pairs,
+            image_dhash,
+        )
+
+        timed("image_dhash", lambda: image_dhash(images), 6 * n_per_kind)
+        hashes_path = os.path.join(work, "hashes")
+        image_dhash(images).write.parquet(hashes_path)
+        hashes = spark.read.parquet(hashes_path)
+        t0 = time.time()
+        n_pairs = dhash_dedup_pairs(hashes, max_hamming=6).count()
+        report["t_dhash_pairs_sec"] = round(time.time() - t0, 2)
+        report["dhash_pairs_found"] = n_pairs
         # count() alone would let Catalyst PRUNE the deterministic sniff
         # UDF entirely (empirically confirmed: a raising UDF still counts
         # fine) — filter on a sniffed column so every row's sniff actually
