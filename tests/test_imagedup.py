@@ -346,3 +346,31 @@ def test_streaming_image_dedup_guards(spark, tmp_path):
     start("ck3", max_hamming=6, bands=8).awaitTermination()
     kept = sorted(r.media_id for r in spark.read.parquet(f"{corpus}/docs").collect())
     assert kept == [1, 2]
+
+
+def test_dup_against_broadcasts_the_batch_side(spark):
+    """The incremental form's contract is 'history never shuffles': the
+    batch side must be broadcast (hinted, review r12 — a plan, not a
+    hope)."""
+    from vectrekker_spark.operators.imagedup import (
+        dhash_band_index,
+        dhash_dup_against,
+    )
+
+    rng = _rng(41)
+    corpus = spark.createDataFrame(
+        [(i, h) for i, h in _random_hashes(rng, 30) if h is not None],
+        "media_id long, dhash long",
+    )
+    new = spark.createDataFrame(
+        [(i, h) for i, h in _random_hashes(rng, 10) if h is not None],
+        "media_id long, dhash long",
+    )
+    plan = (
+        dhash_dup_against(new, dhash_band_index(corpus), max_hamming=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
