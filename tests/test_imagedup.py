@@ -374,3 +374,60 @@ def test_dup_against_broadcasts_the_batch_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _natural_img(seed, h=64, w=64):
+    """Sum-of-low-frequency-sinusoids content — a non-degenerate DCT
+    block (synthetic ramps put the whole block at ~0 = the median, where
+    threshold bits are noise; see phash_bits docstring)."""
+    rng = _rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    a, b, c = rng.uniform(5, 14, 3)
+    base = (
+        128 + 60 * np.sin(yy / a) + 50 * np.cos(xx / b) + 30 * np.sin((yy + xx) / c)
+    ).clip(0, 255)
+    return np.stack([base, base * 0.8, base * 0.6], axis=2).astype(np.uint8)
+
+
+def test_phash_survives_recompression_where_it_matters():
+    from vectrekker_spark.functions.imagecodec import decode_image_array
+    from vectrekker_spark.operators.imagedup import phash_bits
+
+    img = _natural_img(5)
+    h0 = phash_bits(img)
+    for q, bound in ((85, 8), (60, 10), (40, 16)):
+        j = decode_image_array(encode_jpeg(img, quality=q))
+        d = bin((phash_bits(j) ^ h0) & ((1 << 64) - 1)).count("1")
+        assert d <= bound, (q, d)
+    # brightness shift moves only the DC coefficient — hash stays close
+    bright = np.clip(img.astype(np.int32) + 30, 0, 255).astype(np.uint8)
+    db = bin((phash_bits(bright) ^ h0) & ((1 << 64) - 1)).count("1")
+    assert db <= 6, db
+    # a different natural image is far away
+    other = _natural_img(11)
+    d2 = bin((phash_bits(other) ^ h0) & ((1 << 64) - 1)).count("1")
+    assert d2 > 16, d2
+
+
+def test_image_phash_operator_and_banded_reuse(spark):
+    """The pair machinery is hash-agnostic: the same banded join dedups
+    on phash via hash_col — one operator family, two hash kernels."""
+    from vectrekker_spark.operators.imagedup import image_phash
+
+    img = _natural_img(7)
+    recompressed = encode_jpeg(img, quality=50)
+    rows = [
+        (1, encode_png(img)),
+        (2, recompressed),            # same content, heavy recompression
+        (3, encode_png(_natural_img(13))),
+        (4, b"undecodable"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = image_phash(df)
+    assert hashes.columns == ["media_id", "phash"]
+    got = {r.media_id: r.phash for r in hashes.collect()}
+    assert got[4] is None
+    pairs = dhash_dedup_pairs(
+        hashes, max_hamming=10, hash_col="phash"
+    ).collect()
+    assert {(p.l_id, p.r_id) for p in pairs} == {(1, 2)}

@@ -91,15 +91,67 @@ def dhash_bits(arr) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def image_dhash(
-    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
-) -> DataFrame:
-    """(id, dhash) per image — one zero-shuffle Arrow map over the binary
-    column; undecodable payloads yield NULL dhash (classify, never crash;
-    NULL rows are excluded from pairing, the NULL-content rule). The id
-    column keeps its caller-given name AND type (review r12: a
-    hard-coded 'media_id long' schema silently renamed the column and
-    rejected string ids)."""
+_DCT32 = None
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (memoized for the pHash n=32)."""
+    import numpy as np
+
+    global _DCT32
+    if n == 32 and _DCT32 is not None:
+        return _DCT32
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    if n == 32:
+        _DCT32 = d
+    return d
+
+
+def phash_bits(arr) -> int:
+    """64-bit pHash (DCT perceptual hash, the classic construction):
+    luma → 32x32 area resample → 2-D orthonormal DCT-II → top-left 8x8
+    low-frequency block → bit (i*8+j) is 1 iff coeff (i, j) exceeds the
+    block's median (DC included — it sits far above the median, so its
+    bit is constantly 1 and a uniform brightness shift, which moves ONLY
+    the DC, leaves the hash intact). Complements dHash: energy
+    thresholds over low-frequency structure survive recompression and
+    smoothing that perturb local gradient SIGNS. Known characteristic of
+    the median-threshold construction: content whose low-frequency block
+    is DEGENERATE (near-constant images, pure synthetic ramps — most
+    coefficients ~0, i.e. at the median) yields noise-unstable bits; on
+    such content dHash is the stable hash, which is exactly why both
+    ship (they are complements, measured in tests). Signed 64-bit return,
+    same BIGINT contract as dhash_bits — every band/pair/against
+    operator applies unchanged via hash_col="phash"."""
+    import numpy as np
+
+    if arr.shape[2] >= 3:
+        lum = (
+            0.299 * arr[:, :, 0].astype(np.float64)
+            + 0.587 * arr[:, :, 1]
+            + 0.114 * arr[:, :, 2]
+        )
+    else:
+        lum = arr[:, :, 0].astype(np.float64)
+    g = _area_resample_gray(lum, 32, 32)
+    d = _dct_matrix(32)
+    block = (d @ g @ d.T)[:8, :8]
+    med = float(np.median(block))
+    bits = (block > med).ravel()
+    v = 0
+    for k in np.nonzero(bits)[0]:
+        v |= 1 << int(k)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _image_hash_map(df, content_col, id_col, bits_fn, out_col) -> DataFrame:
+    """The shared zero-shuffle Arrow hash pass: decode once, apply a
+    64-bit hash kernel, NULL for undecodable payloads (classify, never
+    crash; NULL rows are excluded from pairing, the NULL-content rule).
+    The id column keeps its caller-given name AND type (review r12)."""
     id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches) -> Iterator:
@@ -111,12 +163,30 @@ def image_dhash(
             hashes = []
             for content in pdf[content_col]:
                 arr = decode_image_array(bytes(content) if content is not None else b"")
-                hashes.append(dhash_bits(arr) if arr is not None else None)
+                hashes.append(bits_fn(arr) if arr is not None else None)
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "dhash": pd.array(hashes, dtype="Int64")}
+                {id_col: pdf[id_col], out_col: pd.array(hashes, dtype="Int64")}
             )
 
-    return df.mapInPandas(gen, schema=f"{id_col} {id_type}, dhash long")
+    return df.mapInPandas(gen, schema=f"{id_col} {id_type}, {out_col} long")
+
+
+def image_dhash(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, dhash) per image — gradient-sign difference hash (see
+    dhash_bits; brightness/contrast-shift invariant, lossless-format
+    invariant)."""
+    return _image_hash_map(df, content_col, id_col, dhash_bits, "dhash")
+
+
+def image_phash(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, phash) per image — DCT low-frequency perceptual hash (see
+    phash_bits; recompression/smoothing-robust). Pair it with the same
+    banded machinery: dhash_dedup_pairs(..., hash_col="phash")."""
+    return _image_hash_map(df, content_col, id_col, phash_bits, "phash")
 
 
 def _band_exprs(hash_col: str, bands: int) -> list:
