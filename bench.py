@@ -140,10 +140,12 @@ def main() -> None:
     ratio = {
         q: round(timings[q] / duck[q], 2) if duck[q] > 0 else None for q in common
     }
-    # The printed line stays small (scalars first, then the one required
-    # per-query map) so the driver's bounded tail capture parses it; the
-    # per-query detail dicts (duckdb medians, ratios, raw samples) go to a
-    # sidecar file instead.
+    # The printed line stays small (scalars first, then the per-query
+    # maps) so the driver's bounded tail capture parses it; raw samples
+    # go to a sidecar file. Per-query `ratio` (spark_sec/duck_sec) is IN
+    # the printed line as of r13 — the r11 misreading (Spark seconds
+    # taken as ratios) was possible because only one per-query map was
+    # in the artifact.
     # method: r2+ measure Arrow-materialized toPandas() and re-measure DuckDB
     # in-process — not comparable with r1's collect()-based numbers. r6+
     # interleaves engines per query and uses median-of-5.
@@ -159,11 +161,11 @@ def main() -> None:
         "method": "toPandas-vs-duckdb-inproc-interleaved-median5",
         "dispersion_flagged": flagged,
         "queries": timings,
+        "ratio": ratio,
     }
     detail = dict(
         summary,
         duckdb=duck,
-        ratio=ratio,
         spark_samples=sp_samples,
         duckdb_samples=du_samples,
     )

@@ -347,6 +347,22 @@ def test_streaming_image_dedup_guards(spark, tmp_path):
     kept = sorted(r.media_id for r in spark.read.parquet(f"{corpus}/docs").collect())
     assert kept == [1, 2]
 
+    # (d) a torn/garbage bands_meta.json is a LOUD error naming the
+    # remediation, not a bare JSONDecodeError every micro-batch
+    # (advice r12: the write is temp+os.replace, so this state can only
+    # arise from external corruption — but the read must still classify)
+    with open(f"{corpus}/bands_meta.json", "w") as f:
+        f.write("{\"bands\": ")  # torn mid-write shape
+    spark.createDataFrame(
+        [(9, encode_png(_gradient_img(5)))], schema
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    with pytest.raises(StreamingQueryException, match="delete it to re-pin"):
+        start("ck4", max_hamming=6, bands=8).awaitTermination()
+    # operator follows the remediation: delete → re-pin → stream resumes
+    os.remove(f"{corpus}/bands_meta.json")
+    start("ck5", max_hamming=6, bands=8).awaitTermination()
+    assert 9 in {r.media_id for r in spark.read.parquet(f"{corpus}/docs").collect()}
+
 
 def test_dup_against_broadcasts_the_batch_side(spark):
     """The incremental form's contract is 'history never shuffles': the
@@ -374,6 +390,18 @@ def test_dup_against_broadcasts_the_batch_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+    # advice r12: a large backfill batch must be able to opt OUT of the
+    # broadcast (same results, no explicit broadcast hint in the plan)
+    hinted = dhash_dup_against(new, dhash_band_index(corpus), max_hamming=6)
+    shuffled = dhash_dup_against(
+        new, dhash_band_index(corpus), max_hamming=6, broadcast_new=False
+    )
+    analyzed = shuffled._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert {tuple(r) for r in shuffled.collect()} == {
+        tuple(r) for r in hinted.collect()
+    }
 
 
 def _natural_img(seed, h=64, w=64):

@@ -258,16 +258,19 @@ def dhash_dup_against(
     bands: int = 8,
     id_col: str = "media_id",
     hash_col: str = "dhash",
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """(new_id, dup_id, hamming): which NEW images perceptually duplicate
     an EXISTING corpus image — the incremental shape (dedup today's image
     batch against history without re-pairing history). ``corpus_bands``
     is a dhash_band_index() table, typically persisted by the ingest
     pipeline; ``bands`` must match the value it was built with (and
-    exceed ``max_hamming`` for the pigeonhole recall guarantee). The
-    batch side is small, so the band join BROADCASTS it (hinted — the
-    docstring's "history never shuffles" must be the plan, not a hope)
-    and streams the corpus index."""
+    exceed ``max_hamming`` for the pigeonhole recall guarantee). A
+    micro-batch side is small, so by default the band join BROADCASTS it
+    (hinted — the docstring's "history never shuffles" must be the plan,
+    not a hope) and streams the corpus index; for a large backfill batch
+    that would blow the broadcast limit, pass ``broadcast_new=False`` to
+    fall back to a shuffle join on (band_idx, band_val)."""
     _validate_banding(max_hamming, bands)
     nb = dhash_band_index(
         new_hashes, bands=bands, id_col=id_col, hash_col=hash_col
@@ -284,7 +287,7 @@ def dhash_dup_against(
         "band_val",
     )
     cands = (
-        F.broadcast(nb)
+        (F.broadcast(nb) if broadcast_new else nb)
         .join(cb, ["band_idx", "band_val"])
         .select("new_id", "dup_id", "new_hash", "dup_hash")
         .distinct()

@@ -461,11 +461,22 @@ def foreach_batch_image_dedup(
         # the band WIDTH is baked into every persisted band_val: an index
         # built at bands=8 silently stops matching history if a restarted
         # stream banded at 16 — pin the geometry in a meta file (written
-        # BEFORE the first bands append; a torn write re-pins identically
-        # on redelivery) and refuse mismatched restarts
+        # BEFORE the first bands append) and refuse mismatched restarts.
+        # The write goes through temp + os.replace so a crash mid-write
+        # can never leave a torn file that exists-but-unparses (which
+        # would wedge every later micro-batch in json.load); crash before
+        # the replace leaves nothing, and redelivery re-pins identically.
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                saved = json.load(f)["bands"]
+                try:
+                    saved = json.load(f)["bands"]
+                except (json.JSONDecodeError, KeyError) as exc:
+                    raise ValueError(
+                        f"band geometry file {meta_path} is corrupt "
+                        f"({exc}); delete it to re-pin the CURRENT bands="
+                        f"{bands} (only safe if that matches the value "
+                        "the persisted index was built with)"
+                    ) from exc
             if saved != bands:
                 raise ValueError(
                     f"band index at {bands_path} was built with bands="
@@ -474,8 +485,10 @@ def foreach_batch_image_dedup(
                 )
         else:
             os.makedirs(corpus_path, exist_ok=True)
-            with open(meta_path, "w") as f:
+            tmp_path = meta_path + ".tmp"
+            with open(tmp_path, "w") as f:
                 json.dump({"bands": bands}, f)
+            os.replace(tmp_path, meta_path)
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
