@@ -82,6 +82,42 @@ def test_contamination_detects_planted_overlap(spark):
     assert 2 not in rep and 3 not in rep
 
 
+def test_dedup_first_report_equals_plain_on_replicated_corpus(spark):
+    """The r13 scale policy's exactness claim, tested structurally: on a
+    verbatim-replicated corpus (the sf30 worst case) WITH planted NULL and
+    empty texts, contamination_report_dedup_first is row-for-row equal to
+    the plain join form — dedup-first is a plan change, not a semantics
+    change."""
+    import random
+
+    from vectrekker_spark.operators.decontaminate import (
+        contamination_report_dedup_first,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [
+        " ".join(rng.choices(vocab, k=rng.randint(0, 12))) for _ in range(12)
+    ] + [None, "", BENCH_DOC, "alpha beta gamma delta tail"]
+    # replicate every text 5x under distinct ids; odd ids → train side
+    rows = [
+        (i * 100 + r, t) for i, t in enumerate(base) for r in range(5)
+    ]
+    df = _docs(spark, rows)
+    train = df.filter(F.col("doc_id") % 2 == 1)
+    bench = df.filter(F.col("doc_id") % 2 == 0).withColumnRenamed(
+        "doc_id", "bid"
+    ).withColumnRenamed("bid", "doc_id")
+    plain = sorted(map(tuple, contamination_report(train, bench).collect()))
+    fast = sorted(
+        map(tuple, contamination_report_dedup_first(train, bench).collect())
+    )
+    assert plain == fast and len(plain) > 0
+    # bench replicas must be counted per-REPLICA, not per distinct text
+    n_bench = {t[0]: t[2] for t in fast}
+    assert max(n_bench.values()) >= 2
+
+
 def test_decontaminate_drops_only_contaminated(spark):
     train = _docs(
         spark,

@@ -88,6 +88,83 @@ def contamination_report(
     )
 
 
+def contamination_report_dedup_first(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """contamination_report with EXACT-DEDUP-FIRST composition — identical
+    output, join volume collapsed on duplicate-heavy corpora.
+
+    Why: the plain report's (train_shingle ⋈ bench_shingle) output is
+    QUADRATIC in corpus duplication — on a verbatim-R×-replicated corpus
+    every shingle match multiplies by R² across replica pairs (measured:
+    R=300 exceeded 77 GB of shuffle disk at sf30, SCALE.md). But exact
+    text duplicates have IDENTICAL shingle sets, so the report rows for
+    replicas are identical too: compute the join on ONE representative
+    per distinct text on each side and map back.
+
+      - train side: group by md5(text) (NULL → sentinel; NULL and ''
+        shingle identically but keeping them as distinct groups only
+        costs one extra rep, never correctness), rep = min(id). The join
+        runs at distinct-text scale; every member inherits its rep's row.
+      - bench side: same grouping, but n_bench_docs counts REPLICAS —
+        if any member of a bench text-group is hit, every member is hit
+        (identical shingle set), so per hit group the contribution is
+        the group's member count, summed per train rep.
+
+    Exactness is structural (duplicate ⇒ same shingle set ⇒ same counts),
+    not approximate — property-tested equal to contamination_report on
+    replicated corpora including NULL/empty texts. The narrow
+    (id, text_hash) mapping streams are the only extra shuffles, linear
+    in corpus size. This is the registered d19 form; the plain report
+    remains the audit tool for already-deduped corpora.
+    """
+    tkey = F.when(F.col(text_col).isNull(), F.lit("∅null")).otherwise(
+        F.md5(F.col(text_col))
+    )
+    tmap = train.select(F.col(id_col).alias("train_id"), tkey.alias("__tkey"))
+    treps = tmap.groupBy("__tkey").agg(F.min("train_id").alias("__rep"))
+    train_rep = train.join(
+        treps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    bmap = bench.select(F.col(id_col).alias("bench_id"), tkey.alias("__bkey"))
+    breps = bmap.groupBy("__bkey").agg(
+        F.min("bench_id").alias("__brep"),
+        F.count(F.lit(1)).alias("__nrep"),
+    )
+    bench_rep = bench.join(
+        breps.select(F.col("__brep").alias(id_col)), id_col, "left_semi"
+    )
+    t = shingle_hashes(train_rep, id_col, text_col, k).withColumnRenamed(
+        id_col, "__rep"
+    )
+    b = shingle_hashes(bench_rep, id_col, text_col, k).withColumnRenamed(
+        id_col, "__brep"
+    )
+    joined = t.join(b, "shingle_hash")
+    sh_cnt = joined.groupBy("__rep").agg(
+        F.size(F.collect_set("shingle_hash")).cast("long").alias(
+            "n_shared_shingles"
+        )
+    )
+    bd_cnt = (
+        joined.select("__rep", "__brep")
+        .distinct()
+        .join(breps.select("__brep", "__nrep"), "__brep")
+        .groupBy("__rep")
+        .agg(F.sum("__nrep").cast("long").alias("n_bench_docs"))
+    )
+    return (
+        tmap.join(treps, "__tkey")
+        .select("train_id", "__rep")
+        .join(sh_cnt.join(bd_cnt, "__rep"), "__rep")
+        .select("train_id", "n_shared_shingles", "n_bench_docs")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

@@ -12,7 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectrekker_spark.functions import text as T
-from vectrekker_spark.operators.decontaminate import contamination_report
+from vectrekker_spark.operators.decontaminate import (
+    contamination_report_dedup_first,
+)
 from vectrekker_spark.operators.split import hash_split, split_case_sql
 from vectrekker_spark.operators.tfidf import top_terms
 from vectrekker_spark.queries import QuerySpec
@@ -57,10 +59,16 @@ FROM s GROUP BY split ORDER BY split
 def d19_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # Word-3-gram shingle-hash overlap between a synthetic "benchmark" slice
     # (doc_id % 20 == 0) and the rest of the corpus as training side.
+    # Registered scale policy (r12 verdict #1): the DEDUP-FIRST composition
+    # — identical output by construction (exact dup ⇒ identical shingle
+    # set ⇒ identical report row), but the shingle join runs at
+    # distinct-text scale, so the R²-in-duplication shuffle blowup that
+    # hit the sf30 disk wall (SCALE.md) collapses to 1×. Same oracle SQL:
+    # semantics are unchanged, only the plan shape is.
     d = tbp(spark, sf, "documents")
     bench = d.filter(F.col("doc_id") % 20 == 0)
     train = d.filter(F.col("doc_id") % 20 != 0)
-    return ordered(contamination_report(train, bench), "train_id")
+    return ordered(contamination_report_dedup_first(train, bench), "train_id")
 
 
 _SHINGLES = (
