@@ -98,3 +98,288 @@ def read_text_lines(
     return _with_doc_id(
         df.filter(F.length(F.trim("text")) >= min_chars), None, "text"
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC / WET (ISO 28500) — the actual container format of web-scale LLM
+# corpora (Common Crawl ships ~100 TB/crawl of .warc.gz / .wet.gz). A WARC
+# file is a sequence of records:
+#
+#     WARC/1.0\r\n  <named-fields: one "Name: value" per CRLF line>\r\n
+#     \r\n  <Content-Length bytes of block>  \r\n\r\n
+#
+# `response` records carry an HTTP response in the block (status line +
+# headers + body); WET `conversion` records carry extracted plain text.
+# .warc.gz frames ONE gzip member per record (ISO 28500-2:2024 recommends
+# it; Common Crawl guarantees it) so readers can resync on member
+# boundaries without decompressing the whole file.
+#
+# Scale shape: the unit of parallelism is the FILE (Common Crawl shards at
+# ~1 GB; a crawl is ~90k files), exactly what binaryFile + mapInPandas
+# gives — parallel listing, one task per file, Arrow-batched rows out, no
+# driver involvement. Gzip members are not splittable anyway, so per-file
+# tasks are the honest granularity; at 100 TB the job is ~90k independent
+# tasks, each a bounded single-pass walk.
+#
+# Hostile-input discipline (the mp4 _iter_boxes rule): every length field
+# is bounds-checked against the remaining bytes, every walk is budgeted,
+# and malformed input CLASSIFIES (records-so-far + a status string) —
+# never raises, never loops, never yields a partial record. Fuzz-tested
+# under truncation at every offset and random byte flips.
+
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_WARC_MAGIC = b"WARC/"
+_MAX_WARC_HEADER = 64 * 1024  # one record's named-field block
+_MAX_HTTP_HEADER = 64 * 1024
+_MAX_RECORDS_PER_FILE = 1_000_000
+_MAX_DECOMPRESSED = 1 << 30  # 1 GiB per file: decompression-bomb guard
+
+
+def _gunzip_members(data: bytes, max_bytes: int):
+    """Concatenated-gzip decode, member by member. Returns (bytes, status):
+    status None iff the stream decodes clean end-to-end; otherwise every
+    fully-decoded member BEFORE the problem plus a classification
+    ('corrupt_gzip', 'truncated_gzip', 'decompressed_too_large',
+    'trailing_garbage'). After a corrupt member there is no reliable
+    resync point (gzip has no magic-scannable framing), so the walk stops
+    — the classify-don't-abort contract keeps the good prefix."""
+    import zlib
+
+    out: list[bytes] = []
+    total = 0
+    i, n = 0, len(data)
+    while i < n:
+        if data[i : i + 2] != _GZIP_MAGIC:
+            return b"".join(out), "trailing_garbage"
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[i:], max_bytes - total + 1)
+        except zlib.error:
+            return b"".join(out), "corrupt_gzip"
+        total += len(chunk)
+        if total > max_bytes:
+            return b"".join(out), "decompressed_too_large"
+        out.append(chunk)
+        if not d.eof:
+            return b"".join(out), "truncated_gzip"
+        consumed = (n - i) - len(d.unused_data)
+        if consumed <= 0:  # defensive: a no-progress member would spin
+            return b"".join(out), "corrupt_gzip"
+        i += consumed
+    return b"".join(out), None
+
+
+def parse_warc_records(
+    data: bytes,
+    max_bytes: int = _MAX_DECOMPRESSED,
+    max_records: int = _MAX_RECORDS_PER_FILE,
+):
+    """Bounded ISO 28500 record walk → (records, status). Each record is
+    (named_fields: dict[bytes, bytes] lower-cased keys, block: bytes).
+    Transparently unwraps .warc.gz (concatenated members). status is None
+    for a clean file, else the classification at which the walk stopped;
+    records always holds every complete record before that point."""
+    status = None
+    if data[:2] == _GZIP_MAGIC:
+        data, status = _gunzip_members(data, max_bytes)
+    recs: list[tuple[dict, bytes]] = []
+    i, n = 0, len(data)
+    while i < n:
+        # inter-record separator: ISO 28500 mandates two CRLFs after the
+        # block; tolerate any run of them (some writers pad)
+        while data.startswith(b"\r\n", i):
+            i += 2
+        if i >= n:
+            break
+        if not data.startswith(_WARC_MAGIC, i):
+            return recs, status or "bad_magic"
+        hdr_end = data.find(b"\r\n\r\n", i, i + _MAX_WARC_HEADER)
+        if hdr_end < 0:
+            return recs, status or (
+                "header_too_large" if n - i > _MAX_WARC_HEADER
+                else "truncated_header"
+            )
+        lines = data[i:hdr_end].split(b"\r\n")
+        fields: dict[bytes, bytes] = {}
+        for line in lines[1:]:  # lines[0] is the version line
+            k, sep, v = line.partition(b":")
+            if not sep:
+                return recs, status or "malformed_header"
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get(b"content-length", b"x"))
+        except ValueError:
+            return recs, status or "bad_content_length"
+        body_start = hdr_end + 4
+        if clen < 0 or body_start + clen > n:
+            return recs, status or "truncated_block"
+        if len(recs) >= max_records:
+            return recs, "record_budget_exceeded"
+        recs.append((fields, data[body_start : body_start + clen]))
+        i = body_start + clen
+    return recs, status
+
+
+def _http_payload(block: bytes):
+    """(mime, body) from an HTTP response block; (None, block) when the
+    block isn't parseable HTTP (the record still yields, mime NULL —
+    classify, don't drop)."""
+    if not block.startswith(b"HTTP/"):
+        return None, block
+    sep = block.find(b"\r\n\r\n", 0, _MAX_HTTP_HEADER)
+    if sep < 0:
+        return None, block
+    mime = None
+    for line in block[:sep].split(b"\r\n")[1:]:
+        k, s, v = line.partition(b":")
+        if s and k.strip().lower() == b"content-type":
+            mime = v.split(b";")[0].strip().decode("ascii", "replace").lower()
+            break
+    return mime, block[sep + 4 :]
+
+
+def _warc_doc_rows(path: str, data: bytes, kinds: frozenset, max_bytes: int):
+    """Per-file extraction: list of row dicts + terminal status."""
+
+    def dec(b):
+        return b.decode("utf-8", "replace") if b is not None else None
+
+    recs, status = parse_warc_records(data, max_bytes=max_bytes)
+    rows = []
+    for fields, block in recs:
+        wtype = dec(fields.get(b"warc-type", b"")).lower()
+        if wtype not in kinds:
+            continue
+        if wtype == "response":
+            mime, body = _http_payload(block)
+        else:  # conversion (WET) / resource: the block IS the payload
+            mime = dec(fields.get(b"content-type"))
+            mime = mime.split(";")[0].strip().lower() if mime else None
+            body = block
+        rows.append(
+            {
+                "warc_file": path,
+                "record_id": dec(fields.get(b"warc-record-id")),
+                "url": dec(fields.get(b"warc-target-uri")),
+                "ts": dec(fields.get(b"warc-date")),
+                "warc_type": wtype,
+                "mime": mime,
+                "text": body.decode("utf-8", "replace"),
+            }
+        )
+    return rows, status
+
+
+WARC_ROW_SCHEMA = (
+    "warc_file string, record_id string, url string, ts string, "
+    "warc_type string, mime string, text string"
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    kinds: tuple[str, ...] = ("response", "conversion"),
+    max_decompressed: int = _MAX_DECOMPRESSED,
+) -> DataFrame:
+    """WARC/WET corpus → (warc_file, record_id, url, ts, warc_type, mime,
+    text). One task per file (see module section note — the honest
+    granularity for gzip-member framing), Arrow-batched out. Malformed
+    files contribute their clean record prefix and are otherwise silent
+    here; run `warc_file_report` for the per-file classification audit."""
+    kindset = frozenset(k.lower() for k in kinds)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows, _ = _warc_doc_rows(p, bytes(content), kindset,
+                                         max_decompressed)
+                out.extend(rows)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "warc_file", "record_id", "url", "ts", "warc_type",
+                    "mime", "text",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(gen, schema=WARC_ROW_SCHEMA)
+    )
+
+
+def warc_file_report(
+    spark: SparkSession,
+    path: str,
+    max_decompressed: int = _MAX_DECOMPRESSED,
+) -> DataFrame:
+    """Per-file parse audit → (warc_file, n_records, n_response,
+    n_conversion, status). `status` NULL means the walk reached EOF clean;
+    anything else names where it stopped ('corrupt_gzip',
+    'truncated_block', ...) — the no-silent-truncation companion to
+    read_warc, same classification codes."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                recs, status = parse_warc_records(
+                    bytes(content), max_bytes=max_decompressed
+                )
+                kinds = [
+                    r[0].get(b"warc-type", b"").strip().lower() for r in recs
+                ]
+                out.append(
+                    {
+                        "warc_file": p,
+                        "n_records": len(recs),
+                        "n_response": sum(1 for k in kinds if k == b"response"),
+                        "n_conversion": sum(
+                            1 for k in kinds if k == b"conversion"
+                        ),
+                        "status": status,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "warc_file", "n_records", "n_response", "n_conversion",
+                    "status",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(
+            gen,
+            schema="warc_file string, n_records long, n_response long, "
+            "n_conversion long, status string",
+        )
+    )
+
+
+def warc_docs(
+    spark: SparkSession,
+    path: str,
+    kinds: tuple[str, ...] = ("response", "conversion"),
+    min_chars: int = 1,
+) -> DataFrame:
+    """WARC/WET → the engine's document schema (doc_id, text, url, ts,
+    mime): the bridge onto curate()/dedup/quality. doc_id is the text's
+    md5-prefix (stable under re-sharding, the module's doc-id policy);
+    empty payloads drop."""
+    df = read_warc(spark, path, kinds=kinds)
+    return _with_doc_id(
+        df.filter(F.length("text") >= min_chars), None, "text"
+    ).select("doc_id", "text", "url", "ts", "mime")
