@@ -98,6 +98,60 @@ def _gen(batches):
         ]
         return encode_y4m(frames, fps=(25, 1), colorspace="420jpeg")
 
+    def ogg_bytes(seed: int) -> bytes:
+        """Spec-built Ogg-Opus: BOS ident page + data pages with real-ish
+        granule progression (sniff-only kind — payload is opaque)."""
+        import struct
+
+        def page(seq, payload, htype=0, granule=0):
+            n, last = divmod(len(payload), 255)
+            table = bytes([255] * n + [last])
+            return (b"OggS" + bytes([0, htype])
+                    + granule.to_bytes(8, "little", signed=True)
+                    + (7).to_bytes(4, "little") + seq.to_bytes(4, "little")
+                    + b"\x00" * 4 + bytes([len(table)]) + table + payload)
+
+        head = (b"OpusHead" + bytes([1, 1 + seed % 2])
+                + (312).to_bytes(2, "little")
+                + (48000).to_bytes(4, "little") + b"\x00\x00\x00")
+        total = 48000 * (1 + seed % 5) + 312
+        return (page(0, head, htype=0x02)
+                + page(1, b"OpusTags" + struct.pack("<I", 0) * 2)
+                + page(2, bytes((seed + i) % 256 for i in range(800)),
+                       granule=total // 2)
+                + page(3, bytes((seed + i) % 251 for i in range(800)),
+                       htype=0x04, granule=total))
+
+    def webm_bytes(seed: int) -> bytes:
+        """Spec-built WebM: EBML header + Segment(Info, video+audio
+        Tracks, one opaque Cluster) — sniff-only kind."""
+        import struct
+
+        def esz(n):
+            return bytes([0x80 | n]) if n < 0x7F else bytes(
+                [0x40 | (n >> 8), n & 0xFF])
+
+        def el(eid, payload):
+            return eid + esz(len(payload)) + payload
+
+        def u(n):
+            return n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+
+        info = el(b"\x15\x49\xa9\x66",
+                  el(b"\x2a\xd7\xb1", u(1_000_000))
+                  + el(b"\x44\x89", struct.pack(">f", 1000.0 * (1 + seed % 30))))
+        vtrack = el(b"\xae", el(b"\x83", u(1)) + el(b"\x86", b"V_VP9")
+                    + el(b"\x23\xe3\x83", u(40_000_000))
+                    + el(b"\xe0", el(b"\xb0", u(640)) + el(b"\xba", u(360))))
+        atrack = el(b"\xae", el(b"\x83", u(2)) + el(b"\x86", b"A_OPUS")
+                    + el(b"\xe1", el(b"\xb5", struct.pack(">f", 48000.0))
+                         + el(b"\x9f", u(2))))
+        cluster = el(b"\x1f\x43\xb6\x75",
+                     bytes((seed + i) % 256 for i in range(1500)))
+        return (el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"webm"))
+                + el(b"\x18\x53\x80\x67",
+                     info + el(b"\x16\x54\xae\x6b", vtrack + atrack) + cluster))
+
     def gif_bytes(seed: int) -> bytes:
         rng = np.random.RandomState(seed % 1000)
         pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
@@ -127,6 +181,9 @@ def _gen(batches):
             rate=16000, strategy="fixed2", block_size=4096)),
         9: ("webp", lambda s: encode_webp(  # r12: lossless VP8L decode
             image(s), subtract_green=True, cache_bits=6, use_lz77=True)),
+        # r13: Ogg-Opus + WebM — sniff-only kinds (inventory coverage)
+        10: ("ogg", lambda s: ogg_bytes(s)),
+        11: ("webm", lambda s: webm_bytes(s)),
     }
     for pdf in batches:
         rows = []
@@ -138,7 +195,7 @@ def _gen(batches):
 
 def main() -> int:
     n_per_kind = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    total = n_per_kind * 10  # r12: flac + lossless webp joined
+    total = n_per_kind * 12  # r13: ogg + webm sniff-only kinds joined
     work = tempfile.mkdtemp(prefix="media_bench_")
     spark = get_spark(app_name="media-benchmark")
 
@@ -261,6 +318,21 @@ def main() -> int:
             F.avg(F.col("decoded").cast("double"))
         ).first()[0]
         report["video_decoded_fraction"] = round(float(vdec), 4)
+
+        # r13: the mixed-corpus inventory must not be NULL for the new
+        # sniff-only kinds — per-kind meta coverage as explicit gates
+        ogg_cov = audio_meta(media.where(F.col("kind") == "ogg")).agg(
+            F.avg(F.col("aud_format").startswith("ogg").cast("double")),
+            F.avg(F.col("aud_duration").isNotNull().cast("double")),
+        ).first()
+        report["ogg_meta_coverage"] = round(float(ogg_cov[0]), 4)
+        report["ogg_duration_coverage"] = round(float(ogg_cov[1]), 4)
+        webm_cov = video_meta(media.where(F.col("kind") == "webm")).agg(
+            F.avg((F.col("vid_format") == "webm").cast("double")),
+            F.avg(F.col("vid_width").isNotNull().cast("double")),
+        ).first()
+        report["webm_meta_coverage"] = round(float(webm_cov[0]), 4)
+        report["webm_dims_coverage"] = round(float(webm_cov[1]), 4)
 
         print(json.dumps(report))
         return 0

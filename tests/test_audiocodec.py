@@ -527,3 +527,127 @@ def test_audio_meta_operator_unifies_formats(spark):
     assert rows[3].aud_format == "flac" and rows[3].aud_bits == 24
     assert rows[3].aud_duration == pytest.approx(2.0)
     assert rows[4].aud_format is None and rows[5].aud_format is None
+
+
+# --- Ogg (RFC 3533) + Vorbis-I / Opus (RFC 7845) ident headers --------------
+
+
+def _ogg_page(serial, seq, payload, htype=0, granule=0):
+    """One spec-built Ogg page (255-lacing segment table)."""
+    n, last = divmod(len(payload), 255)
+    table = bytes([255] * n + [last])
+    return (
+        b"OggS"
+        + bytes([0, htype])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"  # crc unchecked by the sniffer
+        + bytes([len(table)])
+        + table
+        + payload
+    )
+
+
+def _vorbis_ident(channels=2, rate=44100):
+    return (
+        b"\x01vorbis"
+        + (0).to_bytes(4, "little")
+        + bytes([channels])
+        + rate.to_bytes(4, "little")
+        + b"\x00" * 12  # bitrate max/nominal/min
+        + b"\xb8"  # blocksizes
+        + b"\x01"  # framing bit
+    )
+
+
+def _opus_head(channels=1, preskip=312, input_rate=24000):
+    return (
+        b"OpusHead"
+        + bytes([1, channels])
+        + preskip.to_bytes(2, "little")
+        + input_rate.to_bytes(4, "little")
+        + (0).to_bytes(2, "little")  # output gain
+        + b"\x00"  # mapping family 0
+    )
+
+
+def _ogg_stream(ident, serial=7, last_granule=88200):
+    return (
+        _ogg_page(serial, 0, ident, htype=0x02)
+        + _ogg_page(serial, 1, b"\x03fakecomment", granule=0)
+        + _ogg_page(serial, 2, b"\xaa" * 300, granule=last_granule // 2)
+        + _ogg_page(serial, 3, b"\xbb" * 300, htype=0x04, granule=last_granule)
+    )
+
+
+def test_sniff_ogg_vorbis():
+    from vectrekker_spark.functions.audiocodec import sniff_ogg_meta
+
+    m = sniff_ogg_meta(_ogg_stream(_vorbis_ident(2, 44100),
+                                   last_granule=88200))
+    assert m["format"] == "ogg-vorbis"
+    assert m["n_channels"] == 2 and m["sample_rate"] == 44100
+    assert m["duration_sec"] == pytest.approx(2.0)  # 88200 / 44100
+
+
+def test_sniff_ogg_opus_preskip_and_48k_granules():
+    """RFC 7845: granules always tick at 48 kHz and the pre-skip samples
+    don't count — input_sample_rate is reported but not used for time."""
+    from vectrekker_spark.functions.audiocodec import sniff_ogg_meta
+
+    m = sniff_ogg_meta(
+        _ogg_stream(_opus_head(1, preskip=312, input_rate=24000),
+                    last_granule=48000 + 312)
+    )
+    assert m["format"] == "ogg-opus"
+    assert m["n_channels"] == 1 and m["sample_rate"] == 24000
+    assert m["duration_sec"] == pytest.approx(1.0)
+
+
+def test_sniff_ogg_head_only_truncation_reports_no_duration():
+    from vectrekker_spark.functions.audiocodec import sniff_ogg_meta
+
+    full = _ogg_stream(_vorbis_ident())
+    head = full[: len(_ogg_page(7, 0, _vorbis_ident(), htype=0x02)) + 10]
+    m = sniff_ogg_meta(head)
+    assert m["format"] == "ogg-vorbis" and m["sample_rate"] == 44100
+    # no parseable tail page of this serial → duration honestly NULL...
+    # unless the BOS page itself is the last page seen (granule 0 → 0.0)
+    assert m["duration_sec"] in (None, 0.0)
+
+
+def test_sniff_ogg_never_raises_fuzz():
+    import random
+
+    from vectrekker_spark.functions.audiocodec import sniff_audio_meta, sniff_ogg_meta
+
+    base = _ogg_stream(_opus_head()) + _ogg_stream(_vorbis_ident(), serial=9)
+    for cut in range(0, len(base), 3):
+        sniff_ogg_meta(base[:cut])
+    rng = random.Random(47)
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        r = sniff_ogg_meta(bytes(b))
+        assert r is None or isinstance(r, dict)
+        sniff_audio_meta(bytes(b))
+
+
+def test_audio_meta_inventory_includes_ogg(spark):
+    from vectrekker_spark.operators.multimodal import audio_meta
+
+    df = spark.createDataFrame(
+        [
+            (1, _ogg_stream(_vorbis_ident(2, 22050), last_granule=44100)),
+            (2, _ogg_stream(_opus_head(2, 0, 48000), last_granule=96000)),
+            (3, b"OggS but not really a page"),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in audio_meta(df).collect()}
+    assert rows[1].aud_format == "ogg-vorbis" and rows[1].aud_duration == 2.0
+    assert rows[2].aud_format == "ogg-opus" and rows[2].aud_duration == 2.0
+    assert rows[2].aud_channels == 2 and rows[2].aud_rate == 48000
+    assert rows[3].aud_format is None

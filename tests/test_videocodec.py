@@ -222,3 +222,112 @@ def test_frame_walk_bound_raises_not_silently_clips(monkeypatch):
     monkeypatch.setattr(vc, "_MAX_FRAMES", 4)
     m = vc.sniff_video_meta(enc)
     assert m is not None and m["n_frames"] == 4
+
+
+# --- WebM / Matroska (EBML) sniff -------------------------------------------
+
+
+def _esz(n):
+    """EBML size vint (up to 2 bytes is plenty for fixtures)."""
+    return bytes([0x80 | n]) if n < 0x7F else bytes([0x40 | (n >> 8), n & 0xFF])
+
+
+def _el(eid, payload):
+    return eid + _esz(len(payload)) + payload
+
+
+def _u(n, width=None):
+    width = width or max(1, (n.bit_length() + 7) // 8)
+    return n.to_bytes(width, "big")
+
+
+def _webm_bytes(duration_ms=2500.0, tscale=1_000_000, unknown_segment=False,
+                doctype=b"webm"):
+    import struct
+
+    ebml_hdr = _el(b"\x1a\x45\xdf\xa3", _el(b"\x42\x82", doctype))
+    info = _el(
+        b"\x15\x49\xa9\x66",
+        _el(b"\x2a\xd7\xb1", _u(tscale))
+        + _el(b"\x44\x89", struct.pack(">f", duration_ms)),
+    )
+    video_track = _el(
+        b"\xae",
+        _el(b"\x83", _u(1))
+        + _el(b"\x86", b"V_VP9")
+        + _el(b"\x23\xe3\x83", _u(40_000_000))  # 25 fps
+        + _el(b"\xe0", _el(b"\xb0", _u(320)) + _el(b"\xba", _u(240))),
+    )
+    audio_track = _el(
+        b"\xae",
+        _el(b"\x83", _u(2))
+        + _el(b"\x86", b"A_OPUS")
+        + _el(b"\xe1", _el(b"\xb5", struct.pack(">f", 48000.0))
+              + _el(b"\x9f", _u(2))),
+    )
+    tracks = _el(b"\x16\x54\xae\x6b", video_track + audio_track)
+    cluster = _el(b"\x1f\x43\xb6\x75", b"\xcc" * 500)  # media data: skipped
+    seg_payload = info + tracks + cluster
+    if unknown_segment:
+        # unknown-size Segment (RFC 8794 §6.2): live-capture shape
+        segment = b"\x18\x53\x80\x67" + b"\xff" + seg_payload
+    else:
+        segment = _el(b"\x18\x53\x80\x67", seg_payload)
+    return ebml_hdr + segment
+
+
+def test_sniff_webm_full_inventory():
+    from vectrekker_spark.functions.webmcodec import sniff_webm_meta
+
+    m = sniff_webm_meta(_webm_bytes())
+    assert m["format"] == "webm" and m["brand"] == "webm"
+    assert m["width"] == 320 and m["height"] == 240
+    assert m["fps"] == 25.0 and m["codec"] == "V_VP9"
+    assert m["n_tracks"] == 2
+    assert m["duration_sec"] == pytest.approx(2.5)
+    assert m["n_frames"] is None  # counting frames means reading Clusters
+
+
+def test_sniff_webm_unknown_size_segment_and_matroska_doctype():
+    from vectrekker_spark.functions.webmcodec import sniff_webm_meta
+
+    m = sniff_webm_meta(_webm_bytes(unknown_segment=True))
+    assert m["width"] == 320 and m["duration_sec"] == pytest.approx(2.5)
+    m2 = sniff_webm_meta(_webm_bytes(doctype=b"matroska"))
+    assert m2["format"] == "matroska" and m2["codec"] == "V_VP9"
+
+
+def test_sniff_webm_hostile_never_raises():
+    import random
+
+    from vectrekker_spark.functions.webmcodec import sniff_webm_meta
+
+    base = _webm_bytes()
+    for cut in range(len(base)):
+        r = sniff_webm_meta(base[:cut])
+        assert r is None or isinstance(r, dict)
+    rng = random.Random(31)
+    for _ in range(500):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        r = sniff_webm_meta(bytes(b))
+        assert r is None or isinstance(r, dict)
+    assert sniff_webm_meta(b"") is None and sniff_webm_meta(None) is None
+
+
+def test_video_meta_inventory_includes_webm(spark):
+    from vectrekker_spark.operators.multimodal import video_meta
+
+    df = spark.createDataFrame(
+        [(1, _webm_bytes()), (2, b"\x1a\x45\xdf\xa3junk"), (3, None)],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in video_meta(df).collect()}
+    assert rows[1].vid_format == "webm" and rows[1].vid_codec == "V_VP9"
+    assert rows[1].vid_width == 320 and rows[1].vid_fps == 25.0
+    assert rows[1].vid_tracks == 2
+    # EBML magic + garbage: the header element never parses → 'ebml' shell
+    # with NULL fields (classified, not invented)
+    assert rows[2].vid_format in (None, "ebml")
+    assert rows[3].vid_format is None

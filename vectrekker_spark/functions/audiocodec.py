@@ -327,14 +327,122 @@ def sniff_flac_meta(content: bytes) -> dict | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# Ogg container (RFC 3533) with Vorbis-I / Opus (RFC 7845) ident headers —
+# r13, the remaining mainstream web-audio container. Header cost only:
+# rate/channels from the BOS page's ident packet, duration from the LAST
+# page's granule position (a bounded tail scan — the same trick ffprobe
+# uses), no packet decode. Vorbis/Opus PAYLOAD decode stays out of scope
+# for the same reason as MP3/lossy-VP8 (SURVEY §2.7): the codebook/range
+# decoder constant tables can't be re-derived verifiably clean-room.
+
+_OGG_MAX_PAGES = 64  # bounded head walk to find the audio BOS page
+_OGG_TAIL_SCAN = 64 * 1024  # window for the last-granule scan
+
+
+def _ogg_page_header(b: bytes, i: int):
+    """(header_type, granule, serial, page_end) for the page at i, or
+    None. Requires the full segment TABLE in-buffer; the payload need not
+    be (a truncated final page still yields its granule)."""
+    if b[i : i + 4] != b"OggS" or i + 27 > len(b) or b[i + 4] != 0:
+        return None
+    htype = b[i + 5]
+    granule = int.from_bytes(b[i + 6 : i + 14], "little", signed=True)
+    serial = int.from_bytes(b[i + 14 : i + 18], "little")
+    nseg = b[i + 26]
+    seg_end = i + 27 + nseg
+    if seg_end > len(b):
+        return None
+    return htype, granule, serial, seg_end + sum(b[i + 27 : seg_end])
+
+
+def sniff_ogg_meta(content: bytes) -> dict | None:
+    """Ogg-Vorbis/Ogg-Opus inventory row from the ident header + last-page
+    granule. format 'ogg-vorbis' | 'ogg-opus' | 'ogg' (container parses,
+    codec unrecognized); duration_sec None when no tail page of the audio
+    stream's serial is found (e.g. head-only truncation). Opus granules
+    run at 48 kHz regardless of the input rate and are offset by the
+    ident header's pre-skip (RFC 7845 §4.2); sample_rate reports the
+    ident header's input rate. Never raises on arbitrary bytes."""
+    try:
+        b = content or b""
+        if b[:4] != b"OggS":
+            return None
+        fmt, serial, n_ch, rate, preskip = "ogg", None, None, None, 0
+        i = 0
+        any_page = False
+        for _ in range(_OGG_MAX_PAGES):
+            h = _ogg_page_header(b, i)
+            if h is None:
+                break
+            any_page = True
+            htype, _granule, ser, page_end = h
+            # payload begins right after the segment table; on a BOS page
+            # (htype & 0x02) the codec ident packet starts the payload
+            nseg = b[i + 26]
+            payload = b[i + 27 + nseg : page_end]
+            if htype & 0x02 and payload[:7] == b"\x01vorbis" and len(payload) >= 30:
+                fmt, serial = "ogg-vorbis", ser
+                n_ch = payload[11]
+                rate = int.from_bytes(payload[12:16], "little")
+                break
+            if htype & 0x02 and payload[:8] == b"OpusHead" and len(payload) >= 19:
+                fmt, serial = "ogg-opus", ser
+                n_ch = payload[9]
+                preskip = int.from_bytes(payload[10:12], "little")
+                rate = int.from_bytes(payload[12:16], "little") or 48000
+                break
+            if page_end <= i or page_end > len(b):
+                break
+            i = page_end
+        if not any_page:  # 4 magic bytes alone don't make an Ogg file
+            return None
+        if rate is not None and (rate == 0 or rate > 0x7FFFFFFF):
+            return None
+        # last-granule tail scan: the final page's granule position is the
+        # stream's total PCM sample count (RFC 3533 §6)
+        duration = None
+        if serial is not None:
+            tail0 = max(0, len(b) - _OGG_TAIL_SCAN)
+            best = None
+            j = b.find(b"OggS", tail0)
+            for _ in range(_OGG_MAX_PAGES * 4):
+                if j < 0:
+                    break
+                h = _ogg_page_header(b, j)
+                if h is not None and h[2] == serial and h[1] >= 0:
+                    best = h[1]
+                j = b.find(b"OggS", j + 4)
+            if best is not None and rate:
+                samples = best - (preskip if fmt == "ogg-opus" else 0)
+                hz = 48000 if fmt == "ogg-opus" else rate
+                duration = round(max(samples, 0) / hz, 6)
+        return {
+            "format": fmt,
+            "format_tag": None,
+            "n_channels": n_ch,
+            "sample_rate": rate,
+            "bits": None,
+            "data_bytes": None,
+            "duration_sec": duration,
+        }
+    except Exception:
+        return None
+
+
 def sniff_audio_meta(content: bytes) -> dict | None:
     """Unified audio inventory row: WAV (chunk walk, format column
-    'wav'), MP3, or FLAC; None for anything else. The operator-facing
-    composition, mirroring video_meta's y4m+mp4 unification."""
+    'wav'), FLAC, Ogg (Vorbis/Opus ident headers), or MP3; None for
+    anything else. The operator-facing composition, mirroring
+    video_meta's y4m+mp4+webm unification. MP3 goes LAST: its sync scan
+    is the permissive one."""
     m = sniff_wav_meta(content)
     if m is not None:
         return {**m, "format": "wav"}
     m = sniff_flac_meta(content)
+    if m is not None:
+        return m
+    m = sniff_ogg_meta(content)
     if m is not None:
         return m
     return sniff_mp3_meta(content)

@@ -518,12 +518,18 @@ def _sniff_any_video(content: bytes) -> dict | None:
     never an estimate)."""
     from vectrekker_spark.functions.mp4codec import sniff_mp4_meta
     from vectrekker_spark.functions.videocodec import sniff_video_meta
+    from vectrekker_spark.functions.webmcodec import sniff_webm_meta
 
     m = sniff_video_meta(content)
     if m is not None:
         # Y4M is uncompressed planar data: one "track", no codec branding
         return {**m, "codec": "rawvideo", "n_tracks": 1, "brand": None}
-    return sniff_mp4_meta(content)
+    m = sniff_mp4_meta(content)
+    if m is not None:
+        return m
+    # r13: WebM/Matroska (EBML walk — dims/codec/duration/track count at
+    # header cost, Clusters skipped by declared size, never read)
+    return sniff_webm_meta(content)
 
 
 def video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
