@@ -74,7 +74,7 @@ def test_hostile_inputs_classify_never_crash():
 def test_routes_through_decode_image_array_and_sniff_agrees():
     img = _rng(6).randint(0, 256, (19, 27, 3)).astype(np.uint8)
     enc = bc.encode_bmp(img)
-    assert sniff_image_meta(enc) == {"format": "bmp", "width": 27, "height": 19}
+    assert sniff_image_meta(enc) == {"format": "bmp", "width": 27, "height": 19, "n_frames": 1, "is_animated": False}
     arr = decode_image_array(enc)
     assert arr is not None and np.array_equal(arr, img)
 

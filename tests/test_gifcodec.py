@@ -139,7 +139,7 @@ def test_decode_image_array_routes_gif_and_sniff_agrees():
     pal = _palette(16)
     idx = _rng(6).randint(0, 16, (19, 27)).astype(np.uint8)
     enc = gc.encode_gif(idx, pal)
-    assert sniff_image_meta(enc) == {"format": "gif", "width": 27, "height": 19}
+    assert sniff_image_meta(enc) == {"format": "gif", "width": 27, "height": 19, "n_frames": 1, "is_animated": False}
     arr = decode_image_array(enc)
     assert arr is not None and arr.shape == (19, 27, 3)
     assert np.array_equal(arr, pal[idx])

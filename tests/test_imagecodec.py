@@ -244,11 +244,11 @@ def test_sniff_webp_all_three_flavors():
         b"\x00\x00\x00" + b"\x9d\x01\x2a"
         + struct.pack("<HH", 320, 240) + b"\x00" * 8,
     )
-    assert sniff_image_meta(vp8) == {"format": "webp", "width": 320, "height": 240}
+    assert sniff_image_meta(vp8) == {"format": "webp", "width": 320, "height": 240, "n_frames": 1, "is_animated": False}
 
     bits = (639 & 0x3FFF) | ((479 & 0x3FFF) << 14)
     vp8l = _webp(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 6)
-    assert sniff_image_meta(vp8l) == {"format": "webp", "width": 640, "height": 480}
+    assert sniff_image_meta(vp8l) == {"format": "webp", "width": 640, "height": 480, "n_frames": 1, "is_animated": False}
 
     vp8x = _webp(
         b"VP8X",
@@ -257,6 +257,7 @@ def test_sniff_webp_all_three_flavors():
     )
     assert sniff_image_meta(vp8x) == {
         "format": "webp", "width": 1920, "height": 1080,
+        "n_frames": 1, "is_animated": False,
     }
 
     # hostile: bad sync / bad signature / truncation never raise

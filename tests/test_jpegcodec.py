@@ -123,7 +123,8 @@ def test_decoded_dims_match_sniff():
     arr = _gradient(19, 31)
     enc = jc.encode_jpeg(arr, quality=85, subsampling="4:2:0")
     meta = sniff_image_meta(enc)
-    assert meta == {"format": "jpeg", "width": 31, "height": 19}
+    assert meta == {"format": "jpeg", "width": 31, "height": 19,
+                    "n_frames": 1, "is_animated": False}
     assert jc.decode_jpeg(enc).shape == (19, 31, 3)
 
 
@@ -150,7 +151,7 @@ def test_sequential_stream_mislabeled_progressive_classifies():
         jc.decode_jpeg(prog)
     assert decode_image_array(prog) is None  # classify, don't crash
     # the header-sniff inventory path still reads dimensions
-    assert sniff_image_meta(prog) == {"format": "jpeg", "width": 16, "height": 16}
+    assert sniff_image_meta(prog) == {"format": "jpeg", "width": 16, "height": 16, "n_frames": 1, "is_animated": False}
 
 
 def test_arithmetic_coding_rejected():
@@ -354,7 +355,7 @@ def test_progressive_routes_through_decode_image_array():
     enc = jc.encode_progressive_jpeg(_gradient(19, 23), quality=90)
     arr = decode_image_array(enc)
     assert arr is not None and arr.shape == (19, 23, 3)
-    assert sniff_image_meta(enc) == {"format": "jpeg", "width": 23, "height": 19}
+    assert sniff_image_meta(enc) == {"format": "jpeg", "width": 23, "height": 19, "n_frames": 1, "is_animated": False}
 
 
 def test_progressive_structured_fuzz_truncation_and_byte_flip():

@@ -137,19 +137,25 @@ def test_sniff_image_meta_known_formats():
     from vectrekker_spark.functions.imagecodec import encode_png, sniff_image_meta
 
     png = encode_png(np.zeros((7, 9, 3), dtype=np.uint8))
-    assert sniff_image_meta(png) == {"format": "png", "width": 9, "height": 7}
-    assert sniff_image_meta(_jpeg_bytes()) == {
-        "format": "jpeg", "width": 640, "height": 480,
+    still = {"n_frames": 1, "is_animated": False}
+    assert sniff_image_meta(png) == {
+        "format": "png", "width": 9, "height": 7, **still,
     }
+    assert sniff_image_meta(_jpeg_bytes()) == {
+        "format": "jpeg", "width": 640, "height": 480, **still,
+    }
+    # the minimal GIF fixture has no block stream at all: dims parse, the
+    # frame walk classifies (NULL counts — exact or nothing, r13)
     assert sniff_image_meta(_gif_bytes()) == {
         "format": "gif", "width": 320, "height": 200,
+        "n_frames": None, "is_animated": None,
     }
     # BMP height is stored negative for top-down rows — reported absolute
     assert sniff_image_meta(_bmp_bytes()) == {
-        "format": "bmp", "width": 100, "height": 50,
+        "format": "bmp", "width": 100, "height": 50, **still,
     }
     assert sniff_image_meta(b"P6\n# comment\n12 34\n255\n") == {
-        "format": "ppm", "width": 12, "height": 34,
+        "format": "ppm", "width": 12, "height": 34, **still,
     }
     assert sniff_image_meta(b"") is None
     assert sniff_image_meta(b"not an image at all") is None
@@ -212,7 +218,10 @@ def test_sniff_rejects_hostile_dimensions(spark):
     core_bmp = (
         b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 100, 50)
     )
-    assert sniff_image_meta(core_bmp) == {"format": "bmp", "width": 100, "height": 50}
+    assert sniff_image_meta(core_bmp) == {
+        "format": "bmp", "width": 100, "height": 50,
+        "n_frames": 1, "is_animated": False,
+    }
 
     # end-to-end: the hostile payloads classify as NULL, never crash a task
     df = spark.createDataFrame(
@@ -318,7 +327,7 @@ def test_resize_real_pixels_without_pil(spark):
     # decodable payloads: real pixels, PNG output, ceil(37/4) x ceil(53/4)
     for mid in (1, 2):
         meta = sniff_image_meta(out[mid])
-        assert meta == {"format": "png", "width": 14, "height": 10}
+        assert meta == {"format": "png", "width": 14, "height": 10, "n_frames": 1, "is_animated": False}
     # the PNG input's resize is exactly the box filter of its pixels
     assert np.array_equal(decode_png(out[1]), downsample_area(rgb, 4))
     # JPEG input: lossy decode first, so compare against its own micro path
@@ -349,3 +358,122 @@ def test_downsample_area_properties():
     assert downsample_area(a, 2)[0, 0, 0] == 25
     with pytest.raises(ValueError, match="factor"):
         downsample_area(a, 0)
+
+
+# --- animation inventory (r13): GIF sub-block walk + WebP ANMF chunks -------
+
+
+def _animated_gif(n_frames=3, gct=True):
+    """Hand-built GIF89a: LSD (+GCT), per-frame GCE extension + image
+    descriptor + opaque data sub-blocks, trailer. The frame-count walk
+    skips data by length bytes, so the LZW payload can be junk."""
+    import struct
+
+    out = b"GIF89a" + struct.pack("<HH", 10, 8)
+    out += bytes([0x91 if gct else 0x11, 0, 0])  # packed, bg, aspect
+    if gct:
+        out += bytes(3 * 4)  # 2-bit GCT: 4 entries
+    for i in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 4-byte block + 0
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, 10, 8) + b"\x00"
+        out += b"\x02" + bytes([5]) + bytes([i] * 5) + b"\x00"  # LZW + subblocks
+    return out + b"\x3b"
+
+
+def _animated_webp(n_frames=4):
+    """VP8X WebP with the animation flag, an ANIM chunk and n ANMF frames
+    (opaque frame payloads — the walk reads chunk sizes only)."""
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+    vp8x = chunk(
+        b"VP8X",
+        bytes([0x02, 0, 0, 0]) + (9).to_bytes(3, "little")
+        + (7).to_bytes(3, "little"),
+    )
+    anim = chunk(b"ANIM", b"\x00" * 6)
+    frames = b"".join(
+        chunk(b"ANMF", bytes([i] * 17)) for i in range(n_frames)
+    )
+    body = b"WEBP" + vp8x + anim + frames
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_gif_animation_frame_count():
+    from vectrekker_spark.functions.imagecodec import sniff_image_meta
+
+    m = sniff_image_meta(_animated_gif(3))
+    assert (m["n_frames"], m["is_animated"]) == (3, True)
+    m1 = sniff_image_meta(_animated_gif(1, gct=False))
+    assert (m1["n_frames"], m1["is_animated"]) == (1, False)
+    # a REAL encoded still (encode_gif) reports exactly 1 frame
+    import numpy as np
+
+    from vectrekker_spark.functions.gifcodec import encode_gif
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    real = encode_gif(np.zeros((6, 5), dtype=np.uint8), pal)
+    mr = sniff_image_meta(real)
+    assert (mr["n_frames"], mr["is_animated"]) == (1, False)
+    # truncation mid-stream after ≥2 frames: animated yes, count NULL
+    data = _animated_gif(4)
+    mt = sniff_image_meta(data[: len(data) - 30])
+    assert mt["is_animated"] is True and mt["n_frames"] is None
+
+
+def test_webp_animation_anmf_count():
+    from vectrekker_spark.functions.imagecodec import sniff_image_meta
+
+    m = sniff_image_meta(_animated_webp(4))
+    assert m["format"] == "webp" and m["width"] == 10 and m["height"] == 8
+    assert (m["n_frames"], m["is_animated"]) == (4, True)
+    # VP8X without the animation flag: a still canvas
+    still = _animated_webp(0)
+    still = still.replace(bytes([0x02, 0, 0, 0]), bytes([0x00, 0, 0, 0]), 1)
+    ms = sniff_image_meta(still)
+    assert (ms["n_frames"], ms["is_animated"]) == (1, False)
+    # truncated chunk walk: the flag still answers, the count goes NULL
+    mt = sniff_image_meta(_animated_webp(4)[:-10])
+    assert mt["is_animated"] is True and mt["n_frames"] is None
+
+
+def test_animation_never_raises_fuzz():
+    import random
+
+    from vectrekker_spark.functions.imagecodec import sniff_image_meta
+
+    for base in (_animated_gif(3), _animated_webp(4)):
+        for cut in range(len(base)):
+            r = sniff_image_meta(base[:cut])
+            assert r is None or isinstance(r, dict)
+        rng = random.Random(7)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            r = sniff_image_meta(bytes(b))
+            assert r is None or isinstance(r, dict)
+
+
+def test_image_meta_animation_columns(spark):
+    import numpy as np
+
+    from vectrekker_spark.functions.imagecodec import encode_png
+    from vectrekker_spark.operators.multimodal import image_meta
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_animated_gif(5))),
+            (2, bytearray(_animated_webp(2))),
+            (3, bytearray(encode_png(np.zeros((3, 3, 3), dtype=np.uint8)))),
+            (4, None),
+        ],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r for r in image_meta(df).collect()}
+    assert (got[1]["img_frames"], got[1]["img_animated"]) == (5, True)
+    assert (got[2]["img_frames"], got[2]["img_animated"]) == (2, True)
+    assert (got[3]["img_frames"], got[3]["img_animated"]) == (1, False)
+    assert got[4]["img_frames"] is None and got[4]["img_animated"] is None

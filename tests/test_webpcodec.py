@@ -173,7 +173,7 @@ def test_hostile_inputs_classify_never_crash():
 def test_decode_image_array_routes_webp_and_sniff_agrees():
     arr = _img(19, 27, 3, seed=17)
     enc = wc.encode_webp(arr, subtract_green=True, cache_bits=4)
-    assert sniff_image_meta(enc) == {"format": "webp", "width": 27, "height": 19}
+    assert sniff_image_meta(enc) == {"format": "webp", "width": 27, "height": 19, "n_frames": 1, "is_animated": False}
     out = decode_image_array(enc)
     assert out is not None and np.array_equal(out, arr)
 

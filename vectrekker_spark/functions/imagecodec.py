@@ -320,15 +320,96 @@ def _checked(fmt: str, w: int, h: int) -> dict | None:
     """Reject dimensions no real image has and no int32 consumer can hold:
     a hostile PNG header carries up to 2^32-1 and a PPM digit token is
     unbounded — letting those through crashed the image_meta kernel's
-    Int32 columns instead of yielding the contractual NULL."""
+    Int32 columns instead of yielding the contractual NULL. Stills carry
+    the animation defaults (n_frames 1, is_animated False); the GIF/WebP
+    branches override them."""
     if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
-        return {"format": fmt, "width": w, "height": h}
+        return {"format": fmt, "width": w, "height": h,
+                "n_frames": 1, "is_animated": False}
     return None
 
 
+_MAX_GIF_BLOCKS = 1 << 20  # sub-block walk budget (hostile streams)
+
+
+def _gif_frame_count(b: bytes) -> tuple[int | None, bool | None]:
+    """(n_frames, is_animated) via the GIF89a block walk — image
+    descriptors counted, extension/image sub-block chains SKIPPED by
+    their length bytes (no LZW decode). Exact when the walk reaches the
+    trailer (0x3B); a truncated/malformed stream reports (None, True) if
+    ≥2 frames were already seen, else (None, None) — counts are exact or
+    NULL, never a guess."""
+    n_frames = 0
+    i = 13  # header(6) + logical screen descriptor(7)
+    if len(b) < 13:
+        return None, None
+    if b[10] & 0x80:  # global color table present
+        i += 3 * (2 << (b[10] & 0x07))
+    budget = _MAX_GIF_BLOCKS
+
+    def skip_subblocks(j: int) -> int | None:
+        nonlocal budget
+        while j < len(b):
+            if budget <= 0:
+                return None
+            budget -= 1
+            size = b[j]
+            if size == 0:
+                return j + 1
+            j += 1 + size
+        return None
+
+    while i < len(b) and budget > 0:
+        budget -= 1
+        block = b[i]
+        if block == 0x3B:  # trailer: clean end — counts are exact
+            return n_frames, n_frames > 1
+        if block == 0x21:  # extension: label + sub-block chain
+            nxt = skip_subblocks(i + 2)
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                break
+            j = i + 10
+            if b[i + 9] & 0x80:  # local color table
+                j += 3 * (2 << (b[i + 9] & 0x07))
+            n_frames += 1
+            nxt = skip_subblocks(j + 1)  # +1: LZW min-code byte
+        else:
+            break  # unknown block type: malformed
+        if nxt is None:
+            break
+        i = nxt
+    return (None, True) if n_frames >= 2 else (None, None)
+
+
+_MAX_RIFF_CHUNKS = 1 << 16
+
+
+def _webp_anmf_count(b: bytes) -> tuple[int | None, bool | None]:
+    """(n_frames, is_animated) for a VP8X WebP: the RIFF chunk walk counts
+    ANMF chunks (RFC 9649 §5.3 — payloads skipped by declared size). The
+    VP8X animation flag alone decides is_animated; the count is exact
+    only when the walk covers the whole declared RIFF payload."""
+    animated = bool(b[20] & 0x02)
+    if not animated:
+        return 1, False
+    riff_end = min(len(b), 8 + int.from_bytes(b[4:8], "little"))
+    i, n = 12, 0
+    for _ in range(_MAX_RIFF_CHUNKS):
+        if i + 8 > riff_end:
+            return (n, True) if i == riff_end else (None, True)
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if b[i : i + 4] == b"ANMF":
+            n += 1
+        i += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    return None, True
+
+
 def sniff_image_meta(content: bytes) -> dict | None:
-    """(format, width, height) from container headers alone — no decode,
-    bounded reads (the JPEG marker walk caps at 1 MB of prefix). Returns
+    """(format, width, height, n_frames, is_animated) from container
+    headers alone — no decode, bounded reads (the JPEG marker walk caps
+    at 1 MB of prefix; GIF/WebP animation counts walk block/chunk
+    LENGTHS, never pixel data). Returns
     None for anything unrecognized, truncated before its dimension fields,
     or carrying out-of-range dimensions; never raises on arbitrary bytes
     (fuzz-tested)."""
@@ -339,7 +420,10 @@ def sniff_image_meta(content: bytes) -> dict | None:
             return _checked("png", w, h)
         if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             w, h = struct.unpack("<HH", b[6:10])  # GIF89a spec §18
-            return _checked("gif", w, h)
+            m = _checked("gif", w, h)
+            if m is not None:
+                m["n_frames"], m["is_animated"] = _gif_frame_count(b)
+            return m
         if b[:2] == b"BM" and len(b) >= 22:
             # the DIB header size discriminates the two layouts: 12 =
             # BITMAPCOREHEADER (16-bit dims, ends at offset 22), else
@@ -379,7 +463,10 @@ def sniff_image_meta(content: bytes) -> dict | None:
                 # extended: 24-bit little-endian canvas dims minus one
                 w = int.from_bytes(b[24:27], "little") + 1
                 h = int.from_bytes(b[27:30], "little") + 1
-                return _checked("webp", w, h)
+                m = _checked("webp", w, h)
+                if m is not None:
+                    m["n_frames"], m["is_animated"] = _webp_anmf_count(b)
+                return m
             return None
         m = _sniff_jpeg(b)
         return _checked("jpeg", m["width"], m["height"]) if m else None

@@ -17,6 +17,10 @@ horizontal gradient into one bit):
   dHash is invariant to uniform brightness/contrast shifts (gradient
   SIGNS survive monotone point ops) and to lossless re-encoding across
   container formats; JPEG re-compression moves only a few bits.
+  Animated payloads (GIF89a, WebP-ANMF) hash their FIRST frame only —
+  the micro-decoders return frame 0 — so two animations sharing a first
+  frame read as duplicates; inventory with image_meta's img_animated
+  column first when per-frame semantics matter (r13).
 
 - ``dhash_dedup_pairs``: candidate pairs by EXACT match on any of B
   hash bands, verified by popcount — the pigeonhole guarantee: two

@@ -602,7 +602,9 @@ def frame_sample_plan(
     )
 
 
-IMAGE_META_SCHEMA = "format string, width int, height int"
+IMAGE_META_SCHEMA = (
+    "format string, width int, height int, n_frames int, is_animated boolean"
+)
 
 
 def _attach_meta(
@@ -652,7 +654,15 @@ def image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     Unrecognized/corrupt/NULL payloads yield NULLs, never errors, so a
     mixed 100 TB corpus can be inventoried (format mix, resolution and
     aspect-ratio distributions, tiny-image filters) at header-read cost in
-    one narrow Arrow pass."""
+    one narrow Arrow pass.
+
+    r13 animation inventory: img_frames / img_animated — stills report
+    (1, false); animated GIFs count image descriptors via the sub-block
+    walk (no LZW decode) and animated WebPs count ANMF chunks, both exact
+    when the container walk completes and NULL otherwise (never a guess).
+    Perceptual dedup note: image_dhash/image_phash hash the FIRST frame
+    of animated payloads — filter on img_animated when that's not the
+    intended semantics (operators/imagedup.py docstring)."""
     from vectrekker_spark.functions.imagecodec import sniff_image_meta
 
     return _attach_meta(
@@ -660,8 +670,11 @@ def image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         content_col,
         sniff_image_meta,
         IMAGE_META_SCHEMA,
-        {"format": None, "width": "Int32", "height": "Int32"},
-        {"img_format": "format", "img_width": "width", "img_height": "height"},
+        {"format": None, "width": "Int32", "height": "Int32",
+         "n_frames": "Int32", "is_animated": "boolean"},
+        {"img_format": "format", "img_width": "width",
+         "img_height": "height", "img_frames": "n_frames",
+         "img_animated": "is_animated"},
         "__img_meta",
         "image_meta",
     )
