@@ -28,6 +28,17 @@ horizontal gradient into one bit):
   B disjoint bands, so recall is EXACT (not probabilistic) for
   ``max_hamming`` ≤ bands-1. Defaults: bands = max_hamming + 1.
 
+Threshold guidance (measured on 150 procedural natural-content bases ×
+5 planted transforms vs 11k negative pairs — scripts/imagedup_eval.py,
+full table in SCALE.md r13): the default ``max_hamming=6`` is
+recall-1.0 for JPEG recompression (q85 and q60) and brightness shifts
+at precision 1.0 on BOTH hashes; re-crops land farther out (~8% crop:
+median Hamming 6, ~17%: 12-16), so raise toward 10 to chase re-framing
+— dHash degrades more gracefully on crops. The measured negative-pair
+floor is Hamming 12 (dHash) / 16 (pHash): past 12 dHash shows its first
+false positives (fp 1.8e-4) while pHash stays clean, making pHash the
+safer hash at aggressive thresholds.
+
 Scale shape: the hash pass is a narrow map (no shuffle); the band join
 shuffles (band_idx, band_value) keys — 8-byte hashes, never pixels —
 exactly the banded self-join shape of minhash_dedup_pairs (no all-pairs,
