@@ -552,3 +552,27 @@ def test_fit_ngram_lm_then_curate_gate(tmp_path, capsys, spark):
         "--max-perplexity", "-1",
     ])
     assert rc == 2 and "max-perplexity" in capsys.readouterr().out
+
+
+def test_curate_warc_input_format(tmp_path, capsys, spark):
+    """--input-format warc: Common Crawl-shaped ingestion straight into
+    the assembly funnel (r13). Fixture: a WET-style conversion record +
+    an HTTP response record, via the test_text_formats builders."""
+    from tests.test_text_formats import _fixture_warc
+
+    warc_path = tmp_path / "crawl.warc"
+    warc_path.write_bytes(_fixture_warc())
+    out_dir = str(tmp_path / "shards")
+    rc = main([
+        "curate",
+        "--documents", str(warc_path),
+        "--input-format", "warc",
+        "--out", out_dir,
+        "--min-quality", "0.0",
+        "--max-tokens", "64",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "input  3" in out  # 2 responses + 1 conversion, requests dropped
+    shards = spark.read.parquet(out_dir)
+    assert shards.count() > 0

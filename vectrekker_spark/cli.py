@@ -350,7 +350,18 @@ def cmd_curate(args: argparse.Namespace) -> int:
         print("error: --boilerplate-min-alpha must be in [0, 1]")
         return 2
     spark = _spark()
-    docs = spark.read.parquet(args.documents)
+    if args.input_format == "warc":
+        # Common Crawl-shaped ingestion (r13): WARC/WET records → the
+        # document schema, straight into the same funnel
+        from vectrekker_spark.sources.text_formats import warc_docs
+
+        docs = warc_docs(spark, args.documents)
+    elif args.input_format == "jsonl":
+        from vectrekker_spark.sources.text_formats import read_jsonl
+
+        docs = read_jsonl(spark, args.documents)
+    else:
+        docs = spark.read.parquet(args.documents)
     if args.max_docs_per_stratum and args.stratum_col not in docs.columns:
         # sibling flags of the same feature fail with rc 2 and a message,
         # not a raw ValueError traceback from deep inside curate(); checked
@@ -700,7 +711,13 @@ def build_parser() -> argparse.ArgumentParser:
     cu = sub.add_parser(
         "curate", help="curation funnel → pack → shuffle → sharded export"
     )
-    cu.add_argument("--documents", required=True, help="input documents parquet")
+    cu.add_argument("--documents", required=True, help="input documents path")
+    cu.add_argument(
+        "--input-format", default="parquet",
+        choices=["parquet", "jsonl", "warc"],
+        help="documents input format; 'warc' ingests WARC/WET web archives "
+        "(.warc/.warc.gz, ISO 28500) via sources/text_formats.warc_docs",
+    )
     cu.add_argument("--out", required=True, help="output shard directory")
     cu.add_argument("--min-quality", type=float, default=0.7)
     cu.add_argument("--langs", help="comma-separated langs to keep (default all)")
