@@ -477,3 +477,39 @@ def test_image_meta_animation_columns(spark):
     assert (got[2]["img_frames"], got[2]["img_animated"]) == (2, True)
     assert (got[3]["img_frames"], got[3]["img_animated"]) == (1, False)
     assert got[4]["img_frames"] is None and got[4]["img_animated"] is None
+
+
+def test_apng_actl_frame_count():
+    """APNG: a still PNG with an acTL chunk spliced before IDAT reports
+    the declared frame count; plain PNGs keep (1, False)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vectrekker_spark.functions.imagecodec import (
+        encode_png,
+        sniff_image_meta,
+    )
+
+    png = encode_png(np.zeros((5, 4, 3), dtype=np.uint8))
+
+    def chunk(typ, data):
+        body = typ + data
+        return (
+            struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    # splice acTL right after IHDR (sig 8 + IHDR chunk 25 bytes)
+    cut = 8 + 25
+    apng = png[:cut] + chunk(b"acTL", struct.pack(">II", 7, 0)) + png[cut:]
+    m = sniff_image_meta(apng)
+    assert (m["n_frames"], m["is_animated"]) == (7, True)
+    assert (m["width"], m["height"]) == (4, 5)
+    still = sniff_image_meta(png)
+    assert (still["n_frames"], still["is_animated"]) == (1, False)
+    # truncation inside the walk never raises
+    for cut2 in range(len(apng)):
+        r = sniff_image_meta(apng[:cut2])
+        assert r is None or isinstance(r, dict)

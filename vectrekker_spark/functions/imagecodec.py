@@ -329,6 +329,27 @@ def _checked(fmt: str, w: int, h: int) -> dict | None:
     return None
 
 
+def _png_actl_frames(b: bytes) -> int | None:
+    """APNG frame count: the acTL chunk's num_frames field. The spec
+    places acTL before IDAT, so the chunk walk is short and bounded; a
+    plain PNG (no acTL) returns None and keeps the still defaults."""
+    i = 8
+    for _ in range(64):
+        if i + 8 > len(b):
+            return None
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        if typ == b"acTL":
+            if i + 12 > len(b):
+                return None
+            n = int.from_bytes(b[i + 8 : i + 12], "big")
+            return n if 0 < n <= 0x7FFFFFFF else None
+        if typ in (b"IDAT", b"IEND"):
+            return None
+        i += 12 + ln
+    return None
+
+
 _MAX_GIF_BLOCKS = 1 << 20  # sub-block walk budget (hostile streams)
 
 
@@ -417,7 +438,12 @@ def sniff_image_meta(content: bytes) -> dict | None:
     try:
         if b.startswith(PNG_MAGIC) and len(b) >= 24 and b[12:16] == b"IHDR":
             w, h = struct.unpack(">II", b[16:24])  # RFC 2083 §4.1.1
-            return _checked("png", w, h)
+            m = _checked("png", w, h)
+            if m is not None:
+                n = _png_actl_frames(b)  # APNG acTL, if any
+                if n is not None:
+                    m["n_frames"], m["is_animated"] = n, n > 1
+            return m
         if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             w, h = struct.unpack("<HH", b[6:10])  # GIF89a spec §18
             m = _checked("gif", w, h)

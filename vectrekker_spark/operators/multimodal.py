@@ -658,8 +658,9 @@ def image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 
     r13 animation inventory: img_frames / img_animated — stills report
     (1, false); animated GIFs count image descriptors via the sub-block
-    walk (no LZW decode) and animated WebPs count ANMF chunks, both exact
-    when the container walk completes and NULL otherwise (never a guess).
+    walk (no LZW decode), animated WebPs count ANMF chunks, and APNGs
+    report the acTL chunk's declared num_frames — exact when the
+    container walk completes and NULL otherwise (never a guess).
     Perceptual dedup note: image_dhash/image_phash hash the FIRST frame
     of animated payloads — filter on img_animated when that's not the
     intended semantics (operators/imagedup.py docstring)."""
