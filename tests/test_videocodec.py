@@ -331,3 +331,40 @@ def test_video_meta_inventory_includes_webm(spark):
     # with NULL fields (classified, not invented)
     assert rows[2].vid_format in (None, "ebml")
     assert rows[3].vid_format is None
+
+
+def test_webm_audio_only_routes_to_audio_meta():
+    """.weba-shaped (audio-only) EBML payloads produce an audio inventory
+    row; muxed audio+video files do NOT (no double counting)."""
+    import struct
+
+    from vectrekker_spark.functions.audiocodec import sniff_audio_meta
+    from vectrekker_spark.functions.webmcodec import sniff_webm_audio_meta
+
+    def esz(n):
+        return bytes([0x80 | n]) if n < 0x7F else bytes(
+            [0x40 | (n >> 8), n & 0xFF])
+
+    def el(eid, payload):
+        return eid + esz(len(payload)) + payload
+
+    def u(n):
+        return n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+
+    info = el(b"\x15\x49\xa9\x66",
+              el(b"\x2a\xd7\xb1", u(1_000_000))
+              + el(b"\x44\x89", struct.pack(">f", 3500.0)))
+    atrack = el(b"\xae", el(b"\x83", u(2)) + el(b"\x86", b"A_OPUS")
+                + el(b"\xe1", el(b"\xb5", struct.pack(">f", 48000.0))
+                     + el(b"\x9f", u(1))))
+    weba = (el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"webm"))
+            + el(b"\x18\x53\x80\x67",
+                 info + el(b"\x16\x54\xae\x6b", atrack)))
+    m = sniff_webm_audio_meta(weba)
+    assert m["format"] == "webm-audio" and m["sample_rate"] == 48000
+    assert m["n_channels"] == 1 and m["duration_sec"] == pytest.approx(3.5)
+    assert m["bits"] is None  # lossy: never faked
+    assert sniff_audio_meta(weba)["format"] == "webm-audio"
+    # muxed A+V: audio inventory refuses, video inventory owns it
+    assert sniff_webm_audio_meta(_webm_bytes()) is None
+    assert sniff_audio_meta(_webm_bytes()) is None

@@ -445,4 +445,10 @@ def sniff_audio_meta(content: bytes) -> dict | None:
     m = sniff_ogg_meta(content)
     if m is not None:
         return m
+    # audio-ONLY WebM (.weba/.mka); muxed A+V stays video_meta's row
+    from vectrekker_spark.functions.webmcodec import sniff_webm_audio_meta
+
+    m = sniff_webm_audio_meta(content)
+    if m is not None:
+        return m
     return sniff_mp3_meta(content)

@@ -220,6 +220,35 @@ def sniff_webm_meta(content: bytes) -> dict | None:
             "codec": codec,
             "n_tracks": n_tracks,
             "brand": doctype,
+            # carried for sniff_webm_audio_meta (not part of the video
+            # schema): the first audio track's parameters + video presence
+            "_audio_rate": aud_rate,
+            "_audio_channels": aud_ch,
+            "_has_video": width is not None,
         }
     except Exception:
         return None
+
+
+def sniff_webm_audio_meta(content: bytes) -> dict | None:
+    """audio_meta-schema row for an AUDIO-ONLY WebM/Matroska payload
+    (.weba / .mka — Opus/Vorbis in an EBML container is how browsers
+    record audio). Muxed audio+video files return None here: they belong
+    to the video inventory, and double-counting a payload in both
+    inventories would corrupt corpus stats. format 'webm-audio'; bits is
+    NULL (lossy codecs have no fixed width — the MP3 rule)."""
+    m = sniff_webm_meta(content)
+    if m is None or m["_has_video"] or m["_audio_rate"] is None:
+        return None
+    rate = m["_audio_rate"]
+    if not 0 < rate <= 0x7FFFFFFF:
+        return None
+    return {
+        "format": "webm-audio",
+        "format_tag": None,
+        "n_channels": m["_audio_channels"],
+        "sample_rate": int(rate),
+        "bits": None,
+        "data_bytes": None,
+        "duration_sec": m["duration_sec"],
+    }
