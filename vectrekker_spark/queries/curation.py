@@ -63,12 +63,25 @@ def d19_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # — identical output by construction (exact dup ⇒ identical shingle
     # set ⇒ identical report row), but the shingle join runs at
     # distinct-text scale, so the R²-in-duplication shuffle blowup that
-    # hit the sf30 disk wall (SCALE.md) collapses to 1×. Same oracle SQL:
-    # semantics are unchanged, only the plan shape is.
+    # hit the sf30 disk wall (SCALE.md: FAIL → 9.4 s) collapses to 1×.
+    # Same oracle SQL: semantics are unchanged, only the plan shape is —
+    # which is why the single-small-file regime may take the plain join
+    # (the standard small_local plan gate: the rep-mapping passes are a
+    # ~0.7 s scheduling floor at toy scale and free at cluster scale;
+    # scale_validation exercises the dedup-first plan on every multi-split
+    # layout, where the gate disengages).
+    from vectrekker_spark.operators.decontaminate import contamination_report
+    from vectrekker_spark.queries.util import small_local
+
     d = tbp(spark, sf, "documents")
     bench = d.filter(F.col("doc_id") % 20 == 0)
     train = d.filter(F.col("doc_id") % 20 != 0)
-    return ordered(contamination_report_dedup_first(train, bench), "train_id")
+    fn = (
+        contamination_report
+        if small_local(sf, "documents")
+        else contamination_report_dedup_first
+    )
+    return ordered(fn(train, bench), "train_id")
 
 
 _SHINGLES = (
