@@ -259,3 +259,43 @@ def test_warc_file_report_and_funnel(spark, tmp_path):
                                       chunk_size=8, chunk_overlap=2))
     stages = dict(res.funnel)
     assert stages["input"] == 3 and res.chunks.count() > 0
+
+
+def test_warc_charset_aware_decode(spark, tmp_path):
+    """Declared-charset bodies decode correctly (servers that say
+    iso-8859-1 mean it); unknown charsets fall back to utf-8/replace
+    instead of failing (classify-don't-abort)."""
+    from vectrekker_spark.sources.text_formats import read_warc
+
+    def http(body, ctype):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+
+    latin = "café münchen".encode("iso-8859-1")
+    records = (
+        _warc_record(
+            "response", "http://x/latin",
+            http(latin, "text/html; charset=ISO-8859-1"),
+        )
+        + _warc_record(
+            "response", "http://x/lies",
+            http("plain ascii".encode(),
+                 'text/html; charset="no-such-charset-9"'),
+        )
+        + _warc_record(
+            "conversion", "http://x/wet-utf8",
+            "déjà vu".encode("utf-8"),
+            extra=[("Content-Type", "text/plain; charset=utf-8")],
+        )
+    )
+    p = os.path.join(tmp_path, "cs.warc")
+    with open(p, "wb") as f:
+        f.write(records)
+    rows = {r.url: r for r in read_warc(spark, p).collect()}
+    assert rows["http://x/latin"].text == "café münchen"
+    assert rows["http://x/latin"].charset == "iso-8859-1"
+    assert rows["http://x/latin"].mime == "text/html"
+    assert rows["http://x/lies"].text == "plain ascii"  # fallback survived
+    assert rows["http://x/wet-utf8"].text == "déjà vu"

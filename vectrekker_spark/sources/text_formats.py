@@ -221,22 +221,52 @@ def parse_warc_records(
     return recs, status
 
 
+def _split_content_type(v: bytes):
+    """(mime, charset) from a Content-Type header value."""
+    parts = v.split(b";")
+    mime = parts[0].strip().decode("ascii", "replace").lower() or None
+    charset = None
+    for p in parts[1:]:
+        k, s, cv = p.partition(b"=")
+        if s and k.strip().lower() == b"charset":
+            charset = (
+                cv.strip().strip(b'"').decode("ascii", "replace").lower() or None
+            )
+    return mime, charset
+
+
 def _http_payload(block: bytes):
-    """(mime, body) from an HTTP response block; (None, block) when the
-    block isn't parseable HTTP (the record still yields, mime NULL —
-    classify, don't drop)."""
+    """(mime, charset, body) from an HTTP response block; (None, None,
+    block) when the block isn't parseable HTTP (the record still yields,
+    mime NULL — classify, don't drop)."""
     if not block.startswith(b"HTTP/"):
-        return None, block
+        return None, None, block
     sep = block.find(b"\r\n\r\n", 0, _MAX_HTTP_HEADER)
     if sep < 0:
-        return None, block
-    mime = None
+        return None, None, block
+    mime = charset = None
     for line in block[:sep].split(b"\r\n")[1:]:
         k, s, v = line.partition(b":")
         if s and k.strip().lower() == b"content-type":
-            mime = v.split(b";")[0].strip().decode("ascii", "replace").lower()
+            mime, charset = _split_content_type(v)
             break
-    return mime, block[sep + 4 :]
+    return mime, charset, block[sep + 4 :]
+
+
+def _decode_text(body: bytes, charset: str | None) -> str:
+    """Declared-charset decode with the classify-don't-abort contract: an
+    unknown/mislabeled charset (servers lie) falls back to utf-8 with
+    replacement — a 100 TB ingest must never die on one bad label.
+    utf-8/ascii take the fast path."""
+    if charset and charset not in ("utf-8", "utf8", "ascii", "us-ascii"):
+        import codecs
+
+        try:
+            codecs.lookup(charset)
+            return body.decode(charset, "replace")
+        except (LookupError, ValueError):
+            pass
+    return body.decode("utf-8", "replace")
 
 
 def _warc_doc_rows(path: str, data: bytes, kinds: frozenset, max_bytes: int):
@@ -252,10 +282,10 @@ def _warc_doc_rows(path: str, data: bytes, kinds: frozenset, max_bytes: int):
         if wtype not in kinds:
             continue
         if wtype == "response":
-            mime, body = _http_payload(block)
+            mime, charset, body = _http_payload(block)
         else:  # conversion (WET) / resource: the block IS the payload
-            mime = dec(fields.get(b"content-type"))
-            mime = mime.split(";")[0].strip().lower() if mime else None
+            ct = fields.get(b"content-type")
+            mime, charset = _split_content_type(ct) if ct else (None, None)
             body = block
         rows.append(
             {
@@ -265,7 +295,8 @@ def _warc_doc_rows(path: str, data: bytes, kinds: frozenset, max_bytes: int):
                 "ts": dec(fields.get(b"warc-date")),
                 "warc_type": wtype,
                 "mime": mime,
-                "text": body.decode("utf-8", "replace"),
+                "charset": charset,
+                "text": _decode_text(body, charset),
             }
         )
     return rows, status
@@ -273,7 +304,7 @@ def _warc_doc_rows(path: str, data: bytes, kinds: frozenset, max_bytes: int):
 
 WARC_ROW_SCHEMA = (
     "warc_file string, record_id string, url string, ts string, "
-    "warc_type string, mime string, text string"
+    "warc_type string, mime string, charset string, text string"
 )
 
 
@@ -303,7 +334,7 @@ def read_warc(
                 out,
                 columns=[
                     "warc_file", "record_id", "url", "ts", "warc_type",
-                    "mime", "text",
+                    "mime", "charset", "text",
                 ],
             )
 
