@@ -1,0 +1,102 @@
+"""HTML→text extraction (functions/html.py): structural stripping, block
+boundaries, entity tiers, the exact Arrow variant, and the composed
+WARC-response→document reader."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.html import (
+    html_to_text,
+    html_to_text_exact,
+    warc_html_docs,
+)
+
+PAGE = """<!DOCTYPE html><html><head><title>T</title>
+<style>body { color: red; }</style></head>
+<body><!-- nav below -->
+<script type="text/javascript">var x = "<p>not text</p>";</script>
+<h1>Heading One</h1>
+<p>First paragraph with <b>bold</b> &amp; <a href="/x">a link</a>.</p>
+<p>Second&nbsp;paragraph.</p>
+<ul><li>item one</li><li>item two</li></ul>
+<div>tail text</div></body></html>"""
+
+WANT_LINES = [
+    "Heading One",
+    "First paragraph with bold & a link .",
+    "Second paragraph.",
+    "item one",
+    "item two",
+    "tail text",
+]
+
+
+def _one(spark, html, fn=html_to_text):
+    df = spark.createDataFrame([(html,)], "text string")
+    return df.select(fn("text").alias("t")).first().t
+
+
+def test_html_to_text_structure(spark):
+    got = _one(spark, PAGE)
+    assert got.split("\n") == WANT_LINES
+
+
+def test_block_boundaries_prevent_word_fusion(spark):
+    got = _one(spark, "<p>end of one</p><p>start of two</p>")
+    assert got == "end of one\nstart of two"
+    # inline tags do NOT break lines
+    assert _one(spark, "a <b>bold</b> word") == "a bold word"
+
+
+def test_entities_two_tiers(spark):
+    html = "x &amp; y &#8217;s &lt;tag&gt; &copy; &#x27;q"
+    fast = _one(spark, html)
+    # named decoded; numeric/hex DROPPED by the expression tier
+    assert fast == "x & y s <tag> © q"
+    df = spark.createDataFrame([(html,)], "text string")
+    exact = html_to_text_exact(df).first().text
+    assert exact == "x & y ’s <tag> © 'q"
+
+
+def test_exact_matches_fast_on_entity_free_docs(spark):
+    df = spark.createDataFrame([(PAGE.replace("&amp;", "and"),), (None,)],
+                               "text string")
+    fast = df.select(html_to_text("text").alias("t")).collect()
+    exact = html_to_text_exact(df, out_col="t").select("t").collect()
+    assert [r.t for r in fast] == [r.t for r in exact]
+    assert fast[1].t is None  # NULL → NULL on both tiers
+
+
+def test_script_containing_markup_is_gone(spark):
+    got = _one(spark, PAGE)
+    assert "not text" not in got and "color: red" not in got
+    assert "nav below" not in got
+
+
+def test_expression_tier_is_jvm_only(spark):
+    df = spark.createDataFrame([(PAGE,)], "text string")
+    plan = (
+        df.select(html_to_text("text"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_warc_html_docs_end_to_end(spark, tmp_path):
+    from tests.test_text_formats import _fixture_warc, _http_block, _warc_record
+
+    data = _fixture_warc() + _warc_record(
+        "response", "http://example.com/page",
+        _http_block(b"<html><body><p>real body text</p></body></html>"),
+    )
+    p = tmp_path / "h.warc"
+    p.write_bytes(data)
+    docs = warc_html_docs(spark, str(p))
+    rows = {r.url: r.text for r in docs.collect()}
+    # only HTML-mime responses: the WET conversion + non-HTTP rows drop
+    assert rows == {
+        "http://example.com/a": "alpha beta gamma delta page one",
+        "http://example.com/page": "real body text",
+    }

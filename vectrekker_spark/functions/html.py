@@ -1,0 +1,135 @@
+"""HTML → text extraction — the step a WET generator performs between a
+crawl's HTTP responses and its plain-text corpus. Paired with
+sources/text_formats.read_warc (which yields raw HTML for `response`
+records) and functions/text.keep_content_lines (the boilerplate
+line-filter this feeds), it closes the crawl→corpus path end-to-end.
+
+Two tiers, same contract (NULL → NULL, never raises):
+
+- ``html_to_text``: pure Catalyst expression chain (regexp_replace —
+  JVM-side, codegen'd, zero Python). Strips comments/script/style/head
+  blocks, turns block-level closers into newlines, drops remaining tags,
+  decodes the common named entities and collapses whitespace. Numeric
+  character references (&#8217;) are DROPPED rather than decoded (an
+  expression can't compute chr(n)); on web text this loses typographic
+  punctuation, not words. This is the 100 TB hot path.
+- ``html_to_text_exact``: Arrow-batched pandas_udf over stdlib
+  html.unescape + the same structural regexes — full entity fidelity
+  (named + numeric) for when the corpus is entity-heavy. ~the usual
+  Python-boundary premium; same output modulo entity handling,
+  property-tested equal on entity-free documents.
+
+Scope honesty: this is tag stripping with block-boundary awareness, not
+DOM-aware readability extraction (no main-content scoring, no table
+linearization). That is exactly what WET files themselves contain, and
+the downstream boilerplate filter (C19) is the layer that removes nav
+chrome — same division of labor as the reference pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (?is) = case-insensitive + dotall; Java regex accepts inline flags.
+_BLOCK_STRIP = (
+    r"(?is)<!--.*?-->",
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?is)<head\b[^>]*>.*?</head\s*>",
+    r"(?is)<(?:noscript|template|svg)\b[^>]*>.*?</(?:noscript|template|svg)\s*>",
+)
+# closing (or void) tags that end a visual block → newline so words from
+# adjacent blocks don't fuse ("</p><p>" must not glue sentences)
+_NEWLINE_TAGS = (
+    r"(?i)<(?:br|hr)\s*/?\s*>|</(?:p|div|h[1-6]|li|ul|ol|tr|table|"
+    r"section|article|header|footer|blockquote|pre|figcaption|dd|dt)\s*>"
+)
+_ANY_TAG = r"(?s)<[^>]*>"
+_NAMED_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&apos;", "'"), ("&#39;", "'"), ("&#34;", '"'),
+    ("&mdash;", "—"), ("&ndash;", "–"), ("&hellip;", "…"), ("&copy;", "©"),
+)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Expression-only HTML→text (see module docstring for the tier
+    contract). Output: newline-separated visual blocks, runs of
+    spaces/tabs collapsed, leading/trailing whitespace trimmed."""
+    c = F.col(html) if isinstance(html, str) else html
+    out = c
+    for pat in _BLOCK_STRIP:
+        out = F.regexp_replace(out, pat, "")
+    out = F.regexp_replace(out, _NEWLINE_TAGS, "\n")
+    out = F.regexp_replace(out, _ANY_TAG, " ")
+    for ent, rep in _NAMED_ENTITIES:
+        out = F.regexp_replace(out, ent, rep)
+    # un-decoded references (numeric or exotic named) drop, not linger
+    out = F.regexp_replace(out, r"&#?[A-Za-z0-9]{1,10};", "")
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")  # collapse within lines
+    out = F.regexp_replace(out, r" ?\n ?", "\n")  # tidy line boundaries
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    # F.trim strips spaces ONLY (not newlines) — regex-trim both ends
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+def html_to_text_exact(
+    df: DataFrame, html_col: str = "text", out_col: str = "text"
+) -> DataFrame:
+    """Arrow-batched full-fidelity variant: identical structural handling,
+    entities via stdlib html.unescape (named + numeric + hex)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    strip_res = [re.compile(p.replace("(?is)", ""), re.I | re.S)
+                 for p in _BLOCK_STRIP]
+    nl_re = re.compile(_NEWLINE_TAGS.replace("(?i)", ""), re.I)
+    tag_re = re.compile(_ANY_TAG.replace("(?s)", ""), re.S)
+
+    def _conv(s):
+        import html as html_mod
+
+        def one(v):
+            if v is None:
+                return None
+            for r in strip_res:
+                v = r.sub("", v)
+            v = nl_re.sub("\n", v)
+            v = tag_re.sub(" ", v)
+            v = html_mod.unescape(v)
+            # unescape yields U+00A0 for &nbsp;; corpus text wants a
+            # plain space (the fast tier's mapping)
+            v = v.replace("\xa0", " ")
+            v = re.sub(r"[ \t\r\f]+", " ", v)
+            v = re.sub(r" ?\n ?", "\n", v)
+            v = re.sub(r"\n{2,}", "\n", v)
+            return v.strip()
+
+        return s.map(one)
+
+    # this module uses `from __future__ import annotations`, which turns
+    # inline annotations into strings pandas_udf can't interpret — attach
+    # the real types explicitly instead
+    _conv.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    conv = pandas_udf(_conv, "string")
+
+    return df.withColumn(out_col, conv(F.col(html_col)))
+
+
+def warc_html_docs(spark, path: str, min_chars: int = 1) -> DataFrame:
+    """The composed crawl→corpus reader: WARC response records whose mime
+    is HTML → html_to_text → the document schema (doc_id, text, url, ts,
+    mime). WET `conversion` records should use warc_docs directly (their
+    text is already extracted)."""
+    from vectrekker_spark.sources.text_formats import _with_doc_id, read_warc
+
+    df = read_warc(spark, path, kinds=("response",))
+    df = df.filter(
+        F.col("mime").isin("text/html", "application/xhtml+xml")
+    ).withColumn("text", html_to_text("text"))
+    return _with_doc_id(
+        df.filter(F.length("text") >= min_chars), None, "text"
+    ).select("doc_id", "text", "url", "ts", "mime")
