@@ -1,0 +1,293 @@
+"""Product quantization (PQ) — the memory-bound ANN path (SURVEY §2.2
+V7, r13). IVF (operators/ann.py) prunes WHICH vectors a query scans; PQ
+shrinks WHAT a scan reads: each vector becomes m one-byte codes, so a
+corpus that is terabytes of float raw fits in gigabytes of codes and the
+scan is a table lookup per subspace instead of a d-dim dot product.
+
+Built from the public technique (Jégou/Douze/Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+d-dim space into m orthogonal subspaces of d/m dims, k-means each
+subspace independently to 2^nbits centroids (the codebook), encode a
+vector as its m nearest-subcentroid ids, and answer queries with
+asymmetric distance computation (ADC): precompute the query's partial
+scores against every subcentroid once (an m × 2^nbits lookup table),
+then a vector's approximate score is m table lookups summed.
+
+Spark shapes (designed for the 1000-executor case):
+- TRAIN on a sample (`sample_fraction`): m independent MLlib k-means
+  fits over sliced subvectors — the standard practice; codebooks are
+  tiny (m × 2^nbits × d/m doubles) by construction.
+- ENCODE is a narrow Arrow map: codebooks broadcast as one numpy array,
+  each batch does m BLAS distance computations + argmin. No shuffle; the
+  code table is the only thing written (m bytes + id per vector).
+- SEARCH is scan + per-partition top-k + one tiny final top-k shuffle:
+  queries and their LUTs broadcast (n_q × m × 2^nbits floats), each code
+  partition scores its rows with numpy gathers. The float corpus is
+  never read — that is the entire point — unless `refine` > 0, which
+  joins the ADC top-(k·refine) candidates back to the true vectors for
+  an exact rerank (the standard recall repair, same idiom as
+  quantized_rerank_knn).
+
+Metric: cosine via inner-product ADC over l2-normalized vectors (the
+module-wide convention — ivf_build normalizes the same way). Scores are
+round-6 like knn_join, ties broken by vec_id ascending, so results are
+deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectrekker_spark.functions.vector import l2_normalize
+
+
+def _codebooks_np(codebooks: DataFrame):
+    """Collect a (subspace, code, cvec) codebook table to a dense numpy
+    array of shape (m, k, dsub) — validated contiguous ids."""
+    import numpy as np
+
+    rows = codebooks.collect()
+    if not rows:
+        raise ValueError("empty codebook table")
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["cvec"])
+    arr = np.full((m, k, dsub), np.nan)
+    for r in rows:
+        arr[r["subspace"], r["code"]] = r["cvec"]
+    if not np.isfinite(arr).all():
+        raise ValueError(
+            f"codebook table is not a dense {m}x{k} grid — missing "
+            "(subspace, code) rows"
+        )
+    return arr
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fit PQ codebooks → (subspace, code, cvec) rows, m × 2^nbits total.
+
+    The vector dim must divide by ``m`` (subspaces must tile the space).
+    Training runs m independent k-means fits over F.slice'd subvectors of
+    the (optionally sampled) l2-normalized corpus — at 100 TB pass
+    ``sample_fraction`` small enough that the fit input is ~millions of
+    rows; codebook quality saturates long before that."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if m < 1 or nbits < 1 or nbits > 12:
+        raise ValueError(f"need m >= 1 and 1 <= nbits <= 12, got {m=} {nbits=}")
+    k = 1 << nbits
+    probe = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if not probe:
+        raise ValueError("corpus has no non-NULL vectors to train on")
+    d = probe[0]["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} is not divisible by m={m} subspaces")
+    dsub = d // m
+    base = corpus.where(F.col(vec_col).isNotNull()).select(
+        l2_normalize(F.col(vec_col)).alias("__v")
+    )
+    if sample_fraction < 1.0:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    base = base.cache()
+    try:
+        spark = corpus.sparkSession
+        out = None
+        for j in range(m):
+            sliced = base.select(
+                array_to_vector(
+                    F.slice("__v", j * dsub + 1, dsub).cast("array<double>")
+                ).alias("features")
+            )
+            model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(sliced)
+            rows = [
+                (j, c, [float(x) for x in center])
+                for c, center in enumerate(model.clusterCenters())
+            ]
+            part = spark.createDataFrame(
+                rows, "subspace int, code int, cvec array<double>"
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+    finally:
+        base.unpersist()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<smallint>): each vector's m nearest-subcentroid
+    ids by L2 over the normalized subvectors, ties to the lowest code
+    (numpy argmin). NULL vectors drop (nothing to encode — the NULL-is-
+    never-a-neighbor rule). One narrow Arrow map, codebooks broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    cb = _codebooks_np(codebooks)  # (m, k, dsub)
+    m, k, dsub = cb.shape
+    # ||x - c||² = ||x||² - 2x·c + ||c||²; per-subspace argmin needs only
+    # the cross and centroid-norm terms
+    cb_sq = (cb ** 2).sum(axis=2)  # (m, k)
+
+    id_field = corpus.select(id_col).schema[0]
+    id_type = id_field.dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            mask = vecs.notna()
+            sub = pdf[mask]
+            if len(sub) == 0:
+                yield pd.DataFrame({id_col: [], "codes": []}).astype(
+                    {id_col: pdf[id_col].dtype}
+                )
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            np.divide(x, norms, out=x, where=norms > 0)
+            xs = x.reshape(len(sub), m, dsub)
+            codes = np.empty((len(sub), m), dtype=np.int16)
+            for j in range(m):
+                cross = xs[:, j, :] @ cb[j].T  # (n, k)
+                dist = cb_sq[j][None, :] - 2.0 * cross
+                codes[:, j] = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {id_col: sub[id_col].values, "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"`{id_col}` {id_type}, codes array<smallint>"
+    )
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """ADC top-k over the code table → (qid, vec_id, score, rank).
+
+    score is the round-6 ADC inner-product approximation of cosine
+    (exact cosine when ``refine`` > 0 — see below); ranks are dense per
+    query, ties by vec_id ascending (the knn_join contract).
+
+    ``refine=r`` (with ``corpus``) takes the ADC top-(k·r) candidates and
+    exactly reranks them against the true vectors — the candidate join
+    touches only k·r·n_q rows of the float corpus, so the recall repair
+    costs a sliver of a brute-force scan.
+
+    Queries + LUTs are driver-collected and broadcast (bounded by
+    ``max_queries`` — this operator is for query BATCHES against huge
+    corpora, not corpus×corpus joins; for that, encode both sides and
+    loop batches)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = _codebooks_np(codebooks)
+    m, kk, dsub = cb.shape
+    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_search collected more than max_queries={max_queries} "
+            "queries — batch them (broadcast LUTs are per-query)"
+        )
+    qids = [r[qid_col] for r in qrows]
+    qs = np.asarray([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
+    norms = np.linalg.norm(qs, axis=1, keepdims=True)
+    np.divide(qs, norms, out=qs, where=norms > 0)
+    # inner-product LUT: lut[q, j, c] = q_j · c_jc ; ADC(q, x) = Σ_j lut[q, j, codes_j]
+    lut = np.einsum("qjd,jcd->qjc", qs.reshape(len(qs), m, dsub), cb)
+    n_q = len(qids)
+
+    id_type = codes.select(id_col).schema[0].dataType.simpleString()
+    qid_type = queries.select(qid_col).schema[0].dataType.simpleString()
+    take = k * refine if refine > 0 else k
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["codes"]]
+            )  # (n, m)
+            # gather: scores (q, n) = Σ_j lut[q, j, c[n, j]]
+            scores = np.zeros((n_q, len(pdf)))
+            for j in range(m):
+                scores += lut[:, j, :][:, c[:, j]]
+            out_q, out_id, out_s = [], [], []
+            top = min(take, len(pdf))
+            ids = pdf[id_col].values
+            for qi in range(n_q):
+                s = scores[qi]
+                # partial top by score, then the deterministic tie order
+                # is restored at the final window
+                idx = np.argpartition(-s, top - 1)[:top]
+                out_q.extend([qids[qi]] * top)
+                out_id.extend(ids[idx])
+                out_s.extend(np.round(s[idx], 6))
+            yield pd.DataFrame({qid_col: out_q, id_col: out_id, "score": out_s})
+
+    partials = codes.mapInPandas(
+        gen, schema=f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, score double"
+    )
+    from pyspark.sql import Window
+
+    if refine > 0:
+        if corpus is None:
+            raise ValueError("refine > 0 needs the float `corpus` to rerank")
+        from vectrekker_spark.functions.vector import cosine_sim
+
+        w0 = Window.partitionBy(qid_col).orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        cands = (
+            partials.withColumn("__r", F.row_number().over(w0))
+            .where(F.col("__r") <= take)
+            .drop("__r", "score")
+        )
+        qdf = queries.select(qid_col, qvec_col)
+        exact = (
+            cands.join(corpus.select(id_col, vec_col), id_col)
+            .join(F.broadcast(qdf), qid_col)
+            .select(
+                qid_col,
+                id_col,
+                F.round(
+                    cosine_sim(F.col(vec_col), F.col(qvec_col)), 6
+                ).alias("score"),
+            )
+        )
+        partials = exact
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", "rank")
+    )
