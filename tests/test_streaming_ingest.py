@@ -1191,3 +1191,65 @@ def test_write_boundary_compact_recheck_all_ingest_jobs(spark, tmp_path, monkeyp
             for sub in ("docs", "kept")
         )
         assert wrote, name
+
+
+def test_streaming_url_dedup_against_history(spark, tmp_path):
+    """The crawl-ingest gate (r13): URL-level streaming dedup keyed on
+    normalized_url — refetches of the same canonical URL drop across
+    batches, NULL urls always survive, normalization aliases collapse."""
+    from vectrekker_spark.streaming.jobs import foreach_batch_url_dedup
+
+    src = tmp_path / "crawl_in"
+    src.mkdir()
+    corpus = str(tmp_path / "crawl_corpus")
+    ckpt = str(tmp_path / "crawl_ckpt")
+    schema = "doc_id long, url string, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        foreach_batch_url_dedup(stream, corpus, ckpt).awaitTermination()
+
+    def kept():
+        df = spark.read.parquet(f"{corpus}/docs")
+        return sorted(r["doc_id"] for r in df.collect())
+
+    # batch 1: ids 1/2 are the SAME resource after normalization
+    # (case + default port + trailing slash); null url survives
+    write_batch("b1", [
+        (1, "http://example.com/a/", "v1"),
+        (2, "HTTP://EXAMPLE.com:80/a", "v1 refetch"),
+        (3, "http://example.com/b", "other"),
+        (4, None, "no url"),
+    ])
+    run()
+    assert kept() == [1, 3, 4]
+    # the persisted docs carry the normalized key column
+    row = {
+        r["doc_id"]: r["url_key"]
+        for r in spark.read.parquet(f"{corpus}/docs").collect()
+    }
+    assert row[1] == "http://example.com/a" and row[4] is None
+
+    # batch 2: id 5 refetches history url 1 under yet another alias →
+    # dropped via the persisted bloom + verification; id 6 novel
+    write_batch("b2", [
+        (5, "http://example.com:80/a/", "v2 refetch"),
+        (6, "https://example.com/a", "DIFFERENT scheme = different url"),
+        (7, None, "null again"),
+    ])
+    run()
+    assert kept() == [1, 3, 4, 6, 7]
+
+    # reserved-column guard
+    stream = spark.readStream.schema(
+        "doc_id long, url string, url_key string"
+    ).parquet(str(src / "*"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="url_key"):
+        foreach_batch_url_dedup(stream, corpus, str(tmp_path / "ck2"))

@@ -940,6 +940,50 @@ def foreach_batch_exact_dedup(
     )
 
 
+def foreach_batch_url_dedup(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    fpp: float = 1e-3,
+    expected_total: int = 1_000_000,
+):
+    """Streaming CRAWL ingestion with URL-level dedup against all history
+    (r13): the exact-dedup machinery keyed on ``normalized_url(url)``
+    instead of document content — the continuous form of
+    functions/urls.dedup_by_url, and the first gate a crawl stream runs
+    before content hashing touches any payload (refetches of the same
+    canonical URL across snapshots are the bulk of crawl duplication).
+
+    Implementation IS foreach_batch_exact_dedup with the key column
+    swapped in: every lifecycle property transfers verbatim — the
+    bloom-superset invariant, torn-bloom heal, redelivery idempotence for
+    keyed rows, and the NULL rule (NULL urls always survive; compact
+    reclaims redelivered ones). The persisted docs table carries the
+    extra ``url_key`` column (the normalized URL — useful inventory).
+    Compose downstream with foreach_batch_exact_dedup / _near_dedup on
+    the surviving docs for content-level dedup. Returns the started
+    query."""
+    from vectrekker_spark.functions.urls import normalized_url
+
+    if "url_key" in stream.columns:
+        raise ValueError(
+            "input already has a url_key column — rename it (reserved "
+            "as the normalized-URL key column)"
+        )
+    keyed = stream.withColumn("url_key", normalized_url(url_col))
+    return foreach_batch_exact_dedup(
+        keyed,
+        corpus_path,
+        checkpoint,
+        text_col="url_key",
+        id_col=id_col,
+        fpp=fpp,
+        expected_total=expected_total,
+    )
+
+
 def _parquet_has_data(path: str) -> bool:
     """True iff ``path`` is a parquet dir with at least one committed data
     file. Bare existence is not enough: a crash during the FIRST append
