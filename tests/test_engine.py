@@ -278,3 +278,37 @@ def test_engine_multimodal_sugar(spark, sf_dir):
     assert hashes[1] is not None and hashes[3] is None
     kept = sorted(r.media_id for r in eng.image_near_dedup(media).collect())
     assert kept == [1, 3, 4]
+
+
+def test_engine_crawl_and_pq_surface(spark, sf_dir, tmp_path):
+    """The r13 facade methods delegate correctly: WARC readers, URL ops,
+    HTML extraction, and the PQ trio, end-to-end on tiny inputs."""
+    from pyspark.sql import functions as F
+
+    from tests.test_text_formats import _fixture_warc
+
+    eng = Engine(spark, sf_dir)
+    p = tmp_path / "e.warc"
+    p.write_bytes(_fixture_warc())
+    assert eng.read_warc(str(p)).count() == 3
+    docs = eng.warc_docs(str(p))
+    assert {"doc_id", "text", "url"} <= set(docs.columns)
+    html = eng.warc_html_docs(str(p))
+    assert html.count() == 1  # only the html-mime response
+    stripped = eng.html_to_text(
+        spark.createDataFrame([("<p>a b</p>",)], "text string")
+    )
+    assert stripped.first().text == "a b"
+    assert eng.dedup_by_url(docs).count() == 3
+    assert eng.host_stats(docs).count() >= 1
+    bl = spark.createDataFrame([("example.com",)], "host string")
+    assert eng.filter_hosts(docs, bl).count() == 0  # all fixture urls match
+
+    em = eng.table("embeddings").select("vec_id", "embedding")
+    cb = eng.pq_train(em, m=8, nbits=4)
+    codes = eng.pq_encode(em, cb)
+    q = em.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = eng.pq_search(q, codes, cb, k=3)
+    assert res.count() == 6 and set(res.columns) == {"qid", "vec_id", "score", "rank"}

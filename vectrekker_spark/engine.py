@@ -504,3 +504,78 @@ class Engine:
         from vectrekker_spark.operators.ngramlm import perplexity_filter
 
         return perplexity_filter(df, lm, max_ppl, **kw)
+
+    # --- crawl→corpus surface (r13) ------------------------------------
+
+    def read_warc(self, path: str, **kw) -> DataFrame:
+        """WARC/WET records → (warc_file, record_id, url, ts, warc_type,
+        mime, charset, text) (sources/text_formats.read_warc)."""
+        from vectrekker_spark.sources.text_formats import read_warc
+
+        return read_warc(self.spark, path, **kw)
+
+    def warc_docs(self, path: str, **kw) -> DataFrame:
+        """WARC/WET → the document schema, content-hash doc ids
+        (sources/text_formats.warc_docs)."""
+        from vectrekker_spark.sources.text_formats import warc_docs
+
+        return warc_docs(self.spark, path, **kw)
+
+    def warc_html_docs(self, path: str, **kw) -> DataFrame:
+        """WARC responses → html_to_text → document schema — the
+        WET-generation step (functions/html.warc_html_docs)."""
+        from vectrekker_spark.functions.html import warc_html_docs
+
+        return warc_html_docs(self.spark, path, **kw)
+
+    def html_to_text(self, df: DataFrame, html_col: str = "text",
+                     out_col: str = "text") -> DataFrame:
+        """Expression-tier HTML→text over a column (functions/html)."""
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.functions.html import html_to_text
+
+        return df.withColumn(out_col, html_to_text(F.col(html_col)))
+
+    def dedup_by_url(self, df: DataFrame, **kw) -> DataFrame:
+        """URL-level exact dedup after RFC 3986 normalization
+        (functions/urls.dedup_by_url)."""
+        from vectrekker_spark.functions.urls import dedup_by_url
+
+        return dedup_by_url(df, **kw)
+
+    def host_stats(self, df: DataFrame, **kw) -> DataFrame:
+        """(host, domain, n_docs) crawl inventory (functions/urls)."""
+        from vectrekker_spark.functions.urls import host_stats
+
+        return host_stats(df, **kw)
+
+    def filter_hosts(self, df: DataFrame, blocklist: DataFrame, **kw) -> DataFrame:
+        """Broadcast blocklist filter by host or registered domain
+        (functions/urls.filter_hosts)."""
+        from vectrekker_spark.functions.urls import filter_hosts
+
+        return filter_hosts(df, blocklist, **kw)
+
+    # --- product quantization (r13, V7) --------------------------------
+
+    def pq_train(self, corpus: DataFrame, **kw) -> DataFrame:
+        """PQ codebooks via per-subspace k-means (operators/pq.pq_train)."""
+        from vectrekker_spark.operators.pq import pq_train
+
+        return pq_train(corpus, **kw)
+
+    def pq_encode(self, corpus: DataFrame, codebooks: DataFrame, **kw) -> DataFrame:
+        """m-byte PQ codes per vector, broadcast codebooks, narrow map
+        (operators/pq.pq_encode)."""
+        from vectrekker_spark.operators.pq import pq_encode
+
+        return pq_encode(corpus, codebooks, **kw)
+
+    def pq_search(self, queries: DataFrame, codes: DataFrame,
+                  codebooks: DataFrame, k: int = 10, **kw) -> DataFrame:
+        """ADC top-k over the code table; refine=r for exact rerank
+        (operators/pq.pq_search)."""
+        from vectrekker_spark.operators.pq import pq_search
+
+        return pq_search(queries, codes, codebooks, k=k, **kw)
