@@ -395,3 +395,22 @@ def test_assemble_surfaces_stage_seconds(spark, tmp_path):
     ts = funnel["_stage_seconds"]
     assert set(ts) <= set(funnel)  # timings key into the stage counts
     assert all(isinstance(v, float) for v in ts.values())
+
+
+def test_exact_dedup_collapses_content_hash_id_collisions(spark):
+    """Content-hash doc ids (the sources/text_formats policy) make
+    identical texts share an id; the exact-dedup stage must collapse the
+    duplicate ROWS, not just pick a keeper id that both rows carry
+    (found by scripts/crawl_benchmark: mirrors sailed through)."""
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    rows = [
+        (100, "mirrored page body words here today"),
+        (100, "mirrored page body words here today"),  # mirror: same id
+        (200, "a different page body entirely now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(docs, CurationConfig(min_quality=0.0, embed=False))
+    funnel = dict(res.funnel)
+    assert funnel["input"] == 3
+    assert funnel["after_exact_dedup"] == 2

@@ -300,11 +300,21 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         caches.append(docs)
         _record("after_boilerplate", docs.count())
 
-    # 1. exact dedup: keep min-id per content hash
+    # 1. exact dedup: keep min-id per content hash. The semi-join alone
+    # keeps every ROW carrying a keeper id — with CONTENT-HASH doc ids
+    # (the sources/text_formats policy: identical text ⇒ identical id,
+    # e.g. a crawl's mirrors via warc_docs) duplicate rows share the
+    # keeper id and would all survive, making this stage a no-op exactly
+    # on the corpora that need it most (found by scripts/crawl_benchmark).
+    # dropDuplicates on the id closes that: rows sharing an id share
+    # their text by construction of any content-derived id scheme, so
+    # collapsing them is the stage's own semantics, not data loss.
     keepers = exact_dedup_map(docs, text_col=cfg.text_col, id_col=cfg.id_col).select(
         F.col("keep_id").alias(cfg.id_col)
     )
-    docs = docs.join(keepers, cfg.id_col, "left_semi")
+    docs = docs.join(keepers, cfg.id_col, "left_semi").dropDuplicates(
+        [cfg.id_col]
+    )
     _record("after_exact_dedup", docs.count())
 
     # 2. near-dup removal (cache: the LSH pipeline consumes docs repeatedly,
