@@ -141,3 +141,32 @@ def test_search_query_cap(spark, em, pq):
     q = em.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     with pytest.raises(ValueError, match="max_queries"):
         pq_search(q, codes, cb, k=3, max_queries=10)
+
+
+def test_pq_save_load_roundtrip_and_guards(spark, em, pq, tmp_path):
+    from vectrekker_spark.operators.pq import pq_load, pq_save
+
+    cb, codes = pq
+    path = str(tmp_path / "pqidx")
+    meta = pq_save(cb, codes, path)
+    assert meta == {"m": 16, "nbits": 6, "dsub": 4, "dim": 64,
+                    "id_col": "vec_id"}
+    cb2, codes2, meta2 = pq_load(spark, path)
+    assert meta2 == meta
+    q = em.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(map(tuple, pq_search(q, codes, cb, k=5).collect()))
+    b = sorted(map(tuple, pq_search(q, codes2, cb2, k=5).collect()))
+    assert a == b
+
+    # torn meta → loud remediation; absent meta → reads as no index
+    import os
+
+    with open(f"{path}/pq_meta.json", "w") as f:
+        f.write('{"m": 16')
+    with pytest.raises(ValueError, match="re-run\\s+pq_save"):
+        pq_load(spark, path)
+    os.remove(f"{path}/pq_meta.json")
+    with pytest.raises(ValueError, match="absent"):
+        pq_load(spark, path)

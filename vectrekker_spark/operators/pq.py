@@ -291,3 +291,74 @@ def pq_search(
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, "score", "rank")
     )
+
+
+def pq_save(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> dict:
+    """Persist a PQ index: {path}/codebooks.parquet + {path}/codes.parquet
+    + pq_meta.json pinning the geometry (m, nbits, dsub, dim, id_col).
+
+    The meta file exists for the same reason the image-dedup band index
+    pins its band count: codes are MEANINGLESS under a codebook with
+    different geometry, and a silent mismatch would not error — it would
+    return confidently wrong neighbors. pq_load refuses mismatches and
+    torn meta loudly. Meta is written temp + os.replace (atomic), LAST —
+    so a crash mid-save leaves no committed meta and the index reads as
+    absent, never as torn."""
+    import json
+    import os
+
+    cb = _codebooks_np(codebooks)
+    m, k, dsub = cb.shape
+    os.makedirs(path, exist_ok=True)
+    codebooks.write.mode("overwrite").parquet(os.path.join(path, "codebooks.parquet"))
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes.parquet"))
+    meta = {
+        "m": int(m),
+        "nbits": int(k).bit_length() - 1,
+        "dsub": int(dsub),
+        "dim": int(m * dsub),
+        "id_col": id_col,
+    }
+    tmp = os.path.join(path, "pq_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "pq_meta.json"))
+    return meta
+
+
+def pq_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """(codebooks, codes, meta) for a pq_save'd index; validates that the
+    persisted codebook grid matches the pinned geometry and raises a
+    remediation-naming ValueError on torn/missing/mismatched meta."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "pq_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no committed PQ index at {path} (pq_meta.json absent — an "
+            "interrupted pq_save leaves no meta by design; re-run pq_save)"
+        )
+    with open(meta_path) as f:
+        try:
+            meta = json.load(f)
+        except json.JSONDecodeError as exc:
+            raise ValueError(
+                f"PQ meta at {meta_path} is corrupt ({exc}); re-run "
+                "pq_save to rewrite the index atomically"
+            ) from exc
+    codebooks = spark.read.parquet(os.path.join(path, "codebooks.parquet"))
+    cb = _codebooks_np(codebooks)
+    if cb.shape != (meta["m"], 1 << meta["nbits"], meta["dsub"]):
+        raise ValueError(
+            f"codebook grid {cb.shape} does not match the pinned geometry "
+            f"(m={meta['m']}, nbits={meta['nbits']}, dsub={meta['dsub']}) "
+            "— the codes are not interpretable; rebuild the index"
+        )
+    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    return codebooks, codes, meta
