@@ -170,3 +170,77 @@ def test_pq_save_load_roundtrip_and_guards(spark, em, pq, tmp_path):
     os.remove(f"{path}/pq_meta.json")
     with pytest.raises(ValueError, match="absent"):
         pq_load(spark, path)
+
+
+def test_ivfpq_full_probe_equals_pq_search(spark, em, pq):
+    """With n_probe = n_centroids the candidate set is the whole corpus,
+    so IVF∘PQ must EQUAL plain pq_search row-for-row — the composition
+    adds pruning, never different scoring."""
+    from vectrekker_spark.operators.ann import ivf_build
+    from vectrekker_spark.operators.pq import ivfpq_search
+
+    cb, codes = pq
+    centroids, assign = ivf_build(em, n_centroids=10, assign_k=1)
+    q = em.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    full = sorted(map(tuple, ivfpq_search(
+        q, codes, cb, centroids, assign, k=7, n_probe=10
+    ).collect()))
+    plain = sorted(map(tuple, pq_search(q, codes, cb, k=7).collect()))
+    assert full == plain
+
+
+def test_ivfpq_prunes_and_recalls(spark, em, pq):
+    """Partial probe: every result must come from a probed cell, and
+    recall@10 vs exact stays useful (measured 0.68 ADC / 0.97 refined
+    at n_probe=6/10 with multi-assign 2 on the near-random fixture —
+    pruning cost ~0 here because multi-assign covers the loss; gate 0.45)."""
+    from vectrekker_spark.operators.ann import assign_centroids, ivf_build
+    from vectrekker_spark.operators.pq import ivfpq_search
+
+    cb, codes = pq
+    centroids, assign = ivf_build(em, n_centroids=10, assign_k=2)
+    q = em.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = ivfpq_search(
+        q, codes, cb, centroids, assign, k=10, n_probe=6
+    ).collect()
+    # every hit's cell ∈ its query's probed cells
+    probed = {
+        (r["vec_id"], r["cid"])
+        for r in assign_centroids(
+            q.select(F.col("qid").alias("vec_id"),
+                     F.col("qvec").alias("embedding")),
+            centroids, assign_k=6,
+        ).collect()
+    }
+    member = {}
+    for r in assign.collect():
+        member.setdefault(r["vec_id"], set()).add(r["cid"])
+    for r in res:
+        assert any((r["qid"], c) in probed for c in member[r["vec_id"]]), r
+
+    exact = {}
+    for r in knn_join(q, em, k=10).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    got = {}
+    for r in res:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    rec = sum(len(got.get(x, set()) & exact[x]) for x in exact) / (
+        10 * len(exact)
+    )
+    assert rec >= 0.45, rec
+
+    # refined variant returns exact cosine and can only improve
+    ref = ivfpq_search(
+        q, codes, cb, centroids, assign, k=10, n_probe=6, refine=5, corpus=em
+    ).collect()
+    gotr = {}
+    for r in ref:
+        gotr.setdefault(r["qid"], set()).add(r["vec_id"])
+    recr = sum(len(gotr.get(x, set()) & exact[x]) for x in exact) / (
+        10 * len(exact)
+    )
+    assert recr >= rec - 1e-9

@@ -362,3 +362,132 @@ def pq_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
         )
     codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
     return codebooks, codes, meta
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    assign: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVF∘PQ — the standard billion-scale ANN composition (FAISS's
+    IVFPQ): the coarse quantizer prunes WHICH cells a query reads
+    (operators/ann.py's centroids + assignment table), PQ shrinks WHAT
+    it reads there (this module's codes). A query touches only its
+    ``n_probe`` cells' code rows — with cid-partitioned code storage
+    that is partition pruning on top of the 16-32× byte shrink.
+
+    Semantics: with ``n_probe`` ≥ the centroid count the candidate set
+    is the whole corpus and the result EQUALS pq_search (tested — the
+    composition adds pruning, never different scoring); smaller n_probe
+    trades recall exactly like ivf_search does. ``refine`` reranks the
+    ADC top-(k·refine) against true vectors (exact round-6 cosine out).
+
+    Scoring shape: (qid, cid) probes → assignment join → per-query
+    candidate code rows → one Arrow pass computing ADC from the qid's
+    LUT (LUTs broadcast as one numpy block) → per-query top-k window."""
+    import numpy as np
+    import pandas as pd
+
+    from vectrekker_spark.operators.ann import assign_centroids
+
+    cb = _codebooks_np(codebooks)
+    m, kk, dsub = cb.shape
+    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_search collected more than max_queries={max_queries} "
+            "queries — batch them"
+        )
+    qids = [r[qid_col] for r in qrows]
+    qs = np.asarray([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
+    norms = np.linalg.norm(qs, axis=1, keepdims=True)
+    np.divide(qs, norms, out=qs, where=norms > 0)
+    lut = np.einsum("qjd,jcd->qjc", qs.reshape(len(qs), m, dsub), cb)
+    qpos = {q: i for i, q in enumerate(qids)}
+
+    # probe: each query's n_probe nearest cells (reuses the corpus-side
+    # assignment kernel — queries ARE a tiny corpus here)
+    probes = assign_centroids(
+        queries.select(
+            F.col(qid_col).alias(id_col), F.col(qvec_col).alias(vec_col)
+        ),
+        centroids,
+        assign_k=n_probe,
+    ).select(F.col(id_col).alias(qid_col), "cid")
+    cand = (
+        F.broadcast(probes)
+        .join(assign.select(id_col, "cid"), "cid")
+        .select(qid_col, id_col)
+        # multi-assigned vectors (ivf_build assign_k > 1) can land in two
+        # probed cells of the SAME query — distinct, or the rank window
+        # counts them twice
+        .distinct()
+        .join(codes, id_col)
+    )
+
+    qid_type = queries.select(qid_col).schema[0].dataType.simpleString()
+    id_type = codes.select(id_col).schema[0].dataType.simpleString()
+    take = k * refine if refine > 0 else k
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
+            qi = np.asarray([qpos[q] for q in pdf[qid_col]])
+            s = np.zeros(len(pdf))
+            for j in range(m):
+                s += lut[qi, j, c[:, j]]
+            yield pd.DataFrame(
+                {
+                    qid_col: pdf[qid_col].values,
+                    id_col: pdf[id_col].values,
+                    "score": np.round(s, 6),
+                }
+            )
+
+    scored = cand.mapInPandas(
+        gen, schema=f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    if refine > 0:
+        if corpus is None:
+            raise ValueError("refine > 0 needs the float `corpus` to rerank")
+        from vectrekker_spark.functions.vector import cosine_sim
+
+        cands_top = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= take)
+            .drop("__r", "score")
+        )
+        scored = (
+            cands_top.join(corpus.select(id_col, vec_col), id_col)
+            .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+            .select(
+                qid_col,
+                id_col,
+                F.round(cosine_sim(F.col(vec_col), F.col(qvec_col)), 6).alias(
+                    "score"
+                ),
+            )
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", "rank")
+    )
