@@ -579,3 +579,27 @@ class Engine:
         from vectrekker_spark.operators.pq import pq_search
 
         return pq_search(queries, codes, codebooks, k=k, **kw)
+
+    def pq_save(self, codebooks: DataFrame, codes: DataFrame, path: str, **kw):
+        """Persist a PQ index with atomic geometry-pinned meta
+        (operators/pq.pq_save)."""
+        from vectrekker_spark.operators.pq import pq_save
+
+        return pq_save(codebooks, codes, path, **kw)
+
+    def pq_load(self, path: str):
+        """(codebooks, codes, meta) for a pq_save'd index
+        (operators/pq.pq_load)."""
+        from vectrekker_spark.operators.pq import pq_load
+
+        return pq_load(self.spark, path)
+
+    def ivfpq_search(self, queries: DataFrame, codes: DataFrame,
+                     codebooks: DataFrame, centroids: DataFrame,
+                     assign: DataFrame, k: int = 10, **kw) -> DataFrame:
+        """IVF∘PQ: coarse-cell pruning over the PQ code scan
+        (operators/pq.ivfpq_search)."""
+        from vectrekker_spark.operators.pq import ivfpq_search
+
+        return ivfpq_search(queries, codes, codebooks, centroids, assign,
+                            k=k, **kw)
