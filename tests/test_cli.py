@@ -576,3 +576,30 @@ def test_curate_warc_input_format(tmp_path, capsys, spark):
     assert "input  3" in out  # 2 responses + 1 conversion, requests dropped
     shards = spark.read.parquet(out_dir)
     assert shards.count() > 0
+
+
+def test_pq_build_then_search(tmp_path, capsys, spark):
+    """pq-build → search --pq: the memory-bound ANN path end-to-end; the
+    refined search's top hit is the exact self-match at cosine 1.0."""
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "s"), str(tmp_path / "i")
+    assert main(["index", "--content-dir", str(content), "--state", state,
+                 "--index", index]) == 0
+    capsys.readouterr()
+    pq_dir = str(tmp_path / "pq")
+    # a 2-doc corpus can't feed 16-way k-means: the distinct-subvector
+    # fallback pads the codebooks deterministically and the build succeeds
+    assert main(["pq-build", "--index", index, "--out", pq_dir,
+                 "--m", "8", "--nbits", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "m=8 x 2^4" in out and "8 bytes/vector" in out
+    a_path = str(content / "a.md")
+    assert main(["search", "--index", index, "--query-id", a_path,
+                 "--pq", pq_dir, "-k", "2"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert a_path in lines[0] and "+1.000000" in lines[0]
+    # invalid geometry fails with rc 2 and a message, not a traceback
+    assert main(["pq-build", "--index", index, "--out", pq_dir,
+                 "--m", "7"]) == 2
+    assert "not divisible" in capsys.readouterr().out

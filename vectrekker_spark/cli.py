@@ -145,6 +145,21 @@ def cmd_search(args: argparse.Namespace) -> int:
         q = spark.createDataFrame(
             [("query", vec)], "qid string, qvec array<double>"
         )
+    if getattr(args, "pq", None):
+        # persisted PQ index (pq-build verb): ADC scan over m-byte codes
+        # with an exact rerank against the full-precision index — the
+        # memory-bound path (operators/pq)
+        from vectrekker_spark.operators.pq import pq_load, pq_search
+
+        codebooks, codes, _meta = pq_load(spark, args.pq)
+        res = pq_search(
+            q, codes, codebooks, k=args.k, refine=5,
+            corpus=index.select("id", "embedding"),
+            id_col="id", vec_col="embedding",
+        ).collect()
+        for r in res:
+            print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['id']}")
+        return 0
     if args.ivf:
         # persisted inverted-list index (ann-build verb): probes read only
         # their cells' partitions — no per-invocation rebuild, no corpus
@@ -189,6 +204,31 @@ def cmd_search(args: argparse.Namespace) -> int:
     res = knn_join(q, index, k=args.k, id_col="id", vec_col="embedding").collect()
     for r in res:
         print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['vec_id']}")
+    return 0
+
+
+def cmd_pq_build(args: argparse.Namespace) -> int:
+    """Persisted product-quantization index over the vector index
+    (operators/pq): train codebooks, encode to m-byte codes, save with
+    geometry-pinned meta. Search with `search --pq DIR`."""
+    from vectrekker_spark.operators.pq import pq_encode, pq_save, pq_train
+
+    spark = _spark()
+    index = spark.read.parquet(args.index).select("id", "embedding")
+    try:
+        cb = pq_train(index, m=args.m, nbits=args.nbits,
+                      sample_fraction=args.sample)
+    except ValueError as e:
+        print(f"error: {e}")
+        return 2
+    codes = pq_encode(index, cb, id_col="id")
+    meta = pq_save(cb, codes, args.out, id_col="id")
+    n = spark.read.parquet(f"{args.out}/codes.parquet").count()
+    print(
+        f"pq index at {args.out}: {n} vectors, m={meta['m']} x "
+        f"2^{meta['nbits']} codebooks, dim {meta['dim']} "
+        f"({meta['m']} bytes/vector)"
+    )
     return 0
 
 
@@ -672,7 +712,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="search a persisted IVF index dir (see ann-build) instead of "
         "building one per invocation",
     )
+    se.add_argument(
+        "--pq",
+        help="search a persisted PQ index dir (see pq-build): ADC over "
+        "m-byte codes + exact rerank — the memory-bound path",
+    )
     se.set_defaults(fn=cmd_search)
+
+    pb = sub.add_parser(
+        "pq-build",
+        help="build a persisted product-quantization index (codebooks + codes)",
+    )
+    pb.add_argument("--index", required=True,
+                    help="vector index parquet (id, embedding)")
+    pb.add_argument("--out", required=True, help="PQ index directory")
+    pb.add_argument("--m", type=int, default=8, help="subspaces (dim %% m == 0)")
+    pb.add_argument("--nbits", type=int, default=8,
+                    help="bits per code (2^nbits centroids per subspace)")
+    pb.add_argument("--sample", type=float, default=1.0,
+                    help="training sample fraction (codebook quality "
+                    "saturates on a few million rows)")
+    pb.set_defaults(fn=cmd_pq_build)
 
     ab = sub.add_parser(
         "ann-build",

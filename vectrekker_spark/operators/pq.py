@@ -108,16 +108,34 @@ def pq_train(
         spark = corpus.sparkSession
         out = None
         for j in range(m):
-            sliced = base.select(
-                array_to_vector(
-                    F.slice("__v", j * dsub + 1, dsub).cast("array<double>")
-                ).alias("features")
+            arrays = base.select(
+                F.slice("__v", j * dsub + 1, dsub).cast("array<double>")
+                .alias("sv")
             )
-            model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(sliced)
-            rows = [
-                (j, c, [float(x) for x in center])
-                for c, center in enumerate(model.clusterCenters())
-            ]
+            try:
+                model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(
+                    arrays.select(array_to_vector("sv").alias("features"))
+                )
+                centers = [
+                    [float(x) for x in c] for c in model.clusterCenters()
+                ]
+            except Exception:
+                # MLlib k-means needs k DISTINCT points; tiny or
+                # degenerate-subspace corpora (e.g. a constant dimension)
+                # don't have them. Fall back to the distinct subvectors
+                # themselves, sorted (deterministic), cycled up to k —
+                # duplicate centroids are harmless (argmin ties take the
+                # lowest code) and the quantization on such data is exact.
+                centers = None
+            if centers is None or len(centers) < k:
+                distinct = sorted(
+                    tuple(r["sv"]) for r in
+                    arrays.distinct().limit(k).collect()
+                )
+                centers = [
+                    list(distinct[i % len(distinct)]) for i in range(k)
+                ]
+            rows = [(j, c, center) for c, center in enumerate(centers)]
             part = spark.createDataFrame(
                 rows, "subspace int, code int, cvec array<double>"
             )
