@@ -699,11 +699,74 @@ GROUP BY train_id
 """
 
 
+class UrlNorm:
+    """functions/urls.normalized_url + url_host vs the regex mirror SQL
+    (the test_urls mirror, fuzzed): seeded random URLs across schemes /
+    casings / ports / paths / queries / fragments, plus hostile
+    mutations (no scheme, junk, empty, unicode) — both engines must
+    produce identical normalized strings and hosts."""
+
+    name = "url_norm"
+    uses_urls = True
+
+    @staticmethod
+    def draw(rng):
+        return {"n": rng.randint(50, 300)}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.functions.urls import normalized_url, url_host
+
+        u = spark.read.parquet(f"{sfd}/urls.parquet")
+        return u.select(
+            "url_id",
+            normalized_url("url").alias("norm"),
+            url_host("url").alias("host"),
+        )
+
+    @staticmethod
+    def sql(params):
+        scheme = "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+        host = (
+            "lower(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))"
+        )
+        return rf"""
+WITH p AS (
+  SELECT url_id, url,
+         {scheme} AS scheme,
+         {host} AS host,
+         nullif(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1), '') AS port,
+         regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         nullif(regexp_extract(regexp_extract(url, '^[^#]*', 0), '\?(.*)', 1), '') AS query
+  FROM urls)
+SELECT url_id,
+  CASE WHEN scheme = '' OR host = '' THEN url ELSE
+    scheme || '://' || host
+    || CASE WHEN port IS NULL OR (scheme='http' AND port='80')
+              OR (scheme='https' AND port='443') THEN ''
+         ELSE ':' || port END
+    || CASE WHEN path = '' THEN '/'
+         WHEN length(path) > 1 AND path LIKE '%/'
+           THEN substr(path, 1, length(path)-1)
+         ELSE path END
+    || CASE WHEN query IS NULL THEN '' ELSE '?' || query END
+  END AS norm,
+  nullif(host, '') AS host
+FROM p
+"""
+
+
 TEXT_FAMILIES = [Chunk, WordShingles, CharShingles, Minhash, Winnow, Bloom,
                  Split, Decontam]
 VEC_FAMILIES = [VecMetrics, ThresholdJoin, TopK]
 HASH_FAMILIES = [ImagePairs, ImageAgainst]
-FAMILIES = TEXT_FAMILIES + VEC_FAMILIES + HASH_FAMILIES
+URL_FAMILIES = [UrlNorm]
+FAMILIES = TEXT_FAMILIES + VEC_FAMILIES + HASH_FAMILIES + URL_FAMILIES
 
 
 # --------------------------------------------------------------------------
@@ -753,6 +816,42 @@ def _write_hashes(dirpath: str, rng: random.Random, n: int):
     )
 
 
+def _write_urls(dirpath: str, rng: random.Random, n: int):
+    """Seeded URL corpus: structured draws across schemes/hosts/ports/
+    paths/queries/fragments + hostile rows (no scheme, junk, empty,
+    non-ascii, NULL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", "wss"]
+    hosts = ["example.com", "WWW.Example.COM", "a.b.example.co.uk",
+             "localhost", "xn--bcher-kva.ch", "h-1.x.org"]
+    ports = ["", ":80", ":443", ":8080", ":1"]
+    paths = ["", "/", "/a", "/a/", "/a/b/c", "/a//b/", "/%7Euser", "/a.b"]
+    queries = ["", "?x=1", "?x=1&y=2", "?b=2&a=1", "?empty=", "?q=a%20b"]
+    frags = ["", "#f", "#a/b?c=1"]
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.08:
+            u = rng.choice([
+                None, "", "no scheme at all", "http:/broken", "://x",
+                "mailto:a@b.c", "httpx//y", "日本語テキスト", "/relative/path",
+            ])
+        else:
+            u = (
+                rng.choice(schemes) + "://" + rng.choice(hosts)
+                + rng.choice(ports) + rng.choice(paths)
+                + rng.choice(queries) + rng.choice(frags)
+            )
+        rows.append((i, u))
+    pq.write_table(
+        pa.table({"url_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "url": pa.array([r[1] for r in rows], pa.string())}),
+        os.path.join(dirpath, "urls.parquet"),
+    )
+
+
 def run_trial(spark, con, fam, params, sfd):
     sql = fam.sql(params)
     try:
@@ -777,7 +876,11 @@ def run_trial(spark, con, fam, params, sfd):
 def minimize(spark, con, fam, params, sfd, status0):
     """Shrink the doc bound by bisection while the disagreement persists
     (text families only — vector/hash fixtures are already tiny)."""
-    if getattr(fam, "uses_embeddings", False) or getattr(fam, "uses_hashes", False):
+    if (
+        getattr(fam, "uses_embeddings", False)
+        or getattr(fam, "uses_hashes", False)
+        or getattr(fam, "uses_urls", False)
+    ):
         return params
     best = dict(params)
     lo, hi = 1, best["bound"] or 500
@@ -801,7 +904,16 @@ def fuzz(spark, con, sfd, n, seed, keep_going, out_dir):
     for i in range(n):
         fam = rng.choice(FAMILIES)
         params = fam.draw(rng)
-        if getattr(fam, "uses_hashes", False):
+        if getattr(fam, "uses_urls", False):
+            url_dir = tempfile.mkdtemp(prefix="kfuzz_url_")
+            _write_urls(url_dir, rng, params["n"])
+            con.execute(
+                "CREATE OR REPLACE VIEW urls AS SELECT * FROM "
+                f"read_parquet('{url_dir}/urls.parquet')"
+            )
+            trial_sfd = url_dir
+            params["bound"] = None
+        elif getattr(fam, "uses_hashes", False):
             hash_dir = tempfile.mkdtemp(prefix="kfuzz_hash_")
             _write_hashes(hash_dir, rng, rng.randint(40, 200))
             con.execute(

@@ -124,7 +124,7 @@ p AS (
          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS host,
          nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1), '') AS port,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-         nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+         nullif(regexp_extract(regexp_extract(url, '^[^#]*', 0), '\?(.*)', 1), '') AS query
   FROM u)
 SELECT url, CASE WHEN scheme = '' OR host = '' THEN url ELSE
   scheme || '://' || host

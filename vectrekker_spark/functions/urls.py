@@ -3,7 +3,7 @@ between WARC ingest (sources/text_formats.warc_docs emits a `url` column)
 and text-level curation: host extraction, URL normalization, URL-level
 dedup, and per-host stats for quota stratification.
 
-Everything here is pure Catalyst expression surface (parse_url /
+Everything here is pure Catalyst expression surface (try_parse_url /
 regexp_replace / lower — JVM-side, whole-stage-codegen'd, no Python in
 the hot path), so a 100 TB crawl pays header-string cost only. DuckDB
 mirrors in the tests pin the semantics.
@@ -39,15 +39,18 @@ _TWO_LEVEL_SUFFIXES = (
 
 
 def url_host(url) -> Column:
-    """Lower-cased host of a URL (parse_url HOST — JVM built-in); NULL
-    for NULL/unparseable input."""
-    return F.lower(F.parse_url(F.col(url) if isinstance(url, str) else url,
-                               F.lit("HOST")))
+    """Lower-cased host of a URL (try_parse_url HOST — JVM built-in);
+    NULL for NULL/unparseable input. try_, NOT parse_url: Spark 4's
+    parse_url THROWS [INVALID_URL] on malformed input, and one junk URL
+    in a 100 TB crawl must classify to NULL, never kill the job (found
+    by kernel_fuzz's url_norm family on its first run)."""
+    return F.lower(F.try_parse_url(
+        F.col(url) if isinstance(url, str) else url, F.lit("HOST")))
 
 
 def url_path(url) -> Column:
-    return F.parse_url(F.col(url) if isinstance(url, str) else url,
-                       F.lit("PATH"))
+    return F.try_parse_url(F.col(url) if isinstance(url, str) else url,
+                           F.lit("PATH"))
 
 
 def host_domain(url) -> Column:
@@ -95,7 +98,7 @@ def normalized_url(url) -> Column:
         F.lit(""),
     )
     path = F.coalesce(url_path(c), F.lit(""))
-    query = F.parse_url(c, F.lit("QUERY"))
+    query = F.try_parse_url(c, F.lit("QUERY"))
     drop_port = (
         port.isNull()
         | ((scheme == "http") & (port == "80"))
