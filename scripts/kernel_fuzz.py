@@ -728,37 +728,19 @@ class UrlNorm:
 
     @staticmethod
     def sql(params):
-        scheme = "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-        host = (
-            "lower(regexp_extract(url, "
-            "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))"
-        )
-        return rf"""
-WITH p AS (
-  SELECT url_id, url,
-         {scheme} AS scheme,
-         {host} AS host,
-         nullif(regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1), '') AS port,
-         regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-         nullif(regexp_extract(regexp_extract(url, '^[^#]*', 0), '\?(.*)', 1), '') AS query
-  FROM urls)
-SELECT url_id,
-  CASE WHEN scheme = '' OR host = '' THEN url ELSE
-    scheme || '://' || host
-    || CASE WHEN port IS NULL OR (scheme='http' AND port='80')
-              OR (scheme='https' AND port='443') THEN ''
-         ELSE ':' || port END
-    || CASE WHEN path = '' THEN '/'
-         WHEN length(path) > 1 AND path LIKE '%/'
-           THEN substr(path, 1, length(path)-1)
-         ELSE path END
-    || CASE WHEN query IS NULL THEN '' ELSE '?' || query END
-  END AS norm,
-  nullif(host, '') AS host
-FROM p
+        from vectrekker_spark.queries.util import normalized_url_mirror_sql
+
+        # Spark's url_host is NULL whenever java.net.URI rejects the
+        # authority (junk port, double '@'), so the mirror host must be
+        # gated on the same validity predicate — not just nullif('').
+        return (
+            "WITH " + normalized_url_mirror_sql(table="urls")
+            + """
+SELECT url_id, norm,
+  CASE WHEN scheme <> '' AND ok AND host <> '' THEN host END AS host
+FROM nurl
 """
+        )
 
 
 TEXT_FAMILIES = [Chunk, WordShingles, CharShingles, Minhash, Winnow, Bloom,
@@ -825,8 +807,15 @@ def _write_urls(dirpath: str, rng: random.Random, n: int):
 
     schemes = ["http", "HTTP", "https", "HtTpS", "ftp", "wss"]
     hosts = ["example.com", "WWW.Example.COM", "a.b.example.co.uk",
-             "localhost", "xn--bcher-kva.ch", "h-1.x.org"]
-    ports = ["", ":80", ":443", ":8080", ":1"]
+             "localhost", "xn--bcher-kva.ch", "h-1.x.org",
+             "[::1]", "[2001:DB8::1]", "[::ffff:192.0.2.1]"]
+    # userinfo rows caught the r13 numeric-password-as-port bug — keep
+    # them dense; all drawn values are java.net.URI-valid so the mirror's
+    # positive validity model agrees row-for-row
+    userinfos = ["", "", "", "user@", "user:pass@", "u:123@", ":@",
+                 "u%40x:p@", "User:P-a.s_s@"]
+    ports = ["", ":80", ":443", ":8080", ":1", ":008080", ":080", ":",
+             ":99999"]
     paths = ["", "/", "/a", "/a/", "/a/b/c", "/a//b/", "/%7Euser", "/a.b"]
     queries = ["", "?x=1", "?x=1&y=2", "?b=2&a=1", "?empty=", "?q=a%20b"]
     frags = ["", "#f", "#a/b?c=1"]
@@ -837,10 +826,12 @@ def _write_urls(dirpath: str, rng: random.Random, n: int):
             u = rng.choice([
                 None, "", "no scheme at all", "http:/broken", "://x",
                 "mailto:a@b.c", "httpx//y", "日本語テキスト", "/relative/path",
+                "http://h:0x/x", "http://a@b@c.com/x",
             ])
         else:
             u = (
-                rng.choice(schemes) + "://" + rng.choice(hosts)
+                rng.choice(schemes) + "://" + rng.choice(userinfos)
+                + rng.choice(hosts)
                 + rng.choice(ports) + rng.choice(paths)
                 + rng.choice(queries) + rng.choice(frags)
             )

@@ -100,3 +100,25 @@ def test_warc_html_docs_end_to_end(spark, tmp_path):
         "http://example.com/a": "alpha beta gamma delta page one",
         "http://example.com/page": "real body text",
     }
+
+
+def test_amp_decodes_last_no_double_decode(spark):
+    """Advisor r13: '&amp;' replaced first double-decoded '&amp;lt;' to
+    '<'; single-pass html.unescape (the exact tier) yields the literal
+    '&lt;'. '&amp;' now decodes after every other entity AND after the
+    unknown-reference dropper, so the tiers agree on chained entities."""
+    cases = {
+        "a &amp;lt; b": "a &lt; b",
+        "a &amp;amp; b": "a &amp; b",
+        "x &amp;foo; y": "x &foo; y",   # unknown ref survives via &amp;
+        "&quot;&amp;quot;": '"&quot;',
+        "p &amp; q": "p & q",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "text string")
+    fast = {r["text"]: r["o"] for r in df.select(
+        "text", html_to_text("text").alias("o")).collect()}
+    exact = {r["text"]: r["o"] for r in html_to_text_exact(
+        df, "text", "o").select("text", "o").collect()}
+    for h, want in cases.items():
+        assert fast[h] == want, (h, fast[h])
+        assert exact[h] == want, (h, exact[h])

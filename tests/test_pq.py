@@ -244,3 +244,32 @@ def test_ivfpq_prunes_and_recalls(spark, em, pq):
         10 * len(exact)
     )
     assert recr >= rec - 1e-9
+
+
+def test_ivfpq_nondefault_column_names(spark, em, pq):
+    """Advisor r13: the probe step used to pass the CALLER's id/vec names
+    to assign_centroids (which only knows the codes table's columns) —
+    non-default names raised a missing-column AnalysisException. Renamed
+    everything end-to-end; results must equal the default-named run."""
+    from vectrekker_spark.operators.ann import ivf_build
+    from vectrekker_spark.operators.pq import ivfpq_search, pq_encode
+
+    cb, _ = pq
+    centroids, assign = ivf_build(em, n_centroids=10, assign_k=1)
+    em2 = em.select(F.col("vec_id").alias("doc_id"),
+                    F.col("embedding").alias("emb"))
+    codes2 = pq_encode(em2, cb, id_col="doc_id", vec_col="emb")
+    assign2 = assign.select(F.col("vec_id").alias("doc_id"), "cid")
+    q2 = em.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = sorted(map(tuple, ivfpq_search(
+        q2, codes2, cb, centroids, assign2, k=7, n_probe=10,
+        qid_col="query_id", qvec_col="qv", id_col="doc_id", vec_col="emb",
+    ).collect()))
+    q = em.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    want = sorted(map(tuple, ivfpq_search(
+        q, pq[1], cb, centroids, assign, k=7, n_probe=10
+    ).collect()))
+    assert got == want

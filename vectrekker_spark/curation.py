@@ -312,9 +312,29 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     keepers = exact_dedup_map(docs, text_col=cfg.text_col, id_col=cfg.id_col).select(
         F.col("keep_id").alias(cfg.id_col)
     )
-    docs = docs.join(keepers, cfg.id_col, "left_semi").dropDuplicates(
-        [cfg.id_col]
-    )
+    docs = docs.join(keepers, cfg.id_col, "left_semi")
+    # collapse same-id rows DETERMINISTICALLY: dropDuplicates keeps an
+    # arbitrary row, so surviving metadata (url/ts) would vary run-to-run
+    # (advisor r13). One row_number over the orderable columns pins the
+    # survivor; same single id-shuffle as dropDuplicates.
+    from pyspark.sql import Window
+    from pyspark.sql.types import AtomicType
+
+    order_cols = [
+        f.name for f in docs.schema.fields
+        if f.name != cfg.id_col and isinstance(f.dataType, AtomicType)
+    ]
+    if order_cols:
+        w = Window.partitionBy(cfg.id_col).orderBy(
+            *[F.col(c).asc_nulls_first() for c in order_cols]
+        )
+        docs = (
+            docs.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    else:
+        docs = docs.dropDuplicates([cfg.id_col])
     _record("after_exact_dedup", docs.count())
 
     # 2. near-dup removal (cache: the LSH pipeline consumes docs repeatedly,

@@ -63,10 +63,17 @@ def html_to_text(html: Column | str) -> Column:
         out = F.regexp_replace(out, pat, "")
     out = F.regexp_replace(out, _NEWLINE_TAGS, "\n")
     out = F.regexp_replace(out, _ANY_TAG, " ")
+    # '&amp;' must decode LAST (after the unknown-reference dropper too):
+    # chained replacements would double-decode '&amp;lt;' into '<' where
+    # single-pass html.unescape (the exact tier) yields the literal
+    # '&lt;' (advisor r13)
     for ent, rep in _NAMED_ENTITIES:
-        out = F.regexp_replace(out, ent, rep)
-    # un-decoded references (numeric or exotic named) drop, not linger
-    out = F.regexp_replace(out, r"&#?[A-Za-z0-9]{1,10};", "")
+        if ent != "&amp;":
+            out = F.regexp_replace(out, ent, rep)
+    # un-decoded references (numeric or exotic named) drop, not linger;
+    # the lookahead spares '&amp;' for the final decode below
+    out = F.regexp_replace(out, r"&(?!amp;)#?[A-Za-z0-9]{1,10};", "")
+    out = F.regexp_replace(out, "&amp;", "&")
     out = F.regexp_replace(out, r"[ \t\r\f]+", " ")  # collapse within lines
     out = F.regexp_replace(out, r" ?\n ?", "\n")  # tidy line boundaries
     out = F.regexp_replace(out, r"\n{2,}", "\n")

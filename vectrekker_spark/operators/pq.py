@@ -261,13 +261,20 @@ def pq_search(
             top = min(take, len(pdf))
             ids = pdf[id_col].values
             for qi in range(n_q):
-                s = scores[qi]
-                # partial top by score, then the deterministic tie order
-                # is restored at the final window
-                idx = np.argpartition(-s, top - 1)[:top]
-                out_q.extend([qids[qi]] * top)
+                # select on the ROUNDED score (the contract's tie unit) and
+                # keep EVERY row tied at the take boundary — an unrounded
+                # argpartition could drop a row that rounds equal but has
+                # the smaller id, breaking the deterministic (score desc,
+                # id asc) order the final window restores (advisor r13)
+                s = np.round(scores[qi], 6)
+                if top < len(s):
+                    thresh = np.partition(s, len(s) - top)[len(s) - top]
+                    idx = np.nonzero(s >= thresh)[0]
+                else:
+                    idx = np.arange(len(s))
+                out_q.extend([qids[qi]] * len(idx))
                 out_id.extend(ids[idx])
-                out_s.extend(np.round(s[idx], 6))
+                out_s.extend(s[idx])
             yield pd.DataFrame({qid_col: out_q, id_col: out_id, "score": out_s})
 
     partials = codes.mapInPandas(
@@ -435,14 +442,17 @@ def ivfpq_search(
     qpos = {q: i for i, q in enumerate(qids)}
 
     # probe: each query's n_probe nearest cells (reuses the corpus-side
-    # assignment kernel — queries ARE a tiny corpus here)
+    # assignment kernel — queries ARE a tiny corpus here). Alias to the
+    # kernel's DEFAULT column names: the caller's id_col/vec_col name the
+    # CODES table's columns, which assign_centroids never sees (advisor
+    # r13: passing them through broke non-default names).
     probes = assign_centroids(
         queries.select(
-            F.col(qid_col).alias(id_col), F.col(qvec_col).alias(vec_col)
+            F.col(qid_col).alias("vec_id"), F.col(qvec_col).alias("embedding")
         ),
         centroids,
         assign_k=n_probe,
-    ).select(F.col(id_col).alias(qid_col), "cid")
+    ).select(F.col("vec_id").alias(qid_col), "cid")
     cand = (
         F.broadcast(probes)
         .join(assign.select(id_col, "cid"), "cid")

@@ -175,3 +175,54 @@ def token_hash_sql(t: str) -> str:
 def tokens_sql(t: str) -> str:
     """Whitespace tokens, ≡ Spark split(trim(x), '\\\\s+')."""
     return f"string_split_regex(trim({t}), '\\s+')"
+
+
+def normalized_url_mirror_sql(table: str = "urls", url_col: str = "url") -> str:
+    """DuckDB mirror of ``functions/urls.normalized_url`` as a CTE chain
+    ending in a relation named ``nurl`` with columns (*input columns*,
+    scheme, host, norm). RE2 has no lookarounds, so validity is modeled
+    positively: an authority is rebuildable only when its host/port tail
+    matches what java.net.URI would accept (digits-only port, at most one
+    '@', bracketed-IPv6-or-plain host); anything else takes the
+    passthrough arm, same as Spark's try_parse_url-NULL path. Userinfo is
+    kept verbatim, ports canonicalize to integer form — both pinned
+    against the Spark side by tests/test_urls.py and the kernel_fuzz
+    ``url_norm`` family."""
+    return rf"""
+  p0 AS (
+    SELECT *,
+      lower(regexp_extract({url_col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      regexp_extract({url_col}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      regexp_extract({url_col}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+      nullif(regexp_extract(regexp_extract({url_col}, '^[^#]*', 0), '\?(.*)', 1), '') AS query
+    FROM {table}),
+  p1 AS (
+    SELECT *,
+      CASE WHEN regexp_matches(auth, '^[^@]*@')
+           THEN regexp_extract(auth, '^([^@]*)@', 1) || '@' ELSE '' END AS ui,
+      regexp_replace(auth, '^[^@]*@', '') AS hostport
+    FROM p0),
+  p2 AS (
+    SELECT *,
+      CASE WHEN hostport LIKE '[%'
+           THEN lower(regexp_extract(hostport, '^(\[[^\]]*\])', 1))
+           ELSE lower(regexp_extract(hostport, '^([^:]*)', 1)) END AS host,
+      nullif(regexp_extract(hostport, ':([0-9]+)$', 1), '')::BIGINT AS port,
+      (hostport NOT LIKE '%@%') AND
+      CASE WHEN hostport LIKE '[%'
+           THEN regexp_matches(hostport, '^\[[0-9A-Fa-f:.]*\](:[0-9]*)?$')
+           ELSE regexp_matches(hostport, '^[^:\[\]]*(:[0-9]*)?$') END AS ok
+    FROM p1),
+  nurl AS (
+    SELECT *,
+      CASE WHEN scheme = '' OR host IS NULL OR host = '' OR NOT ok THEN {url_col} ELSE
+        scheme || '://' || ui || host
+        || CASE WHEN port IS NULL OR (scheme='http' AND port=80)
+                  OR (scheme='https' AND port=443) THEN ''
+             ELSE ':' || port::VARCHAR END
+        || CASE WHEN path = '' THEN '/'
+             WHEN length(path) > 1 AND path LIKE '%/' THEN substr(path, 1, length(path)-1)
+             ELSE path END
+        || CASE WHEN query IS NULL THEN '' ELSE '?' || query END
+      END AS norm
+    FROM p2)"""
