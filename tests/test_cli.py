@@ -603,3 +603,76 @@ def test_pq_build_then_search(tmp_path, capsys, spark):
     assert main(["pq-build", "--index", index, "--out", pq_dir,
                  "--m", "7"]) == 2
     assert "not divisible" in capsys.readouterr().out
+
+
+def test_fit_langid_then_curate_lang_gate(tmp_path, capsys, spark):
+    # label two planted pseudo-languages, train via the CLI, then curate a
+    # lang-less corpus with --langid-model + --langs (the crawl shape)
+    import random
+
+    rng = random.Random(14)
+
+    def _doc(lang):
+        if lang == "lat":
+            words = ["the quick brown words of prose text".split()[
+                rng.randrange(7)] for _ in range(25)]
+        else:
+            words = ["".join(rng.choice("абвгдежзик") for _ in range(5))
+                     for _ in range(25)]
+        return " ".join(words)
+
+    labeled = [(_doc(lg), lg) for lg in ("lat", "cyr") for _ in range(20)]
+    labeled_path = str(tmp_path / "langs.parquet")
+    spark.createDataFrame(labeled, "text string, lang string").write.parquet(
+        labeled_path
+    )
+    model_path = str(tmp_path / "langid.npz")
+    rc = main([
+        "fit-langid",
+        "--labeled", labeled_path,
+        "--out", model_path,
+        "--n-features", "4096",
+        "--iters", "80",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "train-accuracy 40/40" in out
+
+    docs = [(i, _doc("lat")) for i in range(8)] + [
+        (100 + i, _doc("cyr")) for i in range(8)
+    ]
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        docs_path
+    )
+    out_dir = str(tmp_path / "shards")
+    rc = main([
+        "curate",
+        "--documents", docs_path,
+        "--out", out_dir,
+        "--min-quality", "0.0",
+        "--near-dup-threshold", "0.99",
+        "--langid-model", model_path,
+        "--langs", "lat",
+        "--max-tokens", "256",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    kept = spark.read.parquet(out_dir)
+    ids = {r["doc_id"] for r in kept.select("doc_id").distinct().collect()}
+    assert ids and ids <= set(range(8))  # every cyr doc gated out
+
+
+def test_curate_langs_without_lang_column_fails_early(tmp_path, spark, sf_dir):
+    # keep_langs on a lang-less corpus without a langid model must raise
+    # the remediation-naming error, not an AnalysisException mid-funnel
+    import pytest
+
+    docs_path = str(tmp_path / "nolang.parquet")
+    spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    ).write.parquet(docs_path)
+    with pytest.raises(ValueError, match="langid_model_path"):
+        main([
+            "curate", "--documents", docs_path,
+            "--out", str(tmp_path / "o"), "--langs", "en",
+        ])

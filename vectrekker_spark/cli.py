@@ -430,6 +430,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             semantic_n_clusters=args.semantic_n_clusters,
             quality_model_path=args.quality_model or "",
             min_model_quality=args.min_model_quality,
+            langid_model_path=args.langid_model or "",
             ngram_lm_path=args.ngram_lm or "",
             max_perplexity=args.max_perplexity,
             strip_boilerplate_min_words=args.strip_boilerplate_min_words,
@@ -500,6 +501,60 @@ def cmd_fit_quality(args: argparse.Namespace) -> int:
     ).first()
     print(
         f"saved {args.out}: {args.n_features} features, bias={b:.4f}, "
+        f"train-accuracy {row['ok']}/{row['n']} "
+        f"({row['ok'] / max(row['n'], 1):.3f})"
+    )
+    return 0
+
+
+def cmd_fit_langid(args: argparse.Namespace) -> int:
+    """Train the hashed char-n-gram language classifier on a labeled
+    parquet and save it for curate --langid-model (operators/langid)."""
+    if args.n_features < 1:
+        print("error: --n-features must be >= 1")
+        return 2
+    if args.iters < 1:
+        print("error: --iters must be >= 1")
+        return 2
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.langid import (
+        fit_langid,
+        predict_lang,
+        save_langid,
+    )
+
+    spark = _spark()
+    labeled = spark.read.parquet(args.labeled)
+    model = fit_langid(
+        labeled,
+        label_col=args.label_col,
+        text_col=args.text_col,
+        n_features=args.n_features,
+        max_rows=args.max_rows,
+        iters=args.iters,
+        lr=args.lr,
+    )
+    save_langid(args.out, model)
+    # training-set accuracy — a sanity readout, not a validation metric
+    scored = predict_lang(
+        labeled.select(
+            F.col(args.text_col), F.col(args.label_col).alias("__truth")
+        ).where(
+            F.col(args.text_col).isNotNull()
+            & F.col(args.label_col).isNotNull()
+        ),
+        model,
+        text_col=args.text_col,
+        conf_col=None,
+    )
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("lang") == F.col("__truth")).alias("ok"),
+    ).first()
+    print(
+        f"saved {args.out}: {len(model.classes)} classes "
+        f"({','.join(model.classes)}), {args.n_features} features, "
         f"train-accuracy {row['ok']}/{row['n']} "
         f"({row['ok'] / max(row['n'], 1):.3f})"
     )
@@ -829,6 +884,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument("--min-model-quality", type=float, default=0.5)
     cu.add_argument(
+        "--langid-model",
+        help="saved fit-langid model (.npz): predict the 'lang' column "
+        "from text so --langs works on corpora without one (crawls)",
+    )
+    cu.add_argument(
         "--ngram-lm",
         help="saved fit-ngram-lm model dir: keep docs whose stupid-backoff "
         "perplexity is <= --max-perplexity (the CCNet rule)",
@@ -889,6 +949,28 @@ def build_parser() -> argparse.ArgumentParser:
         help="labeled-sample cap (the fit is driver-side by design)",
     )
     fq.set_defaults(fn=cmd_fit_quality)
+
+    fg = sub.add_parser(
+        "fit-langid",
+        help="train the hashed char-n-gram language classifier on a "
+        "labeled parquet (bounded driver-side fit) and save it for "
+        "curate --langid-model",
+    )
+    fg.add_argument(
+        "--labeled", required=True,
+        help="parquet with a text column and a language-label column",
+    )
+    fg.add_argument("--out", required=True, help="output model path (.npz)")
+    fg.add_argument("--text-col", default="text")
+    fg.add_argument("--label-col", default="lang")
+    fg.add_argument("--n-features", type=int, default=1 << 16)
+    fg.add_argument("--iters", type=int, default=200)
+    fg.add_argument("--lr", type=float, default=2.0)
+    fg.add_argument(
+        "--max-rows", type=int, default=100_000,
+        help="labeled-sample cap (the fit is driver-side by design)",
+    )
+    fg.set_defaults(fn=cmd_fit_langid)
 
     bb = sub.add_parser(
         "bloom-build",

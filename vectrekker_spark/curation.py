@@ -67,6 +67,11 @@ class CurationConfig:
     # scored filter after the heuristic quality/lang gates
     quality_model_path: str = ""
     min_model_quality: float = 0.5
+    # '' → off; else a saved char-n-gram language-id model
+    # (operators/langid.save_langid .npz) that PRODUCES the `lang`
+    # column keep_langs filters on — for corpora (crawls) that arrive
+    # without one. Zero-shuffle Arrow map before the lang gate.
+    langid_model_path: str = ""
     # '' → off; else a saved n-gram LM directory (operators/ngramlm
     # .lm_save): keep docs whose stupid-backoff perplexity is at/below
     # ``max_perplexity`` (the CCNet keep rule) — zero-shuffle Arrow map
@@ -209,6 +214,25 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 f"CurationConfig.min_model_quality must be in [0, 1] "
                 f"(scores are sigmoids), got {cfg.min_model_quality}"
             )
+    langid_model = None
+    if cfg.langid_model_path:
+        # load (and validate) at run START — same contract as the quality
+        # model above; a `lang` column colliding with the one this model
+        # would produce must fail before any dedup stage runs
+        from vectrekker_spark.operators.langid import load_langid
+
+        langid_model = load_langid(cfg.langid_model_path)
+        if "lang" in docs.columns:
+            raise ValueError(
+                "CurationConfig.langid_model_path is set but the input "
+                "already has a 'lang' column — either trust the existing "
+                "labels (unset langid_model_path) or drop the column first"
+            )
+    elif cfg.keep_langs and "lang" not in docs.columns:
+        raise ValueError(
+            "CurationConfig.keep_langs is set but the input has no 'lang' "
+            "column and no langid_model_path to produce one"
+        )
     ngram_lm = None
     if cfg.ngram_lm_path:
         # load (and validate) at run START — torn saves raise in lm_load
@@ -389,6 +413,19 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         docs = strip_duplicate_spans(
             docs, id_col=cfg.id_col, text_col=cfg.text_col,
             out_col=cfg.text_col, spans=spans,
+        ).cache()
+        caches.append(docs)
+
+    # 2d. optional language identification: produce the `lang` column the
+    # gate below consumes (CCNet's first text gate). Zero-shuffle Arrow
+    # map (model broadcast); runs AFTER the dedups so the Python stage
+    # sees only survivors. Cached — the one-pass agg and the filter both
+    # re-read the predictions.
+    if langid_model is not None:
+        from vectrekker_spark.operators.langid import predict_lang
+
+        docs = predict_lang(
+            docs, langid_model, text_col=cfg.text_col, conf_col=None
         ).cache()
         caches.append(docs)
 
