@@ -273,3 +273,155 @@ def test_ivfpq_nondefault_column_names(spark, em, pq):
         q, pq[1], cb, centroids, assign, k=7, n_probe=10
     ).collect()))
     assert got == want
+
+
+def test_ivfpq_save_search_cells_equals_in_memory(spark, em, pq, tmp_path):
+    """The persisted, partition-pruned search must equal the in-memory
+    assignment-join form row-for-row on the same artifacts."""
+    from vectrekker_spark.operators.ann import ivf_build
+    from vectrekker_spark.operators.pq import (
+        ivfpq_save,
+        ivfpq_search,
+        ivfpq_search_cells,
+    )
+
+    cb, codes = pq
+    centroids, assign = ivf_build(em, n_centroids=10, assign_k=1)
+    path = str(tmp_path / "ivfpq")
+    meta = ivfpq_save(path, cb, centroids, assign, codes)
+    assert meta["version"] == 0 and meta["dim"] == 64
+
+    q = em.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    disk = sorted(map(tuple, ivfpq_search_cells(
+        q, path, k=7, n_probe=4).collect()))
+    mem = sorted(map(tuple, ivfpq_search(
+        q, codes, cb, centroids, assign, k=7, n_probe=4).collect()))
+    assert disk == mem
+    # refine arm too
+    disk_r = sorted(map(tuple, ivfpq_search_cells(
+        q, path, k=5, n_probe=4, refine=3, corpus=em).collect()))
+    mem_r = sorted(map(tuple, ivfpq_search(
+        q, codes, cb, centroids, assign, k=5, n_probe=4, refine=3,
+        corpus=em).collect()))
+    assert disk_r == mem_r
+
+
+def test_ivfpq_search_cells_plan_prunes_partitions(spark, em, pq, tmp_path):
+    """The probed-cid isin filter must reach the code scan as a PARTITION
+    filter — the scan reads only the probed cells' directories."""
+    from vectrekker_spark.operators.ann import ivf_build
+    from vectrekker_spark.operators.pq import ivfpq_load, ivfpq_save
+
+    cb, codes = pq
+    centroids, assign = ivf_build(em, n_centroids=10, assign_k=1)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_save(path, cb, centroids, assign, codes)
+    _, _, loaded_codes, _ = ivfpq_load(spark, path)
+    plan = (
+        loaded_codes.filter(F.col("cid").isin([1, 3]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cid" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan
+
+
+def test_ivfpq_append_equals_full_rebuild(spark, em, pq, tmp_path):
+    """Append under the pinned codebooks/centroids ≡ saving the full
+    corpus in one shot — row-for-row, including search results."""
+    from vectrekker_spark.operators.ann import assign_centroids, ivf_build
+    from vectrekker_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search_cells,
+        pq_encode,
+    )
+
+    cb, _ = pq
+    centroids, assign_full = ivf_build(em, n_centroids=10, assign_k=1)
+    half1 = em.where(F.col("vec_id") % 2 == 0)
+    half2 = em.where(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    ivfpq_save(
+        inc, cb, centroids,
+        assign_centroids(half1, centroids, assign_k=1),
+        pq_encode(half1, cb),
+    )
+    ivfpq_append(half2, inc)
+
+    full = str(tmp_path / "full")
+    ivfpq_save(full, cb, centroids, assign_full, pq_encode(em, cb))
+
+    _, _, codes_inc, _ = ivfpq_load(spark, inc)
+    _, _, codes_full, _ = ivfpq_load(spark, full)
+    rows_inc = sorted((r["cid"], r["vec_id"], tuple(r["codes"]))
+                      for r in codes_inc.collect())
+    rows_full = sorted((r["cid"], r["vec_id"], tuple(r["codes"]))
+                       for r in codes_full.collect())
+    assert rows_inc == rows_full
+
+    q = em.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = sorted(map(tuple, ivfpq_search_cells(q, inc, k=6, n_probe=3).collect()))
+    want = sorted(map(tuple, ivfpq_search_cells(q, full, k=6, n_probe=3).collect()))
+    assert got == want
+
+    # at-least-once: re-appending the same batch must not change results
+    ivfpq_append(half2, inc)
+    again = sorted(map(tuple, ivfpq_search_cells(q, inc, k=6, n_probe=3).collect()))
+    assert again == want
+
+
+def test_ivfpq_persistence_guards(spark, em, pq, tmp_path):
+    import os
+
+    from vectrekker_spark.operators.ann import ivf_build
+    from vectrekker_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_load,
+        ivfpq_save,
+    )
+
+    cb, codes = pq
+    centroids, assign = ivf_build(em, n_centroids=5, assign_k=1)
+    path = str(tmp_path / "g")
+    # no committed meta → absent
+    os.makedirs(path, exist_ok=True)
+    with pytest.raises(ValueError, match="absent"):
+        ivfpq_load(spark, path)
+    ivfpq_save(path, cb, centroids, assign, codes)
+    # torn meta refuses loudly
+    with open(os.path.join(path, "ivfpq_meta.json"), "w") as f:
+        f.write('{"version": 0, "m":')
+    with pytest.raises(ValueError, match="corrupt"):
+        ivfpq_load(spark, path)
+    ivfpq_save2 = ivfpq_save(path, cb, centroids, assign, codes)  # heal
+    del ivfpq_save2
+    # wrong-dim append refuses before writing anything
+    bad = em.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(ValueError, match="dim 32"):
+        ivfpq_append(bad, path)
+
+
+def test_ivfpq_save_versions_and_prunes(spark, em, pq, tmp_path):
+    """Re-saving bumps the version, keeps the previous one as the grace
+    copy, and prunes older ones."""
+    import os
+
+    from vectrekker_spark.operators.ann import ivf_build
+    from vectrekker_spark.operators.pq import ivfpq_load, ivfpq_save
+
+    cb, codes = pq
+    centroids, assign = ivf_build(em, n_centroids=5, assign_k=1)
+    path = str(tmp_path / "v")
+    for expect in (0, 1, 2):
+        meta = ivfpq_save(path, cb, centroids, assign, codes)
+        assert meta["version"] == expect
+    names = set(os.listdir(path))
+    assert "codes-v2" in names and "codes-v1" in names  # live + grace
+    assert "codes-v0" not in names
+    assert ivfpq_load(spark, path)[3]["version"] == 2

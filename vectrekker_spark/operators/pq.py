@@ -464,8 +464,37 @@ def ivfpq_search(
         .join(codes, id_col)
     )
 
-    qid_type = queries.select(qid_col).schema[0].dataType.simpleString()
-    id_type = codes.select(id_col).schema[0].dataType.simpleString()
+    return _adc_rank(
+        cand, lut, qpos, k=k, refine=refine, corpus=corpus,
+        queries=queries, qid_col=qid_col, qvec_col=qvec_col,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _adc_rank(
+    cand: DataFrame,
+    lut,
+    qpos: dict,
+    k: int,
+    refine: int,
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the IVF∘PQ searches: score (qid, id, codes)
+    candidate rows by ADC from each qid's LUT row (one Arrow pass, the
+    LUT block broadcast), rank per query with the (score desc, id asc)
+    window, optionally exact-rerank the top-(k·refine) against the float
+    corpus."""
+    import numpy as np
+    import pandas as pd
+
+    m = lut.shape[1]
+    qid_type = cand.select(qid_col).schema[0].dataType.simpleString()
+    id_type = cand.select(id_col).schema[0].dataType.simpleString()
     take = k * refine if refine > 0 else k
 
     def gen(batches):
@@ -485,7 +514,7 @@ def ivfpq_search(
                 }
             )
 
-    scored = cand.mapInPandas(
+    scored = cand.select(qid_col, id_col, "codes").mapInPandas(
         gen, schema=f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, score double"
     )
     from pyspark.sql import Window
@@ -518,4 +547,270 @@ def ivfpq_search(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF∘PQ: cid-partitioned codes + pinned-codebook appends
+
+
+_IVFPQ_META = "ivfpq_meta.json"
+
+
+def _ivfpq_meta_read(path: str) -> dict:
+    import json
+    import os
+
+    meta_path = os.path.join(path, _IVFPQ_META)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no committed IVF-PQ index at {path} ({_IVFPQ_META} absent — "
+            "an interrupted ivfpq_save leaves no meta by design; re-run "
+            "ivfpq_save)"
+        )
+    with open(meta_path) as f:
+        try:
+            return json.load(f)
+        except Exception as exc:  # torn local write
+            raise ValueError(
+                f"IVF-PQ meta at {meta_path} is corrupt ({exc}); re-run "
+                "ivfpq_save to rewrite the index atomically"
+            ) from exc
+
+
+def ivfpq_save(
+    path: str,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    assign: DataFrame,
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    assign_k: int = 1,
+) -> dict:
+    """Persist an IVF∘PQ index with **cid-partitioned code storage**:
+
+    - ``{path}/codebooks-v{N}.parquet`` + ``centroids-v{N}.parquet`` — tiny.
+    - ``{path}/codes-v{N}/cid=.../`` — (id, codes) rows partitioned by
+      their coarse cell, so a search's probed cells become parquet
+      partition pruning (the ivf_save inverted-list layout applied to PQ
+      codes; at 100 TB this is the difference between scanning 16 B/vector
+      of the WHOLE corpus and 16 B/vector of n_probe/√N of it).
+    - ``{path}/ivfpq_meta.json`` — geometry (m, nbits, dsub, dim), id_col,
+      assign_k, and the live version N. Written temp + os.replace LAST, so
+      the meta file IS the commit pointer: a crash mid-save leaves the old
+      version live (or no index), never a torn one. Same argument as
+      pq_save; for object stores without rename, use the lakehouse's own
+      atomic table swap (operators/ann.py's rename-free CURRENT-v{K}
+      protocol is the heavy-duty local blueprint).
+
+    ``repartition(cid)`` before the write: one task per cell → one file
+    per cell, not n_tasks × n_cells small files (the ivf_save argument).
+    Single-writer contract: serialize saves/appends against each other;
+    readers are always safe (they resolve one committed meta).
+    """
+    import json
+    import os
+
+    import re
+
+    cb = _codebooks_np(codebooks)
+    m, k, dsub = cb.shape
+    os.makedirs(path, exist_ok=True)
+    # next version comes from the artifact LISTING, not the meta file —
+    # a save must HEAL a torn meta (version numbers still never repeat:
+    # the committed artifacts of every prior save are listed here)
+    versions = [
+        int(mm.group(2))
+        for d in os.listdir(path)
+        for mm in [re.fullmatch(r"(codes|codebooks|centroids)-v(\d+)(\.parquet)?", d)]
+        if mm
+    ]
+    version = max(versions, default=-1) + 1
+    codebooks.write.mode("overwrite").parquet(
+        os.path.join(path, f"codebooks-v{version}.parquet")
+    )
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(path, f"centroids-v{version}.parquet")
+    )
+    cells = assign.select(id_col, "cid").join(codes, id_col).select(
+        "cid", id_col, "codes"
+    )
+    cells.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(os.path.join(path, f"codes-v{version}"))
+    meta = {
+        "version": int(version),
+        "m": int(m),
+        "nbits": int(k).bit_length() - 1,
+        "dsub": int(dsub),
+        "dim": int(m * dsub),
+        "id_col": id_col,
+        "assign_k": int(assign_k),
+    }
+    tmp = os.path.join(path, _IVFPQ_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _IVFPQ_META))
+    # prune everything older than the grace version (readers of the
+    # PREVIOUS meta may still be mid-scan — the ivf_compact grace rule)
+    import shutil
+
+    for d in os.listdir(path):
+        mm = re.fullmatch(r"(codes|codebooks|centroids)-v(\d+)(\.parquet)?", d)
+        if mm and int(mm.group(2)) < version - 1:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return meta
+
+
+def ivfpq_load(spark, path: str):
+    """(codebooks, centroids, codes, meta) of the live version — ONE meta
+    read, so the three tables always come from the same committed save.
+    Validates the codebook grid against the pinned geometry (codes are
+    uninterpretable under a foreign codebook — the pq_load refusal)."""
+    import os
+
+    meta = _ivfpq_meta_read(path)
+    v = meta["version"]
+    codebooks = spark.read.parquet(
+        os.path.join(path, f"codebooks-v{v}.parquet")
+    )
+    cb = _codebooks_np(codebooks)
+    if cb.shape != (meta["m"], 1 << meta["nbits"], meta["dsub"]):
+        raise ValueError(
+            f"codebook grid {cb.shape} does not match the pinned geometry "
+            f"(m={meta['m']}, nbits={meta['nbits']}, dsub={meta['dsub']}) "
+            "— the codes are not interpretable; rebuild the index"
+        )
+    centroids = spark.read.parquet(
+        os.path.join(path, f"centroids-v{v}.parquet")
+    )
+    # partition discovery types cid as int; cast back to long so loaded
+    # plans match in-memory ones schema-for-schema (the ivf_load rule)
+    codes = spark.read.parquet(os.path.join(path, f"codes-v{v}")).withColumn(
+        "cid", F.col("cid").cast("long")
+    )
+    return codebooks, centroids, codes, meta
+
+
+def ivfpq_append(
+    new_corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+    assign_k: int | None = None,
+) -> None:
+    """Incrementally index a new batch under the PINNED codebooks and
+    centroids: assign the delta against the existing coarse quantizer,
+    encode it with the existing codebooks (geometry mismatch refuses
+    loudly — new vectors of a different dim cannot be coded), and append
+    only those rows into the live cid partitions. Cost ∝ delta size; the
+    history is never re-encoded (the ivf_append contract applied to PQ).
+
+    At-least-once caveat: re-appending the same ids duplicates rows;
+    searches dedupe candidates by (qid, id) and duplicate rows carry
+    identical codes, so results are unaffected. Codebooks/centroids drift
+    as the corpus grows — re-run the full build when recall degrades.
+    Single-writer contract as ivfpq_save."""
+    import os
+
+    from vectrekker_spark.operators.ann import assign_centroids
+
+    spark = new_corpus.sparkSession
+    codebooks, centroids, _, meta = ivfpq_load(spark, path)
+    id_col = id_col or meta["id_col"]
+    assign_k = assign_k or meta.get("assign_k") or 1
+    probe = (
+        new_corpus.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if probe and probe[0]["d"] != meta["dim"]:
+        raise ValueError(
+            f"ivfpq_append: new vectors have dim {probe[0]['d']} but the "
+            f"index pins dim {meta['dim']} — they cannot be coded under "
+            "the existing codebooks; rebuild the index"
+        )
+    assign = assign_centroids(
+        new_corpus, centroids, assign_k=assign_k,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(new_corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    cells = assign.select(id_col, "cid").join(codes, id_col).select(
+        "cid", id_col, "codes"
+    )
+    cells.repartition(F.col("cid")).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(os.path.join(path, f"codes-v{meta['version']}"))
+
+
+def ivfpq_search_cells(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 8,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+    prune_max_cells: int = 1024,
+) -> DataFrame:
+    """ivfpq_search against a saved (ivfpq_save) index: the probed cids
+    are collected (bounded by ``prune_max_cells`` — the ivf_search_cells
+    idiom) and applied as an ``isin`` filter on the partitioned code
+    scan, so the plan statically prunes to exactly the probed cells'
+    parquet partitions instead of joining the whole assignment table.
+    Past the cap the filter is skipped and the per-query cid equi-join
+    alone restricts candidates.
+
+    Semantics ≡ ivfpq_search over the same (codebooks, centroids,
+    assignment, codes) — pinned row-for-row in tests; duplicates from
+    re-appended batches collapse in the (qid, id) dedupe."""
+    import numpy as np
+
+    from vectrekker_spark.operators.ann import assign_centroids
+
+    spark = queries.sparkSession
+    codebooks, centroids, codes, meta = ivfpq_load(spark, path)
+    id_col = meta["id_col"]
+    cb = _codebooks_np(codebooks)
+    m, kk, dsub = cb.shape
+    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_search_cells collected more than max_queries="
+            f"{max_queries} queries — batch them"
+        )
+    qids = [r[qid_col] for r in qrows]
+    qs = np.asarray([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
+    norms = np.linalg.norm(qs, axis=1, keepdims=True)
+    np.divide(qs, norms, out=qs, where=norms > 0)
+    lut = np.einsum("qjd,jcd->qjc", qs.reshape(len(qs), m, dsub), cb)
+    qpos = {q: i for i, q in enumerate(qids)}
+
+    probes = assign_centroids(
+        queries.select(
+            F.col(qid_col).alias("vec_id"), F.col(qvec_col).alias("embedding")
+        ),
+        centroids,
+        assign_k=n_probe,
+    ).select(F.col("vec_id").alias(qid_col), "cid")
+    probed = [
+        r[0]
+        for r in probes.select("cid").distinct()
+        .limit(prune_max_cells + 1).collect()
+    ]
+    if len(probed) <= prune_max_cells:
+        codes = codes.filter(F.col("cid").isin(probed))
+    cand = (
+        F.broadcast(probes)
+        .join(codes, "cid")
+        .dropDuplicates([qid_col, id_col])
+    )
+    return _adc_rank(
+        cand, lut, qpos, k=k, refine=refine, corpus=corpus,
+        queries=queries, qid_col=qid_col, qvec_col=qvec_col,
+        id_col=id_col, vec_col=vec_col,
     )
