@@ -500,12 +500,88 @@ def trial_image(spark, rng, work):
     return []
 
 
+def _gen_urls(rng, n):
+    """(doc_id, url) rows with planted URL ALIASES — surface forms that
+    normalize to the same canonical key (scheme/host case, default port,
+    trailing slash, fragment), userinfo URLs (the r13 bug class), NULL
+    urls (never duplicates of each other), and junk strings (passthrough
+    keys — identical junk IS a duplicate), ids ascending."""
+    rows, bases = [], []
+    for i in range(n):
+        r = rng.rand()
+        if r < 0.06:
+            u = None
+        elif r < 0.12:
+            u = ["not a url", "http:/broken", "", "://x"][int(rng.randint(0, 4))]
+        elif r < 0.48 and bases:
+            base = bases[int(rng.randint(0, len(bases)))]
+            form = int(rng.randint(0, 5))
+            if form == 0:
+                u = base.replace("http://", "HTTP://")
+            elif form == 1:
+                u = base.replace("example.com", "EXAMPLE.com:80")
+            elif form == 2:
+                u = base + "/"
+            elif form == 3:
+                u = base + "#frag"
+            else:
+                u = base  # verbatim refetch
+        else:
+            ui = ["", "", "u:1@"][int(rng.randint(0, 3))]
+            u = (
+                f"http://{ui}h{int(rng.randint(0, 8))}.example.com"
+                f"/p{int(rng.randint(0, 40))}"
+            )
+            bases.append(u)
+        rows.append((i, u))
+    return rows
+
+
+def trial_url(spark, rng, work):
+    """ST11: streaming URL dedup (foreach_batch_url_dedup) vs the batch
+    dedup_by_url oracle over the whole feed — first arrival ≡ min-id under
+    the ascending-id split precondition; torn-bloom heal and redelivery
+    idempotence inherit from the exact-dedup lifecycle."""
+    from vectrekker_spark.functions.urls import dedup_by_url
+    from vectrekker_spark.streaming.jobs import (
+        compact_exact_corpus,
+        foreach_batch_url_dedup,
+    )
+
+    n = int(rng.randint(40, 101))
+    k = int(rng.randint(2, 6))
+    rows = _gen_urls(rng, n)
+    schema = "doc_id long, url string"
+    paths = _write_batches(spark, _split(rng, rows, k), schema,
+                           os.path.join(work, "feed"))
+    corpus = os.path.join(work, "corpus")
+    plan = _draw_plan(rng, k)
+    drv = _Driver(
+        spark, work, schema,
+        lambda s, ck: foreach_batch_url_dedup(
+            s, corpus, ck, url_col="url", id_col="doc_id",
+            expected_total=n,
+        ),
+        torn_paths=(os.path.join(corpus, "bloom", "meta.json"),),
+    )
+    drv.play(paths, plan)
+    compact_exact_corpus(spark, corpus)
+
+    feed = spark.createDataFrame(rows, schema)
+    want = _ids(dedup_by_url(feed, url_col="url", id_col="doc_id"), "doc_id")
+    got = _ids(spark.read.parquet(f"{corpus}/docs"), "doc_id")
+    if got != want:
+        return [f"url: streamed {got} != batch dedup_by_url {want} plan={plan}"]
+    return []
+
+
 FAMILIES = {
     "exact": trial_exact,
     "near": trial_near,
     "semantic": trial_semantic,
     "quota": trial_quota,
     "image": trial_image,
+    "url": trial_url,
 }
 
 
