@@ -157,3 +157,102 @@ def test_warc_to_url_dedup_end_to_end(spark, tmp_path):
     deduped = dedup_by_url(docs)
     assert deduped.count() == docs.count() == 3  # fixture urls all distinct
     assert "url" in deduped.columns and "text" in deduped.columns
+
+
+def test_host_domain_with_suffixes_psl_semantics(spark):
+    """Caller-supplied suffix table: github.io-style entries resolve each
+    user site to its own registered domain, longest match wins, a host
+    that IS a suffix has none, unmatched hosts take the default rule."""
+    from vectrekker_spark.functions.urls import host_domain_with_suffixes
+
+    sfx = spark.createDataFrame(
+        [("com",), ("io",), ("github.io",), ("co.uk",), ("uk",),
+         ("s3.amazonaws.com",)],
+        "suffix string",
+    )
+    df = _urls(
+        spark,
+        [
+            "https://alice.github.io/p",       # github.io beats io
+            "https://deep.sub.bob.github.io/",  # still one label + suffix
+            "http://github.io/about",           # host IS a suffix → NULL
+            "http://www.example.co.uk/x",
+            "http://bucket.s3.amazonaws.com/k",  # 3-label suffix
+            "http://a.b.example.com/",
+            "http://weird.host.zz/x",            # no entry → default rule
+            "http://localhost/x",                # single label → host
+            None,
+        ],
+    )
+    got = [r["domain"] for r in
+           host_domain_with_suffixes(df, sfx).orderBy("doc_id").collect()]
+    assert got == [
+        "alice.github.io",
+        "bob.github.io",
+        None,
+        "example.co.uk",
+        "bucket.s3.amazonaws.com",
+        "example.com",
+        "host.zz",
+        "localhost",
+        None,
+    ]
+
+
+def test_host_domain_with_suffixes_guards(spark):
+    from vectrekker_spark.functions.urls import host_domain_with_suffixes
+
+    df = _urls(spark, ["http://a.example.com/"])
+    with pytest.raises(ValueError, match="wildcard"):
+        host_domain_with_suffixes(
+            df, spark.createDataFrame([("*.ck",)], "suffix string")
+        )
+    with pytest.raises(ValueError, match="empty suffix"):
+        host_domain_with_suffixes(
+            df, spark.createDataFrame([], "suffix string")
+        )
+
+
+def test_host_domain_with_suffixes_quota_stratification(spark):
+    """The consumer shape the helper exists for: per-domain quota over a
+    corpus where the heuristic would fuse every *.github.io site into one
+    stratum and starve them."""
+    from vectrekker_spark.functions.urls import host_domain_with_suffixes
+    from vectrekker_spark.operators.quota import cap_per_stratum
+
+    urls = (
+        [f"https://alice.github.io/p{i}" for i in range(6)]
+        + [f"https://bob.github.io/p{i}" for i in range(6)]
+        + [f"http://x.example.com/p{i}" for i in range(3)]
+    )
+    df = _urls(spark, urls)
+    sfx = spark.createDataFrame(
+        [("com",), ("io",), ("github.io",)], "suffix string"
+    )
+    strat = host_domain_with_suffixes(df, sfx)
+    capped = cap_per_stratum(strat, cap=4, strata_col="domain",
+                             order_cols=["doc_id"])
+    counts = {
+        r["domain"]: r["n"]
+        for r in capped.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    # alice and bob each keep their own 4-doc quota — the heuristic's
+    # single 'github.io' stratum would have kept 4 TOTAL
+    assert counts == {"alice.github.io": 4, "bob.github.io": 4,
+                      "example.com": 3}
+
+
+def test_host_domain_with_suffixes_plan_is_broadcast(spark):
+    """The doc side must not shuffle: every suffix-depth join broadcasts."""
+    from vectrekker_spark.functions.urls import host_domain_with_suffixes
+
+    df = _urls(spark, ["http://a.example.com/"])
+    sfx = spark.createDataFrame(
+        [("com",), ("github.io",)], "suffix string"
+    )
+    plan = (
+        host_domain_with_suffixes(df, sfx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -69,6 +69,89 @@ def host_domain(url) -> Column:
     return F.when(n <= 2, h).when(is_two_level, last3).otherwise(last2)
 
 
+def host_domain_with_suffixes(
+    docs: DataFrame,
+    suffixes: DataFrame,
+    url_col: str = "url",
+    suffix_col: str = "suffix",
+    out_col: str = "domain",
+) -> DataFrame:
+    """All input columns + ``out_col`` = the registered domain under a
+    CALLER-SUPPLIED public-suffix table — the exact-PSL path the
+    ``host_domain`` heuristic documents (module caveat): quota
+    stratification by "domain" must not fuse every ``*.github.io`` user
+    site into one stratum, and only a suffix table knows that.
+
+    PSL longest-match semantics over plain suffix rows: the public
+    suffix is the LONGEST table entry that tail-matches the host, and
+    the registered domain is it plus one more label. A host that IS a
+    public suffix has no registered domain (NULL — nothing registers at
+    'github.io' itself). Hosts matching no entry fall back to the PSL
+    default rule (last label is the suffix → last two labels), which is
+    also ``host_domain``'s shape. Wildcard ('*.ck') and exception
+    ('!www.ck') PSL rows are NOT supported — they are <1% of the list
+    and their absence fails loudly here rather than resolving wrong.
+
+    Scale shape: one broadcast LEFT join per suffix DEPTH (the max label
+    count in the table, ≤5 for the real PSL), longest depth wins — the
+    doc side never shuffles, so this composes with the quota/host_stats
+    consumers as a pure narrow map."""
+    bad = (
+        suffixes.where(
+            F.col(suffix_col).startswith("!")
+            | F.col(suffix_col).contains("*")
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "host_domain_with_suffixes: wildcard ('*.') and exception "
+            "('!') PSL rows are not supported — filter them out (plain "
+            "suffix rows cover >99% of the list) or resolve them upstream"
+        )
+    depths = (
+        suffixes.select(
+            F.size(F.split(F.lower(F.col(suffix_col)), r"\.")).alias("d")
+        )
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    if not depths:
+        raise ValueError("host_domain_with_suffixes: empty suffix table")
+    h = url_host(url_col)
+    d = docs.withColumn("__host", h)
+    parts = F.split(F.col("__host"), r"\.")
+    n = F.size(parts)
+    for k in range(1, depths + 1):
+        cand = F.when(n >= k, F.concat_ws(".", F.slice(parts, -k, k)))
+        sfx_k = F.broadcast(
+            suffixes.select(F.lower(F.col(suffix_col)).alias(f"__m{k}"))
+            .where(F.size(F.split(F.col(f"__m{k}"), r"\.")) == k)
+            .distinct()
+        )
+        d = d.withColumn(f"__c{k}", cand).join(
+            sfx_k, F.col(f"__c{k}") == F.col(f"__m{k}"), "left"
+        )
+    # longest matching depth wins; host == suffix → NULL; no match → the
+    # PSL default rule (≡ host_domain's n<=2 → host, else last-2 shape)
+    expr = F.when(F.col("__host").isNull(), F.lit(None).cast("string"))
+    for k in range(depths, 0, -1):
+        hit = F.col(f"__m{k}").isNotNull()
+        expr = expr.when(
+            hit & (n > k),
+            F.concat(F.element_at(parts, -(k + 1)), F.lit("."),
+                     F.col(f"__c{k}")),
+        ).when(hit, F.lit(None).cast("string"))
+    expr = expr.when(n <= 2, F.col("__host")).otherwise(
+        F.concat_ws(".", F.slice(parts, -2, 2))
+    )
+    helper = ["__host"] + [f"__c{k}" for k in range(1, depths + 1)] + [
+        f"__m{k}" for k in range(1, depths + 1)
+    ]
+    return d.withColumn(out_col, expr).drop(*helper)
+
+
 def normalized_url(url) -> Column:
     """Canonical form for URL-level dedup, applying only transformations
     that preserve the resource identity by the HTTP/URI specs (RFC 3986
