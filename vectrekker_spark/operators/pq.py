@@ -814,3 +814,175 @@ def ivfpq_search_cells(
         queries=queries, qid_col=qid_col, qvec_col=qvec_col,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+# --------------------------------------------------------------------------
+# OPQ: one learned orthogonal rotation before the subspace split
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """All input columns with ``vec_col`` (or ``out_col``) replaced by the
+    vector times the broadcast orthogonal matrix — the OPQ apply step,
+    one narrow Arrow map (a single BLAS matmul per batch, no shuffle).
+    NULL vectors stay NULL. Because the rotation is orthogonal, norms and
+    cosines are preserved: downstream l2-normalization, ADC scoring, and
+    exact reranks all commute with it."""
+    import numpy as np
+    import pandas as pd
+
+    R = np.asarray(rotation, dtype=np.float64)
+    if R.ndim != 2 or R.shape[0] != R.shape[1]:
+        raise ValueError(f"rotation must be square, got {R.shape}")
+    out_col = out_col or vec_col
+    bc = df.sparkSession.sparkContext.broadcast(R)
+    cols = list(df.columns) + ([out_col] if out_col not in df.columns else [])
+
+    def gen(batches):
+        R_ = bc.value
+        for pdf in batches:
+            outs = [
+                None if v is None
+                else (np.asarray(v, dtype=np.float64) @ R_).tolist()
+                for v in pdf[vec_col]
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(outs, index=pdf.index, dtype=object)
+            yield pdf[cols]
+
+    schema = ", ".join(
+        f"`{c}` array<double>" if c == out_col else f"`{c}` {dict(df.dtypes)[c]}"
+        for c in cols
+    )
+    return df.mapInPandas(gen, schema=schema)
+
+
+def _kmeans_np(x, k: int, seed: int, iters: int = 15):
+    """Deterministic seeded Lloyd's k-means (kmeans++-style greedy
+    farthest-point init) for the driver-side OPQ fit — dsub is small and
+    the sample is capped, so numpy is faster than m MLlib jobs per OPQ
+    iteration. Duplicate/degenerate data cycles distinct points (the
+    pq_train fallback argument); empty clusters re-seed to the point
+    farthest from its center."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    centers = np.empty((k, x.shape[1]))
+    centers[0] = x[rng.integers(n)]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        j = int(np.argmax(d2))  # deterministic farthest-point
+        centers[i] = x[j]
+        d2 = np.minimum(d2, ((x - centers[i]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for c in range(k):
+            mask = a == c
+            if mask.any():
+                centers[c] = x[mask].mean(axis=0)
+            else:
+                far = int(np.argmax(d[np.arange(n), a]))
+                centers[c] = x[far]
+    d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    return centers, np.argmin(d, axis=1)
+
+
+def opq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    max_rows: int = 100_000,
+    iters: int = 8,
+    kmeans_iters: int = 15,
+    seed: int = 42,
+):
+    """Optimized Product Quantization (Ge et al., CVPR 2013, the
+    non-parametric alternation): learn ONE d×d orthogonal rotation that
+    re-mixes correlated dimensions before the subspace split, then fit
+    the PQ codebooks in the rotated space. Plain PQ assumes the m
+    subspaces carry independent, comparable variance; correlated or
+    anisotropic embeddings violate that and ADC recall drops — the
+    rotation is the standard repair, costing one broadcast matmul at
+    encode/search time (``rotate_vectors``).
+
+    Alternation on a BOUNDED driver-side sample (the fit_linear_quality
+    collect-guard idiom — raises past ``max_rows``; rotation quality
+    saturates at ~100k rows): fit per-subspace k-means on X·R,
+    reconstruct, update R by orthogonal Procrustes (SVD of Xᵀ·X̂ — the
+    closed form). Deterministic: the sample is sorted before the fit and
+    every k-means is seeded.
+
+    Returns ``(rotation ndarray d×d, codebooks DataFrame)`` — the
+    codebooks live in ROTATED space, so every downstream call composes
+    as ``pq_encode(rotate_vectors(corpus, R), codebooks)`` and
+    ``pq_search(rotate_vectors(queries, R, 'qvec'), ...)``; refine/exact
+    arms are unaffected (orthogonal ⇒ cosine-preserving)."""
+    import numpy as np
+
+    if m < 1 or nbits < 1 or nbits > 12:
+        raise ValueError(f"need m >= 1 and 1 <= nbits <= 12, got {m=} {nbits=}")
+    k = 1 << nbits
+    rows = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(l2_normalize(F.col(vec_col)).alias("__v"))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"opq_train: sample exceeds max_rows={max_rows}; the rotation "
+            "fit is driver-side by design — pre-sample the corpus "
+            "(df.sample) or raise the cap deliberately."
+        )
+    if not rows:
+        raise ValueError("opq_train: corpus has no non-NULL vectors")
+    x = np.asarray(sorted(tuple(r["__v"]) for r in rows), dtype=np.float64)
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} is not divisible by m={m} subspaces")
+    dsub = d // m
+    kk = min(k, len(x))  # k-means cannot exceed the sample size
+    # seeded RANDOM orthogonal init (QR of a gaussian), not identity: for
+    # axis-aligned anisotropic data the identity is a fixed point of the
+    # alternation (codebooks reconstruct axis-aligned, Procrustes returns
+    # identity) — exactly the inputs the rotation exists to fix (Ge et
+    # al.'s non-parametric init)
+    q0, _ = np.linalg.qr(np.random.default_rng(seed).standard_normal((d, d)))
+    R = q0
+    centers = None
+    for it in range(iters + 1):  # final pass refits codebooks only
+        xr = x @ R
+        centers = np.zeros((m, k, dsub))
+        recon = np.empty_like(xr)
+        for j in range(m):
+            sub = xr[:, j * dsub:(j + 1) * dsub]
+            cj, aj = _kmeans_np(
+                np.ascontiguousarray(sub), kk,
+                seed=seed + 1000 * it + j, iters=kmeans_iters,
+            )
+            centers[j, :kk] = cj
+            if kk < k:  # cycle (the pq_train degenerate fallback)
+                for extra in range(kk, k):
+                    centers[j, extra] = cj[extra % kk]
+            recon[:, j * dsub:(j + 1) * dsub] = cj[aj]
+        if it == iters:
+            break
+        u, _, vt = np.linalg.svd(x.T @ recon)
+        R = u @ vt
+    spark = corpus.sparkSession
+    rows_out = [
+        (j, c, [float(v) for v in centers[j, c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    codebooks = spark.createDataFrame(
+        rows_out, "subspace int, code int, cvec array<double>"
+    )
+    return R, codebooks
