@@ -21,6 +21,14 @@ for that query together instead of poisoning one engine's whole sweep.
 RUNS=5 with median. The sidecar `.bench_out.json` carries every raw sample
 plus a per-query dispersion flag (max/min of the Spark samples > 2 => the
 median is suspect; re-run before treating a ratio as an engine property).
+
+Dispersion re-runs (round 14): a query flagged in the first pass gets 4
+MORE interleaved samples (median-of-9), and the final flag is judged on
+the spread of the middle 5 of the 9 sorted samples — a single load spike
+that poisoned one of the first five samples widens max/min forever but
+not the middle-5 spread, so it no longer masquerades as a regression;
+sustained noise still flags. Extended queries are listed in
+``dispersion_extended`` so a flagged-empty artifact is self-explaining.
 """
 
 from __future__ import annotations
@@ -39,6 +47,7 @@ from vectrekker_spark.session import get_spark  # noqa: E402
 # Brute-force-by-design queries excluded from the headline set would hide
 # real costs — keep everything; the bench IS the honesty check.
 RUNS = 5
+EXTRA_RUNS = 4  # flagged queries extend to median-of-(RUNS+EXTRA_RUNS)
 DISPERSION_FLAG = 2.0  # max/min spread across samples above this => noisy
 
 
@@ -69,13 +78,10 @@ def bench_interleaved(sf_dir: str):
     sp_samples: dict[str, list[float]] = {}
     du_samples: dict[str, list[float]] = {}
     flagged: list[str] = []
-    for name, spec in sorted(all_specs().items()):
-        spec.spark(spark, sf_dir).toPandas()  # warm-up: JIT, codegen, footers
-        if spec.oracle is not None:
-            con.execute(spec.oracle).fetchall()  # warm-up
-        ss: list[float] = []
-        ds: list[float] = []
-        for _ in range(RUNS):
+    extended: list[str] = []
+
+    def _sample(spec, ss, ds, n):
+        for _ in range(n):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).toPandas()
             ss.append(time.perf_counter() - t0)
@@ -83,14 +89,31 @@ def bench_interleaved(sf_dir: str):
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
                 ds.append(time.perf_counter() - t0)
+
+    for name, spec in sorted(all_specs().items()):
+        spec.spark(spark, sf_dir).toPandas()  # warm-up: JIT, codegen, footers
+        if spec.oracle is not None:
+            con.execute(spec.oracle).fetchall()  # warm-up
+        ss: list[float] = []
+        ds: list[float] = []
+        _sample(spec, ss, ds, RUNS)
+        noisy = min(ss) > 0 and max(ss) / min(ss) > DISPERSION_FLAG
+        if noisy:
+            # one load spike must not masquerade as a regression: extend
+            # to median-of-9 and judge the MIDDLE-5 spread (a transient
+            # spike widens max/min forever, not the middle spread)
+            extended.append(name)
+            _sample(spec, ss, ds, EXTRA_RUNS)
+            mid = sorted(ss)[2:-2]
+            noisy = min(mid) > 0 and max(mid) / min(mid) > DISPERSION_FLAG
         sp_samples[name] = [round(x, 4) for x in ss]
         sp_med[name] = round(statistics.median(ss), 4)
         if ds:
             du_samples[name] = [round(x, 4) for x in ds]
             du_med[name] = round(statistics.median(ds), 4)
-        if min(ss) > 0 and max(ss) / min(ss) > DISPERSION_FLAG:
+        if noisy:
             flagged.append(name)
-    return sp_med, du_med, sp_samples, du_samples, flagged
+    return sp_med, du_med, sp_samples, du_samples, flagged, extended
 
 
 def ann_recall_at_10(sf_dir: str) -> float:
@@ -129,7 +152,9 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    timings, duck, sp_samples, du_samples, flagged = bench_interleaved(sf_dir)
+    timings, duck, sp_samples, du_samples, flagged, extended = bench_interleaved(
+        sf_dir
+    )
     recall = ann_recall_at_10(sf_dir)
 
     total = round(sum(timings.values()), 4)
@@ -158,8 +183,9 @@ def main() -> None:
         "ann_recall_at_10": recall,
         "spark_total_common": spark_common,
         "duckdb_total_common": duck_common,
-        "method": "toPandas-vs-duckdb-inproc-interleaved-median5",
+        "method": "toPandas-vs-duckdb-inproc-interleaved-median5-rerun9",
         "dispersion_flagged": flagged,
+        "dispersion_extended": extended,
         "queries": timings,
         "ratio": ratio,
     }
