@@ -676,3 +676,44 @@ def test_curate_langs_without_lang_column_fails_early(tmp_path, spark, sf_dir):
             "curate", "--documents", docs_path,
             "--out", str(tmp_path / "o"), "--langs", "en",
         ])
+
+
+def test_ivfpq_build_and_persisted_search(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    ipq = str(tmp_path / "ivfpq")
+    assert main(["index", "--content-dir", str(content), "--state", state,
+                 "--index", index]) == 0
+    capsys.readouterr()
+
+    assert main(["ivfpq-build", "--index", index, "--out", ipq,
+                 "--m", "8", "--nbits", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "2 vectors" in out and "v0" in out
+
+    # refine=5 reranks exactly, so the self-match must rank first at +1.0
+    a_path = str(content / "a.md")
+    assert main(["search", "--index", index, "--query-id", a_path,
+                 "--ivfpq", ipq, "-k", "2"]) == 0
+    lines = [line for line in capsys.readouterr().out.splitlines()
+             if line.strip()]
+    assert len(lines) == 2
+    assert a_path in lines[0] and "+1.000000" in lines[0]
+
+    # incremental: nothing new → no-op; new doc → appended under the
+    # PINNED codebooks and immediately searchable
+    assert main(["ivfpq-build", "--index", index, "--out", ipq,
+                 "--incremental"]) == 0
+    assert "up to date" in capsys.readouterr().out
+    (content / "d.md").write_text("delta notes about incremental appends")
+    assert main(["index", "--content-dir", str(content), "--state", state,
+                 "--index", index]) == 0
+    capsys.readouterr()
+    assert main(["ivfpq-build", "--index", index, "--out", ipq,
+                 "--incremental"]) == 0
+    assert "appended 1 vectors" in capsys.readouterr().out
+    assert main(["search", "--index", index,
+                 "--query-id", str(content / "d.md"),
+                 "--ivfpq", ipq, "-k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "d.md" in out and "+1.000000" in out

@@ -160,6 +160,22 @@ def cmd_search(args: argparse.Namespace) -> int:
         for r in res:
             print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['id']}")
         return 0
+    if getattr(args, "ivfpq", None):
+        # persisted IVF∘PQ index (ivfpq-build verb): probed cells become
+        # parquet partition pruning over the m-byte code table, with an
+        # exact rerank against the full-precision index (operators/pq)
+        from vectrekker_spark.operators.pq import ivfpq_load, ivfpq_search_cells
+
+        _, centroids, _, _meta = ivfpq_load(spark, args.ivfpq)
+        n_cells = centroids.count()
+        res = ivfpq_search_cells(
+            q, args.ivfpq, k=args.k, n_probe=max(1, n_cells // 3),
+            refine=5, corpus=index.select("id", "embedding"),
+            vec_col="embedding",
+        ).collect()
+        for r in res:
+            print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['id']}")
+        return 0
     if args.ivf:
         # persisted inverted-list index (ann-build verb): probes read only
         # their cells' partitions — no per-invocation rebuild, no corpus
@@ -228,6 +244,66 @@ def cmd_pq_build(args: argparse.Namespace) -> int:
         f"pq index at {args.out}: {n} vectors, m={meta['m']} x "
         f"2^{meta['nbits']} codebooks, dim {meta['dim']} "
         f"({meta['m']} bytes/vector)"
+    )
+    return 0
+
+
+def cmd_ivfpq_build(args: argparse.Namespace) -> int:
+    """Build (or incrementally extend) a persisted IVF∘PQ index beside the
+    vector index table: coarse centroids + PQ codebooks + cid-partitioned
+    codes, the billion-scale composition (operators/pq.ivfpq_save). With
+    --incremental and an existing index, only vectors NOT yet coded are
+    assigned + encoded under the PINNED codebooks (ivfpq_append — the
+    reference's changed-only semantics applied to the code table)."""
+    import os
+
+    from vectrekker_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_load,
+        ivfpq_save,
+        pq_encode,
+        pq_train,
+    )
+
+    spark = _spark()
+    index = spark.read.parquet(args.index).select("id", "embedding")
+    if args.incremental and os.path.exists(
+        os.path.join(args.out, "ivfpq_meta.json")
+    ):
+        _, _, codes, meta = ivfpq_load(spark, args.out)
+        new = index.join(codes.select("id"), "id", "left_anti")
+        n_new = new.count()
+        if n_new == 0:
+            print(f"ivfpq index at {args.out}: up to date (0 new vectors)")
+            return 0
+        ivfpq_append(new, args.out, vec_col="embedding")
+        print(f"ivfpq index at {args.out}: appended {n_new} vectors "
+              "under the pinned codebooks")
+        return 0
+    from vectrekker_spark.operators.ann import ivf_build
+
+    n_rows = index.count()
+    n_cells = max(2, min(64, int(n_rows ** 0.5)))
+    try:
+        # assign_k=2: the ann-build boundary-recall default — a vector near
+        # a cell edge is findable from either side; duplicates collapse in
+        # the search's (qid, id) dedupe
+        centroids, assign = ivf_build(
+            index, n_centroids=n_cells, id_col="id", vec_col="embedding",
+            assign_k=2,
+        )
+        cb = pq_train(index, m=args.m, nbits=args.nbits,
+                      sample_fraction=args.sample)
+    except ValueError as e:
+        print(f"error: {e}")
+        return 2
+    codes = pq_encode(index, cb, id_col="id")
+    meta = ivfpq_save(args.out, cb, centroids, assign, codes, id_col="id",
+                      assign_k=2)
+    print(
+        f"ivfpq index at {args.out}: {n_rows} vectors, {n_cells} cells, "
+        f"m={meta['m']} x 2^{meta['nbits']} codebooks, dim {meta['dim']} "
+        f"(v{meta['version']})"
     )
     return 0
 
@@ -772,6 +848,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="search a persisted PQ index dir (see pq-build): ADC over "
         "m-byte codes + exact rerank — the memory-bound path",
     )
+    se.add_argument(
+        "--ivfpq",
+        help="search a persisted IVF-PQ index dir (see ivfpq-build): "
+        "partition-pruned ADC over probed cells + exact rerank",
+    )
     se.set_defaults(fn=cmd_search)
 
     pb = sub.add_parser(
@@ -788,6 +869,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="training sample fraction (codebook quality "
                     "saturates on a few million rows)")
     pb.set_defaults(fn=cmd_pq_build)
+
+    ib = sub.add_parser(
+        "ivfpq-build",
+        help="build or incrementally extend a persisted IVF-PQ index "
+        "(cid-partitioned codes, pinned codebooks)",
+    )
+    ib.add_argument("--index", required=True,
+                    help="vector index parquet (id, embedding)")
+    ib.add_argument("--out", required=True, help="IVF-PQ index directory")
+    ib.add_argument("--m", type=int, default=8, help="subspaces (dim %% m == 0)")
+    ib.add_argument("--nbits", type=int, default=8,
+                    help="bits per code (2^nbits centroids per subspace)")
+    ib.add_argument("--sample", type=float, default=1.0,
+                    help="codebook training sample fraction")
+    ib.add_argument(
+        "--incremental", action="store_true",
+        help="append only vectors missing from the existing index, encoded "
+        "under the pinned codebooks",
+    )
+    ib.set_defaults(fn=cmd_ivfpq_build)
 
     ab = sub.add_parser(
         "ann-build",
