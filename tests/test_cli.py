@@ -717,3 +717,35 @@ def test_ivfpq_build_and_persisted_search(tmp_path, capsys, spark):
                  "--ivfpq", ipq, "-k", "1"]) == 0
     out = capsys.readouterr().out
     assert "d.md" in out and "+1.000000" in out
+
+
+def test_ivfpq_build_opq_flag(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    ipq = str(tmp_path / "ivfpq_opq")
+    assert main(["index", "--content-dir", str(content), "--state", state,
+                 "--index", index]) == 0
+    capsys.readouterr()
+    assert main(["ivfpq-build", "--index", index, "--out", ipq,
+                 "--m", "8", "--nbits", "2", "--opq"]) == 0
+    assert "OPQ-rotated" in capsys.readouterr().out
+    # the rotation is applied transparently: exact-rerank self-match at 1.0
+    a_path = str(content / "a.md")
+    assert main(["search", "--index", index, "--query-id", a_path,
+                 "--ivfpq", ipq, "-k", "2"]) == 0
+    lines = [line for line in capsys.readouterr().out.splitlines()
+             if line.strip()]
+    assert a_path in lines[0] and "+1.000000" in lines[0]
+    # incremental append stays rotation-aware
+    (content / "d.md").write_text("delta notes about rotated appends")
+    assert main(["index", "--content-dir", str(content), "--state", state,
+                 "--index", index]) == 0
+    capsys.readouterr()
+    assert main(["ivfpq-build", "--index", index, "--out", ipq,
+                 "--incremental"]) == 0
+    assert "appended 1" in capsys.readouterr().out
+    assert main(["search", "--index", index,
+                 "--query-id", str(content / "d.md"),
+                 "--ivfpq", ipq, "-k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "d.md" in out and "+1.000000" in out

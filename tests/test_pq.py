@@ -556,3 +556,105 @@ def test_opq_guards(spark, em):
         opq_train(em, m=16, max_rows=10)
     with pytest.raises(ValueError, match="no non-NULL"):
         opq_train(em.where(F.lit(False)), m=16)
+
+
+def test_ivfpq_rotated_index_end_to_end(spark, tmp_path):
+    """OPQ rotation pinned WITH the persisted index: save stores it,
+    search applies it to the LUTs automatically (probing/refine stay in
+    original space — rotation preserves cosine), append encodes deltas
+    rotated, and the whole path beats the unrotated index on the
+    correlated-dims fixture."""
+    from vectrekker_spark.operators.ann import assign_centroids, ivf_build
+    from vectrekker_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search_cells,
+        opq_train,
+        pq_encode,
+        rotate_vectors,
+    )
+
+    g = np.random.default_rng(141)
+    d, n = 32, 600
+    spectrum = np.where(np.arange(d) < 8, 1.0, 0.05)
+    x = g.standard_normal((n, d)) * spectrum
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    centroids, assign = ivf_build(corpus, n_centroids=6, assign_k=2)
+    R, cb = opq_train(corpus, m=8, nbits=4, iters=8)
+
+    path = str(tmp_path / "opq_idx")
+    half1 = corpus.where(F.col("vec_id") % 2 == 0)
+    half2 = corpus.where(F.col("vec_id") % 2 == 1)
+    ivfpq_save(
+        path, cb, centroids,
+        assign_centroids(half1, centroids, assign_k=2),
+        pq_encode(rotate_vectors(half1, R), cb),
+        assign_k=2, rotation=R,
+    )
+    _, _, _, meta = ivfpq_load(spark, path)
+    assert meta["rotated"] and meta["rotation_matrix"].shape == (32, 32)
+
+    # append is rotation-aware: append ≡ one-shot full save
+    ivfpq_append(half2, path)
+    full = str(tmp_path / "opq_full")
+    ivfpq_save(
+        full, cb, centroids, assign,
+        pq_encode(rotate_vectors(corpus, R), cb),
+        assign_k=2, rotation=R,
+    )
+    q = corpus.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = sorted(map(tuple, ivfpq_search_cells(q, path, k=8, n_probe=6).collect()))
+    want = sorted(map(tuple, ivfpq_search_cells(q, full, k=8, n_probe=6).collect()))
+    assert got == want
+
+    # the rotation measurably lifts recall vs the same index unrotated
+    plain_cb = pq_train(corpus, m=8, nbits=4)
+    plain_path = str(tmp_path / "plain_idx")
+    ivfpq_save(plain_path, plain_cb, centroids, assign,
+               pq_encode(corpus, plain_cb), assign_k=2)
+    exact = knn_join(q, corpus, k=8)
+    rec_opq = _recall_at(ivfpq_search_cells(q, path, k=8, n_probe=6),
+                         exact, k=8)
+    rec_plain = _recall_at(ivfpq_search_cells(q, plain_path, k=8, n_probe=6),
+                           exact, k=8)
+    print(f"persisted ivfpq recall@8: plain={rec_plain:.3f} opq={rec_opq:.3f}")
+    assert rec_opq >= rec_plain + 0.05, (rec_plain, rec_opq)
+
+    # refine arm: exact round-6 cosine out, original-space corpus
+    ref = ivfpq_search_cells(q, path, k=5, n_probe=6, refine=4,
+                             corpus=corpus).collect()
+    from vectrekker_spark.functions.vector import cosine_sim
+
+    pairs = spark.createDataFrame(
+        [(r["qid"], r["vec_id"], r["score"]) for r in ref],
+        "qid long, vec_id long, score double",
+    )
+    chk = (
+        pairs.join(corpus, "vec_id")
+        .join(q.withColumnRenamed("qid", "qid2"),
+              F.col("qid") == F.col("qid2"))
+        .select(
+            (F.round(cosine_sim("embedding", "qvec"), 6)
+             == F.col("score")).alias("ok")
+        )
+    )
+    assert all(r["ok"] for r in chk.collect())
+    corpus.unpersist()
+
+
+def test_ivfpq_save_rotation_guards(spark, em, pq, tmp_path):
+    from vectrekker_spark.operators.ann import ivf_build
+    from vectrekker_spark.operators.pq import ivfpq_save
+
+    cb, codes = pq
+    centroids, assign = ivf_build(em, n_centroids=5, assign_k=1)
+    with pytest.raises(ValueError, match="rotation shape"):
+        ivfpq_save(str(tmp_path / "x"), cb, centroids, assign, codes,
+                   rotation=np.eye(16))

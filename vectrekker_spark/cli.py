@@ -284,6 +284,7 @@ def cmd_ivfpq_build(args: argparse.Namespace) -> int:
 
     n_rows = index.count()
     n_cells = max(2, min(64, int(n_rows ** 0.5)))
+    rotation = None
     try:
         # assign_k=2: the ann-build boundary-recall default — a vector near
         # a cell edge is findable from either side; duplicates collapse in
@@ -292,18 +293,29 @@ def cmd_ivfpq_build(args: argparse.Namespace) -> int:
             index, n_centroids=n_cells, id_col="id", vec_col="embedding",
             assign_k=2,
         )
-        cb = pq_train(index, m=args.m, nbits=args.nbits,
-                      sample_fraction=args.sample)
+        if args.opq:
+            from vectrekker_spark.operators.pq import opq_train, rotate_vectors
+
+            fit_src = (
+                index.sample(fraction=args.sample, seed=42)
+                if args.sample < 1.0 else index
+            )
+            rotation, cb = opq_train(fit_src, m=args.m, nbits=args.nbits)
+            enc_src = rotate_vectors(index, rotation)
+        else:
+            cb = pq_train(index, m=args.m, nbits=args.nbits,
+                          sample_fraction=args.sample)
+            enc_src = index
     except ValueError as e:
         print(f"error: {e}")
         return 2
-    codes = pq_encode(index, cb, id_col="id")
+    codes = pq_encode(enc_src, cb, id_col="id")
     meta = ivfpq_save(args.out, cb, centroids, assign, codes, id_col="id",
-                      assign_k=2)
+                      assign_k=2, rotation=rotation)
     print(
         f"ivfpq index at {args.out}: {n_rows} vectors, {n_cells} cells, "
-        f"m={meta['m']} x 2^{meta['nbits']} codebooks, dim {meta['dim']} "
-        f"(v{meta['version']})"
+        f"m={meta['m']} x 2^{meta['nbits']} codebooks, dim {meta['dim']}"
+        f"{' (OPQ-rotated)' if meta['rotated'] else ''} (v{meta['version']})"
     )
     return 0
 
@@ -887,6 +899,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--incremental", action="store_true",
         help="append only vectors missing from the existing index, encoded "
         "under the pinned codebooks",
+    )
+    ib.add_argument(
+        "--opq", action="store_true",
+        help="learn an OPQ orthogonal rotation before the subspace split "
+        "(lifts ADC recall on correlated dims); pinned with the index and "
+        "applied automatically by append/search",
     )
     ib.set_defaults(fn=cmd_ivfpq_build)
 

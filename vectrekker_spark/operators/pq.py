@@ -586,6 +586,7 @@ def ivfpq_save(
     codes: DataFrame,
     id_col: str = "vec_id",
     assign_k: int = 1,
+    rotation=None,
 ) -> dict:
     """Persist an IVF∘PQ index with **cid-partitioned code storage**:
 
@@ -607,11 +608,22 @@ def ivfpq_save(
     per cell, not n_tasks × n_cells small files (the ivf_save argument).
     Single-writer contract: serialize saves/appends against each other;
     readers are always safe (they resolve one committed meta).
+
+    ``rotation``: an OPQ orthogonal matrix (opq_train) pinned WITH the
+    index. Space contract: centroids stay in ORIGINAL space (rotation
+    preserves cosine, so probing never needs it) and ONLY the codes live
+    in rotated space — the caller passes ``codes`` already encoded from
+    ``rotate_vectors(corpus, rotation)``, and append/search apply the
+    stored rotation automatically. Codes encoded under a rotation are as
+    uninterpretable without it as without their codebooks, hence it
+    versions and commits with them.
     """
     import json
     import os
 
     import re
+
+    import numpy as np
 
     cb = _codebooks_np(codebooks)
     m, k, dsub = cb.shape
@@ -622,7 +634,8 @@ def ivfpq_save(
     versions = [
         int(mm.group(2))
         for d in os.listdir(path)
-        for mm in [re.fullmatch(r"(codes|codebooks|centroids)-v(\d+)(\.parquet)?", d)]
+        for mm in [re.fullmatch(
+            r"(codes|codebooks|centroids|rotation)-v(\d+)(\.parquet)?", d)]
         if mm
     ]
     version = max(versions, default=-1) + 1
@@ -632,6 +645,20 @@ def ivfpq_save(
     centroids.write.mode("overwrite").parquet(
         os.path.join(path, f"centroids-v{version}.parquet")
     )
+    if rotation is not None:
+        R = np.asarray(rotation, dtype=np.float64)
+        if R.shape != (m * dsub, m * dsub):
+            raise ValueError(
+                f"rotation shape {R.shape} does not match the codebook "
+                f"dim {m * dsub}"
+            )
+        spark = codebooks.sparkSession
+        spark.createDataFrame(
+            [(i, [float(v) for v in R[i]]) for i in range(len(R))],
+            "i int, r array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"rotation-v{version}.parquet")
+        )
     cells = assign.select(id_col, "cid").join(codes, id_col).select(
         "cid", id_col, "codes"
     )
@@ -646,6 +673,7 @@ def ivfpq_save(
         "dim": int(m * dsub),
         "id_col": id_col,
         "assign_k": int(assign_k),
+        "rotated": rotation is not None,
     }
     tmp = os.path.join(path, _IVFPQ_META + ".tmp")
     with open(tmp, "w") as f:
@@ -656,7 +684,8 @@ def ivfpq_save(
     import shutil
 
     for d in os.listdir(path):
-        mm = re.fullmatch(r"(codes|codebooks|centroids)-v(\d+)(\.parquet)?", d)
+        mm = re.fullmatch(
+            r"(codes|codebooks|centroids|rotation)-v(\d+)(\.parquet)?", d)
         if mm and int(mm.group(2)) < version - 1:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return meta
@@ -689,6 +718,24 @@ def ivfpq_load(spark, path: str):
     codes = spark.read.parquet(os.path.join(path, f"codes-v{v}")).withColumn(
         "cid", F.col("cid").cast("long")
     )
+    if meta.get("rotated"):
+        import numpy as np
+
+        rrows = spark.read.parquet(
+            os.path.join(path, f"rotation-v{v}.parquet")
+        ).collect()
+        R = np.asarray(
+            [r["r"] for r in sorted(rrows, key=lambda r: r["i"])],
+            dtype=np.float64,
+        )
+        if R.shape != (meta["dim"], meta["dim"]):
+            raise ValueError(
+                f"rotation table shape {R.shape} does not match the pinned "
+                f"dim {meta['dim']} — rebuild the index"
+            )
+        # the ndarray rides the returned meta dict (never JSON-serialized
+        # — the json meta only records the flag)
+        meta["rotation_matrix"] = R
     return codebooks, centroids, codes, meta
 
 
@@ -735,7 +782,14 @@ def ivfpq_append(
         new_corpus, centroids, assign_k=assign_k,
         id_col=id_col, vec_col=vec_col,
     )
-    codes = pq_encode(new_corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    # an OPQ index encodes in ROTATED space (assignment stays original —
+    # rotation preserves cosine, and centroids live unrotated by contract)
+    enc_src = new_corpus
+    if meta.get("rotation_matrix") is not None:
+        enc_src = rotate_vectors(
+            new_corpus, meta["rotation_matrix"], vec_col=vec_col
+        )
+    codes = pq_encode(enc_src, codebooks, id_col=id_col, vec_col=vec_col)
     cells = assign.select(id_col, "cid").join(codes, id_col).select(
         "cid", id_col, "codes"
     )
@@ -787,6 +841,12 @@ def ivfpq_search_cells(
     qs = np.asarray([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
     norms = np.linalg.norm(qs, axis=1, keepdims=True)
     np.divide(qs, norms, out=qs, where=norms > 0)
+    if meta.get("rotation_matrix") is not None:
+        # LUTs must live in the codes' (rotated) space; probing below
+        # stays in original space against the unrotated centroids, and
+        # the refine arm compares original corpus to original queries —
+        # all three agree because the rotation preserves cosine
+        qs = qs @ meta["rotation_matrix"]
     lut = np.einsum("qjd,jcd->qjc", qs.reshape(len(qs), m, dsub), cb)
     qpos = {q: i for i, q in enumerate(qids)}
 
