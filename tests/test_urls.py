@@ -256,3 +256,35 @@ def test_host_domain_with_suffixes_plan_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_host_stats_and_filter_hosts_with_suffix_table(spark):
+    """The PSL table routes through the inventory and blocklist consumers:
+    stats stratify per user site, and blocking a registered domain blocks
+    exactly that site's docs."""
+    from vectrekker_spark.functions.urls import host_stats
+
+    df = _urls(
+        spark,
+        [
+            "https://alice.github.io/1",
+            "https://alice.github.io/2",
+            "https://bob.github.io/1",
+            "http://x.example.com/1",
+            None,
+        ],
+    )
+    sfx = spark.createDataFrame(
+        [("com",), ("io",), ("github.io",)], "suffix string"
+    )
+    stats = {(r.host, r.domain): r.n_docs
+             for r in host_stats(df, suffixes=sfx).collect()}
+    assert stats[("alice.github.io", "alice.github.io")] == 2
+    assert stats[("bob.github.io", "bob.github.io")] == 1
+    assert stats[("x.example.com", "example.com")] == 1
+
+    bl = spark.createDataFrame([("alice.github.io",)], "host string")
+    kept = sorted(r.doc_id for r in
+                  filter_hosts(df, bl, suffixes=sfx).collect())
+    assert kept == [2, 3, 4]  # only alice's docs blocked; heuristic would
+    # have let them pass (domain 'github.io' != 'alice.github.io')

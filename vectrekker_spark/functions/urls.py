@@ -245,17 +245,27 @@ def dedup_by_url(
     return keep.unionByName(norm.where(F.col("__nurl").isNull())).drop("__nurl")
 
 
-def host_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
+def host_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
     """(host, domain, n_docs) — the inventory that feeds per-domain quota
     stratification (operators/quota with stratum_col='domain') and
-    domain-skew diagnosis before a crawl-scale run."""
-    return (
-        docs.select(
+    domain-skew diagnosis before a crawl-scale run. Pass ``suffixes`` (a
+    PSL table — see host_domain_with_suffixes) for exact registered
+    domains; default is the documented last-two-labels heuristic."""
+    if suffixes is not None:
+        base = host_domain_with_suffixes(
+            docs.select(F.col(url_col)), suffixes, url_col=url_col
+        ).select(url_host(url_col).alias("host"), "domain")
+    else:
+        base = docs.select(
             url_host(url_col).alias("host"),
             host_domain(url_col).alias("domain"),
         )
-        .groupBy("host", "domain")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    return base.groupBy("host", "domain").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
 
 
@@ -264,18 +274,27 @@ def filter_hosts(
     blocklist: DataFrame,
     url_col: str = "url",
     host_col: str = "host",
+    suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """Drop documents whose host OR registered domain appears in the
     blocklist (host_col column). Blocklists are small (thousands to
     millions of names vs billions of docs) → broadcast anti-joins; the
     doc side never shuffles. NULL-url docs pass (no host to match —
-    classify upstream if that's not wanted)."""
+    classify upstream if that's not wanted). Pass ``suffixes`` for
+    exact-PSL registered domains (a blocklisted 'github.io' then blocks
+    only that host, not every *.github.io user site — and a blocklisted
+    'alice.github.io' blocks alice's whole site)."""
     bl = F.broadcast(
         blocklist.select(F.lower(F.col(host_col)).alias("__blocked")).distinct()
     )
-    d = docs.withColumn("__host", url_host(url_col)).withColumn(
-        "__domain", host_domain(url_col)
-    )
+    if suffixes is not None:
+        d = host_domain_with_suffixes(
+            docs, suffixes, url_col=url_col, out_col="__domain"
+        ).withColumn("__host", url_host(url_col))
+    else:
+        d = docs.withColumn("__host", url_host(url_col)).withColumn(
+            "__domain", host_domain(url_col)
+        )
     d = d.join(bl, d["__host"] == bl["__blocked"], "left_anti")
     d = d.join(bl, d["__domain"] == bl["__blocked"], "left_anti")
     return d.drop("__host", "__domain")
