@@ -743,12 +743,165 @@ FROM nurl
         )
 
 
+class LangIdPredict:
+    """operators/langid.predict_lang vs a FULL DuckDB reimplementation of
+    the scorer from the exported weight table: char n-grams in SQL
+    (substr over generate_series), the engine-wide md5-prefix feature
+    hash, mean-of-weights + bias, argmax with the sorted-class tie rule.
+    Confidences are excluded (softmax summation order differs across
+    engines at 1e-15 — lang labels are the decision surface and planted
+    languages keep huge margins). Fixture: 3 planted scripts + NULL /
+    empty / whitespace / tab-separated / short hostile rows."""
+
+    name = "langid"
+    uses_langid = True
+
+    @staticmethod
+    def draw(rng):
+        return {
+            "n": rng.randint(60, 200),
+            "nf": rng.choice([1 << 12, 1 << 14]),
+            "seed2": rng.randint(0, 10**9),
+        }
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        import random as _random
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        from vectrekker_spark.operators.langid import fit_langid, predict_lang
+
+        rng2 = _random.Random(params["seed2"])
+        train = [
+            (_langid_doc(rng2, lang), lang)
+            for lang in ("cyr", "grk", "lat")
+            for _ in range(25)
+        ]
+        model = fit_langid(
+            spark.createDataFrame(train, "text string, lang string"),
+            n_features=params["nf"], iters=120,
+        )
+        W, b, classes = model.weights, model.bias, model.classes
+        w_rows = [
+            (c, int(i), float(W[c, i]))
+            for c in range(len(classes))
+            for i in np.nonzero(W[c])[0]
+        ]
+        _pq.write_table(
+            pa.table({
+                "c": pa.array([r[0] for r in w_rows], pa.int32()),
+                "idx": pa.array([r[1] for r in w_rows], pa.int64()),
+                "w": pa.array([r[2] for r in w_rows], pa.float64()),
+            }),
+            os.path.join(sfd, "langid_w.parquet"),
+        )
+        _pq.write_table(
+            pa.table({
+                "c": pa.array(range(len(classes)), pa.int32()),
+                "lang": pa.array(classes, pa.string()),
+                "b": pa.array([float(x) for x in b], pa.float64()),
+            }),
+            os.path.join(sfd, "langid_b.parquet"),
+        )
+        docs = spark.read.parquet(f"{sfd}/texts.parquet")
+        return predict_lang(docs, model, conf_col=None).select(
+            "doc_id", "lang"
+        )
+
+    @staticmethod
+    def sql(params):
+        nf, d = params["nf"], params["dir"]
+        return rf"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(substr(text, 1, 1000)), '\s+', ' ', 'g')) AS s
+  FROM texts WHERE text IS NOT NULL),
+g0 AS (
+  SELECT doc_id, unnest(list_concat(list_concat(
+    list_transform(generate_series(1, len(s)), i -> substr(s, i, 1)),
+    list_transform(generate_series(1, len(s) - 1), i -> substr(s, i, 2))),
+    list_transform(generate_series(1, len(s) - 2), i -> substr(s, i, 3)))) AS gram
+  FROM t),
+gc AS (
+  SELECT doc_id, (('0x' || substr(md5(gram), 1, 8))::BIGINT) % {nf} AS idx,
+         count(*)::DOUBLE AS cnt
+  FROM g0 GROUP BY doc_id, idx),
+tot AS (SELECT doc_id, sum(cnt) AS total FROM gc GROUP BY doc_id),
+wsum AS (
+  SELECT gc.doc_id, w.c, sum(w.w * gc.cnt) AS s
+  FROM gc JOIN read_parquet('{d}/langid_w.parquet') w USING (idx)
+  GROUP BY gc.doc_id, w.c),
+z AS (
+  SELECT t.doc_id, b.c, b.lang,
+         b.b + coalesce(wsum.s, 0) / coalesce(tot.total, 1) AS z
+  FROM t
+  CROSS JOIN read_parquet('{d}/langid_b.parquet') b
+  LEFT JOIN tot ON tot.doc_id = t.doc_id
+  LEFT JOIN wsum ON wsum.doc_id = t.doc_id AND wsum.c = b.c),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY z DESC, c ASC) AS rk
+  FROM z)
+SELECT doc_id, lang FROM r WHERE rk = 1
+UNION ALL
+SELECT doc_id, NULL AS lang FROM texts WHERE text IS NULL
+"""
+
+
+_LANGID_ALPHA = {"cyr": "абвгдежзик", "grk": "αβγδεζηθικ"}
+_LANGID_LAT = ("the and for with that from this have text words data "
+               "over under more").split()
+
+
+def _langid_doc(rng, lang):
+    if lang == "lat":
+        return " ".join(
+            rng.choice(_LANGID_LAT) for _ in range(rng.randint(8, 30))
+        )
+    a = _LANGID_ALPHA[lang]
+    return " ".join(
+        "".join(rng.choice(a) for _ in range(rng.randint(2, 6)))
+        for _ in range(rng.randint(8, 30))
+    )
+
+
+def _write_langid_texts(dirpath: str, rng, n: int):
+    """(doc_id, text): planted 3-script docs + hostile rows (NULL, empty,
+    whitespace, tab-separated, 1-2 chars) — ASCII whitespace only (the
+    documented \\s mirror boundary; python str.split also splits U+00A0
+    etc., which RE2 \\s does not)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.10:
+            t = rng.choice([None, "", "   ", "\t \t", "a", "аб"])
+        else:
+            lang = rng.choice(["cyr", "grk", "lat"])
+            t = _langid_doc(rng, lang)
+            if rng.random() < 0.15:
+                t = "  " + t.replace(" ", "\t", 2) + " "
+        rows.append((i, t))
+    _pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())}),
+        os.path.join(dirpath, "texts.parquet"),
+    )
+
+
 TEXT_FAMILIES = [Chunk, WordShingles, CharShingles, Minhash, Winnow, Bloom,
                  Split, Decontam]
 VEC_FAMILIES = [VecMetrics, ThresholdJoin, TopK]
 HASH_FAMILIES = [ImagePairs, ImageAgainst]
 URL_FAMILIES = [UrlNorm]
-FAMILIES = TEXT_FAMILIES + VEC_FAMILIES + HASH_FAMILIES + URL_FAMILIES
+MODEL_FAMILIES = [LangIdPredict]
+FAMILIES = (TEXT_FAMILIES + VEC_FAMILIES + HASH_FAMILIES + URL_FAMILIES
+            + MODEL_FAMILIES)
 
 
 # --------------------------------------------------------------------------
@@ -871,6 +1024,7 @@ def minimize(spark, con, fam, params, sfd, status0):
         getattr(fam, "uses_embeddings", False)
         or getattr(fam, "uses_hashes", False)
         or getattr(fam, "uses_urls", False)
+        or getattr(fam, "uses_langid", False)
     ):
         return params
     best = dict(params)
@@ -903,6 +1057,16 @@ def fuzz(spark, con, sfd, n, seed, keep_going, out_dir):
                 f"read_parquet('{url_dir}/urls.parquet')"
             )
             trial_sfd = url_dir
+            params["bound"] = None
+        elif getattr(fam, "uses_langid", False):
+            lid_dir = tempfile.mkdtemp(prefix="kfuzz_langid_")
+            _write_langid_texts(lid_dir, rng, params["n"])
+            con.execute(
+                "CREATE OR REPLACE VIEW texts AS SELECT * FROM "
+                f"read_parquet('{lid_dir}/texts.parquet')"
+            )
+            trial_sfd = lid_dir
+            params["dir"] = lid_dir
             params["bound"] = None
         elif getattr(fam, "uses_hashes", False):
             hash_dir = tempfile.mkdtemp(prefix="kfuzz_hash_")
