@@ -749,3 +749,50 @@ def test_ivfpq_build_opq_flag(tmp_path, capsys, spark):
                  "--ivfpq", ipq, "-k", "1"]) == 0
     out = capsys.readouterr().out
     assert "d.md" in out and "+1.000000" in out
+
+
+def test_curate_domain_from_url_stratum_cap(tmp_path, capsys, spark):
+    """The crawl composition: --domain-from-url derives the quota stratum
+    from urls (PSL table optional), so --max-docs-per-stratum caps per
+    registered domain on a corpus that arrived with urls only."""
+    docs = (
+        [(i, f"unique prose document number {i} with plenty of words here",
+          f"https://alice.github.io/p{i}") for i in range(6)]
+        + [(100 + i, f"other prose document number {i} quite wordy indeed",
+            f"https://bob.github.io/p{i}") for i in range(6)]
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, url string"
+    ).write.parquet(docs_path)
+    sfx_path = str(tmp_path / "psl.parquet")
+    spark.createDataFrame(
+        [("com",), ("io",), ("github.io",)], "suffix string"
+    ).write.parquet(sfx_path)
+    out_dir = str(tmp_path / "shards")
+    rc = main([
+        "curate", "--documents", docs_path, "--out", out_dir,
+        "--min-quality", "0.0", "--near-dup-threshold", "0.99",
+        "--domain-from-url", "--suffix-table", sfx_path,
+        "--max-docs-per-stratum", "2", "--stratum-col", "domain",
+        "--max-tokens", "256",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    kept = spark.read.parquet(out_dir)
+    doc_ids = {r["doc_id"] for r in kept.select("doc_id").distinct().collect()}
+    # 2 per user site under the PSL table (the heuristic's single
+    # 'github.io' stratum would keep 2 TOTAL)
+    assert len({i for i in doc_ids if i < 100}) == 2
+    assert len({i for i in doc_ids if i >= 100}) == 2
+
+    # url-less corpus fails early with a remediation message
+    nolang = str(tmp_path / "nourl.parquet")
+    spark.createDataFrame([(1, "text")], "doc_id long, text string")\
+        .write.parquet(nolang)
+    rc = main([
+        "curate", "--documents", nolang, "--out", str(tmp_path / "o2"),
+        "--domain-from-url",
+    ])
+    assert rc == 2
+    assert "needs a 'url' column" in capsys.readouterr().out

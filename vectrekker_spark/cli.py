@@ -490,6 +490,34 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs = read_jsonl(spark, args.documents)
     else:
         docs = spark.read.parquet(args.documents)
+    if args.domain_from_url:
+        # derive the registered-domain stratum from the url column — the
+        # crawl shape: WARC docs arrive with url but no domain, and the
+        # per-domain quota (RefinedWeb/FineWeb) needs one. With
+        # --suffix-table, exact PSL longest-match; else the documented
+        # last-two-labels heuristic.
+        if "url" not in docs.columns:
+            print(
+                f"error: --domain-from-url needs a 'url' column in "
+                f"{args.documents} (has: {', '.join(docs.columns)})"
+            )
+            return 2
+        if "domain" in docs.columns:
+            print("error: --domain-from-url would overwrite an existing "
+                  "'domain' column — drop or rename it first")
+            return 2
+        if args.suffix_table:
+            from vectrekker_spark.functions.urls import (
+                host_domain_with_suffixes,
+            )
+
+            docs = host_domain_with_suffixes(
+                docs, spark.read.parquet(args.suffix_table)
+            )
+        else:
+            from vectrekker_spark.functions.urls import host_domain
+
+            docs = docs.withColumn("domain", host_domain("url"))
     if args.max_docs_per_stratum and args.stratum_col not in docs.columns:
         # sibling flags of the same feature fail with rc 2 and a message,
         # not a raw ValueError traceback from deep inside curate(); checked
@@ -1032,6 +1060,17 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--stratum-col", default="source",
         help="stratum column for --max-docs-per-stratum",
+    )
+    cu.add_argument(
+        "--domain-from-url", action="store_true",
+        help="derive a 'domain' column from the url column (for "
+        "--stratum-col domain on crawl corpora); exact PSL semantics "
+        "with --suffix-table, else the last-two-labels heuristic",
+    )
+    cu.add_argument(
+        "--suffix-table",
+        help="parquet with a 'suffix' column (a public-suffix list) for "
+        "--domain-from-url",
     )
     cu.set_defaults(fn=cmd_curate)
 
