@@ -796,3 +796,18 @@ def test_curate_domain_from_url_stratum_cap(tmp_path, capsys, spark):
     ])
     assert rc == 2
     assert "needs a 'url' column" in capsys.readouterr().out
+
+
+def test_stats_ivfpq(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    ipq = str(tmp_path / "ivfpq")
+    assert main(["index", "--content-dir", str(content), "--state", state,
+                 "--index", index]) == 0
+    assert main(["ivfpq-build", "--index", index, "--out", ipq,
+                 "--m", "8", "--nbits", "2"]) == 0
+    capsys.readouterr()
+    assert main(["stats", "--index", index, "--ivfpq", ipq]) == 0
+    out = capsys.readouterr().out
+    assert "ivfpq: v0" in out and "8 bytes/vector" in out
+    assert "assign_k=2" in out

@@ -830,6 +830,26 @@ def cmd_stats(args: argparse.Namespace) -> int:
                 "a drop vs the build-time value means centroid drift: "
                 "re-run ann-build"
             )
+    if args.ivfpq:
+        from vectrekker_spark.operators.pq import ivfpq_load
+
+        _, centroids, codes, meta = ivfpq_load(spark, args.ivfpq)
+        sizes = codes.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        c = sizes.agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.sum("n").alias("rows"),
+            F.min("n").alias("min"),
+            F.max("n").alias("max"),
+        ).collect()[0]
+        print(
+            f"ivfpq: v{meta['version']}, {centroids.count()} centroid(s), "
+            f"{c['cells']} non-empty cell(s), {c['rows']} code row(s) "
+            f"(m={meta['m']} x 2^{meta['nbits']}, dim {meta['dim']}, "
+            f"{meta['m']} bytes/vector"
+            f"{', OPQ-rotated' if meta.get('rotated') else ''}), "
+            f"cell sizes {c['min']}..{c['max']}, "
+            f"assign_k={meta.get('assign_k') or 1}"
+        )
     return 0
 
 
@@ -958,6 +978,9 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("stats", help="index summary")
     st.add_argument("--index", required=True)
     st.add_argument("--ivf", help="also summarize a persisted IVF index dir")
+    st.add_argument(
+        "--ivfpq", help="also summarize a persisted IVF-PQ index dir"
+    )
     st.add_argument(
         "--recall-sample", type=int, default=0,
         help="with --ivf: estimate recall@10 on N sampled stored vectors "
