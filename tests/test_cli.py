@@ -811,3 +811,22 @@ def test_stats_ivfpq(tmp_path, capsys, spark):
     out = capsys.readouterr().out
     assert "ivfpq: v0" in out and "8 bytes/vector" in out
     assert "assign_k=2" in out
+
+
+def test_pq_build_opq_flag(tmp_path, capsys, spark):
+    content = _write_corpus(tmp_path)
+    state, index = str(tmp_path / "state"), str(tmp_path / "index")
+    pqd = str(tmp_path / "pq_opq")
+    assert main(["index", "--content-dir", str(content), "--state", state,
+                 "--index", index]) == 0
+    capsys.readouterr()
+    assert main(["pq-build", "--index", index, "--out", pqd,
+                 "--m", "8", "--nbits", "2", "--opq"]) == 0
+    assert "OPQ-rotated" in capsys.readouterr().out
+    a_path = str(content / "a.md")
+    assert main(["search", "--index", index, "--query-id", a_path,
+                 "--pq", pqd, "-k", "2"]) == 0
+    lines = [line for line in capsys.readouterr().out.splitlines()
+             if line.strip()]
+    assert len(lines) == 2
+    assert a_path in lines[0] and "+1.000000" in lines[0]

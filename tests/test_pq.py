@@ -150,7 +150,7 @@ def test_pq_save_load_roundtrip_and_guards(spark, em, pq, tmp_path):
     path = str(tmp_path / "pqidx")
     meta = pq_save(cb, codes, path)
     assert meta == {"m": 16, "nbits": 6, "dsub": 4, "dim": 64,
-                    "id_col": "vec_id"}
+                    "id_col": "vec_id", "rotated": False}
     cb2, codes2, meta2 = pq_load(spark, path)
     assert meta2 == meta
     q = em.where(F.col("vec_id") < 2).select(
@@ -658,3 +658,52 @@ def test_ivfpq_save_rotation_guards(spark, em, pq, tmp_path):
     with pytest.raises(ValueError, match="rotation shape"):
         ivfpq_save(str(tmp_path / "x"), cb, centroids, assign, codes,
                    rotation=np.eye(16))
+
+
+def test_flat_pq_rotated_save_load_search(spark, tmp_path):
+    """Flat persisted PQ carries its OPQ rotation too: pq_search with
+    rotation= equals the manual rotate-the-queries composition, and the
+    refine arm stays exact in ORIGINAL space."""
+    from vectrekker_spark.operators.pq import (
+        opq_train,
+        pq_load,
+        pq_save,
+        pq_search,
+        rotate_vectors,
+    )
+
+    g = np.random.default_rng(142)
+    d, n = 32, 400
+    spectrum = np.where(np.arange(d) < 8, 1.0, 0.05)
+    x = g.standard_normal((n, d)) * spectrum
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    R, cb = opq_train(corpus, m=8, nbits=4, iters=5)
+    codes = pq_encode(rotate_vectors(corpus, R), cb)
+    path = str(tmp_path / "flat_opq")
+    meta = pq_save(cb, codes, path, rotation=R)
+    assert meta["rotated"]
+    cb2, codes2, meta2 = pq_load(spark, path)
+    assert np.array_equal(meta2["rotation_matrix"], R)
+
+    q = corpus.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    auto = sorted(map(tuple, pq_search(
+        q, codes2, cb2, k=6, rotation=meta2["rotation_matrix"]
+    ).collect()))
+    manual = sorted(map(tuple, pq_search(
+        rotate_vectors(q, R, vec_col="qvec"), codes, cb, k=6
+    ).collect()))
+    assert auto == manual
+
+    # refine: original-space queries + corpus, exact round-6 cosine out
+    ref = pq_search(q, codes2, cb2, k=3, refine=5, corpus=corpus,
+                    rotation=meta2["rotation_matrix"]).collect()
+    exact = {(r["qid"], r["vec_id"]): r["score"]
+             for r in knn_join(q, corpus, k=400).collect()}
+    for r in ref:
+        assert r["score"] == exact[(r["qid"], r["vec_id"])]

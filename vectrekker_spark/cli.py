@@ -156,6 +156,7 @@ def cmd_search(args: argparse.Namespace) -> int:
             q, codes, codebooks, k=args.k, refine=5,
             corpus=index.select("id", "embedding"),
             id_col="id", vec_col="embedding",
+            rotation=_meta.get("rotation_matrix"),
         ).collect()
         for r in res:
             print(f"{r['rank']:3d}  {r['score']:+.6f}  {r['id']}")
@@ -231,19 +232,32 @@ def cmd_pq_build(args: argparse.Namespace) -> int:
 
     spark = _spark()
     index = spark.read.parquet(args.index).select("id", "embedding")
+    rotation = None
     try:
-        cb = pq_train(index, m=args.m, nbits=args.nbits,
-                      sample_fraction=args.sample)
+        if args.opq:
+            from vectrekker_spark.operators.pq import opq_train, rotate_vectors
+
+            fit_src = (
+                index.sample(fraction=args.sample, seed=42)
+                if args.sample < 1.0 else index
+            )
+            rotation, cb = opq_train(fit_src, m=args.m, nbits=args.nbits)
+            enc_src = rotate_vectors(index, rotation)
+        else:
+            cb = pq_train(index, m=args.m, nbits=args.nbits,
+                          sample_fraction=args.sample)
+            enc_src = index
     except ValueError as e:
         print(f"error: {e}")
         return 2
-    codes = pq_encode(index, cb, id_col="id")
-    meta = pq_save(cb, codes, args.out, id_col="id")
+    codes = pq_encode(enc_src, cb, id_col="id")
+    meta = pq_save(cb, codes, args.out, id_col="id", rotation=rotation)
     n = spark.read.parquet(f"{args.out}/codes.parquet").count()
     print(
         f"pq index at {args.out}: {n} vectors, m={meta['m']} x "
         f"2^{meta['nbits']} codebooks, dim {meta['dim']} "
-        f"({meta['m']} bytes/vector)"
+        f"({meta['m']} bytes/vector"
+        f"{', OPQ-rotated' if meta['rotated'] else ''})"
     )
     return 0
 
@@ -928,6 +942,11 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--sample", type=float, default=1.0,
                     help="training sample fraction (codebook quality "
                     "saturates on a few million rows)")
+    pb.add_argument(
+        "--opq", action="store_true",
+        help="learn an OPQ orthogonal rotation before the subspace split; "
+        "pinned with the index and applied automatically by search --pq",
+    )
     pb.set_defaults(fn=cmd_pq_build)
 
     ib = sub.add_parser(

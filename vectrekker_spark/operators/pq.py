@@ -207,6 +207,7 @@ def pq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
+    rotation=None,
 ) -> DataFrame:
     """ADC top-k over the code table → (qid, vec_id, score, rank).
 
@@ -222,7 +223,12 @@ def pq_search(
     Queries + LUTs are driver-collected and broadcast (bounded by
     ``max_queries`` — this operator is for query BATCHES against huge
     corpora, not corpus×corpus joins; for that, encode both sides and
-    loop batches)."""
+    loop batches).
+
+    ``rotation``: codes encoded under an OPQ rotation (opq_train) need
+    the query LUTs in the same rotated space — pass the matrix and
+    ORIGINAL queries; the refine arm stays in original space (rotation
+    preserves cosine), so ``corpus`` is the unrotated float table."""
     import numpy as np
     import pandas as pd
 
@@ -238,6 +244,8 @@ def pq_search(
     qs = np.asarray([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
     norms = np.linalg.norm(qs, axis=1, keepdims=True)
     np.divide(qs, norms, out=qs, where=norms > 0)
+    if rotation is not None:
+        qs = qs @ np.asarray(rotation, dtype=np.float64)
     # inner-product LUT: lut[q, j, c] = q_j · c_jc ; ADC(q, x) = Σ_j lut[q, j, codes_j]
     lut = np.einsum("qjd,jcd->qjc", qs.reshape(len(qs), m, dsub), cb)
     n_q = len(qids)
@@ -323,6 +331,7 @@ def pq_save(
     codes: DataFrame,
     path: str,
     id_col: str = "vec_id",
+    rotation=None,
 ) -> dict:
     """Persist a PQ index: {path}/codebooks.parquet + {path}/codes.parquet
     + pq_meta.json pinning the geometry (m, nbits, dsub, dim, id_col).
@@ -337,17 +346,33 @@ def pq_save(
     import json
     import os
 
+    import numpy as np
+
     cb = _codebooks_np(codebooks)
     m, k, dsub = cb.shape
     os.makedirs(path, exist_ok=True)
     codebooks.write.mode("overwrite").parquet(os.path.join(path, "codebooks.parquet"))
     codes.write.mode("overwrite").parquet(os.path.join(path, "codes.parquet"))
+    if rotation is not None:
+        R = np.asarray(rotation, dtype=np.float64)
+        if R.shape != (m * dsub, m * dsub):
+            raise ValueError(
+                f"rotation shape {R.shape} does not match the codebook "
+                f"dim {m * dsub}"
+            )
+        codebooks.sparkSession.createDataFrame(
+            [(i, [float(v) for v in R[i]]) for i in range(len(R))],
+            "i int, r array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "rotation.parquet")
+        )
     meta = {
         "m": int(m),
         "nbits": int(k).bit_length() - 1,
         "dsub": int(dsub),
         "dim": int(m * dsub),
         "id_col": id_col,
+        "rotated": rotation is not None,
     }
     tmp = os.path.join(path, "pq_meta.json.tmp")
     with open(tmp, "w") as f:
@@ -386,6 +411,22 @@ def pq_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
             "— the codes are not interpretable; rebuild the index"
         )
     codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    if meta.get("rotated"):
+        import numpy as np
+
+        rrows = spark.read.parquet(
+            os.path.join(path, "rotation.parquet")
+        ).collect()
+        R = np.asarray(
+            [r["r"] for r in sorted(rrows, key=lambda r: r["i"])],
+            dtype=np.float64,
+        )
+        if R.shape != (meta["dim"], meta["dim"]):
+            raise ValueError(
+                f"rotation table shape {R.shape} does not match the pinned "
+                f"dim {meta['dim']} — rebuild the index"
+            )
+        meta["rotation_matrix"] = R
     return codebooks, codes, meta
 
 
