@@ -707,3 +707,47 @@ def test_flat_pq_rotated_save_load_search(spark, tmp_path):
              for r in knn_join(q, corpus, k=400).collect()}
     for r in ref:
         assert r["score"] == exact[(r["qid"], r["vec_id"])]
+
+
+def test_ivfpq_compact_reclaims_duplicates(spark, em, pq, tmp_path):
+    """Re-appended batches leave (cid, id) duplicates; compact reclaims
+    them in a NEW version (meta flips, grace kept), and search results
+    are identical before and after."""
+    import os
+
+    from vectrekker_spark.operators.ann import assign_centroids, ivf_build
+    from vectrekker_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_compact,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search_cells,
+    )
+
+    cb, codes = pq
+    centroids, assign = ivf_build(em, n_centroids=8, assign_k=1)
+    path = str(tmp_path / "c")
+    ivfpq_save(path, cb, centroids, assign, codes)
+    half = em.where(F.col("vec_id") % 2 == 0)
+    ivfpq_append(half, path)  # duplicates every even id
+    n_half = half.count()
+
+    q = em.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    before = sorted(map(tuple, ivfpq_search_cells(q, path, k=5,
+                                                  n_probe=4).collect()))
+    removed = ivfpq_compact(spark, path)
+    assert removed == n_half
+    _, _, codes2, meta2 = ivfpq_load(spark, path)
+    assert meta2["version"] == 1
+    assert codes2.count() == em.count()
+    after = sorted(map(tuple, ivfpq_search_cells(q, path, k=5,
+                                                 n_probe=4).collect()))
+    assert after == before
+    # idempotent on a clean index
+    assert ivfpq_compact(spark, path) == 0
+    # grace version kept, not the one before it
+    names = set(os.listdir(path))
+    assert "codes-v2" in names and "codes-v1" in names
+    assert "codes-v0" not in names

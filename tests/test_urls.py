@@ -288,3 +288,87 @@ def test_host_stats_and_filter_hosts_with_suffix_table(spark):
                   filter_hosts(df, bl, suffixes=sfx).collect())
     assert kept == [2, 3, 4]  # only alice's docs blocked; heuristic would
     # have let them pass (domain 'github.io' != 'alice.github.io')
+
+
+def test_resolve_url_reference_cases(spark):
+    from vectrekker_spark.functions.urls import resolve_url
+
+    base = "https://h.example.com/a/b/page.html?q=1"
+    cases = {
+        "https://other.com/x": "https://other.com/x",      # absolute
+        "//cdn.com/lib.js": "https://cdn.com/lib.js",       # scheme-rel
+        "/root.html": "https://h.example.com/root.html",    # root-rel
+        "sibling.html": "https://h.example.com/a/b/sibling.html",
+        "../up.html": "https://h.example.com/a/b/../up.html",  # documented:
+        # dot-segments stay (normalized_url's stance)
+        "": None,
+        None: None,
+    }
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(cases)], "i long, ref string"
+    ).withColumn("out", resolve_url(F.lit(base), F.col("ref")))
+    got = {r["ref"]: r["out"] for r in df.collect()}
+    for ref, want in cases.items():
+        assert got[ref] == want, (ref, got[ref])
+    # relative ref against an unparseable base → NULL
+    df2 = spark.createDataFrame([("x.html",)], "ref string").withColumn(
+        "out", resolve_url(F.lit("not a url"), F.col("ref"))
+    )
+    assert df2.collect()[0]["out"] is None
+
+
+def test_html_links_frontier(spark):
+    from vectrekker_spark.functions.urls import html_links
+
+    page = """
+    <html><body>
+      <a href="https://abs.example.com/x">abs</a>
+      <a href='/root'>root</a>
+      <a href="rel/page.html#frag">rel-with-frag</a>
+      <A HREF="//cdn.net/a">scheme-rel, uppercase tag</A>
+      <a href="javascript:void(0)">js</a>
+      <a href="mailto:x@y.z">mail</a>
+      <a href="https://abs.example.com/x">dup</a>
+      <a class="c" data-x="1" href="attr/after.html">attrs before href</a>
+    </body></html>
+    """
+    df = spark.createDataFrame(
+        [(1, "https://h.com/dir/page.html", page), (2, "https://h.com/", None)],
+        "doc_id long, url string, text string",
+    )
+    rows = {r["doc_id"]: r["links"] for r in html_links(df).collect()}
+    assert rows[2] is None  # NULL html → NULL links
+    assert sorted(rows[1]) == sorted([
+        "https://abs.example.com/x",
+        "https://h.com/root",
+        "https://h.com/dir/rel/page.html",
+        "https://cdn.net/a",
+        "https://h.com/dir/attr/after.html",
+    ])
+    # plan is JVM-only (no BatchEvalPython / ArrowEvalPython)
+    plan = html_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_html_links_composes_with_url_dedup(spark):
+    """The crawl loop: extract links → explode → dedup_by_url gives the
+    next snapshot's frontier."""
+    from vectrekker_spark.functions.urls import html_links
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/", '<a href="/x">1</a><a href="/y">2</a>'),
+            (2, "http://b.com/", '<a href="http://A.COM:80/x#f">dup of a/x</a>'),
+        ],
+        "doc_id long, url string, text string",
+    )
+    frontier = (
+        html_links(df)
+        .select(F.explode("links").alias("url"))
+        .withColumn("doc_id", F.monotonically_increasing_id())
+    )
+    kept = dedup_by_url(frontier)
+    urls = sorted(r["url"] for r in kept.collect())
+    # a.com/x appears twice (direct + b.com's alias) → one survivor
+    assert len(urls) == 2
+    assert any("/x" in u for u in urls) and any("/y" in u for u in urls)

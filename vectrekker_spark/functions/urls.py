@@ -225,6 +225,74 @@ def normalized_url(url) -> Column:
     ).otherwise(rebuilt)
 
 
+def resolve_url(base, ref) -> Column:
+    """Resolve an href ``ref`` against its page URL ``base`` (RFC 3986 §5
+    reference resolution, the subset crawl frontiers need — pure
+    Catalyst): absolute references pass through, '//host/...' adopts the
+    base scheme, '/path' is root-relative, anything else joins the base
+    path's directory. Dot-segments ('../') are NOT collapsed — same
+    documented stance as normalized_url (they stay distinct keys; a
+    dedup pass downstream treats them syntactically). NULL/unparseable
+    base with a relative ref → NULL (nothing to resolve against)."""
+    b = F.col(base) if isinstance(base, str) else base
+    r = F.col(ref) if isinstance(ref, str) else ref
+    scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    authority = F.try_parse_url(b, F.lit("AUTHORITY"))
+    root = F.concat(scheme, F.lit("://"), authority)
+    bpath = F.coalesce(F.try_parse_url(b, F.lit("PATH")), F.lit(""))
+    # base path's directory, always '/'-terminated ('' and '/x' → '/')
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    bdir = F.when(bdir == "", F.lit("/")).otherwise(bdir)
+    ok_base = (scheme != "") & authority.isNotNull()
+    return (
+        F.when(r.isNull() | (r == ""), F.lit(None).cast("string"))
+        .when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), r)  # absolute URI
+        .when(~ok_base, F.lit(None).cast("string"))
+        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
+        .when(r.startswith("/"), F.concat(root, r))
+        .otherwise(F.concat(root, bdir, r))
+    )
+
+
+def html_links(
+    docs: DataFrame,
+    html_col: str = "text",
+    url_col: str = "url",
+    out_col: str = "links",
+) -> DataFrame:
+    """All input columns + ``out_col`` = the page's outgoing links as
+    absolute URLs — the crawl FRONTIER builder that closes the loop
+    C21 opened (fetch → extract text → **extract links** → dedup_by_url
+    → filter_hosts → fetch...). Pure Catalyst: one regexp_extract_all
+    over anchor hrefs (single- or double-quoted), fragments stripped,
+    javascript:/mailto:/data:/tel: links dropped, the rest resolved
+    against the page URL with resolve_url; duplicates within a page
+    collapse. Zero Python, no shuffle — frontier extraction at crawl
+    scale is a narrow map; `explode(links)` + dedup_by_url is the next
+    snapshot's seed list."""
+    c = F.col(html_col)
+    hrefs = F.array_union(
+        F.regexp_extract_all(c, F.lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)'), 1),
+        F.regexp_extract_all(c, F.lit(r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)"), 1),
+    )
+    resolved = F.filter(
+        F.transform(
+            hrefs,
+            lambda h: resolve_url(
+                F.col(url_col), F.regexp_replace(F.trim(h), r"#.*$", "")
+            ),
+        ),
+        lambda u: u.isNotNull()
+        & ~F.lower(u).rlike(r"^(javascript|mailto|data|tel):"),
+    )
+    return docs.withColumn(
+        out_col,
+        F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(
+            F.array_distinct(resolved)
+        ),
+    )
+
+
 def dedup_by_url(
     docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1087,3 +1087,51 @@ def opq_train(
         rows_out, "subspace int, code int, cvec array<double>"
     )
     return R, codebooks
+
+
+def ivfpq_compact(spark, path: str) -> int:
+    """Rewrite the code table dropping duplicate (cid, id) rows left by
+    re-appended batches (ivfpq_append's at-least-once caveat) and merging
+    the small files appends accrete — the ivf_compact contract for the
+    PQ code table. The deduped codes land in a NEW version together with
+    copies of the live codebooks/centroids/rotation (tiny by
+    construction), and the meta pointer flips atomically, so concurrent
+    readers keep resolving the previous committed version (kept as the
+    grace copy; older versions prune). Duplicate rows carry identical
+    codes, so search results never change — pinned in tests. Returns
+    rows removed. Single-writer contract as ivfpq_save/append."""
+    import json
+    import os
+    import shutil
+
+    codebooks, centroids, codes, meta = ivfpq_load(spark, path)
+    id_col = meta["id_col"]
+    before = codes.count()
+    deduped = codes.dropDuplicates(["cid", id_col])
+    removed = before - deduped.count()
+    v_old, v_new = meta["version"], meta["version"] + 1
+    deduped.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(os.path.join(path, f"codes-v{v_new}"))
+    for name in ("codebooks", "centroids") + (
+        ("rotation",) if meta.get("rotated") else ()
+    ):
+        spark.read.parquet(
+            os.path.join(path, f"{name}-v{v_old}.parquet")
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, f"{name}-v{v_new}.parquet")
+        )
+    new_meta = {k: v for k, v in meta.items() if k != "rotation_matrix"}
+    new_meta["version"] = v_new
+    tmp = os.path.join(path, _IVFPQ_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(path, _IVFPQ_META))
+    import re
+
+    for d in os.listdir(path):
+        mm = re.fullmatch(
+            r"(codes|codebooks|centroids|rotation)-v(\d+)(\.parquet)?", d)
+        if mm and int(mm.group(2)) < v_new - 1:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return removed
