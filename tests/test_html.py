@@ -122,3 +122,34 @@ def test_amp_decodes_last_no_double_decode(spark):
     for h, want in cases.items():
         assert fast[h] == want, (h, fast[h])
         assert exact[h] == want, (h, exact[h])
+
+
+def test_html_title_and_noindex(spark):
+    from vectrekker_spark.functions.html import html_noindex, html_title
+
+    pages = [
+        (0, "<html><head><title> My &amp; Page \n Title </title></head></html>"),
+        (1, "<html><head><meta name=robots content='nofollow, NOINDEX'>"
+            "<title>t</title></head></html>"),
+        (2, '<html><head><meta content="noindex" name="GoogleBot"></head>'),
+        (3, "<html><head><meta name='robots' content='all'></head>"),
+        (4, "<html><body>no head</body></html>"),
+        (5, None),
+        # 'noindexable' must NOT match (word boundary)
+        (6, "<meta name=robots content=noindexable>"),
+    ]
+    df = spark.createDataFrame(pages, "i long, h string").select(
+        "i", html_title("h").alias("t"), html_noindex("h").alias("nx")
+    )
+    rows = {r["i"]: (r["t"], r["nx"]) for r in df.collect()}
+    assert rows[0] == ("My & Page Title", False)
+    assert rows[1] == ("t", True)
+    assert rows[2] == (None, True)   # attribute order + case insensitive
+    assert rows[3] == (None, False)
+    assert rows[4] == (None, False)
+    assert rows[5] == (None, None)   # NULL html classifies NULL
+    assert rows[6] == (None, False)
+
+    # JVM-only
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

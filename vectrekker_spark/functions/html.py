@@ -126,6 +126,34 @@ def html_to_text_exact(
     return df.withColumn(out_col, conv(F.col(html_col)))
 
 
+def html_title(html: Column | str) -> Column:
+    """The page's <title> text, entity-decoded through the expression
+    tier and whitespace-collapsed; NULL when absent/NULL — the one piece
+    of document metadata every crawl keeps. Pure Catalyst."""
+    c = F.col(html) if isinstance(html, str) else html
+    raw = F.regexp_extract(c, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
+    # titles are one line: fold the text tier's block boundaries to spaces
+    return F.when(c.isNull() | (raw == ""), F.lit(None).cast("string")).otherwise(
+        F.regexp_replace(html_to_text(raw), r"\s+", " ")
+    )
+
+
+def html_noindex(html: Column | str) -> Column:
+    """True when the page carries a robots/googlebot noindex meta
+    directive (`<meta name="robots" content="... noindex ...">`, either
+    attribute order, either quote style) — the standard pre-curation
+    drop real pipelines apply (CCNet/C4 respect noindex). NULL html →
+    NULL (classify, never guess). Pure Catalyst, one regex."""
+    c = F.col(html) if isinstance(html, str) else html
+    pat = (
+        r"(?is)<meta\b(?=[^>]*\bname\s*=\s*['\"]?(?:robots|googlebot)\b)"
+        r"(?=[^>]*\bcontent\s*=\s*['\"]?[^'\">]*\bnoindex\b)[^>]*>"
+    )
+    return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(
+        c.rlike(pat)
+    )
+
+
 def warc_html_docs(spark, path: str, min_chars: int = 1) -> DataFrame:
     """The composed crawl→corpus reader: WARC response records whose mime
     is HTML → html_to_text → the document schema (doc_id, text, url, ts,
