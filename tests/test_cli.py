@@ -830,3 +830,43 @@ def test_pq_build_opq_flag(tmp_path, capsys, spark):
              if line.strip()]
     assert len(lines) == 2
     assert a_path in lines[0] and "+1.000000" in lines[0]
+
+
+def test_frontier_verb(tmp_path, capsys, spark):
+    """The crawl loop at CLI level: fetched pages → link extraction →
+    dedup against fetched (aliases included) → blocklist → seed list."""
+    pages = [
+        (1, "http://a.com/", '<a href="/new1">n</a>'
+            '<a href="http://A.COM:80/#top">alias of fetched a.com/</a>'
+            '<a href="http://bad.net/spam">blocked</a>'),
+        (2, "http://b.com/dir/p.html", '<a href="new2.html">n</a>'
+            '<a href="/new1">cross-site same path, different host</a>'),
+    ]
+    docs_path = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        pages, "doc_id long, url string, text string"
+    ).write.parquet(docs_path)
+    bl_path = str(tmp_path / "bl.parquet")
+    spark.createDataFrame([("bad.net",)], "host string").write.parquet(bl_path)
+    out = str(tmp_path / "frontier.parquet")
+    rc = main([
+        "frontier", "--documents", docs_path, "--out", out,
+        "--blocklist", bl_path,
+    ])
+    assert rc == 0
+    assert "3 new url(s)" in capsys.readouterr().out
+    urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    # alias of a fetched page dropped; bad.net blocked; b.com/new1 is a
+    # DIFFERENT resource than a.com/new1 (host differs) so both stay
+    assert urls == [
+        "http://a.com/new1",
+        "http://b.com/dir/new2.html",
+        "http://b.com/new1",
+    ]
+    # missing url column fails early
+    nourl = str(tmp_path / "nourl.parquet")
+    spark.createDataFrame([(1, "<a href='/x'>l</a>")],
+                          "doc_id long, text string").write.parquet(nourl)
+    rc = main(["frontier", "--documents", nourl, "--out", str(tmp_path / "o")])
+    assert rc == 2
+    assert "'url' column" in capsys.readouterr().out

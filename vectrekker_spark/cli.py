@@ -637,6 +637,76 @@ def cmd_fit_quality(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_frontier(args: argparse.Namespace) -> int:
+    """Build the next crawl snapshot's seed list from fetched pages:
+    extract every outgoing link (functions/urls.html_links — anchor
+    hrefs resolved absolute), drop already-fetched URLs and in-frontier
+    aliases (dedup_by_url over the union), optionally drop blocklisted
+    hosts/domains, write one deduplicated url list. The whole pipeline
+    is narrow Catalyst + one url-key shuffle — crawl-scale by the same
+    argument as dedup_by_url."""
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.functions.urls import (
+        dedup_by_url,
+        filter_hosts,
+        html_links,
+    )
+
+    spark = _spark()
+    if args.input_format == "warc":
+        from vectrekker_spark.sources.text_formats import read_warc
+
+        docs = read_warc(spark, args.documents, kinds=("response",)).where(
+            F.col("mime").isin("text/html", "application/xhtml+xml")
+        )
+    else:
+        docs = spark.read.parquet(args.documents)
+    for col in ("url", args.html_col):
+        if col not in docs.columns:
+            print(
+                f"error: frontier needs a {col!r} column in "
+                f"{args.documents} (has: {', '.join(docs.columns)})"
+            )
+            return 2
+    links = (
+        html_links(docs, html_col=args.html_col)
+        .select(F.explode("links").alias("url"))
+    )
+    # already-fetched pages never re-enter the frontier: their urls join
+    # the dedup with id 0, beating every link row; among link ALIASES the
+    # keeper is the smallest url-hash — deterministic across runs and
+    # layouts (a constant id would leave the keeper to window tie order)
+    fetched = docs.select("url").where(F.col("url").isNotNull()).distinct()
+    pool = (
+        fetched.withColumn("__seen", F.lit(1))
+        .unionByName(links.withColumn("__seen", F.lit(0)))
+        .withColumn(
+            "doc_id",
+            F.when(F.col("__seen") == 1, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("url"), F.lit(1 << 62)) + 1
+            ),
+        )
+    )
+    kept = (
+        dedup_by_url(pool)
+        .where(F.col("__seen") == 0)
+        .select("url")
+        .distinct()
+    )
+    if args.blocklist:
+        bl = spark.read.parquet(args.blocklist)
+        sfx = (
+            spark.read.parquet(args.suffix_table)
+            if args.suffix_table else None
+        )
+        kept = filter_hosts(kept, bl, suffixes=sfx)
+    kept.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"frontier at {args.out}: {n} new url(s)")
+    return 0
+
+
 def cmd_fit_langid(args: argparse.Namespace) -> int:
     """Train the hashed char-n-gram language classifier on a labeled
     parquet and save it for curate --langid-model (operators/langid)."""
@@ -1149,6 +1219,36 @@ def build_parser() -> argparse.ArgumentParser:
         help="labeled-sample cap (the fit is driver-side by design)",
     )
     fq.set_defaults(fn=cmd_fit_quality)
+
+    fr = sub.add_parser(
+        "frontier",
+        help="build the next crawl snapshot's seed list: extract links "
+        "from fetched pages, dedup against them, drop blocklisted hosts",
+    )
+    fr.add_argument(
+        "--documents", required=True,
+        help="fetched pages (parquet with url + html columns, or WARC "
+        "with --input-format warc)",
+    )
+    fr.add_argument("--out", required=True, help="output url-list parquet")
+    fr.add_argument(
+        "--input-format", choices=["parquet", "warc"], default="parquet",
+    )
+    fr.add_argument(
+        "--html-col", default="text",
+        help="column holding the page HTML (default text)",
+    )
+    fr.add_argument(
+        "--blocklist",
+        help="parquet with a 'host' column: drop frontier urls whose host "
+        "or registered domain is listed",
+    )
+    fr.add_argument(
+        "--suffix-table",
+        help="PSL parquet ('suffix' column) for exact registered domains "
+        "in the blocklist check",
+    )
+    fr.set_defaults(fn=cmd_frontier)
 
     fg = sub.add_parser(
         "fit-langid",
