@@ -870,3 +870,32 @@ def test_frontier_verb(tmp_path, capsys, spark):
     rc = main(["frontier", "--documents", nourl, "--out", str(tmp_path / "o")])
     assert rc == 2
     assert "'url' column" in capsys.readouterr().out
+
+
+def test_curate_dedup_paragraphs_flag(tmp_path, capsys, spark):
+    banner = "subscribe to our newsletter for weekly updates and offers"
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (0, f"alpha unique content paragraph\n\n{banner}", "en"),
+            (1, f"{banner}\n\nbeta tail content paragraph here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_path)
+    out_dir = str(tmp_path / "shards")
+    rc = main([
+        "curate", "--documents", docs_path, "--out", out_dir,
+        "--min-quality", "0.0", "--dedup-paragraphs-min-chars", "40",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "after_para_dedup" in out
+    texts = " ".join(
+        r["chunk_text"] for r in spark.read.parquet(out_dir).collect()
+    )
+    # the banner survives exactly once (its doc-0 keeper)
+    assert texts.count(banner) == 1
+    rc = main([
+        "curate", "--documents", docs_path, "--out", out_dir,
+        "--dedup-paragraphs-min-chars", "-2",
+    ])
+    assert rc == 2

@@ -414,3 +414,45 @@ def test_exact_dedup_collapses_content_hash_id_collisions(spark):
     funnel = dict(res.funnel)
     assert funnel["input"] == 3
     assert funnel["after_exact_dedup"] == 2
+
+
+def test_curate_paragraph_dedup_stage(spark):
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    banner = "subscribe to our newsletter for weekly updates and offers"
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique alpha content paragraph\n\n{banner}", "en"),
+            (1, f"{banner}\n\ndifferent beta tail paragraph here", "en"),
+            (2, banner, "en"),  # strips to '' → dropped by the stage
+            (3, "untouched gamma document with one block", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        dedup_paragraphs_min_chars=40, chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    chunks = {r["doc_id"]: r["chunk_text"] for r in res.chunks.collect()}
+    res.unpersist()
+    assert res.funnel["after_para_dedup"] == 3  # doc 2 stripped to ''
+    assert chunks[0] == f"unique alpha content paragraph\n\n{banner}"  # keeper
+    assert chunks[1] == "different beta tail paragraph here"
+    assert 2 not in chunks
+    assert chunks[3] == "untouched gamma document with one block"
+
+
+def test_curate_paragraph_dedup_validates_at_start(spark):
+    import pytest
+
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="dedup_paragraphs_min_chars"):
+        curate(docs, CurationConfig(dedup_paragraphs_min_chars=-1))
+    collided = docs.withColumn("paras_dropped", docs.doc_id)
+    with pytest.raises(ValueError, match="paras_dropped"):
+        curate(collided, CurationConfig(dedup_paragraphs_min_chars=40))

@@ -312,3 +312,22 @@ def test_engine_crawl_and_pq_surface(spark, sf_dir, tmp_path):
     )
     res = eng.pq_search(q, codes, cb, k=3)
     assert res.count() == 6 and set(res.columns) == {"qid", "vec_id", "score", "rank"}
+
+
+def test_engine_paragraph_dedup_sugar(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    banner = "subscribe to our newsletter for weekly updates and offers"
+    df = spark.createDataFrame(
+        [(1, f"alpha unique block\n\n{banner}"), (2, f"{banner}\n\nbeta tail")],
+        "doc_id long, text string",
+    )
+    flagged = eng.duplicate_paragraphs(df, min_chars=40).collect()
+    assert [(r["id"], r["pos"]) for r in flagged] == [(2, 0)]
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["paras_dropped"])
+        for r in eng.dedup_paragraphs(df, min_chars=40).collect()
+    }
+    assert out == {
+        1: (f"alpha unique block\n\n{banner}", 0),
+        2: ("beta tail", 1),
+    }

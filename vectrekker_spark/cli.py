@@ -491,6 +491,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     ):
         print("error: --boilerplate-min-alpha must be in [0, 1]")
         return 2
+    if args.dedup_paragraphs_min_chars < 0:
+        print("error: --dedup-paragraphs-min-chars must be >= 0 (0 disables)")
+        return 2
     spark = _spark()
     if args.input_format == "warc":
         # Common Crawl-shaped ingestion (r13): WARC/WET records → the
@@ -565,6 +568,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             max_perplexity=args.max_perplexity,
             strip_boilerplate_min_words=args.strip_boilerplate_min_words,
             boilerplate_min_alpha=args.boilerplate_min_alpha,
+            dedup_paragraphs_min_chars=args.dedup_paragraphs_min_chars,
             max_docs_per_stratum=args.max_docs_per_stratum,
             stratum_col=args.stratum_col,
         ),
@@ -1163,6 +1167,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--boilerplate-min-alpha", type=float, default=0.5,
         help="minimum alphabetic-character ratio a kept line needs "
         "(with --strip-boilerplate-min-words)",
+    )
+    cu.add_argument(
+        "--dedup-paragraphs-min-chars", type=int, default=0,
+        help="strip cross-document duplicate PARAGRAPHS (banners/footers/"
+        "license blocks) of >= N normalized chars, keeping the corpus-"
+        "canonical occurrence (the CCNet unit; 0 = off)",
     )
     cu.add_argument(
         "--max-docs-per-stratum", type=int, default=0,

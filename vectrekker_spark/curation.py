@@ -85,6 +85,13 @@ class CurationConfig:
     # order real pipelines use. Docs whose text strips to '' are dropped.
     strip_boilerplate_min_words: int = 0
     boilerplate_min_alpha: float = 0.5
+    # 0 → off; else strip cross-document duplicate PARAGRAPHS (nav bars,
+    # cookie banners, license blocks — the CCNet-shaped unit) whose
+    # normalized length is >= this many chars, keeping the corpus-minimal
+    # (id, pos) occurrence (operators/paradedup). Runs after the line-level
+    # boilerplate strip and BEFORE exact dedup, so content hashes and
+    # shingles see the deduplicated text. Docs stripping to '' drop here.
+    dedup_paragraphs_min_chars: int = 0
     # 0 → off; else keep at most this many docs per ``stratum_col`` value
     # (the RefinedWeb/FineWeb per-domain cap, operators/quota), chosen in
     # stable hash(id) order — deterministic and growth-stable. Runs LAST
@@ -154,6 +161,22 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             f"CurationConfig.strip_span_ngram must be 0 (off) or >= 2, "
             f"got {cfg.strip_span_ngram}"
         )
+    if cfg.dedup_paragraphs_min_chars:
+        # run-START validation: the stage's helper columns must be free
+        # before any stage executes (same contract as the quota's __rn)
+        if cfg.dedup_paragraphs_min_chars < 0:
+            raise ValueError(
+                f"CurationConfig.dedup_paragraphs_min_chars must be >= 0 "
+                f"(0 disables), got {cfg.dedup_paragraphs_min_chars}"
+            )
+        for col in ("paras_dropped", "__para_dedup_text"):
+            if col in docs.columns:
+                raise ValueError(
+                    f"CurationConfig.dedup_paragraphs_min_chars is set but "
+                    f"the input already has a {col!r} column — the "
+                    f"paragraph-dedup stage's helper would collide; drop "
+                    f"or rename it first"
+                )
     if cfg.semantic_dedup_threshold:
         # run-START validation: a missing embedding column or nonsense
         # threshold must fail before any dedup stage executes
@@ -323,6 +346,30 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         ).cache()
         caches.append(docs)
         _record("after_boilerplate", docs.count())
+
+    # 0b. cross-document paragraph dedup (opt-in): collapse repeated
+    # blocks (banners/footers/licenses) to their corpus-canonical
+    # occurrence BEFORE exact dedup, so content hashes/shingles judge the
+    # deduplicated text. The document text never shuffles — only a narrow
+    # (id, pos, hash) stream plus per-doc drop lists (operators/paradedup).
+    if cfg.dedup_paragraphs_min_chars:
+        from vectrekker_spark.operators.paradedup import dedup_paragraphs
+
+        docs = (
+            dedup_paragraphs(
+                docs,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                min_chars=cfg.dedup_paragraphs_min_chars,
+                out_col="__para_dedup_text",
+            )
+            .withColumn(cfg.text_col, F.col("__para_dedup_text"))
+            .drop("__para_dedup_text", "paras_dropped")
+            .where(F.col(cfg.text_col).isNull() | (F.length(cfg.text_col) > 0))
+            .cache()
+        )
+        caches.append(docs)
+        _record("after_para_dedup", docs.count())
 
     # 1. exact dedup: keep min-id per content hash. The semi-join alone
     # keeps every ROW carrying a keeper id — with CONTENT-HASH doc ids

@@ -409,6 +409,21 @@ class Engine:
             keep_content_lines(text_col, min_words=min_words, min_alpha=min_alpha),
         )
 
+    def duplicate_paragraphs(self, df: DataFrame, **kw) -> DataFrame:
+        """(id, pos, para_hash) for every non-canonical occurrence of a
+        cross-document duplicated paragraph (operators/paradedup)."""
+        from vectrekker_spark.operators.paradedup import duplicate_paragraphs
+
+        return duplicate_paragraphs(df, **kw)
+
+    def dedup_paragraphs(self, df: DataFrame, **kw) -> DataFrame:
+        """Strip cross-document duplicate paragraphs, keeping the
+        corpus-canonical (min (id, pos)) occurrence; adds ``text_dedup``
+        + ``paras_dropped`` (operators/paradedup, the CCNet unit)."""
+        from vectrekker_spark.operators.paradedup import dedup_paragraphs
+
+        return dedup_paragraphs(df, **kw)
+
     def redact_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Replace emails/phones in `text_col` with placeholder tags
         (functions/text.redact_pii), in place of the original column."""
