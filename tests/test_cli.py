@@ -899,3 +899,19 @@ def test_curate_dedup_paragraphs_flag(tmp_path, capsys, spark):
         "--dedup-paragraphs-min-chars", "-2",
     ])
     assert rc == 2
+
+
+def test_fit_bpe_command(tmp_path, capsys, spark, sf_dir):
+    out = str(tmp_path / "model.bpe.json")
+    rc = main([
+        "fit-bpe", "--documents", f"{sf_dir}/documents.parquet",
+        "--out", out, "--n-merges", "50",
+    ])
+    printed = capsys.readouterr().out
+    assert rc == 0 and "merges" in printed
+    from vectrekker_spark.operators.bpetrainer import bpe_load
+
+    model = bpe_load(out)
+    assert 0 < len(model.merges) <= 50
+    rc = main(["fit-bpe", "--documents", "x", "--out", out, "--n-merges", "-1"])
+    assert rc == 2

@@ -331,3 +331,19 @@ def test_engine_paragraph_dedup_sugar(spark, sf_dir):
         1: (f"alpha unique block\n\n{banner}", 0),
         2: ("beta tail", 1),
     }
+
+
+def test_engine_bpe_sugar(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    df = spark.createDataFrame(
+        [(1, "aa aa aa ab"), (2, "aa ba")], "doc_id long, text string"
+    )
+    model = eng.fit_bpe(df, n_merges=5, min_pair_count=2)
+    assert ("a", "a") in model.merges
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in eng.bpe_encode(df, model).collect()}
+    assert enc[1][0] == "aa"
+    cnt = {
+        r["doc_id"]: r["bpe_n_tokens"]
+        for r in eng.bpe_token_count(df, model).collect()
+    }
+    assert cnt[1] == sum(len(model.encode_word(w)) for w in "aa aa aa ab".split())

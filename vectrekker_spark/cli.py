@@ -592,6 +592,42 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fit_bpe(args: argparse.Namespace) -> int:
+    """Learn a BPE tokenizer from a document parquet: distributed word-
+    frequency aggregation, bounded driver-side merge loop, atomic JSON
+    save (operators/bpetrainer)."""
+    if args.n_merges < 0:
+        print("error: --n-merges must be >= 0")
+        return 2
+    if args.max_word_types < 1:
+        print("error: --max-word-types must be >= 1")
+        return 2
+    if args.min_pair_count < 1:
+        print("error: --min-pair-count must be >= 1")
+        return 2
+    from vectrekker_spark.operators.bpetrainer import bpe_save, bpe_train
+
+    spark = _spark()
+    docs = spark.read.parquet(args.documents)
+    if args.text_col not in docs.columns:
+        print(f"error: input has no {args.text_col!r} column")
+        return 2
+    model = bpe_train(
+        docs,
+        text_col=args.text_col,
+        n_merges=args.n_merges,
+        max_word_types=args.max_word_types,
+        min_pair_count=args.min_pair_count,
+    )
+    bpe_save(model, args.out)
+    print(
+        f"saved {args.out}: {len(model.merges)} merges "
+        f"({args.n_merges} requested), {len(model.vocab())} merge-derived "
+        f"vocab symbols"
+    )
+    return 0
+
+
 def cmd_fit_quality(args: argparse.Namespace) -> int:
     """Train the hashed-BoW linear quality classifier on a labeled parquet
     and save (weights, bias) for curate --quality-model
@@ -1229,6 +1265,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="labeled-sample cap (the fit is driver-side by design)",
     )
     fq.set_defaults(fn=cmd_fit_quality)
+
+    fb = sub.add_parser(
+        "fit-bpe",
+        help="learn a BPE tokenizer from a document parquet (distributed "
+        "word counts, driver-side merge loop) and save it as JSON",
+    )
+    fb.add_argument("--documents", required=True, help="document parquet")
+    fb.add_argument("--out", required=True, help="output model path (.json)")
+    fb.add_argument("--text-col", default="text")
+    fb.add_argument("--n-merges", type=int, default=1000)
+    fb.add_argument(
+        "--max-word-types", type=int, default=30_000,
+        help="word-type table cap (the merge loop is driver-side by design)",
+    )
+    fb.add_argument("--min-pair-count", type=int, default=2)
+    fb.set_defaults(fn=cmd_fit_bpe)
 
     fr = sub.add_parser(
         "frontier",

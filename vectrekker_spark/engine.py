@@ -409,6 +409,26 @@ class Engine:
             keep_content_lines(text_col, min_words=min_words, min_alpha=min_alpha),
         )
 
+    def fit_bpe(self, df: DataFrame, n_merges: int = 1000, **kw):
+        """Learn a BPE tokenizer from the corpus (operators/bpetrainer:
+        distributed word counts, bounded driver-side merge loop)."""
+        from vectrekker_spark.operators.bpetrainer import bpe_train
+
+        return bpe_train(df, n_merges=n_merges, **kw)
+
+    def bpe_encode(self, df: DataFrame, model, **kw) -> DataFrame:
+        """Apply a learned BPE model: adds ``bpe_tokens`` (zero-shuffle
+        broadcast Arrow map)."""
+        from vectrekker_spark.operators.bpetrainer import bpe_encode
+
+        return bpe_encode(df, model, **kw)
+
+    def bpe_token_count(self, df: DataFrame, model, **kw) -> DataFrame:
+        """Learned-BPE token counts: adds ``bpe_n_tokens``."""
+        from vectrekker_spark.operators.bpetrainer import bpe_token_count
+
+        return bpe_token_count(df, model, **kw)
+
     def duplicate_paragraphs(self, df: DataFrame, **kw) -> DataFrame:
         """(id, pos, para_hash) for every non-canonical occurrence of a
         cross-document duplicated paragraph (operators/paradedup)."""
