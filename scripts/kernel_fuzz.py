@@ -699,6 +699,70 @@ GROUP BY train_id
 """
 
 
+class ParaDedup:
+    """operators/paradedup.duplicate_paragraphs vs a DuckDB window mirror.
+    Multi-paragraph documents are BUILT by pairing each doc's text with
+    the text of doc_id % mod (the small shared pool makes real cross-doc
+    paragraph repeats), joined with a blank line; NULL/empty injection
+    rides the standard knobs (concat_ws skips NULLs identically in both
+    engines, so a NULL side degrades to a one-paragraph doc)."""
+
+    name = "paradedup"
+
+    @staticmethod
+    def draw(rng):
+        return {
+            "mod": rng.choice([3, 5, 10]),
+            "min_chars": rng.choice([5, 10, 20, 40]),
+        }
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.operators.paradedup import duplicate_paragraphs
+
+        d = _docs(spark, sfd, params)
+        m = params["mod"]
+        b = d.select(F.col("doc_id").alias("__bid"), F.col("text").alias("__btext"))
+        built = d.join(b, (F.col("doc_id") % m) == F.col("__bid"), "left").select(
+            "doc_id", F.concat_ws("\n\n", "text", "__btext").alias("text")
+        )
+        return duplicate_paragraphs(
+            built, min_chars=params["min_chars"]
+        ).selectExpr("id AS doc_id", "pos", "para_hash")
+
+    @staticmethod
+    def sql(params):
+        m, mc = params["mod"], params["min_chars"]
+        t = _texpr(params)
+        return f"""
+WITH src AS (
+  SELECT doc_id, {t} AS text FROM documents WHERE {_bound_sql(params)}),
+built AS (
+  SELECT a.doc_id, concat_ws(chr(10) || chr(10), a.text, b.text) AS text
+  FROM src a LEFT JOIN src b ON a.doc_id % {m} = b.doc_id),
+base AS (
+  SELECT doc_id AS id, regexp_split_to_array(text, '\\n{{2,}}') AS l
+  FROM built WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+paras AS (
+  SELECT id, CAST(u.i - 1 AS BIGINT) AS pos, l[u.i] AS p
+  FROM base, UNNEST(generate_series(1, array_length(l))) AS u(i)),
+keyed AS (
+  SELECT id, pos,
+         md5(lower(trim(regexp_replace(p, '\\s+', ' ', 'g')))) AS h,
+         length(lower(trim(regexp_replace(p, '\\s+', ' ', 'g')))) AS nlen
+  FROM paras),
+ranked AS (
+  SELECT id, pos, h,
+         row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS n_occ
+  FROM keyed WHERE nlen >= {mc})
+SELECT id AS doc_id, pos, h AS para_hash
+FROM ranked WHERE n_occ > 1 AND rn > 1
+"""
+
+
 class UrlNorm:
     """functions/urls.normalized_url + url_host vs the regex mirror SQL
     (the test_urls mirror, fuzzed): seeded random URLs across schemes /
@@ -895,7 +959,7 @@ def _write_langid_texts(dirpath: str, rng, n: int):
 
 
 TEXT_FAMILIES = [Chunk, WordShingles, CharShingles, Minhash, Winnow, Bloom,
-                 Split, Decontam]
+                 Split, Decontam, ParaDedup]
 VEC_FAMILIES = [VecMetrics, ThresholdJoin, TopK]
 HASH_FAMILIES = [ImagePairs, ImageAgainst]
 URL_FAMILIES = [UrlNorm]

@@ -915,3 +915,24 @@ def test_fit_bpe_command(tmp_path, capsys, spark, sf_dir):
     assert 0 < len(model.merges) <= 50
     rc = main(["fit-bpe", "--documents", "x", "--out", out, "--n-merges", "-1"])
     assert rc == 2
+
+
+def test_curate_normalize_flag(tmp_path, capsys, spark):
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, "cafÃ© menu with plenty of ordinary words here", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_path)
+    out_dir = str(tmp_path / "shards")
+    rc = main([
+        "curate", "--documents", docs_path, "--out", out_dir,
+        "--min-quality", "0.0", "--normalize", "NFKC",
+    ])
+    assert rc == 0 and "after_normalize" in capsys.readouterr().out
+    texts = [r["chunk_text"] for r in spark.read.parquet(out_dir).collect()]
+    assert any("café" in t for t in texts)
+    rc = main([
+        "curate", "--documents", docs_path, "--out", out_dir,
+        "--normalize", "latin-1",
+    ])
+    assert rc == 2

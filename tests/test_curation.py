@@ -456,3 +456,39 @@ def test_curate_paragraph_dedup_validates_at_start(spark):
     collided = docs.withColumn("paras_dropped", docs.doc_id)
     with pytest.raises(ValueError, match="paras_dropped"):
         curate(collided, CurationConfig(dedup_paragraphs_min_chars=40))
+
+
+def test_curate_normalize_stage(spark):
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    moji = "cafÃ©  menu with plenty of  words for the  gate".replace("  ", "   ")
+    docs = spark.createDataFrame(
+        [
+            (0, moji, "en"),
+            (1, "plain document with ordinary words throughout", "en"),
+            (2, "\x00\x01", "en"),  # normalizes to '' → dropped
+        ],
+        "doc_id long, text string, lang string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        normalize_form="NFKC", chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    chunks = {r["doc_id"]: r["chunk_text"] for r in res.chunks.collect()}
+    res.unpersist()
+    assert res.funnel["after_normalize"] == 2
+    assert chunks[0] == "café menu with plenty of words for the gate"
+    assert 2 not in chunks
+
+
+def test_curate_normalize_validates_at_start(spark):
+    import pytest
+
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="normalize_form"):
+        curate(docs, CurationConfig(normalize_form="NFX"))

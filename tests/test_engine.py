@@ -347,3 +347,17 @@ def test_engine_bpe_sugar(spark, sf_dir):
         for r in eng.bpe_token_count(df, model).collect()
     }
     assert cnt[1] == sum(len(model.encode_word(w)) for w in "aa aa aa ab".split())
+
+
+def test_engine_normalize_and_compression_sugar(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    df = spark.createDataFrame(
+        [(1, "cafÃ©  x"), (2, "abab" * 50)], "doc_id long, text string"
+    )
+    normed = {r["doc_id"]: r["text"] for r in eng.normalize_text(df).collect()}
+    assert normed[1] == "café x"
+    ratios = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in eng.compression_ratio(df).collect()
+    }
+    assert ratios[2] < 0.2

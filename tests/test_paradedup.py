@@ -216,3 +216,56 @@ def test_property_matches_oracle(spark, docs):
     assert got_flag == want_flag
     got = {r.doc_id: r.text_dedup for r in dedup_paragraphs(df, min_chars=20).collect()}
     assert got == rebuilt
+
+
+def _accumulate_batches(spark, batches, min_chars):
+    """Sequential incremental dedup with an accumulated hash index."""
+    from vectrekker_spark.operators.paradedup import (
+        dedup_paragraphs_against,
+        paragraph_hashes,
+    )
+
+    kept_rows = []
+    index = None
+    for rows in batches:
+        df = _spark_df(spark, rows)
+        if index is None:
+            out = dedup_paragraphs(df, min_chars=min_chars)
+        else:
+            out = dedup_paragraphs_against(df, index, min_chars=min_chars)
+        batch_kept = [
+            (r.doc_id, r.text_dedup)
+            for r in out.collect()
+        ]
+        kept_rows.extend(batch_kept)
+        kept_df = _spark_df(
+            spark, [(i, t) for i, t in batch_kept]
+        ).withColumnRenamed("text", "text")
+        new_hashes = paragraph_hashes(kept_df, min_chars=min_chars)
+        index = new_hashes if index is None else index.union(new_hashes).distinct()
+    return dict(kept_rows)
+
+
+def test_incremental_accumulation_equals_one_shot(spark):
+    batches = [
+        [(0, BODY[0] + "\n\n" + BANNER), (1, BANNER + "\n\n" + BODY[1])],
+        [(2, BODY[2] + "\n\n" + BANNER), (3, LICENSE + "\n\n" + LICENSE)],
+        [(4, LICENSE + "\n\n" + BODY[3]), (5, BODY[1])],
+    ]
+    got = _accumulate_batches(spark, batches, 40)
+    union = [r for b in batches for r in b]
+    one_shot = {
+        r.doc_id: r.text_dedup
+        for r in dedup_paragraphs(_spark_df(spark, union), min_chars=40).collect()
+    }
+    assert got == one_shot
+
+
+def test_against_validates_index_schema(spark):
+    import pytest
+
+    from vectrekker_spark.operators.paradedup import dedup_paragraphs_against
+
+    df = _spark_df(spark, [(0, "x")])
+    with pytest.raises(ValueError, match="para_hash"):
+        dedup_paragraphs_against(df, df.select("text"))

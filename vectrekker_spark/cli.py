@@ -494,6 +494,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if args.dedup_paragraphs_min_chars < 0:
         print("error: --dedup-paragraphs-min-chars must be >= 0 (0 disables)")
         return 2
+    if args.normalize and args.normalize not in ("NFC", "NFKC", "NFD", "NFKD"):
+        print("error: --normalize must be NFC, NFKC, NFD or NFKD")
+        return 2
     spark = _spark()
     if args.input_format == "warc":
         # Common Crawl-shaped ingestion (r13): WARC/WET records → the
@@ -569,6 +572,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
             strip_boilerplate_min_words=args.strip_boilerplate_min_words,
             boilerplate_min_alpha=args.boilerplate_min_alpha,
             dedup_paragraphs_min_chars=args.dedup_paragraphs_min_chars,
+            normalize_form=args.normalize,
+            normalize_fix_encoding=not args.no_fix_encoding,
             max_docs_per_stratum=args.max_docs_per_stratum,
             stratum_col=args.stratum_col,
         ),
@@ -1203,6 +1208,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--boilerplate-min-alpha", type=float, default=0.5,
         help="minimum alphabetic-character ratio a kept line needs "
         "(with --strip-boilerplate-min-words)",
+    )
+    cu.add_argument(
+        "--normalize", default="",
+        help="unicode-normalize text (NFC/NFKC/NFD/NFKD) + repair mojibake "
+        "+ whitespace rules as the FIRST funnel stage ('' = off)",
+    )
+    cu.add_argument(
+        "--no-fix-encoding", action="store_true",
+        help="skip the conservative mojibake repair inside --normalize",
     )
     cu.add_argument(
         "--dedup-paragraphs-min-chars", type=int, default=0,

@@ -85,6 +85,13 @@ class CurationConfig:
     # order real pipelines use. Docs whose text strips to '' are dropped.
     strip_boilerplate_min_words: int = 0
     boilerplate_min_alpha: float = 0.5
+    # '' → off; else a unicodedata form (NFC/NFKC/NFD/NFKD): run full text
+    # normalization (mojibake repair + unicode form + whitespace rules,
+    # functions/normalize.normalize_text_exact) as the VERY FIRST stage,
+    # so hashes/shingles/scores never see encoding variants of the same
+    # text as distinct. Docs normalizing to '' are dropped.
+    normalize_form: str = ""
+    normalize_fix_encoding: bool = True
     # 0 → off; else strip cross-document duplicate PARAGRAPHS (nav bars,
     # cookie banners, license blocks — the CCNet-shaped unit) whose
     # normalized length is >= this many chars, keeping the corpus-minimal
@@ -160,6 +167,14 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         raise ValueError(
             f"CurationConfig.strip_span_ngram must be 0 (off) or >= 2, "
             f"got {cfg.strip_span_ngram}"
+        )
+    if cfg.normalize_form and cfg.normalize_form not in (
+        "NFC", "NFKC", "NFD", "NFKD",
+    ):
+        # run-START validation: a bad form must fail before any stage runs
+        raise ValueError(
+            f"CurationConfig.normalize_form must be '' (off) or a "
+            f"unicodedata form (NFC/NFKC/NFD/NFKD), got {cfg.normalize_form!r}"
         )
     if cfg.dedup_paragraphs_min_chars:
         # run-START validation: the stage's helper columns must be free
@@ -326,6 +341,26 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         funnel[name] = n
 
     _record("input", docs.count())
+
+    # -1. unicode/encoding normalization (opt-in): the very first rewrite,
+    # so every later hash/shingle/score sees canonical text. Zero-shuffle
+    # Arrow map (functions/normalize); docs normalizing to '' drop here.
+    if cfg.normalize_form:
+        from vectrekker_spark.functions.normalize import normalize_text_exact
+
+        docs = (
+            normalize_text_exact(
+                docs,
+                text_col=cfg.text_col,
+                out_col=cfg.text_col,
+                form=cfg.normalize_form,
+                fix_encoding=cfg.normalize_fix_encoding,
+            )
+            .where(F.col(cfg.text_col).isNull() | (F.length(cfg.text_col) > 0))
+            .cache()
+        )
+        caches.append(docs)
+        _record("after_normalize", docs.count())
 
     # 0. line-level boilerplate strip (opt-in): normalize text BEFORE any
     # dedup/gate so content hashes, shingles and scores see the cleaned

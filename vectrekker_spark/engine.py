@@ -409,6 +409,20 @@ class Engine:
             keep_content_lines(text_col, min_words=min_words, min_alpha=min_alpha),
         )
 
+    def normalize_text(self, df: DataFrame, **kw) -> DataFrame:
+        """Full text normalization: mojibake repair + unicode form +
+        whitespace rules (functions/normalize.normalize_text_exact)."""
+        from vectrekker_spark.functions.normalize import normalize_text_exact
+
+        return normalize_text_exact(df, **kw)
+
+    def compression_ratio(self, df: DataFrame, **kw) -> DataFrame:
+        """zlib-compressed/raw byte ratio per doc — the cheap spam signal
+        (functions/normalize.compression_ratio)."""
+        from vectrekker_spark.functions.normalize import compression_ratio
+
+        return compression_ratio(df, **kw)
+
     def fit_bpe(self, df: DataFrame, n_merges: int = 1000, **kw):
         """Learn a BPE tokenizer from the corpus (operators/bpetrainer:
         distributed word counts, bounded driver-side merge loop)."""

@@ -100,6 +100,92 @@ def duplicate_paragraphs(
     )
 
 
+def paragraph_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 40,
+) -> DataFrame:
+    """Distinct ``para_hash`` column over the corpus's dedup-eligible
+    paragraphs — the persisted-index unit for the incremental shape.
+    Narrow: the text dies at the scan; one distinct shuffle of 32-char
+    hashes (partial-agg collapsed map-side)."""
+    paras = (
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.posexplode(F.split(F.col(text_col), _PARA_SEP)).alias("pos", "para")
+        )
+    )
+    key = _norm_key(F.col("para"))
+    return (
+        paras.select(F.md5(key).alias("para_hash"), F.length(key).alias("__n"))
+        .where(F.col("__n") >= min_chars)
+        .select("para_hash")
+        .distinct()
+    )
+
+
+def dedup_paragraphs_against(
+    new: DataFrame,
+    history_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 40,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Incremental paragraph dedup: strip from ``new`` every paragraph
+    whose hash exists in ``history_hashes`` (a ``paragraph_hashes`` frame
+    — history already holds the keeper) AND every within-batch
+    non-canonical occurrence of a history-unseen hash. With ascending ids
+    across batches (the streaming-funnel feed-order rule), accumulating
+    batches is row-for-row ≡ one-shot ``dedup_paragraphs`` over the union
+    — property-pinned in tests. Grow the index per batch by unioning
+    ``paragraph_hashes(kept_batch)`` (appending the batch's OWN keeper
+    hashes is what makes the next batch's join see them)."""
+    if "para_hash" not in history_hashes.columns:
+        raise ValueError(
+            "history_hashes must carry a 'para_hash' column "
+            "(build it with paragraph_hashes)"
+        )
+    hist = history_hashes.select("para_hash")
+    paras = (
+        new.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), _PARA_SEP)).alias("pos", "para"),
+        )
+    )
+    key = _norm_key(F.col("para"))
+    keyed = paras.select(
+        "id", "pos", F.md5(key).alias("para_hash")
+    ).where(F.length(key) >= min_chars)
+    # arm 1: history hit — the keeper lives in the corpus already
+    hist_flag = keyed.join(hist, "para_hash", "left_semi")
+    # arm 2: history-unseen hashes dedup within the batch (keeper = min)
+    fresh = keyed.join(hist, "para_hash", "left_anti")
+    fresh_dups = (
+        fresh.groupBy("para_hash")
+        .agg(F.min(F.struct("id", "pos")).alias("keep"), F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") > F.lit(1))
+    )
+    fresh_flag = (
+        fresh.join(fresh_dups, "para_hash")
+        .where(
+            (F.col("id") != F.col("keep.id")) | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select("id", "pos", "para_hash")
+    )
+    flagged = hist_flag.select("id", "pos", "para_hash").unionByName(fresh_flag)
+    return dedup_paragraphs(
+        new,
+        id_col=id_col,
+        text_col=text_col,
+        min_chars=min_chars,
+        out_col=out_col,
+        flagged=flagged,
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",
