@@ -575,6 +575,79 @@ def trial_url(spark, rng, work):
     return []
 
 
+def _gen_para_docs(rng, n):
+    """(doc_id, text) rows of 1-4 blank-line-separated paragraphs drawn
+    from a growing shared pool (planted cross-doc and within-doc repeats)
+    plus NULL texts; ids ascending."""
+    rows = []
+    pool = []
+    for i in range(n):
+        if rng.rand() < 0.06:
+            rows.append((i, None))
+            continue
+        n_paras = int(rng.randint(1, 5))
+        paras = []
+        for _ in range(n_paras):
+            if pool and rng.rand() < 0.45:
+                paras.append(pool[int(rng.randint(0, len(pool)))])
+            else:
+                m = int(rng.randint(5, 14))
+                p = " ".join(VOCAB[int(j)] for j in rng.randint(0, len(VOCAB), m))
+                pool.append(p)
+                paras.append(p)
+        rows.append((i, "\n\n".join(paras)))
+    return rows
+
+
+def trial_para(spark, rng, work):
+    """ST12: streaming paragraph dedup (foreach_batch_para_dedup) vs the
+    one-shot batch dedup_paragraphs oracle over the whole feed — the
+    accumulated-batches ≡ one-shot equivalence under ascending-id splits
+    + redeliveries. Torn-index injection is deliberately absent: a torn
+    para_hashes window is DOCUMENTED permanent under-dedup (heal with
+    compact), so strict oracle equality doesn't survive it."""
+    from vectrekker_spark.operators.paradedup import dedup_paragraphs
+    from vectrekker_spark.streaming.jobs import (
+        compact_para_corpus,
+        foreach_batch_para_dedup,
+    )
+
+    n = int(rng.randint(30, 81))
+    k = int(rng.randint(2, 6))
+    rows = _gen_para_docs(rng, n)
+    schema = "doc_id long, text string"
+    paths = _write_batches(spark, _split(rng, rows, k), schema,
+                           os.path.join(work, "feed"))
+    corpus = os.path.join(work, "corpus")
+    plan = _draw_plan(rng, k)
+    plan["torn_at"] = None  # see docstring
+    drv = _Driver(
+        spark, work, schema,
+        lambda s, ck: foreach_batch_para_dedup(s, corpus, ck, min_chars=20),
+        torn_paths=(),
+    )
+    drv.play(paths, plan)
+    compact_para_corpus(spark, corpus, min_chars=20)
+
+    feed = spark.createDataFrame(rows, schema)
+    out = dedup_paragraphs(feed, min_chars=20)
+    want = sorted(
+        (r["doc_id"], r["text_dedup"])
+        for r in out.collect()
+        if r["text_dedup"] is None or len(r["text_dedup"]) > 0
+    )
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{corpus}/docs").collect()
+    )
+    if got != want:
+        return [
+            f"para: streamed corpus != one-shot dedup_paragraphs "
+            f"(got {len(got)} rows, want {len(want)}) plan={plan}"
+        ]
+    return []
+
+
 FAMILIES = {
     "exact": trial_exact,
     "near": trial_near,
@@ -582,6 +655,7 @@ FAMILIES = {
     "quota": trial_quota,
     "image": trial_image,
     "url": trial_url,
+    "para": trial_para,
 }
 
 

@@ -1152,6 +1152,14 @@ def test_write_boundary_compact_recheck_all_ingest_jobs(spark, tmp_path, monkeyp
             ),
         ),
         (
+            "para",
+            SCHEMA,
+            [(1, "alpha beta gamma delta")],
+            lambda stream, corpus, ck: jobs.foreach_batch_para_dedup(
+                stream, corpus, ck
+            ),
+        ),
+        (
             # semantic's null-vector early-return append is a second,
             # separate write site — it must re-check too
             "semnull",
@@ -1253,3 +1261,94 @@ def test_streaming_url_dedup_against_history(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="url_key"):
         foreach_batch_url_dedup(stream, corpus, str(tmp_path / "ck2"))
+
+
+def test_streaming_para_dedup_lifecycle(spark, tmp_path):
+    from vectrekker_spark.streaming.jobs import (
+        compact_para_corpus,
+        foreach_batch_para_dedup,
+    )
+
+    banner = "subscribe to our newsletter for weekly updates and offers"
+    legal = "all rights reserved by the example media publishing group"
+    bodies = [
+        f"unique alpha content block number {i} with several words" for i in range(6)
+    ]
+    src = tmp_path / "incoming_pd"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus_pd")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def run(ckpt, glob="*"):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src / glob)
+        )
+        foreach_batch_para_dedup(
+            stream, corpus, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    def corpus_rows():
+        df = spark.read.parquet(f"{corpus}/docs")
+        return sorted((r["doc_id"], r["text"]) for r in df.collect())
+
+    # batch 1: within-batch cross-doc dup (banner in docs 1 and 2), a
+    # NULL-id row (dropped), a doc that is ONLY the banner (strips to '')
+    write_batch("b1", [
+        (1, bodies[0] + "\n\n" + banner),
+        (2, banner + "\n\n" + bodies[1]),
+        (3, banner),
+        (None, bodies[2]),
+    ])
+    run("ck1")
+    assert corpus_rows() == [
+        (1, bodies[0] + "\n\n" + banner),  # keeper doc untouched
+        (2, bodies[1]),
+    ]
+    n_idx1 = spark.read.parquet(f"{corpus}/para_hashes").count()
+    assert n_idx1 >= 3  # banner + bodies[0] + bodies[1]
+
+    # batch 2: history hit (banner again) stripped; legal block repeats
+    # within the batch → batch-min keeper survives
+    write_batch("b2", [
+        (4, banner + "\n\n" + legal + "\n\n" + bodies[3]),
+        (5, legal + "\n\n" + bodies[4]),
+    ])
+    run("ck1")
+    assert corpus_rows() == [
+        (1, bodies[0] + "\n\n" + banner),
+        (2, bodies[1]),
+        (4, legal + "\n\n" + bodies[3]),
+        (5, bodies[4]),
+    ]
+    # the index must GROW with batch 2's keepers: the hash append runs
+    # over PRE-append file listings (stage-and-move) — Spark's recache of
+    # plans reading docs_path otherwise re-runs the id guard against the
+    # mutated dir and empties the batch (the para fuzz family's catch)
+    assert spark.read.parquet(f"{corpus}/para_hashes").count() > n_idx1
+
+    # redelivery of batch 2 via a fresh checkpoint: the id guard drops
+    # every already-ingested doc — nothing changes (and nothing is
+    # stripped to '' by its own indexed paragraphs)
+    run("ck2", glob="b2")
+    assert len(corpus_rows()) == 4
+
+    # crash window: docs written, hashes lost → under-dedup is the
+    # documented direction; compact heals the index from docs
+    import shutil
+
+    shutil.rmtree(f"{corpus}/para_hashes")
+    write_batch("b3", [(6, legal + "\n\n" + bodies[5])])  # legal is a dup...
+    run("ck1")
+    rows = dict(corpus_rows())
+    # ...but the index was torn, so it SURVIVES (under-dedup, never loss)
+    assert rows[6] == legal + "\n\n" + bodies[5]
+    stats = compact_para_corpus(spark, corpus)
+    assert stats["index_hashes"] > 0 and stats["docs_removed"] == 0
+    # after the heal, a new dup of the legal block strips again
+    write_batch("b4", [(7, legal + "\n\n" + "closing body paragraph words")])
+    run("ck1")
+    assert dict(corpus_rows())[7] == "closing body paragraph words"

@@ -984,6 +984,208 @@ def foreach_batch_url_dedup(
     )
 
 
+def foreach_batch_para_dedup(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 40,
+):
+    """ST12: streaming ingestion with CROSS-DOCUMENT PARAGRAPH dedup —
+    the continuous form of operators/paradedup (banners/footers/license
+    blocks collapse to their corpus-canonical occurrence as documents
+    arrive). Persisted layout: ``{corpus}/docs`` (the rebuilt documents)
+    and ``{corpus}/para_hashes`` (the paragraph-hash membership index the
+    next batch joins against).
+
+    Protocol per micro-batch:
+
+    1. NULL-id rows are DROPPED (no redelivery identity — the quota/
+       sampling rule; here it is also a content-safety rule, see 2).
+    2. Redelivery guard by DOC ID: anti-join the batch against docs ids.
+       The id is the only safe redelivery identity for this job — a
+       redelivered doc's kept paragraphs are already in the index, so
+       without the guard the rerun would strip it to '' and the content
+       would be LOST, not duplicated.
+    3. Within-batch + against-history dedup via
+       operators/paradedup.dedup_paragraphs_against; docs whose text
+       strips to '' are dropped (idempotent under redelivery — they
+       re-strip to '' and re-drop).
+    4. WRITE ORDER: docs VISIBLE first, hashes second — the INVERSE of
+       ST8's bloom-first rule, for the same invariant pointed the other
+       way. ST8's bloom is advisory (a missing entry only costs
+       verification work), but a paragraph-hash entry STRIPS CONTENT
+       from future docs, so an entry must never exist without its keeper
+       doc in the corpus. Mechanically the hash files are staged to a
+       hidden ``.hashes_stage_*`` dir BEFORE the docs append (Spark
+       recaches plans whose input paths are written — see the in-body
+       comment) and MOVED in after it, so every crash window — before
+       the docs append, between append and move, or mid-move (a moved
+       part file is a complete subset) — UNDER-dedups (duplicate
+       paragraphs survive; safe) and never loses content.
+       ``compact_para_corpus`` rebuilds the index from docs and sweeps
+       stale stage dirs to heal. Returns the started query.
+    """
+    import os
+
+    from vectrekker_spark.operators.paradedup import (
+        dedup_paragraphs,
+        dedup_paragraphs_against,
+        paragraph_hashes,
+    )
+
+    for col in ("paras_dropped", "__pd_out"):
+        if col in stream.columns:
+            raise ValueError(
+                f"input already has a {col!r} column — reserved by the "
+                f"paragraph-dedup batch kernel; rename it first"
+            )
+    docs_path = os.path.join(corpus_path, "docs")
+    hashes_path = os.path.join(corpus_path, "para_hashes")
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _refuse_if_compacting(corpus_path)
+        spark = batch_df.sparkSession
+        batch = batch_df.where(F.col(id_col).isNotNull()).persist()
+        try:
+            if _parquet_has_data(docs_path):
+                existing = spark.read.parquet(docs_path).select(id_col)
+                fresh = batch.join(existing, id_col, "left_anti")
+            else:
+                fresh = batch
+            if _parquet_has_data(hashes_path):
+                out = dedup_paragraphs_against(
+                    fresh,
+                    spark.read.parquet(hashes_path),
+                    id_col=id_col,
+                    text_col=text_col,
+                    min_chars=min_chars,
+                    out_col="__pd_out",
+                )
+            else:
+                out = dedup_paragraphs(
+                    fresh,
+                    id_col=id_col,
+                    text_col=text_col,
+                    min_chars=min_chars,
+                    out_col="__pd_out",
+                )
+            kept = (
+                out.withColumn(text_col, F.col("__pd_out"))
+                .drop("__pd_out", "paras_dropped")
+                .where(
+                    F.col(text_col).isNull() | (F.length(F.col(text_col)) > 0)
+                )
+                .persist()
+            )
+            try:
+                if kept.isEmpty():
+                    return
+                new_hashes = paragraph_hashes(
+                    kept, id_col=id_col, text_col=text_col, min_chars=min_chars
+                )
+                # STAGE the hash files to a hidden dir BEFORE the docs
+                # append. Both kept and new_hashes read docs_path (the id
+                # guard), and Spark's cache manager RECACHES any cached
+                # plan whose inputs you write to — an append to docs_path
+                # re-executes the guard against the mutated listing and
+                # empties the batch (found by the streaming fuzzer's
+                # first para campaign: the index stopped growing after
+                # batch 1). Staging runs every job over the PRE-append
+                # listings; the post-append step is a pure file move.
+                stage = os.path.join(
+                    corpus_path, f".hashes_stage_{batch_id}"
+                )
+                new_hashes.write.mode("overwrite").parquet(stage)
+                # re-check the claim at the write boundary (quota idiom)
+                _refuse_if_compacting(corpus_path)
+                # VISIBILITY order: docs first, hashes second (the
+                # content-safety inversion documented above) — the staged
+                # dot-dir is invisible to hashes_path readers until moved
+                kept.write.mode("append").parquet(docs_path)
+                os.makedirs(hashes_path, exist_ok=True)
+                for name in os.listdir(stage):
+                    if name.startswith(("_", ".")):
+                        continue
+                    os.replace(
+                        os.path.join(stage, name),
+                        os.path.join(hashes_path, name),
+                    )
+                import shutil
+
+                shutil.rmtree(stage, ignore_errors=True)
+            finally:
+                kept.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_para_corpus(
+    spark: SparkSession,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 40,
+) -> dict[str, int]:
+    """Heal an ST12 corpus after a docs-written/hashes-crash window:
+    rebuild ``para_hashes`` as ``paragraph_hashes(docs)`` (the exact
+    membership set the ingest protocol would have produced) and reclaim
+    any duplicate-id doc rows. Same enforced single-writer claim +
+    stage-then-swap as the sibling compacts; ingest batches racing the
+    claim fail loudly and retry after release."""
+    import contextlib
+    import os
+
+    from vectrekker_spark.operators.paradedup import paragraph_hashes
+    from vectrekker_spark.pipeline import _atomic_replace
+
+    import glob
+    import shutil
+
+    docs_path = os.path.join(corpus_path, "docs")
+    hashes_path = os.path.join(corpus_path, "para_hashes")
+    if not _parquet_has_data(docs_path):
+        return {"docs_removed": 0, "index_hashes": 0}
+    marker = _claim_compact(corpus_path)
+    # sweep stale hash stage dirs (crash windows before their move step);
+    # the rebuild below re-derives anything they carried from docs
+    for stale in glob.glob(os.path.join(corpus_path, ".hashes_stage_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    df = None
+    try:
+        df = spark.read.parquet(docs_path).persist()
+        before = df.count()
+        clean = df.dropDuplicates([id_col])
+        removed = before - clean.count()
+        if removed:
+            _atomic_replace(clean, docs_path)
+            spark.catalog.refreshByPath(docs_path)
+            df.unpersist()
+            df = spark.read.parquet(docs_path).persist()
+        rebuilt = paragraph_hashes(
+            df, id_col=id_col, text_col=text_col, min_chars=min_chars
+        )
+        n = rebuilt.count()
+        _atomic_replace(rebuilt, hashes_path)
+        spark.catalog.refreshByPath(hashes_path)
+        return {"docs_removed": removed, "index_hashes": n}
+    finally:
+        if df is not None:
+            df.unpersist()
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(marker)
+
+
 def _parquet_has_data(path: str) -> bool:
     """True iff ``path`` is a parquet dir with at least one committed data
     file. Bare existence is not enough: a crash during the FIRST append
