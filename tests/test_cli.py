@@ -936,3 +936,11 @@ def test_curate_normalize_flag(tmp_path, capsys, spark):
         "--normalize", "latin-1",
     ])
     assert rc == 2
+
+
+def test_curate_min_compression_ratio_flag_validation(tmp_path, capsys):
+    rc = main([
+        "curate", "--documents", "x", "--out", str(tmp_path / "o"),
+        "--min-compression-ratio", "1.2",
+    ])
+    assert rc == 2

@@ -492,3 +492,44 @@ def test_curate_normalize_validates_at_start(spark):
     )
     with pytest.raises(ValueError, match="normalize_form"):
         curate(docs, CurationConfig(normalize_form="NFX"))
+
+
+def test_curate_compression_gate(spark):
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    spam = "buy now " * 80
+    prose = (
+        "The committee's final report recommended sweeping changes to how "
+        "rural hospitals recruit and retain specialist physicians, with "
+        "particular attention to housing and school access for families."
+    )
+    docs = spark.createDataFrame(
+        [(0, spam, "en"), (1, prose, "en"), (2, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        min_compression_ratio=0.3, chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    kept = {r["doc_id"] for r in res.chunks.collect()}
+    res.unpersist()
+    # the NULL-text doc already fell at the heuristic quality gate (its
+    # score is NULL); the compression gate then drops spam, keeps prose
+    assert res.funnel["after_compression"] == 1
+    assert 0 not in kept and 1 in kept
+
+
+def test_curate_compression_gate_validates_at_start(spark):
+    import pytest
+
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="min_compression_ratio"):
+        curate(docs, CurationConfig(min_compression_ratio=1.5))
+    collided = docs.withColumn("__zratio", docs.doc_id)
+    with pytest.raises(ValueError, match="__zratio"):
+        curate(collided, CurationConfig(min_compression_ratio=0.3))

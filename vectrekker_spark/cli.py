@@ -497,6 +497,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if args.normalize and args.normalize not in ("NFC", "NFKC", "NFD", "NFKD"):
         print("error: --normalize must be NFC, NFKC, NFD or NFKD")
         return 2
+    if not 0.0 <= args.min_compression_ratio < 1.0:
+        print("error: --min-compression-ratio must be in [0, 1) (0 disables)")
+        return 2
     spark = _spark()
     if args.input_format == "warc":
         # Common Crawl-shaped ingestion (r13): WARC/WET records → the
@@ -574,6 +577,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             dedup_paragraphs_min_chars=args.dedup_paragraphs_min_chars,
             normalize_form=args.normalize,
             normalize_fix_encoding=not args.no_fix_encoding,
+            min_compression_ratio=args.min_compression_ratio,
             max_docs_per_stratum=args.max_docs_per_stratum,
             stratum_col=args.stratum_col,
         ),
@@ -1217,6 +1221,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--no-fix-encoding", action="store_true",
         help="skip the conservative mojibake repair inside --normalize",
+    )
+    cu.add_argument(
+        "--min-compression-ratio", type=float, default=0.0,
+        help="drop docs whose zlib compressed/raw byte ratio is below "
+        "this floor (templated/spam text compresses far under prose; "
+        "0 = off)",
     )
     cu.add_argument(
         "--dedup-paragraphs-min-chars", type=int, default=0,

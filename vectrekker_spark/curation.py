@@ -92,6 +92,11 @@ class CurationConfig:
     # text as distinct. Docs normalizing to '' are dropped.
     normalize_form: str = ""
     normalize_fix_encoding: bool = True
+    # 0.0 → off; else drop docs whose zlib compression ratio (compressed
+    # bytes / raw bytes, functions/normalize.compression_ratio) is BELOW
+    # this floor — highly-compressible text is templated/spam (~0.3 vs
+    # ~0.55 for prose). Runs with the other Python gates.
+    min_compression_ratio: float = 0.0
     # 0 → off; else strip cross-document duplicate PARAGRAPHS (nav bars,
     # cookie banners, license blocks — the CCNet-shaped unit) whose
     # normalized length is >= this many chars, keeping the corpus-minimal
@@ -176,6 +181,21 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
             f"CurationConfig.normalize_form must be '' (off) or a "
             f"unicodedata form (NFC/NFKC/NFD/NFKD), got {cfg.normalize_form!r}"
         )
+    if cfg.min_compression_ratio:
+        # run-START validation (the standard contract): a ratio >= 1
+        # drops every document; the helper column must be free
+        if not 0.0 <= cfg.min_compression_ratio < 1.0:
+            raise ValueError(
+                f"CurationConfig.min_compression_ratio must be in [0, 1) "
+                f"(0.0 disables; ratios are compressed/raw bytes), got "
+                f"{cfg.min_compression_ratio}"
+            )
+        if "__zratio" in docs.columns:
+            raise ValueError(
+                "CurationConfig.min_compression_ratio is set but the input "
+                "already has a '__zratio' column — the gate's helper would "
+                "collide; drop or rename it first"
+            )
     if cfg.dedup_paragraphs_min_chars:
         # run-START validation: the stage's helper columns must be free
         # before any stage executes (same contract as the quota's __rn)
@@ -530,6 +550,28 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     funnel["after_lang"] = row["nql"]
     stage_seconds["after_lang"] = 0.0
     docs = docs.filter(q_ok & lang_ok)
+
+    # 4pre. optional compression-ratio gate: drop docs whose zlib ratio
+    # falls below the floor (templated/spam text compresses far under
+    # prose — the Gopher-stack cheap signal, functions/normalize). One
+    # zero-shuffle Arrow map, placed with the other Python gates after
+    # the cheap JVM filters. NULL/empty text has no ratio and survives.
+    if cfg.min_compression_ratio:
+        from vectrekker_spark.functions.normalize import compression_ratio
+
+        docs = (
+            compression_ratio(
+                docs, text_col=cfg.text_col, out_col="__zratio"
+            )
+            .where(
+                F.col("__zratio").isNull()
+                | (F.col("__zratio") >= cfg.min_compression_ratio)
+            )
+            .drop("__zratio")
+            .cache()
+        )
+        caches.append(docs)
+        _record("after_compression", docs.count())
 
     # 4a. optional learned quality gate: the hashed-BoW linear model scores
     # the heuristic survivors as one zero-shuffle Arrow map (weights
