@@ -944,3 +944,38 @@ def test_curate_min_compression_ratio_flag_validation(tmp_path, capsys):
         "--min-compression-ratio", "1.2",
     ])
     assert rc == 2
+
+
+def test_frontier_robots_flag(tmp_path, capsys, spark):
+    pages = [
+        (1, "http://a.com/", '<a href="/allowed/x">a</a>'
+            '<a href="/private/x">p</a>'
+            '<a href="http://norobots.net/y">n</a>'),
+    ]
+    docs_path = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        pages, "doc_id long, url string, text string"
+    ).write.parquet(docs_path)
+    robots_path = str(tmp_path / "robots.parquet")
+    spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    ).write.parquet(robots_path)
+    out = str(tmp_path / "frontier.parquet")
+    rc = main([
+        "frontier", "--documents", docs_path, "--out", out,
+        "--robots", robots_path,
+    ])
+    assert rc == 0
+    urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    # /private/ disallowed; the host without robots passes
+    assert urls == ["http://a.com/allowed/x", "http://norobots.net/y"]
+    # robots parquet missing columns fails early
+    bad = str(tmp_path / "bad_robots.parquet")
+    spark.createDataFrame([("a.com",)], "host string").write.parquet(bad)
+    rc = main([
+        "frontier", "--documents", docs_path,
+        "--out", str(tmp_path / "o2"), "--robots", bad,
+    ])
+    assert rc == 2
+    assert "robots_txt" in capsys.readouterr().out

@@ -361,3 +361,21 @@ def test_engine_normalize_and_compression_sugar(spark, sf_dir):
         for r in eng.compression_ratio(df).collect()
     }
     assert ratios[2] < 0.2
+
+
+def test_engine_robots_sugar(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /no/")],
+        "host string, robots_txt string",
+    )
+    rules = eng.parse_robots(robots)
+    frontier = spark.createDataFrame(
+        [(0, "http://h.example/no/x"), (1, "http://h.example/yes")],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in eng.robots_allowed(frontier, rules).collect()
+    }
+    assert out == {0: False, 1: True}

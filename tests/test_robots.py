@@ -1,0 +1,126 @@
+"""robots.txt parsing + frontier filtering (functions/robots.py) against
+RFC 9309's own worked examples."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectrekker_spark.functions.robots import (
+    _parse_one,
+    decide_robots,
+    match_robots_pattern,
+    parse_robots,
+    robots_allowed,
+)
+
+EXAMPLE = """
+# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/public.html
+Disallow: /*.gif$
+Disallow: /fish
+
+User-agent: goodbot
+User-agent: nicebot
+Disallow: /only-for-star/
+
+User-agent: emptybot
+Disallow:
+"""
+
+
+def test_pattern_matching_rfc_cases():
+    assert match_robots_pattern("/fish", "/fish")
+    assert match_robots_pattern("/fishing", "/fish")  # prefix
+    assert match_robots_pattern("/fish/salmon", "/fish")
+    assert not match_robots_pattern("/Fish", "/fish")  # case-sensitive paths
+    assert match_robots_pattern("/a/pic.gif", "/*.gif$")
+    assert not match_robots_pattern("/a/pic.gifs", "/*.gif$")  # $ anchors
+    assert match_robots_pattern("/x/y/z.php", "/*.php")
+    assert not match_robots_pattern("/windows.PHP", "/*.php")
+
+
+def test_group_selection_and_empty_disallow():
+    star = _parse_one(EXAMPLE, "*")
+    assert ("/private/", False, 9) in star and ("/fish", False, 5) in star
+    good = _parse_one(EXAMPLE, "GoodBot")  # case-insensitive token
+    assert good == [("/only-for-star/", False, 15)]
+    nice = _parse_one(EXAMPLE, "nicebot")  # stacked UA lines share rules
+    assert nice == good
+    # emptybot's sole Disallow is empty → no rules → everything allowed
+    assert _parse_one(EXAMPLE, "emptybot") == []
+    # unknown agent falls back to the * group
+    assert _parse_one(EXAMPLE, "otherbot") == star
+
+
+def test_decide_longest_match_and_allow_tie():
+    rules = [("/private/", False, 9), ("/private/public.html", True, 20)]
+    assert not decide_robots("/private/secret.html", rules)
+    assert decide_robots("/private/public.html", rules)  # longer allow wins
+    # equal length: allow wins the tie (RFC 9309 §2.2.2)
+    tie = [("/page", False, 5), ("/page", True, 5)]
+    assert decide_robots("/page", tie)
+    assert decide_robots("/unmatched", [("/private/", False, 9)])
+
+
+def test_parse_and_filter_end_to_end(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.example", EXAMPLE),
+            ("b.example", "User-agent: *\nDisallow: /\nAllow: /open/"),
+            ("c.example", None),  # fetched nothing → no rules
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots, agent="*")
+    got = {
+        (r.host, r.pattern, r.is_allow, r.prec) for r in rules.collect()
+    }
+    assert ("a.example", "/fish", False, 5) in got
+    assert ("b.example", "/open/", True, 6) in got
+    assert not any(h == "c.example" for h, *_ in got)
+
+    frontier = spark.createDataFrame(
+        [
+            (0, "http://a.example/fish/salmon"),
+            (1, "http://a.example/private/public.html"),
+            (2, "http://a.example/ok/page.html"),
+            (3, "http://b.example/anything"),
+            (4, "http://b.example/open/door.html"),
+            (5, "http://nobots.example/x"),
+            (6, "http://c.example/"),  # host with robots fetched but empty
+            (7, None),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: r.robots_allowed
+        for r in robots_allowed(frontier, rules).collect()
+    }
+    assert out == {
+        0: False,   # /fish prefix disallow
+        1: True,    # longest-match allow overrides /private/
+        2: True,    # no matching rule
+        3: False,   # Disallow: /
+        4: True,    # Allow: /open/ is longer than Disallow: /
+        5: True,    # no robots for host
+        6: True,    # robots with no rules
+        7: True,    # NULL url carries no fetch
+    }
+
+
+def test_robots_allowed_validation(spark):
+    frontier = spark.createDataFrame([(0, "http://x/")], "doc_id long, url string")
+    with pytest.raises(ValueError, match="parse_robots"):
+        robots_allowed(frontier, frontier)
+    robots = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /")], "host string, robots_txt string"
+    )
+    rules = parse_robots(robots)
+    with pytest.raises(ValueError, match="already exists"):
+        robots_allowed(
+            frontier.withColumn("robots_allowed", frontier.doc_id), rules
+        )
+    with pytest.raises(ValueError, match="agent"):
+        parse_robots(robots, agent="")

@@ -750,6 +750,27 @@ def cmd_frontier(args: argparse.Namespace) -> int:
             if args.suffix_table else None
         )
         kept = filter_hosts(kept, bl, suffixes=sfx)
+    if args.robots:
+        # RFC 9309 politeness gate: keep only robots-admitted urls
+        from vectrekker_spark.functions.robots import (
+            parse_robots,
+            robots_allowed,
+        )
+
+        robots = spark.read.parquet(args.robots)
+        for col in ("host", "robots_txt"):
+            if col not in robots.columns:
+                print(
+                    f"error: --robots parquet needs a {col!r} column "
+                    f"(has: {', '.join(robots.columns)})"
+                )
+                return 2
+        rules = parse_robots(robots, agent=args.agent)
+        kept = (
+            robots_allowed(kept, rules)
+            .where(F.col("robots_allowed"))
+            .drop("robots_allowed")
+        )
     kept.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"frontier at {args.out}: {n} new url(s)")
@@ -1333,6 +1354,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--suffix-table",
         help="PSL parquet ('suffix' column) for exact registered domains "
         "in the blocklist check",
+    )
+    fr.add_argument(
+        "--robots",
+        help="parquet with (host, robots_txt) columns: drop frontier urls "
+        "the hosts' robots.txt rules disallow (RFC 9309 longest-match)",
+    )
+    fr.add_argument(
+        "--agent", default="*",
+        help="crawler product token for robots group selection "
+        "(default '*')",
     )
     fr.set_defaults(fn=cmd_frontier)
 

@@ -409,6 +409,20 @@ class Engine:
             keep_content_lines(text_col, min_words=min_words, min_alpha=min_alpha),
         )
 
+    def parse_robots(self, df: DataFrame, **kw) -> DataFrame:
+        """robots.txt bodies → (host, pattern, is_allow, prec) rules
+        (functions/robots, RFC 9309)."""
+        from vectrekker_spark.functions.robots import parse_robots
+
+        return parse_robots(df, **kw)
+
+    def robots_allowed(self, frontier: DataFrame, rules: DataFrame, **kw) -> DataFrame:
+        """Adds ``robots_allowed`` per frontier URL (longest-match rules,
+        allow wins ties, absent robots → allowed)."""
+        from vectrekker_spark.functions.robots import robots_allowed
+
+        return robots_allowed(frontier, rules, **kw)
+
     def normalize_text(self, df: DataFrame, **kw) -> DataFrame:
         """Full text normalization: mojibake repair + unicode form +
         whitespace rules (functions/normalize.normalize_text_exact)."""
