@@ -533,3 +533,26 @@ def test_curate_compression_gate_validates_at_start(spark):
     collided = docs.withColumn("__zratio", docs.doc_id)
     with pytest.raises(ValueError, match="__zratio"):
         curate(collided, CurationConfig(min_compression_ratio=0.3))
+
+
+def test_curate_sentence_chunks(spark):
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    text = (
+        "First sentence of the document right here. Second sentence follows "
+        "directly after it. Third one closes the paragraph out fully."
+    )
+    docs = spark.createDataFrame(
+        [(0, text, "en")], "doc_id long, text string, lang string"
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        chunk_size=90, sentence_chunks=True,
+    )
+    res = curate(docs, cfg)
+    chunks = [r["chunk_text"] for r in res.chunks.orderBy("chunk_id").collect()]
+    res.unpersist()
+    # no chunk cuts mid-sentence: each chunk is whole sentences
+    assert all(c.endswith(".") for c in chunks)
+    assert " ".join(chunks) == text
+    assert all(len(c) <= 90 for c in chunks) and len(chunks) == 2

@@ -578,6 +578,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             normalize_form=args.normalize,
             normalize_fix_encoding=not args.no_fix_encoding,
             min_compression_ratio=args.min_compression_ratio,
+            sentence_chunks=args.sentence_chunks,
             max_docs_per_stratum=args.max_docs_per_stratum,
             stratum_col=args.stratum_col,
         ),
@@ -1172,6 +1173,11 @@ def build_parser() -> argparse.ArgumentParser:
         "quality gate (0 = off)",
     )
     cu.add_argument("--chunk-size", type=int, default=512)
+    cu.add_argument(
+        "--sentence-chunks", action="store_true",
+        help="chunk on sentence boundaries (greedy whole-sentence packing "
+        "into <= --chunk-size chars) instead of fixed char windows",
+    )
     cu.add_argument("--max-tokens", type=int, default=2048)
     cu.add_argument("--seed", default="epoch0", help="training-order shuffle seed")
     cu.add_argument("--rows-per-shard", type=int, default=100_000)

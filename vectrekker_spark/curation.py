@@ -31,6 +31,11 @@ class CurationConfig:
     near_dup_threshold: float = 0.7
     chunk_size: int = 512
     chunk_overlap: int = 64
+    # chunk on sentence boundaries instead of fixed character windows:
+    # greedy whole-sentence packing into <= chunk_size chars (operators/
+    # chunk.chunk_by_sentences; chunk_overlap is ignored — sentence
+    # chunks don't overlap). One oversized sentence = one oversized chunk.
+    sentence_chunks: bool = False
     embed: bool = True
     text_col: str = "text"
     id_col: str = "doc_id"
@@ -654,10 +659,18 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
 
     # 5. chunk — cached so the funnel count and the caller's consumption
     # execute the (mapInPandas) chunk stage exactly once
-    chunks = chunk_text(
-        docs, text_col=cfg.text_col, id_col=cfg.id_col,
-        size=cfg.chunk_size, overlap=cfg.chunk_overlap,
-    ).cache()
+    if cfg.sentence_chunks:
+        from vectrekker_spark.operators.chunk import chunk_by_sentences
+
+        chunks = chunk_by_sentences(
+            docs, text_col=cfg.text_col, id_col=cfg.id_col,
+            max_chars=cfg.chunk_size,
+        ).cache()
+    else:
+        chunks = chunk_text(
+            docs, text_col=cfg.text_col, id_col=cfg.id_col,
+            size=cfg.chunk_size, overlap=cfg.chunk_overlap,
+        ).cache()
     caches.append(chunks)
     _record("chunks", chunks.count())
 

@@ -285,3 +285,25 @@ def token_hash32(tok: Column) -> Column:
     first 8 hex digits of md5, as a bigint. Spark `conv(substr(md5(x),1,8),16,10)`
     ≡ DuckDB `('0x'||substr(md5(x),1,8))::BIGINT`."""
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+# Sentence boundary: terminal punctuation run (+ optional closing
+# quotes/brackets), ASCII whitespace, then a capital/digit/opening-quote
+# sentence starter. The starter is CAPTURED (not a lookahead): RE2 — the
+# DuckDB mirror's engine — has no lookaround, so the boundary rule must be
+# expressible as plain capture+backreference in BOTH dialects.
+SENTENCE_BOUNDARY = "([.!?]+[\"')\\]]*)[ \\t\\n]+([A-Z0-9\"'(\\[])"
+_SENT_SEP = "\x1f"  # unit separator: never occurs in cleaned text
+
+
+def sentence_split(text: Column | str) -> Column:
+    """Array of sentences: a unit-separator sentinel is injected at each
+    SENTENCE_BOUNDARY, then split. Deliberately heuristic and mirrorable:
+    no abbreviation list ("Mr. Smith" splits after "Mr." — the documented
+    expression-tier limit; real sentence ends lacking a capitalized
+    starter don't split). NULL → NULL; whitespace-only → ['']."""
+    t = F.trim(_c(text))
+    return F.split(
+        F.regexp_replace(t, SENTENCE_BOUNDARY, "$1" + _SENT_SEP + "$2"),
+        _SENT_SEP,
+    )
