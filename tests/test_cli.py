@@ -979,3 +979,44 @@ def test_frontier_robots_flag(tmp_path, capsys, spark):
     ])
     assert rc == 2
     assert "robots_txt" in capsys.readouterr().out
+
+
+def test_curate_bpe_model_flag(tmp_path, capsys, spark, sf_dir):
+    model_path = str(tmp_path / "bpe.json")
+    rc = main([
+        "fit-bpe", "--documents", f"{sf_dir}/documents.parquet",
+        "--out", model_path, "--n-merges", "30",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    out_dir = str(tmp_path / "shards_bpe")
+    rc = main([
+        "curate", "--documents", f"{sf_dir}/documents.parquet",
+        "--out", out_dir, "--min-quality", "0.0", "--max-tokens", "64",
+        "--bpe-model", model_path,
+    ])
+    assert rc == 0 and "sequences" in capsys.readouterr().out
+    from vectrekker_spark.operators.bpetrainer import bpe_load
+
+    model = bpe_load(model_path)
+    shards = spark.read.parquet(out_dir)
+    row = shards.select("chunk_text", "n_tokens").first()
+    # n_tokens is the LEARNED-BPE count, not the whitespace proxy
+    assert row["n_tokens"] == sum(
+        1
+        for w in __import__("re").compile(
+            model.pattern, __import__("re").ASCII
+        ).findall(row["chunk_text"])
+        for _ in model.encode_word(w)
+    )
+    # torn model fails at run START (the bad-bloom-path precedent: the
+    # loader's ValueError surfaces before any funnel stage runs)
+    import pytest
+
+    with open(model_path, "w") as f:
+        f.write("{")
+    with pytest.raises(ValueError, match="corrupt BPE"):
+        main([
+            "curate", "--documents", f"{sf_dir}/documents.parquet",
+            "--out", str(tmp_path / "o3"), "--bpe-model", model_path,
+        ])

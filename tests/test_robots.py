@@ -124,3 +124,41 @@ def test_robots_allowed_validation(spark):
         )
     with pytest.raises(ValueError, match="agent"):
         parse_robots(robots, agent="")
+
+
+def test_crawl_delay_parsing(spark):
+    body = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: slowbot\nCrawl-delay: 10.5\n\n"
+        "User-agent: fastbot\nDisallow: /y\n"
+    )
+    from vectrekker_spark.functions.robots import (
+        crawl_delay_for,
+        parse_crawl_delays,
+    )
+
+    assert crawl_delay_for(body, "*") == 2.0
+    assert crawl_delay_for(body, "slowbot") == 10.5
+    assert crawl_delay_for(body, "fastbot") is None  # its group has none
+    assert crawl_delay_for("User-agent: *\nCrawl-delay: nope", "*") is None
+    assert crawl_delay_for("User-agent: *\nCrawl-delay: -3", "*") is None
+    # several applicable groups: the polite maximum wins
+    two = "User-agent: *\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 4\n"
+    assert crawl_delay_for(two, "*") == 4.0
+
+    robots = spark.createDataFrame(
+        [("a.example", body), ("b.example", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    got = {
+        r.host: r.crawl_delay
+        for r in parse_crawl_delays(robots, agent="*").collect()
+    }
+    assert got == {"a.example": 2.0}
+    # crawl-delay groups don't leak rules: the parse still works after
+    rules = {
+        (r.host, r.pattern) for r in __import__(
+            "vectrekker_spark.functions.robots", fromlist=["parse_robots"]
+        ).parse_robots(robots).collect()
+    }
+    assert ("a.example", "/x") in rules and ("b.example", "/") in rules

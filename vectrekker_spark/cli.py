@@ -585,6 +585,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         max_tokens=args.max_tokens,
         shuffle_seed=args.seed,
         rows_per_shard=args.rows_per_shard,
+        bpe_model_path=args.bpe_model or "",
     )
     funnel = assemble_training_set(docs, args.out, cfg)
     stage_seconds = funnel.pop("_stage_seconds", {})
@@ -1173,6 +1174,11 @@ def build_parser() -> argparse.ArgumentParser:
         "quality gate (0 = off)",
     )
     cu.add_argument("--chunk-size", type=int, default=512)
+    cu.add_argument(
+        "--bpe-model",
+        help="saved fit-bpe model (.json): budget sequence packing with "
+        "LEARNED-BPE token counts instead of the whitespace proxy",
+    )
     cu.add_argument(
         "--sentence-chunks", action="store_true",
         help="chunk on sentence boundaries (greedy whole-sentence packing "

@@ -705,6 +705,12 @@ class AssemblyConfig:
     max_tokens: int = 2048
     shuffle_seed: str = "epoch0"
     rows_per_shard: int = 100_000
+    # '' → count tokens with the whitespace proxy; else a saved fit-bpe
+    # model (operators/bpetrainer.bpe_save JSON): sequence packing budgets
+    # LEARNED-BPE token counts — the counts that actually bind when the
+    # packed sequences feed a model trained with that tokenizer. Loaded
+    # (and validated) at run START.
+    bpe_model_path: str = ""
 
 
 def assemble_training_set(
@@ -722,10 +728,24 @@ def assemble_training_set(
     from vectrekker_spark.sources.sinks import write_shards
 
     cfg = cfg or AssemblyConfig()
+    bpe_model = None
+    if cfg.bpe_model_path:
+        # run-START validation (the quality-model contract): a torn or
+        # missing model must fail before the funnel runs
+        from vectrekker_spark.operators.bpetrainer import bpe_load
+
+        bpe_model = bpe_load(cfg.bpe_model_path)
     res = curate(docs, cfg.curation)
-    chunks = res.chunks.withColumn(
-        "n_tokens", token_count(F.col("chunk_text")).cast("int")
-    )
+    if bpe_model is not None:
+        from vectrekker_spark.operators.bpetrainer import bpe_token_count
+
+        chunks = bpe_token_count(
+            res.chunks, bpe_model, text_col="chunk_text", out_col="n_tokens"
+        )
+    else:
+        chunks = res.chunks.withColumn(
+            "n_tokens", token_count(F.col("chunk_text")).cast("int")
+        )
     packed = pack_sequences(
         chunks, cfg.max_tokens,
         doc_col=cfg.curation.id_col, chunk_col="chunk_id",

@@ -44,18 +44,19 @@ from pyspark.sql import functions as F
 _RULES_SCHEMA = "host string, pattern string, is_allow boolean, prec int"
 
 
-def _parse_one(text: str, agent: str) -> list[tuple[str, bool, int]]:
-    """(pattern, is_allow, prec) rules of the applicable group(s)."""
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+def _parse_groups(text: str):
+    """[(agents, rules, crawl_delay)] blocks of a robots.txt body."""
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
     in_rules = False
 
     def flush():
-        nonlocal cur_agents, cur_rules, in_rules
+        nonlocal cur_agents, cur_rules, cur_delay, in_rules
         if cur_agents:
-            groups.append((cur_agents, cur_rules))
-        cur_agents, cur_rules, in_rules = [], [], False
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay, in_rules = [], [], None, False
 
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -72,21 +73,43 @@ def _parse_one(text: str, agent: str) -> list[tuple[str, bool, int]]:
             in_rules = True
             if val:  # empty Disallow allows everything: skip (RFC)
                 cur_rules.append((val, key == "allow"))
-            elif key == "allow":
-                pass  # empty Allow is a no-op too
+        elif key == "crawl-delay":
+            in_rules = True  # non-UA directives end the UA stack
+            try:
+                d = float(val)
+                if d >= 0:
+                    cur_delay = d
+            except ValueError:
+                pass  # unparseable delay: ignore the directive
         else:
-            in_rules = True  # crawl-delay/sitemap etc. end the UA stack
+            in_rules = True  # sitemap etc. end the UA stack too
     flush()
+    return groups
 
+
+def _select_groups(groups, agent: str):
     agent = agent.lower()
-    exact = [r for agents, rules in groups if agent in agents for r in rules]
-    if any(agent in agents for agents, _ in groups):
-        chosen = exact
-    else:
-        chosen = [
-            r for agents, rules in groups if "*" in agents for r in rules
-        ]
-    return [(pat, allow, len(pat)) for pat, allow in chosen]
+    if any(agent in agents for agents, *_ in groups):
+        return [g for g in groups if agent in g[0]]
+    return [g for g in groups if "*" in g[0]]
+
+
+def _parse_one(text: str, agent: str) -> list[tuple[str, bool, int]]:
+    """(pattern, is_allow, prec) rules of the applicable group(s)."""
+    chosen = _select_groups(_parse_groups(text), agent)
+    return [
+        (pat, allow, len(pat)) for _, rules, _ in chosen for pat, allow in rules
+    ]
+
+
+def crawl_delay_for(text: str, agent: str) -> float | None:
+    """The applicable group's Crawl-delay in seconds (the de-facto
+    extension most crawlers honor; not part of RFC 9309). When several
+    applicable groups declare one, the MAXIMUM wins (polite direction)."""
+    delays = [
+        d for *_, d in _select_groups(_parse_groups(text), agent) if d is not None
+    ]
+    return max(delays) if delays else None
 
 
 def parse_robots(
@@ -115,6 +138,35 @@ def parse_robots(
             yield pd.DataFrame(out)
 
     return df.select(host_col, text_col).mapInPandas(gen, _RULES_SCHEMA)
+
+
+def parse_crawl_delays(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, crawl_delay) rows for hosts whose applicable group declares
+    a Crawl-delay — join to a per-host fetch scheduler. Hosts without one
+    are absent (crawler default applies)."""
+    if not agent:
+        raise ValueError("agent must be a non-empty product token or '*'")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"host": [], "crawl_delay": []}
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                if host is None or text is None:
+                    continue
+                d = crawl_delay_for(text, agent)
+                if d is not None:
+                    out["host"].append(host)
+                    out["crawl_delay"].append(d)
+            yield pd.DataFrame(out)
+
+    return df.select(host_col, text_col).mapInPandas(
+        gen, "host string, crawl_delay double"
+    )
 
 
 @lru_cache(maxsize=4096)
