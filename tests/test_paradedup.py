@@ -269,3 +269,19 @@ def test_against_validates_index_schema(spark):
     df = _spark_df(spark, [(0, "x")])
     with pytest.raises(ValueError, match="para_hash"):
         dedup_paragraphs_against(df, df.select("text"))
+
+
+def test_reserved_helper_columns_validate(spark):
+    """r14s2 review pin: the helper-column names are truly reserved (the
+    old check was dead code for them)."""
+    import pytest
+
+    df = _spark_df(spark, [(1, "x")]).withColumn("__pd_id", pd_lit())
+    with pytest.raises(ValueError, match="__pd_id"):
+        dedup_paragraphs(df, min_chars=4)
+
+
+def pd_lit():
+    from pyspark.sql import functions as F
+
+    return F.lit(1)

@@ -162,3 +162,94 @@ def test_crawl_delay_parsing(spark):
         ).parse_robots(robots).collect()
     }
     assert ("a.example", "/x") in rules and ("b.example", "/") in rules
+
+
+def test_review_findings_query_rules_and_host_case(spark):
+    """r14s2 review pins: (a) query-targeted rules are enforced — the REP
+    matching unit is path+query, not PATH alone; (b) a mixed-case robots
+    host still matches its lowercased frontier host."""
+    robots = spark.createDataFrame(
+        [("Example.COM", "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /search?")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    assert {r.host for r in rules.collect()} == {"example.com"}
+    frontier = spark.createDataFrame(
+        [
+            (0, "http://example.com/page?sessionid=abc"),
+            (1, "http://EXAMPLE.com/search?q=x"),
+            (2, "http://example.com/page"),
+            (3, "http://example.com/search"),  # no query: '/search?' misses
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: r.robots_allowed
+        for r in robots_allowed(frontier, rules).collect()
+    }
+    assert out == {0: False, 1: False, 2: True, 3: True}
+
+
+def test_robots_reserved_helper_columns(spark):
+    robots = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /")], "host string, robots_txt string"
+    )
+    rules = parse_robots(robots)
+    frontier = spark.createDataFrame(
+        [(0, "http://h/x", 1)], "doc_id long, url string, __rb_path int"
+    )
+    with pytest.raises(ValueError, match="__rb_path"):
+        robots_allowed(frontier, rules)
+
+
+def test_sitemap_extraction(spark):
+    """robots Sitemap lines + sitemap <loc> parsing (functions/urls),
+    with a DuckDB mirror for both regexes."""
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.functions.urls import robots_sitemaps, sitemap_urls
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.example/sitemap.xml\n"
+        "  sitemap:\thttps://a.example/news.xml\n"
+    )
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.example/p?x=1&amp;y=2 </loc></url>"
+        "<url><loc>https://a.example/q</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([(body, xml)], "robots string, xml string")
+    row = df.select(
+        robots_sitemaps("robots").alias("s"), sitemap_urls("xml").alias("l")
+    ).first()
+    assert row["s"] == [
+        "https://a.example/sitemap.xml",
+        "https://a.example/news.xml",
+    ]
+    # whitespace trimmed, &amp; decoded
+    assert row["l"] == ["https://a.example/p?x=1&y=2", "https://a.example/q"]
+    nulls = spark.createDataFrame([(None, None)], "robots string, xml string")
+    r2 = nulls.select(
+        robots_sitemaps("robots").alias("s"), sitemap_urls("xml").alias("l")
+    ).first()
+    assert r2["s"] is None and r2["l"] is None
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(robots VARCHAR, xml VARCHAR)")
+    con.execute("INSERT INTO t VALUES (?, ?)", [body, xml])
+    m = con.execute(
+        r"""
+        SELECT regexp_extract_all(robots, '(?im)^[ \t]*sitemap:[ \t]*(\S+)', 1),
+               list_transform(
+                 regexp_extract_all(xml, '(?is)<loc>\s*([^<]*?)\s*</loc>', 1),
+                 u -> replace(replace(replace(replace(replace(u,
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                      '&apos;', ''''), '&amp;', '&'))
+        FROM t
+        """
+    ).fetchone()
+    con.close()
+    assert m[0] == row["s"] and m[1] == row["l"]

@@ -21,7 +21,7 @@ SEP = "\x1f"
 def _py_sentences(text):
     if text is None:
         return None
-    t = text.strip()
+    t = text.strip().replace(SEP, "")  # pre-existing sentinels stripped
     return re.sub(SENTENCE_BOUNDARY, "\\1" + SEP + "\\2", t).split(SEP)
 
 
@@ -53,6 +53,9 @@ CASES = [
     "",
     "   ",
     None,
+    # binary-contaminated text: a literal U+001F must NOT act as a
+    # sentence boundary (review finding — it is stripped first)
+    "binary\x1fjunk inside. Next sentence.",
 ]
 
 
@@ -83,7 +86,7 @@ def test_sentence_split_matches_python_and_duckdb(spark):
         for r in con.execute(
             f"""
             SELECT i, string_split(
-              regexp_replace(trim(text), '{sql_pat}',
+              regexp_replace(replace(trim(text), chr(31), ''), '{sql_pat}',
                              '\\1' || chr(31) || '\\2', 'g'), chr(31))
             FROM t
             """

@@ -209,7 +209,9 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 f"CurationConfig.dedup_paragraphs_min_chars must be >= 0 "
                 f"(0 disables), got {cfg.dedup_paragraphs_min_chars}"
             )
-        for col in ("paras_dropped", "__para_dedup_text"):
+        for col in (
+            "paras_dropped", "__para_dedup_text", "__pd_id", "__pd_drop_pos",
+        ):
             if col in docs.columns:
                 raise ValueError(
                     f"CurationConfig.dedup_paragraphs_min_chars is set but "

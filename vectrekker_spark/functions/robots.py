@@ -131,7 +131,11 @@ def parse_robots(
                 if host is None or text is None:
                     continue
                 for pat, allow, prec in _parse_one(text, agent):
-                    out["host"].append(host)
+                    # hostnames are case-insensitive; url_host lowercases
+                    # the frontier side, so the join key must match
+                    # (review finding: a mixed-case robots parquet host
+                    # silently disabled its whole robots.txt)
+                    out["host"].append(str(host).lower())
                     out["pattern"].append(pat)
                     out["is_allow"].append(allow)
                     out["prec"].append(prec)
@@ -160,7 +164,7 @@ def parse_crawl_delays(
                     continue
                 d = crawl_delay_for(text, agent)
                 if d is not None:
-                    out["host"].append(host)
+                    out["host"].append(str(host).lower())
                     out["crawl_delay"].append(d)
             yield pd.DataFrame(out)
 
@@ -212,8 +216,12 @@ def robots_allowed(
             raise ValueError(
                 f"rules must be a parse_robots result (missing {needed!r})"
             )
-    if out_col in frontier.columns:
-        raise ValueError(f"column {out_col!r} already exists on the input")
+    for col in (out_col, "__rb_h", "__rb_host", "__rb_rules", "__rb_path"):
+        if col in frontier.columns:
+            raise ValueError(
+                f"column {col!r} already exists on the input — reserved "
+                f"by robots_allowed; rename it first"
+            )
     per_host = rules.groupBy(F.col("host").alias("__rb_host")).agg(
         F.collect_list(F.struct("pattern", "is_allow", "prec")).alias(
             "__rb_rules"
@@ -224,11 +232,18 @@ def robots_allowed(
         F.col("__rb_h").eqNullSafe(F.col("__rb_host")),
         "left",
     )
+    # the REP matching unit is path + query ('Disallow: /search?q=' and
+    # '/*?sessionid=' are common real rules); PATH alone silently
+    # un-enforces every query-targeted rule (review finding)
     path = F.coalesce(
         F.nullif(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
         F.lit("/"),
     )
-    joined = joined.withColumn("__rb_path", path)
+    query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
+    target = F.when(
+        query.isNotNull(), F.concat(path, F.lit("?"), query)
+    ).otherwise(path)
+    joined = joined.withColumn("__rb_path", target)
 
     def _decide(batch: pd.DataFrame) -> pd.Series:
         out = []

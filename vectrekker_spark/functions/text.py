@@ -298,11 +298,14 @@ _SENT_SEP = "\x1f"  # unit separator: never occurs in cleaned text
 
 def sentence_split(text: Column | str) -> Column:
     """Array of sentences: a unit-separator sentinel is injected at each
-    SENTENCE_BOUNDARY, then split. Deliberately heuristic and mirrorable:
+    SENTENCE_BOUNDARY, then split. Pre-existing U+001F bytes are STRIPPED
+    first (binary-contaminated crawl text would otherwise split mid-word
+    at each one — review finding; the normalize stage also strips C0
+    controls but is opt-in). Deliberately heuristic and mirrorable:
     no abbreviation list ("Mr. Smith" splits after "Mr." — the documented
     expression-tier limit; real sentence ends lacking a capitalized
     starter don't split). NULL → NULL; whitespace-only → ['']."""
-    t = F.trim(_c(text))
+    t = F.regexp_replace(F.trim(_c(text)), _SENT_SEP, "")
     return F.split(
         F.regexp_replace(t, SENTENCE_BOUNDARY, "$1" + _SENT_SEP + "$2"),
         _SENT_SEP,

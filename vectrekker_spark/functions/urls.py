@@ -366,3 +366,35 @@ def filter_hosts(
     d = d.join(bl, d["__host"] == bl["__blocked"], "left_anti")
     d = d.join(bl, d["__domain"] == bl["__blocked"], "left_anti")
     return d.drop("__host", "__domain")
+
+
+def robots_sitemaps(robots_txt: Column | str) -> Column:
+    """Array of Sitemap URLs declared in a robots.txt body. ``Sitemap:``
+    lines are GLOBAL per the sitemaps protocol (not scoped to a
+    User-agent group), so this is one case-insensitive line-anchored
+    regexp over the whole body — pure Catalyst, pairs with
+    functions/robots for the rule side. NULL body → NULL."""
+    c = F.col(robots_txt) if isinstance(robots_txt, str) else robots_txt
+    return F.regexp_extract_all(
+        c, F.lit(r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"), 1
+    )
+
+
+def sitemap_urls(xml: Column | str) -> Column:
+    """Array of ``<loc>`` URLs from a sitemap (urlset) or sitemap-index
+    document, with the five XML entities decoded (sitemap locs are
+    XML-escaped by spec — '&' in a query string arrives as '&amp;').
+    Works on both leaf sitemaps and index files: callers recurse on
+    index entries (they end in .xml by convention, but the honest
+    discriminator is fetching them). Pure Catalyst. NULL → NULL."""
+    c = F.col(xml) if isinstance(xml, str) else xml
+    locs = F.regexp_extract_all(
+        c, F.lit(r"(?is)<loc>\s*([^<]*?)\s*</loc>"), 1
+    )
+    def _decode(u):
+        # &amp; last — the chained-entity ordering rule (functions/html)
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&amp;", "&")):
+            u = F.replace(u, F.lit(ent), F.lit(ch))
+        return u
+    return F.transform(locs, _decode)

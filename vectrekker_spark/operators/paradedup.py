@@ -200,8 +200,12 @@ def dedup_paragraphs(
 
     Pass ``flagged`` (a ``duplicate_paragraphs`` result, possibly filtered
     by the caller) to reuse an already-computed flag set."""
+    # ALL four names are reserved: the helper columns would hit an
+    # ambiguous-reference error (or be silently dropped) mid-job, which
+    # the run-START contract exists to prevent (review finding: the old
+    # second conjunct made the helper checks dead code)
     for reserved in (out_col, "paras_dropped", _ID, _DROPS):
-        if reserved in df.columns and reserved in (out_col, "paras_dropped"):
+        if reserved in df.columns:
             raise ValueError(f"column {reserved!r} already exists on the input")
     if flagged is None:
         flagged = duplicate_paragraphs(

@@ -1035,7 +1035,7 @@ def foreach_batch_para_dedup(
         paragraph_hashes,
     )
 
-    for col in ("paras_dropped", "__pd_out"):
+    for col in ("paras_dropped", "__pd_out", "__pd_id", "__pd_drop_pos"):
         if col in stream.columns:
             raise ValueError(
                 f"input already has a {col!r} column — reserved by the "
