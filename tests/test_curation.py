@@ -556,3 +556,61 @@ def test_curate_sentence_chunks(spark):
     assert all(c.endswith(".") for c in chunks)
     assert " ".join(chunks) == text
     assert all(len(c) <= 90 for c in chunks) and len(chunks) == 2
+
+
+def test_curate_min_lang_conf_gate(spark, tmp_path):
+    from vectrekker_spark.curation import CurationConfig, curate
+    from vectrekker_spark.operators.langid import fit_langid, save_langid
+
+    lat = [
+        ("the quick brown fox jumps over the lazy dog near town", "eng")
+        for _ in range(20)
+    ]
+    cyr = [("привет мир это документ на русском языке сегодня", "rus") for _ in range(20)]
+    labeled = spark.createDataFrame(lat + cyr, "text string, lang string")
+    model = fit_langid(labeled)
+    path = str(tmp_path / "langid.npz")
+    save_langid(path, model)
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog and more words here"),
+            # mixed-script text: confidently neither class → low confidence
+            (1, "the мир quick это brown на dog языке fox сегодня и the и на"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        langid_model_path=path, keep_langs=("eng",), min_lang_conf=0.7,
+        chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    kept = {r["doc_id"] for r in res.chunks.collect()}
+    res.unpersist()
+    assert 0 in kept
+    # without the confidence gate the mixed doc may pass; with it the
+    # ambiguous prediction is dropped whichever argmax it lands on
+    cfg2 = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        langid_model_path=path, keep_langs=("eng", "rus"), min_lang_conf=0.6,
+        chunk_size=4096,
+    )
+    res2 = curate(docs, cfg2)
+    kept2 = {r["doc_id"] for r in res2.chunks.collect()}
+    res2.unpersist()
+    assert 1 not in kept2 and 0 in kept2
+
+
+def test_curate_min_lang_conf_validates_at_start(spark):
+    import pytest
+
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="min_lang_conf"):
+        curate(docs, CurationConfig(min_lang_conf=1.5, langid_model_path="m"))
+    with pytest.raises(ValueError, match="langid_model_path"):
+        curate(docs, CurationConfig(min_lang_conf=0.5))

@@ -570,6 +570,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             quality_model_path=args.quality_model or "",
             min_model_quality=args.min_model_quality,
             langid_model_path=args.langid_model or "",
+            min_lang_conf=args.min_lang_conf,
             ngram_lm_path=args.ngram_lm or "",
             max_perplexity=args.max_perplexity,
             strip_boilerplate_min_words=args.strip_boilerplate_min_words,
@@ -1228,6 +1229,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--langid-model",
         help="saved fit-langid model (.npz): predict the 'lang' column "
         "from text so --langs works on corpora without one (crawls)",
+    )
+    cu.add_argument(
+        "--min-lang-conf", type=float, default=0.0,
+        help="with --langid-model: also require the softmax confidence to "
+        "be >= this (CCNet's ambiguity rule; 0 = off)",
     )
     cu.add_argument(
         "--ngram-lm",

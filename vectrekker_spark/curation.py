@@ -77,6 +77,10 @@ class CurationConfig:
     # column keep_langs filters on — for corpora (crawls) that arrive
     # without one. Zero-shuffle Arrow map before the lang gate.
     langid_model_path: str = ""
+    # 0.0 → off; else ALSO require the langid softmax confidence to be at
+    # least this (CCNet's rule: ambiguous predictions are dropped even
+    # when the argmax lands in keep_langs). Needs langid_model_path.
+    min_lang_conf: float = 0.0
     # '' → off; else a saved n-gram LM directory (operators/ngramlm
     # .lm_save): keep docs whose stupid-backoff perplexity is at/below
     # ``max_perplexity`` (the CCNet keep rule) — zero-shuffle Arrow map
@@ -279,6 +283,26 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 f"CurationConfig.min_model_quality must be in [0, 1] "
                 f"(scores are sigmoids), got {cfg.min_model_quality}"
             )
+    if cfg.min_lang_conf:
+        # run-START validation: the confidence gate needs the model that
+        # produces lang_conf, and a threshold > 1 drops everything
+        if not 0.0 <= cfg.min_lang_conf <= 1.0:
+            raise ValueError(
+                f"CurationConfig.min_lang_conf must be in [0, 1] "
+                f"(softmax confidences), got {cfg.min_lang_conf}"
+            )
+        if not cfg.langid_model_path:
+            raise ValueError(
+                "CurationConfig.min_lang_conf is set but langid_model_path "
+                "is not — the confidence gate consumes the model's "
+                "lang_conf column"
+            )
+        if "lang_conf" in docs.columns:
+            raise ValueError(
+                "CurationConfig.min_lang_conf is set but the input already "
+                "has a 'lang_conf' column — the gate's helper would "
+                "collide; drop or rename it first"
+            )
     langid_model = None
     if cfg.langid_model_path:
         # load (and validate) at run START — same contract as the quality
@@ -293,7 +317,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 "already has a 'lang' column — either trust the existing "
                 "labels (unset langid_model_path) or drop the column first"
             )
-    elif cfg.keep_langs and "lang" not in docs.columns:
+    if not cfg.langid_model_path and cfg.keep_langs and "lang" not in docs.columns:
         raise ValueError(
             "CurationConfig.keep_langs is set but the input has no 'lang' "
             "column and no langid_model_path to produce one"
@@ -534,7 +558,11 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         from vectrekker_spark.operators.langid import predict_lang
 
         docs = predict_lang(
-            docs, langid_model, text_col=cfg.text_col, conf_col=None
+            docs,
+            langid_model,
+            text_col=cfg.text_col,
+            # confidence only materializes when the gate below consumes it
+            conf_col="lang_conf" if cfg.min_lang_conf else None,
         ).cache()
         caches.append(docs)
 
@@ -546,6 +574,10 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     lang_ok = (
         F.col("lang").isin(*cfg.keep_langs) if cfg.keep_langs else F.lit(True)
     )
+    if cfg.min_lang_conf:
+        # CCNet's confidence rule: an ambiguous prediction is as good as
+        # a wrong language — gate on the softmax confidence too
+        lang_ok = lang_ok & (F.col("lang_conf") >= cfg.min_lang_conf)
     row = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(q_ok).alias("nq"),

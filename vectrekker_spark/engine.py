@@ -423,6 +423,13 @@ class Engine:
 
         return robots_allowed(frontier, rules, **kw)
 
+    def parse_crawl_delays(self, df: DataFrame, **kw) -> DataFrame:
+        """(host, crawl_delay) for hosts whose robots.txt declares one
+        (functions/robots)."""
+        from vectrekker_spark.functions.robots import parse_crawl_delays
+
+        return parse_crawl_delays(df, **kw)
+
     def normalize_text(self, df: DataFrame, **kw) -> DataFrame:
         """Full text normalization: mojibake repair + unicode form +
         whitespace rules (functions/normalize.normalize_text_exact)."""
