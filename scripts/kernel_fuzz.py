@@ -763,6 +763,61 @@ FROM ranked WHERE n_occ > 1 AND rn > 1
 """
 
 
+class SentenceSplit:
+    """functions/text.sentence_split vs a DuckDB sentinel-split mirror.
+    The synthetic corpus is punctuation-free word soup, so boundaries are
+    PLANTED identically in both engines: a drawn stopword is literally
+    replaced with '. Word' (literal replace — dialect-identical), giving
+    multi-sentence docs; NULL/empty injection rides the standard knobs."""
+
+    name = "sentence_split"
+
+    @staticmethod
+    def draw(rng):
+        return {"word": rng.choice(["the", "data", "row", "batch"])}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.functions.text import sentence_split
+
+        w = params["word"]
+        d = _docs(spark, sfd, params)
+        planted = d.select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), f" {w} ", f". {w.capitalize()} "
+            ).alias("text"),
+        )
+        return planted.select(
+            "doc_id",
+            F.posexplode(sentence_split("text")).alias("sent_id", "sentence"),
+        )
+
+    @staticmethod
+    def sql(params):
+        from vectrekker_spark.functions.text import SENTENCE_BOUNDARY
+
+        w = params["word"]
+        pat = SENTENCE_BOUNDARY.replace("'", "''")
+        t = _texpr(params)
+        return f"""
+WITH planted AS (
+  SELECT doc_id,
+         regexp_replace({t}, ' {w} ', '. {w.capitalize()} ', 'g') AS text
+  FROM documents WHERE {_bound_sql(params)}),
+arr AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(replace(trim(text), chr(31), ''), '{pat}',
+                          '\\1' || chr(31) || '\\2', 'g'), chr(31)) AS l
+  FROM planted WHERE text IS NOT NULL)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_id, l[u.i] AS sentence
+FROM arr, UNNEST(generate_series(1, array_length(l))) AS u(i)
+"""
+
+
 class UrlNorm:
     """functions/urls.normalized_url + url_host vs the regex mirror SQL
     (the test_urls mirror, fuzzed): seeded random URLs across schemes /
@@ -959,7 +1014,7 @@ def _write_langid_texts(dirpath: str, rng, n: int):
 
 
 TEXT_FAMILIES = [Chunk, WordShingles, CharShingles, Minhash, Winnow, Bloom,
-                 Split, Decontam, ParaDedup]
+                 Split, Decontam, ParaDedup, SentenceSplit]
 VEC_FAMILIES = [VecMetrics, ThresholdJoin, TopK]
 HASH_FAMILIES = [ImagePairs, ImageAgainst]
 URL_FAMILIES = [UrlNorm]
