@@ -214,3 +214,29 @@ def test_validation(spark):
         bpe_train(df, n_merges=-1)
     with pytest.raises(ValueError, match="min_pair_count"):
         bpe_train(df, min_pair_count=0)
+
+
+def test_bpe_stats_matches_python_oracle(spark):
+    texts = ["low lower lowest", "newest newest widest", None, ""]
+    df = _docs(spark, texts)
+    model = bpe_train(df, n_merges=20, min_pair_count=2)
+    from vectrekker_spark.operators.bpetrainer import bpe_stats
+
+    got = bpe_stats(df, model)
+    words = [w for t in texts if t for w in _RX.findall(t)]
+    toks = [s for w in words for s in model.encode_word(w)]
+    assert got["n_words"] == len(words)
+    assert got["n_tokens"] == len(toks)
+    assert got["tokens_per_word"] == round(len(toks) / len(words), 4)
+    assert got["chars_per_token"] == round(
+        sum(len(t) for t in toks) / len(toks), 4
+    )
+    assert got["single_char_token_frac"] == round(
+        sum(1 for t in toks if len(t) == 1) / len(toks), 4
+    )
+    # a model with no merges tokenizes to single chars: fertility is
+    # chars/word and the single-char fraction is 1.0
+    empty = BPEModel(merges=[])
+    g2 = bpe_stats(df, empty)
+    assert g2["single_char_token_frac"] == 1.0
+    assert g2["chars_per_token"] == 1.0

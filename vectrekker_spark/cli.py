@@ -632,10 +632,16 @@ def cmd_fit_bpe(args: argparse.Namespace) -> int:
         min_pair_count=args.min_pair_count,
     )
     bpe_save(model, args.out)
+    from vectrekker_spark.operators.bpetrainer import bpe_stats
+
+    stats = bpe_stats(docs, model, text_col=args.text_col)
     print(
         f"saved {args.out}: {len(model.merges)} merges "
         f"({args.n_merges} requested), {len(model.vocab())} merge-derived "
-        f"vocab symbols"
+        f"vocab symbols; fertility {stats['tokens_per_word']} tokens/word, "
+        f"{stats['chars_per_token']} chars/token, "
+        f"{stats['single_char_token_frac']} single-char-token fraction "
+        f"over {stats['n_docs']} docs"
     )
     return 0
 

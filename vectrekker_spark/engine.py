@@ -464,6 +464,13 @@ class Engine:
 
         return bpe_token_count(df, model, **kw)
 
+    def bpe_stats(self, df: DataFrame, model, **kw) -> dict:
+        """Tokenizer fertility metrics (tokens/word, chars/token,
+        single-char fallback fraction) over a corpus."""
+        from vectrekker_spark.operators.bpetrainer import bpe_stats
+
+        return bpe_stats(df, model, **kw)
+
     def duplicate_paragraphs(self, df: DataFrame, **kw) -> DataFrame:
         """(id, pos, para_hash) for every non-canonical occurrence of a
         cross-document duplicated paragraph (operators/paradedup)."""

@@ -268,6 +268,51 @@ def bpe_token_count(
     return df.withColumn(out_col, udf(F.col(text_col)))
 
 
+def bpe_stats(
+    df: DataFrame,
+    model: BPEModel,
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Tokenizer fertility metrics over a corpus — the standard eval for
+    a learned vocabulary: ``tokens_per_word`` (fertility; 1.0 = every
+    pre-token is one token, higher = more splitting), ``chars_per_token``
+    (compression), ``single_char_token_frac`` (how much text falls
+    through to character fallback — the signal that the vocab is too
+    small or off-domain). One encode map + ONE aggregate; NULL/empty
+    docs contribute nothing."""
+    enc = bpe_encode(df, model, text_col=text_col, out_col="__bpe_toks")
+    toks = F.col("__bpe_toks")
+    row = enc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.sum(
+            F.size(F.filter(toks, lambda t: F.length(t) == 1))
+        ).alias("n_single"),
+        F.sum(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            )
+        ).alias("n_chars"),
+        F.sum(
+            F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+        ).alias("n_words"),
+    ).first()
+    n_tokens = row["n_tokens"] or 0
+    n_words = row["n_words"] or 0
+    return {
+        "n_docs": int(row["n_docs"]),
+        "n_words": int(n_words),
+        "n_tokens": int(n_tokens),
+        "tokens_per_word": round(n_tokens / n_words, 4) if n_words else 0.0,
+        "chars_per_token": (
+            round((row["n_chars"] or 0) / n_tokens, 4) if n_tokens else 0.0
+        ),
+        "single_char_token_frac": (
+            round((row["n_single"] or 0) / n_tokens, 4) if n_tokens else 0.0
+        ),
+    }
+
+
 def bpe_save(model: BPEModel, path: str) -> None:
     """Atomic single-file JSON save (temp + os.replace — the bands_meta
     idiom): a torn write can never read back as a truncated merge list."""
