@@ -862,6 +862,49 @@ FROM nurl
         )
 
 
+class DsirKey:
+    """operators/dsir.gumbel_key vs its documented DuckDB mirror
+    (gumbel_key_sql) — the deterministic Gumbel-top-k selection key over
+    the engine-wide salted-md5 uniform. The weight is a RATIONAL function
+    of doc_id ((doc_id % m) / d — exact in both engines), so any mismatch
+    isolates to the hash/uniform/log chain itself. Round-6 (the engine's
+    comparability contract) absorbs last-ulp libm-vs-Math.log drift."""
+
+    name = "dsir_key"
+
+    @staticmethod
+    def draw(rng):
+        return {
+            "seed": rng.choice(["s0", "v2", "2024-q3", "s'x", "epoch 1"]),
+            "m": rng.randint(2, 997),
+            "d": rng.choice([2.0, 4.0, 7.0, 16.0]),
+        }
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from pyspark.sql import functions as F
+
+        from vectrekker_spark.operators.dsir import gumbel_key
+
+        d = _docs(spark, sfd, params).select("doc_id")
+        w = (F.col("doc_id") % params["m"]).cast("double") / F.lit(params["d"])
+        return d.select(
+            "doc_id",
+            F.round(gumbel_key(w, F.col("doc_id"), params["seed"]), 6).alias("k"),
+        )
+
+    @staticmethod
+    def sql(params):
+        from vectrekker_spark.operators.dsir import gumbel_key_sql
+
+        w = f"((doc_id % {params['m']})::DOUBLE / {params['d']!r})"
+        key = gumbel_key_sql(w, "doc_id", params["seed"])
+        return (
+            f"SELECT doc_id, ROUND({key}, 6) AS k FROM documents "
+            f"WHERE {_bound_sql(params)}"
+        )
+
+
 class LangIdPredict:
     """operators/langid.predict_lang vs a FULL DuckDB reimplementation of
     the scorer from the exported weight table: char n-grams in SQL
@@ -1014,7 +1057,7 @@ def _write_langid_texts(dirpath: str, rng, n: int):
 
 
 TEXT_FAMILIES = [Chunk, WordShingles, CharShingles, Minhash, Winnow, Bloom,
-                 Split, Decontam, ParaDedup, SentenceSplit]
+                 Split, Decontam, ParaDedup, SentenceSplit, DsirKey]
 VEC_FAMILIES = [VecMetrics, ThresholdJoin, TopK]
 HASH_FAMILIES = [ImagePairs, ImageAgainst]
 URL_FAMILIES = [UrlNorm]

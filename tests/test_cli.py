@@ -1020,3 +1020,37 @@ def test_curate_bpe_model_flag(tmp_path, capsys, spark, sf_dir):
             "curate", "--documents", f"{sf_dir}/documents.parquet",
             "--out", str(tmp_path / "o3"), "--bpe-model", model_path,
         ])
+
+
+def test_dsir_select_cli(tmp_path, capsys, spark):
+    target = [("quantum orbitals and covalent bonds in molecules",)] * 3
+    raw = [
+        ("a", "quantum orbitals of the covalent bonds"),
+        ("b", "football scores tonight were high"),
+        ("c", "orbitals and molecules and bonds again"),
+        ("d", "stream the detective drama tonight"),
+    ]
+    tpath = str(tmp_path / "target.parquet")
+    rpath = str(tmp_path / "raw.parquet")
+    opath = str(tmp_path / "picked.parquet")
+    spark.createDataFrame(target, "text string").write.parquet(tpath)
+    spark.createDataFrame(raw, "doc_id string, text string").write.parquet(rpath)
+    rc = main([
+        "dsir-select", "--docs", rpath, "--target", tpath, "--out", opath,
+        "--k", "2", "--n-features", "4096",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "wrote 2 docs" in out
+    picked = {r["doc_id"] for r in spark.read.parquet(opath).collect()}
+    assert picked <= {"a", "b", "c", "d"} and len(picked) == 2
+    # exactly one of --k/--rate
+    assert main(["dsir-select", "--docs", rpath, "--target", tpath,
+                 "--out", opath]) == 2
+    assert main(["dsir-select", "--docs", rpath, "--target", tpath,
+                 "--out", opath, "--k", "1", "--rate", "0.5"]) == 2
+    # rate arm
+    rc = main([
+        "dsir-select", "--docs", rpath, "--target", tpath, "--out", opath,
+        "--rate", "0.5", "--n-features", "4096", "--seed", "t",
+    ])
+    assert rc == 0

@@ -78,3 +78,58 @@ def test_near_dedup_clusters(spark):
         for r in near_dedup_clusters(df, threshold=0.9).collect()
     }
     assert got == {1: (1, True), 2: (1, False), 5: (1, False), 9: (9, True)}
+
+
+def test_near_dedup_keep_best(spark):
+    from vectrekker_spark.operators.components import near_dedup_keep_best
+
+    base = "spark shuffles the narrow stream of tokens across the cluster"
+    rows = [
+        (1, base, 0.20),
+        (2, base, 0.95),   # best quality in the cluster — must be kept
+        (5, base, 0.95),   # score tie with 2 → min id (2) wins
+        (9, "completely different words about database query optimizers", 0.01),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "q"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_dedup_keep_best(df, "q", threshold=0.9).collect()
+    }
+    assert got == {1: (1, False), 2: (1, True), 5: (1, False), 9: (9, True)}
+
+
+def test_near_dedup_keep_best_null_scores_and_ids(spark):
+    from vectrekker_spark.operators.components import near_dedup_keep_best
+
+    base = "spark shuffles the narrow stream of tokens across the cluster"
+    rows = [
+        (3, base, None),   # unscored loses to any scored member
+        (4, base, 0.10),
+        (7, base, None),
+        (None, base, 0.99),  # NULL id: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "q"])
+    out = near_dedup_keep_best(df, "q", threshold=0.9).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out}
+    assert got == {3: (3, False), 4: (3, True), 7: (3, False)}
+    # all-NULL-score cluster falls back to min id
+    rows2 = [(6, base, None), (8, base, None)]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, text string, q double")
+    got2 = {
+        r["doc_id"]: r["keep"]
+        for r in near_dedup_keep_best(df2, "q", threshold=0.9).collect()
+    }
+    assert got2 == {6: True, 8: False}
+
+
+def test_near_dedup_keep_best_reserved_columns(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.components import near_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, "text here", 0.5)], ["doc_id", "text", "q"]
+    ).withColumn("__nb_neg", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        near_dedup_keep_best(df, "q")

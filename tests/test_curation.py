@@ -614,3 +614,74 @@ def test_curate_min_lang_conf_validates_at_start(spark):
         curate(docs, CurationConfig(min_lang_conf=1.5, langid_model_path="m"))
     with pytest.raises(ValueError, match="langid_model_path"):
         curate(docs, CurationConfig(min_lang_conf=0.5))
+
+
+def test_curate_line_dedup_stage(spark):
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    footer = "copyright example site all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique alpha content line\n{footer}", "en"),
+            (1, f"{footer}\ndifferent beta tail line here", "en"),
+            (2, footer, "en"),  # strips to '' → dropped by the stage
+            (3, "untouched gamma document with one line", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        dedup_lines_min_chars=30, chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    chunks = {r["doc_id"]: r["chunk_text"] for r in res.chunks.collect()}
+    res.unpersist()
+    assert res.funnel["after_line_dedup"] == 3  # doc 2 stripped to ''
+    assert chunks[0] == f"unique alpha content line\n{footer}"  # keeper
+    assert chunks[1] == "different beta tail line here"
+    assert 2 not in chunks
+    assert chunks[3] == "untouched gamma document with one line"
+
+
+def test_curate_line_dedup_validates_at_start(spark):
+    import pytest
+
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="dedup_lines_min_chars"):
+        curate(docs, CurationConfig(dedup_lines_min_chars=-1))
+    collided = docs.withColumn("__pd_id", docs.doc_id)
+    with pytest.raises(ValueError, match="__pd_id"):
+        curate(collided, CurationConfig(dedup_lines_min_chars=30))
+
+
+def test_curate_near_dup_keep_by(spark):
+    """Quality-aware near-dup keeper: the cluster keeps its best-scoring
+    member, not the minimum id."""
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    base = "spark shuffles the narrow stream of tokens across the cluster"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one", "en", 0.2),
+            (2, base + " two", "en", 0.9),   # best — must survive
+            (9, "completely different words about database optimizers", "en", 0.5),
+        ],
+        "doc_id long, text string, lang string, score double",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.7, embed=False,
+        near_dup_keep_by="score", chunk_size=4096,
+    )
+    res = curate(docs, cfg)
+    kept = {r["doc_id"] for r in res.chunks.collect()}
+    res.unpersist()
+    assert kept == {2, 9}
+    # and the validation fires at run start for a missing column
+    import pytest
+
+    with pytest.raises(ValueError, match="near_dup_keep_by"):
+        curate(docs.drop("score"), cfg)

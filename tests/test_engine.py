@@ -379,3 +379,37 @@ def test_engine_robots_sugar(spark, sf_dir):
         for r in eng.robots_allowed(frontier, rules).collect()
     }
     assert out == {0: False, 1: True}
+
+
+def test_engine_dsir_and_line_dedup_sugar(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    target = spark.createDataFrame(
+        [("quantum orbitals in molecules",)], "text string"
+    )
+    raw = spark.createDataFrame(
+        [("a", "quantum orbitals in molecules"),
+         ("b", "football scores tonight again")],
+        "doc_id string, text string",
+    )
+    lp_t = eng.dsir_fit(target, n_features=1 << 10)
+    lp_r = eng.dsir_fit(raw, n_features=1 << 10)
+    w = eng.dsir_weights(raw, lp_t * 50, lp_r * 50)
+    [picked] = eng.dsir_select(w, 1, id_col="doc_id").collect()
+    assert picked["doc_id"] == "a"
+
+    docs = spark.createDataFrame(
+        [(1, "unique first line here today\nshared footer line of the site"),
+         (2, "shared footer line of the site\nother words entirely here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_dedup"]
+           for r in eng.dedup_lines(docs, min_chars=20).collect()}
+    assert out[2] == "other words entirely here"
+
+    base = "spark shuffles the narrow stream of tokens across the cluster"
+    scored = spark.createDataFrame(
+        [(1, base, 0.1), (2, base, 0.9)], "doc_id long, text string, q double"
+    )
+    kb = {r["doc_id"]: r["keep"]
+          for r in eng.near_dedup_keep_best(scored, "q", threshold=0.9).collect()}
+    assert kb == {1: False, 2: True}

@@ -285,3 +285,88 @@ def pd_lit():
     from pyspark.sql import functions as F
 
     return F.lit(1)
+
+
+# ---------------------------------------------------------------- line unit
+
+
+def _line_oracle(rows, min_chars):
+    """Brute-force line-level dedup: split on single '\\n', keeper = min
+    (id, pos), rebuild with '\\n' — independent of the operator's kernels."""
+    keyed = []
+    for did, text in rows:
+        if did is None or text is None:
+            continue
+        for pos, ln in enumerate(text.split("\n")):
+            k = re.sub(r"\s+", " ", ln).strip().lower()
+            if len(k) >= min_chars:
+                keyed.append((did, pos, k))
+    counts = Counter(k for _, _, k in keyed)
+    keeper: dict[str, tuple] = {}
+    for did, pos, k in keyed:
+        if k not in keeper or (did, pos) < keeper[k]:
+            keeper[k] = (did, pos)
+    flagged = {
+        (did, pos)
+        for did, pos, k in keyed
+        if counts[k] > 1 and (did, pos) != keeper[k]
+    }
+    rebuilt = {}
+    for did, text in rows:
+        if did is None or text is None:
+            rebuilt[did] = text
+            continue
+        lines = text.split("\n")
+        rebuilt[did] = "\n".join(
+            ln for i, ln in enumerate(lines) if (did, i) not in flagged
+        )
+    return flagged, rebuilt
+
+
+LINE_ROWS = [
+    (1, "Unique opening prose for the first document.\n"
+        "Subscribe to our newsletter for the latest updates!\n"
+        "More unique body text that only this page carries."),
+    (2, "Different lead paragraph with its own words.\n"
+        "Subscribe to our newsletter for the latest updates!\n"
+        "   subscribe to OUR newsletter for the latest updates!  \n"
+        "Closing words unique to the second document."),
+    (3, "No boilerplate at all in this one.\nShort.\nShort."),
+    (4, None),
+]
+
+
+def test_dedup_lines_matches_line_oracle(spark):
+    from vectrekker_spark.operators.paradedup import dedup_lines, duplicate_lines
+
+    flagged, rebuilt = _line_oracle(LINE_ROWS, 20)
+    df = spark.createDataFrame(LINE_ROWS, "doc_id bigint, text string").repartition(3)
+    got_flags = {
+        (r["id"], r["pos"]) for r in duplicate_lines(df, min_chars=20).collect()
+    }
+    assert got_flags == flagged
+    # doc 1 keeps the banner (canonical occurrence); doc 2 loses both its
+    # copies (one reflowed/case-variant); doc 3's "Short." repeats are
+    # under min_chars and survive
+    assert (2, 1) in flagged and (2, 2) in flagged and (1, 1) not in flagged
+    got = {r["doc_id"]: r["text_dedup"] for r in dedup_lines(df, min_chars=20).collect()}
+    assert got == rebuilt
+    assert got[3] == LINE_ROWS[2][1]  # untouched → byte-identical
+    assert got[4] is None
+
+
+def test_dedup_lines_within_doc_and_lossless_rebuild(spark):
+    from vectrekker_spark.operators.paradedup import dedup_lines
+
+    # single-newline split is reversible, so a doc whose only flagged line
+    # is removed keeps every other byte — including empty lines
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta\n\nkeep this middle line alone\n"
+            "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    [r] = dedup_lines(df, min_chars=20).collect()
+    assert r["text_dedup"] == (
+        "alpha beta gamma delta epsilon zeta\n\nkeep this middle line alone"
+    )
+    assert r["paras_dropped"] == 1

@@ -494,6 +494,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if args.dedup_paragraphs_min_chars < 0:
         print("error: --dedup-paragraphs-min-chars must be >= 0 (0 disables)")
         return 2
+    if args.dedup_lines_min_chars < 0:
+        print("error: --dedup-lines-min-chars must be >= 0 (0 disables)")
+        return 2
     if args.normalize and args.normalize not in ("NFC", "NFKC", "NFD", "NFKD"):
         print("error: --normalize must be NFC, NFKC, NFD or NFKD")
         return 2
@@ -576,6 +579,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
             strip_boilerplate_min_words=args.strip_boilerplate_min_words,
             boilerplate_min_alpha=args.boilerplate_min_alpha,
             dedup_paragraphs_min_chars=args.dedup_paragraphs_min_chars,
+            dedup_lines_min_chars=args.dedup_lines_min_chars,
+            near_dup_keep_by=args.near_dup_keep_by or "",
             normalize_form=args.normalize,
             normalize_fix_encoding=not args.no_fix_encoding,
             min_compression_ratio=args.min_compression_ratio,
@@ -864,6 +869,62 @@ def cmd_fit_ngram_lm(args: argparse.Namespace) -> int:
         f"saved {args.out}: {len(lm.unigram_logp)} unigrams, "
         f"{len(lm.cond_logp)} bigrams, {lm.total_tokens} reference tokens"
     )
+    return 0
+
+
+def cmd_dsir_select(args: argparse.Namespace) -> int:
+    """Select the raw documents most like a target domain via DSIR
+    importance resampling (operators/dsir) and write them as parquet."""
+    if args.n_features < 1:
+        print("error: --n-features must be >= 1")
+        return 2
+    if args.ngram_max not in (1, 2):
+        print("error: --ngram-max must be 1 or 2")
+        return 2
+    if (args.k is None) == (args.rate is None):
+        print("error: pass exactly one of --k / --rate")
+        return 2
+    if args.k is not None and args.k < 1:
+        print("error: --k must be >= 1")
+        return 2
+    if args.rate is not None and not 0.0 < args.rate <= 1.0:
+        print("error: --rate must be in (0, 1]")
+        return 2
+    from vectrekker_spark.operators.dsir import (
+        dsir_select,
+        dsir_select_rate,
+        fit_feature_dist,
+        importance_weights,
+    )
+
+    spark = _spark()
+    raw = spark.read.parquet(args.docs)
+    target = spark.read.parquet(args.target)
+    for name, df in (("--docs", raw), ("--target", target)):
+        if args.text_col not in df.columns:
+            print(f"error: {name} has no {args.text_col!r} column")
+            return 2
+    if args.id_col not in raw.columns:
+        print(f"error: --docs has no {args.id_col!r} column")
+        return 2
+    lp_t = fit_feature_dist(
+        target, text_col=args.text_col, n_features=args.n_features,
+        ngram_max=args.ngram_max,
+    )
+    lp_r = fit_feature_dist(
+        raw, text_col=args.text_col, n_features=args.n_features,
+        ngram_max=args.ngram_max,
+    )
+    w = importance_weights(raw, lp_t, lp_r, text_col=args.text_col)
+    if args.k is not None:
+        picked = dsir_select(w, args.k, id_col=args.id_col, seed=args.seed)
+    else:
+        picked = dsir_select_rate(
+            w, args.rate, id_col=args.id_col, seed=args.seed
+        )
+    picked.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"dsir-select: wrote {n} docs -> {args.out}")
     return 0
 
 
@@ -1274,6 +1335,17 @@ def build_parser() -> argparse.ArgumentParser:
         "0 = off)",
     )
     cu.add_argument(
+        "--dedup-lines-min-chars", type=int, default=0,
+        help="strip cross-document duplicate LINES (nav items/footer "
+        "lines) of >= N normalized chars, keeping the corpus-canonical "
+        "occurrence (the RefinedWeb unit; 0 = off)",
+    )
+    cu.add_argument(
+        "--near-dup-keep-by",
+        help="score column on the input docs: each near-dup cluster keeps "
+        "its highest-scoring member (ties -> min id) instead of min id",
+    )
+    cu.add_argument(
         "--dedup-paragraphs-min-chars", type=int, default=0,
         help="strip cross-document duplicate PARAGRAPHS (banners/footers/"
         "license blocks) of >= N normalized chars, keeping the corpus-"
@@ -1412,6 +1484,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="labeled-sample cap (the fit is driver-side by design)",
     )
     fg.set_defaults(fn=cmd_fit_langid)
+
+    ds = sub.add_parser(
+        "dsir-select",
+        help="pick the raw docs most like a target domain (DSIR importance "
+        "resampling: hashed-n-gram log-ratio weights, deterministic "
+        "Gumbel-top-k) and write them as parquet",
+    )
+    ds.add_argument("--docs", required=True, help="raw documents parquet")
+    ds.add_argument(
+        "--target", required=True,
+        help="target-domain documents parquet (the distribution to match)",
+    )
+    ds.add_argument("--out", required=True, help="output parquet directory")
+    ds.add_argument("--k", type=int, default=None, help="select exactly k docs")
+    ds.add_argument(
+        "--rate", type=float, default=None,
+        help="select ~this fraction instead of a fixed k (huge-k form; "
+        "approxQuantile cut)",
+    )
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--n-features", type=int, default=1 << 16)
+    ds.add_argument("--ngram-max", type=int, default=2, choices=(1, 2))
+    ds.add_argument("--seed", default="s0", help="Gumbel selection seed")
+    ds.set_defaults(fn=cmd_dsir_select)
 
     bb = sub.add_parser(
         "bloom-build",

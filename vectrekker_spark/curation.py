@@ -113,6 +113,18 @@ class CurationConfig:
     # boilerplate strip and BEFORE exact dedup, so content hashes and
     # shingles see the deduplicated text. Docs stripping to '' drop here.
     dedup_paragraphs_min_chars: int = 0
+    # 0 → off; else strip cross-document duplicate LINES (nav items,
+    # "read more" links, footer lines — the RefinedWeb/MassiveText unit,
+    # operators/paradedup.dedup_lines) whose normalized length is >= this
+    # many chars. Runs just before the paragraph stage: lines are the
+    # finer unit, so stripping them first lets paragraph hashes see
+    # banner-free blocks. Docs stripping to '' drop here.
+    dedup_lines_min_chars: int = 0
+    # '' → min-id keeper for near-dup clusters; else the name of a score
+    # column on the input docs — each near-dup cluster then keeps its
+    # HIGHEST-scoring member (ties → min id; NULL scores last), so dedup
+    # never trades away quality (operators/components.near_dedup_keep_best)
+    near_dup_keep_by: str = ""
     # 0 → off; else keep at most this many docs per ``stratum_col`` value
     # (the RefinedWeb/FineWeb per-domain cap, operators/quota), chosen in
     # stable hash(id) order — deterministic and growth-stable. Runs LAST
@@ -150,7 +162,21 @@ class CurationResult:
 
 def _drop_near_dups(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
     """Remove the larger id of every near-dup pair (transitively safe for the
-    keeper-is-min policy: any doc that loses one comparison is dropped)."""
+    keeper-is-min policy: any doc that loses one comparison is dropped).
+    With ``near_dup_keep_by`` set, clusters keep their best-scoring member
+    instead (full connected components — the pair shortcut only works for
+    the min-id policy)."""
+    if cfg.near_dup_keep_by:
+        from vectrekker_spark.operators.components import near_dedup_keep_best
+
+        losers = near_dedup_keep_best(
+            docs,
+            cfg.near_dup_keep_by,
+            threshold=cfg.near_dup_threshold,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).where(~F.col("keep")).select(cfg.id_col)
+        return docs.join(losers, cfg.id_col, "left_anti")
     pairs = minhash_dedup_pairs(
         docs, threshold=cfg.near_dup_threshold,
         text_col=cfg.text_col, id_col=cfg.id_col,
@@ -222,6 +248,38 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                     f"the input already has a {col!r} column — the "
                     f"paragraph-dedup stage's helper would collide; drop "
                     f"or rename it first"
+                )
+    if cfg.dedup_lines_min_chars:
+        # same run-START contract as the paragraph stage (shared helpers)
+        if cfg.dedup_lines_min_chars < 0:
+            raise ValueError(
+                f"CurationConfig.dedup_lines_min_chars must be >= 0 "
+                f"(0 disables), got {cfg.dedup_lines_min_chars}"
+            )
+        for col in (
+            "paras_dropped", "__line_dedup_text", "__pd_id", "__pd_drop_pos",
+        ):
+            if col in docs.columns:
+                raise ValueError(
+                    f"CurationConfig.dedup_lines_min_chars is set but the "
+                    f"input already has a {col!r} column — the line-dedup "
+                    f"stage's helper would collide; drop or rename it first"
+                )
+    if cfg.near_dup_keep_by:
+        # run-START validation: the score column must exist before the
+        # expensive LSH stage runs
+        if cfg.near_dup_keep_by not in docs.columns:
+            raise ValueError(
+                f"CurationConfig.near_dup_keep_by is set but the input has "
+                f"no {cfg.near_dup_keep_by!r} column — the quality-aware "
+                f"keeper needs a score column on the docs frame"
+            )
+        for col in ("__nb_neg", "__nb_best_id"):
+            if col in docs.columns:
+                raise ValueError(
+                    f"CurationConfig.near_dup_keep_by is set but the input "
+                    f"already has a {col!r} column — reserved by "
+                    f"near_dedup_keep_best; drop or rename it first"
                 )
     if cfg.semantic_dedup_threshold:
         # run-START validation: a missing embedding column or nonsense
@@ -432,6 +490,28 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         ).cache()
         caches.append(docs)
         _record("after_boilerplate", docs.count())
+
+    # 0a'. cross-document line dedup (opt-in): the finer RefinedWeb unit
+    # runs before the paragraph stage so paragraph hashes see banner-free
+    # blocks (same narrow no-text-shuffle shape; operators/paradedup).
+    if cfg.dedup_lines_min_chars:
+        from vectrekker_spark.operators.paradedup import dedup_lines
+
+        docs = (
+            dedup_lines(
+                docs,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                min_chars=cfg.dedup_lines_min_chars,
+                out_col="__line_dedup_text",
+            )
+            .withColumn(cfg.text_col, F.col("__line_dedup_text"))
+            .drop("__line_dedup_text", "paras_dropped")
+            .where(F.col(cfg.text_col).isNull() | (F.length(cfg.text_col) > 0))
+            .cache()
+        )
+        caches.append(docs)
+        _record("after_line_dedup", docs.count())
 
     # 0b. cross-document paragraph dedup (opt-in): collapse repeated
     # blocks (banners/footers/licenses) to their corpus-canonical

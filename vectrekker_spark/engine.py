@@ -486,6 +486,47 @@ class Engine:
 
         return dedup_paragraphs(df, **kw)
 
+    def dedup_lines(self, df: DataFrame, **kw) -> DataFrame:
+        """Strip cross-document duplicate LINES (the RefinedWeb unit:
+        nav items, footer lines), keeping the corpus-canonical (min
+        (id, pos)) occurrence (operators/paradedup.dedup_lines)."""
+        from vectrekker_spark.operators.paradedup import dedup_lines
+
+        return dedup_lines(df, **kw)
+
+    def near_dedup_keep_best(
+        self, df: DataFrame, score_col: str, **kw
+    ) -> DataFrame:
+        """(doc_id, cluster_id, keep) near-dup clustering where each
+        cluster keeps its highest-``score_col`` member (ties → min id;
+        operators/components.near_dedup_keep_best)."""
+        from vectrekker_spark.operators.components import near_dedup_keep_best
+
+        return near_dedup_keep_best(df, score_col, **kw)
+
+    def dsir_fit(self, df: DataFrame, **kw):
+        """Hashed-n-gram log-probability vector of a corpus — the p / q
+        halves of DSIR importance weighting (operators/dsir)."""
+        from vectrekker_spark.operators.dsir import fit_feature_dist
+
+        return fit_feature_dist(df, **kw)
+
+    def dsir_weights(
+        self, df: DataFrame, logp_target, logp_raw, **kw
+    ) -> DataFrame:
+        """Add the DSIR importance log-weight column — how much more
+        target-like than raw-like each document is (operators/dsir)."""
+        from vectrekker_spark.operators.dsir import importance_weights
+
+        return importance_weights(df, logp_target, logp_raw, **kw)
+
+    def dsir_select(self, df: DataFrame, k: int, **kw) -> DataFrame:
+        """Sample k docs without replacement ∝ exp(importance weight)
+        via deterministic Gumbel-top-k (operators/dsir)."""
+        from vectrekker_spark.operators.dsir import dsir_select
+
+        return dsir_select(df, k, **kw)
+
     def redact_pii(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         """Replace emails/phones in `text_col` with placeholder tags
         (functions/text.redact_pii), in place of the original column."""

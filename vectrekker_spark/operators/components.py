@@ -127,3 +127,55 @@ def near_dedup_clusters(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-dup keeper: (doc_id, cluster_id, keep) where the
+    kept representative of each cluster is the member with the HIGHEST
+    ``score_col`` (ties → min doc id — deterministic). The min-id policy of
+    ``near_dedup_clusters`` keeps an arbitrary-quality member; real
+    pipelines (SlimPajama-style) keep the best-scoring one so dedup never
+    trades away quality. NULL scores sort last (a scored member always
+    beats an unscored one; an all-NULL cluster falls back to min id);
+    rows with a NULL id are excluded (no keeper order — the engine-wide
+    NULL-id rule). Caller contract: ids are unique.
+
+    Scale shape: near_dedup_clusters' banded-LSH plan + ONE extra
+    aggregate on cluster_id (map-side combined; clusters are tiny) and one
+    keyed join — no new skew beyond the cluster-size distribution the
+    dedup already shuffles."""
+    for reserved in ("__nb_neg", "__nb_best_id"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"column {reserved!r} already exists on the input — "
+                f"reserved by near_dedup_keep_best; rename it first"
+            )
+    docs = df.where(F.col(id_col).isNotNull())
+    clusters = near_dedup_clusters(
+        docs, threshold=threshold, text_col=text_col, id_col=id_col
+    ).drop("keep")
+    scored = clusters.join(docs.select(id_col, score_col), id_col)
+    # max score then min id == min (negated score, id) struct; NULL score
+    # negates to +inf via the -inf coalesce, i.e. sorts last
+    neg = -F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(neg.alias("__nb_neg"), F.col(id_col).alias("__nb_best_id"))
+            ).alias("__nb_best")
+        )
+        .select("cluster_id", F.col("__nb_best.__nb_best_id").alias("__nb_best_id"))
+    )
+    return (
+        clusters.join(best, "cluster_id")
+        .withColumn("keep", F.col(id_col) == F.col("__nb_best_id"))
+        .drop("__nb_best_id")
+        .select(id_col, "cluster_id", "keep")
+    )

@@ -66,10 +66,11 @@ def duplicate_paragraphs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_chars: int = 40,
+    sep_pattern: str = _PARA_SEP,
 ) -> DataFrame:
     """(id, pos, para_hash) for every NON-canonical occurrence of a
     duplicated paragraph — the rows ``dedup_paragraphs`` strips. ``pos``
-    is the 0-based index into ``split(text, '\\n{2,}')``; the canonical
+    is the 0-based index into ``split(text, sep_pattern)``; the canonical
     (kept) occurrence of each hash is the minimal ``(id, pos)``."""
     if min_chars < 1:
         raise ValueError("min_chars must be >= 1")
@@ -77,7 +78,7 @@ def duplicate_paragraphs(
         df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), _PARA_SEP)).alias("pos", "para"),
+            F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "para"),
         )
     )
     key = _norm_key(F.col("para"))
@@ -105,6 +106,7 @@ def paragraph_hashes(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_chars: int = 40,
+    sep_pattern: str = _PARA_SEP,
 ) -> DataFrame:
     """Distinct ``para_hash`` column over the corpus's dedup-eligible
     paragraphs — the persisted-index unit for the incremental shape.
@@ -113,7 +115,7 @@ def paragraph_hashes(
     paras = (
         df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
-            F.posexplode(F.split(F.col(text_col), _PARA_SEP)).alias("pos", "para")
+            F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "para")
         )
     )
     key = _norm_key(F.col("para"))
@@ -132,6 +134,8 @@ def dedup_paragraphs_against(
     text_col: str = "text",
     min_chars: int = 40,
     out_col: str = "text_dedup",
+    sep_pattern: str = _PARA_SEP,
+    join_sep: str = "\n\n",
 ) -> DataFrame:
     """Incremental paragraph dedup: strip from ``new`` every paragraph
     whose hash exists in ``history_hashes`` (a ``paragraph_hashes`` frame
@@ -152,7 +156,7 @@ def dedup_paragraphs_against(
         new.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), _PARA_SEP)).alias("pos", "para"),
+            F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "para"),
         )
     )
     key = _norm_key(F.col("para"))
@@ -183,6 +187,8 @@ def dedup_paragraphs_against(
         min_chars=min_chars,
         out_col=out_col,
         flagged=flagged,
+        sep_pattern=sep_pattern,
+        join_sep=join_sep,
     )
 
 
@@ -193,6 +199,8 @@ def dedup_paragraphs(
     min_chars: int = 40,
     out_col: str = "text_dedup",
     flagged: DataFrame | None = None,
+    sep_pattern: str = _PARA_SEP,
+    join_sep: str = "\n\n",
 ) -> DataFrame:
     """All input columns + ``out_col`` (text with every non-canonical
     duplicated paragraph removed; untouched docs byte-identical) +
@@ -209,18 +217,19 @@ def dedup_paragraphs(
             raise ValueError(f"column {reserved!r} already exists on the input")
     if flagged is None:
         flagged = duplicate_paragraphs(
-            df, id_col=id_col, text_col=text_col, min_chars=min_chars
+            df, id_col=id_col, text_col=text_col, min_chars=min_chars,
+            sep_pattern=sep_pattern,
         )
     drops = flagged.groupBy(F.col("id").alias(_ID)).agg(
         F.collect_set("pos").alias(_DROPS)
     )
     joined = df.join(drops, on=F.col(id_col).eqNullSafe(F.col(_ID)), how="left")
-    arr = F.split(F.col(text_col), _PARA_SEP)
+    arr = F.split(F.col(text_col), sep_pattern)
     kept = F.filter(arr, lambda p, i: ~F.array_contains(F.col(_DROPS), i))
     out_text = (
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
         .when(F.col(_DROPS).isNull(), F.col(text_col))
-        .otherwise(F.array_join(kept, "\n\n"))
+        .otherwise(F.array_join(kept, join_sep))
     )
     # size(NULL) = -1, not NULL — branch explicitly (the profile.py rule)
     n_dropped = (
@@ -232,4 +241,50 @@ def dedup_paragraphs(
         joined.withColumn(out_col, out_text)
         .withColumn("paras_dropped", n_dropped)
         .drop(_ID, _DROPS)
+    )
+
+
+_LINE_SEP = r"\n"
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 20,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Line-level cross-document dedup (the RefinedWeb / MassiveText unit —
+    nav items, "read more" links and footer lines repeat per LINE, not per
+    blank-line block): ``dedup_paragraphs`` with the unit = single-newline
+    split and a lossless ``'\\n'`` rebuild (splitting on one character is
+    exactly reversible, so untouched docs are byte-identical by
+    construction, not just by the no-flag branch). The default
+    ``min_chars`` drops to 20 — lines are shorter than paragraphs, and the
+    floor still protects naturally-repeating short lines ("Yes.", list
+    bullets) from being stripped."""
+    return dedup_paragraphs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        min_chars=min_chars,
+        out_col=out_col,
+        sep_pattern=_LINE_SEP,
+        join_sep="\n",
+    )
+
+
+def duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 20,
+) -> DataFrame:
+    """``duplicate_paragraphs`` at the line unit (see ``dedup_lines``)."""
+    return duplicate_paragraphs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        min_chars=min_chars,
+        sep_pattern=_LINE_SEP,
     )
