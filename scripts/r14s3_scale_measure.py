@@ -67,6 +67,22 @@ def main() -> int:
         f"({n_docs / max(t_lines, 1e-9):.0f} docs/s)"
     )
 
+    # ---- per-stratum token budget ------------------------------------
+    from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+    strat = docs.withColumn("source", (F.col("doc_id") % 20).cast("string"))
+    t0 = time.time()
+    capped = cap_tokens_per_stratum(
+        strat, 100_000, order_cols=["doc_id"],
+    )
+    n_capped = capped.count()
+    t_cap = time.time() - t0
+    print(
+        f"cap_tokens_per_stratum: {n_capped} of {n_docs} docs within "
+        f"100k-token budgets across 20 strata in {t_cap:.2f}s "
+        f"({n_docs / max(t_cap, 1e-9):.0f} docs/s)"
+    )
+
     # ---- quality-aware near-dup keeper -------------------------------
     from vectrekker_spark.operators.components import near_dedup_keep_best
 

@@ -685,3 +685,62 @@ def test_curate_near_dup_keep_by(spark):
 
     with pytest.raises(ValueError, match="near_dup_keep_by"):
         curate(docs.drop("score"), cfg)
+
+
+def test_curate_token_budget_stage(spark):
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    mk = lambda k: " ".join(f"unique{k} word{i}" for i in range(20))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(i, mk(i), "en", "a.com") for i in range(6)]
+        + [(10, mk(10), "en", "b.org")],
+        "doc_id long, text string, lang string, source string",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, near_dup_threshold=0.99, embed=False,
+        max_tokens_per_stratum=100, chunk_size=8192,
+    )
+    res = curate(docs, cfg)
+    funnel = dict(res.funnel)
+    kept = {r["doc_id"] for r in res.chunks.collect()}
+    res.unpersist()
+    # each doc is 40 whitespace tokens; budget 100 → greedy prefix admits
+    # 3 docs per stratum (0 < 100, 40 < 100, 80 < 100, 120 blocked)
+    assert funnel["after_token_budget"] == 4  # 3 from a.com + 1 from b.org
+    assert 10 in kept and len(kept) == 4
+    # run-START validation: missing stratum column
+    import pytest
+
+    with pytest.raises(ValueError, match="max_tokens_per_stratum"):
+        curate(docs.drop("source"), cfg)
+    with pytest.raises(ValueError, match="max_tokens_per_stratum"):
+        curate(docs, CurationConfig(max_tokens_per_stratum=-1))
+
+
+def test_token_budget_only_config_ignores_doc_cap_reserved_cols(spark):
+    """Review regression (r14s3): the doc-cap validation block was briefly
+    nested under the token-budget flag — a token-budget-only config must
+    NOT enforce the doc cap's '__rn' reservation, and a doc-cap-only
+    config must still fail fast on a missing stratum column."""
+    from vectrekker_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [(i, f"some unique words {i} here today", "en", "a.com", i)
+         for i in range(3)],
+        "doc_id long, text string, lang string, source string, __rn long",
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, embed=False, max_tokens_per_stratum=1000,
+        chunk_size=8192,
+    )
+    res = curate(docs, cfg)  # __rn present: fine for the token budget
+    assert res.funnel["after_token_budget"] == 3
+    res.unpersist()
+    import pytest
+
+    with pytest.raises(ValueError, match="max_docs_per_stratum"):
+        curate(
+            docs.drop("source", "__rn"),
+            CurationConfig(min_quality=0.0, embed=False,
+                           max_docs_per_stratum=5),
+        )

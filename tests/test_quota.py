@@ -190,3 +190,161 @@ def test_null_ids_dropped_everywhere(spark):
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
     got2 = admit_per_stratum(df.repartition(3), None, 5)
     assert sorted(r["doc_id"] for r in got2.collect()) == [1, 2]
+
+
+# ------------------------------------------------------- token-budget cap
+
+
+def _mk_tok(spark, n=120, seed=5, parts=None):
+    rng = np.random.default_rng(seed)
+    words = lambda k: " ".join(f"w{j}" for j in range(k))  # noqa: E731
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "source": rng.choice(["a.com", "b.org", None], size=n,
+                                 p=[0.5, 0.4, 0.1]),
+            "quality": np.round(rng.random(n), 6),
+            "text": [words(int(k)) for k in rng.integers(1, 40, size=n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    return (df.repartition(parts) if parts else df), pdf
+
+
+def _oracle_tok_cap(pdf, budget):
+    """Greedy prefix per stratum by (quality desc, doc_id asc): keep a row
+    iff the tokens admitted before it are still under budget."""
+    out = []
+    for _, g in pdf.groupby("source", dropna=False):
+        g = g.sort_values(["quality", "doc_id"], ascending=[False, True])
+        acc = 0
+        for _, row in g.iterrows():
+            if acc < budget:
+                out.append(row["doc_id"])
+            acc += len(row["text"].split())
+    return sorted(out)
+
+
+def test_token_cap_matches_bruteforce_oracle(spark):
+    from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+    df, pdf = _mk_tok(spark)
+    for budget in (1, 37, 200, 10_000):
+        got = sorted(
+            r["doc_id"]
+            for r in cap_tokens_per_stratum(
+                df, budget, order_cols=["quality", "doc_id"],
+                descending=[True, False],
+            ).collect()
+        )
+        assert got == _oracle_tok_cap(pdf, budget), budget
+
+
+def test_token_cap_partition_invariance_and_oversized_first_doc(spark):
+    from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+    df, pdf = _mk_tok(spark)
+    a = sorted(r["doc_id"] for r in cap_tokens_per_stratum(
+        df, 50, order_cols=["quality", "doc_id"], descending=[True, False],
+    ).collect())
+    df7, _ = _mk_tok(spark, parts=7)
+    b = sorted(r["doc_id"] for r in cap_tokens_per_stratum(
+        df7, 50, order_cols=["quality", "doc_id"], descending=[True, False],
+    ).collect())
+    assert a == b
+    # a stratum whose first doc alone blows the budget still keeps it
+    one = spark.createDataFrame(
+        [(1, "s", " ".join(["w"] * 500)), (2, "s", "tiny doc")],
+        "doc_id long, source string, text string",
+    )
+    kept = sorted(r["doc_id"] for r in cap_tokens_per_stratum(
+        one, 100, order_cols=["doc_id"],
+    ).collect())
+    assert kept == [1]
+
+
+def test_token_cap_token_col_and_null_rules(spark):
+    from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+    rows = [
+        (1, "s", None, 30),      # NULL text, precomputed count
+        (2, "s", "ignored", 80),
+        (3, "s", "ignored", 80),
+        (None, "s", "dropped", 1),
+        (4, None, "null stratum words here", None),  # NULL count → 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_tok long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in cap_tokens_per_stratum(
+            df, 100, order_cols=["doc_id"], token_col="n_tok"
+        ).collect()
+    )
+    # order by id: 1 (acc 0<100), 2 (acc 30<100), 3 blocked (acc 110);
+    # NULL id dropped; NULL stratum is its own bucket, 0-count row kept
+    assert kept == [1, 2, 4]
+
+
+def test_token_cap_guards(spark):
+    from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+    df, _ = _mk_tok(spark, n=10)
+    with pytest.raises(ValueError, match="token_budget"):
+        cap_tokens_per_stratum(df, 0, order_cols=["doc_id"])
+    with pytest.raises(ValueError, match="order_cols is required"):
+        cap_tokens_per_stratum(df, 10)
+    with pytest.raises(ValueError, match="descending has"):
+        cap_tokens_per_stratum(df, 10, order_cols=["doc_id"],
+                               descending=[True, False])
+    with pytest.raises(ValueError, match="plain expressions"):
+        cap_tokens_per_stratum(df, 10, order_cols=[F.col("doc_id").desc()])
+    with pytest.raises(ValueError, match="no 'missing' column"):
+        cap_tokens_per_stratum(df, 10, order_cols=["doc_id"],
+                               token_col="missing")
+    with pytest.raises(ValueError, match="reserved"):
+        cap_tokens_per_stratum(df.withColumn("__qt_tok", F.lit(1)), 10,
+                               order_cols=["doc_id"])
+
+
+def test_token_cap_text_never_enters_window_sort(spark, tmp_path):
+    """The scale claim: the window/sort branch reads only the narrow
+    (id, stratum, token, order) projection — the text payload reaches the
+    plan solely through the semi-join's probe side."""
+    from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+    path = str(tmp_path / "docs.parquet")
+    _mk_tok(spark, n=50)[1].to_parquet(path)
+    df = spark.read.parquet(path)
+    out = cap_tokens_per_stratum(
+        df, 50, order_cols=["quality", "doc_id"], descending=[True, False]
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the scan must read text (tokens are counted from it map-side), but
+    # the shuffle Exchange feeding the window sort carries only the
+    # narrow (id, stratum, __qt_tok, __qt_o*) projection — the payload
+    # dies at the pre-exchange Project
+    lines = plan.splitlines()
+    exchange_inputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if ln.strip().startswith("(") and ln.strip().endswith("Exchange")
+        and i + 1 < len(lines) and "Input" in lines[i + 1]
+    ]
+    assert exchange_inputs, plan
+    assert all("text" not in inp for inp in exchange_inputs), plan
+
+
+def test_admit_guards_stratum_reserved(spark):
+    """'__stratum' is reserved: drop-by-name after the ledger join would
+    silently strip a same-named batch column (r14s3 review finding)."""
+    from vectrekker_spark.operators.quota import admit_per_stratum
+
+    batch = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id long, source string, __stratum string"
+    )
+    with pytest.raises(ValueError, match="__stratum"):
+        admit_per_stratum(batch, None, 5)

@@ -586,6 +586,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             min_compression_ratio=args.min_compression_ratio,
             sentence_chunks=args.sentence_chunks,
             max_docs_per_stratum=args.max_docs_per_stratum,
+            max_tokens_per_stratum=args.max_tokens_per_stratum,
             stratum_col=args.stratum_col,
         ),
         max_tokens=args.max_tokens,
@@ -915,14 +916,20 @@ def cmd_dsir_select(args: argparse.Namespace) -> int:
         raw, text_col=args.text_col, n_features=args.n_features,
         ngram_max=args.ngram_max,
     )
-    w = importance_weights(raw, lp_t, lp_r, text_col=args.text_col)
-    if args.k is not None:
-        picked = dsir_select(w, args.k, id_col=args.id_col, seed=args.seed)
-    else:
-        picked = dsir_select_rate(
-            w, args.rate, id_col=args.id_col, seed=args.seed
-        )
-    picked.write.mode("overwrite").parquet(args.out)
+    # persist: the rate arm's quantile action and the final write would
+    # otherwise each re-run the expensive weights map (see dsir_select_rate
+    # cost note); the top-k arm is a single action but shares the path
+    w = importance_weights(raw, lp_t, lp_r, text_col=args.text_col).persist()
+    try:
+        if args.k is not None:
+            picked = dsir_select(w, args.k, id_col=args.id_col, seed=args.seed)
+        else:
+            picked = dsir_select_rate(
+                w, args.rate, id_col=args.id_col, seed=args.seed
+            )
+        picked.write.mode("overwrite").parquet(args.out)
+    finally:
+        w.unpersist()
     n = spark.read.parquet(args.out).count()
     print(f"dsir-select: wrote {n} docs -> {args.out}")
     return 0
@@ -1350,6 +1357,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="strip cross-document duplicate PARAGRAPHS (banners/footers/"
         "license blocks) of >= N normalized chars, keeping the corpus-"
         "canonical occurrence (the CCNet unit; 0 = off)",
+    )
+    cu.add_argument(
+        "--max-tokens-per-stratum", type=int, default=0,
+        help="cap each --stratum-col value's total TOKEN count (greedy "
+        "prefix in stable hash(id) order — the unit mixture budgets bind "
+        "in; 0 = off)",
     )
     cu.add_argument(
         "--max-docs-per-stratum", type=int, default=0,

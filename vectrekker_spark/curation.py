@@ -133,6 +133,11 @@ class CurationConfig:
     # has no stable hash order), so ``after_stratum_cap`` can shrink
     # beyond the cap effect on corpora with NULL ids.
     max_docs_per_stratum: int = 0
+    # 0 → off; else cap each stratum's total TOKEN count instead of (or in
+    # addition to) its doc count — the unit mixture budgets actually bind
+    # in. Greedy prefix in stable hash(id) order (growth-stable like the
+    # doc cap); whitespace token_count on text_col. Same NULL-id rule.
+    max_tokens_per_stratum: int = 0
     stratum_col: str = "source"
 
 
@@ -322,6 +327,27 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
                 "already has a '__rn' column — the cap's ranking helper "
                 "would collide at the final gate; drop or rename it first"
             )
+    if cfg.max_tokens_per_stratum:
+        # same run-START contract as the doc cap (the token budget is the
+        # final funnel gate right after it)
+        if cfg.max_tokens_per_stratum < 0:
+            raise ValueError(
+                f"CurationConfig.max_tokens_per_stratum must be >= 0 (0 "
+                f"disables), got {cfg.max_tokens_per_stratum}"
+            )
+        if cfg.stratum_col not in docs.columns:
+            raise ValueError(
+                f"CurationConfig.max_tokens_per_stratum is set but the "
+                f"input has no {cfg.stratum_col!r} column — the token "
+                f"budget needs a stratum (domain/source) column"
+            )
+        for col in ("__qt_tok", "__qt_before", "__qt_o0", "__qt_o1"):
+            if col in docs.columns:
+                raise ValueError(
+                    f"CurationConfig.max_tokens_per_stratum is set but the "
+                    f"input already has a {col!r} column — reserved by "
+                    f"cap_tokens_per_stratum; rename it first"
+                )
     quality_model = None
     if cfg.quality_model_path:
         # load (and validate) at run START — same contract as the bloom;
@@ -770,6 +796,25 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         ).cache()
         caches.append(docs)
         _record("after_stratum_cap", docs.count())
+
+    # 4e. optional per-stratum TOKEN budget: greedy prefix in the same
+    # stable hash(id) order (operators/quota.cap_tokens_per_stratum — the
+    # text payload never enters the window shuffle). After the doc cap:
+    # both bind the exported set, tokens are the finer unit.
+    if cfg.max_tokens_per_stratum:
+        from vectrekker_spark.operators.sampling import sample_bucket
+        from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+        docs = cap_tokens_per_stratum(
+            docs.where(F.col(cfg.id_col).isNotNull()),
+            cfg.max_tokens_per_stratum,
+            strata_col=cfg.stratum_col,
+            order_cols=[sample_bucket(cfg.id_col, "quota0"), F.col(cfg.id_col)],
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+        ).cache()
+        caches.append(docs)
+        _record("after_token_budget", docs.count())
 
     # 5. chunk — cached so the funnel count and the caller's consumption
     # execute the (mapInPandas) chunk stage exactly once

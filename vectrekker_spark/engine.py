@@ -309,6 +309,15 @@ class Engine:
 
         return cap_per_stratum(df, cap, **kw)
 
+    def cap_tokens_per_stratum(
+        self, df: DataFrame, token_budget: int, **kw
+    ) -> DataFrame:
+        """Greedy per-stratum TOKEN budget (the unit mixture budgets bind
+        in; operators/quota.cap_tokens_per_stratum)."""
+        from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+        return cap_tokens_per_stratum(df, token_budget, **kw)
+
     def cap_per_stratum_random(self, df: DataFrame, cap: int, **kw) -> DataFrame:
         """Stable hash-order per-stratum quota: deterministic, partition-
         invariant, growth-stable (operators/quota.cap_per_stratum_random)."""

@@ -290,7 +290,13 @@ def dsir_select_rate(
     huge-k form: the cut point comes from approxQuantile (a bounded
     sketch, never a global sort), so the realized fraction is approximate
     within ``relative_error``. Deterministic for fixed data + seed.
-    NULL-id / NULL-weight rows are dropped (as in dsir_select)."""
+    NULL-id / NULL-weight rows are dropped (as in dsir_select).
+
+    Cost note: the quantile is an ACTION, so the upstream lineage runs
+    once for the cut and again when the returned frame is consumed. When
+    the input is an un-persisted ``importance_weights`` result (whose
+    Arrow map is the expensive stage), ``persist()`` it first — the CLI
+    verb does exactly that — or accept the double execution."""
     if not 0.0 < rate <= 1.0:
         raise ValueError(f"rate must be in (0, 1], got {rate}")
     if "__dsir_key" in df.columns:

@@ -92,7 +92,10 @@ def admit_per_stratum(
     """
     if cap < 1:
         raise ValueError(f"admit_per_stratum: cap must be >= 1, got {cap}")
-    for tmp in ("__rn", "__used"):
+    # '__stratum' is reserved too: Spark's drop-by-name drops EVERY match,
+    # so a batch column of that name would be silently stripped by the
+    # post-join cleanup (advisor-style finding, r14s3)
+    for tmp in ("__rn", "__used", "__stratum"):
         if tmp in batch.columns:
             raise ValueError(f"admit_per_stratum: input already has {tmp}")
     # NULL ids are dropped (the sampling.py rule): they have no hash order
@@ -173,3 +176,121 @@ def cap_per_stratum_random(
         df.where(F.col(id_col).isNotNull()), cap, strata_col=strata_col,
         order_cols=[sample_bucket(id_col, seed), F.col(id_col)],
     )
+
+
+def cap_tokens_per_stratum(
+    df: DataFrame,
+    token_budget: int,
+    strata_col: str = "source",
+    order_cols: Sequence[Column | str] = (),
+    descending: bool | Sequence[bool] = False,
+    id_col: str = "doc_id",
+    token_col: str = "",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep each stratum's greedy prefix (under ``order_cols``) whose
+    cumulative token count stays within ``token_budget`` — the unit real
+    mixture budgets bind in (a domain's contribution to a training run is
+    its TOKENS, not its document count; mixture_rates_for_token_budget is
+    the rate-based sibling, this is the hard per-stratum cap).
+
+    A row is kept iff the tokens admitted BEFORE it (in order) are still
+    under budget, so a stratum whose first document alone exceeds the
+    budget keeps that one document rather than going empty (the packing
+    module's oversized-item rule). Token counts come from ``token_col``
+    if given (a precomputed/learned-BPE count) else the engine's
+    whitespace ``token_count(text_col)``; NULL counts/text count 0.
+    Rows with a NULL id are dropped (no deterministic order — the
+    quota/sampling NULL rule). NULL strata form one capped bucket.
+    Direction comes from ``descending`` (one bool, or one per order
+    column — e.g. ``order_cols=["quality", "doc_id"], descending=[True,
+    False]`` admits highest-quality first); ``order_cols`` entries must
+    be PLAIN expressions, not ``.desc()``/``.asc()`` sort orders, and as
+    everywhere must end in a unique tie-break.
+
+    Scale shape: the running sum needs each stratum's full orderd row
+    set, so unlike ``cap_per_stratum`` there is no WindowGroupLimit
+    pre-prune — instead the window runs over a NARROW projection
+    (id, stratum, tokens ≈ tens of bytes/row) and the kept ids semi-join
+    back, so document text never shuffles and the hot-stratum cost is a
+    narrow sort, not a payload shuffle."""
+    if token_budget < 1:
+        raise ValueError(
+            f"cap_tokens_per_stratum: token_budget must be >= 1, got "
+            f"{token_budget}"
+        )
+    if not order_cols:
+        raise ValueError(
+            "cap_tokens_per_stratum: order_cols is required (end it with a "
+            "unique tie-break column, or the kept set at the budget "
+            "boundary depends on partition layout)"
+        )
+    for reserved in ("__qt_tok", "__qt_before"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"cap_tokens_per_stratum: input already has a {reserved!r} "
+                f"column — reserved; rename it first"
+            )
+    from vectrekker_spark.functions.text import token_count
+
+    docs = df.where(F.col(id_col).isNotNull())
+    if token_col:
+        if token_col not in df.columns:
+            raise ValueError(
+                f"cap_tokens_per_stratum: no {token_col!r} column on the "
+                f"input"
+            )
+        tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    else:
+        tok = F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0))
+    # narrow projection: id, stratum, tokens, and the order expressions
+    # aliased to reserved names — order_cols may reference ANY input
+    # column, so they are materialized here and the window orders by the
+    # aliases; everything else (the text payload) never enters the sort
+    if isinstance(descending, bool):
+        desc_flags = [descending] * len(order_cols)
+    else:
+        desc_flags = list(descending)
+        if len(desc_flags) != len(order_cols):
+            raise ValueError(
+                f"cap_tokens_per_stratum: descending has {len(desc_flags)} "
+                f"flags for {len(order_cols)} order_cols"
+            )
+    order_by = []
+    order_exprs = []
+    for i, (c, dsc) in enumerate(zip(order_cols, desc_flags)):
+        name = f"__qt_o{i}"
+        if name in df.columns:
+            raise ValueError(
+                f"cap_tokens_per_stratum: input already has a {name!r} "
+                f"column — reserved; rename it first"
+            )
+        col = F.col(c) if isinstance(c, str) else c
+        # direction comes from `descending`, NOT .desc()/.asc() on the
+        # expression: a SortOrder cannot be aliased into the narrow
+        # projection (Spark fails at codegen with an INTERNAL_ERROR)
+        if " DESC" in str(col) or " ASC" in str(col):
+            raise ValueError(
+                "cap_tokens_per_stratum: pass plain expressions in "
+                "order_cols and set direction via descending=..., not "
+                ".desc()/.asc()"
+            )
+        order_exprs.append(col.alias(name))
+        order_by.append(F.col(name).desc() if dsc else F.col(name).asc())
+    narrow = docs.select(
+        F.col(id_col), F.col(strata_col), tok.alias("__qt_tok"), *order_exprs
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_ids = (
+        narrow.withColumn(
+            "__qt_before",
+            F.coalesce(F.sum("__qt_tok").over(w), F.lit(0)),
+        )
+        .where(F.col("__qt_before") < F.lit(token_budget))
+        .select(F.col(id_col))
+    )
+    return docs.join(kept_ids, id_col, "left_semi")
