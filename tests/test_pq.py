@@ -149,8 +149,8 @@ def test_pq_save_load_roundtrip_and_guards(spark, em, pq, tmp_path):
     cb, codes = pq
     path = str(tmp_path / "pqidx")
     meta = pq_save(cb, codes, path)
-    assert meta == {"m": 16, "nbits": 6, "dsub": 4, "dim": 64,
-                    "id_col": "vec_id", "rotated": False}
+    assert meta == {"version": 0, "m": 16, "nbits": 6, "dsub": 4,
+                    "dim": 64, "id_col": "vec_id", "rotated": False}
     cb2, codes2, meta2 = pq_load(spark, path)
     assert meta2 == meta
     q = em.where(F.col("vec_id") < 2).select(
@@ -751,3 +751,116 @@ def test_ivfpq_compact_reclaims_duplicates(spark, em, pq, tmp_path):
     names = set(os.listdir(path))
     assert "codes-v2" in names and "codes-v1" in names
     assert "codes-v0" not in names
+
+
+# ------------------------------------------------------ r14s3 review pins
+
+
+def test_search_null_and_empty_queries(spark, pq):
+    """One junk query row must not kill the job: NULL-id / NULL-vector
+    queries drop (the corpus NULL rule), an all-dropped set returns an
+    EMPTY typed frame, and a wrong-dim vector raises a clear error."""
+    from vectrekker_spark.operators.pq import pq_search
+
+    cb, codes = pq
+    mixed = spark.createDataFrame(
+        [(None, [0.1] * 64), ("q_null_vec", None)],
+        "qid string, qvec array<double>",
+    )
+    out = pq_search(mixed, codes, cb, k=3)
+    assert out.count() == 0
+    assert out.columns == ["qid", "vec_id", "score", "rank"]
+    empty = spark.createDataFrame([], "qid string, qvec array<double>")
+    assert pq_search(empty, codes, cb, k=3).count() == 0
+    bad = spark.createDataFrame(
+        [("q", [0.1] * 7)], "qid string, qvec array<double>"
+    )
+    with pytest.raises(ValueError, match="64-dim"):
+        pq_search(bad, codes, cb, k=3)
+
+
+def test_pq_resave_is_versioned_and_prunes_with_grace(spark, pq, tmp_path):
+    """Re-saves must never pair old meta with overwritten artifacts: each
+    save writes NEW versioned files, keeps the previous committed version
+    for mid-scan readers, and prunes older ones."""
+    import os
+
+    from vectrekker_spark.operators.pq import pq_load, pq_save
+
+    cb, codes = pq
+    path = str(tmp_path / "resave")
+    m0 = pq_save(cb, codes, path)
+    m1 = pq_save(cb, codes.limit(10), path)
+    m2 = pq_save(cb, codes.limit(5), path)
+    assert (m0["version"], m1["version"], m2["version"]) == (0, 1, 2)
+    listing = sorted(os.listdir(path))
+    # v2 (live) + v1 (grace) survive; v0 pruned
+    assert f"codes-v2.parquet" in listing and f"codes-v1.parquet" in listing
+    assert "codes-v0.parquet" not in listing
+    _, codes2, meta2 = pq_load(spark, path)
+    assert meta2["version"] == 2 and codes2.count() == 5
+
+
+def test_ivfpq_save_grace_protects_committed_not_torn(spark, pq, tmp_path):
+    """Grace pruning keys off the COMMITTED version: a torn higher-
+    numbered save must not cause the live version's files to be deleted."""
+    import os
+
+    from vectrekker_spark.operators.ann import ivf_build
+    from vectrekker_spark.operators.pq import ivfpq_load, ivfpq_save
+
+    cb, codes = pq
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids, assign = ivf_build(em, n_centroids=4)
+    path = str(tmp_path / "ivfpq")
+    m0 = ivfpq_save(path, cb, centroids, assign, codes)
+    assert m0["version"] == 0
+    # simulate a TORN later save: artifacts for v1 exist, meta still v0
+    os.makedirs(os.path.join(path, "codes-v1"), exist_ok=True)
+    open(os.path.join(path, "codes-v1", "part-junk"), "w").write("x")
+    m2 = ivfpq_save(path, cb, centroids, assign, codes.limit(10))
+    # new save is v2 (listing-derived, never repeats); committed v0 kept
+    # for grace, torn v1 pruned
+    assert m2["version"] == 2
+    listing = os.listdir(path)
+    assert any(d.startswith("codes-v0") for d in listing)
+    assert not any(d == "codes-v1" for d in listing)
+    _, _, codes2, meta2 = ivfpq_load(spark, path)
+    assert meta2["version"] == 2 and codes2.count() == 10
+
+
+def test_ivfpq_search_accepts_rotation(spark, pq):
+    """The in-memory ivfpq_search can search OPQ-rotated codes: with
+    full probing and the rotation passed, results equal pq_search with
+    the same rotation (the composition-equivalence contract)."""
+    import numpy as np
+
+    from vectrekker_spark.operators.ann import ivf_build
+    from vectrekker_spark.operators.pq import (
+        ivfpq_search,
+        opq_train,
+        pq_encode,
+        pq_search,
+        rotate_vectors,
+    )
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sub = em.limit(300).cache()
+    R, cb_r = opq_train(sub, m=16, nbits=4, iters=2, kmeans_iters=5)
+    codes_r = pq_encode(rotate_vectors(sub, R), cb_r)
+    centroids, assign = ivf_build(sub, n_centroids=3)
+    q = sub.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in ivfpq_search(
+            q, codes_r, cb_r, centroids, assign, k=5, n_probe=3, rotation=R
+        ).collect()
+    )
+    b = sorted(
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in pq_search(q, codes_r, cb_r, k=5, rotation=R).collect()
+    )
+    assert a == b
+    sub.unpersist()

@@ -252,7 +252,9 @@ def cmd_pq_build(args: argparse.Namespace) -> int:
         return 2
     codes = pq_encode(enc_src, cb, id_col="id")
     meta = pq_save(cb, codes, args.out, id_col="id", rotation=rotation)
-    n = spark.read.parquet(f"{args.out}/codes.parquet").count()
+    n = spark.read.parquet(
+        f"{args.out}/codes-v{meta['version']}.parquet"
+    ).count()
     print(
         f"pq index at {args.out}: {n} vectors, m={meta['m']} x "
         f"2^{meta['nbits']} codebooks, dim {meta['dim']} "

@@ -191,9 +191,14 @@ def normalized_url(url) -> Column:
     # the rebuild); take it from the END of the parsed authority, past
     # any userinfo '@' and any bracketed IPv6 literal
     auth = F.try_parse_url(c, F.lit("AUTHORITY"))
-    port = F.nullif(
-        F.regexp_extract(auth, r":([0-9]+)$", 1), F.lit("")
-    ).cast("long")
+    port_txt = F.nullif(F.regexp_extract(auth, r":([0-9]+)$", 1), F.lit(""))
+    port = port_txt.try_cast("long")  # NULL on overflow in ANSI mode too
+    # a digit tail that is not a REAL port (cast overflow → NULL, or
+    # value > 65535) must NOT silently alias onto the
+    # portless URL's dedup key (r14s3 review: ':9{20}' normalized equal
+    # to the real page and could evict it in dedup_by_url) — such URLs
+    # take the passthrough arm like any other junk
+    bad_port = port_txt.isNotNull() & (port.isNull() | (port > 65535))
     path = F.coalesce(url_path(c), F.lit(""))
     query = F.try_parse_url(c, F.lit("QUERY"))
     drop_port = (
@@ -221,7 +226,9 @@ def normalized_url(url) -> Column:
     # unparseable (no scheme://host) inputs pass through unchanged rather
     # than collapsing to NULL — a relative or junk "url" is still a key
     return F.when(
-        scheme.isNull() | (scheme == "") | host.isNull() | (host == ""), c
+        scheme.isNull() | (scheme == "") | host.isNull() | (host == "")
+        | bad_port,
+        c,
     ).otherwise(rebuilt)
 
 
@@ -250,6 +257,18 @@ def resolve_url(base, ref) -> Column:
         .when(~ok_base, F.lit(None).cast("string"))
         .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
         .when(r.startswith("/"), F.concat(root, r))
+        # query-only refs keep the WHOLE base path (RFC 3986 §5.3 merge —
+        # '?page=2' on '/a/b' is '/a/b?page=2', not the directory; r14s3
+        # review: the directory-join arm dropped the base filename for
+        # every pagination/sort href)
+        .when(
+            r.startswith("?"),
+            F.concat(
+                root,
+                F.when(bpath == "", F.lit("/")).otherwise(bpath),
+                r,
+            ),
+        )
         .otherwise(F.concat(root, bdir, r))
     )
 
@@ -271,15 +290,30 @@ def html_links(
     scale is a narrow map; `explode(links)` + dedup_by_url is the next
     snapshot's seed list."""
     c = F.col(html_col)
+    # '\shref' (whitespace REQUIRED before the attribute name): '[^>]*?href'
+    # also matched data-href/ng-href and injected tracker URLs the page
+    # never links (r14s3 review)
     hrefs = F.array_union(
-        F.regexp_extract_all(c, F.lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)'), 1),
-        F.regexp_extract_all(c, F.lit(r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)"), 1),
+        F.regexp_extract_all(c, F.lit(r'(?is)<a\b[^>]*?\shref\s*=\s*"([^"]*)'), 1),
+        F.regexp_extract_all(c, F.lit(r"(?is)<a\b[^>]*?\shref\s*=\s*'([^']*)"), 1),
     )
+
+    def _decode(h):
+        # attribute values are entity-escaped ('&' in a query string
+        # arrives as '&amp;' — the sitemap_urls rule; skipping the decode
+        # put unfetchable URLs in the frontier, r14s3 review). &amp; last
+        # (the chained-entity ordering rule, functions/html).
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&")):
+            h = F.replace(h, F.lit(ent), F.lit(ch))
+        return h
+
     resolved = F.filter(
         F.transform(
             hrefs,
             lambda h: resolve_url(
-                F.col(url_col), F.regexp_replace(F.trim(h), r"#.*$", "")
+                F.col(url_col),
+                F.regexp_replace(F.trim(_decode(h)), r"#.*$", ""),
             ),
         ),
         lambda u: u.isNotNull()

@@ -64,6 +64,62 @@ def _codebooks_np(codebooks: DataFrame):
     return arr
 
 
+def _collect_query_vectors(
+    queries: DataFrame, qid_col: str, qvec_col: str, max_queries: int,
+    dim: int, fn: str,
+):
+    """Bounded query collect shared by the three search entry points:
+    NULL-id / NULL-vector query rows are DROPPED (the corpus side's
+    NULL-is-never-a-neighbor rule — one junk row must not kill the job,
+    r14s3 review), each vector is validated against the index dim, and
+    the result is (qids, qs (n, dim) float64) — possibly n = 0, which
+    callers turn into an empty result frame."""
+    import numpy as np
+
+    qrows = (
+        queries.where(
+            F.col(qid_col).isNotNull() & F.col(qvec_col).isNotNull()
+        )
+        .select(qid_col, qvec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{fn} collected more than max_queries={max_queries} "
+            "queries — batch them"
+        )
+    qids, vecs = [], []
+    for r in qrows:
+        try:
+            v = np.asarray(r[qvec_col], dtype=np.float64)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"{fn}: query {r[qid_col]!r} has a non-numeric vector"
+            ) from e
+        if v.ndim != 1 or len(v) != dim:
+            raise ValueError(
+                f"{fn}: query {r[qid_col]!r} has {v.shape} — the index "
+                f"holds {dim}-dim vectors"
+            )
+        qids.append(r[qid_col])
+        vecs.append(v)
+    qs = np.asarray(vecs) if vecs else np.zeros((0, dim))
+    return qids, qs
+
+
+def _empty_result(queries: DataFrame, codes: DataFrame, qid_col: str,
+                  id_col: str) -> DataFrame:
+    """Zero-row (qid, id, score, rank) frame with the callers' types."""
+    qid_type = queries.select(qid_col).schema[0].dataType.simpleString()
+    id_type = codes.select(id_col).schema[0].dataType.simpleString()
+    return queries.sparkSession.createDataFrame(
+        [],
+        f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, "
+        f"score double, rank int",
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -112,26 +168,28 @@ def pq_train(
                 F.slice("__v", j * dsub + 1, dsub).cast("array<double>")
                 .alias("sv")
             )
-            try:
+            # MLlib k-means hard-fails (ArrayIndexOutOfBounds, not a clean
+            # error) when a subspace has fewer than k DISTINCT points —
+            # tiny or degenerate-subspace corpora (e.g. a constant
+            # dimension). Detect that case EXPLICITLY up front instead of
+            # a blanket except around the fit: a transient executor loss
+            # or OOM must propagate, not silently degrade the codebooks
+            # (r14s3 review). The bounded limit(k+1) probe early-outs.
+            distinct_rows = arrays.distinct().limit(k + 1).collect()
+            if len(distinct_rows) >= k:
                 model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(
                     arrays.select(array_to_vector("sv").alias("features"))
                 )
                 centers = [
                     [float(x) for x in c] for c in model.clusterCenters()
                 ]
-            except Exception:
-                # MLlib k-means needs k DISTINCT points; tiny or
-                # degenerate-subspace corpora (e.g. a constant dimension)
-                # don't have them. Fall back to the distinct subvectors
-                # themselves, sorted (deterministic), cycled up to k —
-                # duplicate centroids are harmless (argmin ties take the
-                # lowest code) and the quantization on such data is exact.
-                centers = None
-            if centers is None or len(centers) < k:
-                distinct = sorted(
-                    tuple(r["sv"]) for r in
-                    arrays.distinct().limit(k).collect()
-                )
+            else:
+                # fall back to the distinct subvectors themselves, sorted
+                # (deterministic — the limit returned ALL of them since
+                # there are < k), cycled up to k; duplicate centroids are
+                # harmless (argmin ties take the lowest code) and the
+                # quantization on such data is exact
+                distinct = sorted(tuple(r["sv"]) for r in distinct_rows)
                 centers = [
                     list(distinct[i % len(distinct)]) for i in range(k)
                 ]
@@ -234,14 +292,11 @@ def pq_search(
 
     cb = _codebooks_np(codebooks)
     m, kk, dsub = cb.shape
-    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"pq_search collected more than max_queries={max_queries} "
-            "queries — batch them (broadcast LUTs are per-query)"
-        )
-    qids = [r[qid_col] for r in qrows]
-    qs = np.asarray([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
+    qids, qs = _collect_query_vectors(
+        queries, qid_col, qvec_col, max_queries, m * dsub, "pq_search"
+    )
+    if not qids:
+        return _empty_result(queries, codes, qid_col, id_col)
     norms = np.linalg.norm(qs, axis=1, keepdims=True)
     np.divide(qs, norms, out=qs, where=norms > 0)
     if rotation is not None:
@@ -333,26 +388,56 @@ def pq_save(
     id_col: str = "vec_id",
     rotation=None,
 ) -> dict:
-    """Persist a PQ index: {path}/codebooks.parquet + {path}/codes.parquet
-    + pq_meta.json pinning the geometry (m, nbits, dsub, dim, id_col).
+    """Persist a PQ index: {path}/codebooks-v{N}.parquet +
+    {path}/codes-v{N}.parquet + pq_meta.json pinning the geometry
+    (m, nbits, dsub, dim, id_col) and the live version N.
 
     The meta file exists for the same reason the image-dedup band index
     pins its band count: codes are MEANINGLESS under a codebook with
     different geometry, and a silent mismatch would not error — it would
     return confidently wrong neighbors. pq_load refuses mismatches and
-    torn meta loudly. Meta is written temp + os.replace (atomic), LAST —
-    so a crash mid-save leaves no committed meta and the index reads as
-    absent, never as torn."""
+    torn meta loudly. Meta is written temp + os.replace (atomic), LAST,
+    and artifacts are VERSIONED (the ivfpq_save protocol): a crash
+    mid-save leaves the previous version live (or no index) — an
+    in-place overwrite would let a crashed RE-save pair the old meta
+    with half-new artifacts of identical geometry, the exact silent
+    mismatch this file exists to prevent (r14s3 review). The previous
+    committed version is kept for one save (readers may be mid-scan);
+    older and never-committed (torn) versions are pruned."""
     import json
     import os
+    import re
+    import shutil
 
     import numpy as np
 
     cb = _codebooks_np(codebooks)
     m, k, dsub = cb.shape
     os.makedirs(path, exist_ok=True)
-    codebooks.write.mode("overwrite").parquet(os.path.join(path, "codebooks.parquet"))
-    codes.write.mode("overwrite").parquet(os.path.join(path, "codes.parquet"))
+    meta_path = os.path.join(path, "pq_meta.json")
+    prev_committed = None
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                prev_committed = json.load(f).get("version")
+        except (json.JSONDecodeError, OSError):
+            prev_committed = None  # torn meta: nothing committed to keep
+    # next version from the artifact LISTING (never repeats even after a
+    # torn save); legacy unversioned artifacts count as no versions
+    versions = [
+        int(mm.group(2))
+        for d in os.listdir(path)
+        for mm in [re.fullmatch(
+            r"(codes|codebooks|rotation)-v(\d+)\.parquet", d)]
+        if mm
+    ]
+    version = max(versions, default=-1) + 1
+    codebooks.write.mode("overwrite").parquet(
+        os.path.join(path, f"codebooks-v{version}.parquet")
+    )
+    codes.write.mode("overwrite").parquet(
+        os.path.join(path, f"codes-v{version}.parquet")
+    )
     if rotation is not None:
         R = np.asarray(rotation, dtype=np.float64)
         if R.shape != (m * dsub, m * dsub):
@@ -364,9 +449,10 @@ def pq_save(
             [(i, [float(v) for v in R[i]]) for i in range(len(R))],
             "i int, r array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "rotation.parquet")
+            os.path.join(path, f"rotation-v{version}.parquet")
         )
     meta = {
+        "version": int(version),
         "m": int(m),
         "nbits": int(k).bit_length() - 1,
         "dsub": int(dsub),
@@ -377,7 +463,20 @@ def pq_save(
     tmp = os.path.join(path, "pq_meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "pq_meta.json"))
+    os.replace(tmp, meta_path)
+    # prune: keep the NEW version and the previously COMMITTED one
+    # (grace for mid-scan readers); torn never-committed versions go
+    # regardless of their number (the ivfpq_save fix applies here too)
+    keep = {version} | ({prev_committed} if prev_committed is not None else set())
+    for d in os.listdir(path):
+        mm = re.fullmatch(r"(codes|codebooks|rotation)-v(\d+)\.parquet", d)
+        if mm and int(mm.group(2)) not in keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    if prev_committed is not None:
+        # the previous commit was already versioned, so any legacy
+        # unversioned artifacts are ≥ two saves old — safe to sweep
+        for legacy in ("codebooks.parquet", "codes.parquet", "rotation.parquet"):
+            shutil.rmtree(os.path.join(path, legacy), ignore_errors=True)
     return meta
 
 
@@ -402,7 +501,13 @@ def pq_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
                 f"PQ meta at {meta_path} is corrupt ({exc}); re-run "
                 "pq_save to rewrite the index atomically"
             ) from exc
-    codebooks = spark.read.parquet(os.path.join(path, "codebooks.parquet"))
+    # versioned artifact names (r14s3 re-save atomicity fix); metas
+    # written before the fix carry no version and use the legacy names
+    v = meta.get("version")
+    suffix = f"-v{v}" if v is not None else ""
+    codebooks = spark.read.parquet(
+        os.path.join(path, f"codebooks{suffix}.parquet")
+    )
     cb = _codebooks_np(codebooks)
     if cb.shape != (meta["m"], 1 << meta["nbits"], meta["dsub"]):
         raise ValueError(
@@ -410,12 +515,12 @@ def pq_load(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
             f"(m={meta['m']}, nbits={meta['nbits']}, dsub={meta['dsub']}) "
             "— the codes are not interpretable; rebuild the index"
         )
-    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    codes = spark.read.parquet(os.path.join(path, f"codes{suffix}.parquet"))
     if meta.get("rotated"):
         import numpy as np
 
         rrows = spark.read.parquet(
-            os.path.join(path, "rotation.parquet")
+            os.path.join(path, f"rotation{suffix}.parquet")
         ).collect()
         R = np.asarray(
             [r["r"] for r in sorted(rrows, key=lambda r: r["i"])],
@@ -445,6 +550,7 @@ def ivfpq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
+    rotation=None,
 ) -> DataFrame:
     """IVF∘PQ — the standard billion-scale ANN composition (FAISS's
     IVFPQ): the coarse quantizer prunes WHICH cells a query reads
@@ -469,16 +575,20 @@ def ivfpq_search(
 
     cb = _codebooks_np(codebooks)
     m, kk, dsub = cb.shape
-    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"ivfpq_search collected more than max_queries={max_queries} "
-            "queries — batch them"
-        )
-    qids = [r[qid_col] for r in qrows]
-    qs = np.asarray([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
+    qids, qs = _collect_query_vectors(
+        queries, qid_col, qvec_col, max_queries, m * dsub, "ivfpq_search"
+    )
+    if not qids:
+        return _empty_result(queries, codes, qid_col, id_col)
     norms = np.linalg.norm(qs, axis=1, keepdims=True)
     np.divide(qs, norms, out=qs, where=norms > 0)
+    if rotation is not None:
+        # codes encoded under an OPQ rotation need the LUTs in the
+        # rotated space; probing below stays in ORIGINAL space against
+        # the contractually-unrotated centroids (same three-space
+        # agreement as pq_search/ivfpq_search_cells — r14s3 review: this
+        # entry point previously had no way to search OPQ codes)
+        qs = qs @ np.asarray(rotation, dtype=np.float64)
     lut = np.einsum("qjd,jcd->qjc", qs.reshape(len(qs), m, dsub), cb)
     qpos = {q: i for i, q in enumerate(qids)}
 
@@ -487,8 +597,14 @@ def ivfpq_search(
     # kernel's DEFAULT column names: the caller's id_col/vec_col name the
     # CODES table's columns, which assign_centroids never sees (advisor
     # r13: passing them through broke non-default names).
+    # probe only the ELIGIBLE queries (the set qids/LUTs were built
+    # from): a NULL-id query row would otherwise reach the ADC pass and
+    # miss the qpos lookup
+    elig = queries.where(
+        F.col(qid_col).isNotNull() & F.col(qvec_col).isNotNull()
+    )
     probes = assign_centroids(
-        queries.select(
+        elig.select(
             F.col(qid_col).alias("vec_id"), F.col(qvec_col).alias("embedding")
         ),
         centroids,
@@ -669,6 +785,16 @@ def ivfpq_save(
     cb = _codebooks_np(codebooks)
     m, k, dsub = cb.shape
     os.makedirs(path, exist_ok=True)
+    # the previously COMMITTED version (from the meta, read BEFORE the
+    # flip) is what grace pruning must protect — the highest LISTED
+    # version may be a torn, never-committed save (r14s3 review: pruning
+    # relative to the listing deleted the live version's files while the
+    # grace copy it kept was the torn one)
+    prev_committed = None
+    try:
+        prev_committed = _ivfpq_meta_read(path).get("version")
+    except ValueError:
+        prev_committed = None  # absent/torn meta: nothing committed
     # next version comes from the artifact LISTING, not the meta file —
     # a save must HEAL a torn meta (version numbers still never repeat:
     # the committed artifacts of every prior save are listed here)
@@ -720,14 +846,19 @@ def ivfpq_save(
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, _IVFPQ_META))
-    # prune everything older than the grace version (readers of the
-    # PREVIOUS meta may still be mid-scan — the ivf_compact grace rule)
+    # prune: keep the NEW version and the previously COMMITTED one
+    # (readers of that meta may still be mid-scan — the ivf_compact
+    # grace rule); every other listed version is either older than the
+    # grace window or a torn never-committed save, and both go
     import shutil
 
+    keep = {version} | (
+        {prev_committed} if prev_committed is not None else set()
+    )
     for d in os.listdir(path):
         mm = re.fullmatch(
             r"(codes|codebooks|centroids|rotation)-v(\d+)(\.parquet)?", d)
-        if mm and int(mm.group(2)) < version - 1:
+        if mm and int(mm.group(2)) not in keep:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return meta
 
@@ -872,14 +1003,12 @@ def ivfpq_search_cells(
     id_col = meta["id_col"]
     cb = _codebooks_np(codebooks)
     m, kk, dsub = cb.shape
-    qrows = queries.select(qid_col, qvec_col).limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"ivfpq_search_cells collected more than max_queries="
-            f"{max_queries} queries — batch them"
-        )
-    qids = [r[qid_col] for r in qrows]
-    qs = np.asarray([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
+    qids, qs = _collect_query_vectors(
+        queries, qid_col, qvec_col, max_queries, m * dsub,
+        "ivfpq_search_cells",
+    )
+    if not qids:
+        return _empty_result(queries, codes, qid_col, id_col)
     norms = np.linalg.norm(qs, axis=1, keepdims=True)
     np.divide(qs, norms, out=qs, where=norms > 0)
     if meta.get("rotation_matrix") is not None:
@@ -891,8 +1020,14 @@ def ivfpq_search_cells(
     lut = np.einsum("qjd,jcd->qjc", qs.reshape(len(qs), m, dsub), cb)
     qpos = {q: i for i, q in enumerate(qids)}
 
+    # probe only the ELIGIBLE queries (the set qids/LUTs were built
+    # from): a NULL-id query row would otherwise reach the ADC pass and
+    # miss the qpos lookup
+    elig = queries.where(
+        F.col(qid_col).isNotNull() & F.col(qvec_col).isNotNull()
+    )
     probes = assign_centroids(
-        queries.select(
+        elig.select(
             F.col(qid_col).alias("vec_id"), F.col(qvec_col).alias("embedding")
         ),
         centroids,
@@ -980,8 +1115,16 @@ def _kmeans_np(x, k: int, seed: int, iters: int = 15):
         j = int(np.argmax(d2))  # deterministic farthest-point
         centers[i] = x[j]
         d2 = np.minimum(d2, ((x - centers[i]) ** 2).sum(axis=1))
+    # distances via ||x||² - 2x·c + ||c||² (the pq_encode BLAS form):
+    # the broadcast (n, k, dsub) cube form allocated ~3.3 GB per pass at
+    # opq_train's documented defaults (r14s3 review)
+    x_sq = (x ** 2).sum(axis=1, keepdims=True)  # (n, 1), constant
+
+    def _dists(c):
+        return x_sq - 2.0 * (x @ c.T) + (c ** 2).sum(axis=1)[None, :]
+
     for _ in range(iters):
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d = _dists(centers)
         a = np.argmin(d, axis=1)
         for c in range(k):
             mask = a == c
@@ -990,7 +1133,7 @@ def _kmeans_np(x, k: int, seed: int, iters: int = 15):
             else:
                 far = int(np.argmax(d[np.arange(n), a]))
                 centers[c] = x[far]
-    d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    d = _dists(centers)
     return centers, np.argmin(d, axis=1)
 
 

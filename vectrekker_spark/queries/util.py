@@ -207,7 +207,8 @@ def normalized_url_mirror_sql(table: str = "urls", url_col: str = "url") -> str:
       CASE WHEN hostport LIKE '[%'
            THEN lower(regexp_extract(hostport, '^(\[[^\]]*\])', 1))
            ELSE lower(regexp_extract(hostport, '^([^:]*)', 1)) END AS host,
-      nullif(regexp_extract(hostport, ':([0-9]+)$', 1), '')::BIGINT AS port,
+      TRY_CAST(nullif(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS BIGINT) AS port,
+      nullif(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port_txt,
       (hostport NOT LIKE '%@%') AND
       CASE WHEN hostport LIKE '[%'
            THEN regexp_matches(hostport, '^\[[0-9A-Fa-f:.]*\](:[0-9]*)?$')
@@ -215,7 +216,9 @@ def normalized_url_mirror_sql(table: str = "urls", url_col: str = "url") -> str:
     FROM p1),
   nurl AS (
     SELECT *,
-      CASE WHEN scheme = '' OR host IS NULL OR host = '' OR NOT ok THEN {url_col} ELSE
+      CASE WHEN scheme = '' OR host IS NULL OR host = '' OR NOT ok
+             OR (port_txt IS NOT NULL AND (port IS NULL OR port > 65535))
+           THEN {url_col} ELSE
         scheme || '://' || ui || host
         || CASE WHEN port IS NULL OR (scheme='http' AND port=80)
                   OR (scheme='https' AND port=443) THEN ''
