@@ -152,3 +152,172 @@ def test_winnowing_tiny_docs_match_oracle(spark, tmp_path):
     frows = sorted(tuple(r) for r in winnow_fingerprints(spark, str(d)).collect())
     forows = sorted(tuple(r) for r in con.execute(D13_FULL_SQL).fetchall())
     assert frows == forows and len(frows) >= len(srows)
+
+
+# ---------------------------------------------------- r14s3 streaming pins
+
+
+def _docs_stream(spark, tmp_path, rows, name):
+    """File-source stream of (doc_id, text) rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as paq
+
+    src = tmp_path / name
+    src.mkdir()
+    paq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }),
+        src / "p0.parquet",
+    )
+    schema = "doc_id long, text string"
+    return spark.readStream.schema(schema).parquet(str(src))
+
+
+def test_exact_dedup_survives_dataless_docs_dir(spark, tmp_path):
+    """A torn FIRST docs append (dir with only _temporary/) must read as
+    absent, not wedge every redelivery on schema inference."""
+    import os
+
+    from vectrekker_spark.streaming.jobs import foreach_batch_exact_dedup
+
+    corpus = tmp_path / "corpus"
+    (corpus / "docs" / "_temporary").mkdir(parents=True)
+    stream = _docs_stream(
+        spark, tmp_path, [(1, "unique words about the first doc")], "in1"
+    )
+    foreach_batch_exact_dedup(
+        stream, str(corpus), str(tmp_path / "ck1")
+    ).awaitTermination()
+    assert spark.read.parquet(str(corpus / "docs")).count() == 1
+
+
+def test_semantic_dedup_survives_dataless_kept_dir(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as paq
+
+    from vectrekker_spark.streaming.jobs import foreach_batch_semantic_dedup
+
+    corpus = tmp_path / "sem"
+    (corpus / "kept" / "_temporary").mkdir(parents=True)
+    src = tmp_path / "vecin"
+    src.mkdir()
+    paq.write_table(
+        pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float64())
+            ),
+        }),
+        src / "p0.parquet",
+    )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(str(src))
+    foreach_batch_semantic_dedup(
+        stream, str(corpus), str(tmp_path / "ck2"), threshold=0.99
+    ).awaitTermination()
+    kept = spark.read.parquet(str(corpus / "kept"))
+    assert kept.count() == 2
+
+
+def test_exact_dedup_dup_only_batch_commits_bloom_heal(spark, tmp_path):
+    """A torn bloom + an all-duplicate batch: the heal must COMMIT even
+    though nothing appends, or every later batch re-derives from full
+    history (the quota empty-admit rule)."""
+    import os
+    import shutil
+
+    from vectrekker_spark.streaming.jobs import foreach_batch_exact_dedup
+
+    corpus = tmp_path / "heal"
+    text = "these words repeat in every delivery of the batch"
+    s1 = _docs_stream(spark, tmp_path, [(1, text)], "hin1")
+    foreach_batch_exact_dedup(
+        s1, str(corpus), str(tmp_path / "hck1")
+    ).awaitTermination()
+    shutil.rmtree(corpus / "bloom")  # torn bloom
+    s2 = _docs_stream(spark, tmp_path, [(2, text)], "hin2")  # pure dup
+    foreach_batch_exact_dedup(
+        s2, str(corpus), str(tmp_path / "hck2")
+    ).awaitTermination()
+    assert (corpus / "bloom").exists()  # heal committed by the dup batch
+    assert spark.read.parquet(str(corpus / "docs")).count() == 1
+
+
+def test_atomic_replace_heals_crashed_swap(spark, tmp_path):
+    """_heal_swap restores the displaced table after a crash between the
+    two renames; the upsert stream sees the accumulated corpus, not an
+    empty base."""
+    import os
+
+    from vectrekker_spark.pipeline import _atomic_replace, _heal_swap
+
+    target = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(target)
+    _atomic_replace(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        target,
+    )
+    assert spark.read.parquet(target).count() == 2
+    # simulate the crash window: target renamed away, new never moved in
+    os.rename(target, str(tmp_path / ".tbl.__swap_old"))
+    assert not os.path.exists(target)
+    _heal_swap(target)
+    assert spark.read.parquet(target).count() == 2
+
+
+def test_run_available_now_column_named_aggregate(spark, tmp_path):
+    """A non-aggregating stream with a column whose NAME contains
+    'aggregate' must run in append mode (the substring sniff forced
+    complete mode and .start() threw)."""
+    import pyarrow as pa
+    import pyarrow.parquet as paq
+
+    from vectrekker_spark.streaming.jobs import run_available_now
+
+    src = tmp_path / "aggsrc"
+    src.mkdir()
+    paq.write_table(
+        pa.table({"aggregate_value": pa.array([1, 2], pa.int64())}),
+        src / "p0.parquet",
+    )
+    stream = spark.readStream.schema("aggregate_value long").parquet(str(src))
+    run_available_now(
+        stream, str(tmp_path / "aggck"), "agg_name_probe"
+    )
+    assert spark.table("agg_name_probe").count() == 2
+
+
+def test_ivf_centroids_kmeans_ignores_null_vectors(spark):
+    from vectrekker_spark.operators.ann import ivf_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(df, n_centroids=2, method="kmeans")
+    assert cents.count() == 2
+
+
+def test_read_events_stream_restores_nanos_conf(spark, sf_dir, tmp_path):
+    """On a non-nano corpus the session-wide legacy flag is restored
+    after schema inference (it silently changed unrelated reads)."""
+    import shutil
+
+    from vectrekker_spark.streaming.jobs import read_events_stream
+
+    d = tmp_path / "evconf"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "p0.parquet")
+    try:
+        before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        before = None
+    read_events_stream(spark, str(d))
+    try:
+        after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        after = None
+    assert after == before

@@ -220,7 +220,11 @@ def ivf_centroids(
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        prepared = corpus.withColumn(
+        # NULL vectors drop before the fit — MLlib KMeans throws on a null
+        # feature vector, while the module contract (assign_centroids,
+        # the n_centroids==1 branch above) is that unscorable rows are
+        # simply ignored (r14s3 review)
+        prepared = corpus.where(F.col(vec_col).isNotNull()).withColumn(
             "features", array_to_vector(l2_normalize(F.col(vec_col)).cast("array<double>"))
         )
         model = KMeans(k=n_centroids, seed=42, maxIter=20).fit(prepared)

@@ -42,9 +42,24 @@ def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     from pyspark.sql import types as T
     from pyspark.sql.utils import AnalysisException
 
+    # the legacy flag is needed while READING nano-timestamp footers; it
+    # is session-wide, so restore it unless the corpus actually IS nanos
+    # (then the streaming read itself still needs it and the session-level
+    # requirement is real — documented side effect; r14s3 review: the
+    # unconditional set silently changed unrelated parquet reads' dtypes)
+    try:
+        prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        prev_nanos = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    restore = True
     try:
         schema = spark.read.parquet(directory).schema
+        if any(
+            f.name == "ts" and f.dataType.simpleString() == "bigint"
+            for f in schema.fields
+        ):
+            restore = False  # real nano files: the stream needs the flag
     except AnalysisException:  # empty/not-yet-created dir: nothing to infer
         schema = T.StructType(
             [
@@ -56,6 +71,13 @@ def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
                 T.StructField("props", T.StringType()),
             ]
         )
+    if restore:
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set(
+                "spark.sql.legacy.parquet.nanosAsLong", prev_nanos
+            )
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
@@ -152,9 +174,17 @@ def run_available_now(
     """Drain all currently-available input through the streaming plan into an
     in-memory sink table, then stop. Complete mode for aggregations so the
     final state is queryable; the checkpoint carries state across calls."""
-    has_agg = df.isStreaming and any(
-        x in df._jdf.queryExecution().analyzed().toString().lower()
-        for x in ("aggregate", "sessionwindow")
+    import re
+
+    # match node NAMES at tree position (after the +-/:- prefix), not a
+    # substring over the whole dump — the plan string embeds column
+    # names, so a column like 'aggregate_value' would force complete
+    # mode onto an append-only plan and .start() would throw (r14s3)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # prefix class covers the tree glyphs (+- :-), the streaming marker
+    # (~), and unresolved quotes (')
+    has_agg = df.isStreaming and bool(
+        re.search(r"(?m)^[\s+:\-'~]*(Aggregate|SessionWindow)\b", plan)
     )
     q = (
         df.writeStream.format("memory")
@@ -263,10 +293,14 @@ def foreach_batch_upsert(
     reference's upsert-then-state ordering (`vectrekker/main.py:185-188`)
     with the checkpoint as the state. Returns the started query."""
     from vectrekker_spark.operators.delta import merge_upsert
-    from vectrekker_spark.pipeline import _atomic_replace, _read_or_empty
+    from vectrekker_spark.pipeline import _atomic_replace, _heal_swap, _read_or_empty
 
     def do_merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # heal a crashed swap BEFORE the existence check: without it a
+        # crash mid-replace read as "no target" and the stream silently
+        # rebuilt from one micro-batch (r14s3 review)
+        _heal_swap(target_path)
         base = (
             spark.read.parquet(target_path)
             if __import__("os").path.exists(target_path)
@@ -385,17 +419,37 @@ def foreach_batch_near_dedup(
             # against its own write)
             fresh = fresh.persist()
             try:
+                # STAGE the survivor bands BEFORE the docs append (the
+                # ST12 protocol): fresh's lineage reads docs_path (the
+                # history verification), and appending to docs RECACHES
+                # every cached plan that reads it — the bands append would
+                # silently re-run the whole dedup pipeline against the
+                # mutated listing (same result here, ~2× the dominant
+                # cost; r14s3 review). Staged dot-dir is invisible to
+                # bands_path readers until moved, so the visibility order
+                # (docs first, bands second — crash degrades to
+                # under-dedup, healed by compact) is unchanged.
+                stage = os.path.join(corpus_path, f".bands_stage_{batch_id}")
+                batch_bands.join(
+                    fresh.select(id_col), id_col, "left_semi"
+                ).write.mode("overwrite").parquet(stage)
                 # re-check the claim at the write boundary (the quota-job
                 # idiom): a compact that claimed AFTER this batch's entry
                 # check would otherwise race its stage-then-swap against
                 # the whole compute duration of the appends below
                 _refuse_if_compacting(corpus_path)
                 fresh.write.mode("append").parquet(docs_path)
-                # survivor bands = the batch bands filtered to survivors —
-                # no third signature pass
-                batch_bands.join(
-                    fresh.select(id_col), id_col, "left_semi"
-                ).write.mode("append").parquet(bands_path)
+                os.makedirs(bands_path, exist_ok=True)
+                for name in os.listdir(stage):
+                    if name.startswith(("_", ".")):
+                        continue
+                    os.replace(
+                        os.path.join(stage, name),
+                        os.path.join(bands_path, name),
+                    )
+                import shutil
+
+                shutil.rmtree(stage, ignore_errors=True)
             finally:
                 fresh.unpersist()
         finally:
@@ -571,6 +625,14 @@ def compact_near_dedup_corpus(
     from vectrekker_spark.pipeline import _atomic_replace
 
     marker = _claim_compact(corpus_path)
+    # sweep stale band stage dirs (crash windows before their move step —
+    # the ST12 sweep rule); anything they carried is re-derived on
+    # redelivery
+    import glob
+    import shutil
+
+    for stale in glob.glob(os.path.join(corpus_path, ".bands_stage_*")):
+        shutil.rmtree(stale, ignore_errors=True)
     out: dict[str, int] = {}
     try:
         for name, dedup in (
@@ -738,7 +800,10 @@ def foreach_batch_semantic_dedup(
                 cents.write.mode("overwrite").parquet(cent_path)
                 cents = spark.read.parquet(cent_path)
             hist = None
-            if os.path.exists(kept_path):
+            # _parquet_has_data, not os.path.exists: a crash mid FIRST
+            # kept append leaves only _temporary/ and every redelivery
+            # would wedge on an uninferable-schema read (r14s3 review)
+            if _parquet_has_data(kept_path):
                 # cast: partition-column type inference can narrow the
                 # directory-encoded cid to int; the kernel contract is long
                 hist = spark.read.parquet(kept_path).where(
@@ -817,6 +882,10 @@ def compact_semantic_corpus(
         removed = before - clean.count()
         if removed:
             _atomic_replace(clean, null_dir)
+            # same-session readers otherwise race the FileStatusCache
+            # into the pre-compact listing (the sibling compacts' rule —
+            # this one had omitted it, r14s3 review)
+            spark.catalog.refreshByPath(null_dir)
         return {"kept_removed": removed}
     finally:
         if df is not None:
@@ -887,7 +956,11 @@ def foreach_batch_exact_dedup(
             ).select(F.col("keep_id").alias(id_col))
             fresh = batch.join(keepers, id_col, "left_semi")
             bloom = None
-            have_docs = os.path.exists(docs_path)
+            # _parquet_has_data, not os.path.exists: a crash mid FIRST
+            # docs append leaves only _temporary/ and existence alone
+            # would send every redelivery into an uninferable-schema read
+            # — wedged forever (the bands/quota rule; r14s3 review)
+            have_docs = _parquet_has_data(docs_path)
             if have_docs:
                 try:
                     bloom = bloom_load(bloom_path)
@@ -903,6 +976,22 @@ def foreach_batch_exact_dedup(
             probe = getattr(fresh, "_cached_probe", None)
             try:
                 if fresh.isEmpty():
+                    # COMMIT the torn-bloom heal even when every row was a
+                    # duplicate: without this a dup-heavy stream re-derives
+                    # from full history on every batch (the quota
+                    # empty-admit rule; r14s3 review)
+                    if have_docs and bloom is None:
+                        _refuse_if_compacting(corpus_path)
+                        bloom_save(
+                            content_bloom(
+                                spark.read.parquet(docs_path)
+                                .select(id_col, text_col),
+                                text_col=text_col,
+                                fpp=fpp,
+                                expected=expected_total,
+                            ),
+                            bloom_path,
+                        )
                     return
                 if bloom is None:
                     # first batch, or healing a torn bloom: (re)build over
