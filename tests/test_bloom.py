@@ -275,7 +275,9 @@ def test_probe_plans_are_narrow(spark, bloom):
     lit_plan = formatted_plan(lit_df)
     assert "EvalPython" not in lit_plan  # Batch/ArrowEvalPython both
 
-    deco = decontaminate_bloom(_docs(spark), bloom, strategy="pandas")
+    deco = decontaminate_bloom(
+        _docs(spark), benchmark_bloom(_docs(spark), k=3), strategy="pandas"
+    )
     deco_plan = formatted_plan(deco)
     assert shuffle_count(deco) == 0
     assert "Join" not in deco_plan and "Generate" not in deco_plan  # no join/explode
@@ -326,12 +328,18 @@ def test_array_null_elements_are_non_hits(spark, bloom, strategy):
 
 def test_decontaminate_bloom_validation(spark, bloom):
     docs = _docs(spark)
+    # a provenanced shingle bloom for the non-provenance checks (attrs-less
+    # blooms are now rejected outright — the r14s3 guard)
+    shingle_bloom = benchmark_bloom(docs, k=3)
     with pytest.raises(ValueError, match="max_shared"):
-        decontaminate_bloom(docs, bloom, max_shared=-1)
+        decontaminate_bloom(docs, shingle_bloom, max_shared=-1)
     with pytest.raises(ValueError, match="reserved"):
-        decontaminate_bloom(docs.withColumn("__n_hits", F.lit(1)), bloom)
+        decontaminate_bloom(docs.withColumn("__n_hits", F.lit(1)), shingle_bloom)
     with pytest.raises(ValueError, match="reserved as bloom temp"):
         might_contain(docs.withColumn("__bf_h1", F.lit(1)), "text", bloom)
+    # attrs-less blooms fail the provenance gate (previously a silent no-op)
+    with pytest.raises(ValueError, match="provenance"):
+        decontaminate_bloom(docs, bloom)
 
 
 def test_benchmark_bloom_sizes_on_distinct_shingles(spark):
@@ -416,8 +424,9 @@ def test_exact_dedup_against_saturated_bloom_stays_exact(spark):
 
     history, new = _ingest_fixture(spark)
     saturated = BloomFilter(
-        np.full(1, -1, dtype=np.int64), m_bits=64, k=1
-    )  # every probe hits
+        np.full(1, -1, dtype=np.int64), m_bits=64, k=1,
+        attrs={"kind": "content", "text_col": "text"},
+    )  # every probe hits; provenance attrs satisfy the r14s3 strict gate
     got = {
         r["doc_id"]
         for r in exact_dedup_against(new, history, history_bloom=saturated).collect()

@@ -321,3 +321,142 @@ def test_read_events_stream_restores_nanos_conf(spark, sf_dir, tmp_path):
     except Exception:
         after = None
     assert after == before
+
+
+# ------------------------------------------------ r14s3 dedup/source pins
+
+
+def test_csv_reader_selects_by_header_name(spark, tmp_path):
+    """Column order in the file must not matter (enforceSchema mapped the
+    user schema positionally: 'lang,text' silently swapped the columns)."""
+    from pyspark.sql import types as T
+
+    from vectrekker_spark.sources.text_formats import read_csv_docs
+
+    p = tmp_path / "swapped.csv"
+    p.write_text('lang,text\nen,"hello words here"\nfr,"bonjour le monde"\n')
+    out = read_csv_docs(
+        spark, str(p), meta_fields={"lang": T.StringType()}
+    ).collect()
+    got = {r["lang"]: r["text"] for r in out}
+    assert got == {"en": "hello words here", "fr": "bonjour le monde"}
+    # a missing wanted column names the actual header
+    import pytest
+
+    with pytest.raises(ValueError, match="no column"):
+        read_csv_docs(spark, str(p), text_field="body")
+    # string ids survive via id_type (LongType hardcode nulled them)
+    p2 = tmp_path / "sid.csv"
+    p2.write_text('id,text\ndoc-001,"alpha words"\n')
+    [row] = read_csv_docs(
+        spark, str(p2), id_col="id", id_type=T.StringType()
+    ).collect()
+    assert row["doc_id"] == "doc-001"
+
+
+def test_jsonl_string_ids(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from vectrekker_spark.sources.text_formats import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"id": "doc-001", "text": "alpha words"}\n')
+    [row] = read_jsonl(
+        spark, str(p), id_col="id", id_type=T.StringType()
+    ).collect()
+    assert row["doc_id"] == "doc-001"
+
+
+def test_band_hashes_immune_to_replicated_signature_rows(spark):
+    """Content-derived ids give exact-duplicate docs the SAME id; their
+    doubled signature rows must not change the band key (collect_list
+    built 'm0,m0,m1,m1' and the doc never bucketed with its near-dups)."""
+    import pytest
+
+    from vectrekker_spark.operators.dedup import band_hashes, minhash_signatures
+
+    df = spark.createDataFrame(
+        [(7, "the same exact words repeated in two rows")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df)
+    once = {(r["band"], r["band_hash"]) for r in band_hashes(sig).collect()}
+    doubled = {
+        (r["band"], r["band_hash"])
+        for r in band_hashes(sig.unionByName(sig)).collect()
+    }
+    assert once == doubled
+    with pytest.raises(ValueError, match="bands must be in"):
+        band_hashes(sig, bands=32)
+    with pytest.raises(ValueError, match="does not divide"):
+        band_hashes(sig, bands=5)
+
+
+def test_provenance_guards_reject_attrless_blooms(spark):
+    """A raw bloom_build filter (no provenance attrs) must be REJECTED by
+    both consumers — previously both guards short-circuited on empty
+    attrs and the dedup/decontamination silently did the wrong thing."""
+    import pytest
+
+    from vectrekker_spark.operators.bloom import bloom_build
+    from vectrekker_spark.operators.decontaminate import decontaminate_bloom
+    from vectrekker_spark.operators.dedup import exact_dedup_against
+
+    hist = spark.createDataFrame(
+        [(1, "history words")], "doc_id long, text string"
+    )
+    raw_bloom = bloom_build(hist, "text")
+    new = spark.createDataFrame(
+        [(2, "history words")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="provenance"):
+        exact_dedup_against(new, hist, history_bloom=raw_bloom)
+    with pytest.raises(ValueError, match="provenance|shingle"):
+        decontaminate_bloom(new, raw_bloom)
+
+
+def test_ngram_jaccard_ignores_null_text(spark):
+    from vectrekker_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["l_id"], r["r_id"])
+        for r in ngram_jaccard_pairs(df, max_id=10).collect()
+    }
+    # NULL docs pair with nothing (previously (1,2) scored jaccard 1.0);
+    # empty-TEXT docs still pair (both shingle to [''] — the word_shingles
+    # single-shingle rule, unchanged)
+    assert pairs == {(3, 4)}
+
+
+def test_http_payload_gzip_and_chunked():
+    import gzip
+
+    from vectrekker_spark.sources.text_formats import _http_payload
+
+    html = "<html><body>compressed page body words</body></html>"
+    gz = gzip.compress(html.encode())
+    block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gz
+    )
+    mime, charset, body = _http_payload(block)
+    assert mime == "text/html" and body.decode() == html
+
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    mime, _, body = _http_payload(chunked)
+    assert mime == "text/plain" and body == b"hello world"
+
+    # torn gzip: raw bytes kept, never raises
+    torn = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz[:10]
+    )
+    _, _, body = _http_payload(torn)
+    assert body == gz[:10]

@@ -51,6 +51,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MAX_K = 30
+# per-byte population counts for bits_set (256-entry lookup, built once)
+_POPCOUNT8 = np.array(
+    [bin(i).count("1") for i in range(256)], dtype=np.uint64
+)
 # 2^27 bits = 16 MB bitmap, ≤ 2 M collected longs; sized for ~13 M reference
 # items at fpp=1%. Bigger reference sets: raise max_bits explicitly (the
 # probe-side broadcast grows linearly) or build per-shard blooms and
@@ -114,8 +118,10 @@ class BloomFilter:
             raise ValueError(f"k must be in [1, {MAX_K}], got {self.k}")
 
     def bits_set(self) -> int:
-        """Population count of the bitmap (exact)."""
-        return int(np.unpackbits(self.words.view(np.uint8)).sum())
+        """Population count of the bitmap (exact). Byte-table popcount —
+        np.unpackbits expanded an 8× temporary (128 MB at max size) on
+        every estimated_fpp call (r14s3 review)."""
+        return int(_POPCOUNT8[self.words.view(np.uint8)].sum())
 
     def estimated_fpp(self) -> float:
         """Current false-positive rate estimate (load^k). Rises as items

@@ -259,26 +259,27 @@ def decontaminate_bloom(
             f"max_shared must be >= 0, got {max_shared} — hit counts are "
             f"never negative, so this gate would drop EVERY document"
         )
+    # ABSENT provenance must fail too (not just mismatched): a raw
+    # bloom_build filter with empty attrs previously skipped both checks
+    # and decontamination became a silent no-op — the unsafe under-drop
+    # direction this module's docstring claims it cannot have (r14s3)
     kind = bench_bloom.attrs.get("kind")
-    if kind is not None and kind != "shingles":
+    if kind != "shingles":
         raise ValueError(
             f"bloom provenance kind={kind!r} is not a shingle filter — "
             f"probing shingles against it matches nothing (build with "
             f"benchmark_bloom / bloom-build --kind shingles)"
         )
     built_k = bench_bloom.attrs.get("shingle_k")
-    if built_k is not None and built_k != k:
+    if built_k != k:
         raise ValueError(
             f"bloom was built with shingle_k={built_k} but the probe uses "
             f"k={k}: the hashes are disjoint and decontamination would be "
             f"a silent no-op — pass matching k"
         )
-    clash = {"__sh", "__n_hits"} & set(train.columns)
-    if clash:
-        raise ValueError(
-            f"train already has column(s) {sorted(clash)} — rename them "
-            f"(reserved as decontaminate_bloom temp columns)"
-        )
+    from vectrekker_spark.operators.bloom import _reserve
+
+    _reserve(train, "__sh", "__n_hits", what="decontaminate_bloom temp columns")
     hits = array_hit_counts(
         train.withColumn("__sh", word_shingles(text_col, k)),
         "__sh",

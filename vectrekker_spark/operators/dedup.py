@@ -139,10 +139,30 @@ def band_hashes(
     joins each new batch against it (minhash_dedup_against).
     """
     n_perms = len(MINHASH_PERMS)
+    # validate the geometry: bands > n_perms made rows_per_band 0, and
+    # perm/0 is NULL under the session's non-ANSI division — every perm
+    # silently collapsed into one band and LSH degenerated to
+    # exact-signature equality; a non-divisor left a 1-perm spillover
+    # band that floods the candidate join (r14s3 review)
+    if not 1 <= bands <= n_perms:
+        raise ValueError(
+            f"bands must be in [1, {n_perms}] (the signature length), "
+            f"got {bands}"
+        )
+    if n_perms % bands != 0:
+        raise ValueError(
+            f"bands={bands} does not divide the signature length "
+            f"{n_perms} — the spillover band would be a 1-perm bucket"
+        )
     rows_per_band = n_perms // bands
     # Band key must be the POSITIONAL signature slice: collect (perm, minhash)
     # structs and sort by perm, so (a,b) on perms (0,1) never collides with
     # (b,a) — a multiset key would admit invalid LSH collisions.
+    # collect_SET, not list: rows replicated upstream (content-derived ids
+    # give exact-duplicate docs the same id, so their signature rows
+    # arrive twice) would otherwise double every value in the band key
+    # ('m0,m0,m1,m1') and the doc would never bucket with normally-signed
+    # near-duplicates (r14s3 review)
     return (
         sig_rows.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
@@ -151,7 +171,7 @@ def band_hashes(
                 F.concat_ws(
                     ",",
                     F.transform(
-                        F.sort_array(F.collect_list(F.struct("perm", "minhash"))),
+                        F.sort_array(F.collect_set(F.struct("perm", "minhash"))),
                         lambda s: s.getField("minhash").cast("string"),
                     ),
                 )
@@ -346,7 +366,13 @@ def ngram_jaccard_pairs(
             "minhash_dedup_pairs (LSH banding, sub-quadratic) for real "
             "corpora."
         )
-    sh = df.filter(F.col(id_col) < max_id).select(
+    # NULL text is never a near-dup candidate (the minhash_signatures
+    # rule): char_shingles coalesces NULL to [''] and two NULL docs would
+    # report jaccard 1.0, poisoning every baseline-vs-LSH comparison on a
+    # corpus with NULLs (r14s3 review)
+    sh = df.filter(
+        (F.col(id_col) < max_id) & F.col(text_col).isNotNull()
+    ).select(
         F.col(id_col), char_shingles(F.col(text_col), k=k).alias("sh")
     )
     l = sh.select(F.col(id_col).alias("l_id"), F.col("sh").alias("l_sh"))
@@ -434,7 +460,12 @@ def exact_dedup_against(
         from vectrekker_spark.operators.bloom import might_contain
 
         attrs = history_bloom.attrs
-        if attrs and (
+        # EMPTY attrs must fail too: a raw bloom_build filter (no
+        # provenance) probed here would read 'definitely new' for nearly
+        # every duplicate and leak them past verification — exactly the
+        # failure this guard's message warns about, previously bypassed
+        # by the `attrs and` short-circuit (r14s3 review)
+        if (
             attrs.get("kind") != "content" or attrs.get("text_col") != text_col
         ):
             raise ValueError(

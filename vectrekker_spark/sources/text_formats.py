@@ -45,14 +45,17 @@ def read_jsonl(
     text_field: str = "text",
     id_col: str | None = None,
     meta_fields: dict[str, T.DataType] | None = None,
+    id_type: T.DataType | None = None,
 ) -> DataFrame:
     """JSONL corpus → (doc_id, text, *meta). Explicit schema (no inference
     pass); malformed lines go to null-text rows and are dropped, not failed —
     at 100 TB a handful of corrupt lines must not kill the job (Spark's
-    PERMISSIVE mode)."""
+    PERMISSIVE mode). ``id_type`` defaults to long; pass
+    ``T.StringType()`` for string-id corpora ('doc-001' ids read as a
+    LongType field null out — the r14s3 review's silent-NULL-id trap)."""
     fields = [T.StructField(text_field, T.StringType())]
     if id_col:
-        fields.insert(0, T.StructField(id_col, T.LongType()))
+        fields.insert(0, T.StructField(id_col, id_type or T.LongType()))
     for name, dtype in (meta_fields or {}).items():
         fields.append(T.StructField(name, dtype))
     df = spark.read.schema(T.StructType(fields)).json(path)
@@ -66,25 +69,48 @@ def read_csv_docs(
     text_field: str = "text",
     id_col: str | None = None,
     meta_fields: dict[str, T.DataType] | None = None,
+    id_type: T.DataType | None = None,
     **options: str,
 ) -> DataFrame:
-    """CSV corpus → (doc_id, text, *meta). Headers on, explicit schema,
-    multiline quoting enabled so embedded newlines in quoted text survive
-    (note: multiline CSV files are NOT splittable — shard the files)."""
-    fields = [T.StructField(text_field, T.StringType())]
-    if id_col:
-        fields.insert(0, T.StructField(id_col, T.LongType()))
-    for name, dtype in (meta_fields or {}).items():
-        fields.append(T.StructField(name, dtype))
+    """CSV corpus → (doc_id, text, *meta). Headers on, multiline quoting
+    enabled so embedded newlines in quoted text survive (note: multiline
+    CSV files are NOT splittable — shard the files).
+
+    Columns are selected BY HEADER NAME, not position: Spark's
+    enforceSchema default maps a user schema positionally and ignores the
+    header, so a file whose physical column order differs from the schema
+    was silently misread — text under a metadata name, ids parsed from
+    the wrong column (r14s3 review). A missing wanted column raises with
+    the actual header. ``id_type`` as in read_jsonl; values that don't
+    parse null out (try_cast) rather than killing the job."""
     reader = (
-        spark.read.schema(T.StructType(fields))
-        .option("header", "true")
+        spark.read.option("header", "true")
         .option("multiLine", "true")
         .option("escape", '"')
     )
     for k, v in options.items():
         reader = reader.option(k, v)
-    df = reader.csv(path)
+    raw = reader.csv(path)  # all columns string, named by the header
+    wanted = ([id_col] if id_col else []) + [text_field] + list(
+        (meta_fields or {})
+    )
+    missing = [c for c in wanted if c not in raw.columns]
+    if missing:
+        raise ValueError(
+            f"CSV at {path} has no column(s) {missing} — header is "
+            f"{raw.columns}"
+        )
+    cols = []
+    if id_col:
+        cols.append(
+            F.col(id_col)
+            .try_cast((id_type or T.LongType()).simpleString())
+            .alias(id_col)
+        )
+    cols.append(F.col(text_field).cast("string").alias(text_field))
+    for name, dtype in (meta_fields or {}).items():
+        cols.append(F.col(name).try_cast(dtype.simpleString()).alias(name))
+    df = raw.select(*cols)
     df = df.withColumnRenamed(text_field, "text") if text_field != "text" else df
     return _with_doc_id(df, id_col, "text").filter(F.col("text").isNotNull())
 
@@ -235,22 +261,81 @@ def _split_content_type(v: bytes):
     return mime, charset
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer body (hex-size CRLF data CRLF …
+     0 CRLF). Classify-don't-abort: any malformed framing returns the
+    bytes decoded SO FAR plus nothing further corrupt — never raises."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            break
+        size_field = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk = body[nl + 2 : nl + 2 + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break  # truncated final chunk: keep the prefix
+        pos = nl + 2 + size + 2  # skip the chunk's trailing CRLF
+    return b"".join(out)
+
+
 def _http_payload(block: bytes):
     """(mime, charset, body) from an HTTP response block; (None, None,
     block) when the block isn't parseable HTTP (the record still yields,
-    mime NULL — classify, don't drop)."""
+    mime NULL — classify, don't drop).
+
+    Transfer-Encoding chunked is de-framed and Content-Encoding
+    gzip/x-gzip/deflate is decompressed (browser-crawl WARCs — Heritrix
+    et al. — store the wire bytes; skipping this put still-compressed or
+    hex-interleaved bytes through the text decode as U+FFFD mojibake
+    that mime filtering happily kept — r14s3 review). Decompression
+    failures fall back to the raw body (classify, don't abort)."""
     if not block.startswith(b"HTTP/"):
         return None, None, block
     sep = block.find(b"\r\n\r\n", 0, _MAX_HTTP_HEADER)
     if sep < 0:
         return None, None, block
     mime = charset = None
+    content_enc = transfer_enc = b""
     for line in block[:sep].split(b"\r\n")[1:]:
         k, s, v = line.partition(b":")
-        if s and k.strip().lower() == b"content-type":
+        if not s:
+            continue
+        key = k.strip().lower()
+        if key == b"content-type" and mime is None:
             mime, charset = _split_content_type(v)
-            break
-    return mime, charset, block[sep + 4 :]
+        elif key == b"content-encoding":
+            content_enc = v.strip().lower()
+        elif key == b"transfer-encoding":
+            transfer_enc = v.strip().lower()
+    body = block[sep + 4 :]
+    if b"chunked" in transfer_enc:
+        body = _dechunk(body)
+    if content_enc in (b"gzip", b"x-gzip"):
+        import gzip as _gz
+
+        try:
+            body = _gz.decompress(body)
+        except Exception:
+            pass  # torn/lying encoding: keep the raw bytes
+    elif content_enc == b"deflate":
+        import zlib as _zl
+
+        try:
+            body = _zl.decompress(body)
+        except Exception:
+            try:
+                body = _zl.decompress(body, -15)  # raw-deflate servers
+            except Exception:
+                pass
+    return mime, charset, body
 
 
 def _decode_text(body: bytes, charset: str | None) -> str:
