@@ -240,3 +240,51 @@ def test_bpe_stats_matches_python_oracle(spark):
     g2 = bpe_stats(df, empty)
     assert g2["single_char_token_frac"] == 1.0
     assert g2["chars_per_token"] == 1.0
+
+
+def test_bpe_load_rejects_foreign_pattern_and_bad_merges(tmp_path):
+    """r14s3 pins: missing fields raise ValueError (not KeyError), a
+    merges entry that is a bare string is NOT reinterpreted as a char
+    pair, and a model trained under a different pre-tokenizer pattern
+    refuses to load (the stored pattern is a geometry pin)."""
+    import json
+
+    import pytest
+
+    from vectrekker_spark.functions.tokenize import BPE_ISH_PATTERN
+    from vectrekker_spark.operators.bpetrainer import bpe_load
+
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps({"version": 1}))
+    with pytest.raises(ValueError, match="no 'merges'"):
+        bpe_load(str(p))
+    p.write_text(json.dumps(
+        {"version": 1, "pattern": BPE_ISH_PATTERN, "merges": ["ab"]}
+    ))
+    with pytest.raises(ValueError, match="malformed merge"):
+        bpe_load(str(p))
+    p.write_text(json.dumps(
+        {"version": 1, "pattern": "\\S+", "merges": [["a", "b"]]}
+    ))
+    with pytest.raises(ValueError, match="different"):
+        bpe_load(str(p))
+
+
+def test_bpe_encode_out_col_collision(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectrekker_spark.operators.bpetrainer import (
+        BPEModel,
+        bpe_encode,
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame([("x y",)], "text string").withColumn(
+        "bpe_tokens", F.lit("taken")
+    )
+    m = BPEModel(merges=[])
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_encode(df, m)
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_token_count(df.withColumnRenamed("bpe_tokens", "bpe_n_tokens"), m)

@@ -704,10 +704,10 @@ def test_curate_token_budget_stage(spark):
     funnel = dict(res.funnel)
     kept = {r["doc_id"] for r in res.chunks.collect()}
     res.unpersist()
-    # each doc is 40 whitespace tokens; budget 100 → greedy prefix admits
-    # 3 docs per stratum (0 < 100, 40 < 100, 80 < 100, 120 blocked)
-    assert funnel["after_token_budget"] == 4  # 3 from a.com + 1 from b.org
-    assert 10 in kept and len(kept) == 4
+    # each doc is 40 whitespace tokens; budget 100 → the fitting prefix
+    # admits 2 docs per stratum (0+40 and 40+40 fit; 80+40 > 100 skips)
+    assert funnel["after_token_budget"] == 3  # 2 from a.com + 1 from b.org
+    assert 10 in kept and len(kept) == 3
     # run-START validation: missing stratum column
     import pytest
 

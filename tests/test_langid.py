@@ -205,3 +205,15 @@ def test_fit_guards(spark):
     )
     with pytest.raises(ValueError, match="at least 2|no usable"):
         fit_langid(nulls, n_features=64)
+
+
+def test_predict_lang_rejects_same_out_and_conf_col(spark, model_fix=None):
+    import pytest
+
+    from vectrekker_spark.operators.langid import LangIdModel, predict_lang
+    import numpy as np
+
+    m = LangIdModel(np.zeros((2, 16)), np.zeros(2), ["aa", "bb"])
+    df = spark.createDataFrame([("words",)], "text string")
+    with pytest.raises(ValueError, match="must differ"):
+        predict_lang(df, m, out_col="lang", conf_col="lang")

@@ -213,15 +213,16 @@ def _mk_tok(spark, n=120, seed=5, parts=None):
 
 def _oracle_tok_cap(pdf, budget):
     """Greedy prefix per stratum by (quality desc, doc_id asc): keep a row
-    iff the tokens admitted before it are still under budget."""
+    iff it FITS the remaining budget (or is the stratum's first doc)."""
     out = []
     for _, g in pdf.groupby("source", dropna=False):
         g = g.sort_values(["quality", "doc_id"], ascending=[False, True])
         acc = 0
         for _, row in g.iterrows():
-            if acc < budget:
+            tok = len(row["text"].split())
+            if acc == 0 or acc + tok <= budget:
                 out.append(row["doc_id"])
-            acc += len(row["text"].split())
+            acc += tok
     return sorted(out)
 
 
@@ -282,9 +283,10 @@ def test_token_cap_token_col_and_null_rules(spark):
             df, 100, order_cols=["doc_id"], token_col="n_tok"
         ).collect()
     )
-    # order by id: 1 (acc 0<100), 2 (acc 30<100), 3 blocked (acc 110);
-    # NULL id dropped; NULL stratum is its own bucket, 0-count row kept
-    assert kept == [1, 2, 4]
+    # order by id: 1 fits (0+30<=100); 2 does NOT fit (30+80>100 — the
+    # straddler rule skips it); 3 blocked; NULL id dropped; NULL stratum
+    # is its own bucket, 0-count row kept
+    assert kept == [1, 4]
 
 
 def test_token_cap_guards(spark):
@@ -348,3 +350,37 @@ def test_admit_guards_stratum_reserved(spark):
     )
     with pytest.raises(ValueError, match="__stratum"):
         admit_per_stratum(batch, None, 5)
+
+
+def test_token_cap_duplicate_id_across_strata_no_leak(spark):
+    """The kept-set join is on (id, stratum): id alone let a kept id in
+    one stratum resurrect its over-budget twin in another (r14s3)."""
+    from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+    rows = [
+        (1, "A", " ".join(["w"] * 10)),
+        (0, "B", " ".join(["w"] * 50)),  # fills B exactly
+        (1, "B", " ".join(["w"] * 40)),  # over budget in B; id kept in A
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = sorted(
+        (r["doc_id"], r["source"])
+        for r in cap_tokens_per_stratum(df, 50, order_cols=["doc_id"]).collect()
+    )
+    assert kept == [(0, "B"), (1, "A")]
+
+
+def test_token_cap_straddler_skipped_but_first_oversize_kept(spark):
+    from vectrekker_spark.operators.quota import cap_tokens_per_stratum
+
+    rows = [
+        (1, "s", " ".join(["w"] * 60)),
+        (2, "s", " ".join(["w"] * 50)),   # 60+50 > 100: straddler skipped
+        (3, "t", " ".join(["w"] * 500)),  # first doc oversized: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in cap_tokens_per_stratum(df, 100, order_cols=["doc_id"]).collect()
+    )
+    assert kept == [1, 3]

@@ -253,3 +253,29 @@ def test_sitemap_extraction(spark):
     ).fetchone()
     con.close()
     assert m[0] == row["s"] and m[1] == row["l"]
+
+
+def test_unknown_directives_do_not_split_groups():
+    """RFC 9309: unrecognized lines (Sitemap, Host) are ignored — they
+    must not flush a stacked User-agent group into zero rules (the
+    under-blocking bug: the exact-match group won with NO rules and the
+    agent crawled the whole disallowed site; r14s3 review)."""
+    from vectrekker_spark.functions.robots import _parse_one
+
+    body = (
+        "User-agent: mybot\n"
+        "Sitemap: https://x.example/s.xml\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    rules = _parse_one(body, "mybot")
+    assert rules == [("/", False, 1)]  # mybot shares the stacked group
+
+
+def test_crawl_delay_rejects_infinity():
+    from vectrekker_spark.functions.robots import crawl_delay_for
+
+    body = "User-agent: *\nCrawl-delay: inf\nDisallow: /x\n"
+    assert crawl_delay_for(body, "*") is None
+    body2 = "User-agent: *\nCrawl-delay: 2.5\n"
+    assert crawl_delay_for(body2, "*") == 2.5

@@ -34,6 +34,7 @@ dedup_by_url → filter_hosts → robots_allowed → fetch).
 
 from __future__ import annotations
 
+import math
 import re
 from functools import lru_cache
 
@@ -74,15 +75,21 @@ def _parse_groups(text: str):
             if val:  # empty Disallow allows everything: skip (RFC)
                 cur_rules.append((val, key == "allow"))
         elif key == "crawl-delay":
-            in_rules = True  # non-UA directives end the UA stack
+            in_rules = True  # a group-scoped directive ends the UA stack
             try:
                 d = float(val)
-                if d >= 0:
+                # finite only: 'Crawl-delay: inf' would win the polite
+                # maximum and stall a scheduler forever (r14s3 review)
+                if d >= 0 and math.isfinite(d):
                     cur_delay = d
             except ValueError:
                 pass  # unparseable delay: ignore the directive
-        else:
-            in_rules = True  # sitemap etc. end the UA stack too
+        # UNKNOWN directives (Sitemap, Host, ...) are ignored entirely —
+        # RFC 9309 §2.2.4: they neither belong to a group nor end one.
+        # Treating them as group-enders made "User-agent: a\nSitemap: x\n
+        # User-agent: *\nDisallow: /" flush agent a with ZERO rules, and
+        # the exact-match selection then let a crawl the whole disallowed
+        # site (r14s3 review — the under-blocking direction).
     flush()
     return groups
 

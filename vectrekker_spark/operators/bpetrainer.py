@@ -239,6 +239,8 @@ def bpe_encode(
     """All input columns + ``out_col: array<string>`` — the learned-BPE
     token sequence (NULL text → empty array). Zero-shuffle Arrow map; the
     ranks table rides the closure (bounded by n_merges)."""
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists on the input")
     rx = _pretokenize()
 
     def _encode(batch: pd.Series) -> pd.Series:
@@ -257,6 +259,8 @@ def bpe_token_count(
     """All input columns + ``out_col: int`` — learned-BPE token count
     (NULL text → 0). Same kernel as bpe_encode without materializing the
     token arrays into the plan."""
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists on the input")
     rx = _pretokenize()
 
     def _count(batch: pd.Series) -> pd.Series:
@@ -348,8 +352,31 @@ def bpe_load(path: str) -> BPEModel:
             f"BPE model version {payload.get('version')!r} != {_MODEL_VERSION} "
             f"(refusing to guess merge semantics across versions)"
         )
-    merges = [tuple(p) for p in payload["merges"]]
-    for p in merges:
-        if len(p) != 2 or not all(isinstance(s, str) and s for s in p):
+    for needed in ("merges", "pattern"):
+        if needed not in payload:
+            raise ValueError(
+                f"BPE model file {path!r} has no {needed!r} field — "
+                f"truncated or foreign file; re-run bpe_save"
+            )
+    raw_merges = payload["merges"]
+    # each entry must be a PAIR (JSON list), not a string: tuple("ab")
+    # is ('a','b') and would silently reinterpret a malformed entry as a
+    # character pair (r14s3 review)
+    for p in raw_merges:
+        if isinstance(p, str) or len(p) != 2 or not all(
+            isinstance(s, str) and s for s in p
+        ):
             raise ValueError(f"malformed merge entry {p!r} in {path!r}")
+    merges = [tuple(p) for p in raw_merges]
+    # the stored pattern is a GEOMETRY pin (langid precedent): encode
+    # always pre-tokenizes with the engine's BPE_ISH_PATTERN, so merges
+    # learned under a different pattern must refuse rather than silently
+    # degrade (r14s3 review — the field was stored but never checked)
+    if payload["pattern"] != BPE_ISH_PATTERN:
+        raise ValueError(
+            f"BPE model at {path!r} was trained with a different "
+            f"pre-tokenizer pattern than this engine's BPE_ISH_PATTERN — "
+            f"its merges don't apply to this pre-tokenization; retrain "
+            f"with fit-bpe"
+        )
     return BPEModel(merges=merges, pattern=payload["pattern"])

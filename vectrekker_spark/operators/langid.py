@@ -114,8 +114,9 @@ def fit_langid(
     no stochasticity, rows sorted before the fit) on a BOUNDED collected
     sample; raises past ``max_rows`` (the fit_linear_quality collect-guard
     idiom — labeled language sets are thousands of rows, a corpus-sized
-    label column is a bug). Rows with NULL text/label or zero grams drop
-    before the cap check."""
+    label column is a bug). Rows with NULL text/label drop before the cap
+    check; zero-gram rows drop after it (they still count toward the cap
+    — the guard bounds the COLLECT, not the usable subset)."""
     rows = (
         df.select(F.col(text_col), F.col(label_col))
         .where(F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
@@ -158,20 +159,26 @@ def fit_langid(
     Y[np.arange(n), y] = 1.0
     W = np.zeros((C, n_features), dtype=np.float64)
     b = np.zeros(C, dtype=np.float64)
+    Z = np.empty((n, C), dtype=np.float64)
     for _ in range(iters):
-        # Z[n, c] = Σ_nnz val · W[c, idx] per row, + b
-        M = W[:, idx] * val[None, :]  # (C, nnz)
-        Z = np.add.reduceat(M, ptr[:-1], axis=1).T + b  # (n, C)
-        # reduceat yields M[:, p] (not 0) for empty segments — none exist:
-        # zero-gram rows were dropped above
+        # Z[n, c] = Σ_nnz val · W[c, idx] per row, + b — computed PER
+        # CLASS so the largest temporary is (nnz,), not (C, nnz): the
+        # dense block form allocated ~C·nnz·8 B per iteration (tens of
+        # GB at the documented max_rows cap — r14s3 review). Bitwise
+        # identical: reduceat per class equals the old block reduceat's
+        # row slices.
+        for c in range(C):
+            Z[:, c] = np.add.reduceat(W[c, idx] * val, ptr[:-1])
+        Z += b
+        # reduceat yields the element at p (not 0) for empty segments —
+        # none exist: zero-gram rows were dropped above
         Z -= Z.max(axis=1, keepdims=True)
         P = np.exp(Z)
         P /= P.sum(axis=1, keepdims=True)
         G = (P - Y) / n  # (n, C)
         gW = np.zeros_like(W)
-        contrib = G[rows_of_nnz].T * val[None, :]  # (C, nnz)
         for c in range(C):
-            np.add.at(gW[c], idx, contrib[c])
+            np.add.at(gW[c], idx, G[rows_of_nnz, c] * val)
         W -= lr * (gW + l2 * W)
         b -= lr * G.sum(axis=0)
     return LangIdModel(W, b, classes, n_lo=n_lo, n_hi=n_hi, max_chars=max_chars)
@@ -194,6 +201,12 @@ def predict_lang(
     for c in (out_col, conf_col):
         if c is not None and c in df.columns:
             raise ValueError(f"predict_lang: column {c!r} already exists")
+    if conf_col is not None and conf_col == out_col:
+        raise ValueError(
+            "predict_lang: out_col and conf_col must differ — a "
+            "duplicate-name schema fails at executor time with an opaque "
+            "Arrow mismatch (r14s3 review)"
+        )
     bc = df.sparkSession.sparkContext.broadcast(
         (model.weights, model.bias, model.classes,
          model.n_lo, model.n_hi, model.max_chars)

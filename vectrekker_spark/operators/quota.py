@@ -194,10 +194,13 @@ def cap_tokens_per_stratum(
     its TOKENS, not its document count; mixture_rates_for_token_budget is
     the rate-based sibling, this is the hard per-stratum cap).
 
-    A row is kept iff the tokens admitted BEFORE it (in order) are still
-    under budget, so a stratum whose first document alone exceeds the
-    budget keeps that one document rather than going empty (the packing
-    module's oversized-item rule). Token counts come from ``token_col``
+    A row is kept iff it FITS the remaining budget (admitted-before +
+    its own tokens <= budget); the one exception is a stratum whose
+    FIRST document alone exceeds the budget, which keeps that document
+    rather than going empty (the packing module's oversized-item rule).
+    Later budget-straddling docs are skipped — and, because the order is
+    fixed, every doc after the first misfit is skipped too (a contiguous
+    prefix, not best-fit packing). Token counts come from ``token_col``
     if given (a precomputed/learned-BPE count) else the engine's
     whitespace ``token_count(text_col)``; NULL counts/text count 0.
     Rows with a NULL id are dropped (no deterministic order — the
@@ -285,12 +288,30 @@ def cap_tokens_per_stratum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    before = F.coalesce(F.sum("__qt_tok").over(w), F.lit(0))
+    # admit iff the doc FITS the remaining budget — except the stratum's
+    # first doc, which is admitted even oversized (the packing rule).
+    # The original `before < budget` filter admitted every
+    # budget-STRADDLING doc, letting a stratum reach ~2× its budget
+    # (r14s3 review). The window column must materialize BEFORE the
+    # filter (window functions can't live in WHERE).
     kept_ids = (
-        narrow.withColumn(
-            "__qt_before",
-            F.coalesce(F.sum("__qt_tok").over(w), F.lit(0)),
+        narrow.withColumn("__qt_before", before)
+        .where(
+            (F.col("__qt_before") + F.col("__qt_tok") <= F.lit(token_budget))
+            | (F.col("__qt_before") == F.lit(0))
         )
-        .where(F.col("__qt_before") < F.lit(token_budget))
-        .select(F.col(id_col))
+        .select(F.col(id_col), F.col(strata_col))
     )
-    return docs.join(kept_ids, id_col, "left_semi")
+    # join back on (id, stratum) — id alone let a kept id in one stratum
+    # resurrect its over-budget twin in another (r14s3 review). Ids must
+    # be unique WITHIN a stratum (the engine-wide unique-id contract);
+    # null-safe on the stratum so the NULL bucket joins like any other.
+    return docs.alias("__qt_d").join(
+        kept_ids.alias("__qt_k"),
+        (F.col(f"__qt_d.{id_col}") == F.col(f"__qt_k.{id_col}"))
+        & F.col(f"__qt_d.{strata_col}").eqNullSafe(
+            F.col(f"__qt_k.{strata_col}")
+        ),
+        "left_semi",
+    )
