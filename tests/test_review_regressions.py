@@ -5,6 +5,7 @@ frame-0, BLAS join edge cases."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -460,3 +461,120 @@ def test_http_payload_gzip_and_chunked():
     )
     _, _, body = _http_payload(torn)
     assert body == gz[:10]
+
+
+# ----------------------------------------------- r14s3 text-kernel pins
+
+
+def test_punct_ratio_unicode_letters_not_punctuation(spark, duck):
+    """Non-Latin letters are letters, not punctuation: the ASCII class
+    scored clean Russian/CJK text ~0.9 punct and quality thresholds
+    rejected whole non-Latin corpora. The q26 oracle mirror moved in
+    lockstep (both engines support \\p{L}\\p{N})."""
+    from vectrekker_spark.functions.text import punct_ratio
+
+    rows = [(1, "Привет, мир!"), (2, "hello, world!"), (3, "日本語のテキストです。")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["pr"]
+        for r in df.select(
+            "doc_id", F.round(punct_ratio("text"), 6).alias("pr")
+        ).collect()
+    }
+    assert got[1] < 0.25 and got[2] < 0.25 and got[3] < 0.25
+    # mirror parity on the same rows
+    for did, text in rows:
+        [(want,)] = duck.execute(
+            "SELECT ROUND(length(regexp_replace(?, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE"
+            " / length(?), 6)", [text, text]
+        ).fetchall()
+        assert got[did] == want, (did, got[did], want)
+
+
+def test_dup_line_fraction_null_is_null(spark):
+    from vectrekker_spark.functions.text import dup_line_fraction
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a\na\nb")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", dup_line_fraction("text").alias("f")
+        ).collect()
+    }
+    assert got[1] is None  # was a PERFECT 0.0 via size(NULL) = -1
+    assert got[2] == pytest.approx(1 - 2 / 3, abs=1e-6)
+
+
+def test_sentence_split_handles_crlf(spark):
+    from vectrekker_spark.functions.text import sentence_split
+
+    [r] = spark.createDataFrame(
+        [("First sentence here.\r\nSecond one too.",)], "text string"
+    ).select(sentence_split("text").alias("s")).collect()
+    assert len(r["s"]) == 2
+
+
+def test_pack_sequences_null_token_count_clear_error(spark):
+    from vectrekker_spark.operators.packing import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, "a", 5), (1, 1, "b", None)],
+        "doc_id long, chunk_id int, chunk_text string, n_tokens int",
+    )
+    with pytest.raises(Exception, match="NULL 'n_tokens'"):
+        pack_sequences(chunks, max_tokens=10, tok_col="n_tokens").collect()
+
+
+def test_chunk_text_quoted_column_name(spark):
+    from vectrekker_spark.operators.chunk import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh")], "doc_id long, `my text` string"
+    )
+    out = chunk_text(df, size=4, overlap=0, text_col="my text")
+    assert [r["chunk_text"] for r in out.collect()] == ["abcd", "efgh"]
+
+
+def test_html_title_empty_after_cleaning_is_null(spark):
+    from vectrekker_spark.functions.html import html_title
+
+    rows = [(1, "<title>  </title>x"), (2, "<html>no title</html>"),
+            (3, "<title>Real Title</title>")]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", html_title("html").alias("t")).collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] == "Real Title"
+
+
+def test_seeded_shuffle_varies_within_bucket(spark):
+    """Ids engineered to collide in the primary 1e6-bucket must still
+    reorder across seeds (the raw-id tiebreak froze within-bucket order
+    for corpora past ~1e6 rows)."""
+    from vectrekker_spark.operators.sampling import sample_bucket, seeded_shuffle
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    ).withColumn("b", sample_bucket("doc_id", "epoch1"))
+    # pick one primary bucket value with >= 2 members
+    from collections import Counter
+
+    rows = base.collect()
+    counts = Counter(r["b"] for r in rows)
+    bucket_val = next(b for b, c in counts.items() if c >= 2)
+    members = [r["doc_id"] for r in rows if r["b"] == bucket_val]
+    df = spark.createDataFrame([(i,) for i in members], "doc_id long")
+    o1 = [r["doc_id"] for r in seeded_shuffle(df, seed="epoch1").collect()]
+    # within one primary bucket the old tiebreak was ascending id for
+    # EVERY seed; the second hash must be able to invert at least one pair
+    # across seeds (probabilistic but overwhelming across 26 seeds)
+    inverted = False
+    for s in range(26):
+        o2 = [r["doc_id"] for r in seeded_shuffle(df, seed=f"e{s}").collect()]
+        if o2 != sorted(o2):
+            inverted = True
+            break
+    assert inverted

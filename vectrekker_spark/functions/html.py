@@ -132,10 +132,15 @@ def html_title(html: Column | str) -> Column:
     of document metadata every crawl keeps. Pure Catalyst."""
     c = F.col(html) if isinstance(html, str) else html
     raw = F.regexp_extract(c, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
-    # titles are one line: fold the text tier's block boundaries to spaces
-    return F.when(c.isNull() | (raw == ""), F.lit(None).cast("string")).otherwise(
-        F.regexp_replace(html_to_text(raw), r"\s+", " ")
-    )
+    # titles are one line: fold the text tier's block boundaries to spaces.
+    # The absence test runs on the CLEANED value: a whitespace- or
+    # dropped-entity-only title previously returned '' while a missing
+    # one returned NULL — an inconsistent tri-state for isNotNull
+    # consumers (r14s3 review)
+    cleaned = F.trim(F.regexp_replace(html_to_text(raw), r"\s+", " "))
+    return F.when(
+        c.isNull() | (cleaned == ""), F.lit(None).cast("string")
+    ).otherwise(cleaned)
 
 
 def html_noindex(html: Column | str) -> Column:

@@ -53,9 +53,14 @@ def avg_word_len(text: Column | str) -> Column:
 
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space — one of the
-    classic quality heuristics for LLM corpus filtering."""
+    classic quality heuristics for LLM corpus filtering. Unicode classes
+    (``\p{L}\p{N}`` — supported identically by Java and RE2): the old
+    ASCII ``[A-Za-z0-9]`` counted every non-Latin LETTER as punctuation,
+    so clean Russian/Greek/CJK text scored ~0.9 punct and any quality
+    threshold rejected whole non-Latin corpora (r14s3 review; the same
+    bug the r10 review fixed in _is_content_line)."""
     t = _c(text)
-    stripped = F.regexp_replace(t, r"[A-Za-z0-9\s]", "")
+    stripped = F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")
     return F.length(stripped).cast("double") / F.length(t)
 
 
@@ -168,13 +173,18 @@ def word_grams(text: Column | str, k: int) -> Column:
 
 def dup_line_fraction(text: Column | str) -> Column:
     """Fraction of lines that are duplicates of an earlier line: 1 -
-    distinct/total over the '\\n'-split lines (0.0 for single-line text).
-    One of the standard repetition quality gates for web corpora."""
-    lines = F.split(_c(text), "\n")
-    return F.round(
-        F.lit(1.0)
-        - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
-        6,
+    distinct/total over the '\\n'-split lines (0.0 for single-line text;
+    NULL text → NULL — under the session's legacy sizeOfNull config
+    size(NULL) is -1 and the unguarded ratio returned a PERFECT 0.0 for
+    NULL docs, the exact trap boilerplate_fraction guards; r14s3)."""
+    t = _c(text)
+    lines = F.split(t, "\n")
+    return F.when(t.isNull(), F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+            6,
+        )
     )
 
 
@@ -292,7 +302,7 @@ def token_hash32(tok: Column) -> Column:
 # sentence starter. The starter is CAPTURED (not a lookahead): RE2 — the
 # DuckDB mirror's engine — has no lookaround, so the boundary rule must be
 # expressible as plain capture+backreference in BOTH dialects.
-SENTENCE_BOUNDARY = "([.!?]+[\"')\\]]*)[ \\t\\n]+([A-Z0-9\"'(\\[])"
+SENTENCE_BOUNDARY = "([.!?]+[\"')\\]]*)[ \\t\\n\\r]+([A-Z0-9\"'(\\[])"  # \\r: CRLF text never matched without it (r14s3)
 _SENT_SEP = "\x1f"  # unit separator: never occurs in cleaned text
 
 

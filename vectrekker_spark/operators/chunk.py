@@ -37,11 +37,16 @@ def chunk_text(
     # NULL/empty text yields NO chunks: length(NULL) is NULL and Spark's
     # greatest() skips nulls, so the naive sequence bound silently emitted
     # one junk (null or empty) chunk per such document.
+    # backtick-quote the identifier: a column name needing escaping
+    # (spaces, reserved words) otherwise breaks the interpolated SQL at
+    # plan time (r14s3 review; every other operator takes names via
+    # F.col). Embedded backticks double per the Spark quoting rule.
+    tq = "`" + text_col.replace("`", "``") + "`"
     chunks = F.expr(
-        f"CASE WHEN {text_col} IS NULL OR length({text_col}) = 0 THEN "
+        f"CASE WHEN {tq} IS NULL OR length({tq}) = 0 THEN "
         f"  array() "
-        f"ELSE transform(sequence(1, greatest(length({text_col}) - {overlap}, 1), {step}), "
-        f"  s -> substring({text_col}, s, {size})) END"
+        f"ELSE transform(sequence(1, greatest(length({tq}) - {overlap}, 1), {step}), "
+        f"  s -> substring({tq}, s, {size})) END"
     )
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")

@@ -153,6 +153,15 @@ def pack_sequences(
             drop=True
         )
         bucket = int(pdf["__bucket"].iloc[0])
+        if pdf[tok_col].isna().any():
+            # Arrow hands a nullable int column to pandas as float64 with
+            # NaN; int(NaN) raised an opaque worker ValueError with no
+            # hint which row/column was at fault (r14s3 review)
+            bad = pdf.loc[pdf[tok_col].isna(), doc_col].iloc[0]
+            raise ValueError(
+                f"pack_sequences: NULL {tok_col!r} on doc {bad!r} — token "
+                f"counts must be non-NULL (fill or filter upstream)"
+            )
         toks = [int(t) for t in pdf[tok_col]]
         seq_local, pos = (fill_bfd if policy == "bfd" else fill_ffs)(toks, max_tokens)
         assert max(seq_local, default=0) < _SEQS_PER_BUCKET, (

@@ -156,8 +156,19 @@ def mixture_rates_for_token_budget(
 def seeded_shuffle(
     df: DataFrame, seed: str = "s0", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic global shuffle: total order by hash(seed, id), with the
-    id as tiebreak so the order is unique even on hash collisions. One
+    """Deterministic global shuffle: total order by hash(seed, id), a
+    SECOND independent salted hash, and finally the id. One
     range-partitioned sort — the 100 TB-scalable formulation of "randomize
-    training order"; change ``seed`` per epoch for a fresh permutation."""
-    return df.orderBy(sample_bucket(id_col, seed), F.col(id_col))
+    training order"; change ``seed`` per epoch for a fresh permutation.
+
+    The second hash matters past ~1e6 rows: the primary bucket has 1e6
+    resolution, so a raw-id tiebreak made every within-bucket run
+    (~N/1e6 docs) appear in the SAME ascending-id order every epoch —
+    deterministic but seed-invariant exactly where a big corpus lives
+    (r14s3 review). The second salt restores per-seed order at every
+    granularity; the id remains the final unique tiebreak."""
+    return df.orderBy(
+        sample_bucket(id_col, seed),
+        sample_bucket(id_col, seed + "/tie"),
+        F.col(id_col),
+    )

@@ -214,7 +214,7 @@ def d04_text_scoring(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("__n"),
         (
-            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+            F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", "")).cast("double")
             / F.length("text")
         ).alias("__pr"),
         *[
@@ -259,7 +259,7 @@ WITH base AS (
          {_sw_sql('en')} AS en_hits, {_sw_sql('de')} AS de_hits,
          {_sw_sql('fr')} AS fr_hits, {_sw_sql('es')} AS es_hits,
          len({TOKS}) AS n_tokens,
-         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
            / length(text) AS pr,
          list_aggregate(list_transform({TOKS}, w -> length(w)), 'sum')::DOUBLE
            / len({TOKS}) AS awl,
