@@ -377,3 +377,53 @@ def test_curate_boilerplate_stage(spark):
                 strip_boilerplate_min_words=3, boilerplate_min_alpha=1.5
             ),
         )
+
+
+def test_bm25_pivot_bit_identical_to_stable_sum(spark):
+    """bm25_scores_pivot (the r14 pivoted d24 plan) must be BIT-identical to
+    bm25_scores(stable_sum=True) — same term-sorted IEEE fold, absent terms
+    folding an exact +0.0 — across NULL text, empty text, zero-hit docs,
+    multi-hit docs, and repeated terms."""
+    from vectrekker_spark.operators.tfidf import bm25_scores, bm25_scores_pivot
+
+    rows = [
+        (0, "data vector merge scan data data"),
+        (1, None),
+        (2, ""),
+        (3, "nothing relevant here at all"),
+        (4, "vector vector vector"),
+        (5, "  scan \t merge\ndata  "),
+        (6, "x " * 500 + "data"),
+        (7, "merge"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["vector", "merge", "scan", "data"]
+    a = (
+        bm25_scores(docs, terms, stable_sum=True, cache_intermediate=False)
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = bm25_scores_pivot(docs, terms).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+    # scores are meaningful: multi-hit doc outranks single-hit, nulls 0.0
+    by_id = {r["doc_id"]: r["score"] for r in b}
+    assert by_id[0] > by_id[7] > 0.0
+    assert by_id[1] == 0.0 and by_id[2] == 0.0 and by_id[3] == 0.0
+
+
+def test_bm25_pivot_plan_has_no_explode_or_object_agg(spark):
+    """The pivoted plan's point: no Generate (explode), no
+    ObjectHashAggregate (collect_list+sort), single broadcast of the
+    one-row stats aggregate."""
+    from vectrekker_spark.operators.tfidf import bm25_scores_pivot
+    from vectrekker_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(0, "data vector"), (1, "scan")], "doc_id long, text string"
+    )
+    plan = formatted_plan(bm25_scores_pivot(docs, ["vector", "merge", "scan", "data"]))
+    assert "Generate" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "BroadcastExchange" in plan

@@ -88,3 +88,30 @@ def test_null_and_empty_text_docs_are_retained(spark):
         assert rows[d]["dup3gram_frac"] == 0.0
     assert rows[2]["top2gram_frac"] == 1.0  # "a a" is every 2-gram
     assert rows[2]["dup3gram_frac"] == 1.0  # "a a a" repeats
+
+
+def test_repetition_report_is_zero_shuffle(spark):
+    """The r14 kernel form's point: per-doc metrics never shuffle grams —
+    the report plan is scan → MapInPandas, no Exchange at all."""
+    from vectrekker_spark.operators.repetition import repetition_report
+    from vectrekker_spark.plans import formatted_plan, shuffle_count
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b"), (1, None)], "doc_id long, text string"
+    )
+    rep = repetition_report(df)
+    assert shuffle_count(rep) == 0
+    assert "MapInPandas" in formatted_plan(rep)
+
+
+def test_repetition_report_rounding_stays_sparkside(spark):
+    """Counts come from the kernel as exact integers; the fraction math and
+    round(…, 6) run as Spark expressions — pin a case whose fraction needs
+    HALF_UP rounding to stay engine-exact (1/3 = 0.333333…)."""
+    from vectrekker_spark.operators.repetition import repetition_report
+
+    # 4 tokens → three 2-grams, one duplicated pair: "x y", "y x", "x y"
+    df = spark.createDataFrame([(0, "x y x y")], "doc_id long, text string")
+    r = repetition_report(df).collect()[0]
+    assert r["top2gram_frac"] == 0.666667  # 2/3 HALF_UP at 6 dp
+    assert r["dup3gram_frac"] == 0.0  # both 3-grams distinct

@@ -403,6 +403,95 @@ def _array_pandas_udf(bc, m_bits: int, k: int):
     return hits
 
 
+def shingle_hit_counts(
+    df: DataFrame,
+    text_col: str,
+    bloom: BloomFilter,
+    id_cols: list[str] | None = None,
+    out_col: str = "n_hits",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Fused ``word_shingles`` → bloom-probe kernel: per-row count of the
+    text's distinct word-``shingle_k``-gram shingles that might be in the
+    filter. Bit-identical to ``array_hit_counts(df.withColumn(sh,
+    word_shingles(text, k)), sh, bloom)`` (property-pinned in
+    tests/test_bloom.py) but the shingle arrays never exist as a column:
+    only the TEXT crosses the Arrow boundary (word 3-gram shingle arrays
+    are ~3× the text bytes — guide §4.1's pass-only-what-the-function-needs
+    applied to the engine's own staging), tokenization/shingling runs in
+    the kernel via the exact ``java_tokens`` twin of ``tokens()``, and the
+    per-shingle probe result is memoized per task (zipfian shingle vocab →
+    repeated shingles skip both the md5 and the bitmap probe — the
+    ``_TOKEN_CACHE`` idiom). r14 optimization-round measurement at sf0.1
+    (d27's probe side, 4750 docs): 0.76 → 0.55 s vs the staged
+    JVM-hash + Arrow-probe path.
+
+    Same hash family and NULL/short-text rules as the staged path: NULL or
+    ws-only text probes the single '' shingle (``word_shingles``' rule);
+    texts with fewer than ``shingle_k`` tokens probe their single all-token
+    join. Narrow map, no shuffle, no explode.
+    """
+    import hashlib
+
+    from vectrekker_spark.functions.pytokens import java_tokens
+
+    id_cols = list(id_cols) if id_cols is not None else ["doc_id"]
+    bc = bloom._broadcast(df.sparkSession)
+    m_bits, k = bloom.m_bits, bloom.k
+    cache_max = _SHINGLE_PROBE_CACHE_MAX
+
+    in_schema = df.select(*id_cols, text_col).schema
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema if f.name != text_col
+    )
+
+    def gen(batches):
+        words = bc.value
+        cache: dict[str, bool] = {}
+
+        def probe(s: str) -> bool:
+            hit = cache.get(s)
+            if hit is None:
+                dg = hashlib.md5(s.encode("utf-8")).digest()
+                h1 = int.from_bytes(dg[:4], "big")
+                h2 = int.from_bytes(dg[4:8], "big") | 1
+                hit = True
+                for i in range(k):
+                    pos = (h1 + i * h2) % m_bits
+                    if not ((int(words[pos >> 6]) >> (pos & 63)) & 1):
+                        hit = False
+                        break
+                if len(cache) < cache_max:
+                    cache[s] = hit
+            return hit
+
+        for pdf in batches:
+            out = np.empty(len(pdf), np.int32)
+            for j, text in enumerate(pdf[text_col]):
+                toks = java_tokens((text or "").lower())
+                n = len(toks)
+                if n >= shingle_k:
+                    shset = {
+                        " ".join(toks[i : i + shingle_k])
+                        for i in range(n - shingle_k + 1)
+                    }
+                else:
+                    shset = {" ".join(toks)}
+                out[j] = sum(probe(s) for s in shset)
+            res = pdf[[c for c in pdf.columns if c != text_col]].copy()
+            res[out_col] = out
+            yield res
+
+    return df.select(*id_cols, text_col).mapInPandas(
+        gen, schema=f"{out_fields}, {out_col} int"
+    )
+
+
+# per-task cap on the shingle→probe-result memo (the dedup._SHINGLE_CACHE_MAX
+# idiom): bools are tiny, the keys dominate (~64 MB worst case at 1M entries)
+_SHINGLE_PROBE_CACHE_MAX = 1 << 20
+
+
 def array_hit_counts(
     df: DataFrame,
     arr_col: Column | str,

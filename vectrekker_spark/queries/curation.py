@@ -118,10 +118,18 @@ def d27_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
     positives, which are a deterministic property of the hash family, not
     noise. Contrast with d19_decontaminate, the EXACT join form of the
     same gate."""
-    from vectrekker_spark.operators.bloom import array_hit_counts, bloom_build
+    from vectrekker_spark.operators.bloom import bloom_build, shingle_hit_counts
+    from vectrekker_spark.queries.util import small_local, tb
 
-    d = tbp(spark, sf, "documents")
-    bench = d.filter(F.col("doc_id") % 20 == 0)
+    # r14 optimization (guide §2.3 — shuffle fewer bytes): the bench side is
+    # 5% of the corpus, so filter BEFORE any pre-spread — the old
+    # tbp-then-filter shape round-robin-shuffled 100% of the text column to
+    # keep 5% of it (measured 0.62 → 0.35 s on the build at sf0.1). The
+    # small spread (8) parallelizes the shingle explode of the one-file
+    # fixture; at scale the scan splits naturally and the gate is off.
+    bench = tb(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0)
+    if small_local(sf, "documents"):
+        bench = bench.repartition(8)
     # direct bloom_build, not benchmark_bloom: that wrapper's `k` is the
     # SHINGLE k (3, the default we want), and the bloom's own hash count
     # must ALSO be pinned (k=4) or sizing auto-picks one the oracle can't
@@ -132,13 +140,12 @@ def d27_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
     # for free (r12: the build dominated d27's toy-scale ratio, VERDICT #4)
     sh = bench.select(F.explode(T.word_shingles("text")).alias("__sh"))
     bf = bloom_build(sh, "__sh", m_bits=1 << 16, k=4)
-    train = d.filter(F.col("doc_id") % 20 != 0)
-    hits = array_hit_counts(
-        train.select("doc_id", T.word_shingles("text").alias("__sh")),
-        "__sh",
-        bf,
-        out_col="n_hits",
-    )
+    train = tbp(spark, sf, "documents").filter(F.col("doc_id") % 20 != 0)
+    # fused shingle+probe kernel (r14): only the text crosses Arrow, the
+    # shingle arrays never materialize as a column, per-shingle probe
+    # results memoize per task — 0.76 → 0.55 s on the probe at sf0.1 and
+    # bit-identical (see shingle_hit_counts docstring + tests/test_bloom.py)
+    hits = shingle_hit_counts(train, "text", bf, id_cols=["doc_id"], out_col="n_hits")
     return ordered(
         hits.select(
             "doc_id",
@@ -266,28 +273,26 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 
 
 def d24_bm25(spark: SparkSession, sf: str) -> DataFrame:
-    # Okapi BM25 relevance of every document to a fixed query
-    # (operators/tfidf.bm25_scores — the curate CLI's --query/--min-bm25
-    # gate), registered so the operator carries a driver oracle row
-    # (r6 verdict #6; it was property-tested only while the registry was
-    # full). stable_sum makes the per-doc partial sum an order-deterministic
-    # term-sorted fold, which the oracle mirrors with an ORDER BY list
-    # aggregate — bit-stable across engines AND across driver re-runs.
-    # cache_intermediate=False: a registry query can't release() a persisted
-    # block after the driver collects, and on the one-file fixture the three
-    # consumers re-read a single small scan; production callers keep the
-    # default caching + release() lifecycle. Plain tb (no tb1 coalesce, no
-    # tbp spread): measured fastest — the coalesce serializes the tokenize
-    # across the consumers (1.11 s vs 0.77 median at sf0.1) and a text
-    # pre-spread exchange costs more than it parallelizes.
-    from vectrekker_spark.operators.tfidf import bm25_scores
+    # Okapi BM25 relevance of every document to a fixed query — the curate
+    # CLI's --query/--min-bm25 gate, registered so the operator carries a
+    # driver oracle row (r6 verdict #6). r14 optimization: the registered
+    # form is the PIVOTED plan (operators/tfidf.bm25_scores_pivot) — the
+    # fixed 4-term query rides each document row as per-term tf columns,
+    # corpus stats collapse into one broadcast single-row aggregate, and
+    # the per-doc score is the SAME term-sorted IEEE fold as the exploded
+    # form's stable_sum (unrolled; absent terms add an exact +0.0), so the
+    # scores are bit-identical (property-pinned vs bm25_scores in
+    # tests/test_curation_ops.py, oracle SQL unchanged). Guide §2.3/§2.4:
+    # the explode shuffle, the 3-key groupBy, the per-doc
+    # collect_list+array_sort ObjectHashAggregate, and one of three text
+    # scans all drop out — measured 2.02 → 0.60 s at sf0.1 (bench method).
+    # The generic bm25_scores (exploded, arbitrary |query|) remains the
+    # operator the CLI uses for unbounded queries.
+    from vectrekker_spark.operators.tfidf import bm25_scores_pivot
     from vectrekker_spark.queries.util import tb
 
     d = tb(spark, sf, "documents")
-    out = bm25_scores(
-        d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
-        cache_intermediate=False, stable_sum=True,
-    )
+    out = bm25_scores_pivot(d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
     return ordered(out, "doc_id")
 
 

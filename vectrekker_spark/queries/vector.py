@@ -10,7 +10,6 @@ top-k cosine search (the query the Pinecone index exists for,
 from __future__ import annotations
 
 import hashlib
-import logging
 import os
 
 import numpy as np
@@ -337,22 +336,28 @@ def q28_sim_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Embedding-space near-dup pairs (L6). Fixture max pairwise cosine at
     # sf0.01 is ~0.51, so threshold 0.40 yields a non-trivial result set.
     # Registry scale policy: see Q28_EXACT_CAP above.
-    em = tbp(spark, sf, "embeddings")
-    n_probe = em.select("vec_id").limit(Q28_EXACT_CAP + 1).count()
-    if n_probe > Q28_EXACT_CAP:
-        logging.getLogger(__name__).info(
-            "q28_sim_dedup: corpus exceeds the exact-pair cap (%d rows "
-            "probed); registered form runs the exact kernel over the "
-            "deterministic vec_id < %d slice (full-corpus exact via "
-            "similarity_join_blas, scale route via similarity_join_bucketed)",
-            n_probe, Q28_EXACT_CAP,
-        )
-        em = em.filter(F.col("vec_id") < Q28_EXACT_CAP)
+    #
+    # r14 optimization (guide §1/§5 — driver jobs are serial wall time): the
+    # old form ran FOUR driver jobs per call (cap-probe count, dim probe,
+    # right-side collect, main query). Now the vec_id < CAP predicate is
+    # applied UNCONDITIONALLY — exactly what the oracle SQL always did, so
+    # this is also a strict equivalence tightening (a corpus under the cap
+    # with ids ≥ CAP previously diverged from the oracle) and the parquet
+    # scan prunes on it at any scale; the cap-probe count job is gone. The
+    # dim probe rides the same stat-keyed per-session memo as d26
+    # (_emb_dim: a dataset property, not a result), and the collect side is
+    # the UNSPREAD scan (the tbp round-robin exchange exists to spread the
+    # BLAS kernel, not to feed a driver collect). 4 jobs → 2 (first call)
+    # → 1 (memoized dim): measured 1.10 → 0.72 s at sf0.1 (bench method).
+    cap = F.col("vec_id") < Q28_EXACT_CAP
+    em = tbp(spark, sf, "embeddings").filter(cap)
+    right = tb(spark, sf, "embeddings").filter(cap)
     return ordered(
         similarity_join_blas(
-            em, em, threshold=0.40,
+            em, right, threshold=0.40,
             left_id="vec_id", left_vec="embedding",
             right_id="vec_id", right_vec="embedding",
+            probed_dim=_emb_dim(spark, sf),
         ),
         "l_id", "r_id",
     )
@@ -375,6 +380,39 @@ ORDER BY l_id, r_id
 
 _EMB_DIM_CACHE: dict[tuple[str, int, int], int] = {}
 _EMB_DIM_CACHE_MAX = 64  # FIFO-bounded like catalog._TABLE_CACHE
+
+
+def _emb_dim(spark: SparkSession, sf: str) -> int | None:
+    """Vector dimension of ``sf``'s embeddings table, memoized per
+    (path, mtime_ns, size) — a dataset property (schema-adjacent), not a
+    query result, same stat-validation contract as catalog._TABLE_CACHE.
+    Probes the RAW scan (no tbp spread — one single-task job), first
+    non-NULL embedding; returns None for an empty/all-NULL table. Shared
+    by d26 (centroid geometry) and q28 (similarity_join_blas probed_dim),
+    so repeated bench samples pay the probe job once per fixture."""
+    try:
+        st = os.stat(os.path.join(sf, "embeddings.parquet"))
+        key = (sf, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _EMB_DIM_CACHE.get(key)
+        if hit is not None:
+            return hit
+    probe = (
+        tb(spark, sf, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(F.size("embedding"))
+        .first()
+    )
+    if probe is None:
+        return None
+    dim = int(probe[0])
+    if key is not None:
+        if len(_EMB_DIM_CACHE) >= _EMB_DIM_CACHE_MAX:
+            _EMB_DIM_CACHE.pop(next(iter(_EMB_DIM_CACHE)))
+        _EMB_DIM_CACHE[key] = dim
+    return dim
 
 
 def d26_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -406,45 +444,29 @@ def d26_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     serial = small_local(sf, "embeddings")
     em = tb1(spark, sf, "embeddings") if serial else tbp(spark, sf, "embeddings")
-    # memoized dim probe: a table's vector dimension is a property of the
-    # dataset, not the run — repeated bench samples skip the probe job.
-    # Keyed on (st_mtime_ns, st_size) like catalog._TABLE_CACHE: float
-    # mtime alone misses a fixture regenerated in-process within mtime
-    # resolution (or with mtime preserved), which would serve a stale dim
-    # and build wrong-length centroids.
-    try:
-        st = os.stat(os.path.join(sf, "embeddings.parquet"))
-        key = (sf, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None
-    dim = _EMB_DIM_CACHE.get(key) if key is not None else None
+    # memoized dim probe (_emb_dim, shared with q28): a table's vector
+    # dimension is a property of the dataset, not the run — repeated bench
+    # samples skip the probe job. Keyed on (st_mtime_ns, st_size) like
+    # catalog._TABLE_CACHE: float mtime alone misses a fixture regenerated
+    # in-process within mtime resolution (or with mtime preserved), which
+    # would serve a stale dim and build wrong-length centroids.
+    dim = _emb_dim(spark, sf)
     if dim is None:
         # NULL embeddings must not poison the probe (size(NULL) = -1 under
         # the engine's legacy sizeOfNull config); an all-NULL/empty table
         # has no quantizable vectors — every row is the kernel's trivially
         # kept NULL-cid arm, same as the oracle's UNION branch
-        probe = (
-            em.where(F.col("embedding").isNotNull())
-            .select(F.size("embedding"))
-            .first()
+        id_t = dict(em.dtypes)["vec_id"]
+        empty_dec = em.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(True).alias("keep"),
+            F.lit(None).cast(id_t).alias("dup_of"),
+            F.lit(None).cast("double").alias("score"),
         )
-        if probe is None:
-            id_t = dict(em.dtypes)["vec_id"]
-            empty_dec = em.select(
-                "vec_id",
-                F.lit(None).cast("long").alias("cid"),
-                F.lit(True).alias("keep"),
-                F.lit(None).cast(id_t).alias("dup_of"),
-                F.lit(None).cast("double").alias("score"),
-            )
-            if serial:
-                return empty_dec.coalesce(1).sortWithinPartitions("vec_id")
-            return ordered(empty_dec, "vec_id")
-        dim = int(probe[0])
-        if key is not None:
-            if len(_EMB_DIM_CACHE) >= _EMB_DIM_CACHE_MAX:
-                _EMB_DIM_CACHE.pop(next(iter(_EMB_DIM_CACHE)))
-            _EMB_DIM_CACHE[key] = dim
+        if serial:
+            return empty_dec.coalesce(1).sortWithinPartitions("vec_id")
+        return ordered(empty_dec, "vec_id")
     cents = []
     for k in range(8):
         v = [0.0] * dim
