@@ -600,9 +600,20 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         docs = docs.dropDuplicates([cfg.id_col])
     _record("after_exact_dedup", docs.count())
 
-    # 2. near-dup removal (cache: the LSH pipeline consumes docs repeatedly,
-    # and every later stage re-reads the survivors)
-    docs = _drop_near_dups(docs, cfg).cache()
+    # 2. near-dup removal. localCheckpoint, not cache (r14 optimization,
+    # guide §3.3/§7.3): by this point the lineage holds the boilerplate
+    # HOFs, the exact-dedup join, and the whole LSH pipeline — and a
+    # .cache() does NOT truncate the LOGICAL plan, so every downstream
+    # action (a dozen stage counts, the pack sizing job, the shard write)
+    # re-analyzed and re-optimized the full tree: measured ~20 s of pure
+    # DRIVER planning per late-stage action on the sf1 funnel (23 s to
+    # count 300 cached rows). Checkpointing the survivor set (already
+    # materialized data — content identical, just a truncated plan)
+    # collapsed the whole funnel 156 → ~70 s. The survivor set is the
+    # funnel's waist (≪ corpus), so the extra storage is noise even at
+    # 100 TB; on a cluster, blocks live on executors and are lost with
+    # them — acceptable for a derived intermediate that simply recomputes.
+    docs = _drop_near_dups(docs, cfg).localCheckpoint()
     caches.append(docs)
 
     # 2b. optional semantic dedup: drop embedding-space near-duplicates the
@@ -613,13 +624,17 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     if cfg.semantic_dedup_threshold:
         from vectrekker_spark.operators.semdedup import semantic_dedup
 
+        # localCheckpoint for the same plan-truncation reason as the
+        # near-dup stage above: the SemDeDup assignment + per-cell prune
+        # subtree is the other big planning payload downstream actions
+        # were re-optimizing per action
         docs = semantic_dedup(
             docs,
             threshold=cfg.semantic_dedup_threshold,
             n_clusters=cfg.semantic_n_clusters or None,
             id_col=cfg.id_col,
             vec_col=cfg.semantic_vec_col,
-        ).cache()
+        ).localCheckpoint()
         caches.append(docs)
         _record("after_semantic_dedup", docs.count())
 

@@ -109,10 +109,16 @@ def fit_ngram_lm(
         total = int(uni.agg(F.sum("count")).first()[0] or 0)
         if total == 0:
             raise ValueError("fit_ngram_lm: reference corpus has no tokens")
+        # toPandas, not collect: the capped tables are the two big driver
+        # transfers here and collect() builds row-path pickled Row objects;
+        # the Arrow path moves the same data as columnar batches (guide §6
+        # — measured 20.5 → ~13 s on the sf1 LM fit). Values identical.
         top_uni = uni.orderBy(F.col("count").desc(), F.col("t").asc()).limit(
             vocab_size
-        ).collect()
-        counts = {r["t"]: int(r["count"]) for r in top_uni}
+        ).toPandas()
+        counts = {
+            t: int(c) for t, c in zip(top_uni["t"], top_uni["count"])
+        }
         unigram_logp = {t: math.log2(c / total) for t, c in counts.items()}
 
         cond_logp: dict = {}
@@ -134,8 +140,12 @@ def fit_ngram_lm(
             # 65k-literal isin expression: giant literal lists blow up the
             # expression tree, the F.lit(list) lesson), so out-of-vocab
             # heads can't waste capped slots
+            import pandas as pd
+
+            # Arrow-backed local relation (the d17 idiom): a tuple-list
+            # createDataFrame pays per-element Python→JVM conversion
             vocab_df = ref.sparkSession.createDataFrame(
-                [(t,) for t in counts], "w1 string"
+                pd.DataFrame({"w1": list(counts)})
             )
             top_bi = (
                 pairs.groupBy("w1", "w2")
@@ -145,12 +155,12 @@ def fit_ngram_lm(
                     F.col("count").desc(), F.col("w1").asc(), F.col("w2").asc()
                 )
                 .limit(max_bigrams)
-                .collect()
+                .toPandas()
             )
-            for r in top_bi:
-                cond_logp[(r["w1"], r["w2"])] = math.log2(
-                    int(r["count"]) / counts[r["w1"]]
-                )
+            for w1, w2, c in zip(
+                top_bi["w1"], top_bi["w2"], top_bi["count"]
+            ):
+                cond_logp[(w1, w2)] = math.log2(int(c) / counts[w1])
     finally:
         uni.unpersist()
         toks.unpersist()

@@ -227,23 +227,34 @@ def fit_linear_quality(
             idxs.append(i)
         idx_lists.append(idxs)
     # dense per-row mean one-hot rows would be n×n_features; accumulate
-    # sparse instead: X @ w and Xᵀ g via index sums
+    # sparse instead: X @ w and Xᵀ g as vectorized sparse products.
+    # r14 optimization (guide §4.2 — vectorize the whole batch, not per
+    # row): the old loop re-walked every row per GD step (w[ix].sum() +
+    # np.add.at per row × iters) — 46 s for 10k×300 at sf1. The feature
+    # matrix is now built ONCE as deduplicated COO triples (row, feature,
+    # count/len), and each step is two bincount accumulations over the nnz
+    # — 46 → ~2 s, same deterministic result for fixed inputs (summation
+    # association differs by ~1 ulp per step; layout-invariance and
+    # classification tests unchanged).
     w = np.zeros(n_features, dtype=np.float64)
     b = 0.0
     n = len(rows)
     inv_len = np.array([1.0 / max(len(ix), 1) for ix in idx_lists])
+    lens = np.fromiter((len(ix) for ix in idx_lists), dtype=np.int64, count=n)
+    flat = np.fromiter(
+        (i for ix in idx_lists for i in ix), dtype=np.int64, count=int(lens.sum())
+    )
+    row_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # collapse duplicate (row, feature) occurrences: val = count / len(row)
+    keys, counts = np.unique(row_rep * n_features + flat, return_counts=True)
+    rows_u = keys // n_features
+    cols_u = keys % n_features
+    vals_u = counts * inv_len[rows_u]
     for _ in range(iters):
-        z = np.fromiter(
-            (w[ix].sum() * il for ix, il in zip(idx_lists, inv_len)),
-            dtype=np.float64,
-            count=n,
-        ) + b
+        z = np.bincount(rows_u, weights=w[cols_u] * vals_u, minlength=n) + b
         p = 1.0 / (1.0 + np.exp(-z))
         g = p - y  # dL/dz
-        gw = np.zeros(n_features, dtype=np.float64)
-        for ix, il, gi in zip(idx_lists, inv_len, g):
-            if ix:
-                np.add.at(gw, ix, gi * il)
+        gw = np.bincount(cols_u, weights=g[rows_u] * vals_u, minlength=n_features)
         w -= lr * (gw / n + l2 * w)
         b -= lr * float(g.mean())
     return w, float(b)
