@@ -325,7 +325,7 @@ class Bloom:
         from pyspark.sql import functions as F
 
         from vectrekker_spark.functions.text import word_shingles
-        from vectrekker_spark.operators.bloom import array_hit_counts, bloom_build
+        from vectrekker_spark.operators.bloom import bloom_build, shingle_hit_counts
 
         d = _docs(spark, sfd, params)
         mod = params["mod"]
@@ -333,10 +333,11 @@ class Bloom:
         sh = bench.select(F.explode(word_shingles("text")).alias("__sh"))
         bf = bloom_build(sh, "__sh", m_bits=params["m_bits"], k=params["k"])
         train = d.filter(F.col("doc_id") % mod != 0)
-        hits = array_hit_counts(
-            train.select("doc_id", word_shingles("text").alias("__sh")),
-            "__sh", bf, out_col="n_hits",
-        )
+        # r14: probe via the FUSED text→shingle kernel — the path d27 and
+        # decontamination now run in production; the staged
+        # array_hit_counts form keeps its own bit-parity pins in
+        # tests/test_bloom.py (incl. the fused-vs-staged equivalence test)
+        hits = shingle_hit_counts(train, "text", bf, id_cols=["doc_id"])
         return hits.select(
             "doc_id",
             F.col("n_hits").cast("long").alias("n_hits"),
