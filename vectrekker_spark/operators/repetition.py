@@ -72,7 +72,9 @@ def repetition_report(
     # shuffles (was 2 gram-stream exchanges); the line metric stays the
     # pure-Catalyst expression, computed before the kernel and passed
     # through. Per-task memory is bounded by one document's distinct
-    # grams. sf0.1 bench row (d23): 1.58 → 0.52 s.
+    # grams. sf0.1 bench row (d23): 1.58 → 1.26 s (ratio vs DuckDB
+    # 0.27 → 0.22; single-session A/B measured down to ~0.5 s on quiet
+    # windows — this box's absolute seconds swing ±20-40%).
     import pandas as pd
 
     from vectrekker_spark.functions.pytokens import java_tokens

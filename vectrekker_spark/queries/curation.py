@@ -285,7 +285,8 @@ def d24_bm25(spark: SparkSession, sf: str) -> DataFrame:
     # tests/test_curation_ops.py, oracle SQL unchanged). Guide §2.3/§2.4:
     # the explode shuffle, the 3-key groupBy, the per-doc
     # collect_list+array_sort ObjectHashAggregate, and one of three text
-    # scans all drop out — measured 2.02 → 0.60 s at sf0.1 (bench method).
+    # scans all drop out — bench row 2.02 → 0.99 s at sf0.1 (ratio vs
+    # DuckDB 7.4 → 4.3; quiet-window A/Bs measured ~0.77 s).
     # The generic bm25_scores (exploded, arbitrary |query|) remains the
     # operator the CLI uses for unbounded queries.
     from vectrekker_spark.operators.tfidf import bm25_scores_pivot

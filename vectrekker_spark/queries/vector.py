@@ -348,7 +348,8 @@ def q28_sim_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # (_emb_dim: a dataset property, not a result), and the collect side is
     # the UNSPREAD scan (the tbp round-robin exchange exists to spread the
     # BLAS kernel, not to feed a driver collect). 4 jobs → 2 (first call)
-    # → 1 (memoized dim): measured 1.10 → 0.72 s at sf0.1 (bench method).
+    # → 1 (memoized dim): bench row 1.10 → 1.00 s at sf0.1 while DuckDB's
+    # own row got 17% slower in the same window — ratio 0.10 → 0.07.
     cap = F.col("vec_id") < Q28_EXACT_CAP
     em = tbp(spark, sf, "embeddings").filter(cap)
     right = tb(spark, sf, "embeddings").filter(cap)
