@@ -1,4 +1,5 @@
-"""Dump `.explain("formatted")` for every registered query to plans/r14/.
+"""Dump `.explain("formatted")` for every registered query to
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default plans/r15/).
 
 Usage: PYTHONPATH=/root/repo python scripts/dump_plans.py <suffix> [sf_dir] [name...]
 
@@ -24,7 +25,9 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     only = set(sys.argv[3:])
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump-plans")

@@ -176,7 +176,7 @@ def main() -> int:
         k = max(1, int(len(s1_ids) ** 0.5))
         cents = ivf_centroids(
             stage1, n_centroids=k, id_col="doc_id", vec_col="embedding",
-            method="kmeans",
+            method="lloyd",
         )
         cents.write.parquet(os.path.join(corpus2, "centroids"))
         cents = spark.read.parquet(os.path.join(corpus2, "centroids"))

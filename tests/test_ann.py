@@ -53,7 +53,7 @@ def _queries(em):
 
 def test_ivf_default_recall_meets_declared_bar(spark, em):
     exact = _exact(spark, em)
-    centroids, assign = ivf_build(em, n_centroids=10)  # kmeans default
+    centroids, assign = ivf_build(em, n_centroids=10)  # lloyd default (r15)
     approx = ivf_search(_queries(em), em, centroids, assign, k=K, n_probe=5).collect()
     recall = _recall(approx, exact)
     assert recall >= 0.8, f"default-IVF recall@{K} = {recall}"
@@ -1066,3 +1066,81 @@ def test_artifact_prune_keeps_every_pointed_version(tmp_path):
     left = set(os.listdir(path))
     assert {"cells-v0", "centroids-v0", "cells-v7", "centroids-v7"} <= left
     assert "cells-v3" not in left and "centroids-v3" not in left
+
+
+# --- method="lloyd": the r15 driver-side quantizer fit ---------------------
+# Replaces the distributed MLlib fit on the auto path (guide §5: the coarse
+# quantizer is √N-small by construction, so fitting it is driver-scale
+# work). These pin the properties the switch was validated on: recall
+# parity with the MLlib fit, layout invariance (which MLlib does NOT
+# have), determinism, the k ≤ n clamp, and the no-scorable-rows guard.
+
+
+def test_ivf_lloyd_recall_meets_declared_bar(spark, em):
+    exact = _exact(spark, em)
+    centroids, assign = ivf_build(em, n_centroids=10, method="lloyd")
+    approx = ivf_search(_queries(em), em, centroids, assign, k=K, n_probe=5).collect()
+    recall = _recall(approx, exact)
+    assert recall >= 0.8, f"lloyd-IVF recall@{K} = {recall}"
+
+
+def test_ivf_lloyd_layout_invariant_and_deterministic(spark, em):
+    from vectrekker_spark.operators.ann import ivf_centroids
+
+    a = ivf_centroids(em, n_centroids=8, method="lloyd").collect()
+    b = ivf_centroids(em.repartition(7), n_centroids=8, method="lloyd").collect()
+    c = ivf_centroids(em.coalesce(1), n_centroids=8, method="lloyd").collect()
+    key = lambda rows: sorted((r.cid, tuple(r.cvec)) for r in rows)  # noqa: E731
+    assert key(a) == key(b) == key(c)
+
+
+def test_ivf_lloyd_clamps_k_to_sample_size(spark):
+    from vectrekker_spark.operators.ann import ivf_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ivf_centroids(df, n_centroids=10, method="lloyd").collect()
+    assert len(rows) == 2  # k clamped to the 2 scorable rows
+    assert sorted(r.cid for r in rows) == [0, 1]
+
+
+def test_ivf_lloyd_no_scorable_rows_raises(spark):
+    from vectrekker_spark.operators.ann import ivf_centroids
+
+    df = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        ivf_centroids(df, n_centroids=2, method="lloyd")
+
+
+def test_ivf_lloyd_k1_short_circuits_to_min_id_vector(spark):
+    from vectrekker_spark.operators.ann import ivf_centroids
+
+    df = spark.createDataFrame(
+        [(2, [0.0, 1.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ivf_centroids(df, n_centroids=1, method="lloyd").collect()
+    assert [(r.cid, list(r.cvec)) for r in rows] == [(0, [1.0, 0.0])]
+
+
+def test_ivf_lloyd_duplicate_points_fewer_distinct_than_k(spark):
+    # 3 distinct points, k=5 → clamped to 5? no: n=6 rows, k=5 stays, but
+    # only 3 distinct locations — empty-cell reseeding must not loop or
+    # emit NaN centers
+    import math
+
+    from vectrekker_spark.operators.ann import ivf_centroids
+
+    pts = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]] * 2
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ivf_centroids(df, n_centroids=5, method="lloyd").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert all(math.isfinite(x) for x in r.cvec)

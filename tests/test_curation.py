@@ -744,3 +744,34 @@ def test_token_budget_only_config_ignores_doc_cap_reserved_cols(spark):
             CurationConfig(min_quality=0.0, embed=False,
                            max_docs_per_stratum=5),
         )
+
+
+def test_unpersist_releases_localcheckpoint_blocks(spark):
+    # advisor r14: DataFrame.unpersist() is a cache-manager no-op for a
+    # localCheckpoint'd frame — CurationResult.unpersist() must release
+    # the checkpointed RDD blocks explicitly or repeated curate() calls
+    # pin executor storage for the session
+    rows = [
+        (0, GOOD_EN, "en"),
+        (1, GOOD_EN, "en"),
+        (2, NEAR, "en"),
+        (3, GOOD_DE, "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    res = curate(docs, CurationConfig(chunk_size=60, chunk_overlap=10))
+    assert res.checkpoints, "near-dup waist should be checkpointed in local mode"
+    res.chunks.count()
+
+    def stored_ids():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {i.id() for i in infos}
+
+    ck_ids = set()
+    for df in res.checkpoints:
+        try:
+            ck_ids.add(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:  # noqa: BLE001
+            pass
+    assert ck_ids and ck_ids <= stored_ids(), "checkpoint blocks should be live"
+    res.unpersist()
+    assert not (ck_ids & stored_ids()), "unpersist must free checkpoint blocks"

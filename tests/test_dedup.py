@@ -137,14 +137,49 @@ def test_ngram_jaccard_guard_rejects_unbounded_max_id(spark):
         ngram_jaccard_pairs(_docs(spark), max_id=10**9)
 
 
-def test_simhash_single_shuffle_plan(spark):
-    # the rewrite computes all 16 bit-votes in ONE aggregation over the
-    # token stream: exactly one exchange, no Expand/second agg stage
-    from vectrekker_spark.operators.dedup import simhash16
+def test_simhash_zero_shuffle_plan(spark):
+    # r15: SimHash is per-document state — the kernel form is scan →
+    # MapInPandas with NO exchange at all (the exploded twin keeps its
+    # single-exchange shape)
+    from vectrekker_spark.operators.dedup import simhash16, simhash16_exploded
 
     plan = simhash16(_docs(spark))._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1, plan
-    assert "Expand" not in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "MapInPandas" in plan, plan
+    old = (
+        simhash16_exploded(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert old.count("Exchange") == 1, old
+    assert "Expand" not in old, old
+
+
+def test_simhash_kernel_bit_identical_to_exploded(spark):
+    # the r15 kernel must reproduce the exploded groupBy form EXACTLY —
+    # including boundary '' tokens ('\tfoo' → ['', 'foo'] after the
+    # space-only trim), unicode whitespace as token content, single-token
+    # docs, and the no-tokens → no-row rule (NULL / '' / whitespace-only)
+    from vectrekker_spark.operators.dedup import simhash16, simhash16_exploded
+
+    rows = [
+        (0, "alpha beta gamma alpha"),
+        (1, "\tfoo"),                      # leading tab → boundary '' token
+        (2, "foo bar"),               # NBSP is token content, not a split
+        (3, "x"),
+        (4, None),                          # NULL text → no row
+        (5, ""),                            # empty → no row
+        (6, "   "),                         # ws-only → no row
+        (7, "a b c d e f g h i j k l m n o p q r s t"),
+        (8, "ALPHA Beta alpha beta ALPHA"),  # case-sensitive hashing
+        (9, "word line"),              # U+2028 is content too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = sorted(map(tuple, simhash16(df).collect()))
+    old = sorted(map(tuple, simhash16_exploded(df).collect()))
+    assert new == old
+    assert {r[0] for r in new} == {0, 1, 2, 3, 7, 8, 9}
 
 
 def test_precomputed_bands_paths_identical_and_python_free(spark):

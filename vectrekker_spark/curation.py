@@ -150,6 +150,12 @@ class CurationResult:
     # otherwise pinned for the session — a real leak for repeated
     # curate/assemble calls in one long-lived driver)
     caches: tuple[DataFrame, ...] = ()
+    # frames materialized via localCheckpoint (plan truncation, r14/r15):
+    # their storage blocks belong to the internal checkpointed RDD, not a
+    # cache-manager entry, so DataFrame.unpersist() would be a silent
+    # no-op on them (advisor r14) — unpersist() below releases them
+    # through the RDD handle instead
+    checkpoints: tuple[DataFrame, ...] = ()
     # wall seconds attributed to each funnel key: the time between that
     # stage's materializing count and the previous one. Because every
     # stage is cached before its count, the delta approximates the
@@ -163,6 +169,53 @@ class CurationResult:
     def unpersist(self) -> None:
         for df in self.caches:
             df.unpersist()
+        for df in self.checkpoints:
+            _release_local_checkpoint(df)
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor-storage blocks of a localCheckpoint()'d DataFrame.
+
+    DataFrame.unpersist() consults the cache manager, which has no entry
+    for a checkpointed frame — its blocks belong to the internal
+    checkpointed RDD (a LogicalRDD leaf in the analyzed plan). Release
+    that RDD directly; best-effort (a frame that is not actually a
+    checkpoint leaf, or a future Spark that reshapes the plan class, just
+    keeps its blocks until GC — the pre-r15 behavior)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — py4j surface: degrade to GC cleanup
+        pass
+
+
+def _materialize_truncated(
+    docs: DataFrame, caches: list, checkpoints: list
+) -> DataFrame:
+    """Materialize a funnel waist and TRUNCATE its logical plan (guide
+    §3.3/§5: .cache() keeps the full tree, so every later action re-plans
+    it — measured ~20 s of driver planning per action on the sf1 funnel).
+
+    Fault-tolerance gate (advisor r14): localCheckpoint truncates LINEAGE,
+    so on a real cluster an executor loss makes every downstream action
+    fail where cache() would recompute. Local mode has no such failure
+    mode (driver and executors share the process), so:
+    - local master       → localCheckpoint (fast, truncates the plan);
+    - cluster + configured checkpoint dir → reliable checkpoint (truncates
+      the plan AND survives executor loss; data in the checkpoint dir);
+    - cluster, no checkpoint dir → cache() (keeps the re-planning tax but
+      never turns an executor loss into a funnel abort).
+    The returned frame is appended to the matching release list."""
+    sc = docs.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        out = docs.localCheckpoint()
+        checkpoints.append(out)
+    elif sc.getCheckpointDir() is not None:
+        out = docs.checkpoint()
+        checkpoints.append(out)
+    else:
+        out = docs.cache()
+        caches.append(out)
+    return out
 
 
 def _drop_near_dups(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -462,6 +515,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
 
     docs = docs.cache()  # read once: every stage + count consumes it
     caches = [docs]
+    checkpoints: list[DataFrame] = []  # localCheckpoint'd waists (see unpersist)
     funnel: dict[str, int] = {}
     stage_seconds: dict[str, float] = {}
     _t_last = [_time.monotonic()]
@@ -600,21 +654,19 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
         docs = docs.dropDuplicates([cfg.id_col])
     _record("after_exact_dedup", docs.count())
 
-    # 2. near-dup removal. localCheckpoint, not cache (r14 optimization,
-    # guide §3.3/§7.3): by this point the lineage holds the boilerplate
-    # HOFs, the exact-dedup join, and the whole LSH pipeline — and a
-    # .cache() does NOT truncate the LOGICAL plan, so every downstream
-    # action (a dozen stage counts, the pack sizing job, the shard write)
-    # re-analyzed and re-optimized the full tree: measured ~20 s of pure
-    # DRIVER planning per late-stage action on the sf1 funnel (23 s to
-    # count 300 cached rows). Checkpointing the survivor set (already
-    # materialized data — content identical, just a truncated plan)
-    # collapsed the whole funnel 156 → ~70 s. The survivor set is the
-    # funnel's waist (≪ corpus), so the extra storage is noise even at
-    # 100 TB; on a cluster, blocks live on executors and are lost with
-    # them — acceptable for a derived intermediate that simply recomputes.
-    docs = _drop_near_dups(docs, cfg).localCheckpoint()
-    caches.append(docs)
+    # 2. near-dup removal. Plan truncation, not a plain cache (r14
+    # optimization, guide §3.3/§7.3): by this point the lineage holds the
+    # boilerplate HOFs, the exact-dedup join, and the whole LSH pipeline —
+    # and a .cache() does NOT truncate the LOGICAL plan, so every
+    # downstream action (a dozen stage counts, the pack sizing job, the
+    # shard write) re-analyzed and re-optimized the full tree: measured
+    # ~20 s of pure DRIVER planning per late-stage action on the sf1
+    # funnel (23 s to count 300 cached rows). Truncating at the survivor
+    # set (the funnel's waist, ≪ corpus) collapsed the whole funnel
+    # 156 → ~70 s. Cluster fault-tolerance is gated inside the helper
+    # (advisor r14): lineage truncation is only taken where an executor
+    # loss cannot abort the funnel (local mode / reliable checkpoint).
+    docs = _materialize_truncated(_drop_near_dups(docs, cfg), caches, checkpoints)
 
     # 2b. optional semantic dedup: drop embedding-space near-duplicates the
     # token-level MinHash pass can't see (paraphrases, translations of the
@@ -624,18 +676,21 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
     if cfg.semantic_dedup_threshold:
         from vectrekker_spark.operators.semdedup import semantic_dedup
 
-        # localCheckpoint for the same plan-truncation reason as the
-        # near-dup stage above: the SemDeDup assignment + per-cell prune
-        # subtree is the other big planning payload downstream actions
-        # were re-optimizing per action
-        docs = semantic_dedup(
-            docs,
-            threshold=cfg.semantic_dedup_threshold,
-            n_clusters=cfg.semantic_n_clusters or None,
-            id_col=cfg.id_col,
-            vec_col=cfg.semantic_vec_col,
-        ).localCheckpoint()
-        caches.append(docs)
+        # same plan-truncation (and cluster gating) as the near-dup stage
+        # above: the SemDeDup assignment + per-cell prune subtree is the
+        # other big planning payload downstream actions were re-optimizing
+        # per action
+        docs = _materialize_truncated(
+            semantic_dedup(
+                docs,
+                threshold=cfg.semantic_dedup_threshold,
+                n_clusters=cfg.semantic_n_clusters or None,
+                id_col=cfg.id_col,
+                vec_col=cfg.semantic_vec_col,
+            ),
+            caches,
+            checkpoints,
+        )
         _record("after_semantic_dedup", docs.count())
 
     # 2c. optional span-level dedup: strip corpus-redundant token spans in
@@ -859,6 +914,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> CurationResult
 
     return CurationResult(
         chunks=chunks, funnel=funnel, caches=tuple(caches),
+        checkpoints=tuple(checkpoints),
         stage_seconds=stage_seconds,
     )
 

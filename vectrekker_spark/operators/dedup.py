@@ -316,14 +316,83 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """16-bit SimHash per document (id, simhash).
 
     Token multiset → 16-bit token hash → per-bit signed vote → sign bit.
-    One token explode (rows ≈ corpus token count, unavoidable) then ONE
-    groupBy(id) computing all 16 bit-votes as conditional sums over the
-    (id, h) stream — no ×16 bit-explosion and no second shuffle stage
-    (r7 verdict: the former (id, h) × sequence(0,15) explode multiplied
-    the pre-combine row count 16×, then needed a second agg to repack).
-    Map-side partial aggregation reduces each task to one 16-long row per
-    id before the single shuffle; the sign-and-pack step is a plain
-    projection over the aggregated row."""
+
+    r15 optimization (guide §2.3 taken to zero-shuffle + §4.2, the d23
+    repetition precedent): SimHash is purely PER-DOCUMENT state, so the
+    explode → groupBy(id) shape paid one md5 per token OCCURRENCE in
+    interpreted expression code plus a corpus-wide hash exchange for
+    row-local work. Now one Arrow kernel per row tokenizes with the exact
+    ``java_tokens`` twin of ``tokens()`` (boundary ``''`` tokens included),
+    hashes each DISTINCT token once per task (md5-prefix memo, bounded —
+    the zipfian vocabulary makes the memo hit rate high), weights the ±1
+    bit votes by the occurrence count, and packs the sign bits. All
+    integer arithmetic — bit-identical to the exploded form by
+    construction (property-pinned in tests/test_dedup.py against
+    ``simhash16_exploded``) and to the DuckDB oracle (d02). Plan: scan →
+    MapInPandas, ZERO shuffles (was 1 corpus-tokens exchange).
+
+    Contract: ids must be unique (one row per document — the
+    ``bm25_scores_pivot``/``repetition_report`` PRIMARY KEY contract).
+    Duplicate ids hash per ROW here, where the exploded form merged their
+    token votes per id; ``simhash16_exploded`` keeps the merging shape.
+    Docs with no tokens (NULL/empty/whitespace-only text) emit no row,
+    exactly like explode on an empty array."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from vectrekker_spark.functions.pytokens import java_tokens
+
+    cache_max = _SHINGLE_CACHE_MAX  # bound at build time (tests shrink it)
+    bit_range = np.arange(16, dtype=np.int64)
+
+    def gen(batches):
+        from collections import Counter
+
+        cache: dict[str, int] = {}
+
+        def thash(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 65536
+                if len(cache) < cache_max:
+                    cache[t] = h
+            return h
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                if text is None:
+                    continue  # no tokens → no row (explode-on-NULL rule)
+                toks = java_tokens(text)
+                if not toks:
+                    continue  # empty/ws-only text → no row
+                counts = Counter(thash(t) for t in toks)
+                hs = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+                cs = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+                bits = (hs[:, None] >> bit_range) & 1  # (distinct, 16) 0/1
+                votes = (np.where(bits == 1, cs[:, None], -cs[:, None])).sum(axis=0)
+                ids.append(doc_id)
+                hashes.append(int(((votes > 0).astype(np.int64) << bit_range).sum()))
+            out = pd.DataFrame({id_col: ids, "simhash": hashes})
+            yield out.astype({"simhash": "int64"})
+
+    id_t = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"{id_col} {id_t}, simhash bigint"
+    )
+
+
+def simhash16_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The declarative explode → single-groupBy SimHash (the pre-r15
+    registered shape): one token explode then ONE groupBy(id) computing all
+    16 bit-votes as conditional sums (r7: no ×16 bit-explosion, map-side
+    partial agg before the single shuffle). Kept as the equivalence twin
+    for ``simhash16``'s kernel — and as the merging-semantics form for
+    corpora with duplicate ids."""
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
     ).select(F.col(id_col), (token_hash32(F.col("t")) % 65536).alias("h"))

@@ -144,8 +144,10 @@ def fit_ngram_lm(
 
             # Arrow-backed local relation (the d17 idiom): a tuple-list
             # createDataFrame pays per-element Python→JVM conversion
+            # explicit schema: correctness must not rest on pandas
+            # object-dtype inference (advisor r14)
             vocab_df = ref.sparkSession.createDataFrame(
-                pd.DataFrame({"w1": list(counts)})
+                pd.DataFrame({"w1": list(counts)}), "w1 string"
             )
             top_bi = (
                 pairs.groupBy("w1", "w2")

@@ -53,7 +53,13 @@ def repetition_report(
     """Per-doc repetition metrics: (id, dup_line_frac, top{top_k}gram_frac,
     dup{dup_k}gram_frac), all in [0,1], 0.0 when the doc has no k-grams.
     All ratios are single IEEE double divisions of exact integer counts, so
-    a DuckDB oracle running the same ops agrees bit-for-bit (see d23)."""
+    a DuckDB oracle running the same ops agrees bit-for-bit (see d23).
+
+    Contract: ids must be unique (one row per document — the same PRIMARY
+    KEY contract ``bm25_scores_pivot`` documents). Since the r14 kernel
+    rewrite the metrics are computed per ROW; duplicate ids yield one
+    output row per input row, where the pre-r14 groupBy(id) shape merged
+    their gram counts (advisor r14)."""
     if top_k == dup_k:
         raise ValueError("top_k and dup_k must differ (single-pass kernel)")
     top_name = f"top{top_k}gram_frac"

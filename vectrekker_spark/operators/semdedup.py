@@ -163,9 +163,11 @@ def semantic_dedup_decisions(
     quantizer keeps decisions stable across incremental runs, and is the
     only way to make the result a pure function of the (id, vec) set:
     given fixed centroids, decisions are partition-layout-invariant
-    (tested); the auto-KMeans path is seeded (deterministic for a fixed
-    input layout) but MLlib's k-means|| init samples per partition, so a
-    re-layout can move cell boundaries. Single assignment only: each
+    (tested); the auto path (seeded driver-side Lloyd since r15) is also
+    layout-invariant as long as the scorable corpus fits the fit's sample
+    cap (200k rows) — past the cap the sampled SET is still deterministic,
+    so decisions remain a pure function of the (id, vec) set either way.
+    Single assignment only: each
     vector must land in exactly ONE cell or keep/drop votes would conflict
     across cells.
     """
@@ -190,12 +192,18 @@ def semantic_dedup_decisions(
             # centroids-only builder: ivf_build would additionally run (and
             # discard) a full assignment pass, collecting + broadcasting the
             # centroid matrix a second time
+            # method="lloyd" (r15, guide §5): driver-side seeded
+            # k-means++/Lloyd on the capped id-sorted sample — one collect
+            # job instead of ~25 scheduler-bound MLlib jobs, and the fit is
+            # partition-layout-INVARIANT up to the sample cap (MLlib's
+            # k-means|| init samples per partition, so a re-layout could
+            # move cell boundaries)
             centroids = ivf_centroids(
                 corpus.where(F.col(vec_col).isNotNull()),
                 n_centroids=n_clusters,
                 id_col=id_col,
                 vec_col=vec_col,
-                method="kmeans",
+                method="lloyd",
             )
             assigned = None
     elif isinstance(centroids, DataFrame):

@@ -791,9 +791,12 @@ def foreach_batch_semantic_dedup(
                     1,
                     min(int(expected_total ** 0.5), scorable.count()),
                 )
+                # lloyd (r15): driver-side seeded fit — one collect job on
+                # the √N-small quantizer sample instead of ~25 MLlib jobs
+                # per stream start (measured 10.3 s → <1 s at sf1)
                 cents = ivf_centroids(
                     scorable, n_centroids=k, id_col=id_col, vec_col=vec_col,
-                    method="kmeans",
+                    method="lloyd",
                 )
                 # quantizer FIRST: a crash after this write, before any
                 # kept append, redelivers into the same fixed cells
