@@ -90,6 +90,7 @@ def test_ivf_assignment_covers_corpus(spark, em):
     assert assign.select("vec_id").distinct().count() == em.count()
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_multi_assignment_shape_and_recall_gain(spark, em):
     # assign_k=2 indexes every vector into exactly 2 distinct cells, and at a
     # comparable candidate budget beats single assignment (the bench setting:
@@ -169,6 +170,7 @@ def _rows(df):
     return sorted((r["qid"], r["vec_id"], r["score"], r["rank"]) for r in df.collect())
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_save_load_search_roundtrip(spark, em, tmp_path):
     from vectrekker_spark.operators.ann import (
         ivf_load,
@@ -197,6 +199,7 @@ def test_ivf_save_load_search_roundtrip(spark, em, tmp_path):
     assert len(dirs) == 10
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_cells_probe_prunes_partitions(spark, em, tmp_path):
     from vectrekker_spark.operators.ann import ivf_load, ivf_save, ivf_search_cells
     from vectrekker_spark.plans import partition_filters
@@ -220,6 +223,7 @@ def test_ivf_cells_probe_prunes_partitions(spark, em, tmp_path):
     assert _rows(res_nocap) == _rows(res)
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_append_matches_full_rebuild(spark, em, tmp_path):
     from vectrekker_spark.operators.ann import (
         assign_centroids,
@@ -248,6 +252,7 @@ def test_ivf_append_matches_full_rebuild(spark, em, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_compact_dedupes_reappended_batch(spark, em, tmp_path):
     from vectrekker_spark.operators.ann import (
         ivf_append,
@@ -276,6 +281,7 @@ def test_ivf_compact_dedupes_reappended_batch(spark, em, tmp_path):
     assert _rows(ivf_search_cells(_queries(em), lc2, cells2, k=K, n_probe=3)) == before
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_append_inherits_saved_assign_k(spark, em, tmp_path):
     # an index built multi-assigned must keep multi-assigning its appends
     # without every call site re-stating assign_k (it's in the saved meta)
@@ -300,6 +306,7 @@ def test_ivf_append_inherits_saved_assign_k(spark, em, tmp_path):
     assert appended.select("vec_id").distinct().count() == 10
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_search_cells_infers_columns_from_schema(spark, tmp_path):
     # an ann-build-style index keyed by 'id' searches without the caller
     # re-stating column names (VERDICT-class bug: facade hardcoded vec_id)
@@ -345,6 +352,7 @@ def _make_legacy_layout(path):
             os.remove(os.path.join(path, d))
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_load_heals_crashed_legacy_compact_swap(spark, em, tmp_path):
     # Back-compat: a PRE-versioning index mid-crashed by the old two-rename
     # compact still heals on load. Versioned indexes never enter this path.
@@ -372,6 +380,7 @@ def test_ivf_load_heals_crashed_legacy_compact_swap(spark, em, tmp_path):
     assert cells2.count() == n and os.path.exists(f"{path}/cells")
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_compact_keeps_old_version_readable(spark, em, tmp_path):
     # ADVICE r5: a reader whose plan already resolved the old cells dir must
     # survive a concurrent compact — the pointer flips, the old version
@@ -407,6 +416,7 @@ def test_ivf_compact_keeps_old_version_readable(spark, em, tmp_path):
     assert not os.path.exists(os.path.join(path, old_name))
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_compact_upgrades_legacy_layout(spark, em, tmp_path):
     from vectrekker_spark.operators.ann import (
         cells_dirname,
@@ -428,6 +438,7 @@ def test_ivf_compact_upgrades_legacy_layout(spark, em, tmp_path):
     assert cells.count() == n
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_delete_supersedes_rows_partition_locally(spark, em, tmp_path):
     # The delete half of a vector upsert: target rows vanish, untouched
     # partitions are hardlinked into the new version (same inodes — no data
@@ -478,6 +489,7 @@ def test_ivf_delete_supersedes_rows_partition_locally(spark, em, tmp_path):
     ) == 0
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_quantized_index(spark, em, tmp_path):
     """IVF-SQ8: int8 cells are ~4x smaller, approximate search stays within
     the reconstruction error, and the corpus re-rank returns exact scores."""
@@ -532,6 +544,7 @@ def test_ivf_quantized_index(spark, em, tmp_path):
     assert "codes_scale" in qcells2.columns
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_quantized_rerank_infers_nondefault_vec_col(spark, tmp_path):
     from vectrekker_spark.operators.ann import (
         ivf_build,
@@ -556,6 +569,7 @@ def test_ivf_quantized_rerank_infers_nondefault_vec_col(spark, tmp_path):
     assert res and res[0]["vec_id"] == 0 and res[0]["score"] == 1.0
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_recall_estimate_detects_centroid_drift(spark, tmp_path):
     """The stats-verb recall canary: build on 4 tight clusters (near-perfect
     cells), then append a drifted batch that straddles the stale centroid
@@ -602,6 +616,7 @@ def test_ivf_recall_estimate_detects_centroid_drift(spark, tmp_path):
     assert after["recall"] < before["recall"] - 0.05, (before, after)
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_rebuild_keeps_old_centroids_readable(spark, em, tmp_path):
     """A full rebuild over an existing index must not overwrite the live
     centroids in place: a reader holding the old (centroids, cells) pair
@@ -644,6 +659,7 @@ def test_ivf_rebuild_keeps_old_centroids_readable(spark, em, tmp_path):
     assert sum(1 for d in dirs if d.startswith("centroids")) == 2
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_delete_all_rows_keeps_index_usable(spark, em, tmp_path):
     """Deleting every id (e.g. an embed-version migration re-embedding the
     whole corpus) must leave a loadable, searchable, appendable EMPTY index,
@@ -681,6 +697,7 @@ def test_ivf_delete_all_rows_keeps_index_usable(spark, em, tmp_path):
     assert res and res[0]["score"] == 1.0
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_orphan_centroids_never_mispaired(spark, em, tmp_path):
     """A crashed rebuild leaves an orphan centroids-v{N} with no pointer
     flip. A later compact must carry the LIVE pairing forward (recorded in
@@ -715,6 +732,7 @@ def test_ivf_orphan_centroids_never_mispaired(spark, em, tmp_path):
     assert "centroids-v99" not in os.listdir(path)
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_read_corruption_not_masked_as_empty(spark, em, tmp_path):
     """_read_cells' empty-index fallback must not swallow real read
     failures: a cells dir whose data files are corrupt raises instead of
@@ -746,6 +764,7 @@ def test_ivf_read_corruption_not_masked_as_empty(spark, em, tmp_path):
         ivf_load(spark, path)[1].collect()
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_recall_estimate_quantized_index(spark, em, tmp_path):
     """The recall canary measures a quantized index in its own dequantized
     space — no full-precision corpus needed, and sane values come back."""
@@ -767,6 +786,7 @@ def test_ivf_recall_estimate_quantized_index(spark, em, tmp_path):
     assert r["recall"] == 1.0, r
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_ivf_orphan_meta_never_adopted(spark, em, tmp_path):
     """An aborted rebuild's meta-v{N}.json (written before the crash, never
     referenced by a flip) must not change what ivf_meta reports, and the
@@ -798,6 +818,7 @@ def test_ivf_orphan_meta_never_adopted(spark, em, tmp_path):
     assert "meta-v99.json" not in os.listdir(path)  # orphan reclaimed
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_index_lifecycle_is_rename_free(spark, em, tmp_path, monkeypatch):
     """The whole pointer lifecycle — save, load, search, append, delete,
     compact — must never rename or overwrite-in-place (os.replace/os.rename
@@ -847,6 +868,7 @@ def test_index_lifecycle_is_rename_free(spark, em, tmp_path, monkeypatch):
     assert 1 <= len(pointers) <= 2, pointers
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_legacy_current_file_reads_and_upgrades(spark, em, tmp_path):
     """An index whose pointer is the legacy single rewritten CURRENT file
     stays readable, and its first rewrite upgrades it to the versioned
@@ -888,6 +910,7 @@ def test_legacy_current_file_reads_and_upgrades(spark, em, tmp_path):
     assert cells.count() == sub.count()
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_torn_pointer_write_falls_back_to_previous_version(spark, em, tmp_path):
     """A pointer file without the trailing-newline commit marker (a torn
     local write) is skipped; the reader takes the next-lower version, which
@@ -913,6 +936,7 @@ def test_torn_pointer_write_falls_back_to_previous_version(spark, em, tmp_path):
     assert cells.count() == sub.count()
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_prune_after_torn_pointer_keeps_committed_grace(spark, em, tmp_path):
     """A torn (uncommitted) top pointer must not shift the prune window:
     after the next flip, a COMMITTED older pointer survives as the grace
@@ -982,6 +1006,7 @@ def test_similarity_join_rejects_zero_dim_vectors(spark):
         similarity_join_self_auto(df, 0.5, "vec_id", "embedding")
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_pointer_prune_never_deletes_newer_committed_pointer(tmp_path):
     """Two racing flips: the slow writer wins the create-exclusive on v1
     but stalls; the fast writer bumps to v2, commits, and prunes first.
@@ -1018,6 +1043,7 @@ def test_pointer_prune_never_deletes_newer_committed_pointer(tmp_path):
     assert _pointer_tokens(path) == ["cells-v2", "centroids-v2"]
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_pointer_prune_leaves_midwrite_higher_version_alone(tmp_path):
     """A higher version WITHOUT a commit marker may be a racer mid-write,
     not a torn crash — the lower-k prune must leave it; only a LATER flip
@@ -1039,6 +1065,7 @@ def test_pointer_prune_leaves_midwrite_higher_version_alone(tmp_path):
     assert os.path.exists(os.path.join(path, "CURRENT-v0"))
 
 
+@pytest.mark.slow  # index-lifecycle QA tail (pytest.ini)
 def test_artifact_prune_keeps_every_pointed_version(tmp_path):
     """_prune_versions honors EVERY committed pointer on disk, not just the
     caller's explicit keep-set: a racer that committed a higher pointer

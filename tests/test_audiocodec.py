@@ -651,3 +651,6 @@ def test_audio_meta_inventory_includes_ogg(spark):
     assert rows[2].aud_format == "ogg-opus" and rows[2].aud_duration == 2.0
     assert rows[2].aud_channels == 2 and rows[2].aud_rate == 48000
     assert rows[3].aud_format is None
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -108,3 +108,6 @@ def test_data_offset_into_headers_classifies():
     struct.pack_into("<I", enc, 10, 14 + 40 + 4)  # inside the palette
     with pytest.raises(ValueError, match="offset out of range"):
         bc.decode_bmp(bytes(enc))
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

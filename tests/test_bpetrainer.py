@@ -288,3 +288,6 @@ def test_bpe_encode_out_col_collision(spark):
         bpe_encode(df, m)
     with pytest.raises(ValueError, match="already exists"):
         bpe_token_count(df.withColumnRenamed("bpe_tokens", "bpe_n_tokens"), m)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

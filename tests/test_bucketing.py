@@ -80,3 +80,6 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(got.collect()) == sorted(want.collect())
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -27,3 +27,8 @@ def test_load_table_memoizes_and_invalidates(spark, tmp_path):
     d3 = load_table(spark, str(tmp_path), "t")
     assert d3 is not d1
     assert sorted(r["v"] for r in d3.collect()) == ["b", "c"]
+
+import pytest  # noqa: E402  (slow marker below)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -1054,3 +1054,8 @@ def test_dsir_select_cli(tmp_path, capsys, spark):
         "--rate", "0.5", "--n-features", "4096", "--seed", "t",
     ])
     assert rc == 0
+
+import pytest  # noqa: E402  (slow marker below)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

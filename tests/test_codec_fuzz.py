@@ -11,3 +11,8 @@ from scripts.codec_fuzz import fuzz
 
 def test_codec_fuzz_fixed_seed():
     assert fuzz(n=12, seed=7) == []
+
+import pytest  # noqa: E402  (slow marker below)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -292,3 +292,6 @@ def test_libflac_parity_gate():
         pytest.skip("libFLAC not installed (container-dependent golden)")
     pytest.fail("libFLAC present but parity harness not implemented — "
                 "extend this gate the way test_libpng_parity does")
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

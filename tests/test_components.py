@@ -133,3 +133,6 @@ def test_near_dedup_keep_best_reserved_columns(spark):
     ).withColumn("__nb_neg", F.lit(1))
     with pytest.raises(ValueError, match="reserved"):
         near_dedup_keep_best(df, "q")
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -98,3 +98,6 @@ def test_merge_strategies_equivalent_randomized(spark):
             tuple(r) for r in merge_upsert(base, upd, "id", strategy="anti").collect()
         )
         assert anti == win, f"trial {trial}: strategies diverged"
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

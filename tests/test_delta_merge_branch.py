@@ -294,3 +294,6 @@ def test_grouped_delta_merge_keys_delete_groups_by_name(
     )
     ids = {r["id"] for r in spark.read.parquet(path).collect()}
     assert ids == {"a#0"}  # doc d retired; 9001 never misread as a group
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

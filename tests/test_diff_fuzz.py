@@ -70,3 +70,6 @@ def test_empty_input_grouping_sets_divergence_pinned(spark, duck_con):
     s = [tuple(r) for r in spark.sql(sql2).collect()]
     d = duck_con.execute(sql2).fetchall()
     assert s == d and len(s) >= 2
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -258,3 +258,6 @@ def test_incremental_counts_merge_equals_one_shot(spark):
         merge_feature_counts(df)
     with pytest.raises(ValueError, match="feature geometry"):
         log_probs_from_counts(merged, n_features=4)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

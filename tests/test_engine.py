@@ -413,3 +413,8 @@ def test_engine_dsir_and_line_dedup_sugar(spark, sf_dir):
     kb = {r["doc_id"]: r["keep"]
           for r in eng.near_dedup_keep_best(scored, "q", threshold=0.9).collect()}
     assert kb == {1: False, 2: True}
+
+import pytest  # noqa: E402  (slow marker below)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -212,3 +212,6 @@ def test_stereo_wasted_bits_forwarded_or_refused():
     # mid loses a zero bit in (l+r)>>1: refused, never silently dropped
     with pytest.raises(ValueError, match="mid_side"):
         fc.encode_flac(x, channel_mode="mid_side", wasted=3)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

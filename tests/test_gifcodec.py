@@ -158,3 +158,6 @@ def test_extract_features_decodes_gif(spark):
     assert rows[1].decoded is True
     assert abs(sum(rows[1].features) - 1.0) < 1e-9
     assert rows[2].decoded is False
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -269,3 +269,6 @@ def test_sniff_webp_all_three_flavors():
     # a WebP payload is NOT pixel-decodable (no VP8 codec here): it must
     # classify to the byte-feature fallback, never crash
     assert decode_image_array(vp8) is None
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -459,3 +459,6 @@ def test_image_phash_operator_and_banded_reuse(spark):
         hashes, max_hamming=10, hash_col="phash"
     ).collect()
     assert {(p.l_id, p.r_id) for p in pairs} == {(1, 2)}
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -104,3 +104,6 @@ def test_asof_join_equals_naive_subquery(spark, events):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -435,3 +435,6 @@ def test_progressive_dc_accumulator_overflow_classifies():
     with pytest.raises(ValueError, match="DC accumulator"):
         jc.decode_jpeg(bytes(out))
     assert decode_image_array(bytes(out)) is None  # classified, not crashed
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

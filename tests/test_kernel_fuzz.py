@@ -86,3 +86,6 @@ def test_split_bucket_sql_escapes_salt_quotes(spark):
         .collect()
     )
     assert [(r["i"], r["b"]) for r in srows] == orows
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

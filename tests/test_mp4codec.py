@@ -254,3 +254,6 @@ def test_budget_exhaustion_classifies_not_truncates():
         + _s.pack(">I", 8 + len(new_payload)) + b"moov" + new_payload
     )
     assert sniff_mp4_meta(bomb) is None
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -370,3 +370,8 @@ def test_dedup_lines_within_doc_and_lossless_rebuild(spark):
         "alpha beta gamma delta epsilon zeta\n\nkeep this middle line alone"
     )
     assert r["paras_dropped"] == 1
+
+import pytest  # noqa: E402  (slow marker below)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -127,3 +127,6 @@ def test_crash_between_commit_and_cleanup_is_recoverable(spark, tmp_path, monkey
     out2 = {r["id"]: r["v"] for r in read_partitioned_table(spark, path).collect()}
     assert out2 == out
     assert not [d for d in os.listdir(path) if d.startswith((".trash_", ".staging_"))]
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

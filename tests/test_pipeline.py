@@ -249,3 +249,6 @@ def test_max_changed_slice_is_respread(spark, tmp_path):
     )
     parts = sliced.select(F.spark_partition_id().alias("p")).distinct().count()
     assert parts > 1  # re-spread across tasks, not one serial partition
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

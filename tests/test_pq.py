@@ -864,3 +864,6 @@ def test_ivfpq_search_accepts_rotation(spark, pq):
     )
     assert a == b
     sub.unpersist()
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

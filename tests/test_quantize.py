@@ -76,3 +76,8 @@ def test_quantized_rerank_knn_recall_and_exact_scores(spark, sf_dir):
     shared = set(scores_by_pair) & set(exact_scores)
     assert shared and all(scores_by_pair[p] == exact_scores[p] for p in shared)
     em.unpersist()
+
+import pytest  # noqa: E402  (slow marker below)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

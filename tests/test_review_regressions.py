@@ -578,3 +578,6 @@ def test_seeded_shuffle_varies_within_bucket(spark):
             inverted = True
             break
     assert inverted
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

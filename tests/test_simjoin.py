@@ -404,3 +404,6 @@ def test_blas_left_repartitions_only_when_compute_bound(spark):
         right_id="vec_id", right_vec="embedding",
     )
     assert out_small.rdd.getNumPartitions() == 1
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -79,3 +79,8 @@ def test_write_manifest_handles_spaces_in_path(spark, tmp_path):
     write_shards(df.repartition(1), out, rows_per_shard=100)
     totals = write_manifest(spark, out)
     assert totals["rows"] == 10 and totals["bytes"] > 0  # sizes resolved
+
+import pytest  # noqa: E402  (slow marker below)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -208,3 +208,6 @@ def test_aqe_skew_split_fires_on_minhash_band_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

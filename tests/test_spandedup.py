@@ -286,3 +286,6 @@ def test_cache_lifecycle_and_precomputed_spans(spark):
     s2.collect()
     release(s2)
     release(s2)  # idempotent / no-op safe
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -153,3 +153,6 @@ def test_tws_processor_logic_without_transport(sf_dir):
         assert isinstance(out, pd.DataFrame) and list(out.columns) == [
             "user_id", "n_events", "total_value",
         ]
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

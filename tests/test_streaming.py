@@ -119,3 +119,6 @@ def test_interval_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
         )
     )
     assert len(got) > 0 and got == want
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -25,3 +25,8 @@ def test_streaming_fuzz_fixed_seed_all_families(spark, tmp_path):
         keep_going=True,
     )
     assert failures == []
+
+import pytest  # noqa: E402  (slow marker below)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -1352,3 +1352,6 @@ def test_streaming_para_dedup_lifecycle(spark, tmp_path):
     write_batch("b4", [(7, legal + "\n\n" + "closing body paragraph words")])
     run("ck1")
     assert dict(corpus_rows())[7] == "closing body paragraph words"
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -163,3 +163,6 @@ def test_8191_gate_quarantines_on_tiktoken_counts(
     q = spark.read.parquet(cfg.quarantine_path).collect()
     assert len(q) == 1 and q[0]["n_tokens"] == 10_000
     assert q[0]["path"].endswith("huge.md")
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

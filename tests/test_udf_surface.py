@@ -36,3 +36,8 @@ def test_grouped_agg_pandas_udf(spark, sf_dir):
         for r in docs.groupBy("lang").agg(F.avg("n_chars").alias("m")).collect()
     }
     assert got == want
+
+import pytest  # noqa: E402  (slow marker below)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -368,3 +368,6 @@ def test_webm_audio_only_routes_to_audio_meta():
     # muxed A+V: audio inventory refuses, video inventory owns it
     assert sniff_webm_audio_meta(_webm_bytes()) is None
     assert sniff_audio_meta(_webm_bytes()) is None
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

@@ -371,3 +371,6 @@ def test_libwebp_golden_parity_both_directions():
         enc = wc.encode_webp(arr, **opts)
         theirs = _libwebp_decode_rgba(lib, enc)
         assert np.array_equal(theirs, arr), (trial, opts)
+
+# QA tail: excluded from the default run (see pytest.ini header)
+pytestmark = pytest.mark.slow

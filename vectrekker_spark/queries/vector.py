@@ -350,8 +350,16 @@ def q28_sim_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # BLAS kernel, not to feed a driver collect). 4 jobs → 2 (first call)
     # → 1 (memoized dim): bench row 1.10 → 1.00 s at sf0.1 while DuckDB's
     # own row got 17% slower in the same window — ratio 0.10 → 0.07.
+    # r15 (VERDICT #6 re-measure): noop isolation put the row at ~0.62 s —
+    # ~0.13 s plan analysis, ~0.05 s right-side collect, ~0.28 s kernel job,
+    # ~0.17 s ordered()'s sort. The kernel job was 32 tasks of ~62 rows
+    # each (pure task overhead: the BLAS matmul per task is microseconds at
+    # the cap) — parts=8 spreads the CAPPED slice (≤20k rows by
+    # construction, so ≤2.5k rows/task at ANY corpus scale) and measured
+    # 0.67 → 0.49 s median with byte-equal results (the q20 parts=4
+    # precedent; guide §1.2 per-task work after the shape is right).
     cap = F.col("vec_id") < Q28_EXACT_CAP
-    em = tbp(spark, sf, "embeddings").filter(cap)
+    em = tbp(spark, sf, "embeddings", parts=8).filter(cap)
     right = tb(spark, sf, "embeddings").filter(cap)
     return ordered(
         similarity_join_blas(

@@ -24,6 +24,31 @@ from pyspark.sql import functions as F
 from vectrekker_spark.functions.time import epoch_ms, normalize_event_ts
 
 
+def _stream_profile(stage: str, batch_id: int, slices: dict[str, float]) -> None:
+    """Per-micro-batch wall breakdown, printed as one JSON line to stderr
+    when $SPARK_GRAFT_STREAM_PROFILE is set (guide §1: measure first — the
+    r14 verdict asked where the per-batch fixed cost actually goes before
+    anything is tuned). Slice attribution follows the action boundaries,
+    so lazy work bills to the first action that materializes it."""
+    import json
+    import os
+    import sys
+
+    if not os.environ.get("SPARK_GRAFT_STREAM_PROFILE"):
+        return
+    print(
+        json.dumps(
+            {
+                "stream_profile": stage,
+                "batch_id": batch_id,
+                **{k: round(v, 3) for k, v in slices.items()},
+            }
+        ),
+        file=sys.stderr,
+        flush=True,
+    )
+
+
 def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     """ST1: parquet file-source stream over an events directory. New files
     are picked up incrementally via the checkpoint (the reference's D1–D3
@@ -758,11 +783,15 @@ def foreach_batch_semantic_dedup(
     kept_path = os.path.join(corpus_path, "kept")
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         if batch_df.isEmpty():
             return
         _refuse_if_compacting(corpus_path)
         spark = batch_df.sparkSession
         batch = batch_df.persist()
+        _prof: dict[str, float] = {}
+        _t = _time.monotonic()
         try:
             scorable = batch.where(F.col(vec_col).isNotNull())
             cents = None
@@ -820,6 +849,8 @@ def foreach_batch_semantic_dedup(
                 hist = spark.createDataFrame(
                     [], f"`{id_col}` {id_t}, cid long, `{vec_col}` {vec_t}"
                 )
+            _prof["t_quantizer_and_history_plan"] = _time.monotonic() - _t
+            _t = _time.monotonic()
             dec = semantic_dedup_against(
                 batch, None, cents,
                 threshold=threshold, id_col=id_col, vec_col=vec_col,
@@ -837,6 +868,8 @@ def foreach_batch_semantic_dedup(
                 survivors.write.mode("append").partitionBy("cid").parquet(
                     kept_path
                 )
+                _prof["t_decide_and_append"] = _time.monotonic() - _t
+                _stream_profile("semantic_dedup", batch_id, _prof)
             finally:
                 dec.unpersist()
                 if assign_cache is not None:
@@ -948,11 +981,15 @@ def foreach_batch_exact_dedup(
     bloom_path = os.path.join(corpus_path, "bloom")
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         if batch_df.isEmpty():
             return
         _refuse_if_compacting(corpus_path)
         spark = batch_df.sparkSession
         batch = batch_df.persist()
+        _prof: dict[str, float] = {}
+        _t = _time.monotonic()
         try:
             keepers = exact_dedup_map(
                 batch, text_col=text_col, id_col=id_col
@@ -975,10 +1012,14 @@ def foreach_batch_exact_dedup(
                     text_col=text_col,
                     history_bloom=bloom,
                 )
+            _prof["t_plan_and_bloom_load"] = _time.monotonic() - _t
+            _t = _time.monotonic()
             fresh = fresh.persist()
             probe = getattr(fresh, "_cached_probe", None)
             try:
                 if fresh.isEmpty():
+                    _prof["t_dedup_materialize"] = _time.monotonic() - _t
+                    _t = _time.monotonic()
                     # COMMIT the torn-bloom heal even when every row was a
                     # duplicate: without this a dup-heavy stream re-derives
                     # from full history on every batch (the quota
@@ -995,7 +1036,11 @@ def foreach_batch_exact_dedup(
                             ),
                             bloom_path,
                         )
+                    _prof["t_bloom_heal"] = _time.monotonic() - _t
+                    _stream_profile("exact_dedup", batch_id, _prof)
                     return
+                _prof["t_dedup_materialize"] = _time.monotonic() - _t
+                _t = _time.monotonic()
                 if bloom is None:
                     # first batch, or healing a torn bloom: (re)build over
                     # history + survivors, sized for the eventual corpus
@@ -1016,7 +1061,11 @@ def foreach_batch_exact_dedup(
                 _refuse_if_compacting(corpus_path)
                 # bloom FIRST, docs second (the superset invariant above)
                 bloom_save(bloom, bloom_path)
+                _prof["t_bloom_fold_save"] = _time.monotonic() - _t
+                _t = _time.monotonic()
                 fresh.write.mode("append").parquet(docs_path)
+                _prof["t_docs_append"] = _time.monotonic() - _t
+                _stream_profile("exact_dedup", batch_id, _prof)
             finally:
                 if probe is not None:
                     probe.unpersist()
