@@ -249,3 +249,36 @@ def test_verification_shingles_compute_above_candidate_join(spark):
     # particular not in the leaf projections over the corpus scan, where
     # the old shape computed shingle arrays for every streamed row
     assert all(d <= top_join for d in shingled), (top_join, shingled)
+
+
+def test_simhash_kernel_matches_exploded_randomized(spark):
+    # seeded randomized corpus over an adversarial alphabet (every Java-\s
+    # class member, unicode whitespace as content, multi-byte tokens,
+    # repeated zipfian tokens) — the kernel and the exploded groupBy form
+    # must agree row-for-row on all of it
+    import random
+
+    from vectrekker_spark.operators.dedup import simhash16, simhash16_exploded
+
+    rng = random.Random(1337)
+    vocab = ["alpha", "beta", "Beta", "γάμμα", "x", "翻訳", "a-b", "@@",
+             "word glued", "#1"]
+    ws = [" ", "  ", "\t", "\n", "\x0b", "\f", "\r", " \t "]
+    rows = []
+    for i in range(120):
+        kind = rng.random()
+        if kind < 0.08:
+            text = None
+        elif kind < 0.16:
+            text = rng.choice(["", " ", "\t\t", " \n "])
+        else:
+            n = rng.randint(1, 40)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            text = rng.choice(["", rng.choice(ws)]) + rng.choice(ws).join(
+                toks
+            ) + rng.choice(["", rng.choice(ws)])
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = sorted(map(tuple, simhash16(df).collect()))
+    old = sorted(map(tuple, simhash16_exploded(df).collect()))
+    assert new == old
