@@ -166,8 +166,8 @@ def ivf_build(
 
     method="lloyd" (default since r15): seeded driver-side k-means++/Lloyd
     on a capped deterministic sample of L2-normalized vectors — same cell
-    quality as MLlib on every fixture (bench recall@10 0.92 vs 0.90 at the
-    bench settings) at a fraction of the cost (one TakeOrdered collect vs
+    quality as MLlib (bench recall@10 0.90, equal to the MLlib fit's
+    published number) at a fraction of the cost (one TakeOrdered collect vs
     ~25 scheduler-bound MLlib jobs: 6-13 s → <0.5 s on the 2k-vector
     fixture), and partition-layout-INVARIANT (a pure function of the
     (id, vec) set up to the sample cap), which MLlib's per-partition
