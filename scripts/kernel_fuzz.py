@@ -263,6 +263,55 @@ FROM sh CROSS JOIN perms
 """
 
 
+class Simhash:
+    # r15: the registered d02 shape moved to a per-document Arrow kernel
+    # (operators/dedup.simhash16); this family fuzzes BOTH the kernel and
+    # its exploded groupBy twin against one DuckDB mirror. Unlike D02_SQL
+    # (which filters t <> '' — a fixture-level equivalence), the mirror
+    # here hashes boundary '' tokens exactly like the Spark side, so the
+    # NULL/EMPTY injections exercise the real token rules. The one
+    # documented residual divergence (U+000B in RE2 \s) cannot arise from
+    # the fixture corpus + injections.
+    name = "simhash"
+
+    @staticmethod
+    def draw(rng):
+        return {"impl": rng.choice(["kernel", "exploded"])}
+
+    @staticmethod
+    def spark(spark, sfd, params):
+        from vectrekker_spark.operators.dedup import (
+            simhash16,
+            simhash16_exploded,
+        )
+
+        fn = simhash16 if params["impl"] == "kernel" else simhash16_exploded
+        return fn(_docs(spark, sfd, params))
+
+    @staticmethod
+    def sql(params):
+        t = _texpr(params)
+        toks = TOKS.format(t="text")
+        return f"""
+WITH d AS (SELECT doc_id, {t} AS text
+           FROM documents WHERE {_bound_sql(params)}),
+tok AS (
+  SELECT doc_id, unnest({toks}) AS tk
+  FROM d WHERE text IS NOT NULL AND trim(text) <> ''),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(tk), 1, 8))::BIGINT % 65536 AS h
+      FROM tok),
+votes AS (
+  SELECT doc_id, r.j AS j,
+         SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN range(16) r(j) GROUP BY doc_id, r.j)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT
+         AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
 class Winnow:
     name = "winnow"
 
@@ -1057,7 +1106,7 @@ def _write_langid_texts(dirpath: str, rng, n: int):
     )
 
 
-TEXT_FAMILIES = [Chunk, WordShingles, CharShingles, Minhash, Winnow, Bloom,
+TEXT_FAMILIES = [Chunk, WordShingles, CharShingles, Minhash, Simhash, Winnow, Bloom,
                  Split, Decontam, ParaDedup, SentenceSplit, DsirKey]
 VEC_FAMILIES = [VecMetrics, ThresholdJoin, TopK]
 HASH_FAMILIES = [ImagePairs, ImageAgainst]
