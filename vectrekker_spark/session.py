@@ -56,6 +56,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- broadcast: dims up to 64 MB go map-side (region/nation/queries) ---
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- driver-side Python API overhead (r15, guide §5: the driver
+        # should do almost no work) ---
+        # PySpark's DataFrame-debugging wrapper adds, to EVERY DataFrame /
+        # functions API call, a getActiveSession + conf.get + origin
+        # set/clear (3-4 py4j round trips) plus a Python stack walk, purely
+        # to enrich error messages with the user-code call site. Profiled
+        # at ~1,800 extra py4j round trips for one registered-query
+        # construction (d24: 0.41 s → 0.18 s build with this off); across
+        # the 50-query bench, construction was ~7 s of the ~21 s total.
+        # Scale-independent driver-CPU cost — a real cluster's driver pays
+        # the same tax. Error BEHAVIOR is unchanged (same exceptions, same
+        # classes); only the optional call-site annotation is dropped.
+        # Static conf: must be set at session build.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # quieter logs for test runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
