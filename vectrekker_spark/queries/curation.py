@@ -140,7 +140,10 @@ def d27_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
     # for free (r12: the build dominated d27's toy-scale ratio, VERDICT #4)
     sh = bench.select(F.explode(T.word_shingles("text")).alias("__sh"))
     bf = bloom_build(sh, "__sh", m_bits=1 << 16, k=4)
-    train = tbp(spark, sf, "documents").filter(F.col("doc_id") % 20 != 0)
+    # parts=8 (r15): the fused probe kernel over ~9.5k fixture docs was
+    # 32-way task overhead — A/B 1.12 → 1.06 s (small but consistent),
+    # byte-equal.
+    train = tbp(spark, sf, "documents", parts=8).filter(F.col("doc_id") % 20 != 0)
     # fused shingle+probe kernel (r14): only the text crosses Arrow, the
     # shingle arrays never materialize as a column, per-shingle probe
     # results memoize per task — 0.76 → 0.55 s on the probe at sf0.1 and
@@ -231,7 +234,9 @@ def d21_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic email+phone on every 7th doc IN BOTH ENGINES, then
     # redacts — making the scrub observable (counts > 0, md5s change) while
     # staying oracle-checkable.
-    d = tbp(spark, sf, "documents")
+    # parts=8 (r15): regexp redaction is light per fixture doc — A/B
+    # 0.50 → 0.40 s, byte-equal.
+    d = tbp(spark, sf, "documents", parts=8)
     injected = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(
@@ -356,7 +361,9 @@ def d25_sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
     from vectrekker_spark.queries.util import small_local
 
     rates = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.05}
-    d = tbp(spark, sf, "documents")
+    # parts=8 (r15): the salted-md5 maps are a few ns per row — A/B
+    # 0.51 → 0.31 s, byte-equal.
+    d = tbp(spark, sf, "documents", parts=8)
     s = stratified_hash_sample(d, rates, strata_col="lang", seed="mix1")
     out = s.select(
         "doc_id",

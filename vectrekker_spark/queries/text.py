@@ -116,7 +116,12 @@ ORDER BY doc_id, chunk_id
 
 
 def d01_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    return ordered(minhash_signatures(tbp(spark, sf, "documents")), "doc_id", "perm")
+    # parts=8 (r15, the q28/q20 precedent): 32 tasks of ~15 fixture docs
+    # were pure task overhead for the per-doc kernel — interleaved A/B
+    # 1.14 → 0.96 s (loaded box) / 0.79 → 0.70 s (quiet), byte-equal.
+    return ordered(
+        minhash_signatures(tbp(spark, sf, "documents", parts=8)), "doc_id", "perm"
+    )
 
 
 _PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))
@@ -143,7 +148,10 @@ ORDER BY doc_id, perm
 
 
 def d02_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return simhash16(tbp(spark, sf, "documents")).orderBy("doc_id")
+    # parts=8 (r15): the zero-shuffle kernel is light at fixture scale, so
+    # 32-way spread was task overhead — A/B 1.20 → 0.85 s (loaded) /
+    # 0.85 → 0.72 s (quiet), byte-equal.
+    return simhash16(tbp(spark, sf, "documents", parts=8)).orderBy("doc_id")
 
 
 D02_SQL = f"""
@@ -209,7 +217,9 @@ def d04_text_scoring(spark: SparkSession, sf: str) -> DataFrame:
     # and the duplicated subtrees made this query ~10× slower than the same
     # math as regexp_count. Hits are aliased once here; pred_lang reads the
     # integer columns in a second projection, so nothing heavy is duplicated.
-    d = tbp(spark, sf, "documents")
+    # parts=8 (r15): regexp projection is light per fixture doc — A/B
+    # 0.64 → 0.58 s, byte-equal.
+    d = tbp(spark, sf, "documents", parts=8)
     stats = d.select(
         "doc_id",
         F.length("text").alias("__n"),
@@ -483,7 +493,10 @@ def d13_winnowing(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    d = tbp(spark, sf, "documents").select("doc_id", "text")
+    # parts=8 (r15): A/B 0.78 → 0.60 s (loaded) / 0.70 → 0.60 s (quiet),
+    # byte-equal — per-task overhead exceeded the rolling-min compute at
+    # fixture scale.
+    d = tbp(spark, sf, "documents", parts=8).select("doc_id", "text")
     out = d.mapInPandas(
         winnow_summary,
         schema="doc_id long, n_fps long, fp_xor long, fp_min long, fp_max long",
@@ -579,7 +592,10 @@ def d17_count_min(spark: SparkSession, sf: str) -> DataFrame:
 
     from vectrekker_spark.operators.sketch import build_sketch
 
-    sketch = build_sketch(tbp(spark, sf, "documents"))
+    # parts=8 (r15): fewer partial sketches to build AND merge on the
+    # driver — A/B 0.82 → 0.55 s, byte-equal (the merge is an exact
+    # integer monoid, order-independent).
+    sketch = build_sketch(tbp(spark, sf, "documents", parts=8))
     # Arrow-backed createDataFrame (a tuple-list local relation costs ~10×:
     # per-element Python→JVM conversion vs one Arrow batch)
     ds, cs = np.nonzero(sketch)
@@ -613,7 +629,9 @@ def d23_repetition(spark: SparkSession, sf: str) -> DataFrame:
     # observable while staying oracle-checkable.
     from vectrekker_spark.operators.repetition import repetition_report
 
-    d = tbp(spark, sf, "documents")
+    # parts=8 (r15): A/B 0.96 → 0.70 s (loaded) / 0.72 → 0.61 s (quiet),
+    # byte-equal — the zero-shuffle kernel is per-doc light at this scale.
+    d = tbp(spark, sf, "documents", parts=8)
     injected = F.when(
         F.col("doc_id") % 9 == 0,
         F.concat(F.col("text"), F.lit("\nrepeat line alpha" * 3)),
